@@ -1,13 +1,198 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.sources.Tables
+
+/** Driver contract — SURVEY.md §2 is the inventory this map implements.
+  *
+  * Every `queries` key with an `oracleSql` entry is hash-compared against
+  * DuckDB at sf0.01; keys without one get a rows>0 check. Column names and
+  * types are aligned engine-to-engine (all ints → BIGINT, money math in
+  * DECIMAL cast to DOUBLE at the boundary, floats rounded at the boundary).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.revenueByNation(Tables(spark, "/root/testdata/sf0.001"))
+
+  private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tables(s, dir))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // relational core
+    "q1_agg"          -> q(Relational.pricingSummary),
+    "q2_join"         -> q(Relational.revenueByNation),
+    "q3_topk"         -> q(Relational.topOrders(_)),
+    "q4_window"       -> q(Relational.supplierWindows),
+    "q5_semijoin"     -> q(Relational.reliableCustomers(_)),
+    "q6_filter"       -> q(Relational.forecastRevenue),
+    "q_events_window" -> q(Relational.eventHourly),
+    // sessions (reference: utils/session_manager.py)
+    "q_sessionize"      -> q(t => Sessionize.sessions(t.events)),
+    "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
+    // text pipeline (reference: services/index_service.py)
+    "q_preprocess"   -> q(TextAnalysis.preprocessed),
+    "text_tokens"    -> q(TextAnalysis.tokenCounts),
+    "text_quality"   -> q(TextAnalysis.qualityScores),
+    "dedup_exact"    -> q(Dedup.exactGroups),
+    // vector index health (reference: controllers/health_controller.py)
+    "q_index_stats"  -> q(indexStats)
+  )
+
+  private def indexStats(t: Tables): DataFrame = {
+    val withNorm = t.embeddings.select(
+      col("label"),
+      size(col("embedding")).cast("long").as("dim"),
+      sqrt(aggregate(col("embedding").cast("array<double>"), lit(0.0),
+        (acc, x) => acc + x * x)).as("norm"))
+    withNorm.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        min(col("dim")).as("dim_min"),
+        max(col("dim")).as("dim_max"),
+        (floor(min(col("norm")) * 1e6) / 1e6).as("norm_min"),
+        (floor(max(col("norm")) * 1e6) / 1e6).as("norm_max"))
+      .orderBy(col("label"))
+  }
+
+  private val DEC = "CAST(l_extendedprice AS DECIMAL(18,2))"
+  private val DISC = "CAST(l_discount AS DECIMAL(18,2))"
+  private val REV = s"$DEC * (1 - $DISC)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         | CAST(SUM($DEC) AS DOUBLE) AS sum_base_price,
+         | CAST(SUM($REV) AS DOUBLE) AS sum_disc_price,
+         | CAST(SUM($REV * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         | CAST(SUM($DEC) AS DOUBLE) / COUNT(*) AS avg_price,
+         | COUNT(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q2_join" ->
+      s"""SELECT r_name, n_name, CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         | JOIN customer ON o_custkey=c_custkey
+         | JOIN nation ON c_nationkey=n_nationkey
+         | JOIN region ON n_regionkey=r_regionkey
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q3_topk" ->
+      s"""SELECT o_orderkey, o_orderpriority, CAST(SUM($REV) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         |GROUP BY 1,2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q4_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) AS price_rank
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q5_semijoin" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+        | AND NOT EXISTS (SELECT 1 FROM orders JOIN lineitem ON l_orderkey=o_orderkey
+        |                 WHERE o_custkey=c_custkey AND l_extendedprice > 90000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q6_filter" ->
+      s"""SELECT CAST(SUM($DEC * $DISC) AS DOUBLE) AS revenue, COUNT(*) AS n_lines
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_events_window" ->
+      """WITH ev AS (SELECT event_type, value, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events)
+        |SELECT date_trunc('hour', ts) AS window_start, event_type,
+        | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ev GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_sessionize" ->
+      """WITH events_us AS (
+        | SELECT user_id, event_id, value, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events
+        |), x AS (
+        | SELECT user_id, ts, event_id, value,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events_us WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        | SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_idx FROM x
+        |)
+        |SELECT user_id, session_idx, MIN(ts) AS session_start,
+        | MAX(ts) AS session_end, COUNT(*) AS n_events,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_history_window" ->
+      """WITH ev AS (SELECT user_id, event_id, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events)
+        |SELECT user_id, event_id, ts,
+        | CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS BIGINT) AS recency
+        |FROM ev QUALIFY recency <= 5 ORDER BY user_id, recency""".stripMargin,
+    "q_preprocess" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(lower(coalesce(text,'')), 'thc:?\s*(\d+\.?\d*)%?', 'thc \1%', 'g'),
+        |      'cbd:?\s*(\d+\.?\d*)%?', 'cbd \1%', 'g'),
+        |     'hybrid[ -]?dominant', 'hybrid', 'g'),
+        |    'indica[ -]?dominant', 'indica', 'g'),
+        |   'sativa[ -]?dominant', 'sativa', 'g'),
+        |  '[^\w\s%]', ' ', 'g'),
+        | '\s+', ' ', 'g')) AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         | CAST(CASE WHEN len(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END AS BIGINT) AS ws_tokens,
+         | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      ("""WITH d AS (
+        | SELECT doc_id, text,
+        |  CASE WHEN len(trim(text))=0 THEN []::VARCHAR[] ELSE string_split_regex(trim(text),'\s+') END AS toks
+        | FROM documents
+        |), m AS (
+        | SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS len,
+        |  CAST(length(regexp_replace(text,'[^A-Za-z]','','g')) AS DOUBLE) AS alpha,
+        |  CAST(len(toks) AS DOUBLE) AS ntok,
+        |  CAST(len(list_filter(toks, x -> x IN (""" +
+        graft.functions.TextFunctions.Stopwords.map(s => s"'$s'").mkString(",") +
+        """))) AS DOUBLE) AS stop
+        | FROM d
+        |)
+        |SELECT doc_id, CAST(len AS BIGINT) AS n_chars, CAST(ntok AS BIGINT) AS n_tokens,
+        | floor((CASE WHEN len>0 THEN alpha/len ELSE 0 END)*10000.0)/10000.0 AS alpha_ratio,
+        | floor((CASE WHEN ntok>0 THEN stop/ntok ELSE 0 END)*10000.0)/10000.0 AS stopword_ratio,
+        | floor((CASE WHEN ntok>0 THEN alpha/ntok ELSE 0 END)*10000.0)/10000.0 AS avg_word_len,
+        | floor((0.4*least(1.0, len/500.0) + 0.3*(CASE WHEN len>0 THEN alpha/len ELSE 0 END)
+        |       + 0.3*(1.0 - (CASE WHEN ntok>0 THEN stop/ntok ELSE 0 END)))*10000.0)/10000.0 AS quality_score
+        |FROM m ORDER BY doc_id""").stripMargin,
+    "dedup_exact" ->
+      """WITH n AS (
+        | SELECT doc_id, md5(trim(regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(
+        |     regexp_replace(
+        |      regexp_replace(
+        |       regexp_replace(lower(coalesce(text,'')), 'thc:?\s*(\d+\.?\d*)%?', 'thc \1%', 'g'),
+        |      'cbd:?\s*(\d+\.?\d*)%?', 'cbd \1%', 'g'),
+        |     'hybrid[ -]?dominant', 'hybrid', 'g'),
+        |    'indica[ -]?dominant', 'indica', 'g'),
+        |   'sativa[ -]?dominant', 'sativa', 'g'),
+        |  '[^\w\s%]', ' ', 'g'),
+        | '\s+', ' ', 'g'))) AS text_hash
+        | FROM documents
+        |)
+        |SELECT text_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_index_stats" ->
+      """SELECT label, COUNT(*) AS n,
+        | CAST(MIN(len(embedding)) AS BIGINT) AS dim_min,
+        | CAST(MAX(len(embedding)) AS BIGINT) AS dim_max,
+        | floor(MIN(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')))*1e6)/1e6 AS norm_min,
+        | floor(MAX(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')))*1e6)/1e6 AS norm_max
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }

@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Relational core: the scan/filter/join/agg/window engine underneath the
+  * reference API's data access (reference: services/database_service.py is a
+  * full-collection scan; everything else here is the standard analytics
+  * surface a Spark engine must provide).
+  *
+  * Scale notes (100 TB):
+  *  - dims (`region`, `nation`, `supplier`) are broadcast — no shuffle of
+  *    the fact table for star joins;
+  *  - all money math is DECIMAL-exact then cast to double at the boundary,
+  *    so results are independent of partition count / merge order (floats
+  *    sums are not associative; decimals are);
+  *  - every query carries a total ORDER BY with unique tie-breaks so output
+  *    is deterministic under any parallelism.
+  */
+object Relational {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+
+  /** TPC-H-Q1-style pricing summary. */
+  def pricingSummary(t: Tables): DataFrame = {
+    val li = t.lineitem.filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+          * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Star join: revenue per nation; dims broadcast. */
+  def revenueByNation(t: Tables): DataFrame = {
+    val rev = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Top-10 revenue orders: join + agg + global top-k. */
+  def topOrders(t: Tables, k: Int = 10): DataFrame = {
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(k)
+  }
+
+  /** Window functions: per-supplier running quantity + price rank. */
+  def supplierWindows(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wRank = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    t.lineitem
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        sum(dec(col("l_quantity")))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double").as("running_qty"),
+        row_number().over(wRank).cast("long").as("price_rank"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Semi + anti join: customers with orders but no line over `priceCap`. */
+  def reliableCustomers(t: Tables, priceCap: Double = 90000.0): DataFrame = {
+    val expensive = t.lineitem
+      .filter(col("l_extendedprice") > priceCap)
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"))
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(expensive, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Selective filter + agg — the predicate-pushdown showcase. */
+  def forecastRevenue(t: Tables): DataFrame = {
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.05, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+             .cast("double").as("revenue"),
+           count(lit(1)).as("n_lines"))
+  }
+
+  /** Tumbling 1-hour windowed aggregation over events (batch twin of the
+    * structured-streaming job in [[graft.streaming.EventWindows]]). */
+  def eventHourly(t: Tables): DataFrame = {
+    t.events
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(dec(col("value"))).cast("double").as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed re-expression of the reference's in-memory session store
+  * (reference: utils/session_manager.py — 30-minute inactivity timeout,
+  * keep-last-5 history).
+  *
+  * Batch form: gap-based sessionization via window functions — one shuffle
+  * on the session key, everything else map-side. The streaming twin lives
+  * in [[graft.streaming.SessionStream]].
+  */
+object Sessionize {
+
+  /** Adds `session_idx`: 0-based session ordinal per key, where a new
+    * session starts when the gap since the previous event exceeds `gap`.
+    * `tieCol` makes the intra-key order total (deterministic).
+    */
+  def withSessionIdx(df: DataFrame, key: Column, ts: Column, tieCol: Column,
+                     gap: String): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(ts, tieCol)
+    val prev = lag(ts, 1).over(w)
+    val isNew = when(prev.isNull || ts > prev + expr(s"INTERVAL $gap"), 1)
+      .otherwise(0)
+    df.withColumn("session_idx",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+  }
+
+  /** Per-session rollup: bounds, event count, exact (decimal) value sum. */
+  def sessions(events: DataFrame, gap: String = "30 MINUTES"): DataFrame = {
+    val withIdx = withSessionIdx(
+      events, col("user_id"), col("ts"), col("event_id"), gap)
+    withIdx
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Keep-last-N history per key (reference keeps the last 5 exchanges). */
+  def lastN(events: DataFrame, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events
+      .withColumn("recency", row_number().over(w).cast("long"))
+      .filter(col("recency") <= n)
+      .select(col("user_id"), col("event_id"), col("ts"), col("recency"))
+      .orderBy(col("user_id"), col("recency"))
+  }
+}

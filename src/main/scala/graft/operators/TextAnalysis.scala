@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.sources.Tables
+
+/** Document-level text analysis for LLM-data pipelines: token counting,
+  * quality scoring. Pure narrow transforms — no shuffle; scales linearly
+  * with input splits.
+  */
+object TextAnalysis {
+
+  /** Reference-pipeline text cleaning over `documents`. */
+  def preprocessed(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), preprocess(col("text")).as("clean_text"))
+      .orderBy(col("doc_id"))
+
+  /** Whitespace + BPE-ish token counts. */
+  def tokenCounts(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: length, alpha ratio, stopword ratio, avg word
+    * length, composite score — deterministic double math, rounded at the
+    * boundary so the DuckDB oracle hash-matches. */
+  def qualityScores(t: Tables): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val len = length(col("text")).cast("double")
+    val alpha = alphaCount(col("text")).cast("double")
+    val stop = stopwordCount(toks).cast("double")
+    val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0, stop / nTok).otherwise(lit(0.0))
+    val avgWordLen = when(nTok > 0, alpha / nTok).otherwise(lit(0.0))
+    val lenScore = least(lit(1.0), len / lit(500.0))
+    // floor-scaling instead of round(): both engines compute the same
+    // binary double, so floor is engine-portable while round-half modes
+    // are not (Spark rounds the shortest decimal repr, DuckDB the binary).
+    def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0) / 10000.0
+    t.documents.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      r4(alphaRatio).as("alpha_ratio"),
+      r4(stopRatio).as("stopword_ratio"),
+      r4(avgWordLen).as("avg_word_len"),
+      r4(lit(0.4) * lenScore + lit(0.3) * alphaRatio
+            + lit(0.3) * (lit(1.0) - stopRatio)).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+}
