@@ -14,9 +14,11 @@ import graft.sources.Tables
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the full reference pipeline (clean → embed → search → join
+    * docs back) on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.revenueByNation(Tables(spark, "/root/testdata/sf0.001"))
+    new SearchEngine(spark, "/root/testdata/sf0.001")
+      .search("fast hash join on the big table", k = 3)
 
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables(s, dir))
@@ -39,8 +41,56 @@ object SparkEntry {
     "text_quality"   -> q(TextAnalysis.qualityScores),
     "dedup_exact"    -> q(Dedup.exactGroups),
     // vector index health (reference: controllers/health_controller.py)
-    "q_index_stats"  -> q(indexStats)
+    "q_index_stats"  -> q(indexStats),
+    // vector search surface (reference: index/search/qa services)
+    "q_embed" -> ((s, dir) => new SearchEngine(s, dir)
+      .buildIndex().select(col("doc_id"), col("embedding")).orderBy(col("doc_id"))),
+    "q_knn" -> q(t => Search.bruteForceTopK(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, k = 5)),
+    "q_knn_threshold" -> q(t => Search.thresholdRetrieval(
+      t.embeddings.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings.filter(col("vec_id") >= 20), maxDistance = 0.4)),
+    "q_topic_change" -> q(t => Search.topicChanges(
+        t.embeddings.select(col("label"), col("vec_id"), col("embedding")),
+        col("label"), col("vec_id"))
+      .orderBy(col("label"), col("vec_id"))),
+    "q_index_build" -> q(t => IvfIndex.assignments(
+      t.embeddings, IvfIndex.centroids(t.embeddings, 16))),
+    "q_ivf_search" -> q(t => IvfIndex.search(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, nCentroids = 16, nprobe = 4, k = 5)),
+    // LLM-pipeline dedup family
+    "dedup_minhash"   -> q(t => Dedup.minhashCandidates(t)),
+    "dedup_simhash"   -> q(t => Dedup.simhashCandidates(t)),
+    "dedup_jaccard"   -> q(t => Dedup.jaccardNeighbors(t)),
+    "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
+    // text analysis
+    "text_langid"      -> q(TextAnalysis.languageId),
+    "text_fingerprint" -> q(TextAnalysis.fingerprints),
+    // multimodal plumbing
+    "mm_features" -> q(t => graft.multimodal.Multimodal.documentFeatures(t.documents))
   )
+
+  /** The reference text-normalization chain as DuckDB SQL (mirrors
+    * [[graft.functions.TextFunctions.preprocess]]). */
+  private def normSql(in: String): String =
+    s"""trim(regexp_replace(
+       |  regexp_replace(
+       |   regexp_replace(
+       |    regexp_replace(
+       |     regexp_replace(
+       |      regexp_replace(
+       |       regexp_replace(lower(coalesce($in,'')), 'thc:?\\s*(\\d+\\.?\\d*)%?', 'thc \\1%', 'g'),
+       |      'cbd:?\\s*(\\d+\\.?\\d*)%?', 'cbd \\1%', 'g'),
+       |     'hybrid[ -]?dominant', 'hybrid', 'g'),
+       |    'indica[ -]?dominant', 'indica', 'g'),
+       |   'sativa[ -]?dominant', 'sativa', 'g'),
+       |  '[^\\w\\s%]', ' ', 'g'),
+       | '\\s+', ' ', 'g'))""".stripMargin
 
   private def indexStats(t: Tables): DataFrame = {
     val withNorm = t.embeddings.select(
@@ -193,6 +243,96 @@ object SparkEntry {
         | CAST(MAX(len(embedding)) AS BIGINT) AS dim_max,
         | floor(MIN(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')))*1e6)/1e6 AS norm_min,
         | floor(MAX(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')))*1e6)/1e6 AS norm_max
-        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN c),
+        | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_knn_threshold" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id >= 20),
+        | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN c),
+        | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+        |SELECT query_id, vec_id AS best_id, floor(sim*1e6)/1e6 AS best_score, (1.0 - sim) < 0.4 AS accepted
+        |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "q_topic_change" ->
+      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | l AS (SELECT label, vec_id, ev, lag(ev) OVER (PARTITION BY label ORDER BY vec_id) AS prev FROM e)
+        |SELECT label, vec_id, floor(list_cosine_similarity(prev, ev)*1e6)/1e6 AS sim_to_prev,
+        | COALESCE(list_cosine_similarity(prev, ev) < 0.75, TRUE) AS topic_change
+        |FROM l ORDER BY label, vec_id""".stripMargin,
+    "q_index_build" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+        | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | d AS (SELECT vec_id, centroid_id, 1.0 - list_cosine_similarity(ev, cv) AS dist FROM e CROSS JOIN c),
+        | r AS (SELECT vec_id, centroid_id, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn FROM d)
+        |SELECT vec_id, centroid_id, floor(greatest(dist, 0.0)*1e6)/1e6 AS dist FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q_ivf_search" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+        | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | assign AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT e.vec_id, c.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM e CROSS JOIN c) WHERE rn = 1),
+        | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+        | probes AS (SELECT query_id, centroid_id FROM (
+        |   SELECT query_id, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+        |   FROM q CROSS JOIN c) WHERE rn <= 4),
+        | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+        | scored AS (SELECT cand.query_id, cand.vec_id, list_cosine_similarity(q.qv, e.ev) AS sim
+        |   FROM cand JOIN q ON cand.query_id = q.query_id JOIN e ON cand.vec_id = e.vec_id),
+        | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+         | sh AS (SELECT doc_id, unnest(list_distinct(
+         |   CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |        ELSE list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) END)) AS sh
+         |  FROM tok),
+         | sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id, COUNT(*) AS i
+         |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1,2),
+         | jac AS (SELECT i.doc_id, i.neighbor_id, CAST(i.i AS DOUBLE)/(s1.n_sh + s2.n_sh - i.i) AS jaccard
+         |   FROM inter i JOIN sizes s1 ON i.doc_id = s1.doc_id JOIN sizes s2 ON i.neighbor_id = s2.doc_id)
+         |SELECT doc_id, neighbor_id, floor(jaccard*1e6)/1e6 AS jaccard
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id) AS rn FROM jac)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn, list_cosine_similarity(a.ev, b.ev) AS sim
+        |   FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+        | best AS (SELECT vec_id, nn, sim, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) AS rn FROM sims)
+        |SELECT vec_id, nn AS nn_id, floor(sim*1e6)/1e6 AS nn_score, sim >= 0.95 AS is_dup
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "text_langid" ->
+      (s"""WITH tok AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+          | m AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS ntok,""" +
+        graft.operators.TextAnalysis.LangProfiles.map { case (lang, words) =>
+          val lst = words.map(w => s"'$w'").mkString(",")
+          s"\n  CAST(len(list_filter(toks, x -> x IN ($lst))) AS DOUBLE) AS c_$lang,"
+        }.mkString.dropRight(1) +
+        """
+          | FROM tok),
+          | s AS (SELECT doc_id,
+          |  CASE WHEN ntok>0 THEN c_en/ntok ELSE 0 END AS s_en,
+          |  CASE WHEN ntok>0 THEN c_de/ntok ELSE 0 END AS s_de,
+          |  CASE WHEN ntok>0 THEN c_es/ntok ELSE 0 END AS s_es,
+          |  CASE WHEN ntok>0 THEN c_fr/ntok ELSE 0 END AS s_fr
+          | FROM m)
+          |SELECT doc_id,
+          | floor(s_en*10000.0)/10000.0 AS score_en,
+          | floor(s_de*10000.0)/10000.0 AS score_de,
+          | floor(s_es*10000.0)/10000.0 AS score_es,
+          | floor(s_fr*10000.0)/10000.0 AS score_fr,
+          | CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+          |      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+          |      WHEN s_es >= s_fr THEN 'es'
+          |      ELSE 'fr' END AS predicted_lang
+          |FROM s ORDER BY doc_id""").stripMargin
   )
 }

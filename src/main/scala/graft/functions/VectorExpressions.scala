@@ -1,0 +1,254 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector hot path.
+  *
+  * All similarity math reads float32 vectors but accumulates in double,
+  * folding left-to-right — the exact arithmetic the DuckDB oracles perform
+  * on `embedding::DOUBLE[]`, so results are bit-identical across engines.
+  *
+  * `CosineSimilarity`/`DotProduct`/`L2Norm` implement `doGenCode`, so they
+  * stay inside whole-stage codegen — no UDF boxing in the inner loop of
+  * every KNN/dedup operator (this loop runs corpus × queries times).
+  */
+abstract class BinaryVectorExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+
+  protected def loopBody: String // java: computes `out` from dot/na/nb loop
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    evalFromSums(dot, na, nb)
+  }
+
+  protected def evalFromSums(dot: Double, na: Double, nb: Double): Double
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double x = (double) $a.getFloat($i);
+         |  double y = (double) $b.getFloat($i);
+         |  $dot += x * y; $na += x * x; $nb += y * y;
+         |}
+         |${ev.value} = ${loopBody
+            .replace("DOT", dot).replace("NA", na).replace("NB", nb)};
+       """.stripMargin
+    })
+}
+
+/** cosine(a, b) ∈ [-1, 1]; 0.0 when either vector has zero norm
+  * (reference space: hnswlib "cosine", services/index_service.py:72). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override protected def evalFromSums(dot: Double, na: Double, nb: Double): Double =
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  override protected def loopBody: String =
+    "(NA == 0.0 || NB == 0.0) ? 0.0 : DOT / (java.lang.Math.sqrt(NA) * java.lang.Math.sqrt(NB))"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "cosine_similarity"
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override protected def evalFromSums(dot: Double, na: Double, nb: Double): Double = dot
+  override protected def loopBody: String = "DOT"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+/** L2 norm of one array<float> vector. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var s = 0.0; var i = 0
+    while (i < a.numElements()) { val x = a.getFloat(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  double x = (double) $a.getFloat($i); $s += x * x;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($s);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "l2_norm"
+}
+
+object GraftHash {
+  /** FNV-1a 64-bit over UTF-8 bytes — stable, public, allocation-free. */
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+  def fnv1a64(bytes: Array[Byte]): Long = {
+    var h = FnvOffset
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
+    h
+  }
+  def fnv1a64(s: UTF8String): Long = fnv1a64(s.getBytes)
+  /** Mix for deriving the i-th minhash permutation from one base hash. */
+  def mix(h: Long, i: Int): Long = {
+    var x = h + 0x9e3779b97f4a7c15L * (i + 1)
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+}
+
+/** Hashing-trick TF embedding: whitespace tokens → FNV bucket → counts →
+  * L2-normalized array<float> (the deterministic stand-in for the
+  * reference's sentence-transformer encode,
+  * services/embedding_service.py:18). Interpreted eval is fine here: one
+  * call per document, not per pair. */
+case class HashEmbed(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val text = v.asInstanceOf[UTF8String].toString
+    val acc = new Array[Double](dim)
+    var start = 0; var i = 0; val len = text.length
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = text.substring(start, i)
+          val h = GraftHash.fnv1a64(tok.getBytes("UTF-8"))
+          val b = ((h % dim) + dim).toInt % dim
+          acc(b) += 1.0
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var norm = 0.0; i = 0
+    while (i < dim) { norm += acc(i) * acc(i); i += 1 }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) { out(i) = (acc(i) * inv).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "hash_embed"
+}
+
+/** MinHash signature: k derived permutations over one FNV base hash per
+  * token; empty input → all Long.MaxValue. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val sig = Array.fill[Long](k)(Long.MaxValue)
+    var t = 0
+    while (t < toks.numElements()) {
+      val h = GraftHash.fnv1a64(toks.getUTF8String(t))
+      var i = 0
+      while (i < k) {
+        val g = GraftHash.mix(h, i)
+        if (g < sig(i)) sig(i) = g
+        i += 1
+      }
+      t += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** 64-bit SimHash over a token array. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val cnt = new Array[Int](64)
+    var t = 0
+    while (t < toks.numElements()) {
+      val h = GraftHash.fnv1a64(toks.getUTF8String(t))
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L; var j = 0
+    while (j < 64) { if (cnt(j) > 0) out |= (1L << j); j += 1 }
+    java.lang.Long.valueOf(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "simhash64"
+}
+
+/** Rolling polynomial (base-31, 64-bit wrapping) document fingerprint. */
+case class PolyFingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    var h = 0L; var i = 0
+    while (i < s.length) { h = h * 31L + s.charAt(i).toLong; i += 1 }
+    java.lang.Long.valueOf(h)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "poly_fingerprint"
+}
+
+/** LSH band hashes from a minhash signature: FNV over each band's rows. */
+case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val sig = v.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = GraftHash.FnvOffset
+      var r = 0
+      while (r < rowsPerBand) {
+        val x = sig.getLong(b * rowsPerBand + r)
+        var j = 0
+        while (j < 8) {
+          h = (h ^ ((x >>> (8 * j)) & 0xffL)) * GraftHash.FnvPrime
+          j += 1
+        }
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "band_hashes"
+}

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.bridge
+
+/** Column-level facade over graft's native Catalyst expressions. */
+package object functions {
+
+  private def c(col: Column) = bridge.expression(col)
+
+  def cosine_similarity(a: Column, b: Column): Column =
+    bridge.column(CosineSimilarity(c(a), c(b)))
+
+  def cosine_distance(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.lit(1.0) - cosine_similarity(a, b)
+
+  def dot_product(a: Column, b: Column): Column =
+    bridge.column(DotProduct(c(a), c(b)))
+
+  def l2_norm(a: Column): Column = bridge.column(L2Norm(c(a)))
+
+  def hash_embed(text: Column, dim: Int): Column =
+    bridge.column(HashEmbed(c(text), dim))
+
+  def minhash_signature(tokens: Column, k: Int): Column =
+    bridge.column(MinHashSignature(c(tokens), k))
+
+  def simhash64(tokens: Column): Column = bridge.column(SimHash64(c(tokens)))
+
+  def poly_fingerprint(text: Column): Column =
+    bridge.column(PolyFingerprint(c(text)))
+
+  def band_hashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    bridge.column(BandHashes(c(sig), bands, rowsPerBand))
+
+  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+    bridge.column(TopKByScore(c(score), c(id), k).toAggregateExpression())
+}

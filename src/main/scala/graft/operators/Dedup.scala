@@ -1,15 +1,24 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions._
 import graft.functions.TextFunctions._
 import graft.sources.Tables
 
 /** Deduplication operators for LLM-data pipelines.
   *
-  * Exact dedup = one hash-shuffle groupBy on the normalized-text digest:
-  * at 100 TB this is the cheapest possible form (map-side partial
-  * aggregation collapses duplicates before the shuffle).
+  * Scale shapes (100 TB):
+  *  - exact: one hash-shuffle groupBy; map-side partial agg collapses
+  *    duplicates before the wire;
+  *  - minhash-LSH / simhash: banding turns all-pairs O(N²) into
+  *    equi-joins on band buckets — shuffle volume ∝ docs × bands, and
+  *    only intra-bucket pairs are ever materialized;
+  *  - jaccard: explode on (rare) shingles, pairs only where a shingle is
+  *    shared;
+  *  - embedding: blocked self-join (here by `label`, i.e. an IVF-style
+  *    coarse cluster) — never corpus × corpus.
   */
 object Dedup {
 
@@ -23,4 +32,104 @@ object Dedup {
       .agg(min(col("doc_id")).as("canonical_id"),
            count(lit(1)).as("dup_count"))
       .orderBy(col("text_hash"))
+
+  /** Symmetric candidate pairs → per-doc rollup (every doc keeps a row:
+    * n_candidates, smallest partner id). */
+  private def perDocSummary(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("partner"))
+      .union(pairs.select(col("id2").as("doc_id"), col("id1").as("partner")))
+    docs.select(col("doc_id"))
+      .join(sym.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+             min(col("partner")).as("min_partner")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_candidates"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash(k)+LSH banding near-dup candidates over word shingles. */
+  def minhashCandidates(t: Tables, numHashes: Int = 128, bands: Int = 16,
+                        shingleLen: Int = 3): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = t.documents.select(col("doc_id"),
+      band_hashes(
+        minhash_signature(
+          shingles(tokens(preprocess(col("text"))), shingleLen), numHashes),
+        bands, rows).as("bh"))
+    val bucketed = sigs
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    perDocSummary(t.documents, pairs)
+  }
+
+  /** SimHash64 + banded (4 × 16-bit) candidate generation, verified by
+    * exact hamming distance ≤ `maxHamming`. */
+  def simhashCandidates(t: Tables, maxHamming: Int = 3): DataFrame = {
+    val hashed = t.documents.select(col("doc_id"),
+      simhash64(tokens(preprocess(col("text")))).as("sh"))
+    val banded = hashed.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(j =>
+        struct(lit(j).as("band"),
+          shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xffffL)).as("chunk"))): _*))
+        .as("bc"))
+      .select(col("doc_id"), col("sh"), col("bc.band"), col("bc.chunk"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    perDocSummary(t.documents, pairs)
+  }
+
+  /** Word-n-gram Jaccard nearest neighbor per doc (docs sharing no shingle
+    * have no neighbor and drop out — same on the oracle side). */
+  def jaccardNeighbors(t: Tables, shingleLen: Int = 3): DataFrame = {
+    val sh = t.documents
+      .select(col("doc_id"),
+        explode(array_distinct(
+          shingles(tokens(preprocess(col("text"))), shingleLen))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"))
+      .agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n1")), Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("neighbor_id"), col("n_sh").as("n2")),
+        Seq("neighbor_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("jaccard").desc, col("neighbor_id"))
+    jac.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("neighbor_id"),
+        (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding-cosine nearest neighbor within a blocking key (`label` =
+    * coarse cluster): (vec_id, nn_id, nn_score, is_dup at `simThreshold`). */
+  def embeddingNeighbors(t: Tables, simThreshold: Double = 0.95): DataFrame = {
+    val e = t.embeddings.select(col("label"), col("vec_id"), col("embedding"))
+    val sims = e.as("a")
+      .join(e.as("b"), col("a.label") === col("b.label") &&
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+        cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
+    sims.groupBy(col("query_id"))
+      .agg(top_k_by_score(col("sim"), col("vec_id"), 1).as("topk"))
+      .select(col("query_id").as("vec_id"),
+        col("topk").getItem(0).getField("id").as("nn_id"),
+        (floor(col("topk").getItem(0).getField("score") * 1e6) / 1e6)
+          .as("nn_score"),
+        (col("topk").getItem(0).getField("score") >= simThreshold).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
 }

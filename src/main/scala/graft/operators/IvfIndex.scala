@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** IVF (inverted-file) approximate search: the scale path that replaces the
+  * reference's single-node HNSW graph (services/index_service.py:55-100).
+  *
+  * Build: assign every corpus vector to its nearest of `nCentroids` seed
+  * centroids (deterministic seeds = first n vectors; a k-means refinement
+  * drops in here without changing the dataflow). At 100 TB the assignment
+  * is one broadcast-join scan, and the posting lists are just the corpus
+  * repartitioned/bucketed by `centroid_id` — a search then touches only
+  * `nprobe / nCentroids` of the data instead of all of it.
+  */
+object IvfIndex {
+
+  /** Deterministic seed centroids: (centroid_id, cv). */
+  def centroids(corpus: DataFrame, nCentroids: Int): DataFrame =
+    corpus.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+
+  /** Nearest-centroid assignment, argmin by (distance, centroid_id):
+    * (vec_id, centroid_id, dist). The struct-min aggregate keeps the
+    * all-pairs step map-side; only (vec_id → best) survives the shuffle. */
+  def assignments(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (lit(1.0) - cosine_similarity(col("embedding"), col("cv"))).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        // clamp: cos(v,v) can exceed 1 by an ulp, and floor() would turn
+        // the resulting -2e-16 distance into -1e-6
+        (floor(greatest(col("best.dist"), lit(0.0)) * 1e6) / 1e6).as("dist"))
+      .orderBy(col("vec_id"))
+
+  /** Probe the `nprobe` nearest centroids per query, then exact top-k over
+    * only those centroids' posting lists. */
+  def search(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
+             nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids(corpus, nCentroids)
+    val assign = corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (lit(1.0) - cosine_similarity(col("embedding"), col("cv"))).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
+
+    val probes = cents.crossJoin(broadcast(queries))
+      .select(col("query_id"),
+        cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))
+      .groupBy(col("query_id"))
+      .agg(top_k_by_score(col("sim"), col("centroid_id"), nprobe).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
+
+    val candidates = assign.join(probes, Seq("centroid_id"))
+      .select(col("query_id"), col("vec_id"))
+
+    val scored = candidates
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
+
+    Search.explodeTopK(
+      scored.groupBy(col("query_id"))
+        .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
+  }
+}

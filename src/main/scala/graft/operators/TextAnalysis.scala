@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.functions.poly_fingerprint
 import graft.sources.Tables
 
 /** Document-level text analysis for LLM-data pipelines: token counting,
@@ -53,4 +54,44 @@ object TextAnalysis {
             + lit(0.3) * (lit(1.0) - stopRatio)).as("quality_score"))
       .orderBy(col("doc_id"))
   }
+
+  /** Stopword-profile scores per language; shared with the DuckDB oracle. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das", "mit"),
+    "es" -> Seq("el", "la", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "et", "les", "des", "une", "dans"))
+
+  /** n-gram-heuristic language ID: per-language stopword-hit ratios and an
+    * argmax prediction (priority order on ties). */
+  def languageId(t: Tables): DataFrame = {
+    val toks = tokens(preprocess(col("text")))
+    val nTok = size(toks).cast("double")
+    def r4(c: Column) = floor(c * 10000.0) / 10000.0
+    def score(words: Seq[String]): Column =
+      when(nTok > 0,
+        size(filter(toks, tk => tk.isin(words.map(w => w: Any): _*)))
+          .cast("double") / nTok)
+        .otherwise(lit(0.0))
+    val s = LangProfiles.map { case (lang, words) => lang -> score(words) }.toMap
+    val predicted =
+      when(s("en") >= s("de") && s("en") >= s("es") && s("en") >= s("fr"), "en")
+        .when(s("de") >= s("es") && s("de") >= s("fr"), "de")
+        .when(s("es") >= s("fr"), "es")
+        .otherwise("fr")
+    t.documents.select(
+      col("doc_id"),
+      r4(s("en")).as("score_en"), r4(s("de")).as("score_de"),
+      r4(s("es")).as("score_es"), r4(s("fr")).as("score_fr"),
+      predicted.as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling polynomial 64-bit fingerprint of the normalized text. */
+  def fingerprints(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        poly_fingerprint(preprocess(col("text"))).as("fingerprint"),
+        hex(poly_fingerprint(preprocess(col("text")))).as("fingerprint_hex"))
+      .orderBy(col("doc_id"))
 }

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between graft's Catalyst expressions and the public Column API.
+  *
+  * Spark 4 moved `Column` to a backend-agnostic module; wrapping a raw
+  * Catalyst `Expression` goes through the classic backend's
+  * `ExpressionUtils`, which is `private[sql]` — hence this one-file shim
+  * inside the `org.apache.spark.sql` namespace (the standard extension
+  * pattern used by Spark-native libraries).
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

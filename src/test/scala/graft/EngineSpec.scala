@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class EngineSpec extends SparkSuite {
+
+  lazy val engine = new SearchEngine(spark, sfDir)
+
+  test("entry flagship returns search results") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    val cols = SparkEntry.entry(spark).columns.toSeq
+    assert(cols == Seq("rank", "doc_id", "score", "description"))
+  }
+
+  test("search returns k results ordered by rank, scores in [-1,1]") {
+    val rows = engine.search("fast hash join on the big table", k = 5).collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 5L))
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.forall(s => s >= -1.0 && s <= 1.0))
+    assert(scores.sameElements(scores.sorted.reverse)) // best first
+  }
+
+  test("search caps k at 20 (reference: search_controller.py k=min(k,20))") {
+    assert(engine.search("table scan", k = 100).count() == 20)
+  }
+
+  test("search validates query text like the reference controller") {
+    intercept[IllegalArgumentException](engine.search("   "))
+    intercept[IllegalArgumentException](engine.search("x" * 501))
+  }
+
+  test("qaContext gates on distance < 0.4") {
+    val row = engine.qaContext("fast hash join on the big table")
+      .collect().head
+    assert(!row.isNullAt(1))                 // best match always reported
+    val accepted = row.getBoolean(3)
+    val score = row.getDouble(2)
+    assert(accepted == (1.0 - score < 0.4 + 1e-6) ||
+           accepted == (1.0 - score < 0.4)) // gate consistent with score
+  }
+
+  test("healthCheck") {
+    assert(engine.healthCheck())
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("multimodal feature extraction: schema and determinism") {
+    val t = sources.Tables(spark, sfDir)
+    val f = multimodal.Multimodal.documentFeatures(t.documents)
+    assert(f.columns.toSeq ==
+      Seq("doc_id", "n_bytes", "checksum", "width", "height", "features"))
+    val twice = multimodal.Multimodal.documentFeatures(t.documents)
+    assert(f.orderBy(col("doc_id")).collect()
+      .sameElements(twice.orderBy(col("doc_id")).collect()))
+    val row = f.orderBy(col("doc_id")).head()
+    assert(row.getSeq[Float](5).length == 8)
+    assert(row.getLong(1) > 0)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+class ExpressionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def vec(xs: Float*): Array[Float] = xs.toArray
+
+  test("cosine_similarity on known vectors") {
+    val df = Seq((vec(1f, 2f, 3f), vec(3f, 2f, 1f))).toDF("a", "b")
+    val got = df.select(cosine_similarity($"a", $"b")).as[Double].head()
+    assert(math.abs(got - 10.0 / 14.0) < 1e-12)
+  }
+
+  test("cosine_similarity zero-norm yields 0.0, orthogonal yields 0.0") {
+    val df = Seq(
+      (vec(0f, 0f), vec(1f, 1f)),
+      (vec(1f, 0f), vec(0f, 1f))).toDF("a", "b")
+    assert(df.select(cosine_similarity($"a", $"b")).as[Double].collect()
+      .forall(_ == 0.0))
+  }
+
+  test("cosine_similarity interpreted eval matches codegen") {
+    val df = Seq((vec(0.3f, -1.2f, 4.5f, 0.01f), vec(-2f, 0.7f, 1.1f, 9f)))
+      .toDF("a", "b")
+    val code = df.select(cosine_similarity($"a", $"b")).as[Double].head()
+    val expr = graft.functions.CosineSimilarity(
+      org.apache.spark.sql.graft.bridge.expression($"a"),
+      org.apache.spark.sql.graft.bridge.expression($"b"))
+    val interp = df.select(org.apache.spark.sql.graft.bridge.column(expr))
+      .as[Double].head() // same path; cross-check against manual fold
+    val (a, b) = (Array(0.3, -1.2, 4.5, 0.01), Array(-2.0, 0.7, 1.1, 9.0))
+    val af = a.map(_.toFloat.toDouble); val bf = b.map(_.toFloat.toDouble)
+    val dot = af.zip(bf).map { case (x, y) => x * y }.sum
+    val manual = dot / (math.sqrt(af.map(x => x * x).sum) * math.sqrt(bf.map(x => x * x).sum))
+    assert(code == interp)
+    assert(math.abs(code - manual) < 1e-12)
+  }
+
+  test("dot_product and l2_norm") {
+    val df = Seq((vec(1f, 2f, 2f), vec(2f, 1f, 2f))).toDF("a", "b")
+    assert(df.select(dot_product($"a", $"b")).as[Double].head() == 8.0)
+    assert(df.select(l2_norm($"a")).as[Double].head() == 3.0)
+  }
+
+  test("hash_embed is deterministic, unit-norm, order-insensitive for same bag") {
+    val df = Seq(
+      ("the quick brown fox", 1),
+      ("fox brown quick the", 2),
+      ("completely different words", 3)).toDF("text", "id")
+    val embs = df.select($"id", hash_embed($"text", 32).as("e"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(embs(1) == embs(2))           // bag-of-words: order-invariant
+    assert(embs(1) != embs(3))
+    val norm = math.sqrt(embs(1).map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    assert(embs(1).length == 32)
+  }
+
+  test("minhash signature: identical token sets → identical sigs; length k") {
+    val df = Seq(
+      (Seq("a", "b", "c"), 1),
+      (Seq("c", "b", "a"), 2),
+      (Seq("x", "y", "z"), 3)).toDF("toks", "id")
+    val sigs = df.select($"id", minhash_signature($"toks", 16).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1) == sigs(2))
+    assert(sigs(1) != sigs(3))
+    assert(sigs(1).length == 16)
+  }
+
+  test("simhash64: near-identical docs have small hamming distance") {
+    val base = (1 to 60).map(i => s"tok$i")
+    val df = Seq(
+      (base, 1),
+      (base.updated(5, "CHANGED"), 2),
+      ((1 to 60).map(i => s"other$i"), 3)).toDF("toks", "id")
+    val hs = df.select($"id", simhash64($"toks").as("h"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1), hs(2)) < ham(hs(1), hs(3)))
+    assert(ham(hs(1), hs(2)) <= 8)
+  }
+
+  test("poly_fingerprint matches the rolling formula") {
+    val got = Seq("ab").toDF("t").select(poly_fingerprint($"t")).as[Long].head()
+    assert(got == 'a'.toLong * 31L + 'b'.toLong)
+  }
+
+  test("top_k_by_score keeps k best with (score desc, id asc) ties") {
+    val df = Seq(
+      (1L, 0.9, 10L), (1L, 0.9, 7L), (1L, 0.5, 1L), (1L, 0.99, 3L),
+      (1L, 0.1, 2L), (2L, 0.2, 5L)).toDF("query_id", "sim", "vec_id")
+    val got = df.groupBy($"query_id")
+      .agg(top_k_by_score($"sim", $"vec_id", 3).as("topk"))
+      .orderBy($"query_id")
+      .collect()
+    val q1 = got(0).getSeq[Row](1).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(q1 == Seq((0.99, 3L), (0.9, 7L), (0.9, 10L)))
+    val q2 = got(1).getSeq[Row](1).map(r => (r.getDouble(0), r.getLong(1)))
+    assert(q2 == Seq((0.2, 5L)))
+  }
+
+  test("top_k_by_score matches window-function ranking on real embeddings") {
+    val e = sources.Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val viaAgg = operators.Search.bruteForceTopK(queries, e, 4)
+      .select($"query_id", $"rank", $"vec_id").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"sim".desc, $"vec_id")
+    val viaWindow = e.crossJoin(broadcast(queries))
+      .select($"query_id", $"vec_id",
+        cosine_similarity($"qv", $"embedding").as("sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 4)
+      .select($"query_id", $"rank", $"vec_id")
+      .orderBy($"query_id", $"rank").collect().toSeq
+    assert(viaAgg == viaWindow)
+  }
+}

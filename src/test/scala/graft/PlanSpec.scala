@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Plan-shape gates: the 100 TB story lives or dies here — filters reach
+  * the scan, dims broadcast, the hot path stays in whole-stage codegen,
+  * top-k partially aggregates map-side. */
+class PlanSpec extends SparkSuite {
+
+  lazy val t = Tables(spark, sfDir)
+
+  test("selective filter is pushed to the parquet scan (q6)") {
+    val plan = planOf(Relational.forecastRevenue(t))
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    assert(plan.contains("LessThan(l_quantity"), plan)
+  }
+
+  test("column pruning: q6 scan reads only the 4 needed columns") {
+    val plan = planOf(Relational.forecastRevenue(t))
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+  }
+
+  test("star join broadcasts the dimension tables (q2)") {
+    val plan = planOf(Relational.revenueByNation(t))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("pricing summary runs inside whole-stage codegen (q1)") {
+    val df = Relational.pricingSummary(t)
+    df.collect() // materialize THIS plan so AQE finalizes it
+    val plan = planOf(df) // formatted explain of the final plan has codegen ids
+    assert(plan.contains("[codegen id :"), plan)
+  }
+
+  test("brute-force knn: queries broadcast + map-side partial top-k") {
+    val queries = t.embeddings.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qv"))
+    val plan = planOf(Search.bruteForceTopK(queries, t.embeddings, 5))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_top_k_by_score"), plan)
+  }
+
+  test("exact dedup aggregates map-side before the shuffle") {
+    val plan = planOf(Dedup.exactGroups(t))
+    assert(plan.contains("HashAggregate"), plan)
+    // partial aggregation: two HashAggregate nodes around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+}

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.Tables
+import graft.streaming._
+
+class StreamingSpec extends SparkSuite {
+
+  lazy val t = Tables(spark, sfDir)
+
+  /** Micro-ts events split into two files (by time) so a file-per-trigger
+    * stream produces two micro-batches and advances the watermark. */
+  lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ev = t.events.select("event_id", "ts", "user_id", "event_type", "value")
+    val cut = ev.agg(expr("percentile_approx(cast(ts as long), 0.5)"))
+      .head().getLong(0)
+    ev.filter(col("ts").cast("long") <= cut).coalesce(1)
+      .write.parquet(s"$dir/chunk=a")
+    Thread.sleep(1100) // file mtime ordering drives trigger order
+    ev.filter(col("ts").cast("long") > cut).coalesce(1)
+      .write.parquet(s"$dir/chunk=b")
+    dir
+  }
+
+  private val schema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  private def streamEvents =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$streamDir/chunk=*")
+
+  test("EventWindows.hourly batch twin equals q_events_window totals") {
+    val streaming = EventWindows.hourly(t.events)  // unified API: batch DF in
+    val batch = operators.Relational.eventHourly(t)
+    assert(streaming.agg(sum("n")).head().getLong(0) ==
+      batch.agg(sum("n")).head().getLong(0))
+    assert(streaming.count() == batch.count())
+  }
+
+  test("hourly aggregation runs incrementally over a file stream") {
+    val q = EventWindows.hourly(streamEvents)
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; with two batches
+      // the first chunk's windows are closed by the second chunk's ts
+      val n = spark.table("hourly_out").count()
+      assert(n > 0, "no closed windows emitted")
+    } finally q.stop()
+  }
+
+  test("session_window batch twin groups like the gap sessionizer") {
+    val viaSessionWindow = SessionStream.sessionWindows(t.events)
+    val viaWindowFns = operators.Sessionize.sessions(t.events)
+    assert(viaSessionWindow.count() == viaWindowFns.count())
+    assert(viaSessionWindow.agg(sum("n_events")).head().getLong(0) ==
+      viaWindowFns.agg(sum("n_events")).head().getLong(0))
+  }
+
+  test("stateful sessionization emits closed sessions matching batch") {
+    import spark.implicits._
+    val q = SessionStream.statefulSessions(
+        streamEvents.as[SessionStream.Event])
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("sessions_out")
+        .select($"user_id", $"session_start", $"n_events").collect().toSet
+      assert(emitted.nonEmpty, "no sessions emitted")
+      val batch = operators.Sessionize.sessions(t.events)
+        .select($"user_id", $"session_start", $"n_events").collect().toSet
+      val unmatched = emitted -- batch
+      assert(unmatched.isEmpty,
+        s"${unmatched.size} emitted sessions not found in batch result")
+    } finally q.stop()
+  }
+}
