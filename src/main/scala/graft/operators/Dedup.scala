@@ -88,12 +88,25 @@ object Dedup {
   }
 
   /** Word-n-gram Jaccard nearest neighbor per doc (docs sharing no shingle
-    * have no neighbor and drop out — same on the oracle side). */
+    * have no neighbor and drop out — same on the oracle side).
+    *
+    * Shingles are assembled AFTER exploding tokens (lead() windows) rather
+    * than exploding a precomputed shingle array: Generate re-evaluates its
+    * child expression per OUTPUT row, which turned the array build into an
+    * O(doc × shingles) quadratic blowup (33 s at sf0.1 → sub-second). */
   def jaccardNeighbors(t: Tables, shingleLen: Int = 3): DataFrame = {
+    require(shingleLen == 3, "window-assembled shingles fixed at n=3")
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val sh = t.documents
       .select(col("doc_id"),
-        explode(array_distinct(
-          shingles(tokens(preprocess(col("text"))), shingleLen))).as("sh"))
+        posexplode(tokens(preprocess(col("text")))).as(Seq("pos", "tok")))
+      .select(col("doc_id"), col("tok"),
+        lead(col("tok"), 1).over(w).as("t1"),
+        lead(col("tok"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
@@ -106,9 +119,9 @@ object Dedup {
         Seq("neighbor_id"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-    val w = Window.partitionBy(col("doc_id"))
+    val wBest = Window.partitionBy(col("doc_id"))
       .orderBy(col("jaccard").desc, col("neighbor_id"))
-    jac.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    jac.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
       .select(col("doc_id"), col("neighbor_id"),
         (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
       .orderBy(col("doc_id"))
