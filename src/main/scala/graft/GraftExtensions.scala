@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.bridge
+import graft.functions._
+
+/** SQL integration for graft's native expressions.
+  *
+  * Two paths:
+  *  - session build time: `SparkSession.builder().withExtensions(new
+  *    GraftExtensions)` — the library-deployment path;
+  *  - runtime: [[GraftSql.register]] — for sessions built elsewhere (the
+  *    driver's, notebooks).
+  */
+object GraftSql {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product"       -> (es => DotProduct(es(0), es(1))),
+    "l2_norm"           -> (es => L2Norm(es(0))),
+    "hash_embed"        -> (es => HashEmbed(es(0), foldInt(es(1)))),
+    "minhash_signature" -> (es => MinHashSignature(es(0), foldInt(es(1)))),
+    "simhash64"         -> (es => SimHash64(es(0))),
+    "poly_fingerprint"  -> (es => PolyFingerprint(es(0))),
+    "band_hashes"       -> (es => BandHashes(es(0), foldInt(es(1)), foldInt(es(2)))),
+    "top_k_by_score"    -> (es =>
+      TopKByScore(es(0), es(1), foldInt(es(2))).toAggregateExpression()))
+
+  private def foldInt(e: Expression): Int = e.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"expected integer literal, got $other")
+  }
+
+  /** Make all graft functions callable from `spark.sql` in this session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, b) =>
+      bridge.registerFunction(spark, name, b)
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftSql.functions.foreach { case (name, builder) =>
+      e.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        builder))
+    }
+}

@@ -72,7 +72,32 @@ object SparkEntry {
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
     // multimodal plumbing
-    "mm_features" -> q(t => graft.multimodal.Multimodal.documentFeatures(t.documents))
+    "mm_features" -> q(t => graft.multimodal.Multimodal.documentFeatures(t.documents)),
+    // semi-structured extraction (events.props is a JSON string)
+    "q_json_extract" -> q(t => t.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("k_max"))
+      .orderBy(col("event_type"), col("k_mod"))),
+    // multi-level aggregation (rollup)
+    "q_rollup" -> q(t => Relational.revenueRollup(t)),
+    // SQL surface: graft expressions registered into the session registry
+    "q_sql_search" -> ((s, dir) => {
+      GraftSql.register(s)
+      Tables(s, dir).embeddings.createOrReplaceTempView("embeddings_v")
+      s.sql("""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings_v WHERE vec_id < 3),
+        sims AS (SELECT query_id, vec_id, cosine_similarity(qv, embedding) AS sim
+                 FROM embeddings_v CROSS JOIN q),
+        r AS (SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+              FROM sims)
+        SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+               floor(sim*1e6)/1e6 AS score
+        FROM r WHERE rn <= 3 ORDER BY query_id, rank""")
+    })
   )
 
   /** The reference text-normalization chain as DuckDB SQL (mirrors
@@ -333,6 +358,25 @@ object SparkEntry {
           |      WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
           |      WHEN s_es >= s_fr THEN 'es'
           |      ELSE 'fr' END AS predicted_lang
-          |FROM s ORDER BY doc_id""").stripMargin
+          |FROM s ORDER BY doc_id""").stripMargin,
+    "q_json_extract" ->
+      """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        | COUNT(*) AS n, MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT coalesce(r_name,'ALL') AS region, coalesce(n_name,'ALL') AS nation,
+         | CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         | JOIN customer ON o_custkey=c_custkey
+         | JOIN nation ON c_nationkey=n_nationkey
+         | JOIN region ON n_regionkey=r_regionkey
+         |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1,2""".stripMargin,
+    "q_sql_search" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim FROM c CROSS JOIN q),
+        | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+        |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin
   )
 }

@@ -105,6 +105,23 @@ object Relational {
            count(lit(1)).as("n_lines"))
   }
 
+  /** Region → nation rollup of revenue (multi-level aggregation in one
+    * pass; grouping-set nulls folded to 'ALL' for engine-portable output). */
+  def revenueRollup(t: Tables): DataFrame = {
+    val rev = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"), col("n_items"))
+      .orderBy(col("region"), col("nation"))
+  }
+
   /** Tumbling 1-hour windowed aggregation over events (batch twin of the
     * structured-streaming job in [[graft.streaming.EventWindows]]). */
   def eventHourly(t: Tables): DataFrame = {

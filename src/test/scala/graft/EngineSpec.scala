@@ -50,6 +50,22 @@ class EngineSpec extends SparkSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("graft expressions callable from spark.sql after registration") {
+    GraftSql.register(spark)
+    val got = spark.sql(
+      """SELECT cosine_similarity(array(cast(1.0 as float), cast(2.0 as float), cast(3.0 as float)),
+        |                         array(cast(3.0 as float), cast(2.0 as float), cast(1.0 as float))) AS c,
+        |       l2_norm(array(cast(3.0 as float), cast(4.0 as float))) AS n,
+        |       poly_fingerprint('ab') AS fp""".stripMargin).head()
+    assert(math.abs(got.getDouble(0) - 10.0 / 14.0) < 1e-12)
+    assert(got.getDouble(1) == 5.0)
+    assert(got.getLong(2) == 'a'.toLong * 31 + 'b'.toLong)
+  }
+
+  test("GraftExtensions installs all functions without error") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("multimodal feature extraction: schema and determinism") {
     val t = sources.Tables(spark, sfDir)
     val f = multimodal.Multimodal.documentFeatures(t.documents)
