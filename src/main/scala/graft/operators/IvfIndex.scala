@@ -55,7 +55,9 @@ object IvfIndex {
       .agg(top_k_by_score(col("sim"), col("centroid_id"), nprobe).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
 
-    val candidates = assign.join(probes, Seq("centroid_id"))
+    // probes = queries × nprobe rows — always broadcastable; the corpus
+    // (assignments) side never shuffles for this join
+    val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
       .select(col("query_id"), col("vec_id"))
 
     val scored = candidates

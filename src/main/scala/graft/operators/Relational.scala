@@ -54,13 +54,19 @@ object Relational {
       .orderBy(col("r_name"), col("n_name"))
   }
 
-  /** Top-10 revenue orders: join + agg + global top-k. */
+  /** Top-10 revenue orders: eager aggregation — revenue is a function of
+    * lineitem alone, so aggregate 4:1 BEFORE the join instead of dragging
+    * order columns through the wide shuffle; the join then runs on the
+    * collapsed (one row per order) side and AQE broadcasts the smaller
+    * input. The global top-k is a TakeOrdered, never a full sort. */
   def topOrders(t: Tables, k: Int = 10): DataFrame = {
-    t.lineitem
-      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("o_orderkey"), col("o_orderpriority"))
+    val rev = t.lineitem
+      .groupBy(col("l_orderkey"))
       .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .cast("double").as("revenue"))
+    rev.join(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(k)
   }
