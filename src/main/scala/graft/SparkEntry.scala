@@ -82,6 +82,42 @@ object SparkEntry {
       .orderBy(col("event_type"), col("k_mod"))),
     // multi-level aggregation (rollup)
     "q_rollup" -> q(t => Relational.revenueRollup(t)),
+    // as-of join (operator Spark lacks; union/last-value composition)
+    "q_asof_join" -> q(t => {
+      val ev = t.events
+      AsOf.join(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id").as("click_event_id")),
+        key = "user_id", ts = "ts", tie = "click_event_id",
+        rightVals = Seq("click_event_id"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("click_event_id"))
+        .orderBy(col("event_id"))
+    }),
+    // exact interpolated percentiles
+    "q_percentiles" -> q(t => t.events
+      .groupBy(col("event_type"))
+      .agg((floor(percentile(col("value"), lit(0.5)) * 1e6) / 1e6).as("p50"),
+           (floor(percentile(col("value"), lit(0.95)) * 1e6) / 1e6).as("p95"),
+           count(lit(1)).as("n"))
+      .orderBy(col("event_type"))),
+    // manual pivot: one row per user, one column per event type
+    "q_pivot" -> q(t => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val aggs = types.map(ty =>
+        sum(when(col("event_type") === ty, col("value").cast("decimal(18,2)")))
+          .cast("double").as(s"${ty}_value")) :+
+        count(lit(1)).as("n_events")
+      t.events.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("user_id"))
+    }),
+    // corpus vocabulary stats: exact top-k frequent tokens
+    "q_token_topk" -> q(t => t.documents
+      .select(posexplode(graft.functions.TextFunctions.tokens(
+        graft.functions.TextFunctions.preprocess(col("text")))).as(Seq("p", "tok")))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(20)),
     // SQL surface: graft expressions registered into the session registry
     "q_sql_search" -> ((s, dir) => {
       GraftSql.register(s)
@@ -359,6 +395,36 @@ object SparkEntry {
           |      WHEN s_es >= s_fr THEN 'es'
           |      ELSE 'fr' END AS predicted_lang
           |FROM s ORDER BY doc_id""").stripMargin,
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+        | p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type='purchase'),
+        | c0 AS (SELECT user_id, ts, event_id AS click_event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |        FROM ev WHERE event_type='click'),
+        | c AS (SELECT user_id, ts, click_event_id FROM c0 WHERE rn = 1)
+        |SELECT p.user_id, p.ts, p.event_id, c.click_event_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        | floor(quantile_cont(value, 0.5)*1e6)/1e6 AS p50,
+        | floor(quantile_cont(value, 0.95)*1e6)/1e6 AS p95,
+        | COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type='click') AS DOUBLE) AS click_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type='view') AS DOUBLE) AS view_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type='purchase') AS DOUBLE) AS purchase_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type='signup') AS DOUBLE) AS signup_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type='error') AS DOUBLE) AS error_value,
+        | COUNT(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_token_topk" ->
+      (s"""WITH tok AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+          | t2 AS (SELECT unnest(toks) AS tok FROM tok WHERE len(toks) > 0)
+          |SELECT tok, COUNT(*) AS n FROM t2 GROUP BY 1
+          |ORDER BY n DESC, tok LIMIT 20""").stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | COUNT(*) AS n, MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
