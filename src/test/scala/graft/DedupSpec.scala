@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.functions.TextFunctions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+  private val nearDup = base.split(" ").updated(10, "CHANGED").mkString(" ")
+  private val distinctDoc = (1 to 80).map(i => s"z${i}q").mkString(" ")
+
+  test("minhash+LSH banding surfaces near-duplicate pairs") {
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinctDoc))
+      .toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id",
+      band_hashes(minhash_signature(
+        shingles(tokens(preprocess($"text")), 3), 128), 16, 8).as("bh"))
+    val bucketed = sigs.select($"doc_id", posexplode($"bh").as(Seq("band", "h")))
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+        $"a.band" === $"b.band" && $"a.h" === $"b.h" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().as[(Long, Long)]
+      .collect().toSet
+    assert(pairs.contains((1L, 2L)), s"near-dup pair missed: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"false positive: $pairs")
+  }
+
+  test("minhash signature agreement approximates jaccard similarity") {
+    val docs = Seq((1L, base), (2L, nearDup)).toDF("doc_id", "text")
+    val sigs = docs.select($"doc_id",
+      minhash_signature(shingles(tokens(preprocess($"text")), 3), 128).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val agree = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 128.0
+    // one token changed in 80 → 3 of 78 shingles differ on each side;
+    // true jaccard = 75/81 ≈ 0.926
+    assert(agree > 0.8 && agree <= 1.0, s"minhash agreement $agree")
+  }
+
+  test("exact dedup groups identical normalized texts") {
+    val t = sources.Tables(spark, sfDir)
+    val groups = operators.Dedup.exactGroups(t)
+    assert(groups.agg(sum($"dup_count")).head().getLong(0) ==
+      t.documents.count())
+    // sf0.001 documents are all distinct
+    assert(groups.filter($"dup_count" > 1).count() == 0)
+  }
+
+  test("embedding neighbors: symmetric sanity on crafted vectors") {
+    // covered at sf0.01 by the oracle; here: threshold flag consistency
+    val t = sources.Tables(spark, sfDir)
+    val nn = operators.Dedup.embeddingNeighbors(t)
+    val bad = nn.filter(($"nn_score" >= 0.95) =!= $"is_dup").count()
+    assert(bad == 0)
+  }
+}
