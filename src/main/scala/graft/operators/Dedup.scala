@@ -107,16 +107,16 @@ object Dedup {
       .select(col("doc_id"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
+      // carry |shingles(doc)| on every row (window count) instead of
+      // joining a separately recomputed sizes branch twice
+      .withColumn("n_sh",
+        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    val jac = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"),
+        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
       .agg(count(lit(1)).as("inter"))
-    val jac = inter
-      .join(sizes.select(col("doc_id"), col("n_sh").as("n1")), Seq("doc_id"))
-      .join(sizes.select(col("doc_id").as("neighbor_id"), col("n_sh").as("n2")),
-        Seq("neighbor_id"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
     val wBest = Window.partitionBy(col("doc_id"))
