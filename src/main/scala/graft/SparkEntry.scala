@@ -45,6 +45,10 @@ object SparkEntry {
     // vector search surface (reference: index/search/qa services)
     "q_embed" -> ((s, dir) => new SearchEngine(s, dir)
       .buildIndex().select(col("doc_id"), col("embedding")).orderBy(col("doc_id"))),
+    "q_knn_fused" -> q(t => Search.fusedTopK(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, k = 5)),
     "q_knn" -> q(t => Search.bruteForceTopK(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -305,6 +309,13 @@ object SparkEntry {
         | floor(MIN(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')))*1e6)/1e6 AS norm_min,
         | floor(MAX(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')))*1e6)/1e6 AS norm_max
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_knn_fused" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN c),
+        | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
         | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

@@ -30,6 +30,20 @@ object Search {
         .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
   }
 
+  /** Fused top-k via the custom physical operator
+    * [[graft.plans.VectorTopKJoinExec]]: one corpus scan, per-query bounded
+    * heaps, no (corpus × query) row ever materialized. Same contract and
+    * output as [[bruteForceTopK]]. */
+  def fusedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.bridge
+    val spark = corpus.sparkSession
+    bridge.installStrategy(spark, graft.plans.VectorTopKStrategy)
+    bridge.ofRows(spark, graft.plans.VectorTopKJoin(
+      bridge.planOf(queries.select(col("query_id"), col("qv"))),
+      bridge.planOf(corpus.select(col("vec_id"), col("embedding"))),
+      k))
+  }
+
   /** array<struct<score,id>> "topk" column → (query_id, rank, vec_id, score). */
   private[graft] def explodeTopK(grouped: DataFrame): DataFrame =
     grouped

@@ -16,6 +16,29 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame (classic backend). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Analyzed logical plan of a DataFrame. */
+  def planOf(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+      .queryExecution.analyzed
+
+  /** Install an extra planner strategy at runtime (idempotent). */
+  def installStrategy(spark: org.apache.spark.sql.SparkSession,
+                      strategy: org.apache.spark.sql.execution.SparkStrategy)
+      : Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!s.experimental.extraStrategies.contains(strategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ strategy
+  }
+
   /** Register a SQL function into an existing session's registry (the
     * runtime-path complement to `SparkSessionExtensions.injectFunction`,
     * for sessions graft didn't build — e.g. the driver's). */

@@ -104,6 +104,17 @@ class ExpressionSpec extends SparkSuite {
     assert(q2 == Seq((0.2, 5L)))
   }
 
+  test("fused VectorTopKJoin operator matches the aggregate-based KNN") {
+    val e = sources.Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 7)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val agg = operators.Search.bruteForceTopK(queries, e, 5).collect().toSeq
+    val fused = operators.Search.fusedTopK(queries, e, 5).collect().toSeq
+    assert(fused == agg)
+    val plan = planOf(operators.Search.fusedTopK(queries, e, 5))
+    assert(plan.contains("VectorTopKJoin"), plan)
+  }
+
   test("top_k_by_score matches window-function ranking on real embeddings") {
     val e = sources.Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 3)
