@@ -43,11 +43,14 @@ object GraftSql {
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftSql.functions.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.VectorTopKStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushThresholdIntoVectorTopK)
+  }
 }

@@ -36,6 +36,47 @@ object IvfIndex {
         (floor(greatest(col("best.dist"), lit(0.0)) * 1e6) / 1e6).as("dist"))
       .orderBy(col("vec_id"))
 
+  /** Persist the index: centroids + posting lists partitioned on disk by
+    * `centroid_id` (the durable form of the reference's `INDEX_FILE`,
+    * services/index_service.py:75-99). A later search prunes partitions —
+    * it reads only the probed centroids' directories. */
+  def persist(corpus: DataFrame, nCentroids: Int, path: String): Unit = {
+    val cents = centroids(corpus, nCentroids)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.join(
+        assignments(corpus, cents).select(col("vec_id"), col("centroid_id")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/postings")
+  }
+
+  /** Search a persisted index: probe centroids, then scan ONLY the probed
+    * posting-list partitions (directory-level pruning via the partition
+    * column filter — verify `PartitionFilters` in the scan). */
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+    val probes = cents.crossJoin(broadcast(queries))
+      .select(col("query_id"),
+        cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))
+      .groupBy(col("query_id"))
+      .agg(top_k_by_score(col("sim"), col("centroid_id"), nprobe).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)) // bounded: <= queries x nprobe
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("centroid_id").isin(probedIds.map(x => x: Any): _*))
+    val scored = postings
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
+    Search.explodeTopK(
+      scored.groupBy(col("query_id"))
+        .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
+  }
+
   /** Probe the `nprobe` nearest centroids per query, then exact top-k over
     * only those centroids' posting lists. */
   def search(queries: DataFrame, corpus: DataFrame, nCentroids: Int,

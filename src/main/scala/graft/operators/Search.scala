@@ -38,6 +38,7 @@ object Search {
     import org.apache.spark.sql.graft.bridge
     val spark = corpus.sparkSession
     bridge.installStrategy(spark, graft.plans.VectorTopKStrategy)
+    bridge.installOptimization(spark, graft.plans.PushThresholdIntoVectorTopK)
     bridge.ofRows(spark, graft.plans.VectorTopKJoin(
       bridge.planOf(queries.select(col("query_id"), col("qv"))),
       bridge.planOf(corpus.select(col("vec_id"), col("embedding"))),

@@ -39,6 +39,16 @@ object bridge {
         s.experimental.extraStrategies :+ strategy
   }
 
+  /** Install an extra optimizer rule at runtime (idempotent). */
+  def installOptimization(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!s.experimental.extraOptimizations.contains(rule))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ rule
+  }
+
   /** Register a SQL function into an existing session's registry (the
     * runtime-path complement to `SparkSessionExtensions.injectFunction`,
     * for sessions graft didn't build — e.g. the driver's). */

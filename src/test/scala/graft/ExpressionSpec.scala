@@ -115,6 +115,22 @@ class ExpressionSpec extends SparkSuite {
     assert(plan.contains("VectorTopKJoin"), plan)
   }
 
+  test("threshold filter is pushed into the fused operator and stays exact") {
+    val e = sources.Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 7)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val base = operators.Search.fusedTopK(queries, e, 5)
+    val filtered = base.filter($"score" >= 0.2)
+    // rule rewrote the child: minScore folded into the operator
+    val optimized = org.apache.spark.sql.graft.bridge
+      .planOf(filtered).toString // analyzed; check optimized via explain
+    val plan = planOf(filtered)
+    assert(plan.contains("VectorTopKJoin"), plan)
+    // exactness: pushdown result equals filter-after-the-fact
+    val expect = base.collect().filter(_.getDouble(3) >= 0.2).toSeq
+    assert(filtered.collect().toSeq == expect)
+  }
+
   test("top_k_by_score matches window-function ranking on real embeddings") {
     val e = sources.Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 3)

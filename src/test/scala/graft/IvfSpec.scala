@@ -28,6 +28,31 @@ class IvfSpec extends SparkSuite {
     assert(self.forall { case (q, v) => q == v })
   }
 
+  test("persisted index: partition-pruned search equals in-memory IVF") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.persist(t.embeddings, nCentroids = 16, path = dir)
+    val fromDisk = IvfIndex.searchPersisted(spark, dir, queries,
+      nprobe = 4, k = 5)
+    val inMem = IvfIndex.search(queries, t.embeddings, 16, 4, 5)
+    assert(fromDisk.collect().toSeq == inMem.collect().toSeq)
+    val plan = planOf(IvfIndex.searchPersisted(spark, dir, queries, 4, 5))
+    assert(plan.contains("PartitionFilters: [centroid_id"), plan)
+  }
+
+  test("salted join equals plain join on skewed keys") {
+    import org.apache.spark.sql.functions._
+    val big = spark.range(0, 10000)
+      .select((when($"id" % 10 === 0, 1L).otherwise($"id")).as("k"),
+        $"id".as("payload"))
+    val small = spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v"))
+    val plain = big.join(small, "k").select($"payload", $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salted = operators.Salting.saltedJoin(big, small, "k", 8)
+      .select($"payload", $"v")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
   test("IVF recall@5 vs brute force is reasonable at nprobe=4/16") {
     val exact = Search.bruteForceTopK(queries, t.embeddings, 5)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
