@@ -1,0 +1,92 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.functions._
+
+/** Property-based invariants for the sketch/vector family, evaluated
+  * through the real Catalyst expressions (no reimplementation). */
+class PropertySpec extends SparkSuite {
+
+  /** Minimal forAll driver over raw scalacheck Gens (no scalatestplus in
+    * the offline cache). */
+  private def forAll[A](g: Gen[A], n: Int)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      f(g.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)).get)
+    }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int)(f: (A, B) => Unit): Unit =
+    (1 to n).foreach { i =>
+      f(ga.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong)).get,
+        gb.apply(Gen.Parameters.default, org.scalacheck.rng.Seed(i.toLong + 1000)).get)
+    }
+  import spark.implicits._
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.chooseNum(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray))
+
+  private val tokensGen: Gen[Seq[String]] =
+    Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf((1 to 25).map(i => s"tok$i"))))
+
+  test("cosine similarity is symmetric and bounded") {
+    forAll2(vecGen, vecGen, 15) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val (aa, bb) = (a.take(n), b.take(n))
+      val df = Seq((aa, bb), (bb, aa)).toDF("x", "y")
+      val Seq(ab, ba) =
+        df.select(cosine_similarity($"x", $"y")).as[Double].collect().toSeq
+      assert(ab == ba)
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+    }
+  }
+
+  test("cosine similarity of a vector with itself is ~1 (or 0 for zero)") {
+    forAll(vecGen, 15) { a =>
+      val df = Seq((a, a)).toDF("x", "y")
+      val s = df.select(cosine_similarity($"x", $"y")).as[Double].head()
+      if (a.forall(_ == 0.0f)) assert(s == 0.0)
+      else assert(math.abs(s - 1.0) < 1e-9)
+    }
+  }
+
+  test("minhash agreement is 1 for equal sets and decreases with edits") {
+    forAll(tokensGen, 10) { toks =>
+      val df = Seq((toks, 1), (toks.reverse, 2)).toDF("t", "id")
+      val sigs = df.select($"id", minhash_signature($"t", 64).as("s"))
+        .as[(Int, Seq[Long])].collect().toMap
+      assert(sigs(1) == sigs(2)) // set semantics: order-invariant
+    }
+  }
+
+  test("hash_embed output is always unit-norm or zero, fixed dim") {
+    forAll(tokensGen, 10) { toks =>
+      val df = Seq(toks.mkString(" ")).toDF("t")
+      val e = df.select(hash_embed($"t", 24)).as[Seq[Float]].head()
+      assert(e.length == 24)
+      val norm = math.sqrt(e.map(x => x.toDouble * x).sum)
+      assert(norm == 0.0 || math.abs(norm - 1.0) < 1e-5)
+    }
+  }
+
+  test("simhash of identical token multisets is identical") {
+    forAll(tokensGen, 10) { toks =>
+      val df = Seq((toks, 1), (scala.util.Random.shuffle(toks), 2))
+        .toDF("t", "id")
+      val hs = df.select($"id", simhash64($"t")).as[(Int, Long)]
+        .collect().toMap
+      assert(hs(1) == hs(2))
+    }
+  }
+
+  test("top-k is a prefix: top(k) == top(k+3).take(k) under the same order") {
+    val e = sources.Tables(spark, sfDir).embeddings
+    val q = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val k5 = operators.Search.bruteForceTopK(q, e, 5)
+      .select($"query_id", $"rank", $"vec_id").collect().toSeq
+    val k8 = operators.Search.bruteForceTopK(q, e, 8)
+      .filter($"rank" <= 5)
+      .select($"query_id", $"rank", $"vec_id").collect().toSeq
+    assert(k5 == k8)
+  }
+}
