@@ -22,6 +22,7 @@ object Bench {
     // one warm-up action: JIT, codegen cache, FileSourceScan init
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
     val results = selected.map { case (name, fn) =>
+      System.gc() // stabilize: drop prior queries' broadcast/codegen garbage
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions._
 import graft.sources.Tables
 
 /** Local profiling scratchpad (not part of the driver contract). */
@@ -24,22 +23,25 @@ object Scratch {
       println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
-    time("warmup")(t.documents.count())
-    time("preprocess only")(
-      t.documents.select(preprocess(col("text")).as("p")).count())
-    time("tokens")(
-      t.documents.select(tokens(preprocess(col("text"))).as("tk")).count())
-    time("shingles")(
-      t.documents.select(shingles(tokens(preprocess(col("text"))), 3).as("sh")).count())
-    time("shingles exploded")(
-      t.documents.select(col("doc_id"),
-        explode(array_distinct(shingles(tokens(preprocess(col("text"))), 3))).as("sh")).count())
-    val sh = t.documents.select(col("doc_id"),
-      explode(array_distinct(shingles(tokens(preprocess(col("text"))), 3))).as("sh"))
-    time("self-join count")(
-      sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") =!= col("b.doc_id")).count())
-    time("full dedup_jaccard")(graft.operators.Dedup.jaccardNeighbors(t).count())
-    spark.stop()
+    time("warmup")(t.events.count())
+    time("events select props")(t.events.select(col("props")).count())
+    time("one get_json_object")(
+      t.events.select(get_json_object(col("props"), "$.k").as("k")).count())
+    time("cast long")(
+      t.events.select(get_json_object(col("props"), "$.k").cast("long").as("k")).count())
+    time("groupBy k%10")(
+      t.events.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1))).count())
+    time("from_json variant")(
+      t.events.select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1))).count())
+    time("rollup")(operators.Relational.revenueRollup(t).count())
+    time("token_topk current")(SparkEntry.queries("q_token_topk")(spark, sfDir).count())
   }
 }

@@ -80,7 +80,10 @@ object SparkEntry {
     // semi-structured extraction (events.props is a JSON string)
     "q_json_extract" -> q(t => t.events
       .select(col("event_type"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+          .getField("k").as("k"))
       .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), max(col("k")).as("k_max"))
       .orderBy(col("event_type"), col("k_mod"))),
@@ -116,10 +119,15 @@ object SparkEntry {
       t.events.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
         .orderBy(col("user_id"))
     }),
-    // corpus vocabulary stats: exact top-k frequent tokens
+    // corpus vocabulary stats: exact top-k frequent tokens.
+    // repartition() between the token-array projection and the explode is
+    // a materialization barrier: Generate re-evaluates a codegen'd child
+    // per OUTPUT row, which would re-run the regex chain per token.
     "q_token_topk" -> q(t => t.documents
-      .select(posexplode(graft.functions.TextFunctions.tokens(
-        graft.functions.TextFunctions.preprocess(col("text")))).as(Seq("p", "tok")))
+      .select(graft.functions.TextFunctions.tokens(
+        graft.functions.TextFunctions.preprocess(col("text"))).as("toks"))
+      .repartition(32)
+      .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(20)),
     // SQL surface: graft expressions registered into the session registry
