@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_simhash"   -> q(t => Dedup.simhashCandidates(t)),
     "dedup_jaccard"   -> q(t => Dedup.jaccardNeighbors(t)),
     "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
+    "dedup_clusters"  -> q(t => Dedup.clusters(t.documents)),
     // text analysis
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),

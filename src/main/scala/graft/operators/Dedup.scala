@@ -127,6 +127,60 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the minhash
+    * candidate graph via iterative min-label propagation. Each doc ends in
+    * the cluster of the smallest doc_id it is (transitively) connected to;
+    * singletons keep their own id.
+    *
+    * Iterative DataFrame joins with `localCheckpoint` per round (cuts the
+    * exploding lineage); converges in O(log(diameter)) rounds. This is the
+    * canonicalization step after candidate generation in an LLM dedup
+    * pipeline: keep `cluster_id == doc_id` rows, drop the rest. */
+  def clusters(docs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      band_hashes(
+        minhash_signature(
+          shingles(tokens(preprocess(col("text"))), 3), 128), 16, 8).as("bh"))
+    val bucketed = sigs
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val edges = pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint()
+
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("cluster_id")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("id2") === labels("doc_id"))
+        .groupBy(col("id1").as("doc_id"))
+        .agg(min(col("cluster_id")).as("neighbor_min"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("neighbor_min"),
+            col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint()
+      val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"),
+        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+      .join(labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+        .withColumnRenamed("cluster_id", "cid"),
+        col("cluster_id") === col("cid"))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Embedding-cosine nearest neighbor within a blocking key (`label` =
     * coarse cluster): (vec_id, nn_id, nn_score, is_dup at `simThreshold`). */
   def embeddingNeighbors(t: Tables, simThreshold: Double = 0.95): DataFrame = {

@@ -36,6 +36,39 @@ object IvfIndex {
         (floor(greatest(col("best.dist"), lit(0.0)) * 1e6) / 1e6).as("dist"))
       .orderBy(col("vec_id"))
 
+  /** Lloyd-refined centroids: start from the deterministic seeds, then
+    * `iters` rounds of assign → element-wise mean (via the
+    * [[graft.functions.VectorAvg]] typed aggregator — shuffles one
+    * (sum, count) buffer per centroid, never the member vectors). Centroid
+    * vectors are collected per round (k × dim doubles — driver-trivial)
+    * and rebroadcast. */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, iters: Int = 3)
+      : DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cents = centroids(corpus, nCentroids)
+    for (_ <- 1 to iters) {
+      val assigned = corpus.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("centroid_id"), col("embedding"),
+          (lit(1.0) - cosine_similarity(col("embedding"), col("cv"))).as("dist"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("centroid_id"), col("embedding")))
+          .as("best"))
+        .select(col("best.centroid_id").as("centroid_id"),
+          col("best.embedding").as("embedding"))
+      val newCents = assigned
+        .as[(Long, Array[Float])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(graft.functions.VectorAvg.toColumn.name("cv"))
+        .toDF("centroid_id", "cv")
+      // materialize: k × dim is tiny; keeps the lineage from nesting
+      cents = spark.createDataFrame(
+        java.util.Arrays.asList(newCents.collect(): _*), newCents.schema)
+    }
+    cents
+  }
+
   /** Persist the index: centroids + posting lists partitioned on disk by
     * `centroid_id` (the durable form of the reference's `INDEX_FILE`,
     * services/index_service.py:75-99). A later search prunes partitions —

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, IvfIndex}
+import graft.sources.Tables
+
+class ClusterSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("min-label propagation groups transitively connected near-dups") {
+    // A≈B (1 edit), B≈C (1 more edit), D unrelated: {A,B,C} one cluster
+    val a = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val b = a.split(" ").updated(10, "EDIT1").mkString(" ")
+    val c = b.split(" ").updated(50, "EDIT2").mkString(" ")
+    val d = (1 to 80).map(i => s"zz${i}qq").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val got = Dedup.clusters(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (1L, 3L))
+    assert(got(2L) == (1L, 3L))
+    assert(got(3L) == (1L, 3L))
+    assert(got(4L) == (4L, 1L))
+  }
+
+  test("clusters on real docs: every doc labeled, sizes consistent") {
+    val t = Tables(spark, sfDir)
+    val cl = Dedup.clusters(t.documents)
+    assert(cl.count() == t.documents.count())
+    // cluster_id is always the min doc_id of its cluster
+    val bad = cl.groupBy($"cluster_id").agg(min($"doc_id").as("mn"))
+      .filter($"cluster_id" =!= $"mn").count()
+    assert(bad == 0)
+  }
+
+  test("k-means refinement does not worsen mean assignment distance") {
+    val t = Tables(spark, sfDir)
+    def meanDist(cents: org.apache.spark.sql.DataFrame): Double =
+      t.embeddings.crossJoin(broadcast(cents))
+        .select($"vec_id",
+          (lit(1.0) - graft.functions.cosine_similarity($"embedding", $"cv"))
+            .as("dist"))
+        .groupBy($"vec_id").agg(min($"dist").as("d"))
+        .agg(avg($"d")).head().getDouble(0)
+    val seeded = meanDist(IvfIndex.centroids(t.embeddings, 16))
+    val refined = meanDist(IvfIndex.kmeansCentroids(t.embeddings, 16, iters = 3))
+    assert(refined <= seeded + 1e-9, s"refined=$refined seeded=$seeded")
+  }
+}
