@@ -24,7 +24,11 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       System.gc() // stabilize: drop prior queries' broadcast/codegen garbage
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink: forces full materialization of every output column —
+      // count() lets the optimizer prune entire subtrees (outer-join
+      // elimination made some pipelines look 50x faster than they are)
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

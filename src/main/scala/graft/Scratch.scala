@@ -43,5 +43,61 @@ object Scratch {
         .agg(count(lit(1))).count())
     time("rollup")(operators.Relational.revenueRollup(t).count())
     time("token_topk current")(SparkEntry.queries("q_token_topk")(spark, sfDir).count())
+
+    {
+      import graft.functions._
+      import graft.functions.TextFunctions._
+      val docs = t.documents
+      val sigs = docs.select(col("doc_id"),
+        band_hashes(minhash_signature(
+          shingles(tokens(preprocess(col("text"))), 3), 128), 16, 8).as("bh"))
+      val bucketed = sigs.repartition(col("doc_id"))
+        .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+      val pairs = bucketed.as("a").join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+      time("cl: pairs")(pairs.count())
+      val edges = pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      time("cl: edges ckpt")(edges.localCheckpoint().count())
+      val edgesC = edges.localCheckpoint()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      time("cl: labels ckpt")({ labels = labels.localCheckpoint(); labels.count() })
+      for (i <- 1 to 3) {
+        val neighborMin = edgesC.join(labels, edgesC("id2") === labels("doc_id"))
+          .groupBy(col("id1").as("doc_id"))
+          .agg(min(col("cluster_id")).as("neighbor_min"))
+        var updated: org.apache.spark.sql.DataFrame = null
+        time(s"cl: iter$i update")({
+          updated = labels.join(neighborMin, Seq("doc_id"), "left")
+            .select(col("doc_id"), least(col("cluster_id"),
+              coalesce(col("neighbor_min"), col("cluster_id"))).as("cluster_id"))
+            .localCheckpoint()
+          updated.count()
+        })
+        time(s"cl: iter$i changed")(
+          updated.join(labels.withColumnRenamed("cluster_id", "old"), Seq("doc_id"))
+            .filter(col("cluster_id") =!= col("old")).count())
+        labels = updated
+      }
+    }
+
+    import graft.functions._
+    import graft.functions.TextFunctions._
+    val sigs = t.documents.select(col("doc_id"),
+      band_hashes(minhash_signature(
+        shingles(tokens(preprocess(col("text"))), 3), 128), 16, 8).as("bh"))
+    time("sigs")(sigs.count())
+    val bucketed = sigs.select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+    time("bucketed")(bucketed.count())
+    val pairs = bucketed.as("a").join(bucketed.as("b"),
+      col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2")).distinct()
+    time("pairs")(pairs.count())
+    time("edges checkpoint")(pairs.union(
+      pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      .localCheckpoint().count())
+    time("full clusters")(operators.Dedup.clusters(t.documents).count())
   }
 }

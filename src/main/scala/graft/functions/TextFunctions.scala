@@ -39,21 +39,24 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     size(regexp_extract_all(c, lit(BpePattern), lit(0)))
 
-  /** Word n-grams ("shingles") over a token array; [] when too short. */
+  /** Word n-grams ("shingles") over a token array; [] when too short.
+    * Native single-pass expression — see [[WordShingles]] for why a
+    * lambda formulation is quadratic. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    org.apache.spark.sql.graft.bridge.column(
+      WordShingles(org.apache.spark.sql.graft.bridge.expression(toks), n))
 
   /** English-ish stopword list shared with the DuckDB oracles. */
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "and", "or", "to", "in", "is", "it",
     "for", "on", "with", "as", "at", "by", "be", "this", "that")
 
-  def stopwordCount(toks: Column): Column =
-    size(filter(toks, t => t.isin(Stopwords.map(s => s: Any): _*)))
+  def stopwordCount(toks: Column): Column = countInSet(toks, Stopwords)
+
+  /** Native multiplicity count of tokens within a fixed word set. */
+  def countInSet(toks: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      CountInSet(org.apache.spark.sql.graft.bridge.expression(toks), words))
 
   /** Alphabetic character count. */
   def alphaCount(c: Column): Column =

@@ -160,6 +160,66 @@ case class HashEmbed(child: Expression, dim: Int)
   override def prettyName: String = "hash_embed"
 }
 
+/** Word n-gram shingles over a token array, in one native pass.
+  *
+  * A lambda-based `transform(sequence(...), i -> slice(toks, ...))`
+  * formulation re-evaluates the captured `toks` expression subtree per
+  * element — O(tokens²) regex work per document when `toks` is the
+  * tokenization chain (measured 30 s+ at sf0.1). A native expression
+  * evaluates its child exactly once. */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val count = toks.numElements() - n + 1
+    if (count <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](count)
+      var i = 0
+      while (i < count) {
+        val sb = new java.lang.StringBuilder()
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks.getUTF8String(i + j).toString)
+          j += 1
+        }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "word_shingles"
+}
+
+/** Count of array elements contained in a fixed string set (with
+  * multiplicity) — one native call per row instead of an interpreted
+  * `filter(toks, t -> t IN (...))` lambda, whose per-element interpreter
+  * overhead dominated language-ID scoring (9 s → sub-second at sf0.1). */
+case class CountInSet(child: Expression, words: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](words.length * 2)
+    words.foreach(w => s.add(UTF8String.fromString(w)))
+    s
+  }
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    var c = 0; var i = 0
+    while (i < a.numElements()) {
+      if (set.contains(a.getUTF8String(i))) c += 1
+      i += 1
+    }
+    java.lang.Integer.valueOf(c)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "count_in_set"
+}
+
 /** MinHash signature: k derived permutations over one FNV base hash per
   * token; empty input → all Long.MaxValue. */
 case class MinHashSignature(child: Expression, k: Int)

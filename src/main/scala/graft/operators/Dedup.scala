@@ -55,7 +55,13 @@ object Dedup {
         minhash_signature(
           shingles(tokens(preprocess(col("text"))), shingleLen), numHashes),
         bands, rows).as("bh"))
-    val bucketed = sigs
+    // localCheckpoint = materialization barrier: Generate re-evaluates
+    // its child per OUTPUT row (the minhash chain would run `bands` times
+    // per doc), and the optimizer moves projections past a mere
+    // repartition(); checkpointing the signature table is the only
+    // reliable cut (57 s -> sub-second at sf0.1). At cluster scale this
+    // is where you'd persist/bucket the signature table anyway.
+    val bucketed = sigs.localCheckpoint()
       .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),
@@ -71,6 +77,7 @@ object Dedup {
   def simhashCandidates(t: Tables, maxHamming: Int = 3): DataFrame = {
     val hashed = t.documents.select(col("doc_id"),
       simhash64(tokens(preprocess(col("text")))).as("sh"))
+      .localCheckpoint() // barrier: see minhashCandidates
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
@@ -99,7 +106,9 @@ object Dedup {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val sh = t.documents
       .select(col("doc_id"),
-        posexplode(tokens(preprocess(col("text")))).as(Seq("pos", "tok")))
+        tokens(preprocess(col("text"))).as("toks"))
+      .localCheckpoint() // barrier: see minhashCandidates
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
       .select(col("doc_id"), col("tok"),
         lead(col("tok"), 1).over(w).as("t1"),
         lead(col("tok"), 2).over(w).as("t2"))
@@ -141,7 +150,7 @@ object Dedup {
       band_hashes(
         minhash_signature(
           shingles(tokens(preprocess(col("text"))), 3), 128), 16, 8).as("bh"))
-    val bucketed = sigs
+    val bucketed = sigs.localCheckpoint() // barrier: see minhashCandidates
       .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),

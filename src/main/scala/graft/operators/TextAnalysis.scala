@@ -30,11 +30,19 @@ object TextAnalysis {
     * length, composite score — deterministic double math, rounded at the
     * boundary so the DuckDB oracle hash-matches. */
   def qualityScores(t: Tables): DataFrame = {
-    val toks = tokens(col("text"))
-    val nTok = size(toks).cast("double")
-    val len = length(col("text")).cast("double")
-    val alpha = alphaCount(col("text")).cast("double")
-    val stop = stopwordCount(toks).cast("double")
+    // two-step select: tokenization/regex counts computed ONCE in the
+    // first projection; the ratio arithmetic below references only cheap
+    // attributes (a single projection would re-evaluate the regex chain
+    // per reference — CollapseProject rightly refuses to merge these)
+    val base = t.documents.select(
+      col("doc_id"),
+      length(col("text")).cast("double").as("__len"),
+      alphaCount(col("text")).cast("double").as("__alpha"),
+      tokens(col("text")).as("__toks"))
+    val nTok = size(col("__toks")).cast("double")
+    val len = col("__len")
+    val alpha = col("__alpha")
+    val stop = stopwordCount(col("__toks")).cast("double")
     val alphaRatio = when(len > 0, alpha / len).otherwise(lit(0.0))
     val stopRatio = when(nTok > 0, stop / nTok).otherwise(lit(0.0))
     val avgWordLen = when(nTok > 0, alpha / nTok).otherwise(lit(0.0))
@@ -43,10 +51,10 @@ object TextAnalysis {
     // binary double, so floor is engine-portable while round-half modes
     // are not (Spark rounds the shortest decimal repr, DuckDB the binary).
     def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0) / 10000.0
-    t.documents.select(
+    base.select(
       col("doc_id"),
-      length(col("text")).cast("long").as("n_chars"),
-      size(toks).cast("long").as("n_tokens"),
+      col("__len").cast("long").as("n_chars"),
+      size(col("__toks")).cast("long").as("n_tokens"),
       r4(alphaRatio).as("alpha_ratio"),
       r4(stopRatio).as("stopword_ratio"),
       r4(avgWordLen).as("avg_word_len"),
@@ -65,13 +73,15 @@ object TextAnalysis {
   /** n-gram-heuristic language ID: per-language stopword-hit ratios and an
     * argmax prediction (priority order on ties). */
   def languageId(t: Tables): DataFrame = {
-    val toks = tokens(preprocess(col("text")))
+    // two-step select: the tokenization chain is evaluated once (see
+    // qualityScores); scores reference the materialized attribute
+    val base = t.documents.select(col("doc_id"),
+      tokens(preprocess(col("text"))).as("__toks"))
+    val toks = col("__toks")
     val nTok = size(toks).cast("double")
     def r4(c: Column) = floor(c * 10000.0) / 10000.0
     def score(words: Seq[String]): Column =
-      when(nTok > 0,
-        size(filter(toks, tk => tk.isin(words.map(w => w: Any): _*)))
-          .cast("double") / nTok)
+      when(nTok > 0, countInSet(toks, words).cast("double") / nTok)
         .otherwise(lit(0.0))
     val s = LangProfiles.map { case (lang, words) => lang -> score(words) }.toMap
     val predicted =
@@ -79,7 +89,7 @@ object TextAnalysis {
         .when(s("de") >= s("es") && s("de") >= s("fr"), "de")
         .when(s("es") >= s("fr"), "es")
         .otherwise("fr")
-    t.documents.select(
+    base.select(
       col("doc_id"),
       r4(s("en")).as("score_en"), r4(s("de")).as("score_de"),
       r4(s("es")).as("score_es"), r4(s("fr")).as("score_fr"),
