@@ -120,6 +120,8 @@ object Dedup {
       // joining a separately recomputed sizes branch twice
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // both sides of the self-join read the materialized shingle table
+      .localCheckpoint()
     val jac = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") =!= col("b.doc_id"))
