@@ -84,6 +84,18 @@ object IvfIndex {
       .parquet(s"$path/postings")
   }
 
+  /** Reference semantics (services/index_service.py:77-90): a loaded index
+    * is valid only if its element count matches the current corpus;
+    * otherwise rebuild. Returns true when the persisted index was reusable. */
+  def loadOrRebuild(spark: org.apache.spark.sql.SparkSession, path: String,
+                    corpus: DataFrame, nCentroids: Int): Boolean = {
+    val valid =
+      try spark.read.parquet(s"$path/postings").count() == corpus.count()
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    if (!valid) persist(corpus, nCentroids, path)
+    valid
+  }
+
   /** Search a persisted index: probe centroids, then scan ONLY the probed
     * posting-list partitions (directory-level pruning via the partition
     * column filter — verify `PartitionFilters` in the scan). */

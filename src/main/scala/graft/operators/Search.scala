@@ -45,6 +45,22 @@ object Search {
       k))
   }
 
+  /** Install the auto-fusion rule: after this, the DECLARATIVE
+    * [[bruteForceTopK]] pattern (aggregate over cross join) is planned as
+    * the fused operator automatically — users keep the DataFrame form,
+    * the engine substitutes [[graft.plans.VectorTopKAggExec]]. */
+  def installAutoFusion(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.installStrategy(spark, graft.plans.VectorTopKAggStrategy)
+    bridge.installOptimization(spark, graft.plans.AutoFuseTopK)
+  }
+
+  def uninstallAutoFusion(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.uninstallOptimization(spark, graft.plans.AutoFuseTopK)
+    bridge.uninstallStrategy(spark, graft.plans.VectorTopKAggStrategy)
+  }
+
   /** array<struct<score,id>> "topk" column → (query_id, rank, vec_id, score). */
   private[graft] def explodeTopK(grouped: DataFrame): DataFrame =
     grouped

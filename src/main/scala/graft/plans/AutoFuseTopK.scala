@@ -1,0 +1,205 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BinaryNode, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
+import graft.functions.{CosineSimilarity, TopKBuffer, TopKByScore}
+
+/** Logical node for a fused `group-by-query top_k_by_score(cosine)` — the
+  * target of [[AutoFuseTopK]]. Output REUSES the attributes of the
+  * Aggregate it replaces, so the rest of the plan is untouched. */
+case class VectorTopKAgg(
+    queries: LogicalPlan, corpus: LogicalPlan,
+    qid: Attribute, qv: Attribute, vid: Attribute, emb: Attribute,
+    k: Int, override val output: Seq[Attribute])
+  extends BinaryNode {
+  override def left: LogicalPlan = queries
+  override def right: LogicalPlan = corpus
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    outputSet
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): VectorTopKAgg =
+    copy(queries = l, corpus = r)
+}
+
+/** Optimizer rule: rewrite the declarative pattern
+  * {{{
+  * Aggregate([qid], [qid, top_k_by_score(cosine(qv, emb), vid, k)],
+  *   Join(corpus, queries, Cross))   // either side order
+  * }}}
+  * into [[VectorTopKAgg]] — one corpus scan with per-query bounded heaps
+  * instead of materializing |corpus| × |queries| rows through the
+  * aggregate. Users write the natural DataFrame form; the engine plans
+  * the fused operator. */
+object AutoFuseTopK extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(Seq(gid: Attribute), aggExprs, child, _)
+        if aggExprs.length == 2 => rewrite(agg, gid, aggExprs, child)
+  }
+
+  private def rewrite(agg: Aggregate, gid: Attribute,
+      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression],
+      child: LogicalPlan): LogicalPlan = {
+    // see through an optional projection (where `sim` is usually aliased)
+    val (joinOpt, defs: Map[Long, Expression]) = child match {
+      case j @ Join(_, _, Cross, None, _) =>
+        (Some(j), Map.empty[Long, Expression])
+      case Project(plist, j @ Join(_, _, Cross, None, _)) =>
+        (Some(j), plist.map {
+          case al: Alias => al.exprId.id -> al.child
+          case a: Attribute => a.exprId.id -> (a: Expression)
+        }.toMap)
+      case _ => (None, Map.empty[Long, Expression])
+    }
+    def resolve(e: Expression): Expression = e match {
+      case a: Attribute => defs.getOrElse(a.exprId.id, a)
+      case other => other
+    }
+
+    val topkOpt: Option[(CosineSimilarity, Attribute, Int)] =
+      aggExprs.collectFirst {
+        case Alias(AggregateExpression(
+            TopKByScore(scoreE, vidE, kk, _, _), _, false, None, _), _) =>
+          (resolve(scoreE), resolve(vidE)) match {
+            case (cos: CosineSimilarity, vidA: Attribute) =>
+              Some((cos, vidA, kk))
+            case _ => None
+          }
+      }.flatten
+    val passthroughOk = aggExprs.exists {
+      case a: Attribute => a.semanticEquals(gid)
+      case Alias(a: Attribute, _) => a.semanticEquals(gid)
+      case _ => false
+    }
+    val gidResolved = resolve(gid) match {
+      case a: Attribute => Some(a)
+      case _ => None
+    }
+
+    (joinOpt, topkOpt, gidResolved) match {
+      case (Some(join), Some((cos, vidA, k)), Some(gidA))
+          if passthroughOk && agg.output.length == 2 &&
+            agg.output.head.dataType == LongType &&
+            agg.output(1).dataType.isInstanceOf[ArrayType] =>
+        (resolve(cos.left), resolve(cos.right)) match {
+          case (x: Attribute, y: Attribute) =>
+            val (queriesSide, corpusSide) =
+              if (join.left.outputSet.contains(gidA)) (join.left, join.right)
+              else (join.right, join.left)
+            val (qvA, embA) =
+              if (queriesSide.outputSet.contains(x)) (x, y) else (y, x)
+            val ok = queriesSide.outputSet.contains(gidA) &&
+              queriesSide.outputSet.contains(qvA) &&
+              corpusSide.outputSet.contains(embA) &&
+              corpusSide.outputSet.contains(vidA)
+            if (ok)
+              VectorTopKAgg(queriesSide, corpusSide, gidA, qvA, vidA, embA,
+                k, agg.output)
+            else agg
+          case _ => agg
+        }
+      case _ => agg
+    }
+  }
+}
+
+object VectorTopKAggStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: VectorTopKAgg =>
+      VectorTopKAggExec(planLater(n.queries), planLater(n.corpus),
+        n.qid, n.qv, n.vid, n.emb, n.k, n.output) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical fused group-by-query top-k: emits (qid, array<struct<score,
+  * id>>) — the exact rows the replaced Aggregate would have produced
+  * (raw scores, best-first order as [[TopKAggregate]] eval does). */
+case class VectorTopKAggExec(
+    queries: SparkPlan, corpus: SparkPlan,
+    qid: Attribute, qv: Attribute, vid: Attribute, emb: Attribute,
+    k: Int, override val output: Seq[Attribute])
+  extends BinaryExecNode {
+
+  override def left: SparkPlan = queries
+  override def right: SparkPlan = corpus
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(output)
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): VectorTopKAggExec =
+    copy(queries = l, corpus = r)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val qidIdx = queries.output.indexWhere(_.exprId == qid.exprId)
+    val qvIdx = queries.output.indexWhere(_.exprId == qv.exprId)
+    val vidIdx = corpus.output.indexWhere(_.exprId == vid.exprId)
+    val embIdx = corpus.output.indexWhere(_.exprId == emb.exprId)
+    require(qidIdx >= 0 && qvIdx >= 0 && vidIdx >= 0 && embIdx >= 0)
+
+    val qRows: Array[(Long, Array[Float], Double)] =
+      queries.executeCollect().map { row =>
+        val vec = row.getArray(qvIdx).toFloatArray()
+        var n = 0.0
+        vec.foreach(x => n += x.toDouble * x.toDouble)
+        (row.getLong(qidIdx), vec, math.sqrt(n))
+      }
+    val bc = sparkContext.broadcast(qRows)
+    val kk = k
+
+    val partials: RDD[(Long, Double, Long)] =
+      corpus.execute().mapPartitions { it =>
+        val qs = bc.value
+        val heaps = Array.fill(qs.length)(new TopKBuffer(kk))
+        it.foreach { row =>
+          if (!row.isNullAt(vidIdx) && !row.isNullAt(embIdx)) {
+            val v = row.getLong(vidIdx)
+            val e = row.getArray(embIdx)
+            val n = e.numElements()
+            var cn = 0.0
+            val ev = new Array[Double](n)
+            var i = 0
+            while (i < n) { val x = e.getFloat(i).toDouble; ev(i) = x; cn += x * x; i += 1 }
+            cn = math.sqrt(cn)
+            var q = 0
+            while (q < qs.length) {
+              val (_, qvec, qn) = qs(q)
+              val d = math.min(n, qvec.length)
+              var dot = 0.0
+              i = 0
+              while (i < d) { dot += qvec(i).toDouble * ev(i); i += 1 }
+              val s = if (qn == 0.0 || cn == 0.0) 0.0 else dot / (qn * cn)
+              heaps(q).add(s, v)
+              q += 1
+            }
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
+          h.sorted.iterator.map { case (s, id) => (bc.value(q)._1, s, id) }
+        }
+      }
+
+    partials.coalesce(1).mapPartitions { it =>
+      val qs = bc.value
+      val pos = qs.iterator.map(_._1).zipWithIndex.toMap
+      val heaps = Array.fill(qs.length)(new TopKBuffer(kk))
+      it.foreach { case (q, s, id) => heaps(pos(q)).add(s, id) }
+      val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
+      qs.indices.iterator.map { q =>
+        val arr = new GenericArrayData(
+          heaps(q).sorted.map { case (s, id) =>
+            InternalRow(s, id) }.asInstanceOf[Array[Any]])
+        proj(InternalRow(qs(q)._1, arr))
+      }
+    }
+  }
+}

@@ -39,6 +39,22 @@ object bridge {
         s.experimental.extraStrategies :+ strategy
   }
 
+  /** Remove a previously installed strategy / optimizer rule. */
+  def uninstallStrategy(spark: org.apache.spark.sql.SparkSession,
+                        strategy: org.apache.spark.sql.execution.SparkStrategy)
+      : Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    s.experimental.extraStrategies =
+      s.experimental.extraStrategies.filterNot(_ == strategy)
+  }
+  def uninstallOptimization(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations.filterNot(_ == rule)
+  }
+
   /** Install an extra optimizer rule at runtime (idempotent). */
   def installOptimization(spark: org.apache.spark.sql.SparkSession,
       rule: org.apache.spark.sql.catalyst.rules.Rule[

@@ -131,6 +131,20 @@ class ExpressionSpec extends SparkSuite {
     assert(filtered.collect().toSeq == expect)
   }
 
+  test("AutoFuseTopK rewrites the declarative KNN into the fused operator") {
+    val e = sources.Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 6)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val expected = operators.Search.bruteForceTopK(queries, e, 4).collect().toSeq
+    operators.Search.installAutoFusion(spark)
+    try {
+      val rewritten = operators.Search.bruteForceTopK(queries, e, 4)
+      val plan = planOf(rewritten)
+      assert(plan.contains("VectorTopKAgg"), plan)
+      assert(rewritten.collect().toSeq == expected)
+    } finally operators.Search.uninstallAutoFusion(spark) // shared session
+  }
+
   test("top_k_by_score matches window-function ranking on real embeddings") {
     val e = sources.Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 3)

@@ -39,6 +39,15 @@ class IvfSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters: [centroid_id"), plan)
   }
 
+  test("loadOrRebuild: rebuilds on missing or count-mismatched index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf2").toString
+    assert(!IvfIndex.loadOrRebuild(spark, dir, t.embeddings, 16)) // built
+    assert(IvfIndex.loadOrRebuild(spark, dir, t.embeddings, 16))  // reused
+    val half = t.embeddings.filter($"vec_id" % 2 === 0)
+    assert(!IvfIndex.loadOrRebuild(spark, dir, half, 16))         // mismatch
+    assert(IvfIndex.loadOrRebuild(spark, dir, half, 16))
+  }
+
   test("salted join equals plain join on skewed keys") {
     import org.apache.spark.sql.functions._
     val big = spark.range(0, 10000)
