@@ -46,9 +46,17 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash(k)+LSH banding near-dup candidates over word shingles. */
+  /** MinHash(k)+LSH banding near-dup candidates over word shingles.
+    *
+    * `maxBucket` is the skew guard: a degenerate band bucket (e.g. the
+    * empty-document signature, or boilerplate shared by millions of docs)
+    * would otherwise produce |bucket|² candidate pairs on one task. Rows
+    * in buckets larger than the cap are excluded from pair generation —
+    * an explicit, documented recall trade (huge buckets are almost always
+    * degenerate content at corpus scale, and their members still surface
+    * through their other `bands-1` buckets). */
   def minhashCandidates(t: Tables, numHashes: Int = 128, bands: Int = 16,
-                        shingleLen: Int = 3): DataFrame = {
+                        shingleLen: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
     val sigs = t.documents.select(col("doc_id"),
       band_hashes(
@@ -63,6 +71,10 @@ object Dedup {
     // is where you'd persist/bucket the signature table anyway.
     val bucketed = sigs.localCheckpoint()
       .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+      .withColumn("__bsz",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("h"))))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&

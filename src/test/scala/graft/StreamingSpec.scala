@@ -64,6 +64,47 @@ class StreamingSpec extends SparkSuite {
       viaWindowFns.agg(sum("n_events")).head().getLong(0))
   }
 
+  test("streaming index maintenance: appended docs become searchable") {
+    import spark.implicits._
+    import graft.functions._
+    import graft.functions.TextFunctions.preprocess
+    val dir = Files.createTempDirectory("graft-idx-stream").toString
+    val docs = t.documents.select($"doc_id", $"text")
+    // seed index from the first half of the corpus
+    val half = docs.filter($"doc_id" < 250)
+      .select($"doc_id".as("vec_id"),
+        hash_embed(preprocess($"text"), 64).as("embedding"))
+    operators.IvfIndex.persist(half, nCentroids = 8, path = dir)
+    // stream the second half in as two files
+    val streamSrc = Files.createTempDirectory("graft-doc-stream").toString
+    docs.filter($"doc_id" >= 250 && $"doc_id" < 375).coalesce(1)
+      .write.parquet(s"$streamSrc/c=a")
+    docs.filter($"doc_id" >= 375).coalesce(1).write.parquet(s"$streamSrc/c=b")
+    val docStream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1").parquet(s"$streamSrc/c=*")
+    val q = IndexMaintenance.start(spark, docStream, dir)
+    q.awaitTermination(120000)
+    // index now covers the full corpus; compare against batch search
+    val full = docs.select($"doc_id".as("vec_id"),
+      hash_embed(preprocess($"text"), 64).as("embedding"))
+    val queries = full.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val fromIndex = operators.IvfIndex.searchPersisted(spark, dir, queries,
+      nprobe = 8, k = 3).collect().toSeq
+    val postings = spark.read.parquet(s"$dir/postings")
+    assert(postings.count() == docs.count())
+    // nprobe == nCentroids: searching the persisted index must equal
+    // exact brute force over the same corpus
+    val exact = operators.Search.bruteForceTopK(queries, full, 3)
+      .collect().toSeq
+    assert(fromIndex == exact)
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     import spark.implicits._
     val q = SessionStream.statefulSessions(
