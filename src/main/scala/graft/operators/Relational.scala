@@ -115,13 +115,20 @@ object Relational {
     * pass; grouping-set nulls folded to 'ALL' for engine-portable output). */
   def revenueRollup(t: Tables): DataFrame = {
     val rev = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
-    t.lineitem
+    // two-level: collapse to the finest grain FIRST (decimal sums are
+    // associative, so re-aggregating partials is exact), then rollup the
+    // tiny grouped result — Expand multiplies 25 rows by 3, not the fact
+    // table
+    val base = t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-      .rollup(col("r_name"), col("n_name"))
-      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(rev).as("rev"), count(lit(1)).as("n"))
+    base.rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+           sum(col("n")).as("n_items"))
       .select(coalesce(col("r_name"), lit("ALL")).as("region"),
         coalesce(col("n_name"), lit("ALL")).as("nation"),
         col("revenue"), col("n_items"))
