@@ -103,6 +103,16 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("event_id"), col("click_event_id"))
         .orderBy(col("event_id"))
     }),
+    // binned range join: clicks within the hour before each purchase
+    "q_range_join" -> q(t => {
+      val ev = t.events
+      RangeJoin.countTrailing(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id")),
+        key = "user_id", windowMinutes = 60)
+    }),
     // exact interpolated percentiles
     "q_percentiles" -> q(t => t.events
       .groupBy(col("event_type"))
@@ -425,6 +435,14 @@ object SparkEntry {
         |SELECT p.user_id, p.ts, p.event_id, c.click_event_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY p.event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+        | p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type='purchase'),
+        | c AS (SELECT user_id, ts FROM ev WHERE event_type='click')
+        |SELECT p.user_id, p.ts, p.event_id, COUNT(c.ts) AS n_recent
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts < p.ts
+        |GROUP BY 1,2,3 ORDER BY event_id""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         | floor(quantile_cont(value, 0.5)*1e6)/1e6 AS p50,

@@ -32,6 +32,22 @@ class AsOfSpec extends SparkSuite {
     assert(got(102L) == -1L)  // left outer: no prior right → null
   }
 
+  test("range join: window bounds are [ts-window, ts) across bin edges") {
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L))
+      .toDF("user_id", "ts", "event_id")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 10L),  // exactly -60m → included
+      (1L, ts("2024-01-01 08:59:59"), 11L),  // just outside
+      (1L, ts("2024-01-01 09:59:59"), 12L),  // inside, same bin
+      (1L, ts("2024-01-01 09:01:00"), 13L),  // inside, previous bin
+      (1L, ts("2024-01-01 10:00:00"), 14L),  // == left ts → excluded
+      (2L, ts("2024-01-01 09:30:00"), 15L)   // other key
+    ).toDF("user_id", "ts", "event_id")
+    val got = operators.RangeJoin.countTrailing(left, right, "user_id", 60)
+      .select($"n_recent").head().getLong(0)
+    assert(got == 3L)
+  }
+
   test("ties among right rows at one instant resolve to highest tie column") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"), 1L))
       .toDF("user_id", "ts", "event_id")

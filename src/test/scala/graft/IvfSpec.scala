@@ -48,6 +48,24 @@ class IvfSpec extends SparkSuite {
     assert(IvfIndex.loadOrRebuild(spark, dir, half, 16))
   }
 
+  test("bucketed posting-list table: aggregation avoids the exchange") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
+    val assign = IvfIndex.assignments(t.embeddings,
+      IvfIndex.centroids(t.embeddings, 16))
+    assign.write.mode("overwrite")
+      .bucketBy(8, "centroid_id").sortBy("centroid_id")
+      .option("path", s"$dir/tbl").saveAsTable("graft_postings_bucketed")
+    try {
+      val agg = spark.table("graft_postings_bucketed")
+        .groupBy($"centroid_id").agg(count(lit(1)).as("n"))
+      agg.collect()
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed aggregation should not shuffle:\n$plan")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_postings_bucketed")
+  }
+
   test("salted join equals plain join on skewed keys") {
     import org.apache.spark.sql.functions._
     val big = spark.range(0, 10000)
