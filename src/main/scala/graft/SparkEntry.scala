@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.{cosine_similarity, dequantize8, quantize8}
 import graft.operators._
 import graft.sources.Tables
 
@@ -76,8 +77,26 @@ object SparkEntry {
     // text analysis
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
+    // int8 scalar quantization: per-vector reconstruction error audit
+    "q_quantize" -> q(t => t.embeddings
+      .select(col("vec_id"), col("embedding"),
+        dequantize8(quantize8(col("embedding"))).as("restored"))
+      .select(col("vec_id"),
+        (floor(aggregate(
+          zip_with(col("embedding"), col("restored"),
+            (a, b) => abs(a - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)) * 1e6) / 1e6)
+          .as("max_abs_err"),
+        (floor(cosine_similarity(col("embedding"),
+          dequantize8(quantize8(col("embedding")))) * 1e4) / 1e4)
+          .as("cos_fidelity"))
+      .orderBy(col("vec_id"))),
     // multimodal plumbing
     "mm_features" -> q(t => graft.multimodal.Multimodal.documentFeatures(t.documents)),
+    "q7_corr_subquery" -> q(Relational.premiumParts),
+    "q8_distribution"  -> q(Relational.orderCountDistribution),
+    "q9_argmax"        -> q(Relational.topSupplierPerNation),
+    "q10_setops"       -> q(Relational.setOpsCustomers),
     // semi-structured extraction (events.props is a JSON string)
     "q_json_extract" -> q(t => t.events
       .select(col("event_type"),
@@ -425,6 +444,35 @@ object SparkEntry {
           |      WHEN s_es >= s_fr THEN 'es'
           |      ELSE 'fr' END AS predicted_lang
           |FROM s ORDER BY doc_id""").stripMargin,
+    "q7_corr_subquery" ->
+      """WITH b AS (SELECT p_brand,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS brand_avg
+        | FROM part GROUP BY 1)
+        |SELECT p_partkey, p.p_brand, p_retailprice,
+        | floor(brand_avg*10000.0)/10000.0 AS brand_avg
+        |FROM part p JOIN b ON p.p_brand = b.p_brand
+        |WHERE p_retailprice > brand_avg ORDER BY p_partkey""".stripMargin,
+    "q8_distribution" ->
+      """WITH per_cust AS (
+        | SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+        | FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        | GROUP BY 1)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM per_cust GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_argmax" ->
+      """SELECT n_name, s_suppkey, s_acctbal FROM (
+        | SELECT n_name, s_suppkey, s_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rn
+        | FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+        |WHERE rn = 1 ORDER BY n_name""".stripMargin,
+    "q10_setops" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE')
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM lineitem
+        | JOIN part ON l_partkey = p_partkey
+        | JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_retailprice > 1800.0
+        |ORDER BY c_custkey""".stripMargin,
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
         | p AS (SELECT user_id, ts, event_id FROM ev WHERE event_type='purchase'),

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
@@ -193,6 +194,59 @@ case class WordShingles(child: Expression, n: Int)
   }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** Scalar int8 quantization of a float vector: per-vector min/scale +
+  * one byte per dimension (4× smaller at rest and on the shuffle wire —
+  * at 100 TB of embeddings that is the difference between fitting in
+  * cluster memory or not). Reconstruction error ≤ scale/2 per element. */
+case class Quantize8(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("minv", FloatType, nullable = false),
+    StructField("scale", FloatType, nullable = false),
+    StructField("codes", BinaryType, nullable = false)))
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    var mn = Float.MaxValue
+    var mx = Float.MinValue
+    var i = 0
+    while (i < n) { val x = a.getFloat(i); if (x < mn) mn = x; if (x > mx) mx = x; i += 1 }
+    if (n == 0) { mn = 0f; mx = 0f }
+    val scale = if (mx > mn) (mx - mn) / 255f else 1f
+    val codes = new Array[Byte](n)
+    i = 0
+    while (i < n) {
+      val q = math.round((a.getFloat(i) - mn) / scale)
+      codes(i) = math.min(255, math.max(0, q)).toByte
+      i += 1
+    }
+    InternalRow(mn, scale, codes)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "quantize8"
+}
+
+/** Inverse of [[Quantize8]]. */
+case class Dequantize8(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val row = v.asInstanceOf[InternalRow]
+    val mn = row.getFloat(0)
+    val scale = row.getFloat(1)
+    val codes = row.getBinary(2)
+    val out = new Array[Float](codes.length)
+    var i = 0
+    while (i < codes.length) {
+      out(i) = mn + (codes(i) & 0xff) * scale
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "dequantize8"
 }
 
 /** Count of array elements contained in a fixed string set (with

@@ -35,4 +35,8 @@ package object functions {
 
   def top_k_by_score(score: Column, id: Column, k: Int): Column =
     bridge.column(TopKByScore(c(score), c(id), k).toAggregateExpression())
+
+  def quantize8(v: Column): Column = bridge.column(Quantize8(c(v)))
+
+  def dequantize8(q: Column): Column = bridge.column(Dequantize8(c(q)))
 }

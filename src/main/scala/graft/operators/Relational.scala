@@ -111,6 +111,60 @@ object Relational {
            count(lit(1)).as("n_lines"))
   }
 
+  /** Correlated-subquery pattern: parts priced above their brand's mean —
+    * decorrelated as a window average (one shuffle, no rescan). */
+  def premiumParts(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+    t.part
+      .withColumn("brand_avg",
+        (sum(dec(col("p_retailprice"))).over(w).cast("double") /
+          count(lit(1)).over(w)))
+      .filter(col("p_retailprice") > col("brand_avg"))
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice"),
+        (floor(col("brand_avg") * 10000.0) / 10000.0).as("brand_avg"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** TPC-H-Q13-style distribution: how many customers placed N orders
+    * (zero-order customers included via left join). */
+  def orderCountDistribution(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_orders"))
+
+  /** Per-group argmax: each nation's top supplier by account balance
+    * (struct-max keeps it one aggregation, ties broken by suppkey asc
+    * via negated key inside the max struct). */
+  def topSupplierPerNation(t: Tables): DataFrame =
+    t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(max(struct(col("s_acctbal").as("bal"),
+        (-col("s_suppkey")).as("negkey"))).as("best"))
+      .select(col("n_name"), (-col("best.negkey")).cast("long").as("s_suppkey"),
+        col("best.bal").as("s_acctbal"))
+      .orderBy(col("n_name"))
+
+  /** Set operations: customers in BUILDING or AUTOMOBILE segments minus
+    * those who ever bought a part priced over 1800. */
+  def setOpsCustomers(t: Tables): DataFrame = {
+    val seg = (s: String) =>
+      t.customer.filter(col("c_mktsegment") === s).select(col("c_custkey"))
+    val bigSpenders = t.lineitem
+      .join(t.part, col("l_partkey") === col("p_partkey"))
+      .filter(col("p_retailprice") > 1800.0)
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c_custkey"))
+    seg("BUILDING").union(seg("AUTOMOBILE")).distinct()
+      .except(bigSpenders.distinct())
+      .orderBy(col("c_custkey"))
+  }
+
   /** Region → nation rollup of revenue (multi-level aggregation in one
     * pass; grouping-set nulls folded to 'ALL' for engine-portable output). */
   def revenueRollup(t: Tables): DataFrame = {

@@ -90,6 +90,26 @@ class ExpressionSpec extends SparkSuite {
     assert(got == 'a'.toLong * 31L + 'b'.toLong)
   }
 
+  test("int8 quantization round-trip: bounded error, high cosine fidelity") {
+    val e = sources.Tables(spark, sfDir).embeddings
+    val audit = e.select(
+      $"embedding",
+      dequantize8(quantize8($"embedding")).as("restored"),
+      cosine_similarity($"embedding",
+        dequantize8(quantize8($"embedding"))).as("fid"))
+    val rows = audit.collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val rest = r.getSeq[Float](1)
+      assert(rest.length == orig.length)
+      val range = orig.max - orig.min
+      val scale = range / 255f
+      orig.zip(rest).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= scale * 0.51 + 1e-6) }
+      assert(r.getDouble(2) > 0.999, s"cosine fidelity ${r.getDouble(2)}")
+    }
+  }
+
   test("top_k_by_score keeps k best with (score desc, id asc) ties") {
     val df = Seq(
       (1L, 0.9, 10L), (1L, 0.9, 7L), (1L, 0.5, 1L), (1L, 0.99, 3L),
