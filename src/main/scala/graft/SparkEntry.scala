@@ -77,6 +77,8 @@ object SparkEntry {
     // text analysis
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
+    // corpus-statistics embedding: hashing TF-IDF
+    "q_tfidf" -> q(t => Embeddings.tfidfVectors(t.documents)),
     // int8 scalar quantization: per-vector reconstruction error audit
     "q_quantize" -> q(t => t.embeddings
       .select(col("vec_id"), col("embedding"),

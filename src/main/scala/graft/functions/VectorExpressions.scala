@@ -196,6 +196,35 @@ case class WordShingles(child: Expression, n: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Dense L2-normalized vector from sparse (bucket, weight) entries —
+  * the assembly step of distributed TF-IDF (order-insensitive, so a
+  * `collect_list` upstream is safe). */
+case class ScatterVector(child: Expression, dim: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val entries = v.asInstanceOf[ArrayData]
+    val acc = new Array[Double](dim)
+    var i = 0
+    while (i < entries.numElements()) {
+      val e = entries.getStruct(i, 2)
+      val b = e.getLong(0).toInt
+      if (b >= 0 && b < dim) acc(b) += e.getDouble(1)
+      i += 1
+    }
+    var norm = 0.0
+    i = 0
+    while (i < dim) { norm += acc(i) * acc(i); i += 1 }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    val out = new Array[Float](dim)
+    i = 0
+    while (i < dim) { out(i) = (acc(i) * inv).toFloat; i += 1 }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "scatter_vector"
+}
+
 /** Scalar int8 quantization of a float vector: per-vector min/scale +
   * one byte per dimension (4× smaller at rest and on the shuffle wire —
   * at 100 TB of embeddings that is the difference between fitting in

@@ -38,5 +38,8 @@ package object functions {
 
   def quantize8(v: Column): Column = bridge.column(Quantize8(c(v)))
 
+  def scatter_vector(entries: Column, dim: Int): Column =
+    bridge.column(ScatterVector(c(entries), dim))
+
   def dequantize8(q: Column): Column = bridge.column(Dequantize8(c(q)))
 }

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-statistics-aware embeddings: hashing-trick TF-IDF.
+  *
+  * Unlike [[graft.functions.HashEmbed]] (pure term frequency, one pass, no
+  * corpus state), TF-IDF needs document frequencies — a groupBy over the
+  * exploded token table. Dataflow: tokens → tf per (doc, token) → df per
+  * token (broadcast back) → weight = tf·ln(1 + N/df) → hash-bucket sums →
+  * dense L2-normalized vector via the [[graft.functions.ScatterVector]]
+  * expression. All shuffles are on token/doc keys; the vocabulary table is
+  * the only broadcast.
+  */
+object Embeddings {
+
+  /** (doc_id, embedding array<float> dim) with TF-IDF weights. */
+  def tfidfVectors(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val n = docs.count() // corpus size: one scalar action, like an ANALYZE
+    val toks = docs
+      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      .localCheckpoint() // barrier: Generate re-evals codegen'd children
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val weighted = tf.join(broadcast(df), Seq("tok"))
+      .select(col("doc_id"),
+        pmod(xxhash64(col("tok")), lit(dim.toLong)).as("bucket"),
+        (col("tf") * log(lit(1.0) + lit(n.toDouble) / col("df"))).as("w"))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("w")).as("w"))
+    weighted.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("bucket"), col("w"))).as("entries"))
+      .select(col("doc_id"),
+        scatter_vector(col("entries"), dim).as("embedding"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -32,6 +32,30 @@ class ClusterSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("tf-idf embedding: rare shared terms bind docs tighter than common ones") {
+    import graft.functions.cosine_similarity
+    // 'common' is in every doc; 'rareterm' only in docs 1 and 2
+    val docs = Seq(
+      (1L, "common rareterm alpha beta"),
+      (2L, "common rareterm gamma delta"),
+      (3L, "common epsilon zeta eta"),
+      (4L, "common theta iota kappa")).toDF("doc_id", "text")
+    val vecs = operators.Embeddings.tfidfVectors(docs, dim = 128)
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // docs 1-2 share the rare term; docs 3-4 share only the common term
+    assert(pairs((1L, 2L)) > pairs((3L, 4L)),
+      s"rare-shared ${pairs((1L, 2L))} <= common-shared ${pairs((3L, 4L))}")
+    // unit norm
+    val norms = vecs.select(graft.functions.l2_norm(col("embedding")))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-5))
+  }
+
   test("k-means refinement does not worsen mean assignment distance") {
     val t = Tables(spark, sfDir)
     def meanDist(cents: org.apache.spark.sql.DataFrame): Double =
