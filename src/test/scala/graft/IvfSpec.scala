@@ -48,6 +48,18 @@ class IvfSpec extends SparkSuite {
     assert(IvfIndex.loadOrRebuild(spark, dir, half, 16))
   }
 
+  test("quantized search: high recall vs full-precision exact search") {
+    import graft.functions._
+    val qcorpus = t.embeddings.select($"vec_id",
+      quantize8($"embedding").as("qcodes"))
+    val approx = operators.Search.quantizedTopK(queries, qcorpus, 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val exact = operators.Search.bruteForceTopK(queries, t.embeddings, 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (approx intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"quantized recall@5 = $recall")
+  }
+
   test("bucketed posting-list table: aggregation avoids the exchange") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
