@@ -21,20 +21,26 @@ object Bench {
       else SparkEntry.queries
     // one warm-up action: JIT, codegen cache, FileSourceScan init
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
-    val results = selected.map { case (name, fn) =>
+    val results = selected.toSeq.map { case (name, fn) =>
       System.gc() // stabilize: drop prior queries' broadcast/codegen garbage
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column —
       // count() lets the optimizer prune entire subtrees (outer-join
       // elimination made some pipelines look 50x faster than they are)
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // failed queries report -1 (never a fast-looking timing) and are listed
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) v else -1.0) }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

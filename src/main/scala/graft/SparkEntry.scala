@@ -44,8 +44,17 @@ object SparkEntry {
     // vector index health (reference: controllers/health_controller.py)
     "q_index_stats"  -> q(indexStats),
     // vector search surface (reference: index/search/qa services)
+    // Vector outputs are projected to hashable scalars (dim, floored norm,
+    // xxhash64 digest of the vector) — the driver's pandas comparator
+    // cannot sort raw array<float> columns. Operators keep returning
+    // vectors; only these driver-facing projections digest them.
     "q_embed" -> ((s, dir) => new SearchEngine(s, dir)
-      .buildIndex().select(col("doc_id"), col("embedding")).orderBy(col("doc_id"))),
+      .buildIndex()
+      .select(col("doc_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        (floor(graft.functions.l2_norm(col("embedding")) * 1e6) / 1e6).as("norm"),
+        xxhash64(col("embedding")).as("vec_digest"))
+      .orderBy(col("doc_id"))),
     "q_knn_fused" -> q(t => Search.fusedTopK(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -69,16 +78,22 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, nCentroids = 16, nprobe = 4, k = 5)),
     // LLM-pipeline dedup family
-    "dedup_minhash"   -> q(t => Dedup.minhashCandidates(t)),
-    "dedup_simhash"   -> q(t => Dedup.simhashCandidates(t)),
-    "dedup_jaccard"   -> q(t => Dedup.jaccardNeighbors(t)),
+    "dedup_minhash"   -> q(t => Dedup.minhashCandidates(t.documents)),
+    "dedup_simhash"   -> q(t => Dedup.simhashCandidates(t.documents)),
+    "dedup_jaccard"   -> q(t => Dedup.jaccardNeighbors(t.documents)),
     "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
     "dedup_clusters"  -> q(t => Dedup.clusters(t.documents)),
     // text analysis
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
-    // corpus-statistics embedding: hashing TF-IDF
-    "q_tfidf" -> q(t => Embeddings.tfidfVectors(t.documents)),
+    // corpus-statistics embedding: hashing TF-IDF (digest projection — see
+    // q_embed note)
+    "q_tfidf" -> q(t => Embeddings.tfidfVectors(t.documents)
+      .select(col("doc_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        (floor(graft.functions.l2_norm(col("embedding")) * 1e6) / 1e6).as("norm"),
+        xxhash64(col("embedding")).as("vec_digest"))
+      .orderBy(col("doc_id"))),
     // int8 scalar quantization: per-vector reconstruction error audit
     "q_quantize" -> q(t => t.embeddings
       .select(col("vec_id"), col("embedding"),
@@ -93,8 +108,13 @@ object SparkEntry {
           dequantize8(quantize8(col("embedding")))) * 1e4) / 1e4)
           .as("cos_fidelity"))
       .orderBy(col("vec_id"))),
-    // multimodal plumbing
-    "mm_features" -> q(t => graft.multimodal.Multimodal.documentFeatures(t.documents)),
+    // multimodal plumbing (digest projection — see q_embed note)
+    "mm_features" -> q(t => graft.multimodal.Multimodal.documentFeatures(t.documents)
+      .select(col("doc_id"), col("n_bytes"), col("checksum"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        xxhash64(col("features")).as("feat_digest"))
+      .orderBy(col("doc_id"))),
     "q7_corr_subquery" -> q(Relational.premiumParts),
     "q8_distribution"  -> q(Relational.orderCountDistribution),
     "q9_argmax"        -> q(Relational.topSupplierPerNation),

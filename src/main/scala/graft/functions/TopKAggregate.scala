@@ -51,6 +51,19 @@ case class TopKByScore(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[TopKBuffer] {
 
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (score.dataType != DoubleType)
+      TypeCheckFailure(s"$prettyName requires a double score, got " +
+        score.dataType.simpleString)
+    else if (id.dataType != LongType)
+      TypeCheckFailure(s"$prettyName requires a bigint id, got " +
+        id.dataType.simpleString)
+    else if (k <= 0) TypeCheckFailure(s"$prettyName requires k > 0, got $k")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
   override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {

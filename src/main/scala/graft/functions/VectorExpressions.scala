@@ -18,9 +18,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * stay inside whole-stage codegen — no UDF boxing in the inner loop of
   * every KNN/dedup operator (this loop runs corpus × queries times).
   */
+object VectorTypeCheck {
+  def isFloatVector(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  def require(name: String, inputs: (String, DataType)*): TypeCheckResult = {
+    val bad = inputs.filterNot { case (_, dt) => isFloatVector(dt) }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires array<float> arguments, got " +
+        bad.map { case (n, dt) => s"$n: ${dt.simpleString}" }.mkString(", "))
+  }
+}
+
 abstract class BinaryVectorExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+  // analysis-time validation: without it, a mistyped column (e.g. a
+  // non-array via the SQL-registered builders) ClassCastExceptions inside
+  // executors instead of failing analysis
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.require(prettyName,
+      "left" -> left.dataType, "right" -> right.dataType)
 
   protected def loopBody: String // java: computes `out` from dot/na/nb loop
 
@@ -84,6 +103,8 @@ case class DotProduct(left: Expression, right: Expression)
 /** L2 norm of one array<float> vector. */
 case class L2Norm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.require(prettyName, "input" -> child.dataType)
   override def nullSafeEval(v: Any): Any = {
     val a = v.asInstanceOf[ArrayData]
     var s = 0.0; var i = 0
@@ -231,6 +252,8 @@ case class ScatterVector(child: Expression, dim: Int)
   * cluster memory or not). Reconstruction error ≤ scale/2 per element. */
 case class Quantize8(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.require(prettyName, "input" -> child.dataType)
   override def dataType: DataType = StructType(Seq(
     StructField("minv", FloatType, nullable = false),
     StructField("scale", FloatType, nullable = false),
@@ -260,6 +283,16 @@ case class Quantize8(child: Expression)
 /** Inverse of [[Quantize8]]. */
 case class Dequantize8(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(
+        StructField("minv", FloatType, _, _),
+        StructField("scale", FloatType, _, _),
+        StructField("codes", BinaryType, _, _))) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct<minv:float,scale:float,codes:binary> " +
+        s"(a quantize8 output), got ${dt.simpleString}")
+  }
   override def dataType: DataType = ArrayType(FloatType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val row = v.asInstanceOf[InternalRow]

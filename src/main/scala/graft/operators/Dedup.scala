@@ -46,64 +46,84 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** MinHash(k)+LSH banding near-dup candidates over word shingles.
-    *
-    * `maxBucket` is the skew guard: a degenerate band bucket (e.g. the
-    * empty-document signature, or boilerplate shared by millions of docs)
-    * would otherwise produce |bucket|² candidate pairs on one task. Rows
-    * in buckets larger than the cap are excluded from pair generation —
-    * an explicit, documented recall trade (huge buckets are almost always
-    * degenerate content at corpus scale, and their members still surface
-    * through their other `bands-1` buckets). */
-  def minhashCandidates(t: Tables, numHashes: Int = 128, bands: Int = 16,
-                        shingleLen: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = t.documents.select(col("doc_id"),
-      band_hashes(
-        minhash_signature(
-          shingles(tokens(preprocess(col("text"))), shingleLen), numHashes),
-        bands, rows).as("bh"))
-    // localCheckpoint = materialization barrier: Generate re-evaluates
-    // its child per OUTPUT row (the minhash chain would run `bands` times
-    // per doc), and the optimizer moves projections past a mere
-    // repartition(); checkpointing the signature table is the only
-    // reliable cut (57 s -> sub-second at sf0.1). At cluster scale this
-    // is where you'd persist/bucket the signature table anyway.
-    val bucketed = sigs.localCheckpoint()
-      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+  /** The skew guard shared by every banded candidate generator: drop rows
+    * in (band, h) buckets larger than `maxBucket`. A degenerate bucket
+    * (the empty-document signature, boilerplate shared by millions of
+    * docs) would otherwise produce |bucket|² candidate pairs on one task.
+    * Excluding them is an explicit, documented recall trade — huge buckets
+    * are almost always degenerate content at corpus scale, and their
+    * members still surface through their other `bands-1` buckets. */
+  private def capBuckets(bucketed: DataFrame, maxBucket: Int): DataFrame =
+    bucketed
       .withColumn("__bsz",
         count(lit(1)).over(Window.partitionBy(col("band"), col("h"))))
       .filter(col("__bsz") <= maxBucket)
       .drop("__bsz")
-    val pairs = bucketed.as("a")
-      .join(bucketed.as("b"),
+
+  /** `(doc_id, band, h)` → distinct capped candidate pairs (id1 < id2) —
+    * the one pair-generation code path for minhash LSH and [[clusters]]. */
+  private def bandedPairs(bucketed: DataFrame, maxBucket: Int): DataFrame = {
+    val capped = capBuckets(bucketed, maxBucket)
+    capped.as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    perDocSummary(t.documents, pairs)
   }
 
+  /** Banded minhash signatures: (doc_id, band, h), checkpointed.
+    *
+    * localCheckpoint = materialization barrier: Generate re-evaluates
+    * its child per OUTPUT row (the minhash chain would run `bands` times
+    * per doc), and the optimizer moves projections past a mere
+    * repartition(); checkpointing the signature table is the only
+    * reliable cut (57 s -> sub-second at sf0.1). At cluster scale this
+    * is where you'd persist/bucket the signature table anyway. */
+  private def minhashBuckets(docs: DataFrame, numHashes: Int, bands: Int,
+                             shingleLen: Int): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      band_hashes(
+        minhash_signature(
+          shingles(tokens(preprocess(col("text"))), shingleLen), numHashes),
+        bands, numHashes / bands).as("bh"))
+    sigs.localCheckpoint()
+      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
+  }
+
+  /** MinHash(k)+LSH banding near-dup candidates over word shingles, with
+    * the [[capBuckets]] skew guard. */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
+                        shingleLen: Int = 3, maxBucket: Int = 1000): DataFrame =
+    perDocSummary(docs,
+      bandedPairs(minhashBuckets(docs, numHashes, bands, shingleLen),
+        maxBucket))
+
   /** SimHash64 + banded (4 × 16-bit) candidate generation, verified by
-    * exact hamming distance ≤ `maxHamming`. */
-  def simhashCandidates(t: Tables, maxHamming: Int = 3): DataFrame = {
-    val hashed = t.documents.select(col("doc_id"),
+    * exact hamming distance ≤ `maxHamming`. Buckets capped like every
+    * other banded generator ([[capBuckets]]): 16-bit chunks bound bucket
+    * degeneracy less severely than minhash bands, but an all-identical
+    * corpus still collapses into 4 quadratic buckets without the cap. */
+  def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = 1000): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
       simhash64(tokens(preprocess(col("text")))).as("sh"))
-      .localCheckpoint() // barrier: see minhashCandidates
+      .localCheckpoint() // barrier: see minhashBuckets
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
-          shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xffffL)).as("chunk"))): _*))
+          shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xffffL)).as("h"))): _*))
         .as("bc"))
-      .select(col("doc_id"), col("sh"), col("bc.band"), col("bc.chunk"))
-    val pairs = banded.as("a")
-      .join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+      .select(col("doc_id"), col("sh"), col("bc.band"), col("bc.h"))
+    val capped = capBuckets(banded, maxBucket)
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
       .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
-    perDocSummary(t.documents, pairs)
+    perDocSummary(docs, pairs)
   }
 
   /** Word-n-gram Jaccard nearest neighbor per doc (docs sharing no shingle
@@ -112,11 +132,21 @@ object Dedup {
     * Shingles are assembled AFTER exploding tokens (lead() windows) rather
     * than exploding a precomputed shingle array: Generate re-evaluates its
     * child expression per OUTPUT row, which turned the array build into an
-    * O(doc × shingles) quadratic blowup (33 s at sf0.1 → sub-second). */
-  def jaccardNeighbors(t: Tables, shingleLen: Int = 3): DataFrame = {
+    * O(doc × shingles) quadratic blowup (33 s at sf0.1 → sub-second).
+    *
+    * `maxShingleDf` caps the document frequency of join-key shingles: a
+    * boilerplate 3-gram shared by M docs is a quadratic key (M² pairs on
+    * one task). Shingles hotter than the cap are dropped from the
+    * INTERSECTION join only — per-doc set sizes (`n_sh`, the union
+    * denominator) still count them — so jaccard estimates for pairs that
+    * shared a dropped shingle shrink slightly (documented recall trade,
+    * like `maxBucket` in the banded generators). Default is above the
+    * max observed df at oracle scale, so sf0.01 results are exact. */
+  def jaccardNeighbors(docs: DataFrame, shingleLen: Int = 3,
+                       maxShingleDf: Int = 1000): DataFrame = {
     require(shingleLen == 3, "window-assembled shingles fixed at n=3")
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val sh = t.documents
+    val sh = docs
       .select(col("doc_id"),
         tokens(preprocess(col("text"))).as("toks"))
       .localCheckpoint() // barrier: see minhashCandidates
@@ -132,6 +162,11 @@ object Dedup {
       // joining a separately recomputed sizes branch twice
       .withColumn("n_sh",
         count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      // df cap AFTER n_sh (denominators stay exact) and BEFORE the
+      // checkpoint (both join sides read the already-capped table)
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
       // both sides of the self-join read the materialized shingle table
       .localCheckpoint()
     val jac = sh.as("a")
@@ -159,19 +194,11 @@ object Dedup {
     * exploding lineage); converges in O(log(diameter)) rounds. This is the
     * canonicalization step after candidate generation in an LLM dedup
     * pipeline: keep `cluster_id == doc_id` rows, drop the rest. */
-  def clusters(docs: DataFrame, maxIters: Int = 10): DataFrame = {
-    val sigs = docs.select(col("doc_id"),
-      band_hashes(
-        minhash_signature(
-          shingles(tokens(preprocess(col("text"))), 3), 128), 16, 8).as("bh"))
-    val bucketed = sigs.localCheckpoint() // barrier: see minhashCandidates
-      .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
-    val pairs = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+  def clusters(docs: DataFrame, maxIters: Int = 10,
+               maxBucket: Int = 1000): DataFrame = {
+    // same capped pair generation as minhashCandidates — one code path,
+    // one skew guard
+    val pairs = bandedPairs(minhashBuckets(docs, 128, 16, 3), maxBucket)
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint()

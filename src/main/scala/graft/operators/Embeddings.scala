@@ -10,10 +10,18 @@ import graft.functions.TextFunctions._
   * Unlike [[graft.functions.HashEmbed]] (pure term frequency, one pass, no
   * corpus state), TF-IDF needs document frequencies — a groupBy over the
   * exploded token table. Dataflow: tokens → tf per (doc, token) → df per
-  * token (broadcast back) → weight = tf·ln(1 + N/df) → hash-bucket sums →
-  * dense L2-normalized vector via the [[graft.functions.ScatterVector]]
-  * expression. All shuffles are on token/doc keys; the vocabulary table is
-  * the only broadcast.
+  * token → weight = tf·ln(1 + N/df) → hash-bucket sums → dense
+  * L2-normalized vector via the [[graft.functions.ScatterVector]]
+  * expression. All shuffles are on token/doc keys.
+  *
+  * The tf⋈df join is a plain shuffle join on `tok` — NEVER a broadcast:
+  * the document-frequency table is vocabulary-sized, unbounded in corpus
+  * size (a 100 TB corpus has billions of distinct tokens), and
+  * broadcasting it would OOM every executor. Both sides are token-keyed
+  * aggregates, so the join co-partitions on the shuffle key; AQE may still
+  * downgrade to a runtime broadcast when the measured vocabulary is small,
+  * which is the correct adaptive behavior (gated in PlanSpec: no static
+  * broadcast hint in the logical plan).
   */
 object Embeddings {
 
@@ -28,7 +36,7 @@ object Embeddings {
       .agg(count(lit(1)).as("tf"))
     val df = toks.select(col("doc_id"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val weighted = tf.join(broadcast(df), Seq("tok"))
+    val weighted = tf.join(df, Seq("tok"))
       .select(col("doc_id"),
         pmod(xxhash64(col("tok")), lit(dim.toLong)).as("bucket"),
         (col("tf") * log(lit(1.0) + lit(n.toDouble) / col("df"))).as("w"))

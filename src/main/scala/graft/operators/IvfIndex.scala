@@ -89,9 +89,12 @@ object IvfIndex {
     * otherwise rebuild. Returns true when the persisted index was reusable. */
   def loadOrRebuild(spark: org.apache.spark.sql.SparkSession, path: String,
                     corpus: DataFrame, nCentroids: Int): Boolean = {
+    // reference rebuilds on ANY load failure (index_service.py catches
+    // Exception): a corrupt/partial postings dir throws during count(),
+    // not just AnalysisException on a missing path
     val valid =
       try spark.read.parquet(s"$path/postings").count() == corpus.count()
-      catch { case _: org.apache.spark.sql.AnalysisException => false }
+      catch { case scala.util.control.NonFatal(_) => false }
     if (!valid) persist(corpus, nCentroids, path)
     valid
   }

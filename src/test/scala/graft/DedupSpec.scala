@@ -48,6 +48,38 @@ class DedupSpec extends SparkSuite {
     assert(groups.filter($"dup_count" > 1).count() == 0)
   }
 
+  test("degenerate bucket: identical docs don't blow up pair generation") {
+    // 500 identical docs → every band bucket holds all 500. With the cap
+    // below that, ALL pair generation is skipped (no |bucket|² join) and
+    // every doc comes back a singleton — for minhash, simhash AND the
+    // connected-components path (which shares minhash's pair code).
+    val docs = (1L to 500L).map(i => (i, base)).toDF("doc_id", "text")
+    val mh = operators.Dedup.minhashCandidates(docs, maxBucket = 100)
+    assert(mh.count() == 500)
+    assert(mh.filter($"n_candidates" > 0).count() == 0)
+    val sh = operators.Dedup.simhashCandidates(docs, maxBucket = 100)
+    assert(sh.count() == 500)
+    assert(sh.filter($"n_candidates" > 0).count() == 0)
+    val cl = operators.Dedup.clusters(docs, maxBucket = 100)
+    assert(cl.count() == 500)
+    assert(cl.filter($"cluster_size" =!= 1L).count() == 0)
+    // sanity: with the cap above the bucket size the dups ARE found
+    val found = operators.Dedup.minhashCandidates(docs, maxBucket = 600)
+    assert(found.filter($"n_candidates" === 499L).count() == 500)
+  }
+
+  test("jaccard shingle-df cap drops boilerplate join keys") {
+    // every doc shares one boilerplate shingle; contents otherwise unique.
+    // Without a df cap that shingle is a quadratic key (50² pairs).
+    val docs = (1L to 50L).map(i =>
+      (i, s"shared boiler plate u${i}a u${i}b u${i}c u${i}d"))
+      .toDF("doc_id", "text")
+    val capped = operators.Dedup.jaccardNeighbors(docs, maxShingleDf = 10)
+    assert(capped.count() == 0, "hot shingle must not produce pairs")
+    val uncapped = operators.Dedup.jaccardNeighbors(docs, maxShingleDf = 100)
+    assert(uncapped.count() == 50, "cap above df keeps exact semantics")
+  }
+
   test("embedding neighbors: symmetric sanity on crafted vectors") {
     // covered at sf0.01 by the oracle; here: threshold flag consistency
     val t = sources.Tables(spark, sfDir)

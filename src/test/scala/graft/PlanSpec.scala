@@ -46,6 +46,16 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("partial_top_k_by_score"), plan)
   }
 
+  test("tfidf vocabulary join carries no broadcast hint (unbounded table)") {
+    // the df (vocabulary) table is unbounded in corpus size; a static
+    // broadcast hint would OOM executors at 100 TB. AQE may still choose a
+    // runtime broadcast when the measured size is small — that's adaptive
+    // and fine; the LOGICAL plan must not force it.
+    val optimized = Embeddings.tfidfVectors(t.documents)
+      .queryExecution.optimizedPlan.toString
+    assert(!optimized.toLowerCase.contains("broadcast"), optimized)
+  }
+
   test("exact dedup aggregates map-side before the shuffle") {
     val plan = planOf(Dedup.exactGroups(t))
     assert(plan.contains("HashAggregate"), plan)
