@@ -36,6 +36,7 @@ object SparkEntry {
     // sessions (reference: utils/session_manager.py)
     "q_sessionize"      -> q(t => Sessionize.sessions(t.events)),
     "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
+    "q_qa_context"      -> q(t => Sessionize.qaContext(t.events)),
     // text pipeline (reference: services/index_service.py)
     "q_preprocess"   -> q(TextAnalysis.preprocessed),
     "text_tokens"    -> q(TextAnalysis.tokenCounts),
@@ -74,6 +75,11 @@ object SparkEntry {
     "q_index_build" -> q(t => IvfIndex.assignments(
       t.embeddings, IvfIndex.centroids(t.embeddings, 16))),
     "q_ivf_search" -> q(t => IvfIndex.search(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, nCentroids = 16, nprobe = 4, k = 5)),
+    // approximate-index quality audit: recall@k of IVF vs brute force
+    "q_recall" -> q(t => IvfIndex.recallAudit(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, nCentroids = 16, nprobe = 4, k = 5)),
@@ -300,6 +306,15 @@ object SparkEntry {
         |SELECT user_id, event_id, ts,
         | CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS BIGINT) AS recency
         |FROM ev QUALIFY recency <= 5 ORDER BY user_id, recency""".stripMargin,
+    "q_qa_context" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+        |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+        | r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM ev)
+        |SELECT user_id, COUNT(*) AS n_exchanges,
+        | 'Previous conversation:'||chr(10)||string_agg(
+        |   'Q: '||event_type||' '||event_id||chr(10)||'A: '||CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR),
+        |   chr(10) ORDER BY ts, event_id) AS context
+        |FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_preprocess" ->
       """SELECT doc_id,
         | trim(regexp_replace(
@@ -420,6 +435,33 @@ object SparkEntry {
         | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_recall" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+        | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+        | exact AS (SELECT query_id, vec_id FROM (
+        |   SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, ev) DESC, vec_id) AS rn
+        |   FROM q CROSS JOIN e) WHERE rn <= 5),
+        | assign AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT e.vec_id, c.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM e CROSS JOIN c) WHERE rn = 1),
+        | probes AS (SELECT query_id, centroid_id FROM (
+        |   SELECT query_id, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+        |   FROM q CROSS JOIN c) WHERE rn <= 4),
+        | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+        | scored AS (SELECT cand.query_id, cand.vec_id, list_cosine_similarity(q.qv, e.ev) AS sim
+        |   FROM cand JOIN q ON cand.query_id = q.query_id JOIN e ON cand.vec_id = e.vec_id),
+        | approx AS (SELECT query_id, vec_id FROM (
+        |   SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |   FROM scored) WHERE rn <= 5)
+        |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+        | floor(COUNT(a.vec_id)/5.0*1e6)/1e6 AS recall
+        |FROM exact x LEFT JOIN approx a
+        | ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
          | sh AS (SELECT doc_id, unnest(list_distinct(

@@ -159,4 +159,25 @@ object IvfIndex {
       scored.groupBy(col("query_id"))
         .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
   }
+
+  /** Recall@k audit: the one metric an approximate-index user always asks
+    * for (the reference tunes `ef`/`M` for the same recall/latency trade,
+    * services/index_service.py:72). Per query: how many of the exact
+    * top-k ids the IVF probe recovered.
+    *
+    * Both paths are bounded-output top-k aggregates, so the audit join is
+    * k-rows-per-query × k-rows-per-query — driver-trivial at any corpus
+    * size; the expensive part is the two searches themselves. */
+  def recallAudit(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
+                  nprobe: Int, k: Int): DataFrame = {
+    val exact = Search.bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = search(queries, corpus, nCentroids, nprobe, k)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        (floor(count(col("hit")) / lit(k.toDouble) * 1e6) / 1e6).as("recall"))
+      .orderBy(col("query_id"))
+  }
 }

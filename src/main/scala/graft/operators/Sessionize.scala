@@ -53,4 +53,37 @@ object Sessionize {
       .select(col("user_id"), col("event_id"), col("ts"), col("recency"))
       .orderBy(col("user_id"), col("recency"))
   }
+
+  /** Prompt-context assembly (reference: services/qa_service.py:76-82):
+    * the last `n` exchanges per key, oldest-first, rendered as
+    * "Q: ...\nA: ..." lines under a "Previous conversation:" header.
+    *
+    * One shuffle (the last-N window); the string assembly is a map-side
+    * aggregate. Ordering inside the group is made deterministic by
+    * collecting (ts, tie, line) structs and `array_sort`ing them —
+    * `collect_list` alone has no order guarantee after a shuffle. The
+    * numeric answer goes through DECIMAL(18,2) so the rendering is
+    * engine-portable (double→string repr differs between engines).
+    */
+  def qaContext(events: DataFrame, n: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val line = concat(
+      lit("Q: "), col("event_type"), lit(" "), col("event_id").cast("string"),
+      lit("\nA: "), col("value").cast("decimal(18,2)").cast("string"))
+    events
+      .withColumn("recency", row_number().over(w))
+      .filter(col("recency") <= n)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_exchanges"),
+        concat(lit("Previous conversation:\n"),
+          array_join(
+            transform(
+              array_sort(collect_list(
+                struct(col("ts"), col("event_id"), line.as("line")))),
+              x => x.getField("line")),
+            "\n")).as("context"))
+      .orderBy(col("user_id"))
+  }
 }

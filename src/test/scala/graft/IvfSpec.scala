@@ -92,6 +92,21 @@ class IvfSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("recallAudit: one row per query, exact at full probe, bounded at 4/16") {
+    // probing every centroid is brute force: recall must be exactly 1.0
+    val full = IvfIndex.recallAudit(queries, t.embeddings, 16, 16, 5)
+    val fullRows = full.as[(Long, Long, Double)].collect()
+    assert(fullRows.length == 10)
+    assert(fullRows.forall { case (_, hits, rec) => hits == 5L && rec == 1.0 })
+    // partial probe: still one row per query, 0 <= n_hits <= k, and the
+    // mean matches the set-level recall asserted in the test below
+    val part = IvfIndex.recallAudit(queries, t.embeddings, 16, 4, 5)
+      .as[(Long, Long, Double)].collect()
+    assert(part.length == 10)
+    assert(part.forall { case (_, hits, _) => hits >= 0L && hits <= 5L })
+    assert(part.map(_._2).sum.toDouble / (10 * 5) >= 0.4)
+  }
+
   test("IVF recall@5 vs brute force is reasonable at nprobe=4/16") {
     val exact = Search.bruteForceTopK(queries, t.embeddings, 5)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
