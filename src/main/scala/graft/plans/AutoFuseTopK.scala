@@ -146,59 +146,29 @@ case class VectorTopKAggExec(
     val embIdx = corpus.output.indexWhere(_.exprId == emb.exprId)
     require(qidIdx >= 0 && qvIdx >= 0 && vidIdx >= 0 && embIdx >= 0)
 
-    val qRows: Array[(Long, Array[Float], Double)] =
-      queries.executeCollect().map { row =>
-        val vec = row.getArray(qvIdx).toFloatArray()
-        var n = 0.0
-        vec.foreach(x => n += x.toDouble * x.toDouble)
-        (row.getLong(qidIdx), vec, math.sqrt(n))
-      }
+    val qRows = FusedTopKSupport.collectQueries(queries, qidIdx, qvIdx)
     val bc = sparkContext.broadcast(qRows)
     val kk = k
+    val types = output.map(_.dataType).toArray
 
-    val partials: RDD[(Long, Double, Long)] =
-      corpus.execute().mapPartitions { it =>
-        val qs = bc.value
-        val heaps = Array.fill(qs.length)(new TopKBuffer(kk))
-        it.foreach { row =>
-          if (!row.isNullAt(vidIdx) && !row.isNullAt(embIdx)) {
-            val v = row.getLong(vidIdx)
-            val e = row.getArray(embIdx)
-            val n = e.numElements()
-            var cn = 0.0
-            val ev = new Array[Double](n)
-            var i = 0
-            while (i < n) { val x = e.getFloat(i).toDouble; ev(i) = x; cn += x * x; i += 1 }
-            cn = math.sqrt(cn)
-            var q = 0
-            while (q < qs.length) {
-              val (_, qvec, qn) = qs(q)
-              val d = math.min(n, qvec.length)
-              var dot = 0.0
-              i = 0
-              while (i < d) { dot += qvec(i).toDouble * ev(i); i += 1 }
-              val s = if (qn == 0.0 || cn == 0.0) 0.0 else dot / (qn * cn)
-              heaps(q).add(s, v)
-              q += 1
-            }
-          }
-        }
-        heaps.iterator.zipWithIndex.flatMap { case (h, q) =>
-          h.sorted.iterator.map { case (s, id) => (bc.value(q)._1, s, id) }
-        }
-      }
-
-    partials.coalesce(1).mapPartitions { it =>
-      val qs = bc.value
-      val pos = qs.iterator.map(_._1).zipWithIndex.toMap
-      val heaps = Array.fill(qs.length)(new TopKBuffer(kk))
-      it.foreach { case (q, s, id) => heaps(pos(q)).add(s, id) }
-      val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
-      qs.indices.iterator.map { q =>
+    // markers preserve exact Aggregate group semantics: one output row per
+    // DISTINCT qid (duplicate query rows feed one shared group, exactly as
+    // the cross join they replace duplicates every corpus score into the
+    // group's multiset), a row with an EMPTY array when the corpus has
+    // rows but none scored (all-null), and NO row when the corpus is empty
+    // (the join under the Aggregate would produce no groups at all).
+    val partials = FusedTopKSupport.partialHeaps(
+      corpus, bc, vidIdx, embIdx, kk, Double.NegativeInfinity,
+      emitMarkers = true)
+    FusedTopKSupport.mergeByQuery(partials,
+      FusedTopKSupport.numMergePartitions(qRows.length, conf.numShufflePartitions),
+      kk) { merged =>
+      val proj = UnsafeProjection.create(types)
+      merged.map { case (qid, heap) =>
         val arr = new GenericArrayData(
-          heaps(q).sorted.map { case (s, id) =>
+          heap.sorted.map { case (s, id) =>
             InternalRow(s, id) }.asInstanceOf[Array[Any]])
-        proj(InternalRow(qs(q)._1, arr))
+        proj(InternalRow(qid, arr))
       }
     }
   }

@@ -165,6 +165,59 @@ class ExpressionSpec extends SparkSuite {
     } finally operators.Search.uninstallAutoFusion(spark) // shared session
   }
 
+  test("fused merge distributes for large query batches and stays exact") {
+    // 1000 queries: merge must fan out (never partitions × queries × k
+    // tuples through one task); result must still equal the declarative
+    // path as an unordered set (the distributed merge only orders qids
+    // within each merge partition)
+    assert(plans.FusedTopKSupport.numMergePartitions(5, 32) == 1)
+    assert(plans.FusedTopKSupport.numMergePartitions(1000, 32) == 32)
+    assert(plans.FusedTopKSupport.numMergePartitions(100, 32) == 32)
+    val e = sources.Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 1000)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val agg = operators.Search.bruteForceTopK(queries, e, 3)
+      .collect().toSet
+    val fused = operators.Search.fusedTopK(queries, e, 3).collect().toSet
+    assert(fused == agg)
+  }
+
+  test("AutoFuseTopK matches Aggregate on duplicate qids and empty corpus") {
+    val e = sources.Tables(spark, sfDir).embeddings
+    // duplicate query rows: same qid twice → ONE group whose multiset has
+    // every corpus score twice (the top-k keeps duplicated entries)
+    val dupQueries = e.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      .union(e.filter($"vec_id" === 1L)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv")))
+    val emptyCorpus = e.filter($"vec_id" < 0)
+    val nullCorpus = e.limit(5)
+      .select($"vec_id", when(lit(false), $"embedding").as("embedding"))
+    // raw grouped form (no explode — explode would hide empty groups)
+    def grouped(corpus: org.apache.spark.sql.DataFrame) =
+      corpus.crossJoin(broadcast(dupQueries))
+        .select($"query_id", $"vec_id",
+          cosine_similarity($"qv", $"embedding").as("sim"))
+        .groupBy($"query_id")
+        .agg(top_k_by_score($"sim", $"vec_id", 4).as("topk"))
+    def run() = (
+      grouped(e).orderBy($"query_id").collect().toSeq,
+      grouped(emptyCorpus).collect().toSeq,
+      grouped(nullCorpus).orderBy($"query_id").collect().toSeq)
+    val (expDup, expEmpty, expNull) = run()
+    assert(expDup.length == 3)     // dup qid collapses into one group
+    assert(expEmpty.isEmpty)       // no join rows: no groups
+    assert(expNull.length == 3)    // groups exist, arrays empty
+    operators.Search.installAutoFusion(spark)
+    try {
+      assert(planOf(grouped(e)).contains("VectorTopKAgg"), planOf(grouped(e)))
+      val (gotDup, gotEmpty, gotNull) = run()
+      assert(gotDup == expDup)
+      assert(gotEmpty == expEmpty)
+      assert(gotNull == expNull)
+    } finally operators.Search.uninstallAutoFusion(spark)
+  }
+
   test("top_k_by_score matches window-function ranking on real embeddings") {
     val e = sources.Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 3)
