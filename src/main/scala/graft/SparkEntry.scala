@@ -74,6 +74,10 @@ object SparkEntry {
       .orderBy(col("label"), col("vec_id"))),
     "q_index_build" -> q(t => IvfIndex.assignments(
       t.embeddings, IvfIndex.centroids(t.embeddings, 16))),
+    // Lloyd-refined variant: 2 k-means rounds from the deterministic
+    // seeds, then final assignment (same contract as q_index_build)
+    "q_kmeans_refine" -> q(t => IvfIndex.assignments(
+      t.embeddings, IvfIndex.kmeansCentroids(t.embeddings, 8, iters = 2))),
     "q_ivf_search" -> q(t => IvfIndex.search(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -435,6 +439,29 @@ object SparkEntry {
         | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_kmeans_refine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | c0 AS (SELECT vec_id AS centroid_id, ev AS cv FROM e WHERE vec_id < 8),
+        | a1 AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT e.vec_id, c0.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM e CROSS JOIN c0) WHERE rn = 1),
+        | m1 AS (SELECT centroid_id, idx, avg(val) AS mval FROM (
+        |   SELECT a1.centroid_id, unnest(e.ev) AS val, unnest(range(len(e.ev))) AS idx
+        |   FROM a1 JOIN e USING (vec_id)) GROUP BY 1,2),
+        | c1 AS (SELECT centroid_id, list(CAST(CAST(mval AS REAL) AS DOUBLE) ORDER BY idx) AS cv FROM m1 GROUP BY 1),
+        | a2 AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT e.vec_id, c1.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM e CROSS JOIN c1) WHERE rn = 1),
+        | m2 AS (SELECT centroid_id, idx, avg(val) AS mval FROM (
+        |   SELECT a2.centroid_id, unnest(e.ev) AS val, unnest(range(len(e.ev))) AS idx
+        |   FROM a2 JOIN e USING (vec_id)) GROUP BY 1,2),
+        | c2 AS (SELECT centroid_id, list(CAST(CAST(mval AS REAL) AS DOUBLE) ORDER BY idx) AS cv FROM m2 GROUP BY 1)
+        |SELECT vec_id, centroid_id, floor(greatest(dist, 0.0)*1e6)/1e6 AS dist FROM (
+        | SELECT e.vec_id, c2.centroid_id, 1.0 - list_cosine_similarity(ev, cv) AS dist,
+        |  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        | FROM e CROSS JOIN c2) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "q_recall" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
         | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
