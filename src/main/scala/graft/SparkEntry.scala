@@ -96,6 +96,14 @@ object SparkEntry {
     // text analysis
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
+    // corpus curation (training-data pipeline)
+    "text_gopher"    -> q(t => Pipeline.gopherStats(t.documents)),
+    "text_pii"       -> q(t => Pipeline.piiRedact(t.documents)),
+    "decontaminate"  -> q(t => Pipeline.decontaminate(
+      t.documents.filter(col("doc_id") >= 100),
+      t.documents.filter(col("doc_id") < 100))),
+    "sample_mix"     -> q(t => Pipeline.mixingReport(t.events)),
+    "pack_sequences" -> q(t => Pipeline.packSequences(t.documents)),
     // corpus-statistics embedding: hashing TF-IDF (digest projection — see
     // q_embed note)
     "q_tfidf" -> q(t => Embeddings.tfidfVectors(t.documents)
@@ -535,6 +543,82 @@ object SparkEntry {
           |      WHEN s_es >= s_fr THEN 'es'
           |      ELSE 'fr' END AS predicted_lang
           |FROM s ORDER BY doc_id""").stripMargin,
+    "text_gopher" ->
+      (s"""WITH tok AS (SELECT doc_id,
+          |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]
+          |       ELSE string_split(${normSql("text")},' ') END AS toks
+          | FROM documents),
+          | g AS (SELECT doc_id, toks,
+          |  CAST(len(toks) AS BIGINT) AS n_tok,
+          |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+          |  CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+          |       ELSE list_transform(range(1, len(toks)), i -> toks[i]||' '||toks[i+1]) END AS g2,
+          |  CAST(length(array_to_string(toks,'')) AS BIGINT) AS n_chars
+          | FROM tok),
+          | cnt AS (SELECT doc_id, tk, COUNT(*) AS c
+          |   FROM (SELECT doc_id, unnest(toks) AS tk FROM tok) GROUP BY 1,2),
+          | top AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY 1),
+          | m AS (SELECT g.doc_id, n_tok,
+          |  CASE WHEN n_tok > 0 THEN n_unique/CAST(n_tok AS DOUBLE) ELSE 0 END AS fu,
+          |  CASE WHEN n_tok > 0 THEN coalesce(top_c, 0)/CAST(n_tok AS DOUBLE) ELSE 0 END AS tf,
+          |  CASE WHEN len(g2) > 0 THEN (len(g2) - len(list_distinct(g2)))/CAST(len(g2) AS DOUBLE) ELSE 0 END AS d2,
+          |  CASE WHEN n_tok > 0 THEN n_chars/CAST(n_tok AS DOUBLE) ELSE 0 END AS ml
+          | FROM g LEFT JOIN top ON g.doc_id = top.doc_id)
+          |SELECT doc_id, n_tok,
+          | floor(fu*10000.0)/10000.0 AS frac_unique,
+          | floor(tf*10000.0)/10000.0 AS top_token_frac,
+          | floor(d2*10000.0)/10000.0 AS dup_2gram_frac,
+          | floor(ml*10000.0)/10000.0 AS mean_token_len,
+          | (n_tok >= 10 AND n_tok <= 100000 AND fu >= 0.5 AND tf <= 0.2 AND d2 <= 0.3) AS keep
+          |FROM m ORDER BY doc_id""").stripMargin,
+    "text_pii" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(text, '\+?\d{3}[- .]?\d{3}[- .]?\d{4}')) AS BIGINT) AS n_phones,
+        | regexp_replace(
+        |  regexp_replace(
+        |   regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+        |  '\+?\d{3}[- .]?\d{3}[- .]?\d{4}', '[PHONE]', 'g') AS redacted_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      (s"""WITH tok AS (SELECT doc_id,
+          |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]
+          |       ELSE string_split(${normSql("text")},' ') END AS toks
+          | FROM documents),
+          | g AS (SELECT doc_id, unnest(list_distinct(
+          |   CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+          |        ELSE list_transform(range(1, len(toks)-6), i ->
+          |          toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]||' '||toks[i+5]||' '||toks[i+6]||' '||toks[i+7]) END)) AS gram
+          |  FROM tok),
+          | b AS (SELECT DISTINCT gram FROM g WHERE doc_id < 100),
+          | hits AS (SELECT g.doc_id, COUNT(*) AS n FROM g JOIN b USING (gram)
+          |   WHERE g.doc_id >= 100 GROUP BY 1)
+          |SELECT d.doc_id, CAST(coalesce(n, 0) AS BIGINT) AS n_shared_grams,
+          | coalesce(n, 0) > 0 AS contaminated
+          |FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
+          | LEFT JOIN hits ON d.doc_id = hits.doc_id ORDER BY d.doc_id""").stripMargin,
+    "sample_mix" ->
+      """WITH k AS (SELECT event_type,
+        |  CASE event_type WHEN 'click' THEN 250 WHEN 'view' THEN 50
+        |   WHEN 'purchase' THEN 1000 WHEN 'signup' THEN 1000 ELSE 0 END AS rate,
+        |  ((user_id % 1000003) * 2654435761 + (event_id % 1000003) * 97) % 1000 AS h
+        | FROM events)
+        |SELECT event_type, COUNT(*) AS n_total,
+        | CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        | floor(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*10000.0)/10000.0 AS realized_rate
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pack_sequences" ->
+      """WITH b AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        | c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM b)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+        | CAST(cum_tokens AS BIGINT) AS cum_tokens,
+        | CAST(shard*1000000 + floor((cum_tokens - n_tokens)/2048.0) AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q7_corr_subquery" ->
       """WITH b AS (SELECT p_brand,
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS brand_avg

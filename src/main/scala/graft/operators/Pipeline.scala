@@ -1,0 +1,183 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators for a large-scale training-data pipeline:
+  * repetition/quality gating, PII redaction, benchmark decontamination,
+  * deterministic mixing, and sequence packing.
+  *
+  * All of these run AFTER dedup in a real pipeline and share its scale
+  * posture: narrow per-document transforms where possible, doc_id-keyed
+  * aggregates where not, and the one corpus-wide join (decontamination)
+  * is against a bounded benchmark set, so it broadcasts.
+  */
+object Pipeline {
+
+  private def r4(c: Column): Column = floor(c * 10000.0) / 10000.0
+
+  /** Gopher-style repetition/quality gates (word-level: the synthetic and
+    * most web corpora carry no layout newlines after normalization):
+    * unique-token fraction, top-token fraction, duplicate-bigram fraction,
+    * mean token length — plus the composite `keep` decision.
+    *
+    * Two doc_id-keyed shuffles (token mode via explode→count→max) joined
+    * back to the narrow array-side stats; everything partial-aggregates
+    * map-side. */
+  def gopherStats(docs: DataFrame): DataFrame = {
+    // barrier: explode (Generate) re-evaluates its child per OUTPUT row —
+    // the tokenization chain must be materialized first
+    val base = docs
+      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      .localCheckpoint()
+    val stats = base.select(
+      col("doc_id"),
+      size(col("toks")).cast("long").as("n_tok"),
+      size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+      size(shingles(col("toks"), 2)).cast("long").as("n_2g"),
+      size(array_distinct(shingles(col("toks"), 2))).cast("long").as("n_2g_unique"),
+      length(concat_ws("", col("toks"))).cast("long").as("n_chars"))
+    val topTok = base
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    val n = col("n_tok").cast("double")
+    val fracUnique = when(n > 0, col("n_unique").cast("double") / n).otherwise(lit(0.0))
+    val topFrac = when(n > 0, coalesce(col("top_c"), lit(0L)).cast("double") / n)
+      .otherwise(lit(0.0))
+    val dup2g = when(col("n_2g") > 0,
+      (col("n_2g") - col("n_2g_unique")).cast("double") / col("n_2g").cast("double"))
+      .otherwise(lit(0.0))
+    val meanLen = when(n > 0, col("n_chars").cast("double") / n).otherwise(lit(0.0))
+    stats.join(topTok, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tok"),
+        r4(fracUnique).as("frac_unique"),
+        r4(topFrac).as("top_token_frac"),
+        r4(dup2g).as("dup_2gram_frac"),
+        r4(meanLen).as("mean_token_len"),
+        (col("n_tok") >= 10 && col("n_tok") <= 100000 &&
+          fracUnique >= 0.5 && topFrac <= 0.2 && dup2g <= 0.3).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** PII patterns shared with the DuckDB oracle. Deliberately free of
+    * alternation with overlapping branches so Java (leftmost-first) and
+    * RE2 (leftmost-longest) agree on every match. */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Pattern = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+  val PhonePattern = "\\+?\\d{3}[- .]?\\d{3}[- .]?\\d{4}"
+
+  /** PII redaction: emails, IPv4 addresses, phone-shaped numbers replaced
+    * by typed placeholders, with per-category match counts (counted on the
+    * original text; replacements applied email → ip → phone). Pure narrow
+    * transform — regex scan per document, no shuffle. */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), EmailPattern, "[EMAIL]"),
+          Ipv4Pattern, "[IP]"),
+        PhonePattern, "[PHONE]")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailPattern)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("n_ips"),
+      regexp_count(col("text"), lit(PhonePattern)).cast("long").as("n_phones"),
+      redacted.as("redacted_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * `n`-gram with the benchmark/eval set (the GPT-3-style 13-gram
+    * overlap check, here parameterized). The benchmark side is bounded by
+    * contract (an eval suite, not a corpus), so its distinct gram set
+    * broadcasts — the training side never shuffles for the probe; the
+    * only shuffle is the per-doc hit count, keyed by doc_id. */
+  def decontaminate(training: DataFrame, bench: DataFrame, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      // two barriers: the gram ARRAY is materialized before the explode
+      // (Generate re-evaluates its child per output row)
+      .localCheckpoint()
+      .select(col("doc_id"), array_distinct(shingles(col("toks"), n)).as("grams"))
+      .localCheckpoint()
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    val benchGrams = grams(bench).select(col("gram")).distinct()
+    val hits = grams(training).join(broadcast(benchGrams), Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_grams")) // grams pre-distinct per doc
+    training.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deterministic multiplicative scramble of the row key into [0, 1000).
+    * Public (Knuth) constant; inputs reduced mod 1000003 first so the
+    * product stays far from Long overflow — DuckDB errors on BIGINT
+    * overflow where the JVM wraps, and the oracle must compute the SAME
+    * value. */
+  private def scramble(a: Column, b: Column): Column =
+    pmod((a % 1000003L) * 2654435761L + (b % 1000003L) * 97L, lit(1000L))
+
+  /** Deterministic stratified sampling for corpus mixing: keep a row iff
+    * scramble(user_id, event_id) < ratePerMille(event_type). Pure filter —
+    * NO shuffle, no global state; every executor decides locally, which is
+    * the only mixing strategy that survives 100 TB. Rates are exact in
+    * expectation; the realized per-group rate is reported by the
+    * mixing-report query. */
+  def sampleByHash(events: DataFrame, ratePerMille: Seq[(String, Int)]): DataFrame = {
+    val rate = ratePerMille.foldLeft(lit(0)) { case (acc, (k, v)) =>
+      when(col("event_type") === k, lit(v)).otherwise(acc)
+    }
+    events.filter(scramble(col("user_id"), col("event_id")) < rate)
+  }
+
+  /** Default mixing recipe for the events table: downsample the dominant
+    * interaction types, keep the rare ones, drop errors. */
+  val DefaultMix: Seq[(String, Int)] = Seq(
+    "click" -> 250, "view" -> 50, "purchase" -> 1000,
+    "signup" -> 1000, "error" -> 0)
+
+  /** Mixing report: per-type totals, kept counts and realized rate. */
+  def mixingReport(events: DataFrame,
+                   ratePerMille: Seq[(String, Int)] = DefaultMix): DataFrame = {
+    val kept = sampleByHash(events, ratePerMille)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_kept"))
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("event_type"), "left")
+      .select(col("event_type"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        r4(coalesce(col("n_kept"), lit(0L)).cast("double") /
+          col("n_total").cast("double")).as("realized_rate"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Sequence packing: assign documents to fixed-token-budget packs by
+    * cumulative token offset, sharded so the running sum is a per-shard
+    * window (one shuffle on the shard key, each shard packs
+    * independently — exactly how packing parallelizes on a cluster; a
+    * global single-partition cumsum would not). Documents larger than
+    * `maxTokens` still occupy their pack span (real packers split them;
+    * the assignment stays deterministic either way). */
+  def packSequences(docs: DataFrame, maxTokens: Int = 2048,
+                    shards: Int = 8): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+      bpeTokenCount(col("text")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    base
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tokens"), col("cum_tokens"),
+        (col("shard") * 1000000L +
+          floor((col("cum_tokens") - col("n_tokens")).cast("double") / maxTokens)
+            .cast("long")).as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Pipeline
+
+class PipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("piiRedact finds and replaces emails, ips and phone shapes") {
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@example.org or bob@test.co today"),
+      (2L, "server 192.168.0.1 and 10.0.0.255 are up"),
+      (3L, "call 555-123-4567 or +1 nothing else"),
+      (4L, "clean text with no identifiers at all"))
+      .toDF("doc_id", "text")
+    val byId = Pipeline.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getLong(1) == 2 && byId(1L).getString(4) ==
+      "mail me at [EMAIL] or [EMAIL] today")
+    assert(byId(2L).getLong(2) == 2 && byId(2L).getString(4) ==
+      "server [IP] and [IP] are up")
+    assert(byId(3L).getLong(3) == 1 &&
+      byId(3L).getString(4).contains("[PHONE]"))
+    assert(byId(4L).getLong(1) == 0 && byId(4L).getLong(2) == 0 &&
+      byId(4L).getLong(3) == 0 &&
+      byId(4L).getString(4) == "clean text with no identifiers at all")
+  }
+
+  test("gopherStats flags repetitive documents") {
+    val healthy = (1 to 60).map(i => s"unique$i").mkString(" ")
+    val oneTokenSpam = Seq.fill(60)("spam").mkString(" ")
+    val docs = Seq((1L, healthy), (2L, oneTokenSpam), (3L, "too short"))
+      .toDF("doc_id", "text")
+    val rows = Pipeline.gopherStats(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getBoolean(6), "diverse doc must pass")
+    assert(!rows(2L).getBoolean(6), "single-token spam must fail")
+    assert(rows(2L).getDouble(2) < 0.1)  // frac_unique
+    assert(rows(2L).getDouble(3) == 1.0) // top_token_frac
+    assert(rows(2L).getDouble(4) > 0.9)  // dup_2gram_frac: (n-1 of n dup)
+    assert(!rows(3L).getBoolean(6), "below min token count must fail")
+  }
+
+  test("decontaminate flags only docs sharing an n-gram with the bench set") {
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val bench = Seq((900L, shared)).toDF("doc_id", "text")
+    val training = Seq(
+      (1L, shared + " plus unique tail content here"),
+      (2L, (1 to 20).map(i => s"other$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val byId = Pipeline.decontaminate(training, bench, n = 8).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(byId(1L)._1 > 0 && byId(1L)._2)
+    assert(byId(2L)._1 == 0 && !byId(2L)._2)
+  }
+
+  test("sampleByHash is a pure filter: deterministic, rate-bounded, no shuffle") {
+    val t = sources.Tables(spark, sfDir)
+    val a = Pipeline.sampleByHash(t.events, Pipeline.DefaultMix)
+      .select($"event_id").as[Long].collect().toSet
+    val b = Pipeline.sampleByHash(t.events, Pipeline.DefaultMix)
+      .select($"event_id").as[Long].collect().toSet
+    assert(a == b, "hash sampling must be deterministic")
+    val plan = planOf(Pipeline.sampleByHash(t.events, Pipeline.DefaultMix))
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+    // error rows are dropped entirely, purchases fully kept
+    val kept = Pipeline.sampleByHash(t.events, Pipeline.DefaultMix)
+      .groupBy($"event_type").count().as[(String, Long)].collect().toMap
+    val totals = t.events.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(!kept.contains("error"))
+    assert(kept("purchase") == totals("purchase"))
+    assert(kept("view") < totals("view") / 5) // 50/1000 nominal
+  }
+
+  test("packSequences: cumulative offsets and pack ids are consistent per shard") {
+    val t = sources.Tables(spark, sfDir)
+    val rows = Pipeline.packSequences(t.documents, maxTokens = 512, shards = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == t.documents.count())
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      val ordered = rs.sortBy(_._1)
+      var cum = 0L
+      ordered.foreach { case (_, sh, n, c, pid) =>
+        assert(sh == shard)
+        assert(c == cum + n, "cumulative token count must telescope")
+        assert(pid == shard * 1000000L + (cum / 512), "pack id from start offset")
+        cum = c
+      }
+    }
+    // packs respect the shard prefix: no pack id appears in two shards
+    val byPack = rows.groupBy(_._5).view.mapValues(_.map(_._2).distinct.size)
+    assert(byPack.values.forall(_ == 1))
+  }
+}
