@@ -24,6 +24,22 @@ object SparkEntry {
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables(s, dir))
 
+  /** Driver-checkable digest of a `(doc_id, embedding)` vector table:
+    * dimension, floored L2 norm, nonzero count and the index-weighted
+    * moment Σ i·vᵢ. All four are scalars the pandas comparator can sort
+    * AND the DuckDB oracle can recompute, so vector queries get full
+    * hash checks. */
+  private def vectorDigest(vectors: DataFrame): DataFrame = {
+    val idx = array((0 until 64).map(i => lit(i.toFloat)): _*)
+    vectors.select(col("doc_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      (floor(graft.functions.l2_norm(col("embedding")) * 1e6) / 1e6).as("norm"),
+      size(filter(col("embedding"), v => v =!= lit(0.0f))).cast("long").as("nnz"),
+      (floor(graft.functions.dot_product(col("embedding"), idx) * 1e6) / 1e6)
+        .as("moment"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // relational core
     "q1_agg"          -> q(Relational.pricingSummary),
@@ -45,17 +61,14 @@ object SparkEntry {
     // vector index health (reference: controllers/health_controller.py)
     "q_index_stats"  -> q(indexStats),
     // vector search surface (reference: index/search/qa services)
-    // Vector outputs are projected to hashable scalars (dim, floored norm,
-    // xxhash64 digest of the vector) — the driver's pandas comparator
-    // cannot sort raw array<float> columns. Operators keep returning
-    // vectors; only these driver-facing projections digest them.
-    "q_embed" -> ((s, dir) => new SearchEngine(s, dir)
-      .buildIndex()
-      .select(col("doc_id"),
-        size(col("embedding")).cast("long").as("dim"),
-        (floor(graft.functions.l2_norm(col("embedding")) * 1e6) / 1e6).as("norm"),
-        xxhash64(col("embedding")).as("vec_digest"))
-      .orderBy(col("doc_id"))),
+    // Vector outputs are projected to hashable scalar digests (dim,
+    // floored norm, nonzero count, index-weighted moment) — the driver's
+    // pandas comparator cannot sort raw array<float> columns, and these
+    // four moments are DuckDB-replayable (FNV bucketing), so the digest
+    // rows are HASH-checked, not just counted. Operators keep returning
+    // vectors; only the driver-facing projections digest them.
+    "q_embed" -> ((s, dir) => vectorDigest(
+      new SearchEngine(s, dir).buildIndex())),
     "q_knn_fused" -> q(t => Search.fusedTopK(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -106,12 +119,7 @@ object SparkEntry {
     "pack_sequences" -> q(t => Pipeline.packSequences(t.documents)),
     // corpus-statistics embedding: hashing TF-IDF (digest projection — see
     // q_embed note)
-    "q_tfidf" -> q(t => Embeddings.tfidfVectors(t.documents)
-      .select(col("doc_id"),
-        size(col("embedding")).cast("long").as("dim"),
-        (floor(graft.functions.l2_norm(col("embedding")) * 1e6) / 1e6).as("norm"),
-        xxhash64(col("embedding")).as("vec_digest"))
-      .orderBy(col("doc_id"))),
+    "q_tfidf" -> q(t => vectorDigest(Embeddings.tfidfVectors(t.documents))),
     // int8 scalar quantization: per-vector reconstruction error audit
     "q_quantize" -> q(t => t.embeddings
       .select(col("vec_id"), col("embedding"),
@@ -126,12 +134,15 @@ object SparkEntry {
           dequantize8(quantize8(col("embedding")))) * 1e4) / 1e4)
           .as("cos_fidelity"))
       .orderBy(col("vec_id"))),
-    // multimodal plumbing (digest projection — see q_embed note)
+    // multimodal plumbing (digest projection — see q_embed note; the stub
+    // features derive from the FNV checksum, so their left-fold sum is
+    // oracle-replayable)
     "mm_features" -> q(t => graft.multimodal.Multimodal.documentFeatures(t.documents)
       .select(col("doc_id"), col("n_bytes"), col("checksum"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"),
-        xxhash64(col("features")).as("feat_digest"))
+        (floor(aggregate(col("features"), lit(0.0), (acc, x) => acc + x) * 1e6) / 1e6)
+          .as("feat_sum"))
       .orderBy(col("doc_id"))),
     "q7_corr_subquery" -> q(Relational.premiumParts),
     "q8_distribution"  -> q(Relational.orderCountDistribution),
@@ -249,6 +260,35 @@ object SparkEntry {
         (floor(max(col("norm")) * 1e6) / 1e6).as("norm_max"))
       .orderBy(col("label"))
   }
+
+  /** FNV-1a 64 over a SQL list of byte values, in HUGEINT-mod-2^64
+    * arithmetic (DuckDB errors on BIGINT overflow where the JVM wraps;
+    * xor is applied on the low byte only, so it stays in BIGINT range). */
+  private def fnvSql(byteList: String): String =
+    s"list_reduce(list_prepend(14695981039346656037::HUGEINT, $byteList), " +
+      "(acc, x) -> ((acc - acc % 256 + CAST(xor(CAST(acc % 256 AS BIGINT), " +
+      "CAST(x AS BIGINT)) AS HUGEINT)) * 1099511628211::HUGEINT) " +
+      "% 18446744073709551616::HUGEINT)"
+
+  /** Unsigned-HUGEINT → signed-BIGINT reinterpretation. */
+  private def signedSql(u: String): String =
+    s"CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT " +
+      s"THEN $u - 18446744073709551616::HUGEINT ELSE $u END AS BIGINT)"
+
+  /** Shared digest tail: (doc_id, bucket, c) weights → (norm, nnz, moment)
+    * replaying ScatterVector/HashEmbed: inv = 1/sqrt(Σc²), v = float(c·inv),
+    * then left-fold moments in ascending bucket order (zero entries add
+    * exactly 0.0 to a double fold, so only nonzero buckets matter). */
+  private val digestTailSql: String =
+    """ nrm AS (SELECT doc_id, sqrt(SUM(c*c)) AS nr FROM cnt GROUP BY 1),
+      | vf AS (SELECT cnt.doc_id, bucket,
+      |   CAST(c * (CASE WHEN nr = 0 THEN 0 ELSE 1.0/nr END) AS REAL) AS v
+      |  FROM cnt JOIN nrm ON cnt.doc_id = nrm.doc_id),
+      | fin AS (SELECT doc_id,
+      |   list_reduce(list_prepend(0.0, list(CAST(v AS DOUBLE)*CAST(v AS DOUBLE) ORDER BY bucket)), (a,x) -> a+x) AS ss,
+      |   list_reduce(list_prepend(0.0, list(CAST(v AS DOUBLE)*CAST(CAST(bucket AS REAL) AS DOUBLE) ORDER BY bucket)), (a,x) -> a+x) AS mom,
+      |   COUNT(*) FILTER (WHERE v != 0) AS nnz
+      |  FROM vf GROUP BY doc_id)""".stripMargin
 
   private val DEC = "CAST(l_extendedprice AS DECIMAL(18,2))"
   private val DISC = "CAST(l_discount AS DECIMAL(18,2))"
@@ -543,6 +583,103 @@ object SparkEntry {
           |      WHEN s_es >= s_fr THEN 'es'
           |      ELSE 'fr' END AS predicted_lang
           |FROM s ORDER BY doc_id""").stripMargin,
+    // hashing-trick embedding replayed: FNV token buckets → counts →
+    // L2-normalized floats → (dim, norm, nnz, moment) digest
+    "q_embed" ->
+      (s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n),
+          | h AS (SELECT doc_id, ${fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)")} AS u
+          |  FROM tok WHERE tk <> ''),
+          | b AS (SELECT doc_id, ((${signedSql("u")} % 64) + 64) % 64 AS bucket FROM h),
+          | cnt AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY 1,2),
+          |$digestTailSql
+          |SELECT n.doc_id, CAST(64 AS BIGINT) AS dim,
+          | floor(sqrt(coalesce(ss, 0))*1e6)/1e6 AS norm,
+          | CAST(coalesce(nnz, 0) AS BIGINT) AS nnz,
+          | floor(coalesce(mom, 0)*1e6)/1e6 AS moment
+          |FROM n LEFT JOIN fin ON n.doc_id = fin.doc_id ORDER BY n.doc_id""").stripMargin,
+    // hashing TF-IDF replayed: tf/df over tokens, w = tf·ln(1+N/df), FNV
+    // buckets, same normalized digest (docs with no tokens emit no row,
+    // mirroring the Spark aggregate)
+    "q_tfidf" ->
+      (s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n),
+          | tf AS (SELECT doc_id, tk, COUNT(*) AS tf FROM tok WHERE tk <> '' GROUP BY 1,2),
+          | dfq AS (SELECT tk, COUNT(DISTINCT doc_id) AS df FROM tok WHERE tk <> '' GROUP BY 1),
+          | w AS (SELECT doc_id,
+          |   ${fnvSql("list_transform(string_split(tf.tk,''), c -> unicode(c)::HUGEINT)")} AS u,
+          |   tf, df FROM tf JOIN dfq ON tf.tk = dfq.tk),
+          | wb AS (SELECT doc_id, ((${signedSql("u")} % 64) + 64) % 64 AS bucket,
+          |   tf * ln(1.0 + (SELECT COUNT(*) FROM documents)/CAST(df AS DOUBLE)) AS wv FROM w),
+          | cnt AS (SELECT doc_id, bucket, SUM(wv) AS c FROM wb GROUP BY 1,2),
+          |$digestTailSql
+          |SELECT doc_id, CAST(64 AS BIGINT) AS dim,
+          | floor(sqrt(ss)*1e6)/1e6 AS norm,
+          | CAST(nnz AS BIGINT) AS nnz,
+          | floor(mom*1e6)/1e6 AS moment
+          |FROM fin ORDER BY doc_id""").stripMargin,
+    // multimodal stub replayed: FNV checksum over the raw (ASCII) payload
+    // bytes, stub width/height from truncated-mod arithmetic (integer
+    // floor-division stands in for the JVM's arithmetic shift), features
+    // from the checksum bytes
+    "mm_features" ->
+      (s"""WITH u0 AS (SELECT doc_id, text,
+          |   CASE WHEN length(text)=0 THEN 14695981039346656037::HUGEINT
+          |        ELSE ${fnvSql("list_transform(string_split(text,''), c -> unicode(c)::HUGEINT)")} END AS u
+          |  FROM documents),
+          | sgn AS (SELECT doc_id, text, u, ${signedSql("u")} AS s FROM u0),
+          | f AS (SELECT doc_id, text, u, s,
+          |   (s - ((s % 256 + 256) % 256)) // 256 AS s8 FROM sgn)
+          |SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes, s AS checksum,
+          | CAST(16 + abs(s % 64) AS BIGINT) AS width,
+          | CAST(16 + abs(s8 % 64) AS BIGINT) AS height,
+          | floor(list_reduce(list_prepend(0.0, list_transform(
+          |   [1::HUGEINT, 256::HUGEINT, 65536::HUGEINT, 16777216::HUGEINT,
+          |    4294967296::HUGEINT, 1099511627776::HUGEINT,
+          |    281474976710656::HUGEINT, 72057594037927936::HUGEINT],
+          |   p -> CAST(CAST(CAST(CAST((u // p) % 256 AS BIGINT) AS REAL) / CAST(255 AS REAL) AS REAL) AS DOUBLE))),
+          |   (a,x) -> a+x)*1e6)/1e6 AS feat_sum
+          |FROM f ORDER BY doc_id""").stripMargin,
+    // int8 quantization replayed element-wise in REAL (float32) — every
+    // intermediate cast to REAL so DuckDB rounds exactly where the JVM's
+    // float ops do; Math.round(f) is floor(f + 0.5f)
+    "q_quantize" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |   CAST(list_min(embedding) AS REAL) AS mn,
+        |   CAST(list_max(embedding) AS REAL) AS mx FROM embeddings),
+        | p AS (SELECT vec_id, embedding, mn,
+        |   CASE WHEN mx > mn THEN CAST((mx - mn)/CAST(255 AS REAL) AS REAL)
+        |        ELSE CAST(1 AS REAL) END AS scale FROM s),
+        | r AS (SELECT vec_id, embedding, mn, scale,
+        |   list_transform(embedding, x -> least(255, greatest(0,
+        |     CAST(floor(CAST(CAST(CAST(x - mn AS REAL)/scale AS REAL) + CAST(0.5 AS REAL) AS REAL)) AS BIGINT)))) AS codes
+        |  FROM p),
+        | t AS (SELECT vec_id, embedding,
+        |   list_transform(codes, c -> CAST(mn + CAST(c * scale AS REAL) AS REAL)) AS restored
+        |  FROM r)
+        |SELECT vec_id,
+        | floor(CAST(list_max(list_transform(range(1, len(embedding)+1),
+        |   i -> CAST(abs(CAST(embedding[i] - restored[i] AS REAL)) AS DOUBLE))) AS DOUBLE)*1e6)/1e6 AS max_abs_err,
+        | floor(list_cosine_similarity(embedding::DOUBLE[],
+        |   list_transform(restored, x -> CAST(x AS DOUBLE)))*1e4)/1e4 AS cos_fidelity
+        |FROM t ORDER BY vec_id""".stripMargin,
+    // rolling 64-bit poly hash replayed with HUGEINT-mod-2^64 arithmetic
+    // (DuckDB errors on BIGINT overflow where the JVM wraps); normalized
+    // text is ASCII, so UTF-16 code units == codepoints
+    "text_fingerprint" ->
+      (s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | u AS (SELECT doc_id, s,
+          |  CASE WHEN length(s)=0 THEN 0::HUGEINT
+          |   ELSE list_reduce(list_prepend(0::HUGEINT,
+          |     list_transform(string_split(s,''), c -> unicode(c)::HUGEINT)),
+          |     (acc, x) -> (acc*31 + x) % 18446744073709551616::HUGEINT) END AS uv
+          |  FROM n),
+          | f AS (SELECT doc_id,
+          |  CAST(CASE WHEN uv >= 9223372036854775808::HUGEINT
+          |       THEN uv - 18446744073709551616::HUGEINT ELSE uv END AS BIGINT) AS fingerprint
+          |  FROM u)
+          |SELECT doc_id, fingerprint, hex(fingerprint) AS fingerprint_hex
+          |FROM f ORDER BY doc_id""").stripMargin,
     "text_gopher" ->
       (s"""WITH tok AS (SELECT doc_id,
           |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]

@@ -387,6 +387,18 @@ case class SimHash64(child: Expression)
 }
 
 /** Rolling polynomial (base-31, 64-bit wrapping) document fingerprint. */
+/** FNV-1a 64-bit of a string's UTF-8 bytes, as a column. Used where a
+  * downstream oracle must replay the hash (FNV is public and expressible
+  * as HUGEINT-mod-2^64 arithmetic in SQL, unlike engine-internal hashes). */
+case class Fnv1a64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(GraftHash.fnv1a64(v.asInstanceOf[UTF8String]))
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "fnv1a64"
+}
+
 case class PolyFingerprint(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = LongType

@@ -30,6 +30,8 @@ package object functions {
   def poly_fingerprint(text: Column): Column =
     bridge.column(PolyFingerprint(c(text)))
 
+  def fnv1a64(text: Column): Column = bridge.column(Fnv1a64(c(text)))
+
   def band_hashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
     bridge.column(BandHashes(c(sig), bands, rowsPerBand))
 

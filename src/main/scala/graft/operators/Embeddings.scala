@@ -36,9 +36,11 @@ object Embeddings {
       .agg(count(lit(1)).as("tf"))
     val df = toks.select(col("doc_id"), col("tok")).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // FNV bucket hash (not an engine-internal hash): public and
+    // SQL-replayable, so the correctness oracle can rebuild the vectors
     val weighted = tf.join(df, Seq("tok"))
       .select(col("doc_id"),
-        pmod(xxhash64(col("tok")), lit(dim.toLong)).as("bucket"),
+        pmod(graft.functions.fnv1a64(col("tok")), lit(dim.toLong)).as("bucket"),
         (col("tf") * log(lit(1.0) + lit(n.toDouble) / col("df"))).as("w"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("w")).as("w"))
