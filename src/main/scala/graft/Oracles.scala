@@ -1,0 +1,148 @@
+package graft
+
+/** DuckDB SQL builders for the oracles that replay graft's 64-bit hash
+  * machinery (FNV-1a, the splitmix-style minhash mix, SimHash voting).
+  *
+  * DuckDB errors on BIGINT overflow where the JVM wraps, so all wrapping
+  * arithmetic runs in HUGEINT (int128) mod 2^64; xor has no HUGEINT
+  * overload, so values round-trip through signed BIGINT (bit patterns are
+  * signedness-agnostic); products that would exceed int128 split the
+  * constant into 32-bit halves. Every formula here is the SQL image of a
+  * loop in `functions/VectorExpressions.scala` — keep them in lockstep.
+  */
+object Oracles {
+
+  /** The reference text-normalization chain as DuckDB SQL (mirrors
+    * [[graft.functions.TextFunctions.preprocess]]). */
+  def normSql(in: String): String =
+    s"""trim(regexp_replace(
+       |  regexp_replace(
+       |   regexp_replace(
+       |    regexp_replace(
+       |     regexp_replace(
+       |      regexp_replace(
+       |       regexp_replace(lower(coalesce($in,'')), 'thc:?\\s*(\\d+\\.?\\d*)%?', 'thc \\1%', 'g'),
+       |      'cbd:?\\s*(\\d+\\.?\\d*)%?', 'cbd \\1%', 'g'),
+       |     'hybrid[ -]?dominant', 'hybrid', 'g'),
+       |    'indica[ -]?dominant', 'indica', 'g'),
+       |   'sativa[ -]?dominant', 'sativa', 'g'),
+       |  '[^\\w\\s%]', ' ', 'g'),
+       | '\\s+', ' ', 'g'))""".stripMargin
+
+  private val MOD = "18446744073709551616::HUGEINT"
+
+  /** Unsigned-HUGEINT expr → signed-BIGINT reinterpretation. */
+  def signed(u: String): String =
+    s"CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT " +
+      s"THEN $u - $MOD ELSE $u END AS BIGINT)"
+
+  /** Signed-BIGINT expr → unsigned HUGEINT in [0, 2^64). */
+  def unsigned(s: String): String =
+    s"(CASE WHEN ($s) < 0 THEN CAST($s AS HUGEINT) + $MOD " +
+      s"ELSE CAST($s AS HUGEINT) END)"
+
+  /** xor of an unsigned HUGEINT with a small (< 2^63) HUGEINT, unsigned out. */
+  private def xor64(a: String, b: String): String =
+    unsigned(s"xor(${signed(a)}, CAST($b AS BIGINT))")
+
+  /** FNV-1a 64 over a SQL list of byte values (prime is 2^40-ish, so the
+    * running product stays inside int128 without splitting). */
+  def fnv(byteList: String): String =
+    s"list_reduce(list_prepend(14695981039346656037::HUGEINT, $byteList), " +
+      "(acc, x) -> ((acc - acc % 256 + CAST(xor(CAST(acc % 256 AS BIGINT), " +
+      "CAST(x AS BIGINT)) AS HUGEINT)) * 1099511628211::HUGEINT) " +
+      s"% $MOD)"
+
+  /** FNV of a string's chars (ASCII: code units == UTF-8 bytes). */
+  def fnvChars(strExpr: String): String =
+    fnv(s"list_transform(string_split($strExpr,''), c -> unicode(c)::HUGEINT)")
+
+  /** (a * c) mod 2^64 where a < 2^64 and c is a full 64-bit constant:
+    * a*c can exceed int128, so split c = hi·2^32 + lo. */
+  private def mulMod(a: String, hi: Long, lo: Long): String =
+    s"(($a * $lo::HUGEINT) % $MOD + " +
+      s"((($a * $hi::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT)) % $MOD"
+
+  private val pow256 = "[" +
+    (0 until 8).map(j => s"${BigInt(1) << (8 * j)}::HUGEINT").mkString(",") + "]"
+  private val pow2 = "[" +
+    (0 until 64).map(j => s"${BigInt(1) << j}::HUGEINT").mkString(",") + "]"
+
+  /** CTE chain `n → … → pairs` replaying MinHashSignature + BandHashes +
+    * the capBuckets skew guard + candidate generation. `pairs` is emitted
+    * SYMMETRIC (both directions), which both the per-doc summary and the
+    * clusters recursion consume directly. Stage names mirror the mix:
+    * x0 = h + C1·(i+1); x1 = (x0 ⊕ x0»30)·C2; x2 = (x1 ⊕ x1»27)·C3;
+    * g = x2 ⊕ x2»31, all mod 2^64, compared SIGNED for the min. */
+  private def minhashPairsCte(maxBucket: Int): String =
+    s"""n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+       | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n),
+       | shq AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+       |    ELSE list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) END) AS sh FROM tok),
+       | shd AS (SELECT DISTINCT doc_id, sh FROM shq),
+       | hh AS (SELECT doc_id, ${fnvChars("sh")} AS h FROM shd),
+       | m0 AS (SELECT doc_id, i, ((h + 11400714819323198485::HUGEINT * (i+1)::HUGEINT) % $MOD) AS x0
+       |   FROM hh, range(128) r(i)),
+       | m0x AS (SELECT doc_id, i, (${xor64("x0", "x0 // 1073741824::HUGEINT")}) AS a FROM m0),
+       | m1 AS (SELECT doc_id, i, ${mulMod("a", 3210233709L, 484763065L)} AS x1 FROM m0x),
+       | m1x AS (SELECT doc_id, i, (${xor64("x1", "x1 // 134217728::HUGEINT")}) AS a FROM m1),
+       | m2 AS (SELECT doc_id, i, ${mulMod("a", 2496678331L, 321982955L)} AS x2 FROM m1x),
+       | mg AS (SELECT doc_id, i, ${signed(xor64("x2", "x2 // 2147483648::HUGEINT"))} AS g FROM m2),
+       | sig AS (SELECT doc_id, i, MIN(g) AS sg FROM mg GROUP BY 1,2),
+       | sigall AS (SELECT n.doc_id, r.i, coalesce(sg, 9223372036854775807) AS sg
+       |   FROM n CROSS JOIN range(128) r(i) LEFT JOIN sig ON sig.doc_id = n.doc_id AND sig.i = r.i),
+       | su AS (SELECT doc_id, i, ${unsigned("sg")} AS su FROM sigall),
+       | bandbytes AS (SELECT doc_id, i // 8 AS band,
+       |    flatten(list_transform(list(su ORDER BY i), l -> list_transform(range(0,8), j -> (l // $pow256[j+1]) % 256))) AS bytes
+       |   FROM su GROUP BY doc_id, i // 8),
+       | bh AS (SELECT doc_id, band, ${signed(fnv("bytes"))} AS h FROM bandbytes),
+       | capped AS (SELECT * FROM bh QUALIFY COUNT(*) OVER (PARTITION BY band, h) <= $maxBucket),
+       | pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |   FROM capped a JOIN capped b ON a.band = b.band AND a.h = b.h AND a.doc_id <> b.doc_id)""".stripMargin
+
+  private val summaryTail: String =
+    """ summ AS (SELECT id1 AS doc_id, COUNT(*) AS n_candidates, MIN(id2) AS min_partner FROM pairs GROUP BY 1)
+      |SELECT n.doc_id, coalesce(n_candidates, 0) AS n_candidates, min_partner
+      |FROM n LEFT JOIN summ ON n.doc_id = summ.doc_id ORDER BY n.doc_id""".stripMargin
+
+  /** dedup_minhash: per-doc candidate summary. */
+  def dedupMinhashSql(maxBucket: Int = 1000): String =
+    s"WITH ${minhashPairsCte(maxBucket)},\n$summaryTail"
+
+  /** dedup_clusters: connected components via a recursive reachability
+    * closure; min reachable label == the converged min-label propagation
+    * (the Spark side caps at 10 rounds, which converges at oracle scale —
+    * component diameters are tiny). */
+  def dedupClustersSql(maxBucket: Int = 1000): String =
+    s"""WITH ${minhashPairsCte(maxBucket)},
+       | lab AS (
+       |   WITH RECURSIVE reach(doc_id, lbl) AS (
+       |     SELECT doc_id, doc_id AS lbl FROM n
+       |     UNION
+       |     SELECT e.id1 AS doc_id, r.lbl FROM pairs e JOIN reach r ON e.id2 = r.doc_id
+       |   )
+       |   SELECT doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT doc_id, cluster_id,
+       | COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** dedup_simhash: SimHash64 bit votes over tokens (with multiplicity),
+    * 4×16-bit banded buckets with the same cap, exact hamming ≤ 3. */
+  def dedupSimhashSql(maxBucket: Int = 1000, maxHamming: Int = 3): String =
+    s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+       | tok AS (SELECT doc_id, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n),
+       | tm AS (SELECT doc_id, tk, COUNT(*) AS m FROM tok WHERE tk <> '' GROUP BY 1,2),
+       | hh AS (SELECT doc_id, m, ${fnvChars("tk")} AS h FROM tm),
+       | votes AS (SELECT doc_id, j, SUM(m * (CASE WHEN (h // $pow2[j+1]) % 2 = 1 THEN 1 ELSE -1 END)) AS v
+       |   FROM hh, range(64) r(j) GROUP BY 1,2),
+       | shu AS (SELECT doc_id, SUM(CASE WHEN v > 0 THEN $pow2[j+1] ELSE 0::HUGEINT END) AS u FROM votes GROUP BY 1),
+       | shall AS (SELECT n.doc_id, coalesce(u, 0::HUGEINT) AS u FROM n LEFT JOIN shu ON n.doc_id = shu.doc_id),
+       | banded AS (SELECT doc_id, u, b, CAST((u // $pow2[16*b+1]) % 65536 AS BIGINT) AS chunk
+       |   FROM shall, range(4) r(b)),
+       | capped AS (SELECT * FROM banded QUALIFY COUNT(*) OVER (PARTITION BY b, chunk) <= $maxBucket),
+       | pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |   FROM capped a JOIN capped b ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id <> b.doc_id
+       |   WHERE bit_count(xor(${signed("a.u")}, ${signed("b.u")})) <= $maxHamming),
+       |$summaryTail"""
+      .stripMargin
+}

@@ -230,21 +230,9 @@ object SparkEntry {
   )
 
   /** The reference text-normalization chain as DuckDB SQL (mirrors
-    * [[graft.functions.TextFunctions.preprocess]]). */
-  private def normSql(in: String): String =
-    s"""trim(regexp_replace(
-       |  regexp_replace(
-       |   regexp_replace(
-       |    regexp_replace(
-       |     regexp_replace(
-       |      regexp_replace(
-       |       regexp_replace(lower(coalesce($in,'')), 'thc:?\\s*(\\d+\\.?\\d*)%?', 'thc \\1%', 'g'),
-       |      'cbd:?\\s*(\\d+\\.?\\d*)%?', 'cbd \\1%', 'g'),
-       |     'hybrid[ -]?dominant', 'hybrid', 'g'),
-       |    'indica[ -]?dominant', 'indica', 'g'),
-       |   'sativa[ -]?dominant', 'sativa', 'g'),
-       |  '[^\\w\\s%]', ' ', 'g'),
-       | '\\s+', ' ', 'g'))""".stripMargin
+    * [[graft.functions.TextFunctions.preprocess]]; shared with the
+    * hash-replay oracles in [[Oracles]]). */
+  private def normSql(in: String): String = Oracles.normSql(in)
 
   private def indexStats(t: Tables): DataFrame = {
     val withNorm = t.embeddings.select(
@@ -583,6 +571,11 @@ object SparkEntry {
           |      WHEN s_es >= s_fr THEN 'es'
           |      ELSE 'fr' END AS predicted_lang
           |FROM s ORDER BY doc_id""").stripMargin,
+    // LSH dedup family replayed end-to-end (minhash mix, band FNV, bucket
+    // cap, simhash votes, reachability closure) — see Oracles.scala
+    "dedup_minhash"  -> Oracles.dedupMinhashSql(),
+    "dedup_simhash"  -> Oracles.dedupSimhashSql(),
+    "dedup_clusters" -> Oracles.dedupClustersSql(),
     // hashing-trick embedding replayed: FNV token buckets → counts →
     // L2-normalized floats → (dim, norm, nnz, moment) digest
     "q_embed" ->
