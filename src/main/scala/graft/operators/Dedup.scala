@@ -203,10 +203,21 @@ object Dedup {
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint()
 
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("cluster_id")).localCheckpoint()
+    // propagate ONLY over vertices of the candidate graph: a doc in no
+    // pair is its own singleton cluster and can never change label, so
+    // the iteration runs on the (much smaller) near-dup vertex set, not
+    // the corpus — at 100 TB the corpus is billions of rows while the
+    // candidate graph is orders of magnitude smaller
+    var labels = edges.select(col("id1").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
+    // labels are monotone non-increasing, so ANY change strictly lowers
+    // the label sum: convergence is one cheap aggregate per round instead
+    // of a self-join diff
+    var prevSum =
+      labels.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
     var iter = 0
-    var converged = false
+    var converged = labels.isEmpty
     while (iter < maxIters && !converged) {
       val neighborMin = edges
         .join(labels, edges("id2") === labels("doc_id"))
@@ -217,14 +228,19 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("neighbor_min"),
             col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      val changed = updated.join(labels.withColumnRenamed("cluster_id", "old"),
-        Seq("doc_id")).filter(col("cluster_id") =!= col("old")).count()
+      val newSum =
+        updated.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
       labels = updated
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
-    labels
-      .join(labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+    val full = docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    full
+      .join(full.groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
         .withColumnRenamed("cluster_id", "cid"),
         col("cluster_id") === col("cid"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))

@@ -56,6 +56,17 @@ class PlanSpec extends SparkSuite {
     assert(!optimized.toLowerCase.contains("broadcast"), optimized)
   }
 
+  test("decontaminate probes via a broadcast of the bench gram set") {
+    // the training side must never shuffle for the overlap probe: the
+    // benchmark set is bounded by contract, so its distinct grams
+    // broadcast and the corpus-side join is map-side
+    import org.apache.spark.sql.functions.col
+    val docs = t.documents
+    val plan = planOf(operators.Pipeline.decontaminate(
+      docs.filter(col("doc_id") >= 100), docs.filter(col("doc_id") < 100)))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("exact dedup aggregates map-side before the shuffle") {
     val plan = planOf(Dedup.exactGroups(t))
     assert(plan.contains("HashAggregate"), plan)
