@@ -26,7 +26,18 @@ object GraftSql {
     "poly_fingerprint"  -> (es => PolyFingerprint(es(0))),
     "band_hashes"       -> (es => BandHashes(es(0), foldInt(es(1)), foldInt(es(2)))),
     "top_k_by_score"    -> (es =>
-      TopKByScore(es(0), es(1), foldInt(es(2))).toAggregateExpression()))
+      TopKByScore(es(0), es(1), foldInt(es(2))).toAggregateExpression()),
+    "fnv1a64"           -> (es => Fnv1a64(es(0))),
+    "quantize8"         -> (es => Quantize8(es(0))),
+    "dequantize8"       -> (es => Dequantize8(es(0))),
+    "word_shingles"     -> (es => WordShingles(es(0), foldInt(es(1)))),
+    "count_in_set"      -> (es => CountInSet(es(0),
+      es.drop(1).map(e => e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"expected string literal, got $other")
+      }))),
+    "scatter_vector"    -> (es => ScatterVector(es(0), foldInt(es(1)))))
 
   private def foldInt(e: Expression): Int = e.eval() match {
     case i: Int => i

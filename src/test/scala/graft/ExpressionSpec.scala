@@ -218,6 +218,24 @@ class ExpressionSpec extends SparkSuite {
     } finally operators.Search.uninstallAutoFusion(spark)
   }
 
+  test("SQL registry exposes the full expression surface") {
+    GraftSql.register(spark)
+    val row = spark.sql("""
+      SELECT fnv1a64('abc') AS h,
+             dequantize8(quantize8(array(1.0f, 2.0f, 3.0f))) AS rt,
+             word_shingles(array('a','b','c','d'), 2) AS sh,
+             count_in_set(array('a','b','a','z'), 'a', 'b') AS cis,
+             scatter_vector(array(struct(1L AS bucket, 2.0D AS w)), 4) AS sv
+    """).head()
+    // fnv1a64('abc') — public FNV-1a 64 test vector
+    assert(row.getLong(0) == 0xe71fa2190541574bL)
+    assert(row.getSeq[Float](1).map(math.round) == Seq(1, 2, 3))
+    assert(row.getSeq[String](2) == Seq("a b", "b c", "c d"))
+    assert(row.getInt(3) == 3)
+    val sv = row.getSeq[Float](4)
+    assert(sv.length == 4 && math.abs(sv(1) - 1.0f) < 1e-6)
+  }
+
   test("top_k_by_score matches window-function ranking on real embeddings") {
     val e = sources.Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 3)

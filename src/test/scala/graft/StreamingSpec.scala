@@ -35,6 +35,37 @@ class StreamingSpec extends SparkSuite {
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(s"$streamDir/chunk=*")
 
+  test("streaming exact dedup keeps first arrival per text hash") {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("graft-dedup-stream").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    def write(path: String, rows: Seq[(Long, String, String)]): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map { case (id, ts, tx) =>
+          Row(id, java.sql.Timestamp.valueOf(ts), tx) }: _*),
+        docSchema).coalesce(1).write.parquet(path)
+    write(s"$dir/chunk=a", Seq(
+      (1L, "2026-01-01 10:00:00", "alpha beta gamma"),
+      (2L, "2026-01-01 10:00:01", "delta epsilon zeta")))
+    Thread.sleep(1100)
+    write(s"$dir/chunk=b", Seq(
+      (3L, "2026-01-01 10:00:02", "Alpha, beta GAMMA"), // dup after normalize
+      (4L, "2026-01-01 10:00:03", "eta theta iota")))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
+    val q = DedupStream.exactDedup(stream)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L), s"got $ids") // 3 is a dup of 1
+    } finally q.stop()
+  }
+
   test("EventWindows.hourly batch twin equals q_events_window totals") {
     val streaming = EventWindows.hourly(t.events)  // unified API: batch DF in
     val batch = operators.Relational.eventHourly(t)
