@@ -144,6 +144,17 @@ object SparkEntry {
         (floor(aggregate(col("features"), lit(0.0), (acc, x) => acc + x) * 1e6) / 1e6)
           .as("feat_sum"))
       .orderBy(col("doc_id"))),
+    // multimodal frame sampling + thumbnail resize (stubbed decode; the
+    // fan-out plumbing and the FNV-derived frame hashes are real)
+    "mm_frames" -> q(t => graft.multimodal.Multimodal.documentFrames(t.documents)
+      .select(col("doc_id"),
+        col("frame_idx").cast("long").as("frame_idx"),
+        col("frame_hash"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"),
+        col("thumb_w").cast("long").as("thumb_w"),
+        col("thumb_h").cast("long").as("thumb_h"))
+      .orderBy(col("doc_id"), col("frame_idx"))),
     "q7_corr_subquery" -> q(Relational.premiumParts),
     "q8_distribution"  -> q(Relational.orderCountDistribution),
     "q9_argmax"        -> q(Relational.topSupplierPerNation),
@@ -633,6 +644,26 @@ object SparkEntry {
           |   p -> CAST(CAST(CAST(CAST((u // p) % 256 AS BIGINT) AS REAL) / CAST(255 AS REAL) AS REAL) AS DOUBLE))),
           |   (a,x) -> a+x)*1e6)/1e6 AS feat_sum
           |FROM f ORDER BY doc_id""").stripMargin,
+    // frame sampling replayed: per frame i, FNV over the checksum's 8 LE
+    // bytes + the index byte; dims via truncated-mod, thumbs halved
+    "mm_frames" ->
+      (s"""WITH u0 AS (SELECT doc_id, text,
+          |   CASE WHEN length(text)=0 THEN 14695981039346656037::HUGEINT
+          |        ELSE ${fnvSql("list_transform(string_split(text,''), c -> unicode(c)::HUGEINT)")} END AS u
+          |  FROM documents),
+          | fr AS (SELECT doc_id, i,
+          |   ${fnvSql("list_append(list_transform(range(0,8), j -> (u // ([1::HUGEINT,256::HUGEINT,65536::HUGEINT,16777216::HUGEINT,4294967296::HUGEINT,1099511627776::HUGEINT,281474976710656::HUGEINT,72057594037927936::HUGEINT])[j+1]) % 256), i::HUGEINT)")} AS fu
+          |  FROM u0, range(4) r(i)),
+          | fs AS (SELECT doc_id, i, ${signedSql("fu")} AS fh FROM fr),
+          | d AS (SELECT doc_id, i, fh,
+          |   16 + abs(fh % 64) AS w,
+          |   16 + abs(((fh - ((fh % 256 + 256) % 256)) // 256) % 64) AS h
+          |  FROM fs)
+          |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx, fh AS frame_hash,
+          | CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+          | CAST(greatest(8, w // 2) AS BIGINT) AS thumb_w,
+          | CAST(greatest(8, h // 2) AS BIGINT) AS thumb_h
+          |FROM d ORDER BY doc_id, frame_idx""").stripMargin,
     // int8 quantization replayed element-wise in REAL (float32) — every
     // intermediate cast to REAL so DuckDB rounds exactly where the JVM's
     // float ops do; Math.round(f) is floor(f + 0.5f)

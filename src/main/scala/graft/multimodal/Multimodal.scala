@@ -65,4 +65,48 @@ object Multimodal {
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
       .toDF()
       .orderBy(col("doc_id"))
+
+  case class FrameSample(
+      doc_id: Long,
+      frame_idx: Int,
+      frame_hash: Long,
+      width: Int,   // stub "decoded" frame dims
+      height: Int,
+      thumb_w: Int, // stub resize: half dims, floor 8
+      thumb_h: Int)
+
+  /** Frame sampling + thumbnail resize for "video" payloads: one media
+    * row fans out to `nFrames` frame rows — the Spark-side shape a real
+    * frame sampler has (per-partition decoder init, row explosion,
+    * bounded fan-out). The decode is the same deterministic FNV stub as
+    * [[decodeStub]]: frame i hashes the payload checksum bytes plus the
+    * frame index, so the pipeline (and its oracle) is reproducible. */
+  def sampleFrames(media: DataFrame, nFrames: Int = 4): Dataset[FrameSample] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here
+        it.flatMap { case (id, payload) =>
+          val cs = checksum64(payload)
+          (0 until nFrames).iterator.map { i =>
+            val frameBytes = Array.tabulate[Byte](8)(j =>
+              ((cs >>> (8 * j)) & 0xffL).toByte) :+ i.toByte
+            val fh = checksum64(frameBytes)
+            val w = 16 + math.abs(fh % 64).toInt
+            val h = 16 + math.abs((fh >> 8) % 64).toInt
+            FrameSample(id, i, fh, w, h, math.max(8, w / 2), math.max(8, h / 2))
+          }
+        }
+      }
+  }
+
+  /** Demo frame-sampling pipeline over `documents`. */
+  def documentFrames(docs: DataFrame, nFrames: Int = 4): DataFrame =
+    sampleFrames(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")),
+      nFrames)
+      .toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
 }

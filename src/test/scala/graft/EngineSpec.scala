@@ -78,4 +78,22 @@ class EngineSpec extends SparkSuite {
     assert(row.getSeq[Float](5).length == 8)
     assert(row.getLong(1) > 0)
   }
+
+  test("multimodal frame sampling: bounded fan-out, per-frame hashes, thumbs") {
+    val t = sources.Tables(spark, sfDir)
+    val nDocs = t.documents.count()
+    val fr = multimodal.Multimodal.documentFrames(t.documents, nFrames = 4)
+    assert(fr.count() == nDocs * 4)
+    // each doc yields 4 distinct frame indexes with distinct hashes
+    val perDoc = fr.groupBy(col("doc_id"))
+      .agg(countDistinct(col("frame_idx")).as("ni"),
+           countDistinct(col("frame_hash")).as("nh"))
+    assert(perDoc.filter(col("ni") =!= 4L).count() == 0)
+    assert(perDoc.filter(col("nh") =!= 4L).count() == 0)
+    // thumbnails are the half-resolution resize with a floor of 8
+    val bad = fr.filter(
+      col("thumb_w") =!= greatest(lit(8), (col("width") / 2).cast("int")) ||
+      col("thumb_h") =!= greatest(lit(8), (col("height") / 2).cast("int")))
+    assert(bad.count() == 0)
+  }
 }
