@@ -78,6 +78,49 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("decontaminate: a doc checked against a bench containing it is flagged") {
+    // any training doc with >= n tokens that ALSO appears in the bench set
+    // must come back contaminated; docs sharing no token never are
+    forAll(Gen.chooseNum(8, 30), 8) { n =>
+      val shared = (1 to n).map(i => s"common$i").mkString(" ")
+      val training = Seq((1L, shared), (2L, (1 to n).map(i => s"other$i").mkString(" ")))
+        .toDF("doc_id", "text")
+      val bench = Seq((99L, shared)).toDF("doc_id", "text")
+      val out = operators.Pipeline.decontaminate(training, bench, 8)
+        .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+      assert(out(1L))
+      assert(!out(2L))
+    }
+  }
+
+  test("sampleByHash keeps a subset: rate 1000 keeps all, rate 0 keeps none") {
+    val t = sources.Tables(spark, sfDir)
+    val all = operators.Pipeline.sampleByHash(t.events,
+      Seq("click", "view", "purchase", "signup", "error").map(_ -> 1000))
+    assert(all.count() == t.events.count())
+    val none = operators.Pipeline.sampleByHash(t.events,
+      Seq("click", "view", "purchase", "signup", "error").map(_ -> 0))
+    assert(none.count() == 0)
+    // monotone: a higher rate keeps a superset
+    val lo = operators.Pipeline.sampleByHash(t.events, Seq("click" -> 100))
+      .select($"event_id").as[Long].collect().toSet
+    val hi = operators.Pipeline.sampleByHash(t.events, Seq("click" -> 500))
+      .select($"event_id").as[Long].collect().toSet
+    assert(lo.subsetOf(hi))
+  }
+
+  test("gopher stats invariants: fractions in [0,1], keep implies bounds") {
+    forAll(tokensGen, 8) { toks =>
+      val df = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val r = operators.Pipeline.gopherStats(df).head()
+      val (fu, tf, d2) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(fu >= 0 && fu <= 1 && tf >= 0 && tf <= 1 && d2 >= 0 && d2 <= 1)
+      if (r.getBoolean(6)) {
+        assert(r.getLong(1) >= 10 && fu >= 0.5 - 1e-4 && tf <= 0.2 && d2 <= 0.3)
+      }
+    }
+  }
+
   test("top-k is a prefix: top(k) == top(k+3).take(k) under the same order") {
     val e = sources.Tables(spark, sfDir).embeddings
     val q = e.filter($"vec_id" < 3)
