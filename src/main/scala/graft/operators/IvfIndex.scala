@@ -99,6 +99,50 @@ object IvfIndex {
     valid
   }
 
+  /** Persist the index as a BUCKETED table: posting lists bucketed (and
+    * sorted) by `centroid_id` in the session catalog. For repeated search
+    * workloads this is the stronger layout: any later per-centroid
+    * aggregation or co-bucketed join reads pre-shuffled data and plans
+    * with NO Exchange (gated in `IvfSpec`), where the plain
+    * partitioned-directory form ([[persist]]) only prunes scans. */
+  def persistBucketed(corpus: DataFrame, nCentroids: Int, table: String,
+                      path: String, nBuckets: Int = 8): Unit = {
+    val cents = centroids(corpus, nCentroids)
+    corpus.join(
+        assignments(corpus, cents).select(col("vec_id"), col("centroid_id")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "centroid_id").sortBy("centroid_id")
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** Search a bucketed index table: same probe-then-score dataflow as
+    * [[search]], but candidate scoring groups by the bucketed column, so
+    * the per-centroid work is exchange-free on the corpus side. */
+  def searchBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+                     queries: DataFrame, nCentroids: Int, nprobe: Int,
+                     k: Int): DataFrame = {
+    val postings = spark.table(table)
+    val cents = postings.filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val probes = cents.crossJoin(broadcast(queries))
+      .select(col("query_id"),
+        cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))
+      .groupBy(col("query_id"))
+      .agg(top_k_by_score(col("sim"), col("centroid_id"), nprobe).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
+    val scored = postings
+      .join(broadcast(probes), Seq("centroid_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
+    Search.explodeTopK(
+      scored.groupBy(col("query_id"))
+        .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
+  }
+
   /** Search a persisted index: probe centroids, then scan ONLY the probed
     * posting-list partitions (directory-level pruning via the partition
     * column filter — verify `PartitionFilters` in the scan). */

@@ -60,21 +60,24 @@ class IvfSpec extends SparkSuite {
     assert(recall >= 0.9, s"quantized recall@5 = $recall")
   }
 
-  test("bucketed posting-list table: aggregation avoids the exchange") {
+  test("bucketed posting-list index: no-exchange aggregation, search equal") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-bucketed").toString
-    val assign = IvfIndex.assignments(t.embeddings,
-      IvfIndex.centroids(t.embeddings, 16))
-    assign.write.mode("overwrite")
-      .bucketBy(8, "centroid_id").sortBy("centroid_id")
-      .option("path", s"$dir/tbl").saveAsTable("graft_postings_bucketed")
+    IvfIndex.persistBucketed(t.embeddings, nCentroids = 16,
+      table = "graft_postings_bucketed", path = s"$dir/tbl")
     try {
+      // bucketed layout: per-centroid aggregation plans with NO Exchange
       val agg = spark.table("graft_postings_bucketed")
         .groupBy($"centroid_id").agg(count(lit(1)).as("n"))
       agg.collect()
       val plan = agg.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed aggregation should not shuffle:\n$plan")
+      // and the bucketed search path returns the in-memory IVF results
+      val fromTable = IvfIndex.searchBucketed(spark,
+        "graft_postings_bucketed", queries, nCentroids = 16, nprobe = 4, k = 5)
+      val inMem = IvfIndex.search(queries, t.embeddings, 16, 4, 5)
+      assert(fromTable.collect().toSeq == inMem.collect().toSeq)
     } finally spark.sql("DROP TABLE IF EXISTS graft_postings_bucketed")
   }
 
