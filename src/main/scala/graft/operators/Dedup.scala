@@ -155,8 +155,13 @@ object Dedup {
         lead(col("tok"), 1).over(w).as("t1"),
         lead(col("tok"), 2).over(w).as("t2"))
       .filter(col("t2").isNotNull)
+      // join on the 64-bit FNV of the shingle, not the string: ~3-4×
+      // less shuffle per row and cheaper join probes. A collision would
+      // inflate one intersection count by 1; at P ≈ pairs·2⁻⁶⁴ that is
+      // never observed (and the correctness oracle would catch it).
       .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+        graft.functions.fnv1a64(
+          concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("sh"))
       .distinct()
       // carry |shingles(doc)| on every row (window count) instead of
       // joining a separately recomputed sizes branch twice
