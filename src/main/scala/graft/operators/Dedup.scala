@@ -219,10 +219,12 @@ object Dedup {
     // labels are monotone non-increasing, so ANY change strictly lowers
     // the label sum: convergence is one cheap aggregate per round instead
     // of a self-join diff
-    var prevSum =
-      labels.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
+    // one action initializes both the convergence baseline and the
+    // empty-graph early exit (sum is null on an empty table)
+    val sum0 = labels.agg(sum(col("cluster_id"))).head()
+    var prevSum = if (sum0.isNullAt(0)) 0L else sum0.getLong(0)
     var iter = 0
-    var converged = labels.isEmpty
+    var converged = sum0.isNullAt(0)
     while (iter < maxIters && !converged) {
       val neighborMin = edges
         .join(labels, edges("id2") === labels("doc_id"))
