@@ -32,7 +32,15 @@ object Bench {
         catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // isolation: drop this query's localCheckpoint blocks before the
+      // next one runs — otherwise block-manager occupancy and GC pressure
+      // grow monotonically across the suite and late queries read 2×
+      // their isolated time (the sweep runs AFTER the clock stops; it is
+      // bench bookkeeping, not part of the query)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      (name, dt, ok)
     }
     // failed queries report -1 (never a fast-looking timing) and are listed
     val qs = results.map { case (k, v, ok) =>

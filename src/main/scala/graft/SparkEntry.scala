@@ -77,6 +77,13 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, k = 5)),
+    // exact top-k over the int8-quantized corpus (the memory-lean 100 TB
+    // search configuration): scores carry only the quantization error
+    "q_knn_quantized" -> q(t => Search.quantizedTopK(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings.select(col("vec_id"), quantize8(col("embedding")).as("qcodes")),
+      k = 5)),
     "q_knn_threshold" -> q(t => Search.thresholdRetrieval(
       t.embeddings.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -95,6 +102,33 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, nCentroids = 16, nprobe = 4, k = 5)),
+    // build-once/search-many: the reference persists its index and serves
+    // every query from it (services/index_service.py:75-99). Here the
+    // build writes partitioned posting lists ONCE (a side effect of query
+    // construction); the returned plan is the search alone — probe
+    // centroids, scan only the probed partitions (PartitionFilters), no
+    // corpus assignment recompute. Same results/oracle as q_ivf_search.
+    "q_ivf_persisted" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+      IvfIndex.persist(t.embeddings, nCentroids = 16, path = idx)
+      IvfIndex.searchPersisted(s, idx,
+        t.embeddings.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        nprobe = 4, k = 5)
+    }),
+    // same contract over the BUCKETED catalog layout (postings bucketed by
+    // centroid_id + companion centroids table)
+    "q_ivf_bucketed" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-b").toString
+      IvfIndex.persistBucketed(t.embeddings, nCentroids = 16,
+        table = "graft_q_postings", path = s"$idx/tbl")
+      IvfIndex.searchBucketed(s, "graft_q_postings",
+        t.embeddings.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        nprobe = 4, k = 5)
+    }),
     // approximate-index quality audit: recall@k of IVF vs brute force
     "q_recall" -> q(t => IvfIndex.recallAudit(
       t.embeddings.filter(col("vec_id") < 5)
@@ -289,6 +323,28 @@ object SparkEntry {
       |   COUNT(*) FILTER (WHERE v != 0) AS nnz
       |  FROM vf GROUP BY doc_id)""".stripMargin
 
+  /** One oracle for all three IVF search layouts (in-memory fused,
+    * persisted partition-pruned, bucketed catalog table): the index
+    * LAYOUT must never change the search RESULT. */
+  private val ivfSearchSql: String =
+    """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+      | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      | assign AS (SELECT vec_id, centroid_id FROM (
+      |   SELECT e.vec_id, c.centroid_id,
+      |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+      |   FROM e CROSS JOIN c) WHERE rn = 1),
+      | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+      | probes AS (SELECT query_id, centroid_id FROM (
+      |   SELECT query_id, centroid_id,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+      |   FROM q CROSS JOIN c) WHERE rn <= 4),
+      | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+      | scored AS (SELECT cand.query_id, cand.vec_id, list_cosine_similarity(q.qv, e.ev) AS sim
+      |   FROM cand JOIN q ON cand.query_id = q.query_id JOIN e ON cand.vec_id = e.vec_id),
+      | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
+      |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+      |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val DEC = "CAST(l_extendedprice AS DECIMAL(18,2))"
   private val DISC = "CAST(l_discount AS DECIMAL(18,2))"
   private val REV = s"$DEC * (1 - $DISC)"
@@ -468,24 +524,32 @@ object SparkEntry {
         | d AS (SELECT vec_id, centroid_id, 1.0 - list_cosine_similarity(ev, cv) AS dist FROM e CROSS JOIN c),
         | r AS (SELECT vec_id, centroid_id, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn FROM d)
         |SELECT vec_id, centroid_id, floor(greatest(dist, 0.0)*1e6)/1e6 AS dist FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-    "q_ivf_search" ->
-      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
-        | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-        | assign AS (SELECT vec_id, centroid_id FROM (
-        |   SELECT e.vec_id, c.centroid_id,
-        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
-        |   FROM e CROSS JOIN c) WHERE rn = 1),
-        | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
-        | probes AS (SELECT query_id, centroid_id FROM (
-        |   SELECT query_id, centroid_id,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
-        |   FROM q CROSS JOIN c) WHERE rn <= 4),
-        | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
-        | scored AS (SELECT cand.query_id, cand.vec_id, list_cosine_similarity(q.qv, e.ev) AS sim
-        |   FROM cand JOIN q ON cand.query_id = q.query_id JOIN e ON cand.vec_id = e.vec_id),
-        | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
+    "q_ivf_search" -> ivfSearchSql,
+    // identical semantics (and oracle) served from the persisted/bucketed
+    // index layouts — the engine-side plans differ, the results must not
+    "q_ivf_persisted" -> ivfSearchSql,
+    "q_ivf_bucketed" -> ivfSearchSql,
+    // quantized exact search: the q_quantize REAL-replay (element-wise
+    // float32 round-trip) composed with the q_knn ranking
+    "q_knn_quantized" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |   CAST(list_min(embedding) AS REAL) AS mn,
+        |   CAST(list_max(embedding) AS REAL) AS mx FROM embeddings),
+        | p AS (SELECT vec_id, embedding, mn,
+        |   CASE WHEN mx > mn THEN CAST((mx - mn)/CAST(255 AS REAL) AS REAL)
+        |        ELSE CAST(1 AS REAL) END AS scale FROM s),
+        | r AS (SELECT vec_id, embedding, mn, scale,
+        |   list_transform(embedding, x -> least(255, greatest(0,
+        |     CAST(floor(CAST(CAST(CAST(x - mn AS REAL)/scale AS REAL) + CAST(0.5 AS REAL) AS REAL)) AS BIGINT)))) AS codes
+        |  FROM p),
+        | t AS (SELECT vec_id,
+        |   list_transform(codes, c -> CAST(CAST(mn + CAST(c * scale AS REAL) AS REAL) AS DOUBLE)) AS ev
+        |  FROM r),
+        | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        | sims AS (SELECT query_id, t.vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN t),
+        | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
-        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_kmeans_refine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
         | c0 AS (SELECT vec_id AS centroid_id, ev AS cv FROM e WHERE vec_id < 8),
@@ -764,7 +828,7 @@ object SparkEntry {
       """WITH k AS (SELECT event_type,
         |  CASE event_type WHEN 'click' THEN 250 WHEN 'view' THEN 50
         |   WHEN 'purchase' THEN 1000 WHEN 'signup' THEN 1000 ELSE 0 END AS rate,
-        |  ((user_id % 1000003) * 2654435761 + (event_id % 1000003) * 97) % 1000 AS h
+        |  (((user_id % 1000003) * 2654435761 + (event_id % 1000003) * 97) % 1000 + 1000) % 1000 AS h
         | FROM events)
         |SELECT event_type, COUNT(*) AS n_total,
         | CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,

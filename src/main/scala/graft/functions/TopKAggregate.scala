@@ -20,6 +20,13 @@ final class TopKBuffer(val k: Int) {
   val heap = mutable.PriorityQueue.empty[(Double, Long)](ord)
 
   def add(score: Double, id: Long): Unit = {
+    // NaN scores are skipped EVERYWHERE (declarative aggregate and the
+    // fused physical operators alike): a NaN would otherwise slip into an
+    // under-capacity heap here but be dropped by the fused scan's
+    // `score >= minScore` gate, making the two plans diverge on corpora
+    // with NaN embeddings. NaN is also the fused merge's empty-group
+    // marker sentinel, which this skip keeps well-defined.
+    if (java.lang.Double.isNaN(score)) return
     if (heap.size < k) heap.enqueue((score, id))
     else {
       val (ws, wi) = heap.head

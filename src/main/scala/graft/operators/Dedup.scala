@@ -34,8 +34,15 @@ object Dedup {
       .orderBy(col("text_hash"))
 
   /** Symmetric candidate pairs → per-doc rollup (every doc keeps a row:
-    * n_candidates, smallest partner id). */
-  private def perDocSummary(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    * n_candidates, smallest partner id).
+    *
+    * `pairs` is materialized before the symmetric union: both union
+    * branches read the same child, and without a barrier Spark executes
+    * the entire pair-generation subtree (explode → window cap →
+    * self-join → distinct) once per branch — 2× the most expensive stage
+    * of the dedup pipeline for zero benefit. */
+  private def perDocSummary(docs: DataFrame, rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.localCheckpoint()
     val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("partner"))
       .union(pairs.select(col("id2").as("doc_id"), col("id1").as("partner")))
     docs.select(col("doc_id"))
@@ -61,13 +68,19 @@ object Dedup {
       .drop("__bsz")
 
   /** `(doc_id, band, h)` → distinct capped candidate pairs (id1 < id2) —
-    * the one pair-generation code path for minhash LSH and [[clusters]]. */
-  private def bandedPairs(bucketed: DataFrame, maxBucket: Int): DataFrame = {
+    * the ONE pair-generation code path for every banded generator
+    * (minhash LSH, simhash, [[clusters]]). `verify` is an optional exact
+    * post-join check over the aliased sides (e.g. simhash's hamming
+    * distance, referencing `a.`/`b.` columns carried in `bucketed`). */
+  private def bandedPairs(bucketed: DataFrame, maxBucket: Int,
+                          verify: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     val capped = capBuckets(bucketed, maxBucket)
-    capped.as("a")
+    val joined = capped.as("a")
       .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
+    verify.fold(joined)(joined.filter)
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .distinct()
   }
@@ -115,14 +128,9 @@ object Dedup {
           shiftright(col("sh"), 16 * j).bitwiseAND(lit(0xffffL)).as("h"))): _*))
         .as("bc"))
       .select(col("doc_id"), col("sh"), col("bc.band"), col("bc.h"))
-    val capped = capBuckets(banded, maxBucket)
-    val pairs = capped.as("a")
-      .join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .filter(bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming)
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .distinct()
+    val pairs = bandedPairs(banded, maxBucket,
+      verify = Some(
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming))
     perDocSummary(docs, pairs)
   }
 
@@ -156,9 +164,11 @@ object Dedup {
         lead(col("tok"), 2).over(w).as("t2"))
       .filter(col("t2").isNotNull)
       // join on the 64-bit FNV of the shingle, not the string: ~3-4×
-      // less shuffle per row and cheaper join probes. A collision would
-      // inflate one intersection count by 1; at P ≈ pairs·2⁻⁶⁴ that is
-      // never observed (and the correctness oracle would catch it).
+      // less shuffle per row and cheaper join probes. Both sides of the
+      // jaccard are post-hash: a collision inflates one intersection
+      // count by 1 AND (via the distinct below) shrinks that doc's n_sh
+      // denominator by 1; at P ≈ pairs·2⁻⁶⁴ neither is ever observed
+      // (and the correctness oracle would catch it).
       .select(col("doc_id"),
         graft.functions.fnv1a64(
           concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("sh"))
@@ -203,7 +213,11 @@ object Dedup {
                maxBucket: Int = 1000): DataFrame = {
     // same capped pair generation as minhashCandidates — one code path,
     // one skew guard
+    // materialized before the symmetric union (see perDocSummary): the
+    // outer localCheckpoint on `edges` materializes the UNION's output,
+    // but both branches still execute the pair subtree once each
     val pairs = bandedPairs(minhashBuckets(docs, 128, 16, 3), maxBucket)
+      .localCheckpoint()
     val edges = pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
       .localCheckpoint()
@@ -218,13 +232,19 @@ object Dedup {
       .localCheckpoint()
     // labels are monotone non-increasing, so ANY change strictly lowers
     // the label sum: convergence is one cheap aggregate per round instead
-    // of a self-join diff
+    // of a self-join diff. Summed in DECIMAL(38,0) — a wrapping Long sum
+    // would make the check probabilistic (a round whose total decrement
+    // is an exact multiple of 2^64 would falsely read as converged);
+    // decimal headroom covers 1e19 docs × 2^63 labels.
     // one action initializes both the convergence baseline and the
     // empty-graph early exit (sum is null on an empty table)
-    val sum0 = labels.agg(sum(col("cluster_id"))).head()
-    var prevSum = if (sum0.isNullAt(0)) 0L else sum0.getLong(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head()
+      if (r.isNullAt(0)) null else r.getDecimal(0)
+    }
+    var prevSum = labelSum(labels)
     var iter = 0
-    var converged = sum0.isNullAt(0)
+    var converged = prevSum == null
     while (iter < maxIters && !converged) {
       val neighborMin = edges
         .join(labels, edges("id2") === labels("doc_id"))
@@ -235,10 +255,9 @@ object Dedup {
           least(col("cluster_id"), coalesce(col("neighbor_min"),
             col("cluster_id"))).as("cluster_id"))
         .localCheckpoint()
-      val newSum =
-        updated.agg(coalesce(sum(col("cluster_id")), lit(0L))).head().getLong(0)
+      val newSum = labelSum(updated)
       labels = updated
-      converged = newSum == prevSum
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       iter += 1
     }

@@ -27,11 +27,13 @@ object Embeddings {
 
   /** (doc_id, embedding array<float> dim) with TF-IDF weights. */
   def tfidfVectors(docs: DataFrame, dim: Int = 64): DataFrame = {
-    val n = docs.count() // corpus size: one scalar action, like an ANALYZE
-    val toks = docs
+    val base = docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
       .localCheckpoint() // barrier: Generate re-evals codegen'd children
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    // corpus size N (ALL docs, token-less included) counted off the
+    // materialized checkpoint blocks — not a second scan of the corpus
+    val n = base.count()
+    val toks = base.select(col("doc_id"), explode(col("toks")).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val df = toks.select(col("doc_id"), col("tok")).distinct()

@@ -108,6 +108,12 @@ object IvfIndex {
   def persistBucketed(corpus: DataFrame, nCentroids: Int, table: String,
                       path: String, nBuckets: Int = 8): Unit = {
     val cents = centroids(corpus, nCentroids)
+    // centroids persisted alongside (like persist() does): recovering
+    // them from the postings by `vec_id < nCentroids` would be valid
+    // ONLY for the seed-centroid build and silently wrong for k-means
+    // or externally supplied centroid sets
+    cents.write.mode("overwrite").option("path", s"${path}_centroids")
+      .saveAsTable(s"${table}_centroids")
     corpus.join(
         assignments(corpus, cents).select(col("vec_id"), col("centroid_id")),
         Seq("vec_id"))
@@ -120,13 +126,14 @@ object IvfIndex {
 
   /** Search a bucketed index table: same probe-then-score dataflow as
     * [[search]], but candidate scoring groups by the bucketed column, so
-    * the per-centroid work is exchange-free on the corpus side. */
+    * the per-centroid work is exchange-free on the corpus side. Centroids
+    * come from the companion `<table>_centroids` table written by
+    * [[persistBucketed]] — valid for ANY centroid source, not just the
+    * seed-centroid build. */
   def searchBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
-                     queries: DataFrame, nCentroids: Int, nprobe: Int,
-                     k: Int): DataFrame = {
+                     queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val postings = spark.table(table)
-    val cents = postings.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val cents = spark.table(s"${table}_centroids")
     val probes = cents.crossJoin(broadcast(queries))
       .select(col("query_id"),
         cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))

@@ -120,7 +120,9 @@ object Pipeline {
     * Public (Knuth) constant; inputs reduced mod 1000003 first so the
     * product stays far from Long overflow — DuckDB errors on BIGINT
     * overflow where the JVM wraps, and the oracle must compute the SAME
-    * value. */
+    * value. Total over NEGATIVE ids too: the inner `%` is truncated
+    * (dividend-signed) identically in both engines, and the final pmod is
+    * mirrored in the oracle as `(x % 1000 + 1000) % 1000`. */
   private def scramble(a: Column, b: Column): Column =
     pmod((a % 1000003L) * 2654435761L + (b % 1000003L) * 97L, lit(1000L))
 

@@ -124,6 +124,29 @@ class ExpressionSpec extends SparkSuite {
     assert(q2 == Seq((0.2, 5L)))
   }
 
+  test("NaN scores are skipped identically on declarative and fused paths") {
+    // declarative aggregate: NaN never enters the heap, even under capacity
+    val df = Seq((1L, Double.NaN, 9L), (1L, 0.5, 1L), (2L, Double.NaN, 3L))
+      .toDF("query_id", "sim", "vec_id")
+    val got = df.groupBy($"query_id")
+      .agg(top_k_by_score($"sim", $"vec_id", 3).as("topk"))
+      .orderBy($"query_id").collect()
+    assert(got(0).getSeq[Row](1).map(r => (r.getDouble(0), r.getLong(1)))
+      == Seq((0.5, 1L)))
+    assert(got(1).getSeq[Row](1).isEmpty) // group exists, heap empty
+    // fused operator on a corpus containing a NaN embedding: the NaN
+    // vector drops out of BOTH plans (the fused scan's score gate and
+    // TopKBuffer.add agree), so results stay identical
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(Float.NaN, 1.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 1.0f))).toDF("query_id", "qv")
+    val agg = operators.Search.bruteForceTopK(queries, corpus, 3).collect().toSeq
+    val fused = operators.Search.fusedTopK(queries, corpus, 3).collect().toSeq
+    assert(fused == agg)
+    assert(agg.map(_.getLong(2)).toSet == Set(1L, 3L))
+  }
+
   test("fused VectorTopKJoin operator matches the aggregate-based KNN") {
     val e = sources.Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 7)

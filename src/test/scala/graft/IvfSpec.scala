@@ -75,10 +75,39 @@ class IvfSpec extends SparkSuite {
         s"bucketed aggregation should not shuffle:\n$plan")
       // and the bucketed search path returns the in-memory IVF results
       val fromTable = IvfIndex.searchBucketed(spark,
-        "graft_postings_bucketed", queries, nCentroids = 16, nprobe = 4, k = 5)
+        "graft_postings_bucketed", queries, nprobe = 4, k = 5)
       val inMem = IvfIndex.search(queries, t.embeddings, 16, 4, 5)
       assert(fromTable.collect().toSeq == inMem.collect().toSeq)
-    } finally spark.sql("DROP TABLE IF EXISTS graft_postings_bucketed")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_postings_bucketed")
+      spark.sql("DROP TABLE IF EXISTS graft_postings_bucketed_centroids")
+    }
+  }
+
+  test("checked q_ivf_persisted: pruned search plan, same results as q_ivf_search") {
+    val fused = SparkEntry.queries("q_ivf_search")(spark, sfDir)
+    val persisted = SparkEntry.queries("q_ivf_persisted")(spark, sfDir)
+    assert(persisted.collect().toSeq == fused.collect().toSeq)
+    val plan = planOf(SparkEntry.queries("q_ivf_persisted")(spark, sfDir))
+    // partition pruning on the postings side
+    assert(plan.contains("PartitionFilters: [centroid_id"), plan)
+    // no index rebuild inside the search: no corpus × centroids argmin
+    // aggregate, and every corpus-parquet scan is the pushed-down 5-row
+    // query side (a full-corpus scan would lack the vec_id<5 pushdown)
+    assert(!plan.contains("min(struct"), plan)
+    val nCorpus = "embeddings\\.parquet".r.findAllIn(plan).size
+    val nQuerySide = "LessThan\\(vec_id,5\\)".r.findAllIn(plan).size
+    assert(nCorpus > 0 && nCorpus == nQuerySide, plan)
+  }
+
+  test("checked q_ivf_bucketed equals q_ivf_search") {
+    val fused = SparkEntry.queries("q_ivf_search")(spark, sfDir)
+    val bucketed = SparkEntry.queries("q_ivf_bucketed")(spark, sfDir)
+    try assert(bucketed.collect().toSeq == fused.collect().toSeq)
+    finally {
+      spark.sql("DROP TABLE IF EXISTS graft_q_postings")
+      spark.sql("DROP TABLE IF EXISTS graft_q_postings_centroids")
+    }
   }
 
   test("salted join equals plain join on skewed keys") {
