@@ -21,7 +21,10 @@ object Bench {
       else SparkEntry.queries
     // one warm-up action: JIT, codegen cache, FileSourceScan init
     SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
-    val results = selected.toSeq.map { case (name, fn) =>
+    // fixed name order: Map iteration order reshuffles whenever a key is
+    // added, which silently re-deals JIT warmth across queries and makes
+    // round-over-round per-query deltas incomparable
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // stabilize: drop prior queries' broadcast/codegen garbage
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column —
