@@ -256,6 +256,38 @@ object SparkEntry {
       .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(20)),
+    // vocabulary cardinality without the vocabulary shuffle: KMV bottom-k
+    // sketch per shard, with the exact count alongside as the audit (the
+    // sketch ships k longs per partition; COUNT(DISTINCT) ships the
+    // vocabulary). Integer-arithmetic estimator → bit-exact oracle replay.
+    "q_distinct_sketch" -> q(t => {
+      import graft.functions.TextFunctions.{preprocess, tokens}
+      val base = t.documents
+        .select(pmod(col("doc_id"), lit(4L)).as("shard"),
+          tokens(preprocess(col("text"))).as("toks"))
+        .repartition(32) // barrier: see q_token_topk
+        .select(col("shard"), explode(col("toks")).as("tok"))
+        .select(col("shard"), graft.functions.fnv1a64(col("tok")).as("h"))
+      base.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("h")).as("exact_distinct"),
+          graft.functions.kmv_distinct(col("h"), 256).as("sk"))
+        .select(col("shard"), col("n_tokens"), col("exact_distinct"),
+          col("sk.est_distinct").as("est_distinct"),
+          col("sk.kth_min").as("kth_min"))
+        .orderBy(col("shard"))
+    }),
+    // skew-mitigated join: salted equi-join returns exactly the plain
+    // join's rows (the oracle IS the plain join)
+    "q_salted_join" -> q(t => {
+      val big = t.events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"))
+      val small = t.customer
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      Salting.saltedJoin(big, small, "user_id", salts = 8)
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+        .orderBy(col("event_id"))
+    }),
     // SQL surface: graft expressions registered into the session registry
     "q_sql_search" -> ((s, dir) => {
       GraftSql.register(s)
@@ -550,6 +582,29 @@ object SparkEntry {
         | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // KMV sketch replayed exactly: same FNV hashes (HUGEINT), same k-th
+    // smallest distinct unsigned value, same integer-division estimator
+    "q_distinct_sketch" ->
+      (s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n),
+          | h AS (SELECT ((doc_id % 4) + 4) % 4 AS shard,
+          |   ${fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)")} AS u
+          |  FROM tok WHERE tk <> ''),
+          | d AS (SELECT DISTINCT shard, u FROM h),
+          | r AS (SELECT shard, u, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY u) AS rn FROM d),
+          | kth AS (SELECT shard, u AS kv FROM r WHERE rn = 256),
+          | agg AS (SELECT shard, COUNT(*) AS n_tokens, COUNT(DISTINCT u) AS exact_distinct FROM h GROUP BY 1)
+          |SELECT a.shard, a.n_tokens, a.exact_distinct,
+          | CAST(CASE WHEN kth.kv IS NULL THEN a.exact_distinct::HUGEINT
+          |      ELSE 255::HUGEINT * 18446744073709551616::HUGEINT // kth.kv END AS BIGINT) AS est_distinct,
+          | coalesce(${signedSql("kth.kv")}, 0) AS kth_min
+          |FROM agg a LEFT JOIN kth ON a.shard = kth.shard ORDER BY a.shard""").stripMargin,
+    // the salted join's oracle is the PLAIN join: salting must be
+    // invisible in the result
+    "q_salted_join" ->
+      """SELECT event_id, user_id, c_mktsegment
+        |FROM events JOIN customer ON user_id = c_custkey
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     "q_kmeans_refine" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
         | c0 AS (SELECT vec_id AS centroid_id, ev AS cv FROM e WHERE vec_id < 8),

@@ -38,6 +38,9 @@ package object functions {
   def top_k_by_score(score: Column, id: Column, k: Int): Column =
     bridge.column(TopKByScore(c(score), c(id), k).toAggregateExpression())
 
+  def kmv_distinct(hash: Column, k: Int): Column =
+    bridge.column(KmvDistinct(c(hash), k).toAggregateExpression())
+
   def quantize8(v: Column): Column = bridge.column(Quantize8(c(v)))
 
   def scatter_vector(entries: Column, dim: Int): Column =

@@ -205,31 +205,40 @@ object Dedup {
     * the cluster of the smallest doc_id it is (transitively) connected to;
     * singletons keep their own id.
     *
-    * Iterative DataFrame joins with `localCheckpoint` per round (cuts the
-    * exploding lineage); converges in O(log(diameter)) rounds. This is the
-    * canonicalization step after candidate generation in an LLM dedup
-    * pipeline: keep `cluster_id == doc_id` rows, drop the rest. */
+    * Iterative DataFrame joins with a checkpoint barrier per round (cuts
+    * the exploding lineage); converges in O(log(diameter)) rounds. This is
+    * the canonicalization step after candidate generation in an LLM dedup
+    * pipeline: keep `cluster_id == doc_id` rows, drop the rest.
+    *
+    * `checkpointDir`: by default the iteration state is `localCheckpoint`ed
+    * (fast, but executor-local — documented as NOT fault-tolerant). On a
+    * real cluster pass a reliable dir (HDFS/S3): iteration state is then
+    * `checkpoint()`ed there, so a multi-hour propagation over billions of
+    * edges survives executor loss instead of restarting from nothing. */
   def clusters(docs: DataFrame, maxIters: Int = 10,
-               maxBucket: Int = 1000): DataFrame = {
+               maxBucket: Int = 1000,
+               checkpointDir: Option[String] = None): DataFrame = {
+    val spark = docs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // same capped pair generation as minhashCandidates — one code path,
     // one skew guard
     // materialized before the symmetric union (see perDocSummary): the
-    // outer localCheckpoint on `edges` materializes the UNION's output,
-    // but both branches still execute the pair subtree once each
-    val pairs = bandedPairs(minhashBuckets(docs, 128, 16, 3), maxBucket)
-      .localCheckpoint()
-    val edges = pairs
-      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
-      .localCheckpoint()
+    // outer barrier on `edges` materializes the UNION's output, but both
+    // branches still execute the pair subtree once each
+    val pairs = barrier(bandedPairs(minhashBuckets(docs, 128, 16, 3),
+      maxBucket))
+    val edges = barrier(pairs
+      .union(pairs.select(col("id2").as("id1"), col("id1").as("id2"))))
 
     // propagate ONLY over vertices of the candidate graph: a doc in no
     // pair is its own singleton cluster and can never change label, so
     // the iteration runs on the (much smaller) near-dup vertex set, not
     // the corpus — at 100 TB the corpus is billions of rows while the
     // candidate graph is orders of magnitude smaller
-    var labels = edges.select(col("id1").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("cluster_id"))
-      .localCheckpoint()
+    var labels = barrier(edges.select(col("id1").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id")))
     // labels are monotone non-increasing, so ANY change strictly lowers
     // the label sum: convergence is one cheap aggregate per round instead
     // of a self-join diff. Summed in DECIMAL(38,0) — a wrapping Long sum
@@ -250,11 +259,10 @@ object Dedup {
         .join(labels, edges("id2") === labels("doc_id"))
         .groupBy(col("id1").as("doc_id"))
         .agg(min(col("cluster_id")).as("neighbor_min"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      val updated = barrier(labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("neighbor_min"),
-            col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint()
+            col("cluster_id"))).as("cluster_id")))
       val newSum = labelSum(updated)
       labels = updated
       converged = newSum.compareTo(prevSum) == 0

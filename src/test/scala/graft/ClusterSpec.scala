@@ -32,6 +32,17 @@ class ClusterSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("reliable-checkpoint mode produces identical clusters") {
+    val t = Tables(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val reliable = Dedup.clusters(t.documents, checkpointDir = Some(dir))
+      .collect().toSeq
+    val local = Dedup.clusters(t.documents).collect().toSeq
+    assert(reliable == local)
+    // the reliable run actually wrote its iteration state there
+    assert(new java.io.File(dir).listFiles().nonEmpty, dir)
+  }
+
   test("tf-idf embedding: rare shared terms bind docs tighter than common ones") {
     import graft.functions.cosine_similarity
     // 'common' is in every doc; 'rareterm' only in docs 1 and 2
