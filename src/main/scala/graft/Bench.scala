@@ -19,8 +19,14 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
-    // one warm-up action: JIT, codegen cache, FileSourceScan init
-    SparkEntry.queries.get("q1_agg").foreach(f => f(spark, sfDir).count())
+    // warm-up actions: JIT, codegen cache, FileSourceScan init. One
+    // relational query AND one documents query — the text-normalization
+    // regex chain is the hottest JIT surface, and without warming it the
+    // first few text queries (in sorted order) absorb its compile cost
+    Seq("q1_agg", "text_tokens").foreach(n =>
+      SparkEntry.queries.get(n).foreach(f => f(spark, sfDir).count()))
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
     // fixed name order: Map iteration order reshuffles whenever a key is
     // added, which silently re-deals JIT warmth across queries and makes
     // round-over-round per-query deltas incomparable
