@@ -137,10 +137,22 @@ object Dedup {
   /** Word-n-gram Jaccard nearest neighbor per doc (docs sharing no shingle
     * have no neighbor and drop out — same on the oracle side).
     *
-    * Shingles are assembled AFTER exploding tokens (lead() windows) rather
-    * than exploding a precomputed shingle array: Generate re-evaluates its
-    * child expression per OUTPUT row, which turned the array build into an
-    * O(doc × shingles) quadratic blowup (33 s at sf0.1 → sub-second).
+    * The per-doc shingle SET is built array-side (`array_distinct` over
+    * [[graft.functions.WordShingles]]) and checkpointed BEFORE the
+    * explode — the barrier that stops Generate from re-evaluating the
+    * array build per output row (the round-1 33 s quadratic blowup).
+    * Building the set array-side also yields `n_sh = size(set)` for free
+    * and drops two whole passes from the plan: the old lead()-window
+    * assembly shuffled AND sorted the full token table, then a second
+    * window re-counted per-doc shingles. At local sf0.1 the wall time is
+    * join-dominated either way (~2.9 s warm, unchanged); the win is the
+    * removed token-table sort-shuffle, which grows with corpus size.
+    *
+    * Shingles travel as their 64-bit FNV, not the string: ~3-4× less
+    * shuffle per row and cheaper join probes. `n_sh` counts distinct
+    * STRINGS (pre-hash, exactly the oracle's denominator); a hash
+    * collision could only inflate one intersection count, with
+    * P ≈ pairs·2⁻⁶⁴ — never observed, and the oracle would catch it.
     *
     * `maxShingleDf` caps the document frequency of join-key shingles: a
     * boilerplate 3-gram shared by M docs is a quadratic key (M² pairs on
@@ -152,31 +164,15 @@ object Dedup {
     * max observed df at oracle scale, so sf0.01 results are exact. */
   def jaccardNeighbors(docs: DataFrame, shingleLen: Int = 3,
                        maxShingleDf: Int = 1000): DataFrame = {
-    require(shingleLen == 3, "window-assembled shingles fixed at n=3")
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val sh = docs
       .select(col("doc_id"),
-        tokens(preprocess(col("text"))).as("toks"))
+        array_distinct(
+          shingles(tokens(preprocess(col("text"))), shingleLen)).as("shs"))
       .localCheckpoint() // barrier: see minhashCandidates
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
-      .select(col("doc_id"), col("tok"),
-        lead(col("tok"), 1).over(w).as("t1"),
-        lead(col("tok"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      // join on the 64-bit FNV of the shingle, not the string: ~3-4×
-      // less shuffle per row and cheaper join probes. Both sides of the
-      // jaccard are post-hash: a collision inflates one intersection
-      // count by 1 AND (via the distinct below) shrinks that doc's n_sh
-      // denominator by 1; at P ≈ pairs·2⁻⁶⁴ neither is ever observed
-      // (and the correctness oracle would catch it).
-      .select(col("doc_id"),
-        graft.functions.fnv1a64(
-          concat_ws(" ", col("tok"), col("t1"), col("t2"))).as("sh"))
-      .distinct()
-      // carry |shingles(doc)| on every row (window count) instead of
-      // joining a separately recomputed sizes branch twice
-      .withColumn("n_sh",
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .select(col("doc_id"), size(col("shs")).as("n_sh"),
+        explode(col("shs")).as("s"))
+      .select(col("doc_id"), col("n_sh"),
+        graft.functions.fnv1a64(col("s")).as("sh"))
       // df cap AFTER n_sh (denominators stay exact) and BEFORE the
       // checkpoint (both join sides read the already-capped table)
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
