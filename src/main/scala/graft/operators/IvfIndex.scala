@@ -125,11 +125,13 @@ object IvfIndex {
   }
 
   /** Search a bucketed index table: same probe-then-score dataflow as
-    * [[search]], but candidate scoring groups by the bucketed column, so
-    * the per-centroid work is exchange-free on the corpus side. Centroids
-    * come from the companion `<table>_centroids` table written by
-    * [[persistBucketed]] — valid for ANY centroid source, not just the
-    * seed-centroid build. */
+    * [[search]], but the probed centroid ids become a literal IN filter on
+    * the bucketed column, so the scan reads ONLY the probed centroids'
+    * buckets (`SelectedBucketsCount` in the plan — the bucketed twin of
+    * [[searchPersisted]]'s directory pruning) and any later per-centroid
+    * aggregation stays exchange-free. Centroids come from the companion
+    * `<table>_centroids` table written by [[persistBucketed]] — valid for
+    * ANY centroid source, not just the seed-centroid build. */
   def searchBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
                      queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val postings = spark.table(table)
@@ -140,7 +142,10 @@ object IvfIndex {
       .groupBy(col("query_id"))
       .agg(top_k_by_score(col("sim"), col("centroid_id"), nprobe).as("topk"))
       .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)) // bounded: <= queries x nprobe
     val scored = postings
+      .filter(col("centroid_id").isin(probedIds.map(x => x: Any): _*))
       .join(broadcast(probes), Seq("centroid_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),

@@ -121,6 +121,24 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("kmv sketch: exact below k, invariant to duplication and partitioning") {
+    val hashGen: Gen[List[Long]] =
+      Gen.chooseNum(1, 200).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    forAll(hashGen, 10) { hs =>
+      val distinct = hs.distinct
+      def run(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = df.agg(kmv_distinct($"h", 64).as("sk"))
+          .select($"sk.est_distinct", $"sk.kth_min").head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val base = run(hs.toDF("h"))
+      if (distinct.length < 64) assert(base == ((distinct.length.toLong, 0L)))
+      // duplicating every row and reshuffling partitions changes nothing
+      assert(run((hs ++ hs).toDF("h").repartition(7)) == base)
+    }
+  }
+
   test("top-k is a prefix: top(k) == top(k+3).take(k) under the same order") {
     val e = sources.Tables(spark, sfDir).embeddings
     val q = e.filter($"vec_id" < 3)

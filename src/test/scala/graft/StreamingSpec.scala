@@ -66,6 +66,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming vocabulary sketch converges to the batch kmv aggregate") {
+    import org.apache.spark.sql.Row
+    import graft.functions.{fnv1a64, kmv_distinct}
+    import graft.functions.TextFunctions.{preprocess, tokens}
+    val dir = Files.createTempDirectory("graft-vocab-stream").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long): (Long, String) =
+      (id, (1 to 6).map(j => s"w${id}x$j").mkString(" ") + " shared tok")
+    def write(path: String, rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map { case (id, tx) => Row(id, tx) }: _*),
+        docSchema).coalesce(1).write.parquet(path)
+    write(s"$dir/chunk=a", (0L to 3L).map(doc))
+    Thread.sleep(1100)
+    write(s"$dir/chunk=b", (4L to 7L).map(doc))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
+    val q = VocabularyStream.vocabulary(stream, k = 8, shards = 2)
+      .writeStream.format("memory").queryName("vocab_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // final state per shard = the row with the most hashes ingested
+      // (n_seen is monotone; sketch_size saturates at k and can tie)
+      val got = spark.table("vocab_out").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(4))))
+        .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._3)).toMap
+      // batch reference: the kmv aggregate over ALL eight documents
+      val allDocs = spark.createDataFrame(
+        java.util.Arrays.asList((0L to 7L).map(doc).map { case (id, tx) =>
+          Row(id, tx) }: _*), docSchema)
+      val want = allDocs
+        .select(pmod(col("doc_id"), lit(2L)).as("shard"),
+          explode(tokens(preprocess(col("text")))).as("tok"))
+        .select(col("shard"), fnv1a64(col("tok")).as("h"))
+        .groupBy(col("shard")).agg(kmv_distinct(col("h"), 8).as("sk"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getStruct(1).getLong(0), r.getStruct(1).getLong(1))).toMap
+      assert(got.keySet == Set(0L, 1L))
+      got.foreach { case (shard, (est, kth, _)) =>
+        assert((est, kth) == want(shard), s"shard $shard: got ($est,$kth)")
+      }
+      // > 8 distinct tokens per shard → estimator path, kth populated
+      assert(got.values.forall(_._2 != 0L))
+    } finally q.stop()
+  }
+
   test("EventWindows.hourly batch twin equals q_events_window totals") {
     val streaming = EventWindows.hourly(t.events)  // unified API: batch DF in
     val batch = operators.Relational.eventHourly(t)
