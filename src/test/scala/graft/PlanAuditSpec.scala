@@ -1,0 +1,24 @@
+package graft
+
+/** Whole-catalog plan gate: every `SparkEntry.queries` entry must plan
+  * cleanly. A lost `broadcast()` hint turns a query×corpus crossJoin into
+  * a CartesianProduct — the one operator that is NEVER acceptable at
+  * corpus scale (it materializes |left|×|right| rows with no pruning).
+  * The headline queries get detailed shape gates in PlanSpec/IvfSpec;
+  * this sweep catches regressions in the other ~50.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  test("no checked query plans a CartesianProduct") {
+    try {
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        val plan = planOf(fn(spark, sfDir))
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct:\n$plan")
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_q_postings")
+      spark.sql("DROP TABLE IF EXISTS graft_q_postings_centroids")
+    }
+  }
+}
