@@ -129,6 +129,14 @@ object SparkEntry {
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
         nprobe = 4, k = 5)
     }),
+    // the memory-lean production configuration: IVF pruning AND int8
+    // posting lists (probe/assign on exact centroids, score dequantized)
+    "q_ivf_quantized" -> q(t => IvfIndex.searchQuantized(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings,
+      t.embeddings.select(col("vec_id"), quantize8(col("embedding")).as("qcodes")),
+      nCentroids = 16, nprobe = 4, k = 5)),
     // approximate-index quality audit: recall@k of IVF vs brute force
     "q_recall" -> q(t => IvfIndex.recallAudit(
       t.embeddings.filter(col("vec_id") < 5)
@@ -377,6 +385,26 @@ object SparkEntry {
       |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
       |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** int8 quantize→restore replay in REAL (float32) arithmetic — every
+    * intermediate cast to REAL so DuckDB rounds exactly where the JVM's
+    * float ops do; Math.round(f) is floor(f + 0.5f). Produces `t(vec_id,
+    * ev DOUBLE[])` = the dequantized corpus; shared by q_knn_quantized
+    * and q_ivf_quantized. */
+  private val quantizeRestoreCtes: String =
+    """s AS (SELECT vec_id, embedding,
+      |   CAST(list_min(embedding) AS REAL) AS mn,
+      |   CAST(list_max(embedding) AS REAL) AS mx FROM embeddings),
+      | p AS (SELECT vec_id, embedding, mn,
+      |   CASE WHEN mx > mn THEN CAST((mx - mn)/CAST(255 AS REAL) AS REAL)
+      |        ELSE CAST(1 AS REAL) END AS scale FROM s),
+      | r AS (SELECT vec_id, embedding, mn, scale,
+      |   list_transform(embedding, x -> least(255, greatest(0,
+      |     CAST(floor(CAST(CAST(CAST(x - mn AS REAL)/scale AS REAL) + CAST(0.5 AS REAL) AS REAL)) AS BIGINT)))) AS codes
+      |  FROM p),
+      | t AS (SELECT vec_id,
+      |   list_transform(codes, c -> CAST(CAST(mn + CAST(c * scale AS REAL) AS REAL) AS DOUBLE)) AS ev
+      |  FROM r)""".stripMargin
+
   private val DEC = "CAST(l_extendedprice AS DECIMAL(18,2))"
   private val DISC = "CAST(l_discount AS DECIMAL(18,2))"
   private val REV = s"$DEC * (1 - $DISC)"
@@ -564,24 +592,33 @@ object SparkEntry {
     // quantized exact search: the q_quantize REAL-replay (element-wise
     // float32 round-trip) composed with the q_knn ranking
     "q_knn_quantized" ->
-      """WITH s AS (SELECT vec_id, embedding,
-        |   CAST(list_min(embedding) AS REAL) AS mn,
-        |   CAST(list_max(embedding) AS REAL) AS mx FROM embeddings),
-        | p AS (SELECT vec_id, embedding, mn,
-        |   CASE WHEN mx > mn THEN CAST((mx - mn)/CAST(255 AS REAL) AS REAL)
-        |        ELSE CAST(1 AS REAL) END AS scale FROM s),
-        | r AS (SELECT vec_id, embedding, mn, scale,
-        |   list_transform(embedding, x -> least(255, greatest(0,
-        |     CAST(floor(CAST(CAST(CAST(x - mn AS REAL)/scale AS REAL) + CAST(0.5 AS REAL) AS REAL)) AS BIGINT)))) AS codes
-        |  FROM p),
-        | t AS (SELECT vec_id,
-        |   list_transform(codes, c -> CAST(CAST(mn + CAST(c * scale AS REAL) AS REAL) AS DOUBLE)) AS ev
-        |  FROM r),
-        | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
-        | sims AS (SELECT query_id, t.vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN t),
-        | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
-        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
-        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+      (s"""WITH $quantizeRestoreCtes,
+          | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+          | sims AS (SELECT query_id, t.vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN t),
+          | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+          |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+          |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
+    // IVF + int8 postings: exact-centroid assignment/probes (the
+    // ivfSearchSql CTEs) with candidate scoring over RESTORED vectors
+    "q_ivf_quantized" ->
+      (s"""WITH $quantizeRestoreCtes,
+          | c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+          | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+          | assign AS (SELECT vec_id, centroid_id FROM (
+          |   SELECT e.vec_id, c.centroid_id,
+          |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(e.ev, cv), centroid_id) AS rn
+          |   FROM e CROSS JOIN c) WHERE rn = 1),
+          | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+          | probes AS (SELECT query_id, centroid_id FROM (
+          |   SELECT query_id, centroid_id,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+          |   FROM q CROSS JOIN c) WHERE rn <= 4),
+          | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+          | scored AS (SELECT cand.query_id, cand.vec_id, list_cosine_similarity(q.qv, t.ev) AS sim
+          |   FROM cand JOIN q ON cand.query_id = q.query_id JOIN t ON cand.vec_id = t.vec_id),
+          | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
+          |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+          |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
     // KMV sketch replayed exactly: same FNV hashes (HUGEINT), same k-th
     // smallest distinct unsigned value, same integer-division estimator
     "q_distinct_sketch" ->

@@ -118,6 +118,26 @@ class IvfSpec extends SparkSuite {
     }
   }
 
+  test("quantized IVF: full probe equals quantized brute force exactly") {
+    import graft.functions._
+    val qcorpus = t.embeddings.select($"vec_id",
+      quantize8($"embedding").as("qcodes"))
+    // probing every centroid = no pruning: must equal the quantized
+    // brute-force ranking row for row
+    val full = IvfIndex.searchQuantized(queries, t.embeddings, qcorpus,
+      nCentroids = 16, nprobe = 16, k = 5).collect().toSeq
+    val brute = Search.quantizedTopK(queries, qcorpus, 5).collect().toSeq
+    assert(full == brute)
+    // pruned probe still recovers most of the exact-corpus ids
+    val pruned = IvfIndex.searchQuantized(queries, t.embeddings, qcorpus,
+        16, 4, 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val exact = IvfIndex.search(queries, t.embeddings, 16, 4, 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val agree = (pruned intersect exact).size.toDouble / exact.size
+    assert(agree >= 0.8, s"quantized-vs-exact IVF agreement = $agree")
+  }
+
   test("salted join equals plain join on skewed keys") {
     import org.apache.spark.sql.functions._
     val big = spark.range(0, 10000)
