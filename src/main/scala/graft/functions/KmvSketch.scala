@@ -27,6 +27,28 @@ final class KmvBuffer(val k: Int) {
     }
   }
   def mergeFrom(other: KmvBuffer): Unit = other.set.forEach(x => add(x))
+
+  /** `(est_distinct, kth_min)`: the exact size below k (kth = 0), else the
+    * bottom-k estimator (k-1)·2⁶⁴/h₍ₖ₎ in BigInt, clamped to
+    * Long.MaxValue — a NON-uniform input (small sequential ids fed
+    * instead of hashes) makes h₍ₖ₎ tiny and the estimate astronomically
+    * large; the clamp surfaces that as an absurd-but-positive value
+    * instead of wrapping to 0/negative on toLong (the DuckDB oracle's
+    * HUGEINT→BIGINT cast would error rather than wrap, so a wrap would
+    * also silently diverge from the oracle). Shared by the batch
+    * aggregate and the streaming vocabulary tracker so the two stay
+    * bit-identical by construction. */
+  def estimate: (Long, Long) = {
+    if (set.size < k) (set.size.toLong, 0L)
+    else {
+      val kth = set.last().longValue()
+      // unsigned kth as BigInt; kth != 0 because k >= 2 distinct values
+      // can't all be zero, so the k-th smallest is positive
+      val u = BigInt(java.lang.Long.toUnsignedString(kth))
+      val est = (BigInt(k - 1) << 64) / u
+      (est.min(BigInt(Long.MaxValue)).toLong, kth)
+    }
+  }
 }
 
 /** Distributed distinct-count sketch over a 64-bit hash column (pair with
@@ -76,16 +98,8 @@ case class KmvDistinct(
   }
 
   override def eval(buf: KmvBuffer): Any = {
-    val n = buf.set.size
-    if (n < k) InternalRow(n.toLong, 0L)
-    else {
-      val kth = buf.set.last().longValue()
-      // unsigned kth as BigInt; kth != 0 because k >= 2 distinct values
-      // can't all be zero, so the k-th smallest is positive
-      val u = BigInt(java.lang.Long.toUnsignedString(kth))
-      val est = (BigInt(k - 1) << 64) / u
-      InternalRow(est.toLong, kth)
-    }
+    val (est, kth) = buf.estimate
+    InternalRow(est, kth)
   }
 
   override def serialize(buf: KmvBuffer): Array[Byte] = {

@@ -210,7 +210,12 @@ object Dedup {
     * (fast, but executor-local — documented as NOT fault-tolerant). On a
     * real cluster pass a reliable dir (HDFS/S3): iteration state is then
     * `checkpoint()`ed there, so a multi-hour propagation over billions of
-    * edges survives executor loss instead of restarting from nothing. */
+    * edges survives executor loss instead of restarting from nothing.
+    * Two operational notes: (1) this sets the CONTEXT-wide checkpoint dir
+    * (Spark has no per-job setting); (2) each round leaves its
+    * checkpoint files behind unless
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so budget
+    * ~maxIters × |labels| + |edges| of reliable storage per run. */
   def clusters(docs: DataFrame, maxIters: Int = 10,
                maxBucket: Int = 1000,
                checkpointDir: Option[String] = None): DataFrame = {

@@ -21,6 +21,29 @@ object IvfIndex {
     corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
 
+  /** (vec_id, centroid_id): each corpus vector's nearest centroid, argmin
+    * by (distance, centroid_id) — the assignment core shared by every
+    * build/search variant. The struct-min aggregate keeps the all-pairs
+    * step map-side; only (vec_id → best) survives the shuffle. */
+  private def nearestCentroid(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("centroid_id"),
+        (lit(1.0) - cosine_similarity(col("embedding"), col("cv"))).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
+
+  /** (query_id, centroid_id): the `nprobe` nearest centroids per query —
+    * the probe step shared by every search variant. */
+  private def probeCentroids(cents: DataFrame, queries: DataFrame,
+                             nprobe: Int): DataFrame =
+    cents.crossJoin(broadcast(queries))
+      .select(col("query_id"),
+        cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))
+      .groupBy(col("query_id"))
+      .agg(top_k_by_score(col("sim"), col("centroid_id"), nprobe).as("topk"))
+      .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
+
   /** Nearest-centroid assignment, argmin by (distance, centroid_id):
     * (vec_id, centroid_id, dist). The struct-min aggregate keeps the
     * all-pairs step map-side; only (vec_id → best) survives the shuffle. */
@@ -136,12 +159,10 @@ object IvfIndex {
                      queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val postings = spark.table(table)
     val cents = spark.table(s"${table}_centroids")
-    val probes = cents.crossJoin(broadcast(queries))
-      .select(col("query_id"),
-        cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))
-      .groupBy(col("query_id"))
-      .agg(top_k_by_score(col("sim"), col("centroid_id"), nprobe).as("topk"))
-      .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
+    // materialized once: the ids are collected for the bucket-pruning IN
+    // filter AND the table feeds the broadcast join — without the barrier
+    // the probe subtree would execute twice
+    val probes = probeCentroids(cents, queries, nprobe).localCheckpoint()
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)) // bounded: <= queries x nprobe
     val scored = postings
@@ -161,12 +182,8 @@ object IvfIndex {
   def searchPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
-    val probes = cents.crossJoin(broadcast(queries))
-      .select(col("query_id"),
-        cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))
-      .groupBy(col("query_id"))
-      .agg(top_k_by_score(col("sim"), col("centroid_id"), nprobe).as("topk"))
-      .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
+    // materialized once: ids for partition pruning + the broadcast side
+    val probes = probeCentroids(cents, queries, nprobe).localCheckpoint()
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)) // bounded: <= queries x nprobe
     val postings = spark.read.parquet(s"$path/postings")
@@ -186,20 +203,8 @@ object IvfIndex {
   def search(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
              nprobe: Int, k: Int): DataFrame = {
     val cents = centroids(corpus, nCentroids)
-    val assign = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        (lit(1.0) - cosine_similarity(col("embedding"), col("cv"))).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
-      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
-
-    val probes = cents.crossJoin(broadcast(queries))
-      .select(col("query_id"),
-        cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))
-      .groupBy(col("query_id"))
-      .agg(top_k_by_score(col("sim"), col("centroid_id"), nprobe).as("topk"))
-      .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
-
+    val assign = nearestCentroid(corpus, cents)
+    val probes = probeCentroids(cents, queries, nprobe)
     // probes = queries × nprobe rows — always broadcastable; the corpus
     // (assignments) side never shuffles for this join
     val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
@@ -228,18 +233,8 @@ object IvfIndex {
                       quantized: DataFrame, nCentroids: Int, nprobe: Int,
                       k: Int): DataFrame = {
     val cents = centroids(corpus, nCentroids)
-    val assign = corpus.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("centroid_id"),
-        (lit(1.0) - cosine_similarity(col("embedding"), col("cv"))).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
-      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
-    val probes = cents.crossJoin(broadcast(queries))
-      .select(col("query_id"),
-        cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))
-      .groupBy(col("query_id"))
-      .agg(top_k_by_score(col("sim"), col("centroid_id"), nprobe).as("topk"))
-      .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
+    val assign = nearestCentroid(corpus, cents)
+    val probes = probeCentroids(cents, queries, nprobe)
     val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
       .select(col("query_id"), col("vec_id"))
     val scored = candidates

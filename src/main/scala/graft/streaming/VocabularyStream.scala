@@ -56,14 +56,10 @@ object VocabularyStream {
           var i = 0
           buf.set.forEach { x => arr(i) = x; i += 1 }
           state.update(VocabState(arr, seen))
-          if (arr.length < k) VocabEstimate(shard, arr.length.toLong, 0L,
-            arr.length, seen)
-          else {
-            val kth = arr.last
-            val u = BigInt(java.lang.Long.toUnsignedString(kth))
-            VocabEstimate(shard, ((BigInt(k - 1) << 64) / u).toLong, kth,
-              arr.length, seen)
-          }
+          // same estimator (and overflow clamp) as the batch aggregate —
+          // shared code keeps the two bit-identical by construction
+          val (est, kth) = buf.estimate
+          VocabEstimate(shard, est, kth, arr.length, seen)
       }
   }
 }

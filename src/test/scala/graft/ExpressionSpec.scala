@@ -152,6 +152,12 @@ class ExpressionSpec extends SparkSuite {
     assert(math.abs(r1024 - 50000.0) / 50000.0 < 0.10, s"est=$r1024")
     // the sketch is a set union: partitioning must not change it at all
     assert(sketch(big.repartition(17)) == ((est, kth)))
+    // garbage-in guard: raw sequential ids (NOT hashes) make the k-th
+    // minimum tiny and the estimate astronomically large — it must clamp
+    // to Long.MaxValue, never wrap to 0/negative
+    val raw = spark.range(0, 100000).select($"id".as("h"))
+    val (estRaw, _) = sketch(raw)
+    assert(estRaw == Long.MaxValue, s"est=$estRaw")
     // SQL surface
     GraftSql.register(spark)
     spark.range(0, 100).select(fnv1a64($"id".cast("string")).as("h"))

@@ -101,21 +101,18 @@ class IvfSpec extends SparkSuite {
   }
 
   test("checked q_ivf_bucketed equals q_ivf_search and prunes buckets") {
+    // the catalog table doubles as the build-once cache — deliberately
+    // NOT dropped, so later invocations (plan audit, bench) reuse it
     val fused = SparkEntry.queries("q_ivf_search")(spark, sfDir)
     val bucketed = SparkEntry.queries("q_ivf_bucketed")(spark, sfDir)
-    try {
-      assert(bucketed.collect().toSeq == fused.collect().toSeq)
-      // probed-centroid IN filter prunes buckets: at most 4 distinct
-      // probed centroids over 8 buckets → never the full 8
-      val plan = planOf(SparkEntry.queries("q_ivf_bucketed")(spark, sfDir))
-      val sel = "SelectedBucketsCount: (\\d+) out of 8".r
-        .findFirstMatchIn(plan)
-      assert(sel.isDefined, plan)
-      assert(sel.get.group(1).toInt < 8, plan)
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_q_postings")
-      spark.sql("DROP TABLE IF EXISTS graft_q_postings_centroids")
-    }
+    assert(bucketed.collect().toSeq == fused.collect().toSeq)
+    // probed-centroid IN filter prunes buckets: at most 4 distinct
+    // probed centroids over 8 buckets → never the full 8
+    val plan = planOf(SparkEntry.queries("q_ivf_bucketed")(spark, sfDir))
+    val sel = "SelectedBucketsCount: (\\d+) out of 8".r
+      .findFirstMatchIn(plan)
+    assert(sel.isDefined, plan)
+    assert(sel.get.group(1).toInt < 8, plan)
   }
 
   test("quantized IVF: full probe equals quantized brute force exactly") {

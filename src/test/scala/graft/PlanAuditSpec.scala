@@ -9,16 +9,16 @@ package graft
   */
 class PlanAuditSpec extends SparkSuite {
 
+  // Caveat: operators that eagerly materialize a subtree at construction
+  // (the dedup pair tables, the IVF index builds) surface here only as
+  // LogicalRDD scans — their internal join shapes are gated where they
+  // are visible (DedupSpec's degenerate-bucket test, IvfSpec's plan
+  // gates); this sweep covers everything downstream of the barriers.
   test("no checked query plans a CartesianProduct") {
-    try {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-        val plan = planOf(fn(spark, sfDir))
-        assert(!plan.contains("CartesianProduct"),
-          s"$name plans a CartesianProduct:\n$plan")
-      }
-    } finally {
-      spark.sql("DROP TABLE IF EXISTS graft_q_postings")
-      spark.sql("DROP TABLE IF EXISTS graft_q_postings_centroids")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n$plan")
     }
   }
 }
