@@ -16,6 +16,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-query shuffle accounting: the scale design lives or dies on
+    // shuffle volume, so the bench reports it next to wall time (bytes
+    // WRITTEN to shuffle per query, attributed via listener-bus drains
+    // around each timed run)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
@@ -36,6 +48,8 @@ object Bench {
     // round-over-round per-query deltas incomparable
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // stabilize: drop prior queries' broadcast/codegen garbage
+      org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+      val sh0 = shuffleBytes.get
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column —
       // count() lets the optimizer prune entire subtrees (outer-join
@@ -46,6 +60,8 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+      val shMb = (shuffleBytes.get - sh0) / 1e6
       // isolation: drop this query's localCheckpoint blocks before the
       // next one runs — otherwise block-manager occupancy and GC pressure
       // grow monotonically across the suite and late queries read 2×
@@ -53,15 +69,17 @@ object Bench {
       // bench bookkeeping, not part of the query)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      (name, dt, ok)
+      (name, dt, ok, shMb)
     }
     // failed queries report -1 (never a fast-looking timing) and are listed
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) v else -1.0) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val shuffle = results.map { case (k, _, _, mb) =>
+      "\"" + k + "\":" + (math.floor(mb * 100) / 100) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_mb":$shuffle,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -65,6 +65,13 @@ object bridge {
         s.experimental.extraOptimizations :+ rule
   }
 
+  /** Block until all queued listener-bus events are delivered —
+    * `ListenerBus.waitUntilEmpty` is `private[spark]`, and per-query
+    * metric attribution (Bench's shuffle accounting) is wrong without
+    * the drain because stage-completed events arrive asynchronously. */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register a SQL function into an existing session's registry (the
     * runtime-path complement to `SparkSessionExtensions.injectFunction`,
     * for sessions graft didn't build — e.g. the driver's). */
