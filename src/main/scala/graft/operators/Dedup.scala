@@ -180,12 +180,20 @@ object Dedup {
       .drop("__df")
       // both sides of the self-join read the materialized shingle table
       .localCheckpoint()
-    val jac = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") &&
+    // the self-join shuffles only (doc_id, sh) — n_sh stays out of the
+    // widest shuffle of the pipeline (~1/3 of its bytes) and joins back
+    // onto the candidate-PAIR table, which is orders of magnitude smaller
+    // than the shingle table
+    val slim = sh.select(col("doc_id"), col("sh"))
+    val sizes = sh.select(col("doc_id"), col("n_sh")).distinct()
+    val jac = slim.as("a")
+      .join(slim.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"),
-        col("a.n_sh").as("n1"), col("b.n_sh").as("n2"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"))
       .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n1")), Seq("doc_id"))
+      .join(sizes.select(col("doc_id").as("neighbor_id"),
+        col("n_sh").as("n2")), Seq("neighbor_id"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
     val wBest = Window.partitionBy(col("doc_id"))
