@@ -31,14 +31,21 @@ object Bench {
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
       else SparkEntry.queries
+    // a failed drain degrades metrics attribution, never the bench run:
+    // waitUntilEmpty throws after ~10 s if the bus is backlogged, and
+    // losing one query's shuffle attribution beats losing the round
+    def drain(): Unit =
+      try org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+      catch { case scala.util.control.NonFatal(_) => () }
     // warm-up actions: JIT, codegen cache, FileSourceScan init. One
     // relational query AND one documents query — the text-normalization
     // regex chain is the hottest JIT surface, and without warming it the
     // first few text queries (in sorted order) absorb its compile cost.
-    // The two index-backed searches warm their build-once caches here so
-    // their TIMED runs measure the pruned search, not the index build —
-    // which is the build-once/search-many contract those queries check.
-    Seq("q1_agg", "text_tokens", "q_ivf_persisted", "q_ivf_bucketed")
+    // The index-backed searches warm their build-once caches (ONLY when
+    // selected) so their TIMED runs measure the pruned search, not the
+    // index build — the build-once/search-many contract they check.
+    (Seq("q1_agg", "text_tokens") ++
+      Seq("q_ivf_persisted", "q_ivf_bucketed").filter(selected.contains))
       .foreach(n =>
         SparkEntry.queries.get(n).foreach(f => f(spark, sfDir).count()))
     spark.sparkContext.getPersistentRDDs.values
@@ -48,7 +55,7 @@ object Bench {
     // round-over-round per-query deltas incomparable
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // stabilize: drop prior queries' broadcast/codegen garbage
-      org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+      drain()
       val sh0 = shuffleBytes.get
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column —
@@ -60,7 +67,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
         }
       val dt = (System.nanoTime() - t0) / 1e9
-      org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+      drain()
       val shMb = (shuffleBytes.get - sh0) / 1e6
       // isolation: drop this query's localCheckpoint blocks before the
       // next one runs — otherwise block-manager occupancy and GC pressure

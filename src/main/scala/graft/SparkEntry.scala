@@ -24,6 +24,16 @@ object SparkEntry {
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables(s, dir))
 
+  /** Process-private base dir + per-sfDir memo for the build-once index
+    * queries: reused within a JVM, never shared across processes (no
+    * /tmp path races, no stale index after a corpus regeneration). */
+  private lazy val ivfTmpBase: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf").toString
+  private val builtPersisted =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val builtBucketed =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   /** Driver-checkable digest of a `(doc_id, embedding)` vector table:
     * dimension, floored L2 norm, nonzero count and the index-weighted
     * moment Σ i·vᵢ. All four are scalars the pandas comparator can sort
@@ -103,34 +113,36 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, nCentroids = 16, nprobe = 4, k = 5)),
     // build-once/search-many: the reference persists its index and serves
-    // every query from it, rebuilding only when the stored index no
-    // longer matches the corpus (services/index_service.py:75-99) —
-    // loadOrRebuild IS that contract, so repeated invocations (tests,
-    // bench, verify) reuse the on-disk index and time ONLY the search:
-    // probe centroids, scan only the probed partitions
-    // (PartitionFilters), no corpus assignment recompute. The layout
-    // token in the path invalidates stale indexes when the format
-    // changes. Same results/oracle as q_ivf_search.
+    // every query from it (services/index_service.py:75-99; the
+    // load-or-rebuild endpoint semantics are exercised in IvfSpec). Here
+    // the build is memoized PER JVM under a fresh process-private temp
+    // dir — repeated invocations (tests, bench, verify) reuse the index
+    // and time ONLY the search (probe → scan only the probed partitions,
+    // no assignment recompute), while a new process always rebuilds, so
+    // no cross-process path race and no stale index can survive a corpus
+    // regeneration. Same results/oracle as q_ivf_search.
     "q_ivf_persisted" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val idx = s"${sys.props("java.io.tmpdir")}/graft-ivf-v1-" +
-        (dir.hashCode & 0x7fffffff)
-      IvfIndex.loadOrRebuild(s, idx, t.embeddings, nCentroids = 16)
+      val idx = builtPersisted.getOrElseUpdate(dir, {
+        val p = s"$ivfTmpBase/persisted-${dir.hashCode & 0x7fffffff}"
+        IvfIndex.persist(t.embeddings, nCentroids = 16, path = p)
+        p
+      })
       IvfIndex.searchPersisted(s, idx,
         t.embeddings.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
         nprobe = 4, k = 5)
     }),
     // same contract over the BUCKETED catalog layout (postings bucketed by
-    // centroid_id + companion centroids table); the session catalog is the
-    // build-once cache
+    // centroid_id + companion centroids table), memoized the same way;
+    // the tableExists re-check self-heals if a test drops the table
     "q_ivf_bucketed" -> ((s, dir) => {
       val t = Tables(s, dir)
       val tbl = "graft_q_postings_" + (dir.hashCode & 0x7fffffff)
-      if (!s.catalog.tableExists(tbl)) {
-        val idx = java.nio.file.Files.createTempDirectory("graft-ivf-b").toString
+      if (!builtBucketed.contains(dir) || !s.catalog.tableExists(tbl)) {
         IvfIndex.persistBucketed(t.embeddings, nCentroids = 16,
-          table = tbl, path = s"$idx/tbl")
+          table = tbl, path = s"$ivfTmpBase/bucketed-${dir.hashCode & 0x7fffffff}")
+        builtBucketed(dir) = tbl
       }
       IvfIndex.searchBucketed(s, tbl,
         t.embeddings.filter(col("vec_id") < 5)

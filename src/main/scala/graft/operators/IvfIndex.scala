@@ -21,17 +21,20 @@ object IvfIndex {
     corpus.filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
 
-  /** (vec_id, centroid_id): each corpus vector's nearest centroid, argmin
-    * by (distance, centroid_id) — the assignment core shared by every
-    * build/search variant. The struct-min aggregate keeps the all-pairs
-    * step map-side; only (vec_id → best) survives the shuffle. */
+  /** (vec_id, centroid_id, dist): each corpus vector's nearest centroid,
+    * argmin by (distance, centroid_id) — the ONE assignment core behind
+    * every build/search variant ([[assignments]] adds the presentation
+    * floor/order; search paths prune `dist` away). The struct-min
+    * aggregate keeps the all-pairs step map-side; only (vec_id → best)
+    * survives the shuffle. */
   private def nearestCentroid(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
         (lit(1.0) - cosine_similarity(col("embedding"), col("cv"))).as("dist"))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
-      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"))
+      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
+        col("best.dist").as("dist"))
 
   /** (query_id, centroid_id): the `nprobe` nearest centroids per query —
     * the probe step shared by every search variant. */
@@ -45,18 +48,14 @@ object IvfIndex {
       .select(col("query_id"), explode(col("topk.id")).as("centroid_id"))
 
   /** Nearest-centroid assignment, argmin by (distance, centroid_id):
-    * (vec_id, centroid_id, dist). The struct-min aggregate keeps the
-    * all-pairs step map-side; only (vec_id → best) survives the shuffle. */
+    * (vec_id, centroid_id, dist) — [[nearestCentroid]] plus the
+    * driver-facing presentation (floored distance, ordered output). */
   def assignments(corpus: DataFrame, cents: DataFrame): DataFrame =
-    corpus.crossJoin(broadcast(cents))
+    nearestCentroid(corpus, cents)
       .select(col("vec_id"), col("centroid_id"),
-        (lit(1.0) - cosine_similarity(col("embedding"), col("cv"))).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
-      .select(col("vec_id"), col("best.centroid_id").as("centroid_id"),
         // clamp: cos(v,v) can exceed 1 by an ulp, and floor() would turn
         // the resulting -2e-16 distance into -1e-6
-        (floor(greatest(col("best.dist"), lit(0.0)) * 1e6) / 1e6).as("dist"))
+        (floor(greatest(col("dist"), lit(0.0)) * 1e6) / 1e6).as("dist"))
       .orderBy(col("vec_id"))
 
   /** Lloyd-refined centroids: start from the deterministic seeds, then
@@ -100,7 +99,7 @@ object IvfIndex {
     val cents = centroids(corpus, nCentroids)
     cents.write.mode("overwrite").parquet(s"$path/centroids")
     corpus.join(
-        assignments(corpus, cents).select(col("vec_id"), col("centroid_id")),
+        nearestCentroid(corpus, cents).select(col("vec_id"), col("centroid_id")),
         Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
@@ -138,7 +137,7 @@ object IvfIndex {
     cents.write.mode("overwrite").option("path", s"${path}_centroids")
       .saveAsTable(s"${table}_centroids")
     corpus.join(
-        assignments(corpus, cents).select(col("vec_id"), col("centroid_id")),
+        nearestCentroid(corpus, cents).select(col("vec_id"), col("centroid_id")),
         Seq("vec_id"))
       .select(col("vec_id"), col("embedding"), col("centroid_id"))
       .write.mode("overwrite")
