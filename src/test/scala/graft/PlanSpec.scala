@@ -67,6 +67,14 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("kmv sketch partially aggregates map-side (k longs per partition)") {
+    val plan = planOf(SparkEntry.queries("q_distinct_sketch")(spark, sfDir))
+    // partial sketch before the exchange: each partition ships one
+    // serialized k-minima buffer, never its token hashes
+    assert(plan.contains("partial_kmv_distinct"), plan)
+    assert(plan.contains("merge_kmv_distinct"), plan)
+  }
+
   test("exact dedup aggregates map-side before the shuffle") {
     val plan = planOf(Dedup.exactGroups(t))
     assert(plan.contains("HashAggregate"), plan)
