@@ -33,3 +33,49 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }
+
+/** Corpus ingestion from the formats a user of the reference actually has.
+  *
+  * The reference reads its corpus from MongoDB with an
+  * `{_id: 1, description: 1}` projection
+  * (reference: services/index_service.py:52-54); the batch equivalents of
+  * that operational store are its export formats — `mongoexport` JSONL
+  * and CSV dumps. Both readers return the graft document schema
+  * `(doc_id, text)`, so every documents-table operator runs on them
+  * unchanged.
+  *
+  * Scale posture: JSON/CSV line sources split by file/byte-range exactly
+  * like parquet (no single-reader bottleneck); schemas are DECLARED, not
+  * inferred — inference would scan the full 100 TB dump once before the
+  * real job starts.
+  */
+object DocumentSource {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.types._
+
+  private val exportSchema = StructType(Seq(
+    StructField("_id", LongType),
+    StructField("description", StringType)))
+
+  /** `mongoexport`-style JSON lines: one `{"_id": …, "description": …}`
+    * object per line. PERMISSIVE mode mirrors the lenient document store:
+    * malformed lines become null rows to be filtered, not job failures. */
+  def jsonl(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(exportSchema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+      .select(col("_id").as("doc_id"), col("description").as("text"))
+      .filter(col("doc_id").isNotNull)
+
+  /** CSV export with a `doc_id,text` header. `multiLine` because document
+    * text legitimately contains newlines inside quotes. */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+      .filter(col("doc_id").isNotNull)
+}
