@@ -45,9 +45,14 @@ class EngineSpec extends SparkSuite {
     assert(engine.healthCheck())
   }
 
-  test("every oracleSql key has a queries entry") {
-    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
-    assert(missing.isEmpty, s"oracle without query: $missing")
+  test("queries and oracles are in 1:1 correspondence") {
+    val orphanOracles = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphanOracles.isEmpty, s"oracle without query: $orphanOracles")
+    // a query without an oracle silently downgrades to the driver's
+    // rows-only check — every operator this library claims must carry
+    // the full hash oracle
+    val unchecked = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unchecked.isEmpty, s"query without oracle: $unchecked")
   }
 
   test("graft expressions callable from spark.sql after registration") {
