@@ -166,6 +166,18 @@ object Pipeline {
     * global single-partition cumsum would not). Documents larger than
     * `maxTokens` still occupy their pack span (real packers split them;
     * the assignment stays deterministic either way). */
+  /** Materialize the packed corpus as training shards: one directory per
+    * shard, rows clustered by (pack_id, doc_id) inside the files so a
+    * dataloader streams each pack contiguously. One shuffle (the packing
+    * window's partitioning, reused for the write) — the sink side of
+    * [[packSequences]]. */
+  def writeShards(docs: DataFrame, path: String, maxTokens: Int = 2048,
+                  shards: Int = 8): Unit =
+    packSequences(docs, maxTokens, shards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("pack_id"), col("doc_id"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   def packSequences(docs: DataFrame, maxTokens: Int = 2048,
                     shards: Int = 8): DataFrame = {
     val base = docs.select(

@@ -92,4 +92,26 @@ class PipelineSpec extends SparkSuite {
     val byPack = rows.groupBy(_._5).view.mapValues(_.map(_._2).distinct.size)
     assert(byPack.values.forall(_ == 1))
   }
+
+  test("writeShards materializes one partition dir per shard, packs intact") {
+    import org.apache.spark.sql.functions.col
+    val t = sources.Tables(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    operators.Pipeline.writeShards(t.documents, dir, shards = 4)
+    // hive-style shard partitioning on disk
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).map(_.getName).sorted
+    assert(shardDirs.toSeq == Seq("shard=0", "shard=1", "shard=2", "shard=3"))
+    // read-back equals the packing query (partition column comes back
+    // typed per the directory value)
+    val back = spark.read.parquet(dir)
+      .select(col("doc_id"), col("shard").cast("long").as("shard"),
+        col("n_tokens"), col("cum_tokens"), col("pack_id"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val want = operators.Pipeline.packSequences(t.documents, shards = 4)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        col("cum_tokens"), col("pack_id"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(back == want)
+  }
 }
