@@ -24,15 +24,37 @@ object SparkEntry {
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables(s, dir))
 
-  /** Process-private base dir + per-sfDir memo for the build-once index
+  /** Process-private base dir + per-corpus memo for the build-once index
     * queries: reused within a JVM, never shared across processes (no
-    * /tmp path races, no stale index after a corpus regeneration). */
+    * /tmp path races), and keyed on (dir, corpus file fingerprint) so a
+    * corpus REGENERATED at the same path within a long-lived session gets
+    * a fresh build instead of stale search results. */
   private lazy val ivfTmpBase: String =
     java.nio.file.Files.createTempDirectory("graft-ivf").toString
   private val builtPersisted =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val builtBucketed =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Cheap driver-side fingerprint of the corpus files backing `dir`'s
+    * embeddings table (names + sizes + mtimes): the memo key ingredient
+    * that invalidates a per-JVM index build when the corpus changes
+    * underneath the same path. Local `File` ops only — this keys a memo,
+    * it never touches executors. */
+  private def corpusFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.flatMap(walk))
+      else Seq(f)
+    val root = new java.io.File(s"$dir/embeddings.parquet")
+    if (!root.exists) "missing"
+    else {
+      val sig = walk(root)
+        .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+        .sorted.mkString("\n")
+      (scala.util.hashing.MurmurHash3.stringHash(sig) & 0x7fffffffL).toString
+    }
+  }
 
   /** Driver-checkable digest of a `(doc_id, embedding)` vector table:
     * dimension, floored L2 norm, nonzero count and the index-weighted
@@ -123,8 +145,9 @@ object SparkEntry {
     // regeneration. Same results/oracle as q_ivf_search.
     "q_ivf_persisted" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val idx = builtPersisted.getOrElseUpdate(dir, {
-        val p = s"$ivfTmpBase/persisted-${dir.hashCode & 0x7fffffff}"
+      val memoKey = s"$dir@${corpusFingerprint(dir)}"
+      val idx = builtPersisted.getOrElseUpdate(memoKey, {
+        val p = s"$ivfTmpBase/persisted-${memoKey.hashCode & 0x7fffffff}"
         IvfIndex.persist(t.embeddings, nCentroids = 16, path = p)
         p
       })
@@ -135,14 +158,17 @@ object SparkEntry {
     }),
     // same contract over the BUCKETED catalog layout (postings bucketed by
     // centroid_id + companion centroids table), memoized the same way;
-    // the tableExists re-check self-heals if a test drops the table
+    // the tableExists re-check self-heals if a test drops EITHER table
+    // (searchBucketed reads both the postings and `<tbl>_centroids`)
     "q_ivf_bucketed" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val tbl = "graft_q_postings_" + (dir.hashCode & 0x7fffffff)
-      if (!builtBucketed.contains(dir) || !s.catalog.tableExists(tbl)) {
+      val memoKey = s"$dir@${corpusFingerprint(dir)}"
+      val tbl = "graft_q_postings_" + (memoKey.hashCode & 0x7fffffff)
+      if (!builtBucketed.contains(memoKey) || !s.catalog.tableExists(tbl) ||
+          !s.catalog.tableExists(tbl + "_centroids")) {
         IvfIndex.persistBucketed(t.embeddings, nCentroids = 16,
-          table = tbl, path = s"$ivfTmpBase/bucketed-${dir.hashCode & 0x7fffffff}")
-        builtBucketed(dir) = tbl
+          table = tbl, path = s"$ivfTmpBase/bucketed-${memoKey.hashCode & 0x7fffffff}")
+        builtBucketed(memoKey) = tbl
       }
       IvfIndex.searchBucketed(s, tbl,
         t.embeddings.filter(col("vec_id") < 5)

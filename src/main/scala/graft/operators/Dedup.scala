@@ -219,8 +219,10 @@ object Dedup {
     * real cluster pass a reliable dir (HDFS/S3): iteration state is then
     * `checkpoint()`ed there, so a multi-hour propagation over billions of
     * edges survives executor loss instead of restarting from nothing.
-    * Two operational notes: (1) this sets the CONTEXT-wide checkpoint dir
-    * (Spark has no per-job setting); (2) each round leaves its
+    * Two operational notes: (1) Spark has no per-job checkpoint dir, so
+    * the CONTEXT-wide setting is switched for the duration of the
+    * iteration and the caller's prior configuration (including "none") is
+    * restored before returning; (2) each round leaves its
     * checkpoint files behind unless
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so budget
     * ~maxIters × |labels| + |edges| of reliable storage per run. */
@@ -228,7 +230,9 @@ object Dedup {
                maxBucket: Int = 1000,
                checkpointDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
+    val priorCkptDir = org.apache.spark.sql.graft.bridge.checkpointDir(spark)
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    try {
     def barrier(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // same capped pair generation as minhashCandidates — one code path,
@@ -288,6 +292,13 @@ object Dedup {
         col("cluster_id") === col("cid"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
+    } finally {
+      // the iteration's checkpoint files are already written, so the
+      // caller's prior dir (or none) can safely come back before return
+      if (checkpointDir.isDefined)
+        org.apache.spark.sql.graft.bridge.restoreCheckpointDir(
+          spark, priorCkptDir)
+    }
   }
 
   /** Embedding-cosine nearest neighbor within a blocking key (`label` =

@@ -44,10 +44,13 @@ final case class Tables(spark: SparkSession, dir: String) {
   * `(doc_id, text)`, so every documents-table operator runs on them
   * unchanged.
   *
-  * Scale posture: JSON/CSV line sources split by file/byte-range exactly
-  * like parquet (no single-reader bottleneck); schemas are DECLARED, not
-  * inferred — inference would scan the full 100 TB dump once before the
-  * real job starts.
+  * Scale posture: the JSONL and [[csvLines]] readers split by file AND
+  * byte-range exactly like parquet (no single-reader bottleneck). The
+  * quoted [[csv]] reader is `multiLine`, which makes each FILE a single
+  * read unit — parallel only across files, so exports must be sharded
+  * into many files (mongoexport/`COPY TO` sharded output already is).
+  * Schemas are DECLARED, not inferred — inference would scan the full
+  * 100 TB dump once before the real job starts.
   */
 object DocumentSource {
   import org.apache.spark.sql.functions._
@@ -68,7 +71,9 @@ object DocumentSource {
       .filter(col("doc_id").isNotNull)
 
   /** CSV export with a `doc_id,text` header. `multiLine` because document
-    * text legitimately contains newlines inside quotes. */
+    * text legitimately contains newlines inside quotes — the cost is that
+    * each file becomes one read unit (see the object scaladoc); shard the
+    * export into many files, or use [[csvLines]] for newline-free dumps. */
   def csv(spark: SparkSession, path: String): DataFrame =
     spark.read
       .schema(StructType(Seq(
@@ -77,5 +82,21 @@ object DocumentSource {
       .option("multiLine", "true")
       .option("escape", "\"")
       .csv(path)
+      .filter(col("doc_id").isNotNull)
+
+  /** Byte-range-splittable CSV variant for exports whose text is
+    * guaranteed newline-free (e.g. dumped with newlines escaped as `\n`):
+    * without `multiLine`, Spark assigns byte ranges WITHIN a file to
+    * different tasks, so even one giant dump file parallelizes. The
+    * two-character escape sequences are restored after the parse. */
+  def csvLines(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("header", "true")
+      .option("escape", "\"")
+      .csv(path)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "\\\\n", "\n").as("text"))
       .filter(col("doc_id").isNotNull)
 }

@@ -72,6 +72,20 @@ object bridge {
   def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
     spark.sparkContext.listenerBus.waitUntilEmpty()
 
+  /** Read the context's RESOLVED checkpoint dir (`private[spark]`; the
+    * public API only exposes a setter). Paired with
+    * [[restoreCheckpointDir]] so a library call that needs a temporary
+    * reliable checkpoint location can put back whatever the caller had
+    * configured — including none, which `setCheckpointDir` can't express. */
+  def checkpointDir(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    spark.sparkContext.checkpointDir
+
+  /** Restore a checkpoint dir previously read by [[checkpointDir]]. Writes
+    * the resolved value back verbatim (no new UUID subdir is minted). */
+  def restoreCheckpointDir(spark: org.apache.spark.sql.SparkSession,
+                           prior: Option[String]): Unit =
+    spark.sparkContext.checkpointDir = prior
+
   /** Register a SQL function into an existing session's registry (the
     * runtime-path complement to `SparkSessionExtensions.injectFunction`,
     * for sessions graft didn't build — e.g. the driver's). */

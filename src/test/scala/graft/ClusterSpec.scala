@@ -43,6 +43,23 @@ class ClusterSpec extends SparkSuite {
     assert(new java.io.File(dir).listFiles().nonEmpty, dir)
   }
 
+  test("clusters restores the caller's checkpoint dir (including none)") {
+    import org.apache.spark.sql.graft.bridge
+    val t = Tables(spark, sfDir)
+    val before = bridge.checkpointDir(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    Dedup.clusters(t.documents.limit(50), checkpointDir = Some(dir)).count()
+    assert(bridge.checkpointDir(spark) == before)
+    // and with a caller-configured dir: the exact resolved value comes back
+    val callers = java.nio.file.Files.createTempDirectory("graft-prior").toString
+    spark.sparkContext.setCheckpointDir(callers)
+    val resolved = bridge.checkpointDir(spark)
+    assert(resolved.exists(_.contains("graft-prior")))
+    Dedup.clusters(t.documents.limit(50), checkpointDir = Some(dir)).count()
+    assert(bridge.checkpointDir(spark) == resolved)
+    bridge.restoreCheckpointDir(spark, before)
+  }
+
   test("tf-idf embedding: rare shared terms bind docs tighter than common ones") {
     import graft.functions.cosine_similarity
     // 'common' is in every doc; 'rareterm' only in docs 1 and 2

@@ -29,6 +29,18 @@ class SourceSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("csvLines splittable variant restores escaped newlines") {
+    val dir = Files.createTempDirectory("graft-src-lines").toString
+    // a newline-free export: real newlines dumped as the 2-char \n escape
+    t.documents.select(col("doc_id"),
+        regexp_replace(col("text"), "\n", "\\\\n").as("text"))
+      .write.option("header", "true").option("escape", "\"").csv(s"$dir/lines")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.na.fill("", Seq("text")).orderBy("doc_id").collect().toSeq
+    assert(rows(DocumentSource.csvLines(spark, s"$dir/lines")) ==
+      rows(t.documents.select("doc_id", "text")))
+  }
+
   test("malformed jsonl lines are dropped, not fatal (PERMISSIVE)") {
     val dir = Files.createTempDirectory("graft-src-bad").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/bad.json"),
