@@ -194,11 +194,32 @@ object SparkEntry {
     "dedup_jaccard"   -> q(t => Dedup.jaccardNeighbors(t.documents)),
     "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
     "dedup_clusters"  -> q(t => Dedup.clusters(t.documents)),
+    // SemDeDup-style: near-dup NN within LEARNED (centroid) blocks — the
+    // blocking key is computed, not given; assignment is a narrow pass
+    "dedup_semantic"  -> q(t => Dedup.semanticNeighbors(t.embeddings)),
+    // bloom-pruned join: the big side is filtered by a compact bloom
+    // filter of the small side's keys BEFORE anything shuffles; the
+    // oracle is the PLAIN join — pruning must be invisible in the result
+    "q_bloom_join" -> q(t => Bloom.prunedJoin(
+      t.lineitem.select(col("l_orderkey"), col("l_quantity")),
+      t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey")),
+      bigKey = "l_orderkey", smallKey = "o_orderkey",
+      expectedItems = 1L << 20)
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"))
+      .orderBy(col("o_orderkey"))),
+    // count-min sketch heavy hitters: fixed d×w counter grid instead of a
+    // per-distinct-token shuffle, with the exact count as in-query audit
+    "q_cms_topk" -> q(t => Sketches.cmsTokenTopK(t.documents)),
     // text analysis
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
     // corpus curation (training-data pipeline)
     "text_gopher"    -> q(t => Pipeline.gopherStats(t.documents)),
+    "text_boilerplate" -> q(t => Pipeline.boilerplate(t.documents)),
     "text_pii"       -> q(t => Pipeline.piiRedact(t.documents)),
     "decontaminate"  -> q(t => Pipeline.decontaminate(
       t.documents.filter(col("doc_id") >= 100),
@@ -682,6 +703,70 @@ object SparkEntry {
           |      ELSE 255::HUGEINT * 18446744073709551616::HUGEINT // kth.kv END AS BIGINT) AS est_distinct,
           | coalesce(${signedSql("kth.kv")}, 0) AS kth_min
           |FROM agg a LEFT JOIN kth ON a.shard = kth.shard ORDER BY a.shard""").stripMargin,
+    // the bloom-pruned join's oracle is the PLAIN join: a bloom filter
+    // has no false negatives, so pruning must be invisible in the result
+    "q_bloom_join" ->
+      """SELECT o_orderkey, COUNT(*) AS n_lines,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // count-min sketch replayed exactly: same FNV row hashes over
+    // "d:" || token, same d×w grid counts, same min-over-rows estimate
+    "q_cms_topk" -> {
+      def bucketSql(strExpr: String): String = {
+        val h = signedSql(fnvSql(
+          s"list_transform(string_split($strExpr,''), c -> unicode(c)::HUGEINT)"))
+        s"((($h) % 1024) + 1024) % 1024"
+      }
+      s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+         | tk AS (SELECT unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tok FROM n),
+         | t2 AS (SELECT tok FROM tk WHERE tok <> ''),
+         | hd AS (SELECT tok, d, ${bucketSql("CAST(d AS VARCHAR)||':'||tok")} AS bucket FROM t2, range(4) r(d)),
+         | grid AS (SELECT d, bucket, COUNT(*) AS c FROM hd GROUP BY 1,2),
+         | exact AS (SELECT tok, COUNT(*) AS n_exact FROM t2 GROUP BY 1 ORDER BY n_exact DESC, tok LIMIT 20),
+         | eb AS (SELECT tok, n_exact, d, ${bucketSql("CAST(d AS VARCHAR)||':'||tok")} AS bucket FROM exact, range(4) r(d))
+         |SELECT eb.tok, eb.n_exact, MIN(g.c) AS n_cms
+         |FROM eb JOIN grid g ON g.d = eb.d AND g.bucket = eb.bucket
+         |GROUP BY 1,2 ORDER BY n_exact DESC, tok""".stripMargin
+    },
+    // learned-block semantic dedup: the assignment CTE is the proven
+    // q_index_build image; NN replayed within each centroid block
+    "dedup_semantic" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+        | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | assign AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT e.vec_id, c.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM e CROSS JOIN c) WHERE rn = 1),
+        | b AS (SELECT a.vec_id, a.centroid_id, e.ev FROM assign a JOIN e ON a.vec_id = e.vec_id),
+        | sims AS (SELECT x.vec_id AS vec_id, y.vec_id AS nn, list_cosine_similarity(x.ev, y.ev) AS sim
+        |   FROM b x JOIN b y ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id),
+        | best AS (SELECT vec_id, nn, sim, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) AS rn FROM sims)
+        |SELECT vec_id, nn AS nn_id, floor(sim*1e6)/1e6 AS nn_score, sim >= 0.95 AS is_dup
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // boilerplate coverage replayed: distinct 5-grams as FNV hashes,
+    // document frequency, per-doc boilerplate fraction
+    "text_boilerplate" ->
+      (s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n),
+          | g AS (SELECT doc_id, unnest(list_distinct(
+          |   CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+          |        ELSE list_transform(range(1, len(toks)-3), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]) END)) AS gram
+          |  FROM tok),
+          | ghx AS (SELECT doc_id, ${signedSql(fnvSql("list_transform(string_split(gram,''), c -> unicode(c)::HUGEINT)"))} AS gh FROM g),
+          | dfq AS (SELECT gh, COUNT(*) AS df FROM ghx GROUP BY 1),
+          | per AS (SELECT ghx.doc_id, COUNT(*) AS n_grams,
+          |    COUNT(*) FILTER (WHERE dfq.df >= 3) AS n_boiler
+          |   FROM ghx JOIN dfq ON ghx.gh = dfq.gh GROUP BY 1),
+          | m AS (SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+          |    coalesce(n_boiler, 0) AS n_boiler,
+          |    CASE WHEN coalesce(n_grams, 0) > 0
+          |         THEN coalesce(n_boiler, 0)/CAST(n_grams AS DOUBLE) ELSE 0 END AS frac
+          |   FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id)
+          |SELECT doc_id, n_grams, n_boiler,
+          | floor(frac*10000.0)/10000.0 AS boiler_frac, frac <= 0.5 AS keep
+          |FROM m ORDER BY doc_id""").stripMargin,
     // the salted join's oracle is the PLAIN join: salting must be
     // invisible in the result
     "q_salted_join" ->

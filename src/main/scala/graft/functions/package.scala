@@ -41,6 +41,13 @@ package object functions {
   def kmv_distinct(hash: Column, k: Int): Column =
     bridge.column(KmvDistinct(c(hash), k).toAggregateExpression())
 
+  def bloom_might_contain(key: Column,
+      filter: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bytes = new java.io.ByteArrayOutputStream()
+    filter.writeTo(bytes)
+    bridge.column(BloomMightContain(c(key), bytes.toByteArray))
+  }
+
   def quantize8(v: Column): Column = bridge.column(Quantize8(c(v)))
 
   def scatter_vector(entries: Column, dim: Int): Column =

@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Bloom-pruned equi-join: filter the BIG side with a compact bloom filter
+  * of the small side's keys BEFORE the join shuffles anything.
+  *
+  * The scale problem this solves: when the small side is too large to
+  * broadcast (tens of millions of keys), Spark falls back to a sort-merge
+  * join that shuffles the ENTIRE big side — at 100 TB that shuffle is the
+  * job. A bloom filter of the small side's keys is megabytes regardless of
+  * the big side's size, rides the task closure to every executor, and
+  * drops non-matching rows at the scan stage, so only plausibly-matching
+  * rows (matches + the fpp share of false positives) reach the exchange.
+  * Spark's own AQE runtime filter does this opportunistically; this
+  * operator is the explicit, always-on form with a caller-chosen fpp.
+  *
+  * Correctness contract: bloom filters have NO false negatives, so the
+  * pruned join returns exactly the plain join's rows — the oracle for the
+  * checked query IS the plain join.
+  *
+  * Cost model: building the filter is one extra scan of the SMALL side
+  * (the documented ANALYZE step, like `DataFrameStatFunctions`); the big
+  * side is still scanned once. Worth it whenever
+  * `bigRows × (1 - selectivity)` × row-width dwarfs the small-side rescan
+  * — i.e. almost always when the join is selective.
+  */
+object Bloom {
+
+  /** Inner-join `big ⋈ small` on `bigKey = smallKey` (both BIGINT), with
+    * the big side bloom-pruned first. `expectedItems`/`fpp` size the
+    * filter (n=4M @ 1% ≈ 4.6 MiB — closure-shippable). */
+  def prunedJoin(big: DataFrame, small: DataFrame,
+                 bigKey: String, smallKey: String,
+                 expectedItems: Long = 4000000L,
+                 fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    big.filter(graft.functions.bloom_might_contain(col(bigKey), bf))
+      .join(small, col(bigKey) === col(smallKey))
+  }
+
+  /** The pruning predicate alone (for composing with other join shapes or
+    * asserting plans in tests). */
+  def pruneAgainst(small: DataFrame, smallKey: String, key: Column,
+                   expectedItems: Long = 4000000L,
+                   fpp: Double = 0.01): Column =
+    graft.functions.bloom_might_contain(key,
+      small.stat.bloomFilter(smallKey, expectedItems, fpp))
+}

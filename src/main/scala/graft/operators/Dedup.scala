@@ -301,12 +301,13 @@ object Dedup {
     }
   }
 
-  /** Embedding-cosine nearest neighbor within a blocking key (`label` =
-    * coarse cluster): (vec_id, nn_id, nn_score, is_dup at `simThreshold`). */
-  def embeddingNeighbors(t: Tables, simThreshold: Double = 0.95): DataFrame = {
-    val e = t.embeddings.select(col("label"), col("vec_id"), col("embedding"))
+  /** The blocked-NN core shared by [[embeddingNeighbors]] (given blocks)
+    * and [[semanticNeighbors]] (learned blocks): self-join WITHIN a block
+    * only — never corpus² — then top-1 by cosine via the bounded-heap
+    * aggregate. Input `(block, vec_id, embedding)`. */
+  private def blockedNeighbors(e: DataFrame, simThreshold: Double): DataFrame = {
     val sims = e.as("a")
-      .join(e.as("b"), col("a.label") === col("b.label") &&
+      .join(e.as("b"), col("a.block") === col("b.block") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
         cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
@@ -318,5 +319,40 @@ object Dedup {
           .as("nn_score"),
         (col("topk").getItem(0).getField("score") >= simThreshold).as("is_dup"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Embedding-cosine nearest neighbor within a blocking key (`label` =
+    * coarse cluster): (vec_id, nn_id, nn_score, is_dup at `simThreshold`). */
+  def embeddingNeighbors(t: Tables, simThreshold: Double = 0.95): DataFrame =
+    blockedNeighbors(
+      t.embeddings.select(col("label").as("block"), col("vec_id"),
+        col("embedding")), simThreshold)
+
+  /** SemDeDup-style semantic dedup with LEARNED blocks: assign every
+    * vector to its nearest of `nCentroids` deterministic centroids, then
+    * near-dup NN within each centroid block.
+    *
+    * The assignment is a pure NARROW pass — the k×dim centroid matrix is
+    * collected once (bounded by contract, like every IVF path) and folded
+    * into a codegen'd `least(struct(dist, cid)…)` expression, so no
+    * shuffle happens until the blocked self-join, and that join only ever
+    * compares vectors within a block (corpus²/k per block in expectation;
+    * scale k with the corpus — the block-local work stays bounded). */
+  def semanticNeighbors(embeddings: DataFrame, nCentroids: Int = 16,
+                        simThreshold: Double = 0.95): DataFrame = {
+    val cents: Array[(Long, Seq[Float])] =
+      IvfIndex.centroids(embeddings, nCentroids)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // argmin by (dist, centroid_id): struct least() == the struct-min
+    // aggregate in IvfIndex.nearestCentroid, row-at-a-time
+    val best = least(cents.map { case (cid, cv) =>
+      struct(
+        (lit(1.0) - cosine_similarity(col("embedding"), typedLit(cv)))
+          .as("dist"),
+        lit(cid).as("cid"))
+    }: _*)
+    blockedNeighbors(
+      embeddings.select(best.getField("cid").as("block"), col("vec_id"),
+        col("embedding")), simThreshold)
   }
 }

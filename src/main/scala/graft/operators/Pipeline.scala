@@ -63,6 +63,43 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus-wide boilerplate coverage: the fraction of each document's
+    * distinct word `n`-grams that are "boilerplate" — shared by at least
+    * `minDf` documents corpus-wide (navigation chrome, license headers,
+    * templated spans; the C4-style cross-document repetition signal that
+    * per-document gates like [[gopherStats]] cannot see).
+    *
+    * Shape at scale: one explode of per-doc DISTINCT grams (grams travel
+    * as their 64-bit FNV — same trick as `Dedup.jaccardNeighbors`), one
+    * hash-shuffle groupBy for document frequency, one equi-join back.
+    * Both df sides partial-aggregate map-side; no all-pairs step exists
+    * anywhere. Output: (doc_id, n_grams, n_boiler, boiler_frac, keep). */
+  def boilerplate(docs: DataFrame, n: Int = 5, minDf: Int = 3,
+                  maxFrac: Double = 0.5): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(preprocess(col("text"))), n)).as("gs"))
+      // barrier (Generate re-evaluation) + read twice: df and per-doc join
+      .localCheckpoint()
+      .select(col("doc_id"), explode(col("gs")).as("gram"))
+      .select(col("doc_id"), graft.functions.fnv1a64(col("gram")).as("gh"))
+      .localCheckpoint()
+    val dfTab = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val per = grams.join(dfTab, Seq("gh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+    val frac = when(col("n_grams") > 0,
+      col("n_boiler").cast("double") / col("n_grams").cast("double"))
+      .otherwise(lit(0.0))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_grams", "n_boiler"))
+      .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+        r4(frac).as("boiler_frac"),
+        (frac <= maxFrac).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII patterns shared with the DuckDB oracle. Deliberately free of
     * alternation with overlapping branches so Java (leftmost-first) and
     * RE2 (leftmost-longest) agree on every match. */

@@ -80,6 +80,36 @@ class DedupSpec extends SparkSuite {
     assert(uncapped.count() == 50, "cap above df keeps exact semantics")
   }
 
+  test("semantic dedup: learned blocks separate far clusters, find near-dups") {
+    // two orthogonal directions; seeds are vec_id 0 and 1 (nCentroids=2).
+    // 2 ≈ 0 (same direction, tiny wiggle), 3 ≈ 1. Blocks must come out
+    // {0,2} and {1,3}, and each vector's NN is its in-block partner.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.999f, 0.04f, 0f, 0f)),
+      (3L, Array(0.04f, 0.999f, 0f, 0f))).toDF("vec_id", "embedding")
+    val nn = operators.Dedup.semanticNeighbors(vecs, nCentroids = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(nn(0L) == (2L, true))
+    assert(nn(2L) == (0L, true))
+    assert(nn(1L) == (3L, true))
+    assert(nn(3L) == (1L, true))
+  }
+
+  test("semantic dedup assignment is narrow: no shuffle before the block join") {
+    val t = sources.Tables(spark, sfDir)
+    val nn = operators.Dedup.semanticNeighbors(t.embeddings)
+    val plan = planOf(nn)
+    // exactly the blocked self-join's exchanges + the top-k agg + the
+    // final sort should shuffle; the centroid ASSIGNMENT itself must not
+    // add an exchange (it is a projection over the scan). Count node
+    // HEADERS — every node also reappears in the tree summary.
+    val exchanges = """\(\d+\) \w*Exchange""".r.findAllIn(plan).size
+    assert(exchanges <= 4, s"assignment added exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("embedding neighbors: symmetric sanity on crafted vectors") {
     // covered at sf0.01 by the oracle; here: threshold flag consistency
     val t = sources.Tables(spark, sfDir)

@@ -93,6 +93,35 @@ class PipelineSpec extends SparkSuite {
     assert(byPack.values.forall(_ == 1))
   }
 
+  test("boilerplate: cross-doc template spans flag, unique text doesn't") {
+    import spark.implicits._
+    // 5 docs share an identical 6-token template span (two 5-grams);
+    // each doc also has 5 unique tokens (one unique 5-gram + two mixed)
+    val docs = (1L to 5L).map(i =>
+      (i, s"shared span of common template text u${i}a u${i}b u${i}c u${i}d u${i}e"))
+      .toDF("doc_id", "text")
+    val got = operators.Pipeline.boilerplate(docs, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    // 11 tokens → 7 distinct 5-grams; the 2 all-shared ones are boilerplate
+    got.foreach { case (_, (nGrams, nBoiler, _)) =>
+      assert(nGrams == 7L && nBoiler == 2L)
+    }
+    // all-unique corpus: zero boilerplate, everything kept
+    val uniq = (1L to 5L).map(i =>
+      (i, (1 to 8).map(j => s"w$i-$j").mkString(" "))).toDF("doc_id", "text")
+    val u = operators.Pipeline.boilerplate(uniq, minDf = 3).collect()
+    assert(u.forall(r => r.getLong(2) == 0L && r.getBoolean(4)))
+    // mostly-template corpus: keep flips off above maxFrac
+    val tpl = (1L to 4L).map(i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta u$i"))
+      .toDF("doc_id", "text")
+    val k = operators.Pipeline.boilerplate(tpl, minDf = 3, maxFrac = 0.5)
+      .collect()
+    assert(k.forall(r => !r.getBoolean(4)),
+      "docs dominated by shared grams must be dropped")
+  }
+
   test("writeShards materializes one partition dir per shard, packs intact") {
     import org.apache.spark.sql.functions.col
     val t = sources.Tables(spark, sfDir)
