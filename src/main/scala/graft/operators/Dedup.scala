@@ -174,9 +174,13 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"),
         graft.functions.fnv1a64(col("s")).as("sh"))
       // df cap AFTER n_sh (denominators stay exact) and BEFORE the
-      // checkpoint (both join sides read the already-capped table)
+      // checkpoint (both join sides read the already-capped table).
+      // df = 1 rows are dropped too: a shingle appearing in one document
+      // can never produce a pair, so excluding it changes NOTHING in the
+      // result while cutting the self-join's input by the unique-shingle
+      // share of the corpus — on web corpora the large majority.
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("__df") <= maxShingleDf)
+      .filter(col("__df") <= maxShingleDf && col("__df") >= 2)
       .drop("__df")
       // both sides of the self-join read the materialized shingle table
       .localCheckpoint()

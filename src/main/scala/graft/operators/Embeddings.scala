@@ -10,9 +10,13 @@ import graft.functions.TextFunctions._
   * Unlike [[graft.functions.HashEmbed]] (pure term frequency, one pass, no
   * corpus state), TF-IDF needs document frequencies — a groupBy over the
   * exploded token table. Dataflow: tokens → tf per (doc, token) → df per
-  * token → weight = tf·ln(1 + N/df) → hash-bucket sums → dense
-  * L2-normalized vector via the [[graft.functions.ScatterVector]]
-  * expression. All shuffles are on token/doc keys.
+  * token DERIVED FROM tf (tf already holds exactly one row per
+  * (doc, token), so df is a count over its `tok` groups — the separate
+  * `distinct()` pass over the raw token stream that used to feed df was
+  * a whole extra shuffle of the corpus) → weight = tf·ln(1 + N/df) →
+  * hash-bucket sums → dense L2-normalized vector via the
+  * [[graft.functions.ScatterVector]] expression. All shuffles are on
+  * token/doc keys, and every one partial-aggregates map-side.
   *
   * The tf⋈df join is a plain shuffle join on `tok` — NEVER a broadcast:
   * the document-frequency table is vocabulary-sized, unbounded in corpus
@@ -34,10 +38,12 @@ object Embeddings {
     // materialized checkpoint blocks — not a second scan of the corpus
     val n = base.count()
     val toks = base.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // materialized: df reads tf again — without the barrier the whole
+    // explode→groupBy subtree would execute once per consumer
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.select(col("doc_id"), col("tok")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // FNV bucket hash (not an engine-internal hash): public and
     // SQL-replayable, so the correctness oracle can rebuild the vectors
     val weighted = tf.join(df, Seq("tok"))
