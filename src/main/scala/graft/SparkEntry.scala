@@ -303,6 +303,12 @@ object SparkEntry {
           .select(col("user_id"), col("ts"), col("event_id")),
         key = "user_id", windowMinutes = 60)
     }),
+    // grouped top-k with the WindowGroupLimit rank pushdown (map-side
+    // per-group top-k before the exchange)
+    "q_group_topk" -> q(t => Relational.topPartsPerBrand(t)),
+    // histogram-sketch quantiles: groups×bins cells of shuffle instead of
+    // a corpus sort; bin-width-bounded error, exact replay oracle
+    "q_histogram" -> q(t => Relational.histogramQuantiles(t)),
     // exact interpolated percentiles
     "q_percentiles" -> q(t => t.events
       .groupBy(col("event_type"))
@@ -1114,6 +1120,21 @@ object SparkEntry {
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts < p.ts
         |GROUP BY 1,2,3 ORDER BY event_id""".stripMargin,
+    "q_group_topk" ->
+      """SELECT p_brand, CAST(rnk AS BIGINT) AS rnk, p_partkey, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        | FROM part) WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin,
+    "q_histogram" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value/8.0) AS BIGINT) AS bin, COUNT(*) AS c
+        |   FROM events GROUP BY 1,2),
+        | x AS (SELECT *,
+        |   SUM(c) OVER (PARTITION BY event_type ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   SUM(c) OVER (PARTITION BY event_type) AS n FROM b)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        | CAST(MIN(CASE WHEN cum >= n*0.5 THEN bin END)*8.0 AS DOUBLE) AS p50_lo,
+        | CAST(MIN(CASE WHEN cum >= n*0.95 THEN bin END)*8.0 AS DOUBLE) AS p95_lo
+        |FROM x GROUP BY 1,2 ORDER BY 1""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type,
         | floor(quantile_cont(value, 0.5)*1e6)/1e6 AS p50,

@@ -135,11 +135,14 @@ object Pipeline {
     * only shuffle is the per-doc hit count, keyed by doc_id. */
   def decontaminate(training: DataFrame, bench: DataFrame, n: Int = 8): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      // two barriers: the gram ARRAY is materialized before the explode
-      // (Generate re-evaluates its child per output row)
-      .localCheckpoint()
-      .select(col("doc_id"), array_distinct(shingles(col("toks"), n)).as("grams"))
+      .select(col("doc_id"),
+        array_distinct(shingles(tokens(preprocess(col("text"))), n))
+          .as("grams"))
+      // ONE barrier, on the finished gram-set arrays: Generate re-evaluates
+      // its child per output row, so the array build must be materialized —
+      // but tokenize→shingle→distinct is a single narrow projection, and
+      // checkpointing its intermediate token arrays too just doubled the
+      // block-manager traffic
       .localCheckpoint()
       .select(col("doc_id"), explode(col("grams")).as("gram"))
     val benchGrams = grams(bench).select(col("gram")).distinct()

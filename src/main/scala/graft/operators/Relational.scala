@@ -189,6 +189,52 @@ object Relational {
       .orderBy(col("region"), col("nation"))
   }
 
+  /** Grouped top-k (top `k` parts by retail price per brand) via a rank
+    * window + filter — the shape Spark rewrites into `WindowGroupLimit`:
+    * each map task keeps only its local top-k per group BEFORE the
+    * exchange, so the shuffle carries ≤ k·groups·partitions rows instead
+    * of the whole table. The 100 TB version of "top 3 per category"
+    * (gated in PlanSpec: the rewrite must appear in the physical plan). */
+  def topPartsPerBrand(t: Tables, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    t.part
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= k)
+      .select(col("p_brand"), col("rnk").cast("long").as("rnk"),
+        col("p_partkey"), col("p_retailprice"))
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  /** Histogram-sketch quantiles: equi-width bins (width 8 over the value
+    * domain) → per-group bin counts → cumulative scan → the lower edge of
+    * the first bin whose CDF crosses p. Where [[graft.SparkEntry]]'s
+    * q_percentiles shuffles EVERY value to sort it (exact, but a corpus
+    * sort at 100 TB), this shuffles ≤ groups × bins cells regardless of
+    * row count — the same fixed-state trade as the KMV and count-min
+    * sketches, with error bounded by the bin width. */
+  def histogramQuantiles(t: Tables, binWidth: Double = 8.0): DataFrame = {
+    val binned = t.events
+      .groupBy(col("event_type"),
+        floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("event_type"))
+    binned
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(tot))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        min(when(col("cum") >= col("n") * 0.5, col("bin"))).as("p50_bin"),
+        min(when(col("cum") >= col("n") * 0.95, col("bin"))).as("p95_bin"))
+      .select(col("event_type"), col("n"),
+        (col("p50_bin") * binWidth).cast("double").as("p50_lo"),
+        (col("p95_bin") * binWidth).cast("double").as("p95_lo"))
+      .orderBy(col("event_type"))
+  }
+
   /** Tumbling 1-hour windowed aggregation over events (batch twin of the
     * structured-streaming job in [[graft.streaming.EventWindows]]). */
   def eventHourly(t: Tables): DataFrame = {

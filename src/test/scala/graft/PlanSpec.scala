@@ -75,6 +75,31 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("merge_kmv_distinct"), plan)
   }
 
+  test("grouped top-k rewrites into WindowGroupLimit (map-side rank cap)") {
+    val plan = planOf(Relational.topPartsPerBrand(t))
+    // both the Partial (map-side, pre-exchange) and Final phases must
+    // appear: each task keeps its local top-k per brand before shuffling
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("Partial"), plan)
+  }
+
+  test("histogram quantiles bound the true percentile within one bin") {
+    import org.apache.spark.sql.functions.col
+    val approx = Relational.histogramQuantiles(t)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val exact = t.events.groupBy(col("event_type"))
+      .agg(org.apache.spark.sql.functions.percentile(col("value"),
+        org.apache.spark.sql.functions.lit(0.5)).as("p50"),
+        org.apache.spark.sql.functions.percentile(col("value"),
+          org.apache.spark.sql.functions.lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (ty, (p50, p95)) =>
+      val (lo50, lo95) = approx(ty)
+      assert(p50 >= lo50 - 8 && p50 <= lo50 + 8, s"$ty p50=$p50 lo=$lo50")
+      assert(p95 >= lo95 - 8 && p95 <= lo95 + 8, s"$ty p95=$p95 lo=$lo95")
+    }
+  }
+
   test("exact dedup aggregates map-side before the shuffle") {
     val plan = planOf(Dedup.exactGroups(t))
     assert(plan.contains("HashAggregate"), plan)
