@@ -183,6 +183,13 @@ object SparkEntry {
       t.embeddings,
       t.embeddings.select(col("vec_id"), quantize8(col("embedding")).as("qcodes")),
       nCentroids = 16, nprobe = 4, k = 5)),
+    // product-quantized search: m=4 single-byte codes per vector (16×
+    // smaller than float32; int8 is the 4× midpoint) — ADC-style scoring
+    // against PQ reconstructions, codebooks from the deterministic seeds
+    "q_pq_search" -> q(t => ProductQuantizer.search(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, m = 4, k = 16, topK = 5)),
     // approximate-index quality audit: recall@k of IVF vs brute force
     "q_recall" -> q(t => IvfIndex.recallAudit(
       t.embeddings.filter(col("vec_id") < 5)
@@ -692,6 +699,27 @@ object SparkEntry {
           | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
           |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
           |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
+    // product quantization replayed: per-subspace argmin over the seed
+    // codebooks (‖s‖² − 2·s·cw + ‖cw‖², ties by code), reconstruction by
+    // ordered flatten, ADC cosine ranking — every fold in DOUBLE
+    "q_pq_search" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | cb AS (SELECT e.vec_id AS c, r.j, list_slice(ev, j*16+1, j*16+16) AS cw
+        |   FROM e, range(4) r(j) WHERE e.vec_id < 16),
+        | cbn AS (SELECT c, j, cw, list_inner_product(cw, cw) AS cnorm FROM cb),
+        | sv AS (SELECT vec_id, j, list_slice(ev, j*16+1, j*16+16) AS s FROM e, range(4) r(j)),
+        | svn AS (SELECT vec_id, j, s, list_inner_product(s, s) AS ss FROM sv),
+        | d AS (SELECT svn.vec_id, svn.j, cbn.c, cbn.cw,
+        |    svn.ss - 2*list_inner_product(svn.s, cbn.cw) + cbn.cnorm AS dist
+        |   FROM svn JOIN cbn ON svn.j = cbn.j),
+        | a AS (SELECT vec_id, j, cw FROM (
+        |    SELECT vec_id, j, cw, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
+        | rec AS (SELECT vec_id, flatten(list(cw ORDER BY j)) AS rv FROM a GROUP BY 1),
+        | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+        | sims AS (SELECT query_id, rec.vec_id, list_cosine_similarity(qv, rv) AS sim FROM q CROSS JOIN rec),
+        | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     // KMV sketch replayed exactly: same FNV hashes (HUGEINT), same k-th
     // smallest distinct unsigned value, same integer-division estimator
     "q_distinct_sketch" ->

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.dot_product
+
+/** Product quantization: split each `dim`-vector into `m` subvectors and
+  * replace every subvector by its nearest of `k` per-subspace codewords —
+  * `m` single-byte codes instead of `dim` floats (16× smaller than float32
+  * at m=4/dim=64; at 100 TB of embeddings the difference between a
+  * disk-resident and a memory-resident index). Complements [[IvfIndex]]
+  * (which prunes WHICH vectors are scored) by compressing HOW each vector
+  * is stored; the int8 path (`Quantize8`) is the 4× midpoint.
+  *
+  * Codebooks are deterministic (the first `k` corpus vectors' subvectors,
+  * the same seed convention as `IvfIndex.centroids`) and collected once —
+  * m×k×(dim/m) floats, driver-trivial — then folded into codegen'd
+  * `least(struct(dist, c)…)` argmin expressions, so encoding is a pure
+  * NARROW pass: no shuffle, no UDF, every distance term a native
+  * expression. Search is ADC-style: the query stays unquantized and scores
+  * against reconstructed corpus vectors.
+  */
+object ProductQuantizer {
+
+  /** `m` × `k` codebooks from the deterministic seeds; subspace `j` holds
+    * the seeds' `j`-th `dim/m`-slices. */
+  def codebooks(corpus: DataFrame, m: Int, k: Int): Array[Array[Array[Float]]] = {
+    val seeds = corpus.filter(col("vec_id") < k).orderBy(col("vec_id"))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "PQ needs at least one seed vector")
+    val sub = seeds.head.length / m
+    Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** Per-subspace argmin code as a column: `least` over
+    * `struct(‖s‖² − 2·s·cw + ‖cw‖², c)` — ‖cw‖² is a driver-computed
+    * literal (double fold, matching the engine's accumulate order). */
+  private def bestCode(s: Column, book: Array[Array[Float]]): Column = {
+    val ss = dot_product(s, s)
+    least(book.zipWithIndex.map { case (cw, c) =>
+      val cnorm = cw.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      struct(
+        (ss - lit(2.0) * dot_product(s, typedLit(cw.toSeq)) + lit(cnorm))
+          .as("dist"),
+        lit(c).as("c"))
+    }: _*).getField("c")
+  }
+
+  /** `(vec_id, codes array<int>)`: the stored form — m small ints per
+    * vector (cast to bytes at rest). */
+  def encoded(corpus: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
+    val cbs = codebooks(corpus, m, k)
+    val sub = cbs(0)(0).length
+    corpus.select(col("vec_id"),
+      array((0 until m).map(j =>
+        bestCode(slice(col("embedding"), j * sub + 1, sub), cbs(j))): _*)
+        .as("codes"))
+  }
+
+  /** `(vec_id, embedding)` with every vector replaced by its PQ
+    * reconstruction (decode fused with encode — one narrow pass). */
+  def reconstructed(corpus: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
+    val cbs = codebooks(corpus, m, k)
+    val sub = cbs(0)(0).length
+    val parts = (0 until m).map { j =>
+      val code = bestCode(slice(col("embedding"), j * sub + 1, sub), cbs(j))
+      element_at(typedLit(cbs(j).map(_.toSeq).toSeq), code + 1)
+    }
+    corpus.select(col("vec_id"), flatten(array(parts: _*)).as("embedding"))
+  }
+
+  /** ADC-style exact top-k over the PQ-compressed corpus: unquantized
+    * queries, reconstructed corpus, the shared bounded-heap ranking. */
+  def search(queries: DataFrame, corpus: DataFrame, m: Int = 4, k: Int = 16,
+             topK: Int = 5): DataFrame =
+    Search.bruteForceTopK(queries, reconstructed(corpus, m, k), topK)
+}

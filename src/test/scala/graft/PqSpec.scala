@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ProductQuantizer
+import graft.sources.Tables
+
+class PqSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val t = Tables(spark, sfDir)
+
+  test("seed vectors reconstruct exactly (their subvectors ARE codewords)") {
+    val rec = ProductQuantizer.reconstructed(t.embeddings, m = 4, k = 16)
+      .filter($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0))
+    val orig = t.embeddings.filter($"vec_id" < 16).orderBy($"vec_id")
+      .select($"embedding").collect().map(_.getSeq[Float](0))
+    assert(rec.length == 16)
+    rec.zip(orig).foreach { case (r, o) => assert(r == o) }
+  }
+
+  test("codes are m small ints in [0, k) — the 16x-compression invariant") {
+    val enc = ProductQuantizer.encoded(t.embeddings, m = 4, k = 16)
+    val codes = enc.select($"codes").collect().map(_.getSeq[Int](0))
+    assert(codes.forall(_.length == 4))
+    assert(codes.forall(_.forall(c => c >= 0 && c < 16)))
+  }
+
+  test("ADC search: k rows per query, positive recall vs exact top-k") {
+    val queries = t.embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val approx = ProductQuantizer.search(queries, t.embeddings, topK = 5)
+    val perQuery = approx.groupBy($"query_id").count()
+      .collect().map(_.getLong(1))
+    assert(perQuery.length == 5 && perQuery.forall(_ == 5L))
+    // PQ at m=4 is lossy, but each query's own vector neighborhood should
+    // still surface: average recall@5 vs exact must beat random
+    val exact = operators.Search.bruteForceTopK(queries, t.embeddings, 5)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = approx.select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    assert(hits >= 5, s"recall too low: $hits/25 exact matches")
+  }
+
+  test("reconstruction is a narrow plan: no exchange before the output") {
+    val plan = planOf(ProductQuantizer.reconstructed(t.embeddings))
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
