@@ -28,6 +28,13 @@ object Sketches {
   private def bucketOf(tok: Column, d: Int, width: Int): Column =
     pmod(fnv1a64(concat(lit(s"$d:"), tok)), lit(width.toLong))
 
+  /** One `(d, bucket)` struct per sketch row for a token column — shared
+    * with the streaming twin ([[graft.streaming.SketchStream]]) so batch
+    * and stream hash identically by construction. */
+  private[graft] def gridCoords(tok: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(
+      d => struct(lit(d).as("d"), bucketOf(tok, d, width).as("bucket"))): _*))
+
   /** Top-`k` tokens with exact counts AND their count-min estimates:
     * `(tok, n_exact, n_cms)`, heaviest first. */
   def cmsTokenTopK(docs: DataFrame, depth: Int = 4, width: Int = 1024,
@@ -40,10 +47,8 @@ object Sketches {
       .repartition(32)
       .select(explode(col("toks")).as("tok"))
       .localCheckpoint()
-    def gridCoords(tok: Column): Column = explode(array((0 until depth).map(
-      d => struct(lit(d).as("d"), bucketOf(tok, d, width).as("bucket"))): _*))
     // the sketch: one pass, partial-aggregated into ≤ depth×width cells
-    val grid = toks.select(gridCoords(col("tok")).as("db"))
+    val grid = toks.select(gridCoords(col("tok"), depth, width).as("db"))
       .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
       .agg(count(lit(1)).as("c"))
     // the audit side: exact top-k (at true scale this pass is what the
@@ -52,7 +57,8 @@ object Sketches {
       .orderBy(col("n_exact").desc, col("tok")).limit(k)
     // probe: k×depth lookups against the broadcast grid
     exact
-      .select(col("tok"), col("n_exact"), gridCoords(col("tok")).as("db"))
+      .select(col("tok"), col("n_exact"),
+        gridCoords(col("tok"), depth, width).as("db"))
       .join(broadcast(grid),
         col("db.d") === col("d") && col("db.bucket") === col("bucket"))
       .groupBy(col("tok"), col("n_exact"))

@@ -203,4 +203,41 @@ class StreamingSpec extends SparkSuite {
         s"${unmatched.size} emitted sessions not found in batch result")
     } finally q.stop()
   }
+
+  test("streaming count-min grid converges to the batch grid") {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("graft-cms-stream").toString
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def doc(id: Long): (Long, String) =
+      (id, (1 to 5).map(j => s"w${id % 3}x$j").mkString(" ") + " shared tok")
+    def write(path: String, rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map { case (id, tx) => Row(id, tx) }: _*),
+        docSchema).coalesce(1).write.parquet(path)
+    write(s"$dir/chunk=a", (0L to 3L).map(doc))
+    Thread.sleep(1100)
+    write(s"$dir/chunk=b", (4L to 7L).map(doc))
+    val stream = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
+    val q = SketchStream.grid(stream, depth = 4, width = 64)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // update mode re-emits a cell each time it grows: the final value
+      // per (d, bucket) is the max
+      val got = spark.table("cms_out").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val allDocs = spark.createDataFrame(
+        java.util.Arrays.asList((0L to 7L).map(doc).map { case (id, tx) =>
+          Row(id, tx) }: _*), docSchema)
+      val want = SketchStream.grid(allDocs, depth = 4, width = 64)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"stream grid diverged: ${got.size} vs ${want.size} cells")
+      // bounded state: never more cells than depth x width
+      assert(got.size <= 4 * 64)
+    } finally q.stop()
+  }
 }
