@@ -285,8 +285,9 @@ object SparkEntry {
       .groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
       .agg(count(lit(1)).as("n"), max(col("k")).as("k_max"))
       .orderBy(col("event_type"), col("k_mod"))),
-    // multi-level aggregation (rollup)
+    // multi-level aggregation (rollup + full cube lattice)
     "q_rollup" -> q(t => Relational.revenueRollup(t)),
+    "q_cube"   -> q(t => Relational.revenueCube(t)),
     // as-of join (operator Spark lacks; union/last-value composition)
     "q_asof_join" -> q(t => {
       val ev = t.events
@@ -1195,6 +1196,14 @@ object SparkEntry {
          | JOIN nation ON c_nationkey=n_nationkey
          | JOIN region ON n_regionkey=r_regionkey
          |GROUP BY ROLLUP(r_name, n_name) ORDER BY 1,2""".stripMargin,
+    "q_cube" ->
+      s"""SELECT coalesce(r_name,'ALL') AS region, coalesce(c_mktsegment,'ALL') AS segment,
+         | CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+         | JOIN customer ON o_custkey=c_custkey
+         | JOIN nation ON c_nationkey=n_nationkey
+         | JOIN region ON n_regionkey=r_regionkey
+         |GROUP BY CUBE(r_name, c_mktsegment) ORDER BY 1,2""".stripMargin,
     "q_sql_search" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
         | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

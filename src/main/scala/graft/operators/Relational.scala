@@ -189,6 +189,29 @@ object Relational {
       .orderBy(col("region"), col("nation"))
   }
 
+  /** Full grouping-sets lattice (CUBE over region × market segment):
+    * every subtotal combination in one pass. Same two-level discipline as
+    * [[revenueRollup]] — collapse to the finest grain FIRST (decimal sums
+    * re-aggregate exactly), then Expand multiplies the tiny grouped
+    * result by 4, never the fact table. */
+  def revenueCube(t: Tables): DataFrame = {
+    val rev = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+    val base = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("c_mktsegment"))
+      .agg(sum(rev).as("rev"), count(lit(1)).as("n"))
+    base.cube(col("r_name"), col("c_mktsegment"))
+      .agg(sum(col("rev")).cast("double").as("revenue"),
+           sum(col("n")).as("n_items"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("revenue"), col("n_items"))
+      .orderBy(col("region"), col("segment"))
+  }
+
   /** Grouped top-k (top `k` parts by retail price per brand) via a rank
     * window + filter — the shape Spark rewrites into `WindowGroupLimit`:
     * each map task keeps only its local top-k per group BEFORE the

@@ -139,6 +139,49 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bloom filter never produces false negatives") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val keysGen: Gen[Seq[Long]] = Gen.chooseNum(1, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(Long.MinValue, Long.MaxValue)))
+    forAll(keysGen, 10) { keys =>
+      val bf = BloomFilter.create(1000, 0.01)
+      keys.foreach(bf.putLong)
+      val hits = keys.distinct.toDF("k")
+        .select(graft.functions.bloom_might_contain($"k", bf))
+        .as[Boolean].collect()
+      assert(hits.forall(identity), "an inserted key tested negative")
+    }
+  }
+
+  test("count-min estimates never undercount (one-sided error)") {
+    forAll(tokensGen, 6) { toks =>
+      // one doc per token so the corpus pipeline sees arbitrary streams
+      val docs = toks.zipWithIndex
+        .map { case (tk, i) => (i.toLong, tk) }.toDF("doc_id", "text")
+      val out = operators.Sketches.cmsTokenTopK(docs, depth = 2, width = 8,
+        k = 25).collect()
+      out.foreach { r =>
+        assert(r.getLong(2) >= r.getLong(1),
+          s"cms ${r.getLong(2)} < exact ${r.getLong(1)} for ${r.getString(0)}")
+      }
+    }
+  }
+
+  test("pq reconstruction lands every subvector exactly on a codeword") {
+    val e = sources.Tables(spark, sfDir).embeddings
+    val cbs = operators.ProductQuantizer.codebooks(e, m = 4, k = 16)
+    val codewords: Array[Set[Seq[Float]]] =
+      cbs.map(_.map(_.toSeq).toSet)
+    val recs = operators.ProductQuantizer.reconstructed(e, m = 4, k = 16)
+      .select($"embedding").collect().map(_.getSeq[Float](0))
+    recs.foreach { v =>
+      (0 until 4).foreach { j =>
+        val sub = v.slice(j * 16, (j + 1) * 16)
+        assert(codewords(j).contains(sub), s"subspace $j off-codebook")
+      }
+    }
+  }
+
   test("top-k is a prefix: top(k) == top(k+3).take(k) under the same order") {
     val e = sources.Tables(spark, sfDir).embeddings
     val q = e.filter($"vec_id" < 3)
