@@ -183,6 +183,12 @@ object SparkEntry {
       t.embeddings,
       t.embeddings.select(col("vec_id"), quantize8(col("embedding")).as("qcodes")),
       nCentroids = 16, nprobe = 4, k = 5)),
+    // IVFPQ: centroid-pruned candidate set AND 16×-compressed postings —
+    // both scale axes composed (assignment/probes on exact centroids)
+    "q_ivf_pq" -> q(t => IvfIndex.searchPq(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, nCentroids = 16, nprobe = 4, k = 5)),
     // product-quantized search: m=4 single-byte codes per vector (16×
     // smaller than float32; int8 is the 4× midpoint) — ADC-style scoring
     // against PQ reconstructions, codebooks from the deterministic seeds
@@ -700,6 +706,37 @@ object SparkEntry {
           | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
           |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
           |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
+    // IVFPQ replayed: the proven assign/probe CTEs composed with the PQ
+    // reconstruction CTEs — candidates scored against reconstructions
+    "q_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | cb AS (SELECT e.vec_id AS c, r.j, list_slice(ev, j*16+1, j*16+16) AS cw
+        |   FROM e, range(4) r(j) WHERE e.vec_id < 16),
+        | cbn AS (SELECT c, j, cw, list_inner_product(cw, cw) AS cnorm FROM cb),
+        | sv AS (SELECT vec_id, j, list_slice(ev, j*16+1, j*16+16) AS s FROM e, range(4) r(j)),
+        | svn AS (SELECT vec_id, j, s, list_inner_product(s, s) AS ss FROM sv),
+        | d AS (SELECT svn.vec_id, svn.j, cbn.c, cbn.cw,
+        |    svn.ss - 2*list_inner_product(svn.s, cbn.cw) + cbn.cnorm AS dist
+        |   FROM svn JOIN cbn ON svn.j = cbn.j),
+        | pa AS (SELECT vec_id, j, cw FROM (
+        |    SELECT vec_id, j, cw, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
+        | rec AS (SELECT vec_id, flatten(list(cw ORDER BY j)) AS rv FROM pa GROUP BY 1),
+        | cc AS (SELECT vec_id AS centroid_id, ev AS cv FROM e WHERE vec_id < 16),
+        | assign AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT e.vec_id, cc.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM e CROSS JOIN cc) WHERE rn = 1),
+        | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+        | probes AS (SELECT query_id, centroid_id FROM (
+        |   SELECT query_id, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+        |   FROM q CROSS JOIN cc) WHERE rn <= 4),
+        | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+        | scored AS (SELECT cand.query_id, cand.vec_id, list_cosine_similarity(q.qv, rec.rv) AS sim
+        |   FROM cand JOIN q ON cand.query_id = q.query_id JOIN rec ON cand.vec_id = rec.vec_id),
+        | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     // product quantization replayed: per-subspace argmin over the seed
     // codebooks (‖s‖² − 2·s·cw + ‖cw‖², ties by code), reconstruction by
     // ordered flatten, ADC cosine ranking — every fold in DOUBLE

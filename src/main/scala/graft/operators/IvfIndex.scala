@@ -246,6 +246,31 @@ object IvfIndex {
         .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
   }
 
+  /** IVF + product quantization (the classic IVFPQ layout): assignment
+    * and probes on the exact centroids, candidate scoring against PQ
+    * reconstructions — `m` bytes per posting instead of `dim` floats
+    * (16× at m=4/dim=64; the int8 path [[searchQuantized]] is the 4×
+    * midpoint). The two scale axes composed: IVF prunes WHICH vectors are
+    * scored to `nprobe / nCentroids` of the corpus, PQ compresses every
+    * byte that is still scanned. */
+  def searchPq(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
+               nprobe: Int, k: Int, m: Int = 4, kCodes: Int = 16)
+      : DataFrame = {
+    val cents = centroids(corpus, nCentroids)
+    val assign = nearestCentroid(corpus, cents)
+    val probes = probeCentroids(cents, queries, nprobe)
+    val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = candidates
+      .join(ProductQuantizer.reconstructed(corpus, m, kCodes), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
+    Search.explodeTopK(
+      scored.groupBy(col("query_id"))
+        .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
+  }
+
   /** Recall@k audit: the one metric an approximate-index user always asks
     * for (the reference tunes `ef`/`M` for the same recall/latency trade,
     * services/index_service.py:72). Per query: how many of the exact

@@ -43,6 +43,21 @@ class PqSpec extends SparkSuite {
     assert(hits >= 5, s"recall too low: $hits/25 exact matches")
   }
 
+  test("ivfpq: pruned+compressed search keeps k rows with usable recall") {
+    val queries = t.embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val got = operators.IvfIndex.searchPq(queries, t.embeddings,
+      nCentroids = 16, nprobe = 4, k = 5)
+    val perQuery = got.groupBy($"query_id").count().collect()
+    assert(perQuery.length == 5 && perQuery.forall(_.getLong(1) == 5L))
+    val exact = operators.Search.bruteForceTopK(queries, t.embeddings, 5)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = got.select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).count(exact.contains)
+    assert(hits >= 5, s"ivfpq recall too low: $hits/25")
+  }
+
   test("reconstruction is a narrow plan: no exchange before the output") {
     val plan = planOf(ProductQuantizer.reconstructed(t.embeddings))
     assert(!plan.contains("Exchange"), plan)
