@@ -39,7 +39,15 @@ object GraftSql {
         case other => throw new IllegalArgumentException(
           s"expected string literal, got $other")
       }))),
-    "scatter_vector"    -> (es => ScatterVector(es(0), foldInt(es(1)))))
+    "scatter_vector"    -> (es => ScatterVector(es(0), foldInt(es(1)))),
+    // filter bytes as a binary literal (e.g. a hex X'…' of a serialized
+    // spark BloomFilter) — the SQL face of the bloom-pruned join probe
+    "bloom_might_contain" -> (es => BloomMightContain(es(0),
+      es(1).eval() match {
+        case b: Array[Byte] => b
+        case other => throw new IllegalArgumentException(
+          s"expected binary literal bloom filter, got $other")
+      })))
 
   private def foldInt(e: Expression): Int = e.eval() match {
     case i: Int => i

@@ -349,7 +349,7 @@ object Dedup {
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     // argmin by (dist, centroid_id): struct least() == the struct-min
     // aggregate in IvfIndex.nearestCentroid, row-at-a-time
-    val best = least(cents.map { case (cid, cv) =>
+    val best = least(cents.toSeq.map { case (cid, cv) =>
       struct(
         (lit(1.0) - cosine_similarity(col("embedding"), typedLit(cv)))
           .as("dist"),

@@ -165,7 +165,7 @@ object IvfIndex {
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)) // bounded: <= queries x nprobe
     val scored = postings
-      .filter(col("centroid_id").isin(probedIds.map(x => x: Any): _*))
+      .filter(col("centroid_id").isin(probedIds.toSeq.map(x => x: Any): _*))
       .join(broadcast(probes), Seq("centroid_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -186,7 +186,7 @@ object IvfIndex {
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)) // bounded: <= queries x nprobe
     val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("centroid_id").isin(probedIds.map(x => x: Any): _*))
+      .filter(col("centroid_id").isin(probedIds.toSeq.map(x => x: Any): _*))
     val scored = postings
       .join(broadcast(probes), Seq("centroid_id"))
       .join(broadcast(queries), Seq("query_id"))

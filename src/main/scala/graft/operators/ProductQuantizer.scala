@@ -37,7 +37,7 @@ object ProductQuantizer {
     * literal (double fold, matching the engine's accumulate order). */
   private def bestCode(s: Column, book: Array[Array[Float]]): Column = {
     val ss = dot_product(s, s)
-    least(book.zipWithIndex.map { case (cw, c) =>
+    least(book.toSeq.zipWithIndex.map { case (cw, c) =>
       val cnorm = cw.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
       struct(
         (ss - lit(2.0) * dot_product(s, typedLit(cw.toSeq)) + lit(cnorm))

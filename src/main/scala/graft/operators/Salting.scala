@@ -22,7 +22,7 @@ object Salting {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int): DataFrame = {
     val bigSalted = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)))
+      pmod(xxhash64(struct(big.columns.toSeq.map(col): _*)), lit(salts)))
     val smallReplicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     bigSalted.join(smallReplicated,

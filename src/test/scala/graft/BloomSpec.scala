@@ -47,6 +47,22 @@ class BloomSpec extends SparkSuite {
     assert(filterLine.isDefined, plan)
   }
 
+  test("bloom_might_contain is callable from SQL with a binary literal") {
+    import org.apache.spark.util.sketch.BloomFilter
+    GraftSql.register(spark)
+    val bf = BloomFilter.create(100, 0.01)
+    (1L to 10L).foreach(bf.putLong)
+    val out = new java.io.ByteArrayOutputStream()
+    bf.writeTo(out)
+    val hex = out.toByteArray.map(b => f"$b%02X").mkString
+    val got = spark.sql(
+      s"SELECT bloom_might_contain(CAST(5 AS BIGINT), X'$hex') AS hit, " +
+        s"bloom_might_contain(CAST(987654321 AS BIGINT), X'$hex') AS miss")
+      .head()
+    assert(got.getBoolean(0))
+    assert(!got.getBoolean(1))
+  }
+
   test("expression semantics: membership, nulls, type check") {
     import org.apache.spark.util.sketch.BloomFilter
     val bf = BloomFilter.create(1000, 0.01)
