@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final, Partial}
+import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Plan triage for the anti-patterns that kill 100 TB jobs — the
+  * programmatic form of the PLANS.md review checklist. `audit` walks a
+  * query's physical plan and returns findings; `PlanAuditSpec` runs it
+  * over the whole `SparkEntry` catalog so a regression in ANY query fails
+  * the suite, not just the headliners with hand-written gates.
+  *
+  * Severities: `error` = never acceptable at corpus scale (the job is the
+  * bug); `warn` = legitimate only when a side is bounded by contract —
+  * a human (or a test) must vouch for it; `info` = worth a look, often
+  * fine (a single-partition merge of k-rows-per-query partials is by
+  * design; one over a corpus-sized child is a serialization point).
+  */
+object PlanDoctor {
+
+  final case class Finding(severity: String, rule: String, detail: String) {
+    override def toString = s"[$severity] $rule: $detail"
+  }
+
+  /** Audit the query's FINAL physical plan (AQE-resolved when executed). */
+  def audit(df: DataFrame): Seq[Finding] = auditPlan(df.queryExecution.executedPlan)
+
+  /** `AdaptiveSparkPlanExec` and query stages hold their physical plan as
+    * a FIELD, not a child — a plain `foreach` would audit nothing inside
+    * an AQE-wrapped query (i.e. most of them). */
+  private def walk(p: SparkPlan)(f: SparkPlan => Unit): Unit = {
+    f(p)
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        walk(a.executedPlan)(f)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(s.plan)(f)
+      case _ => p.children.foreach(walk(_)(f))
+    }
+  }
+
+  def auditPlan(plan: SparkPlan): Seq[Finding] = {
+    val findings = Seq.newBuilder[Finding]
+
+    walk(plan) {
+      // |left| × |right| rows, no pruning, ever. Always a lost broadcast
+      // hint or a join whose condition could not become an equi-key.
+      case c: CartesianProductExec =>
+        findings += Finding("error", "cartesian-product",
+          s"materializes |left|x|right| rows: ${c.simpleStringWithNodeId()}")
+
+      // Fine when the broadcast side is bounded by contract (query
+      // batches, probe sets); fatal when it isn't. Flag for a human.
+      case j: BroadcastNestedLoopJoinExec =>
+        findings += Finding("warn", "nested-loop-join",
+          "BroadcastNestedLoopJoin: acceptable ONLY if the broadcast side " +
+            s"is bounded by contract (${j.joinType})")
+
+      // A shuffle INTO one partition funnels the child through a single
+      // task — by design for k-rows-per-query merges, a serialization
+      // point for anything corpus-sized.
+      // covers SinglePartition AND numPartitions=1 hash/round-robin forms
+      case e: ShuffleExchangeExec
+          if e.outputPartitioning == SinglePartition ||
+            e.outputPartitioning.numPartitions == 1 =>
+        findings += Finding("info", "single-partition-exchange",
+          "all rows funnel through one task; verify the child is bounded")
+
+      // A Filter sitting directly on a parquet scan that pushed NOTHING
+      // re-reads every row group: either the predicate is genuinely
+      // un-pushable (document why) or a cast/expression blocks pushdown.
+      case f: FilterExec =>
+        f.child match {
+          case s: FileSourceScanExec if s.metadata.get("PushedFilters")
+              .exists(v => v == "[]") =>
+            findings += Finding("info", "unpushed-filter",
+              s"filter over ${s.tableIdentifier.map(_.toString)
+                .getOrElse("scan")} pushed no predicates: ${f.condition.sql}")
+          case _ => ()
+        }
+
+      // A final-mode aggregate whose exchange child feeds raw rows (no
+      // partial below) ships the full input across the wire — the
+      // map-side combine is missing.
+      case a: BaseAggregateExec
+          if a.aggregateExpressions.nonEmpty &&
+            a.aggregateExpressions.forall(_.mode == Final) =>
+        a.child match {
+          case e: ShuffleExchangeExec if !hasPartialAgg(e.child) =>
+            findings += Finding("warn", "missing-partial-aggregate",
+              "final aggregate fed by an exchange with no partial " +
+                "aggregate below: full rows cross the wire")
+          case _ => ()
+        }
+
+      case _ => ()
+    }
+    findings.result()
+  }
+
+  private def hasPartialAgg(plan: SparkPlan): Boolean = plan.exists {
+    case a: HashAggregateExec =>
+      a.aggregateExpressions.exists(e => e.mode == Partial || e.mode == Complete)
+    case a: ObjectHashAggregateExec =>
+      a.aggregateExpressions.exists(e => e.mode == Partial || e.mode == Complete)
+    case a: SortAggregateExec =>
+      a.aggregateExpressions.exists(e => e.mode == Partial || e.mode == Complete)
+    case _ => false
+  }
+}

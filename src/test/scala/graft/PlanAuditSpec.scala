@@ -21,4 +21,33 @@ class PlanAuditSpec extends SparkSuite {
         s"$name plans a CartesianProduct:\n$plan")
     }
   }
+
+  test("PlanDoctor: zero error-severity findings across the catalog") {
+    val errors = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        PlanDoctor.audit(fn(spark, sfDir))
+          .filter(_.severity == "error").map(f => s"$name -> $f")
+    }
+    assert(errors.isEmpty, errors.mkString("\n"))
+  }
+
+  test("PlanDoctor flags planted anti-patterns") {
+    import org.apache.spark.sql.functions._
+    val t = sources.Tables(spark, sfDir)
+    // cartesian: a crossJoin both sides too big for auto-broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cart = PlanDoctor.audit(
+        t.lineitem.crossJoin(t.orders.select(col("o_orderkey").as("ok"))))
+      assert(cart.exists(f => f.severity == "error" &&
+        f.rule == "cartesian-product"), cart.mkString("\n"))
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    // single-partition funnel
+    val single = PlanDoctor.audit(t.lineitem.coalesce(8).repartition(1))
+    assert(single.exists(_.rule == "single-partition-exchange") ||
+      // repartition(1) may plan as coalesce; force a shuffle variant
+      PlanDoctor.audit(t.lineitem.repartition(1, col("l_orderkey") * 0 + 1))
+        .exists(_.rule == "single-partition-exchange"))
+  }
 }
