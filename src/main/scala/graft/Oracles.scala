@@ -68,13 +68,13 @@ object Oracles {
   private val pow2 = "[" +
     (0 until 64).map(j => s"${BigInt(1) << j}::HUGEINT").mkString(",") + "]"
 
-  /** CTE chain `n → … → pairs` replaying MinHashSignature + BandHashes +
-    * the capBuckets skew guard + candidate generation. `pairs` is emitted
-    * SYMMETRIC (both directions), which both the per-doc summary and the
-    * clusters recursion consume directly. Stage names mirror the mix:
+  /** CTE chain `n → … → bh` replaying MinHashSignature + BandHashes: one
+    * signed band hash per (doc, band). Stage names mirror the mix:
     * x0 = h + C1·(i+1); x1 = (x0 ⊕ x0»30)·C2; x2 = (x1 ⊕ x1»27)·C3;
-    * g = x2 ⊕ x2»31, all mod 2^64, compared SIGNED for the min. */
-  private def minhashPairsCte(maxBucket: Int): String =
+    * g = x2 ⊕ x2»31, all mod 2^64, compared SIGNED for the min. Shared by
+    * the self-join pair generator ([[dedupMinhashSql]]/[[dedupClustersSql]])
+    * and the incremental new-vs-base generator ([[dedupIncrementalSql]]). */
+  private def minhashBandsCte: String =
     s"""n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
        | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n),
        | shq AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
@@ -95,10 +95,36 @@ object Oracles {
        | bandbytes AS (SELECT doc_id, i // 8 AS band,
        |    flatten(list_transform(list(su ORDER BY i), l -> list_transform(range(0,8), j -> (l // $pow256[j+1]) % 256))) AS bytes
        |   FROM su GROUP BY doc_id, i // 8),
-       | bh AS (SELECT doc_id, band, ${signed(fnv("bytes"))} AS h FROM bandbytes),
+       | bh AS (SELECT doc_id, band, ${signed(fnv("bytes"))} AS h FROM bandbytes)""".stripMargin
+
+  /** [[minhashBandsCte]] + the capBuckets skew guard + SYMMETRIC candidate
+    * pairs (both directions), which both the per-doc summary and the
+    * clusters recursion consume directly. */
+  private def minhashPairsCte(maxBucket: Int): String =
+    s"""$minhashBandsCte,
        | capped AS (SELECT * FROM bh QUALIFY COUNT(*) OVER (PARTITION BY band, h) <= $maxBucket),
        | pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |   FROM capped a JOIN capped b ON a.band = b.band AND a.h = b.h AND a.doc_id <> b.doc_id)""".stripMargin
+
+  /** dedup_incremental: NEW docs (doc_id ≥ `split`) probed against the
+    * BASE corpus (doc_id < `split`) — the bucket cap applies to the BASE
+    * side only, exactly like the Spark operator (the new side joins
+    * uncapped; QUALIFY runs after the WHERE, so the partition counts are
+    * base-only counts). */
+  def dedupIncrementalSql(split: Long = 250, maxBucket: Int = 1000): String =
+    s"""WITH $minhashBandsCte,
+       | cappedb AS (SELECT * FROM bh WHERE doc_id < $split
+       |   QUALIFY COUNT(*) OVER (PARTITION BY band, h) <= $maxBucket),
+       | pairs AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS base_id
+       |   FROM bh a JOIN cappedb b ON a.band = b.band AND a.h = b.h
+       |   WHERE a.doc_id >= $split),
+       | summ AS (SELECT new_id, COUNT(*) AS n_base_candidates,
+       |     MIN(base_id) AS min_base_partner
+       |   FROM pairs GROUP BY 1)
+       |SELECT n.doc_id, coalesce(n_base_candidates, 0) AS n_base_candidates,
+       | min_base_partner, coalesce(n_base_candidates, 0) > 0 AS is_dup_of_base
+       |FROM n LEFT JOIN summ ON n.doc_id = summ.new_id
+       |WHERE n.doc_id >= $split ORDER BY n.doc_id""".stripMargin
 
   private val summaryTail: String =
     """ summ AS (SELECT id1 AS doc_id, COUNT(*) AS n_candidates, MIN(id2) AS min_partner FROM pairs GROUP BY 1)

@@ -210,6 +210,11 @@ object SparkEntry {
     // SemDeDup-style: near-dup NN within LEARNED (centroid) blocks — the
     // blocking key is computed, not given; assignment is a narrow pass
     "dedup_semantic"  -> q(t => Dedup.semanticNeighbors(t.embeddings)),
+    // incremental: a new batch probed against the existing base corpus —
+    // the base never self-joins (the daily-increment production shape)
+    "dedup_incremental" -> q(t => Dedup.incrementalCandidates(
+      t.documents.filter(col("doc_id") >= 250),
+      t.documents.filter(col("doc_id") < 250))),
     // bloom-pruned join: the big side is filtered by a compact bloom
     // filter of the small side's keys BEFORE anything shuffles; the
     // oracle is the PLAIN join — pruning must be invisible in the result
@@ -946,6 +951,7 @@ object SparkEntry {
     "dedup_minhash"  -> Oracles.dedupMinhashSql(),
     "dedup_simhash"  -> Oracles.dedupSimhashSql(),
     "dedup_clusters" -> Oracles.dedupClustersSql(),
+    "dedup_incremental" -> Oracles.dedupIncrementalSql(),
     // hashing-trick embedding replayed: FNV token buckets → counts →
     // L2-normalized floats → (dim, norm, nnz, moment) digest
     "q_embed" ->

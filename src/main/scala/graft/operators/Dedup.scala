@@ -112,6 +112,39 @@ object Dedup {
       bandedPairs(minhashBuckets(docs, numHashes, bands, shingleLen),
         maxBucket))
 
+  /** Incremental near-dup detection: flag NEW documents against an
+    * EXISTING base corpus — the production shape for a daily increment
+    * landing on a 100 TB base. The base NEVER self-joins: its banded
+    * signatures are (re)computed or read from the persisted signature
+    * table, the increment's signatures probe them with a plain equi-join
+    * on (band, bucket), and the join output is ∝ increment × matches,
+    * not base². The [[capBuckets]] skew guard applies to the BASE side
+    * (the boilerplate buckets live there); the increment probes uncapped.
+    * Output: one row per new doc — candidate count, smallest base
+    * partner, and the `is_dup_of_base` gate a pipeline filters on. */
+  def incrementalCandidates(newDocs: DataFrame, base: DataFrame,
+                            numHashes: Int = 128, bands: Int = 16,
+                            shingleLen: Int = 3, maxBucket: Int = 1000)
+      : DataFrame = {
+    val nb = minhashBuckets(newDocs, numHashes, bands, shingleLen)
+    val bb = capBuckets(minhashBuckets(base, numHashes, bands, shingleLen),
+      maxBucket)
+    val pairs = nb.as("a")
+      .join(bb.as("b"),
+        col("a.band") === col("b.band") && col("a.h") === col("b.h"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+    newDocs.select(col("doc_id"))
+      .join(pairs.groupBy(col("new_id").as("doc_id"))
+        .agg(count(lit(1)).as("n_base_candidates"),
+          min(col("base_id")).as("min_base_partner")), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_base_candidates"))
+      .select(col("doc_id"), col("n_base_candidates"),
+        col("min_base_partner"),
+        (col("n_base_candidates") > 0).as("is_dup_of_base"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash64 + banded (4 × 16-bit) candidate generation, verified by
     * exact hamming distance ≤ `maxHamming`. Buckets capped like every
     * other banded generator ([[capBuckets]]): 16-bit chunks bound bucket

@@ -80,6 +80,25 @@ class DedupSpec extends SparkSuite {
     assert(uncapped.count() == 50, "cap above df keeps exact semantics")
   }
 
+  test("incremental dedup flags new docs matching the base, not fresh ones") {
+    val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val base = Seq((1L, baseText),
+      (2L, (1 to 80).map(i => s"other${i}x").mkString(" "))).toDF("doc_id", "text")
+    val fresh = (1 to 80).map(i => s"new${i}z").mkString(" ")
+    val nearDup = baseText.split(" ").updated(10, "EDITED").mkString(" ")
+    val incoming = Seq((10L, nearDup), (11L, fresh)).toDF("doc_id", "text")
+    val got = operators.Dedup.incrementalCandidates(incoming, base)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got(10L)._2, "near-dup of base doc 1 must be flagged")
+    assert(!got(11L)._2, "fresh doc must pass")
+    assert(got.size == 2, "one row per NEW doc only — base docs never appear")
+    // base-side skew cap: a degenerate base bucket produces no probes
+    val bigBase = (100L to 160L).map(i => (i, baseText)).toDF("doc_id", "text")
+    val capped = operators.Dedup.incrementalCandidates(
+      incoming, bigBase, maxBucket = 50)
+    assert(capped.filter($"is_dup_of_base").count() == 0)
+  }
+
   test("semantic dedup: learned blocks separate far clusters, find near-dups") {
     // two orthogonal directions; seeds are vec_id 0 and 1 (nCentroids=2).
     // 2 ≈ 0 (same direction, tiny wiggle), 3 ≈ 1. Blocks must come out
