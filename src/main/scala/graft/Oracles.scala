@@ -106,6 +106,20 @@ object Oracles {
        | pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |   FROM capped a JOIN capped b ON a.band = b.band AND a.h = b.h AND a.doc_id <> b.doc_id)""".stripMargin
 
+  /** dedup_minhash_est: jaccard estimates for the capped LSH candidate
+    * pairs — matching signature positions / numHashes (m/128 is exact in
+    * binary: the denominator is a power of two). */
+  def dedupMinhashEstSql(numHashes: Int = 128, maxBucket: Int = 1000): String =
+    s"""WITH ${minhashPairsCte(maxBucket)},
+       | m AS (SELECT p.id1, p.id2, SUM(CASE WHEN a.sg = b.sg THEN 1 ELSE 0 END) AS nm
+       |   FROM pairs p
+       |   JOIN sigall a ON a.doc_id = p.id1
+       |   JOIN sigall b ON b.doc_id = p.id2 AND b.i = a.i
+       |   WHERE p.id1 < p.id2 GROUP BY 1, 2)
+       |SELECT id1, id2, CAST(nm AS BIGINT) AS n_match,
+       | floor(nm/CAST($numHashes AS DOUBLE)*1e4)/1e4 AS est_jaccard
+       |FROM m ORDER BY id1, id2""".stripMargin
+
   /** dedup_incremental: NEW docs (doc_id ≥ `split`) probed against the
     * BASE corpus (doc_id < `split`) — the bucket cap applies to the BASE
     * side only, exactly like the Spark operator (the new side joins

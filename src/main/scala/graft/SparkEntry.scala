@@ -203,6 +203,9 @@ object SparkEntry {
       t.embeddings, nCentroids = 16, nprobe = 4, k = 5)),
     // LLM-pipeline dedup family
     "dedup_minhash"   -> q(t => Dedup.minhashCandidates(t.documents)),
+    // the estimation step between LSH candidates and exact verification:
+    // per candidate pair, matching-signature-position jaccard estimate
+    "dedup_minhash_est" -> q(t => Dedup.minhashEstimates(t.documents)),
     "dedup_simhash"   -> q(t => Dedup.simhashCandidates(t.documents)),
     "dedup_jaccard"   -> q(t => Dedup.jaccardNeighbors(t.documents)),
     "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
@@ -952,6 +955,7 @@ object SparkEntry {
     "dedup_simhash"  -> Oracles.dedupSimhashSql(),
     "dedup_clusters" -> Oracles.dedupClustersSql(),
     "dedup_incremental" -> Oracles.dedupIncrementalSql(),
+    "dedup_minhash_est" -> Oracles.dedupMinhashEstSql(),
     // hashing-trick embedding replayed: FNV token buckets → counts →
     // L2-normalized floats → (dim, norm, nnz, moment) digest
     "q_embed" ->

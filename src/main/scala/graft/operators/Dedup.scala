@@ -112,6 +112,39 @@ object Dedup {
       bandedPairs(minhashBuckets(docs, numHashes, bands, shingleLen),
         maxBucket))
 
+  /** MinHash similarity ESTIMATES for the LSH candidate pairs: the step
+    * between candidate generation ([[minhashCandidates]]) and a
+    * verify-with-exact-jaccard pass — est = matching signature positions
+    * / numHashes, an unbiased jaccard estimator that never touches the
+    * documents again (the signatures are already there; at 100 TB this is
+    * why pipelines verify ON the signatures and reserve exact-jaccard for
+    * the survivors). Signatures are computed ONCE (checkpointed) and feed
+    * both the banded pair generation and the estimate join. */
+  def minhashEstimates(docs: DataFrame, numHashes: Int = 128,
+                       bands: Int = 16, shingleLen: Int = 3,
+                       maxBucket: Int = 1000): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      minhash_signature(
+        shingles(tokens(preprocess(col("text"))), shingleLen), numHashes)
+        .as("sig"))
+      .localCheckpoint() // barrier + read thrice (bands, both join sides)
+    val banded = sigs
+      .select(col("doc_id"),
+        posexplode(band_hashes(col("sig"), bands, numHashes / bands))
+          .as(Seq("band", "h")))
+    val pairs = bandedPairs(banded, maxBucket)
+    val matches = aggregate(
+      zip_with(col("s1"), col("s2"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    pairs
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), Seq("id1"))
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), Seq("id2"))
+      .select(col("id1"), col("id2"), matches.cast("long").as("n_match"),
+        (floor(matches.cast("double") / numHashes * 1e4) / 1e4)
+          .as("est_jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Incremental near-dup detection: flag NEW documents against an
     * EXISTING base corpus — the production shape for a daily increment
     * landing on a 100 TB base. The base NEVER self-joins: its banded

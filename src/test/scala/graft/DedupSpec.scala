@@ -80,6 +80,17 @@ class DedupSpec extends SparkSuite {
     assert(uncapped.count() == 50, "cap above df keeps exact semantics")
   }
 
+  test("minhash estimates: identical docs read 1.0, edits lower it") {
+    val a = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val b = a.split(" ").updated(10, "EDIT").mkString(" ")
+    val docs = Seq((1L, a), (2L, a), (3L, b)).toDF("doc_id", "text")
+    val est = operators.Dedup.minhashEstimates(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(est((1L, 2L)) == 1.0, s"identical docs: ${est((1L, 2L))}")
+    val e13 = est((1L, 3L))
+    assert(e13 < 1.0 && e13 > 0.5, s"one edit in 80 tokens: $e13")
+  }
+
   test("incremental dedup flags new docs matching the base, not fresh ones") {
     val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
     val base = Seq((1L, baseText),
