@@ -246,6 +246,9 @@ object SparkEntry {
       t.documents.filter(col("doc_id") >= 100),
       t.documents.filter(col("doc_id") < 100))),
     "sample_mix"     -> q(t => Pipeline.mixingReport(t.events)),
+    // fixed-SIZE companion to sample_mix's fixed-rate filter: k rows per
+    // stratum by hash rank (reproducible reservoir, WindowGroupLimit cap)
+    "q_stratified_sample" -> q(t => Pipeline.stratifiedSample(t.events)),
     "pack_sequences" -> q(t => Pipeline.packSequences(t.documents)),
     // corpus-statistics embedding: hashing TF-IDF (digest projection — see
     // q_embed note)
@@ -1129,6 +1132,16 @@ object SparkEntry {
           | coalesce(n, 0) > 0 AS contaminated
           |FROM (SELECT doc_id FROM documents WHERE doc_id >= 100) d
           | LEFT JOIN hits ON d.doc_id = hits.doc_id ORDER BY d.doc_id""").stripMargin,
+    // hash-rank reservoir replayed: same FNV over the id's decimal string
+    "q_stratified_sample" ->
+      (s"""WITH h AS (SELECT event_type, event_id,
+          |   ${signedSql(fnvSql("list_transform(string_split(CAST(event_id AS VARCHAR),''), c -> unicode(c)::HUGEINT)"))} AS h
+          |  FROM events)
+          |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id FROM (
+          | SELECT event_type, event_id,
+          |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rnk
+          | FROM h)
+          |WHERE rnk <= 20 ORDER BY event_type, rnk""").stripMargin,
     "sample_mix" ->
       """WITH k AS (SELECT event_type,
         |  CASE event_type WHEN 'click' THEN 250 WHEN 'view' THEN 50

@@ -166,6 +166,27 @@ object Pipeline {
   private def scramble(a: Column, b: Column): Column =
     pmod((a % 1000003L) * 2654435761L + (b % 1000003L) * 97L, lit(1000L))
 
+  /** Deterministic per-stratum k-sample: rank rows inside each stratum by
+    * the 64-bit FNV of their key and keep the first `k` — a reservoir
+    * sample whose "random" order is a hash, so it is reproducible,
+    * partition-invariant, and needs no RNG state. The rank-filter shape
+    * rewrites into `WindowGroupLimit`, so each map task caps its
+    * per-stratum rows before the exchange (like `q_group_topk`). The
+    * fixed-RATE companion is [[sampleByHash]]; this is the fixed-SIZE
+    * form (eval sets, per-source audits, "give me 10k docs per domain"). */
+  def stratifiedSample(events: DataFrame, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("h"), col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"),
+        graft.functions.fnv1a64(col("event_id").cast("string")).as("h"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("event_type"), col("rnk").cast("long").as("rnk"),
+        col("event_id"))
+      .orderBy(col("event_type"), col("rnk"))
+  }
+
   /** Deterministic stratified sampling for corpus mixing: keep a row iff
     * scramble(user_id, event_id) < ratePerMille(event_type). Pure filter —
     * NO shuffle, no global state; every executor decides locally, which is

@@ -93,6 +93,19 @@ class PipelineSpec extends SparkSuite {
     assert(byPack.values.forall(_ == 1))
   }
 
+  test("stratified sample: k per stratum, partition-invariant, map-side cap") {
+    import org.apache.spark.sql.functions.col
+    val t = sources.Tables(spark, sfDir)
+    val s1 = operators.Pipeline.stratifiedSample(t.events, k = 10)
+    val counts = s1.groupBy(col("event_type")).count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(1) == 10L))
+    // reproducible under any physical layout: hash order, not row order
+    val s2 = operators.Pipeline.stratifiedSample(
+      t.events.repartition(13), k = 10)
+    assert(s1.collect().toSeq == s2.collect().toSeq)
+    assert(planOf(s1).contains("WindowGroupLimit"), planOf(s1))
+  }
+
   test("boilerplate: cross-doc template spans flag, unique text doesn't") {
     import spark.implicits._
     // 5 docs share an identical 6-token template span (two 5-grams);
