@@ -183,6 +183,23 @@ object SparkEntry {
       t.embeddings,
       t.embeddings.select(col("vec_id"), quantize8(col("embedding")).as("qcodes")),
       nCentroids = 16, nprobe = 4, k = 5)),
+    // build-once/search-many for the PQ layout: codes + codebooks
+    // persisted (16× smaller at rest), search decodes at scan. Memoized
+    // per (JVM, corpus fingerprint) like the IVF index paths; results
+    // must equal q_pq_search — the LAYOUT never changes the answer
+    "q_pq_persisted" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val memoKey = s"pq:$dir@${corpusFingerprint(dir)}"
+      val idx = builtPersisted.getOrElseUpdate(memoKey, {
+        val p = s"$ivfTmpBase/pq-${memoKey.hashCode & 0x7fffffff}"
+        ProductQuantizer.persist(t.embeddings, p, m = 4, k = 16)
+        p
+      })
+      ProductQuantizer.searchPersisted(s, idx,
+        t.embeddings.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        topK = 5)
+    }),
     // IVFPQ: centroid-pruned candidate set AND 16×-compressed postings —
     // both scale axes composed (assignment/probes on exact centroids)
     "q_ivf_pq" -> q(t => IvfIndex.searchPq(
@@ -503,6 +520,30 @@ object SparkEntry {
       |   list_transform(codes, c -> CAST(CAST(mn + CAST(c * scale AS REAL) AS REAL) AS DOUBLE)) AS ev
       |  FROM r)""".stripMargin
 
+  /** One oracle for both PQ search layouts (fused encode+search and the
+    * persisted-codes form): per-subspace argmin over the seed codebooks
+    * (‖s‖² − 2·s·cw + ‖cw‖², ties by code), reconstruction by ordered
+    * flatten, ADC cosine ranking — every fold in DOUBLE. The index LAYOUT
+    * must never change the search RESULT. */
+  private val oracleSqlPqSearch: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      | cb AS (SELECT e.vec_id AS c, r.j, list_slice(ev, j*16+1, j*16+16) AS cw
+      |   FROM e, range(4) r(j) WHERE e.vec_id < 16),
+      | cbn AS (SELECT c, j, cw, list_inner_product(cw, cw) AS cnorm FROM cb),
+      | sv AS (SELECT vec_id, j, list_slice(ev, j*16+1, j*16+16) AS s FROM e, range(4) r(j)),
+      | svn AS (SELECT vec_id, j, s, list_inner_product(s, s) AS ss FROM sv),
+      | d AS (SELECT svn.vec_id, svn.j, cbn.c, cbn.cw,
+      |    svn.ss - 2*list_inner_product(svn.s, cbn.cw) + cbn.cnorm AS dist
+      |   FROM svn JOIN cbn ON svn.j = cbn.j),
+      | a AS (SELECT vec_id, j, cw FROM (
+      |    SELECT vec_id, j, cw, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
+      | rec AS (SELECT vec_id, flatten(list(cw ORDER BY j)) AS rv FROM a GROUP BY 1),
+      | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+      | sims AS (SELECT query_id, rec.vec_id, list_cosine_similarity(qv, rv) AS sim FROM q CROSS JOIN rec),
+      | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+      |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+      |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
   private val DEC = "CAST(l_extendedprice AS DECIMAL(18,2))"
   private val DISC = "CAST(l_discount AS DECIMAL(18,2))"
   private val REV = s"$DEC * (1 - $DISC)"
@@ -751,24 +792,10 @@ object SparkEntry {
     // product quantization replayed: per-subspace argmin over the seed
     // codebooks (‖s‖² − 2·s·cw + ‖cw‖², ties by code), reconstruction by
     // ordered flatten, ADC cosine ranking — every fold in DOUBLE
-    "q_pq_search" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-        | cb AS (SELECT e.vec_id AS c, r.j, list_slice(ev, j*16+1, j*16+16) AS cw
-        |   FROM e, range(4) r(j) WHERE e.vec_id < 16),
-        | cbn AS (SELECT c, j, cw, list_inner_product(cw, cw) AS cnorm FROM cb),
-        | sv AS (SELECT vec_id, j, list_slice(ev, j*16+1, j*16+16) AS s FROM e, range(4) r(j)),
-        | svn AS (SELECT vec_id, j, s, list_inner_product(s, s) AS ss FROM sv),
-        | d AS (SELECT svn.vec_id, svn.j, cbn.c, cbn.cw,
-        |    svn.ss - 2*list_inner_product(svn.s, cbn.cw) + cbn.cnorm AS dist
-        |   FROM svn JOIN cbn ON svn.j = cbn.j),
-        | a AS (SELECT vec_id, j, cw FROM (
-        |    SELECT vec_id, j, cw, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
-        | rec AS (SELECT vec_id, flatten(list(cw ORDER BY j)) AS rv FROM a GROUP BY 1),
-        | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
-        | sims AS (SELECT query_id, rec.vec_id, list_cosine_similarity(qv, rv) AS sim FROM q CROSS JOIN rec),
-        | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
-        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
-        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q_pq_search" -> oracleSqlPqSearch,
+    // identical semantics (and oracle) served from the persisted codes —
+    // the PQ twin of the q_ivf_persisted layout-invariance contract
+    "q_pq_persisted" -> oracleSqlPqSearch,
     // KMV sketch replayed exactly: same FNV hashes (HUGEINT), same k-th
     // smallest distinct unsigned value, same integer-division estimator
     "q_distinct_sketch" ->

@@ -74,4 +74,40 @@ object ProductQuantizer {
   def search(queries: DataFrame, corpus: DataFrame, m: Int = 4, k: Int = 16,
              topK: Int = 5): DataFrame =
     Search.bruteForceTopK(queries, reconstructed(corpus, m, k), topK)
+
+  /** Persist the PQ index: the codebooks (m×k subvectors) and the encoded
+    * corpus — `m` small ints per vector instead of `dim` floats. This is
+    * the at-rest form whose size advantage the whole scheme exists for:
+    * the parquet codes table is ~16× smaller than the float corpus, and a
+    * 100 TB embedding store becomes a few TB of codes. */
+  def persist(corpus: DataFrame, path: String, m: Int = 4, k: Int = 16)
+      : Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cbs = codebooks(corpus, m, k)
+    cbs.zipWithIndex.flatMap { case (book, j) =>
+      book.zipWithIndex.map { case (cw, c) => (j, c, cw.toSeq) }
+    }.toSeq.toDF("j", "c", "cw")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    encoded(corpus, m, k).write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Search a persisted PQ index: scan the CODES table (16× fewer bytes
+    * than the float corpus), decode each vector by codebook lookup —
+    * the codebooks are collected once (m×k×dim/m floats, bounded by
+    * contract) and folded into `element_at` literals, so decode is a
+    * narrow codegen'd pass — and rank with the shared bounded heap. */
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, topK: Int = 5): DataFrame = {
+    val cbRows = spark.read.parquet(s"$path/codebooks")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
+    val m = cbRows.map(_._1).max + 1
+    val cbs: Array[Seq[Seq[Float]]] = Array.tabulate(m)(j =>
+      cbRows.filter(_._1 == j).sortBy(_._2).map(_._3).toSeq)
+    val parts = (0 until m).map(j =>
+      element_at(typedLit(cbs(j)), element_at(col("codes"), j + 1) + 1))
+    val decoded = spark.read.parquet(s"$path/codes")
+      .select(col("vec_id"), flatten(array(parts: _*)).as("embedding"))
+    Search.bruteForceTopK(queries, decoded, topK)
+  }
 }

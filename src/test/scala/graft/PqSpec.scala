@@ -58,6 +58,27 @@ class PqSpec extends SparkSuite {
     assert(hits >= 5, s"ivfpq recall too low: $hits/25")
   }
 
+  test("persisted codes serve the identical search result, smaller at rest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    ProductQuantizer.persist(t.embeddings, dir)
+    val queries = t.embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val fromCodes = ProductQuantizer.searchPersisted(spark, dir, queries)
+      .collect().toSeq
+    val fused = ProductQuantizer.search(queries, t.embeddings).collect().toSeq
+    assert(fromCodes == fused, "layout changed the search result")
+    // the at-rest win: the codes table is much smaller than the corpus
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum else f.length
+      walk(new java.io.File(p))
+    }
+    val corpusBytes = bytes(s"$sfDir/embeddings.parquet")
+    val codesBytes = bytes(s"$dir/codes")
+    assert(codesBytes < corpusBytes / 2,
+      s"codes $codesBytes not smaller than corpus $corpusBytes")
+  }
+
   test("reconstruction is a narrow plan: no exchange before the output") {
     val plan = planOf(ProductQuantizer.reconstructed(t.embeddings))
     assert(!plan.contains("Exchange"), plan)
