@@ -255,6 +255,10 @@ object SparkEntry {
     // text analysis
     "text_langid"      -> q(TextAnalysis.languageId),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
+    // token diversity: Simpson concentration (integer core) + Shannon
+    // entropy (ordered fold — a plain double SUM would be
+    // partition-order-dependent and break the hash oracle)
+    "text_diversity"   -> q(t => TextAnalysis.diversity(t.documents)),
     // corpus curation (training-data pipeline)
     "text_gopher"    -> q(t => Pipeline.gopherStats(t.documents)),
     "text_boilerplate" -> q(t => Pipeline.boilerplate(t.documents)),
@@ -1103,6 +1107,27 @@ object SparkEntry {
           |  FROM u)
           |SELECT doc_id, fingerprint, hex(fingerprint) AS fingerprint_hex
           |FROM f ORDER BY doc_id""").stripMargin,
+    // diversity replayed: integer Σc² for Simpson; entropy as the SAME
+    // ordered (by token) list_reduce fold Spark's aggregate() runs
+    "text_diversity" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tokq AS (SELECT doc_id, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n0),
+          | cnt AS (SELECT doc_id, tk, COUNT(*) AS c FROM tokq WHERE tk <> '' GROUP BY 1,2),
+          | tot AS (SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_distinct, SUM(c*c) AS sum_c2 FROM cnt GROUP BY 1),
+          | ent AS (SELECT cnt.doc_id,
+          |    list_reduce(list_prepend(0.0, list(
+          |      -(CAST(c AS DOUBLE)/t.n_tok)*ln(CAST(c AS DOUBLE)/t.n_tok) ORDER BY tk)),
+          |      (a, x) -> a + x) AS h
+          |   FROM cnt JOIN tot t ON cnt.doc_id = t.doc_id GROUP BY cnt.doc_id)
+          |SELECT d.doc_id,
+          | CAST(coalesce(n_tok, 0) AS BIGINT) AS n_tok,
+          | CAST(coalesce(n_distinct, 0) AS BIGINT) AS n_distinct,
+          | floor(coalesce(CAST(sum_c2 AS DOUBLE)/(n_tok*n_tok), 0)*1e4)/1e4 AS simpson,
+          | floor(coalesce(h, 0)*1e4)/1e4 AS entropy
+          |FROM documents d
+          | LEFT JOIN tot ON d.doc_id = tot.doc_id
+          | LEFT JOIN ent ON d.doc_id = ent.doc_id
+          |ORDER BY d.doc_id""").stripMargin,
     "text_gopher" ->
       (s"""WITH tok AS (SELECT doc_id,
           |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]

@@ -97,6 +97,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-diversity scores — the templated/spam-document signal the
+    * per-gate fractions in `Pipeline.gopherStats` don't capture directly:
+    * Simpson concentration Σp² (an exact rational — its core is the
+    * integer Σc², so it is partition-proof by construction) and Shannon
+    * entropy −Σ p·ln p. The entropy sum is an ORDERED fold over the
+    * tok-sorted per-doc counts: a plain SUM of doubles would depend on
+    * shuffle arrival order and break the hash oracle, the same
+    * determinism discipline as the vector digests. */
+  def diversity(docs: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      .localCheckpoint() // barrier: see tokenCounts
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val per = cnt.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        sort_array(collect_list(struct(col("tok"), col("c")))).as("cs"))
+    val ent = aggregate(col("cs"), lit(0.0), (acc, e) => {
+      val p = e.getField("c").cast("double") / col("n_tok").cast("double")
+      acc - p * log(p)
+    })
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        (floor(coalesce(col("sum_c2").cast("double") /
+          (col("n_tok") * col("n_tok")), lit(0.0)) * 1e4) / 1e4)
+          .as("simpson"),
+        (floor(coalesce(ent, lit(0.0)) * 1e4) / 1e4).as("entropy"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Rolling polynomial 64-bit fingerprint of the normalized text. */
   def fingerprints(t: Tables): DataFrame =
     t.documents

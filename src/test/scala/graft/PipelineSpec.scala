@@ -93,6 +93,23 @@ class PipelineSpec extends SparkSuite {
     assert(byPack.values.forall(_ == 1))
   }
 
+  test("diversity: repetition concentrates simpson and crushes entropy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 64).map(_ => "spam").mkString(" ")),      // one token 64×
+      (2L, (1 to 64).map(i => s"tok$i").mkString(" ")),    // 64 distinct
+      (3L, "")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.diversity(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((64L, 1L, 1.0, 0.0)), s"degenerate doc: ${got(1L)}")
+    val (n2, d2, s2, e2) = got(2L)
+    assert(n2 == 64L && d2 == 64L)
+    assert(s2 == math.floor(1.0 / 64 * 1e4) / 1e4, s"uniform simpson $s2")
+    assert(math.abs(e2 - math.log(64.0)) < 1e-3, s"uniform entropy $e2")
+    assert(got(3L) == ((0L, 0L, 0.0, 0.0)), s"empty doc: ${got(3L)}")
+  }
+
   test("stratified sample: k per stratum, partition-invariant, map-side cap") {
     import org.apache.spark.sql.functions.col
     val t = sources.Tables(spark, sfDir)
