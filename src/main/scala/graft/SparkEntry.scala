@@ -81,6 +81,9 @@ object SparkEntry {
     "q5_semijoin"     -> q(Relational.reliableCustomers(_)),
     "q6_filter"       -> q(Relational.forecastRevenue),
     "q_events_window" -> q(Relational.eventHourly),
+    // regular hourly grid per user with zero-filled silent hours (the
+    // time-series resampling prep; grid via narrow sequence() explode)
+    "q_gap_fill"      -> q(t => Relational.gapFillHourly(t)),
     // sessions (reference: utils/session_manager.py)
     "q_sessionize"      -> q(t => Sessionize.sessions(t.events)),
     "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
@@ -596,6 +599,17 @@ object SparkEntry {
         |SELECT date_trunc('hour', ts) AS window_start, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM ev GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT user_id, date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)) AS hour, value
+        |   FROM events WHERE user_id < 50),
+        | hourly AS (SELECT user_id, hour, COUNT(*) AS n,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM ev GROUP BY 1,2),
+        | spans AS (SELECT user_id, MIN(hour) AS lo, MAX(hour) AS hi FROM hourly GROUP BY 1),
+        | grid AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM spans)
+        |SELECT g.user_id, g.hour, coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+        |ORDER BY 1, 2""".stripMargin,
     "q_sessionize" ->
       """WITH events_us AS (
         | SELECT user_id, event_id, value, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events

@@ -258,6 +258,28 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Time-series gap fill: resample each user's activity onto a REGULAR
+    * hourly grid between their first and last event, zero-filling silent
+    * hours — the prep step for any model that assumes regularly-sampled
+    * series. The grid comes from a narrow `sequence()` explode of each
+    * user's (lo, hi) span (2 timestamps per user cross the wire, never
+    * the grid), and the fill is one equi-join back onto the hourly
+    * aggregate. */
+  def gapFillHourly(t: Tables, maxUserId: Long = 50): DataFrame = {
+    val hourly = t.events.filter(col("user_id") < maxUserId)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast("double").as("sum_value"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 hour")))
+          .as("hour"))
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .na.fill(0L, Seq("n")).na.fill(0.0, Seq("sum_value"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   /** Tumbling 1-hour windowed aggregation over events (batch twin of the
     * structured-streaming job in [[graft.streaming.EventWindows]]). */
   def eventHourly(t: Tables): DataFrame = {

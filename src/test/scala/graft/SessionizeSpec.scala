@@ -41,4 +41,22 @@ class SessionizeSpec extends SparkSuite {
     val bad = perUser.filter($"mn" =!= 0 || $"mx" =!= $"n" - 1).count()
     assert(bad == 0)
   }
+
+  test("gap fill: contiguous hourly grid, zeros only where no events") {
+    val t = sources.Tables(spark, sfDir)
+    val gf = operators.Relational.gapFillHourly(t, maxUserId = 10).collect()
+    assert(gf.nonEmpty)
+    // per user the grid is strictly consecutive hours, no holes
+    gf.groupBy(_.getLong(0)).foreach { case (u, rows) =>
+      val hours = rows.map(_.getTimestamp(1).getTime).sorted
+      assert(hours.zip(hours.tail).forall { case (a, b) =>
+        b - a == 3600 * 1000L }, s"user $u grid has holes")
+    }
+    // non-zero rows are exactly the plain hourly aggregate; the rest fill
+    val nonzero = gf.count(_.getLong(2) > 0)
+    val plain = t.events.filter($"user_id" < 10)
+      .groupBy($"user_id", date_trunc("hour", $"ts")).count().count()
+    assert(nonzero == plain)
+    assert(gf.exists(_.getLong(2) == 0), "expected at least one filled gap")
+  }
 }
