@@ -140,6 +140,35 @@ object Oracles {
        |FROM n LEFT JOIN summ ON n.doc_id = summ.new_id
        |WHERE n.doc_id >= $split ORDER BY n.doc_id""".stripMargin
 
+  /** dedup_verified: survivors of the signature-level estimate
+    * (n_match ≥ `minMatch` — the integer gate, so no float-edge risk)
+    * re-verified with EXACT word-shingle jaccard over the distinct
+    * 3-gram sets; two empty sets are exact duplicates (union = 0 ⇒
+    * jaccard 1). */
+  def dedupVerifiedSql(numHashes: Int = 128, maxBucket: Int = 1000,
+                       minMatch: Int = 32, confirm: Double = 0.5): String =
+    s"""WITH ${minhashPairsCte(maxBucket)},
+       | m AS (SELECT p.id1, p.id2, SUM(CASE WHEN a.sg = b.sg THEN 1 ELSE 0 END) AS nm
+       |   FROM pairs p
+       |   JOIN sigall a ON a.doc_id = p.id1
+       |   JOIN sigall b ON b.doc_id = p.id2 AND b.i = a.i
+       |   WHERE p.id1 < p.id2 GROUP BY 1, 2),
+       | surv AS (SELECT id1, id2, nm FROM m WHERE nm >= $minMatch),
+       | sets AS (SELECT doc_id, list_distinct(
+       |     CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+       |          ELSE list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) END) AS shs
+       |   FROM tok),
+       | j AS (SELECT v.id1, v.id2, v.nm,
+       |     len(list_intersect(a.shs, b.shs)) AS i,
+       |     len(a.shs) + len(b.shs) - len(list_intersect(a.shs, b.shs)) AS u
+       |   FROM surv v JOIN sets a ON a.doc_id = v.id1 JOIN sets b ON b.doc_id = v.id2),
+       | jj AS (SELECT id1, id2, nm, CASE WHEN u = 0 THEN 1.0 ELSE CAST(i AS DOUBLE)/u END AS jac FROM j)
+       |SELECT id1, id2, CAST(nm AS BIGINT) AS n_match,
+       | floor(nm/CAST($numHashes AS DOUBLE)*1e4)/1e4 AS est_jaccard,
+       | floor(jac*1e6)/1e6 AS exact_jaccard,
+       | jac >= $confirm AS confirmed
+       |FROM jj ORDER BY id1, id2""".stripMargin
+
   private val summaryTail: String =
     """ summ AS (SELECT id1 AS doc_id, COUNT(*) AS n_candidates, MIN(id2) AS min_partner FROM pairs GROUP BY 1)
       |SELECT n.doc_id, coalesce(n_candidates, 0) AS n_candidates, min_partner

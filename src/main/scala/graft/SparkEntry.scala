@@ -36,17 +36,18 @@ object SparkEntry {
   private val builtBucketed =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Cheap driver-side fingerprint of the corpus files backing `dir`'s
-    * embeddings table (names + sizes + mtimes): the memo key ingredient
+  /** Cheap driver-side fingerprint of the corpus files backing one of
+    * `dir`'s tables (names + sizes + mtimes): the memo key ingredient
     * that invalidates a per-JVM index build when the corpus changes
     * underneath the same path. Local `File` ops only — this keys a memo,
     * it never touches executors. */
-  private def corpusFingerprint(dir: String): String = {
+  private def corpusFingerprint(dir: String,
+                                table: String = "embeddings.parquet"): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory)
         Option(f.listFiles()).fold(Seq.empty[java.io.File])(_.toSeq.flatMap(walk))
       else Seq(f)
-    val root = new java.io.File(s"$dir/embeddings.parquet")
+    val root = new java.io.File(s"$dir/$table")
     if (!root.exists) "missing"
     else {
       val sig = walk(root)
@@ -233,11 +234,27 @@ object SparkEntry {
     // SemDeDup-style: near-dup NN within LEARNED (centroid) blocks — the
     // blocking key is computed, not given; assignment is a narrow pass
     "dedup_semantic"  -> q(t => Dedup.semanticNeighbors(t.embeddings)),
-    // incremental: a new batch probed against the existing base corpus —
-    // the base never self-joins (the daily-increment production shape)
-    "dedup_incremental" -> q(t => Dedup.incrementalCandidates(
-      t.documents.filter(col("doc_id") >= 250),
-      t.documents.filter(col("doc_id") < 250))),
+    // incremental: a new batch probed against the PERSISTED base-corpus
+    // signature table (bucketed by band,h) — the base is never re-read and
+    // its signatures are never recomputed per increment; the store build
+    // is memoized per (JVM, corpus fingerprint) like the index paths.
+    // Same oracle as the recompute form: the LAYOUT never changes the
+    // answer (the q_ivf_persisted contract).
+    "dedup_incremental" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val memoKey = s"sig:$dir@${corpusFingerprint(dir, "documents.parquet")}"
+      val tbl = "graft_sig_store_" + (memoKey.hashCode & 0x7fffffff)
+      if (!builtBucketed.contains(memoKey) || !s.catalog.tableExists(tbl)) {
+        Dedup.persistSignatures(t.documents.filter(col("doc_id") < 250), tbl,
+          path = s"$ivfTmpBase/sig-${memoKey.hashCode & 0x7fffffff}")
+        builtBucketed(memoKey) = tbl
+      }
+      Dedup.incrementalCandidatesFromStore(
+        t.documents.filter(col("doc_id") >= 250), s, tbl)
+    }),
+    // the end of the dedup funnel: exact word-shingle jaccard re-verifies
+    // ONLY the pairs whose signature estimate clears the integer gate
+    "dedup_verified" -> q(t => Dedup.verifiedDuplicates(t.documents)),
     // bloom-pruned join: the big side is filtered by a compact bloom
     // filter of the small side's keys BEFORE anything shuffles; the
     // oracle is the PLAIN join — pruning must be invisible in the result
@@ -1004,6 +1021,7 @@ object SparkEntry {
     "dedup_clusters" -> Oracles.dedupClustersSql(),
     "dedup_incremental" -> Oracles.dedupIncrementalSql(),
     "dedup_minhash_est" -> Oracles.dedupMinhashEstSql(),
+    "dedup_verified" -> Oracles.dedupVerifiedSql(),
     // hashing-trick embedding replayed: FNV token buckets → counts →
     // L2-normalized floats → (dim, norm, nnz, moment) digest
     "q_embed" ->

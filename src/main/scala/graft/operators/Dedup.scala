@@ -122,7 +122,19 @@ object Dedup {
     * both the banded pair generation and the estimate join. */
   def minhashEstimates(docs: DataFrame, numHashes: Int = 128,
                        bands: Int = 16, shingleLen: Int = 3,
-                       maxBucket: Int = 1000): DataFrame = {
+                       maxBucket: Int = 1000): DataFrame =
+    estimatePairs(docs, numHashes, bands, shingleLen, maxBucket)
+      .withColumn("est_jaccard",
+        floor(col("n_match").cast("double") / numHashes * 1e4) / 1e4)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Capped LSH candidate pairs with their matching-signature-position
+    * count: `(id1, id2, n_match)` — the shared core of
+    * [[minhashEstimates]] and [[verifiedDuplicates]]. Signatures are
+    * computed ONCE (checkpointed) and feed both the banded pair
+    * generation and the estimate join. */
+  private def estimatePairs(docs: DataFrame, numHashes: Int, bands: Int,
+                            shingleLen: Int, maxBucket: Int): DataFrame = {
     val sigs = docs.select(col("doc_id"),
       minhash_signature(
         shingles(tokens(preprocess(col("text"))), shingleLen), numHashes)
@@ -139,9 +151,48 @@ object Dedup {
     pairs
       .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), Seq("id1"))
       .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), Seq("id2"))
-      .select(col("id1"), col("id2"), matches.cast("long").as("n_match"),
-        (floor(matches.cast("double") / numHashes * 1e4) / 1e4)
-          .as("est_jaccard"))
+      .select(col("id1"), col("id2"), matches.cast("long").as("n_match"))
+  }
+
+  /** The final stage of the dedup funnel: LSH candidates → signature-level
+    * estimate → EXACT word-shingle jaccard, computed ONLY for pairs whose
+    * estimate clears `minMatch` matching signature positions (an INTEGER
+    * gate — `minMatch / numHashes` ≈ the jaccard threshold — so the engine
+    * and the oracle agree bit-for-bit with no float-edge risk). At 100 TB
+    * the corpus-wide work stays in the cheap signature domain: the exact
+    * step's join input is ∝ survivors, never ∝ candidates, and shingle
+    * SETS are (re)built only for surviving docs (semi-join pushdown).
+    * Output: survivors with estimate, exact jaccard, and the `confirmed`
+    * gate at `confirmThreshold`. Two empty shingle sets (docs shorter than
+    * the shingle) are exact duplicates of each other: union = 0 ⇒
+    * jaccard 1. */
+  def verifiedDuplicates(docs: DataFrame, numHashes: Int = 128,
+                         bands: Int = 16, shingleLen: Int = 3,
+                         maxBucket: Int = 1000, minMatch: Int = 32,
+                         confirmThreshold: Double = 0.5): DataFrame = {
+    val surv = estimatePairs(docs, numHashes, bands, shingleLen, maxBucket)
+      .filter(col("n_match") >= minMatch)
+      .localCheckpoint() // read thrice: id semi-join + the two set joins
+    val ids = surv.select(col("id1").as("doc_id"))
+      .union(surv.select(col("id2").as("doc_id"))).distinct()
+    val sets = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        array_distinct(
+          shingles(tokens(preprocess(col("text"))), shingleLen)).as("shs"))
+      .localCheckpoint() // barrier: see jaccardNeighbors; read twice
+    val inter = size(array_intersect(col("sh1"), col("sh2")))
+    val uni = size(col("sh1")) + size(col("sh2")) - inter
+    surv
+      .join(sets.select(col("doc_id").as("id1"), col("shs").as("sh1")), Seq("id1"))
+      .join(sets.select(col("doc_id").as("id2"), col("shs").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"), col("n_match"),
+        (floor(col("n_match").cast("double") / numHashes * 1e4) / 1e4)
+          .as("est_jaccard"),
+        when(uni === 0, lit(1.0))
+          .otherwise(inter.cast("double") / uni.cast("double")).as("jac"))
+      .select(col("id1"), col("id2"), col("n_match"), col("est_jaccard"),
+        (floor(col("jac") * 1e6) / 1e6).as("exact_jaccard"),
+        (col("jac") >= confirmThreshold).as("confirmed"))
       .orderBy(col("id1"), col("id2"))
   }
 
@@ -158,12 +209,58 @@ object Dedup {
   def incrementalCandidates(newDocs: DataFrame, base: DataFrame,
                             numHashes: Int = 128, bands: Int = 16,
                             shingleLen: Int = 3, maxBucket: Int = 1000)
+      : DataFrame =
+    incrementalProbe(newDocs,
+      capBuckets(minhashBuckets(base, numHashes, bands, shingleLen),
+        maxBucket),
+      numHashes, bands, shingleLen)
+
+  /** Write `docs`'s banded minhash signature table as a BUCKETED catalog
+    * table — the one-time full pass that makes [[incrementalCandidatesFromStore]]
+    * incremental. The [[capBuckets]] skew guard is applied AT WRITE (the
+    * cap is a property of the base corpus alone, so capping once at build
+    * equals capping on every probe), and the table is bucketed by the
+    * probe-join key `(band, h)` (the [[IvfIndex.persistBucketed]] pattern):
+    * a probe too large to broadcast shuffles ONLY the increment side —
+    * the 100 TB store is already distributed on the join key and never
+    * moves again. */
+  def persistSignatures(docs: DataFrame, table: String, path: String,
+                        numHashes: Int = 128, bands: Int = 16,
+                        shingleLen: Int = 3, maxBucket: Int = 1000,
+                        nBuckets: Int = 8): Unit =
+    capBuckets(minhashBuckets(docs, numHashes, bands, shingleLen), maxBucket)
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "band", "h").sortBy("band", "h")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** [[incrementalCandidates]] served from the PERSISTED signature table:
+    * the production shape for a daily increment landing on a 100 TB base —
+    * the base corpus is never re-read and its signatures are never
+    * recomputed; the only minhash work is over the increment. Identical
+    * results to the recompute form (the store holds exactly the capped
+    * banded signatures that form would compute — same oracle). */
+  def incrementalCandidatesFromStore(newDocs: DataFrame,
+                                     spark: org.apache.spark.sql.SparkSession,
+                                     table: String, numHashes: Int = 128,
+                                     bands: Int = 16, shingleLen: Int = 3)
+      : DataFrame =
+    incrementalProbe(newDocs, spark.table(table),
+      numHashes, bands, shingleLen)
+
+  /** The shared probe: increment signatures × base banded-signature table
+    * (recomputed or persisted) → per-new-doc summary. The increment side
+    * carries the broadcast hint — a daily batch is orders of magnitude
+    * smaller than the base, so the base-side scan joins with NO exchange;
+    * when an increment outgrows the broadcast threshold Spark falls back
+    * to a shuffled join in which the bucketed store still only shuffles
+    * the increment (see [[persistSignatures]]). */
+  private def incrementalProbe(newDocs: DataFrame, baseBuckets: DataFrame,
+                               numHashes: Int, bands: Int, shingleLen: Int)
       : DataFrame = {
     val nb = minhashBuckets(newDocs, numHashes, bands, shingleLen)
-    val bb = capBuckets(minhashBuckets(base, numHashes, bands, shingleLen),
-      maxBucket)
-    val pairs = nb.as("a")
-      .join(bb.as("b"),
+    val pairs = baseBuckets.as("b")
+      .join(broadcast(nb.as("a")),
         col("a.band") === col("b.band") && col("a.h") === col("b.h"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id"))
       .distinct()
@@ -374,10 +471,38 @@ object Dedup {
   /** The blocked-NN core shared by [[embeddingNeighbors]] (given blocks)
     * and [[semanticNeighbors]] (learned blocks): self-join WITHIN a block
     * only — never corpus² — then top-1 by cosine via the bounded-heap
-    * aggregate. Input `(block, vec_id, embedding)`. */
-  private def blockedNeighbors(e: DataFrame, simThreshold: Double): DataFrame = {
-    val sims = e.as("a")
-      .join(e.as("b"), col("a.block") === col("b.block") &&
+    * aggregate. Input `(block, vec_id, embedding)`.
+    *
+    * `maxBlock` is this path's skew guard (the blocked twin of
+    * [[capBuckets]]): a degenerate block — near-duplicate embedding mass
+    * collapsing into one coarse cluster, exactly what a dedup corpus
+    * contains — would otherwise put |block|² comparisons on ONE task.
+    * Unlike the banded generators we must NOT drop oversized blocks: a
+    * huge block is precisely where the duplicates live. Instead it is
+    * SUB-SALTED — split into ceil(|block|/maxBlock) hash-assigned
+    * sub-blocks, each compared only within itself — so per-task work is
+    * bounded by ~maxBlock² while every vector still gets a neighbor
+    * (from its own sub-block; a documented recall trade for blocks over
+    * the cap, the same contract as `maxBucket`). Blocks at or under
+    * `maxBlock` get one sub-block (salt 0 for every member), so results
+    * are bit-identical to the unsalted join — the oracle doesn't change.
+    *
+    * Block sizes come from a map-side-combined aggregate, NOT a window
+    * count: a `count over (partition by block)` would ship the whole
+    * degenerate block to one task just to measure it. The size table is
+    * one row per block (blocks ≈ coarse clusters, thousands at most) and
+    * broadcasts. */
+  private def blockedNeighbors(e: DataFrame, simThreshold: Double,
+                               maxBlock: Int = 4096): DataFrame = {
+    val sizes = e.groupBy(col("block")).agg(count(lit(1)).as("__bsz"))
+    val salted = e.join(broadcast(sizes), Seq("block"))
+      .withColumn("__salt",
+        pmod(xxhash64(col("vec_id")),
+          greatest(lit(1L), ceil(col("__bsz") / lit(maxBlock.toDouble)))))
+      .drop("__bsz")
+    val sims = salted.as("a")
+      .join(salted.as("b"), col("a.block") === col("b.block") &&
+        col("a.__salt") === col("b.__salt") &&
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
         cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
@@ -393,10 +518,11 @@ object Dedup {
 
   /** Embedding-cosine nearest neighbor within a blocking key (`label` =
     * coarse cluster): (vec_id, nn_id, nn_score, is_dup at `simThreshold`). */
-  def embeddingNeighbors(t: Tables, simThreshold: Double = 0.95): DataFrame =
+  def embeddingNeighbors(t: Tables, simThreshold: Double = 0.95,
+                         maxBlock: Int = 4096): DataFrame =
     blockedNeighbors(
       t.embeddings.select(col("label").as("block"), col("vec_id"),
-        col("embedding")), simThreshold)
+        col("embedding")), simThreshold, maxBlock)
 
   /** SemDeDup-style semantic dedup with LEARNED blocks: assign every
     * vector to its nearest of `nCentroids` deterministic centroids, then
@@ -409,20 +535,23 @@ object Dedup {
     * compares vectors within a block (corpus²/k per block in expectation;
     * scale k with the corpus — the block-local work stays bounded). */
   def semanticNeighbors(embeddings: DataFrame, nCentroids: Int = 16,
-                        simThreshold: Double = 0.95): DataFrame = {
+                        simThreshold: Double = 0.95,
+                        maxBlock: Int = 4096): DataFrame = {
     val cents: Array[(Long, Seq[Float])] =
       IvfIndex.centroids(embeddings, nCentroids)
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     // argmin by (dist, centroid_id): struct least() == the struct-min
-    // aggregate in IvfIndex.nearestCentroid, row-at-a-time
-    val best = least(cents.toSeq.map { case (cid, cv) =>
+    // aggregate in IvfIndex.nearestCentroid, row-at-a-time (least()
+    // requires ≥ 2 args, so a single-centroid "choice" is the struct itself)
+    val structs = cents.toSeq.map { case (cid, cv) =>
       struct(
         (lit(1.0) - cosine_similarity(col("embedding"), typedLit(cv)))
           .as("dist"),
         lit(cid).as("cid"))
-    }: _*)
+    }
+    val best = if (structs.sizeIs == 1) structs.head else least(structs: _*)
     blockedNeighbors(
       embeddings.select(best.getField("cid").as("block"), col("vec_id"),
-        col("embedding")), simThreshold)
+        col("embedding")), simThreshold, maxBlock)
   }
 }

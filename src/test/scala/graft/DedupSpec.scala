@@ -131,13 +131,87 @@ class DedupSpec extends SparkSuite {
     val t = sources.Tables(spark, sfDir)
     val nn = operators.Dedup.semanticNeighbors(t.embeddings)
     val plan = planOf(nn)
-    // exactly the blocked self-join's exchanges + the top-k agg + the
-    // final sort should shuffle; the centroid ASSIGNMENT itself must not
-    // add an exchange (it is a projection over the scan). Count node
-    // HEADERS — every node also reappears in the tree summary.
+    // exactly the blocked self-join's exchanges + the sub-salt guard's
+    // block-size aggregate (one tiny shuffle + its broadcast) + the top-k
+    // agg + the final sort should shuffle; the centroid ASSIGNMENT itself
+    // must not add an exchange (it is a projection over the scan). Count
+    // node HEADERS — every node also reappears in the tree summary.
     val exchanges = """\(\d+\) \w*Exchange""".r.findAllIn(plan).size
-    assert(exchanges <= 4, s"assignment added exchanges:\n$plan")
+    assert(exchanges <= 7, s"assignment added exchanges:\n$plan")
     assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("blocked NN sub-salts oversized blocks: dups still found, work bounded") {
+    // 64 identical embeddings collapsing into ONE learned block — the
+    // degenerate corpus the guard exists for (near-duplicate mass is
+    // exactly what a dedup corpus contains). maxBlock=16 → 4 hash-assigned
+    // sub-blocks: per-task pairs drop from 64² to ~4·16², and every vector
+    // still finds a perfect duplicate INSIDE its own sub-block (the banded
+    // paths drop oversized buckets; this path must not — oversized blocks
+    // are where the duplicates live).
+    val vecs = (0L until 64L).map(i => (i, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val nn = operators.Dedup.semanticNeighbors(vecs, nCentroids = 1,
+        maxBlock = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(nn.size == 64, s"every vector must keep a row: ${nn.size}")
+    assert(nn.values.forall(_._2), "identical vectors must all be dups")
+    // the neighbor really is in-sub-block: replicate the salt assignment
+    val salt = vecs.select($"vec_id",
+        pmod(xxhash64($"vec_id"), lit(4L)).as("s"))
+      .as[(Long, Long)].collect().toMap
+    nn.foreach { case (v, (n, _)) =>
+      assert(salt(v) == salt(n), s"$v's neighbor $n crossed sub-blocks") }
+    // blocks at/under the cap: bit-identical to the unsalted join
+    val def_ = operators.Dedup.semanticNeighbors(vecs, nCentroids = 1)
+      .collect().toSeq
+    val atCap = operators.Dedup.semanticNeighbors(vecs, nCentroids = 1,
+      maxBlock = 64).collect().toSeq
+    assert(def_ == atCap)
+  }
+
+  test("incremental dedup from the persisted signature store matches recompute") {
+    val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val base = Seq((1L, baseText),
+      (2L, (1 to 80).map(i => s"other${i}x").mkString(" "))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, baseText.split(" ").updated(10, "EDITED").mkString(" ")),
+      (11L, (1 to 80).map(i => s"new${i}z").mkString(" "))).toDF("doc_id", "text")
+    val tbl = "graft_test_sig_store"
+    val dir = java.nio.file.Files.createTempDirectory("graft-sig").toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    operators.Dedup.persistSignatures(base, tbl, s"$dir/sig")
+    val fromStore =
+      operators.Dedup.incrementalCandidatesFromStore(incoming, spark, tbl)
+    val recompute = operators.Dedup.incrementalCandidates(incoming, base)
+    assert(fromStore.collect().toSeq == recompute.collect().toSeq,
+      "the store LAYOUT must never change the answer")
+    // plan gate: the base side is a TABLE SCAN of the persisted store —
+    // no base-corpus signature recompute — joined against the broadcast
+    // increment (zero exchange on the store side)
+    val plan = planOf(fromStore)
+    assert(plan.contains(tbl), s"store scan missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"probe not broadcast:\n$plan")
+  }
+
+  test("verified dedup: exact jaccard re-checks the estimate survivors") {
+    val a = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val b = a.split(" ").updated(10, "EDIT").mkString(" ")
+    // 1=2 identical (exact 1.0, confirmed); 3 has one edit — 3 of 78
+    // shingles differ each side, true jaccard 75/81 ≈ 0.926 < 0.95
+    // (survives the estimate gate, fails confirmation); 4=5 are EMPTY
+    // (no shingles): union 0 ⇒ exact duplicates by definition
+    val docs = Seq((1L, a), (2L, a), (3L, b), (4L, ""), (5L, ""))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup
+      .verifiedDuplicates(docs, minMatch = 32, confirmThreshold = 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(4), r.getBoolean(5))).toMap
+    assert(got((1L, 2L)) == (1.0, true))
+    assert(got((4L, 5L)) == (1.0, true))
+    val (j13, c13) = got((1L, 3L))
+    assert(j13 > 0.9 && j13 < 0.93 && !c13, s"one edit in 80: $j13 $c13")
   }
 
   test("embedding neighbors: symmetric sanity on crafted vectors") {
