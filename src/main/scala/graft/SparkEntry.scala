@@ -217,6 +217,13 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, m = 4, k = 16, topK = 5)),
+    // the PQ twin of q_recall: recall@k of seed-codebook PQ, Lloyd-TRAINED
+    // PQ, and IVFPQ against brute force — the audit that justifies (and
+    // measures) the codebook training pass
+    "q_pq_recall" -> q(t => ProductQuantizer.recallAudit(
+      t.embeddings.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, iters = PqTrainIters)),
     // approximate-index quality audit: recall@k of IVF vs brute force
     "q_recall" -> q(t => IvfIndex.recallAudit(
       t.embeddings.filter(col("vec_id") < 5)
@@ -568,6 +575,81 @@ object SparkEntry {
       |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
       |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q_pq_recall replayed: the PQ encode CTEs (seed codebooks) + two
+    * Lloyd rounds per subspace (assign by ‖s‖²−2·s·cw+‖cw‖² ties-by-code,
+    * element-wise mean cast to REAL — the `q_kmeans_refine` image applied
+    * per subspace; empty cells keep the previous codeword via the LEFT
+    * JOIN coalesce) + the IVFPQ probe CTEs, each ranked against the exact
+    * brute-force top-k. Recall@k is counts and floored ratios —
+    * hash-oracle-friendly. */
+  /** Lloyd rounds in the trained-PQ audit (recall plateaus around here —
+    * 0.38 seed → 0.42 at 3 rounds on the sf0.01 corpus). Engine and
+    * oracle share this constant. */
+  private val PqTrainIters = 3
+
+  private val oracleSqlPqRecall: String = {
+    // one Lloyd round: assignment over codebook `cbIn` → means → `cbOut`
+    def round(cbIn: String, aOut: String, mOut: String, cbOut: String) =
+      s"""| d_$aOut AS (SELECT svn.vec_id, svn.j, b.c, b.cw,
+          |    svn.ss - 2*list_inner_product(svn.s, b.cw) + list_inner_product(b.cw, b.cw) AS dist
+          |   FROM svn JOIN $cbIn b ON svn.j = b.j),
+          | $aOut AS (SELECT vec_id, j, c, cw FROM (
+          |    SELECT vec_id, j, c, cw, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM d_$aOut) WHERE rn = 1),
+          | $mOut AS (SELECT j, c, idx, avg(val) AS mval FROM (
+          |    SELECT $aOut.j, $aOut.c, unnest(sv.s) AS val, unnest(range(len(sv.s))) AS idx
+          |    FROM $aOut JOIN sv ON $aOut.vec_id = sv.vec_id AND $aOut.j = sv.j) GROUP BY 1,2,3),
+          | $cbOut AS (SELECT g.j, g.c, coalesce(mm.cw, g.cw) AS cw FROM $cbIn g LEFT JOIN (
+          |    SELECT j, c, list(CAST(CAST(mval AS REAL) AS DOUBLE) ORDER BY idx) AS cw FROM $mOut GROUP BY 1,2) mm
+          |   ON g.j = mm.j AND g.c = mm.c),""".stripMargin
+    val rounds = (1 to PqTrainIters).map(r =>
+      round(s"cb${r - 1}", s"a${r - 1}", s"m$r", s"cb$r")).mkString("\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 20),
+       | exact AS (SELECT query_id, vec_id FROM (
+       |   SELECT query_id, e.vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, ev) DESC, e.vec_id) AS rn
+       |   FROM q CROSS JOIN e) WHERE rn <= 5),
+       | sv AS (SELECT vec_id, j, list_slice(ev, j*16+1, j*16+16) AS s FROM e, range(4) r(j)),
+       | svn AS (SELECT vec_id, j, s, list_inner_product(s, s) AS ss FROM sv),
+       | cb0 AS (SELECT r.j, e.vec_id AS c, list_slice(ev, j*16+1, j*16+16) AS cw
+       |   FROM e, range(4) r(j) WHERE e.vec_id < 16),
+$rounds
+       | d_af AS (SELECT svn.vec_id, svn.j, b.c, b.cw,
+       |    svn.ss - 2*list_inner_product(svn.s, b.cw) + list_inner_product(b.cw, b.cw) AS dist
+       |   FROM svn JOIN cb$PqTrainIters b ON svn.j = b.j),
+       | af AS (SELECT vec_id, j, c, cw FROM (
+       |    SELECT vec_id, j, c, cw, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM d_af) WHERE rn = 1),
+       | rec_seed AS (SELECT vec_id, flatten(list(cw ORDER BY j)) AS rv FROM a0 GROUP BY 1),
+       | rec_tr AS (SELECT vec_id, flatten(list(cw ORDER BY j)) AS rv FROM af GROUP BY 1),
+       | ap_seed AS (SELECT query_id, vec_id FROM (
+       |   SELECT query_id, r.vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, rv) DESC, r.vec_id) AS rn
+       |   FROM q CROSS JOIN rec_seed r) WHERE rn <= 5),
+       | ap_tr AS (SELECT query_id, vec_id FROM (
+       |   SELECT query_id, r.vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, rv) DESC, r.vec_id) AS rn
+       |   FROM q CROSS JOIN rec_tr r) WHERE rn <= 5),
+       | cc AS (SELECT vec_id AS centroid_id, ev AS cv FROM e WHERE vec_id < 16),
+       | assign AS (SELECT vec_id, centroid_id FROM (
+       |   SELECT e.vec_id, cc.centroid_id,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+       |   FROM e CROSS JOIN cc) WHERE rn = 1),
+       | probes AS (SELECT query_id, centroid_id FROM (
+       |   SELECT query_id, centroid_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+       |   FROM q CROSS JOIN cc) WHERE rn <= 4),
+       | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+       | ap_ivf AS (SELECT query_id, vec_id FROM (
+       |   SELECT cand.query_id, cand.vec_id, ROW_NUMBER() OVER (PARTITION BY cand.query_id ORDER BY list_cosine_similarity(q.qv, rec_seed.rv) DESC, cand.vec_id) AS rn
+       |   FROM cand JOIN q ON cand.query_id = q.query_id JOIN rec_seed ON cand.vec_id = rec_seed.vec_id) WHERE rn <= 5)
+       |SELECT x.query_id,
+       | COUNT(s.vec_id) AS n_hits_pq_seed, floor(COUNT(s.vec_id)/5.0*1e6)/1e6 AS recall_pq_seed,
+       | COUNT(t.vec_id) AS n_hits_pq_trained, floor(COUNT(t.vec_id)/5.0*1e6)/1e6 AS recall_pq_trained,
+       | COUNT(v.vec_id) AS n_hits_ivfpq, floor(COUNT(v.vec_id)/5.0*1e6)/1e6 AS recall_ivfpq
+       |FROM exact x
+       |LEFT JOIN ap_seed s ON x.query_id = s.query_id AND x.vec_id = s.vec_id
+       |LEFT JOIN ap_tr t ON x.query_id = t.query_id AND x.vec_id = t.vec_id
+       |LEFT JOIN ap_ivf v ON x.query_id = v.query_id AND x.vec_id = v.vec_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val DEC = "CAST(l_extendedprice AS DECIMAL(18,2))"
   private val DISC = "CAST(l_discount AS DECIMAL(18,2))"
   private val REV = s"$DEC * (1 - $DISC)"
@@ -828,6 +910,7 @@ object SparkEntry {
     // codebooks (‖s‖² − 2·s·cw + ‖cw‖², ties by code), reconstruction by
     // ordered flatten, ADC cosine ranking — every fold in DOUBLE
     "q_pq_search" -> oracleSqlPqSearch,
+    "q_pq_recall" -> oracleSqlPqRecall,
     // identical semantics (and oracle) served from the persisted codes —
     // the PQ twin of the q_ivf_persisted layout-invariance contract
     "q_pq_persisted" -> oracleSqlPqSearch,

@@ -46,6 +46,39 @@ object ProductQuantizer {
     }: _*).getField("c")
   }
 
+  /** Per-subspace Lloyd-refined codebooks from the deterministic seeds:
+    * `iters` rounds of assign → element-wise mean. Every subspace trains
+    * in the SAME pass (one posexplode of the m slices per round — never a
+    * pass per subspace), the codeword update is the
+    * [[graft.functions.VectorAvg]] (sum, count) aggregate (the
+    * `IvfIndex.kmeansCentroids` dataflow: shuffles one buffer per cell,
+    * never the member subvectors), and empty cells keep their previous
+    * codeword. m×k×(dim/m) floats collect per round — driver-trivial. */
+  def trainedCodebooks(corpus: DataFrame, m: Int = 4, k: Int = 16,
+                       iters: Int = 2): Array[Array[Array[Float]]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    var cbs = codebooks(corpus, m, k)
+    val sub = cbs(0)(0).length
+    for (_ <- 1 to iters) {
+      val slices = corpus.select(
+        posexplode(array((0 until m).map(j =>
+          slice(col("embedding"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
+      val code = coalesce((0 until m).map(j =>
+        when(col("j") === j, bestCode(col("s"), cbs(j)))): _*)
+      val means = slices.select(col("j"), code.as("c"), col("s"))
+        .as[(Int, Int, Array[Float])]
+        .groupByKey { case (j, c, _) => (j, c) }
+        .mapValues(_._3)
+        .agg(graft.functions.VectorAvg.toColumn.name("cw"))
+        .collect()
+      val next = cbs.map(_.clone())
+      means.foreach { case ((j, c), cw) => next(j)(c) = cw }
+      cbs = next
+    }
+    cbs
+  }
+
   /** `(vec_id, codes array<int>)`: the stored form — m small ints per
     * vector (cast to bytes at rest). */
   def encoded(corpus: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
@@ -58,22 +91,71 @@ object ProductQuantizer {
   }
 
   /** `(vec_id, embedding)` with every vector replaced by its PQ
-    * reconstruction (decode fused with encode — one narrow pass). */
-  def reconstructed(corpus: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
-    val cbs = codebooks(corpus, m, k)
+    * reconstruction under the GIVEN codebooks (decode fused with encode —
+    * one narrow pass). */
+  def reconstructedWith(corpus: DataFrame,
+                        cbs: Array[Array[Array[Float]]]): DataFrame = {
     val sub = cbs(0)(0).length
-    val parts = (0 until m).map { j =>
+    val parts = cbs.indices.map { j =>
       val code = bestCode(slice(col("embedding"), j * sub + 1, sub), cbs(j))
       element_at(typedLit(cbs(j).map(_.toSeq).toSeq), code + 1)
     }
     corpus.select(col("vec_id"), flatten(array(parts: _*)).as("embedding"))
   }
 
+  /** [[reconstructedWith]] under the deterministic seed codebooks. */
+  def reconstructed(corpus: DataFrame, m: Int = 4, k: Int = 16): DataFrame =
+    reconstructedWith(corpus, codebooks(corpus, m, k))
+
   /** ADC-style exact top-k over the PQ-compressed corpus: unquantized
     * queries, reconstructed corpus, the shared bounded-heap ranking. */
   def search(queries: DataFrame, corpus: DataFrame, m: Int = 4, k: Int = 16,
              topK: Int = 5): DataFrame =
     Search.bruteForceTopK(queries, reconstructed(corpus, m, k), topK)
+
+  /** [[search]] under Lloyd-TRAINED codebooks: same dataflow, lower
+    * quantization error (the training is a one-time build cost; encoding
+    * and search are unchanged narrow passes). */
+  def searchTrained(queries: DataFrame, corpus: DataFrame, m: Int = 4,
+                    k: Int = 16, iters: Int = 2, topK: Int = 5): DataFrame =
+    Search.bruteForceTopK(queries,
+      reconstructedWith(corpus, trainedCodebooks(corpus, m, k, iters)), topK)
+
+  /** Recall@k audit across the quantization matrix — the PQ twin of
+    * [[IvfIndex.recallAudit]] (which covers only the IVF pruning axis).
+    * Per query, against the exact brute-force top-k: the seed-codebook PQ,
+    * the Lloyd-TRAINED PQ (quantization error is a training artifact, so
+    * this is the number that justifies the training pass), and IVFPQ
+    * (pruning × compression composed). All four paths are bounded-output
+    * top-k aggregates; the audit joins are k-per-query sized. */
+  def recallAudit(queries: DataFrame, corpus: DataFrame, m: Int = 4,
+                  k: Int = 16, iters: Int = 2, nCentroids: Int = 16,
+                  nprobe: Int = 4, topK: Int = 5): DataFrame = {
+    val exact = Search.bruteForceTopK(queries, corpus, topK)
+      .select(col("query_id"), col("vec_id"))
+    def hitsOf(approx: DataFrame, name: String): DataFrame =
+      approx.select(col("query_id"), col("vec_id"), lit(1).as(name))
+    val seed = hitsOf(search(queries, corpus, m, k, topK), "hit_seed")
+    val trained = hitsOf(
+      searchTrained(queries, corpus, m, k, iters, topK), "hit_trained")
+    val ivfpq = hitsOf(
+      IvfIndex.searchPq(queries, corpus, nCentroids, nprobe, topK, m, k),
+      "hit_ivfpq")
+    def rec(c: Column): Column =
+      floor(count(c) / lit(topK.toDouble) * 1e6) / 1e6
+    exact
+      .join(seed, Seq("query_id", "vec_id"), "left")
+      .join(trained, Seq("query_id", "vec_id"), "left")
+      .join(ivfpq, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit_seed")).as("n_hits_pq_seed"),
+        rec(col("hit_seed")).as("recall_pq_seed"),
+        count(col("hit_trained")).as("n_hits_pq_trained"),
+        rec(col("hit_trained")).as("recall_pq_trained"),
+        count(col("hit_ivfpq")).as("n_hits_ivfpq"),
+        rec(col("hit_ivfpq")).as("recall_ivfpq"))
+      .orderBy(col("query_id"))
+  }
 
   /** Persist the PQ index: the codebooks (m×k subvectors) and the encoded
     * corpus — `m` small ints per vector instead of `dim` floats. This is

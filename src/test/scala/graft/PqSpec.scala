@@ -43,6 +43,26 @@ class PqSpec extends SparkSuite {
     assert(hits >= 5, s"recall too low: $hits/25 exact matches")
   }
 
+  test("trained codebooks cut quantization error vs the seed codebooks") {
+    // Lloyd training minimizes exactly the per-subspace squared
+    // reconstruction error, so total corpus error must not increase —
+    // the property that justifies the training pass (recall is the
+    // user-facing echo of it, audited end-to-end by q_pq_recall's oracle)
+    def mse(cbs: Array[Array[Array[Float]]]): Double =
+      ProductQuantizer.reconstructedWith(t.embeddings, cbs)
+        .withColumnRenamed("embedding", "rec")
+        .join(t.embeddings, Seq("vec_id"))
+        .select(aggregate(
+          zip_with($"embedding", $"rec", (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("e"))
+        .agg(sum($"e")).head().getDouble(0)
+    val seedErr = mse(ProductQuantizer.codebooks(t.embeddings, 4, 16))
+    val trainedErr =
+      mse(ProductQuantizer.trainedCodebooks(t.embeddings, 4, 16, iters = 3))
+    assert(trainedErr < seedErr,
+      s"training must reduce reconstruction error: $trainedErr vs $seedErr")
+  }
+
   test("ivfpq: pruned+compressed search keeps k rows with usable recall") {
     val queries = t.embeddings.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("qv"))
