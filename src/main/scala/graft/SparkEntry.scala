@@ -442,9 +442,12 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("c_mktsegment"))
         .orderBy(col("event_id"))
     }),
-    // SQL surface: graft expressions registered into the session registry
+    // SQL surface: graft expressions registered into the session registry,
+    // and the window top-k pattern AUTO-FUSED into VectorTopKAggExec (the
+    // user writes plain declarative SQL; PlanSpec gates the fused plan)
     "q_sql_search" -> ((s, dir) => {
       GraftSql.register(s)
+      Search.installSqlAutoFusion(s)
       Tables(s, dir).embeddings.createOrReplaceTempView("embeddings_v")
       s.sql("""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qv

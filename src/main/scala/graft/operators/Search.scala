@@ -61,6 +61,23 @@ object Search {
     bridge.uninstallStrategy(spark, graft.plans.VectorTopKAggStrategy)
   }
 
+  /** Install auto-fusion for the SQL surface: after this, the WINDOW
+    * top-k pattern (`ROW_NUMBER() OVER (PARTITION BY q ORDER BY
+    * cosine_similarity(...) DESC, id) ... WHERE rn <= k` over a cross
+    * join) is planned as [[graft.plans.VectorTopKAggExec]] — pure
+    * declarative SQL, fused physical operator. */
+  def installSqlAutoFusion(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.installStrategy(spark, graft.plans.VectorTopKAggStrategy)
+    bridge.installOptimization(spark, graft.plans.AutoFuseWindowTopK)
+  }
+
+  def uninstallSqlAutoFusion(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.graft.bridge
+    bridge.uninstallOptimization(spark, graft.plans.AutoFuseWindowTopK)
+    bridge.uninstallStrategy(spark, graft.plans.VectorTopKAggStrategy)
+  }
+
   /** array<struct<score,id>> "topk" column → (query_id, rank, vec_id, score). */
   private[graft] def explodeTopK(grouped: DataFrame): DataFrame =
     grouped

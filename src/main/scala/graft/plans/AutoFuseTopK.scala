@@ -113,6 +113,117 @@ object AutoFuseTopK extends Rule[LogicalPlan] {
   }
 }
 
+/** Optimizer rule for the SQL surface: rewrite the declarative WINDOW
+  * top-k pattern —
+  * {{{
+  * Filter(rn <= k,
+  *   Window([row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn],
+  *     Project(..., cosine_similarity(qv, emb) AS sim, ...,
+  *       Join(corpus, queries, Cross))))
+  * }}}
+  * — into [[VectorTopKAgg]] + posexplode + a projection that rebuilds the
+  * (qid, vid, sim, rn) attributes under their ORIGINAL exprIds, so the
+  * rest of the plan (the user's floor/cast/sort) is untouched. This is
+  * how `spark.sql("... ROW_NUMBER() OVER ... WHERE rn <= k")` plans the
+  * fused operator without the user ever naming it.
+  *
+  * The bounded heap orders by (score desc, id asc) — exactly row_number's
+  * `sim DESC NULLS LAST, vid ASC`. The one semantic delta: null/NaN
+  * similarity scores are SKIPPED by the heap, where the window form would
+  * rank them after all real scores (visible only when a query has fewer
+  * than k non-null scores — no well-formed vector corpus produces that,
+  * and the same caveat already applies to [[AutoFuseTopK]]'s aggregate
+  * form, whose TopKByScore update skips nulls). */
+object AutoFuseWindowTopK extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions._
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Project, Window, WindowGroupLimit}
+
+  private val hitType = StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false)))
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window) => rewrite(f, cond, w)
+  }
+
+  private def rewrite(f: Filter, cond: Expression, w: Window): LogicalPlan = {
+    val gate: Option[(Attribute, Int)] = cond match {
+      case LessThanOrEqual(a: Attribute, Literal(k: Int, IntegerType)) =>
+        Some((a, k))
+      case LessThan(a: Attribute, Literal(k: Int, IntegerType)) =>
+        Some((a, k - 1))
+      case _ => None
+    }
+    val shape: Option[(Attribute, Attribute, Attribute, Attribute)] =
+      (w.windowExpressions, w.partitionSpec, w.orderSpec) match {
+        case (Seq(al @ Alias(WindowExpression(_: RowNumber, _), _)),
+              Seq(qid: Attribute),
+              Seq(SortOrder(sim: Attribute, Descending, NullsLast, _),
+                  SortOrder(vid: Attribute, Ascending, _, _)))
+            if gate.exists(_._1.exprId == al.exprId) =>
+          Some((qid, sim, vid, al.toAttribute))
+        case _ => None
+      }
+    // InsertWindowGroupLimit runs in a later batch than this rule, but be
+    // robust to either ordering: the limit node is subsumed by the fusion
+    val core = w.child match {
+      case wgl: WindowGroupLimit => wgl.child
+      case other => other
+    }
+    (gate, shape, core) match {
+      case (Some((_, k)), Some((qid, sim, vid, rnAttr)),
+            p @ Project(plist, join: Join))
+          if k > 0 && join.joinType == Cross && join.condition.isEmpty &&
+            p.outputSet.contains(qid) && p.outputSet.contains(vid) =>
+        val cosOpt = plist.collectFirst {
+          case al @ Alias(cos: CosineSimilarity, _)
+              if al.exprId == sim.exprId => cos
+        }
+        cosOpt match {
+          case Some(cos) => (cos.left, cos.right) match {
+            case (x: Attribute, y: Attribute) =>
+              val (queriesSide, corpusSide) =
+                if (join.left.outputSet.contains(qid)) (join.left, join.right)
+                else (join.right, join.left)
+              val (qvA, embA) =
+                if (queriesSide.outputSet.contains(x)) (x, y) else (y, x)
+              val ok = queriesSide.outputSet.contains(qid) &&
+                queriesSide.outputSet.contains(qvA) &&
+                corpusSide.outputSet.contains(vid) &&
+                corpusSide.outputSet.contains(embA)
+              if (!ok) f
+              else {
+                val topk = AttributeReference("topk",
+                  ArrayType(hitType, containsNull = false),
+                  nullable = false)()
+                val fused = VectorTopKAgg(queriesSide, corpusSide,
+                  qid, qvA, vid, embA, k, Seq(qid, topk))
+                val pos = AttributeReference("pos", IntegerType,
+                  nullable = false)()
+                val hit = AttributeReference("hit", hitType,
+                  nullable = false)()
+                val gen = Generate(PosExplode(topk),
+                  unrequiredChildIndex = Seq(1), outer = false,
+                  qualifier = None, generatorOutput = Seq(pos, hit),
+                  child = fused)
+                Project(Seq(
+                  qid,
+                  Alias(GetStructField(hit, 1, Some("id")),
+                    vid.name)(exprId = vid.exprId),
+                  Alias(GetStructField(hit, 0, Some("score")),
+                    sim.name)(exprId = sim.exprId),
+                  Alias(Add(pos, Literal(1)),
+                    rnAttr.name)(exprId = rnAttr.exprId)), gen)
+              }
+            case _ => f
+          }
+          case None => f
+        }
+      case _ => f
+    }
+  }
+}
+
 object VectorTopKAggStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: VectorTopKAgg =>

@@ -10,6 +10,35 @@ class PlanSpec extends SparkSuite {
 
   lazy val t = Tables(spark, sfDir)
 
+  test("SQL window top-k auto-fuses into the bounded-heap operator") {
+    // the user writes plain ROW_NUMBER-over-cross-join SQL; the engine
+    // must plan VectorTopKAggExec (one corpus scan, per-query heaps) and
+    // return exactly the rows the declarative window form returns
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q_sql_search")(spark, sfDir)
+    assert(planOf(df).contains("VectorTopKAgg"),
+      s"window pattern not fused:\n${planOf(df)}")
+    assert(!planOf(df).contains("CartesianProduct"))
+    val fused = df.collect().toSeq
+    try {
+      Search.uninstallSqlAutoFusion(spark)
+      val plain = spark.sql("""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings_v WHERE vec_id < 3),
+        sims AS (SELECT query_id, vec_id, cosine_similarity(qv, embedding) AS sim
+                 FROM embeddings_v CROSS JOIN q),
+        r AS (SELECT query_id, vec_id, sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+              FROM sims)
+        SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+               floor(sim*1e6)/1e6 AS score
+        FROM r WHERE rn <= 3 ORDER BY query_id, rank""")
+      assert(!planOf(plain).contains("VectorTopKAgg"))
+      assert(plain.collect().toSeq == fused,
+        "fusion must be invisible in the result")
+    } finally Search.installSqlAutoFusion(spark)
+  }
+
   test("selective filter is pushed to the parquet scan (q6)") {
     val plan = planOf(Relational.forecastRevenue(t))
     assert(plan.contains("PushedFilters"), plan)
