@@ -234,6 +234,24 @@ object Dedup {
       .option("path", path)
       .saveAsTable(table)
 
+  /** Append `docs`'s banded signatures to an existing signature store —
+    * the micro-batch increment of [[persistSignatures]] (used by
+    * [[graft.streaming.IncrementalDedupStream]]). The skew cap applies
+    * WITHIN the appended batch only: the store-wide cap is a build-time
+    * property, and re-capping across appends would re-read the store each
+    * batch — the one thing an incremental pipeline must never do.
+    * Duplicate appends (a replayed micro-batch) are harmless for
+    * correctness: candidate pairs are DISTINCT doc-id pairs, so replayed
+    * signature rows cannot change any later probe's answer. */
+  def appendSignatures(docs: DataFrame, table: String,
+                       numHashes: Int = 128, bands: Int = 16,
+                       shingleLen: Int = 3, maxBucket: Int = 1000,
+                       nBuckets: Int = 8): Unit =
+    capBuckets(minhashBuckets(docs, numHashes, bands, shingleLen), maxBucket)
+      .write.mode("append")
+      .bucketBy(nBuckets, "band", "h").sortBy("band", "h")
+      .saveAsTable(table)
+
   /** [[incrementalCandidates]] served from the PERSISTED signature table:
     * the production shape for a daily increment landing on a 100 TB base —
     * the base corpus is never re-read and its signatures are never
@@ -244,9 +262,17 @@ object Dedup {
                                      spark: org.apache.spark.sql.SparkSession,
                                      table: String, numHashes: Int = 128,
                                      bands: Int = 16, shingleLen: Int = 3)
-      : DataFrame =
+      : DataFrame = {
+    // the store is append-heavy BY DESIGN (every increment/micro-batch
+    // adds its signatures, possibly from another session — streaming
+    // foreachBatch runs on a session clone): drop this session's cached
+    // file listing so the probe sees every append, not the snapshot from
+    // the first read. A relation-cache refresh re-lists files; it never
+    // re-reads data.
+    spark.catalog.refreshTable(table)
     incrementalProbe(newDocs, spark.table(table),
       numHashes, bands, shingleLen)
+  }
 
   /** The shared probe: increment signatures × base banded-signature table
     * (recomputed or persisted) → per-new-doc summary. The increment side

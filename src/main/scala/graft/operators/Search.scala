@@ -55,10 +55,13 @@ object Search {
     bridge.installOptimization(spark, graft.plans.AutoFuseTopK)
   }
 
+  /** Uninstall removes only the REWRITE rule. The strategy stays: it is
+    * shared by [[installSqlAutoFusion]]'s window rule (removing it while
+    * the other rule is live leaves un-plannable [[graft.plans.VectorTopKAgg]]
+    * nodes), and with no rule emitting those nodes it is inert. */
   def uninstallAutoFusion(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graft.bridge
     bridge.uninstallOptimization(spark, graft.plans.AutoFuseTopK)
-    bridge.uninstallStrategy(spark, graft.plans.VectorTopKAggStrategy)
   }
 
   /** Install auto-fusion for the SQL surface: after this, the WINDOW
@@ -72,10 +75,11 @@ object Search {
     bridge.installOptimization(spark, graft.plans.AutoFuseWindowTopK)
   }
 
+  /** Rule-only removal — see [[uninstallAutoFusion]] for why the shared
+    * strategy stays installed. */
   def uninstallSqlAutoFusion(spark: org.apache.spark.sql.SparkSession): Unit = {
     import org.apache.spark.sql.graft.bridge
     bridge.uninstallOptimization(spark, graft.plans.AutoFuseWindowTopK)
-    bridge.uninstallStrategy(spark, graft.plans.VectorTopKAggStrategy)
   }
 
   /** array<struct<score,id>> "topk" column → (query_id, rank, vec_id, score). */

@@ -185,6 +185,84 @@ class StreamingSpec extends SparkSuite {
     assert(fromIndex == exact)
   }
 
+  test("streaming incremental dedup flags near-dups of earlier batches") {
+    import spark.implicits._
+    val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val tbl = "graft_stream_sig_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val sigDir = Files.createTempDirectory("graft-sig-stream").toString
+    // the pre-existing base corpus: one distinctive doc + one filler
+    operators.Dedup.persistSignatures(
+      Seq((1L, baseText),
+        (2L, (1 to 80).map(i => s"other${i}x").mkString(" ")))
+        .toDF("doc_id", "text"), tbl, s"$sigDir/store")
+    // two batches SEPARATED BY A RESTART (a shared checkpoint makes the
+    // second run resume past file a): A brings a fresh doc; B brings a
+    // near-dup of base doc 1 AND a near-dup of batch-A's doc — the
+    // cross-batch case, which also proves the store carries state across
+    // stream restarts
+    val srcDir = Files.createTempDirectory("graft-inc-src").toString
+    val freshA = (1 to 80).map(i => s"aa${i}q").mkString(" ")
+    def docStream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .parquet(s"$srcDir/c=*")
+    val flagsDir = s"$sigDir/flags"
+    Seq((10L, freshA)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$srcDir/c=a")
+    IncrementalDedupStream.start(spark, docStream, tbl, flagsDir,
+      checkpoint = s"$sigDir/_ckpt").awaitTermination(120000)
+    Seq((20L, baseText.split(" ").updated(10, "EDITED").mkString(" ")),
+        (21L, freshA.split(" ").updated(5, "EDITED").mkString(" ")))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/c=b")
+    IncrementalDedupStream.start(spark, docStream, tbl, flagsDir,
+      checkpoint = s"$sigDir/_ckpt").awaitTermination(120000)
+    val flags = spark.read.parquet(flagsDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(3), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(flags.keySet == Set(10L, 20L, 21L))
+    assert(!flags(10L)._1, "fresh doc must pass")
+    assert(flags(20L) == (true, 1L), "near-dup of the PRE-EXISTING base")
+    assert(flags(21L) == (true, 10L),
+      "near-dup in batch B of a doc from batch A — the cross-batch flag")
+  }
+
+  test("index compaction merges small posting files, search unchanged") {
+    import spark.implicits._
+    import graft.functions._
+    import graft.functions.TextFunctions.preprocess
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val full = t.documents.select($"doc_id".as("vec_id"),
+      hash_embed(preprocess($"text"), 64).as("embedding"))
+    operators.IvfIndex.persist(full.filter($"vec_id" < 125),
+      nCentroids = 4, path = dir)
+    // three backfill appends through the exact streaming write path —
+    // each leaves up to shuffle.partitions files per posting partition
+    val cents = spark.read.parquet(s"$dir/centroids")
+    Seq((125L, 250L), (250L, 375L), (375L, 500L)).foreach { case (lo, hi) =>
+      IndexMaintenance.appendBatch(
+        full.filter($"vec_id" >= lo && $"vec_id" < hi), cents, dir)
+    }
+    def nFiles: Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/postings"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val queries = full.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val before = operators.IvfIndex.searchPersisted(spark, dir, queries,
+      nprobe = 4, k = 3).collect().toSeq
+    val filesBefore = nFiles
+    val compacted = IndexMaintenance.compact(spark, dir, maxFiles = 2)
+    assert(compacted > 0, "append-heavy partitions must be compacted")
+    assert(nFiles < filesBefore,
+      s"file count must drop: $filesBefore -> $nFiles")
+    val after = operators.IvfIndex.searchPersisted(spark, dir, queries,
+      nprobe = 4, k = 3).collect().toSeq
+    assert(after == before, "compaction must not change search results")
+  }
+
   test("stateful sessionization emits closed sessions matching batch") {
     import spark.implicits._
     val q = SessionStream.statefulSessions(
