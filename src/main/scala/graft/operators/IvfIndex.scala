@@ -255,14 +255,22 @@ object IvfIndex {
     * byte that is still scanned. */
   def searchPq(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
                nprobe: Int, k: Int, m: Int = 4, kCodes: Int = 16)
-      : DataFrame = {
+      : DataFrame =
+    searchPqWith(queries, corpus,
+      ProductQuantizer.reconstructed(corpus, m, kCodes), nCentroids, nprobe, k)
+
+  /** [[searchPq]] over a PREBUILT reconstruction table — lets an audit
+    * that scores several paths against the same codebooks reuse one
+    * materialized reconstruction instead of re-encoding per search. */
+  def searchPqWith(queries: DataFrame, corpus: DataFrame, rec: DataFrame,
+                   nCentroids: Int, nprobe: Int, k: Int): DataFrame = {
     val cents = centroids(corpus, nCentroids)
     val assign = nearestCentroid(corpus, cents)
     val probes = probeCentroids(cents, queries, nprobe)
     val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
       .select(col("query_id"), col("vec_id"))
     val scored = candidates
-      .join(ProductQuantizer.reconstructed(corpus, m, kCodes), Seq("vec_id"))
+      .join(rec, Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         cosine_similarity(col("qv"), col("embedding")).as("sim"))

@@ -60,10 +60,14 @@ object ProductQuantizer {
     import spark.implicits._
     var cbs = codebooks(corpus, m, k)
     val sub = cbs(0)(0).length
+    // the (j, s) slice table depends only on the corpus: materialize it
+    // ONCE and re-assign per round (each round re-reads m × |corpus|
+    // small arrays instead of re-scanning + re-exploding the corpus)
+    val slices = corpus.select(
+      posexplode(array((0 until m).map(j =>
+        slice(col("embedding"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
-      val slices = corpus.select(
-        posexplode(array((0 until m).map(j =>
-          slice(col("embedding"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
       val code = coalesce((0 until m).map(j =>
         when(col("j") === j, bestCode(col("s"), cbs(j)))): _*)
       val means = slices.select(col("j"), code.as("c"), col("s"))
@@ -135,12 +139,21 @@ object ProductQuantizer {
       .select(col("query_id"), col("vec_id"))
     def hitsOf(approx: DataFrame, name: String): DataFrame =
       approx.select(col("query_id"), col("vec_id"), lit(1).as(name))
-    val seed = hitsOf(search(queries, corpus, m, k, topK), "hit_seed")
-    val trained = hitsOf(
-      searchTrained(queries, corpus, m, k, iters, topK), "hit_trained")
+    // each reconstruction is MATERIALIZED once: the seed table feeds two
+    // searches (flat PQ + IVFPQ) and every search then scans stored
+    // arrays instead of re-running the 64-way argmin encode per pass
+    val seedRec = reconstructedWith(corpus, codebooks(corpus, m, k))
+      .localCheckpoint()
+    val trainedRec =
+      reconstructedWith(corpus, trainedCodebooks(corpus, m, k, iters))
+        .localCheckpoint()
+    val seed = hitsOf(Search.bruteForceTopK(queries, seedRec, topK),
+      "hit_seed")
+    val trained = hitsOf(Search.bruteForceTopK(queries, trainedRec, topK),
+      "hit_trained")
     val ivfpq = hitsOf(
-      IvfIndex.searchPq(queries, corpus, nCentroids, nprobe, topK, m, k),
-      "hit_ivfpq")
+      IvfIndex.searchPqWith(queries, corpus, seedRec, nCentroids, nprobe,
+        topK), "hit_ivfpq")
     def rec(c: Column): Column =
       floor(count(c) / lit(topK.toDouble) * 1e6) / 1e6
     exact
