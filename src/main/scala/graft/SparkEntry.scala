@@ -236,6 +236,9 @@ object SparkEntry {
     "dedup_minhash_est" -> q(t => Dedup.minhashEstimates(t.documents)),
     "dedup_simhash"   -> q(t => Dedup.simhashCandidates(t.documents)),
     "dedup_jaccard"   -> q(t => Dedup.jaccardNeighbors(t.documents)),
+    // asymmetric containment |A∩B|/|A|: the doc-inside-a-bigger-doc class
+    // that jaccard (and jaccard-tuned LSH banding) structurally misses
+    "dedup_containment" -> q(t => Dedup.containmentNeighbors(t.documents)),
     "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
     "dedup_clusters"  -> q(t => Dedup.clusters(t.documents)),
     // SemDeDup-style: near-dup NN within LEARNED (centroid) blocks — the
@@ -1067,6 +1070,21 @@ $rounds
          |   FROM inter i JOIN sizes s1 ON i.doc_id = s1.doc_id JOIN sizes s2 ON i.neighbor_id = s2.doc_id)
          |SELECT doc_id, neighbor_id, floor(jaccard*1e6)/1e6 AS jaccard
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id) AS rn FROM jac)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+         | sh AS (SELECT doc_id, unnest(list_distinct(
+         |   CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |        ELSE list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) END)) AS sh
+         |  FROM tok),
+         | sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS container_id, COUNT(*) AS i
+         |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1,2),
+         | cont AS (SELECT i.doc_id, i.container_id, CAST(i.i AS DOUBLE)/s1.n_sh AS containment
+         |   FROM inter i JOIN sizes s1 ON i.doc_id = s1.doc_id)
+         |SELECT doc_id, container_id, floor(containment*1e6)/1e6 AS containment,
+         | containment >= 0.8 AS is_contained
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY containment DESC, container_id) AS rn FROM cont)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

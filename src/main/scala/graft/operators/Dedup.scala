@@ -323,19 +323,15 @@ object Dedup {
     perDocSummary(docs, pairs)
   }
 
-  /** Word-n-gram Jaccard nearest neighbor per doc (docs sharing no shingle
-    * have no neighbor and drop out — same on the oracle side).
+  /** The df-capped per-doc shingle table `(doc_id, n_sh, sh)` shared by
+    * [[jaccardNeighbors]] and [[containmentNeighbors]] — built once,
+    * checkpointed, read by both sides of the self-join.
     *
     * The per-doc shingle SET is built array-side (`array_distinct` over
     * [[graft.functions.WordShingles]]) and checkpointed BEFORE the
     * explode — the barrier that stops Generate from re-evaluating the
     * array build per output row (the round-1 33 s quadratic blowup).
-    * Building the set array-side also yields `n_sh = size(set)` for free
-    * and drops two whole passes from the plan: the old lead()-window
-    * assembly shuffled AND sorted the full token table, then a second
-    * window re-counted per-doc shingles. At local sf0.1 the wall time is
-    * join-dominated either way (~2.9 s warm, unchanged); the win is the
-    * removed token-table sort-shuffle, which grows with corpus size.
+    * Building the set array-side also yields `n_sh = size(set)` for free.
     *
     * Shingles travel as their 64-bit FNV, not the string: ~3-4× less
     * shuffle per row and cheaper join probes. `n_sh` counts distinct
@@ -346,14 +342,16 @@ object Dedup {
     * `maxShingleDf` caps the document frequency of join-key shingles: a
     * boilerplate 3-gram shared by M docs is a quadratic key (M² pairs on
     * one task). Shingles hotter than the cap are dropped from the
-    * INTERSECTION join only — per-doc set sizes (`n_sh`, the union
-    * denominator) still count them — so jaccard estimates for pairs that
-    * shared a dropped shingle shrink slightly (documented recall trade,
-    * like `maxBucket` in the banded generators). Default is above the
-    * max observed df at oracle scale, so sf0.01 results are exact. */
-  def jaccardNeighbors(docs: DataFrame, shingleLen: Int = 3,
-                       maxShingleDf: Int = 1000): DataFrame = {
-    val sh = docs
+    * INTERSECTION join only — per-doc set sizes (the denominators) still
+    * count them — a documented recall trade, like `maxBucket` in the
+    * banded generators. The df cap runs AFTER n_sh (denominators stay
+    * exact); df = 1 rows are dropped too — a shingle appearing in one
+    * document can never produce a pair, so excluding it changes NOTHING
+    * while cutting the self-join's input by the unique-shingle share of
+    * the corpus (on web corpora the large majority). */
+  private def cappedShingleTable(docs: DataFrame, shingleLen: Int,
+                                 maxShingleDf: Int): DataFrame =
+    docs
       .select(col("doc_id"),
         array_distinct(
           shingles(tokens(preprocess(col("text"))), shingleLen)).as("shs"))
@@ -362,17 +360,20 @@ object Dedup {
         explode(col("shs")).as("s"))
       .select(col("doc_id"), col("n_sh"),
         graft.functions.fnv1a64(col("s")).as("sh"))
-      // df cap AFTER n_sh (denominators stay exact) and BEFORE the
-      // checkpoint (both join sides read the already-capped table).
-      // df = 1 rows are dropped too: a shingle appearing in one document
-      // can never produce a pair, so excluding it changes NOTHING in the
-      // result while cutting the self-join's input by the unique-shingle
-      // share of the corpus — on web corpora the large majority.
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
       .filter(col("__df") <= maxShingleDf && col("__df") >= 2)
       .drop("__df")
       // both sides of the self-join read the materialized shingle table
       .localCheckpoint()
+
+  /** Word-n-gram Jaccard nearest neighbor per doc (docs sharing no shingle
+    * have no neighbor and drop out — same on the oracle side). Built on
+    * [[cappedShingleTable]]; at local sf0.1 the wall time is
+    * join-dominated (~2.9 s warm) and the default df cap is above the max
+    * observed df at oracle scale, so sf0.01 results are exact. */
+  def jaccardNeighbors(docs: DataFrame, shingleLen: Int = 3,
+                       maxShingleDf: Int = 1000): DataFrame = {
+    val sh = cappedShingleTable(docs, shingleLen, maxShingleDf)
     // the self-join shuffles only (doc_id, sh) — n_sh stays out of the
     // widest shuffle of the pipeline (~1/3 of its bytes) and joins back
     // onto the candidate-PAIR table, which is orders of magnitude smaller
@@ -394,6 +395,53 @@ object Dedup {
     jac.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
       .select(col("doc_id"), col("neighbor_id"),
         (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** ASYMMETRIC containment dedup: for each doc, the corpus doc that best
+    * CONTAINS it — containment(A→B) = |shingles(A) ∩ shingles(B)| /
+    * |shingles(A)|. This is the near-dup class Jaccard structurally
+    * misses: a quoted article, a re-post with added commentary, a page
+    * embedding a whole smaller page — when B ≫ A, jaccard ≈ |A|/|B| stays
+    * tiny no matter how completely B swallows A, while containment hits
+    * 1.0. (MinHash LSH inherits the same blindness: band collisions track
+    * jaccard, so A⊂B pairs rarely collide — which is why this runs on the
+    * shingle-join candidate path, not the banded one.)
+    *
+    * Same scale shape as [[jaccardNeighbors]] and built on the same
+    * [[cappedShingleTable]]: pairs exist only where a (df-capped) shingle
+    * is shared, the self-join shuffles only `(doc_id, sh)`, and the
+    * denominator join lands on the much smaller candidate-pair table.
+    * The self-join emits both orderings of every pair, which is exactly
+    * what an asymmetric measure needs — A→B and B→A get different scores
+    * from the same intersection count.
+    *
+    * Output: per doc, the best container (ties → smallest id) with
+    * `containment` and the `is_contained` gate at `threshold`; docs
+    * sharing no shingle drop out (same contract as [[jaccardNeighbors]]). */
+  def containmentNeighbors(docs: DataFrame, shingleLen: Int = 3,
+                           maxShingleDf: Int = 1000,
+                           threshold: Double = 0.8): DataFrame = {
+    val sh = cappedShingleTable(docs, shingleLen, maxShingleDf)
+    val slim = sh.select(col("doc_id"), col("sh"))
+    val sizes = sh.select(col("doc_id"), col("n_sh")).distinct()
+    val cont = slim.as("a")
+      .join(slim.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_id"),
+        col("b.doc_id").as("container_id"))
+      .agg(count(lit(1)).as("inter"))
+      // only the CONTAINED side's size enters the measure — the
+      // denominator join stays one-sided
+      .join(sizes.select(col("doc_id"), col("n_sh").as("n1")), Seq("doc_id"))
+      .withColumn("containment",
+        col("inter").cast("double") / col("n1").cast("double"))
+    val wBest = Window.partitionBy(col("doc_id"))
+      .orderBy(col("containment").desc, col("container_id"))
+    cont.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("container_id"),
+        (floor(col("containment") * 1e6) / 1e6).as("containment"),
+        (col("containment") >= threshold).as("is_contained"))
       .orderBy(col("doc_id"))
   }
 

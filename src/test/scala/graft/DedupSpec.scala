@@ -221,4 +221,29 @@ class DedupSpec extends SparkSuite {
     val bad = nn.filter(($"nn_score" >= 0.95) =!= $"is_dup").count()
     assert(bad == 0)
   }
+
+  test("containment flags a doc swallowed by a bigger doc that jaccard misses") {
+    val small = (1 to 30).map(i => s"w${i % 17}tok$i").mkString(" ")
+    // big = small + 150 extra tokens: every shingle of `small` appears in
+    // `big` (the splice point only ADDS shingles), so containment(1→2)=1,
+    // while jaccard ≈ 28/178 ≈ 0.16 — the asymmetric measure is the point
+    val big = small + " " + (31 to 180).map(i => s"x${i}pad").mkString(" ")
+    val other = (1 to 60).map(i => s"q${i}z").mkString(" ")
+    val docs = Seq((1L, small), (2L, big), (3L, other))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.containmentNeighbors(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    assert(got(1L) == (2L, 1.0, true), s"contained doc: ${got.get(1L)}")
+    // the reverse direction scores low: big is NOT contained in small
+    val (c2, s2, f2) = got(2L)
+    assert(c2 == 1L && s2 < 0.2 && !f2, s"container doc: ${got.get(2L)}")
+    // doc 3 shares no shingle with anything → drops out entirely
+    assert(!got.contains(3L), s"isolated doc should drop: $got")
+    // jaccard on the same corpus would NOT flag the pair at any sane
+    // threshold — the blindness containment exists to fix
+    val jac = operators.Dedup.jaccardNeighbors(docs)
+      .filter($"doc_id" === 1L).head()
+    assert(jac.getDouble(2) < 0.2, s"jaccard sees ${jac.getDouble(2)}")
+  }
 }
