@@ -239,6 +239,9 @@ object SparkEntry {
     // asymmetric containment |A∩B|/|A|: the doc-inside-a-bigger-doc class
     // that jaccard (and jaccard-tuned LSH banding) structurally misses
     "dedup_containment" -> q(t => Dedup.containmentNeighbors(t.documents)),
+    // ExactSubstr-style positional signal: fraction of each doc's token
+    // positions inside k-token windows occurring ≥2× verbatim corpus-wide
+    "dedup_windows"   -> q(t => Dedup.windowDupCoverage(t.documents)),
     "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
     "dedup_clusters"  -> q(t => Dedup.clusters(t.documents)),
     // SemDeDup-style: near-dup NN within LEARNED (centroid) blocks — the
@@ -1086,6 +1089,24 @@ $rounds
          | containment >= 0.8 AS is_contained
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY containment DESC, container_id) AS rn FROM cont)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_windows" ->
+      s"""WITH tok AS (SELECT doc_id, CASE WHEN len(trim(n))=0 THEN []::VARCHAR[] ELSE string_split(n,' ') END AS toks
+         |   FROM (SELECT doc_id, ${normSql("text")} AS n FROM documents)),
+         | base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         |   CAST(greatest(len(toks)-4, 0) AS BIGINT) AS n_windows FROM tok),
+         | ws AS (SELECT doc_id, pos,
+         |   toks[pos]||' '||toks[pos+1]||' '||toks[pos+2]||' '||toks[pos+3]||' '||toks[pos+4] AS w
+         |  FROM (SELECT doc_id, unnest(range(1, len(toks)-3)) AS pos, toks FROM tok)),
+         | hot AS (SELECT w FROM ws GROUP BY w HAVING COUNT(*) >= 2),
+         | dup AS (SELECT ws.doc_id, ws.pos FROM ws JOIN hot USING (w)),
+         | covpos AS (SELECT doc_id,
+         |   LEAST(5, COALESCE(LEAD(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos, 5)) AS cov FROM dup),
+         | cov AS (SELECT doc_id, COUNT(*) AS n_dup_windows, SUM(cov) AS covered FROM covpos GROUP BY 1)
+         |SELECT b.doc_id, b.n_tok, b.n_windows,
+         | CAST(COALESCE(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+         | floor((CASE WHEN b.n_tok > 0 THEN CAST(COALESCE(c.covered,0) AS DOUBLE)/b.n_tok ELSE 0 END) * 1e4)/1e4 AS dup_coverage,
+         | (CASE WHEN b.n_tok > 0 THEN CAST(COALESCE(c.covered,0) AS DOUBLE)/b.n_tok ELSE 0 END) <= 0.5 AS keep
+         |FROM base b LEFT JOIN cov c USING (doc_id) ORDER BY b.doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
         | sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn, list_cosine_similarity(a.ev, b.ev) AS sim

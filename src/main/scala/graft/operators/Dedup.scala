@@ -445,6 +445,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** ExactSubstr-style duplicated-window coverage (the "Deduplicating
+    * Training Data Makes Language Models Better" signal): for every doc,
+    * the fraction of its TOKEN POSITIONS covered by at least one k-token
+    * window that occurs ≥ 2 times verbatim anywhere in the corpus
+    * (including twice within the same doc). Where [[graft.operators.Pipeline.boilerplate]]
+    * counts the DISTINCT-gram share, this measures how much of the
+    * document's actual surface sits inside duplicated spans — the number
+    * an ExactSubstr pipeline would cut out, and the per-doc gate for
+    * "mostly-duplicated" pages whose unique grams hide the repetition.
+    *
+    * Shape at scale: positional windows travel as (doc_id, pos, fnv64) —
+    * one hash-shuffle groupBy for the corpus-wide occurrence count
+    * (map-side partials collapse within-partition repeats), one equi-join
+    * back restricted to hot windows, then the interval-union is a per-doc
+    * sort over DUPLICATED positions only (∝ dup windows, not corpus):
+    * covered = Σ min(k, gap to next dup window) — the classic sorted
+    * interval merge as a lead() window, no collect anywhere. */
+  def windowDupCoverage(docs: DataFrame, k: Int = 5,
+                        maxFrac: Double = 0.5): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_tok"),
+        shingles(col("toks"), k).as("ws"))
+      .localCheckpoint() // barrier: see cappedShingleTable
+    val wpos = toks
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.fnv1a64(col("w")).as("wh"))
+      .localCheckpoint() // read twice: occurrence count + position join
+    val hot = wpos.groupBy(col("wh")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2)
+    val dup = wpos.join(hot, Seq("wh"))
+      .select(col("doc_id"), col("pos"))
+    // sorted interval union: window at pos covers [pos, pos+k-1]; with
+    // positions ascending, each contributes min(k, next_pos - pos) —
+    // k for the last (no successor)
+    val nextPos = lead(col("pos"), 1)
+      .over(Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    val perDoc = dup
+      .select(col("doc_id"), col("pos"),
+        least(lit(k), coalesce(nextPos - col("pos"), lit(k))).as("cov"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("cov")).as("covered"))
+    val frac = when(col("n_tok") > 0,
+      coalesce(col("covered"), lit(0L)).cast("double") /
+        col("n_tok").cast("double")).otherwise(lit(0.0))
+    toks.select(col("doc_id"), col("n_tok"),
+        greatest(lit(0), col("n_tok") - lit(k - 1)).cast("long").as("n_windows"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_dup_windows"))
+      .select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        col("n_windows"), col("n_dup_windows"),
+        (floor(frac * 1e4) / 1e4).as("dup_coverage"),
+        (frac <= maxFrac).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate-cluster assignment: connected components over the minhash
     * candidate graph via iterative min-label propagation. Each doc ends in
     * the cluster of the smallest doc_id it is (transitively) connected to;

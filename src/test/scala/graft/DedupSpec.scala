@@ -246,4 +246,29 @@ class DedupSpec extends SparkSuite {
       .filter($"doc_id" === 1L).head()
     assert(jac.getDouble(2) < 0.2, s"jaccard sees ${jac.getDouble(2)}")
   }
+
+  test("window-dup coverage: interval union over shared and repeated spans") {
+    // doc 1 and doc 2 share a verbatim 6-token run → with k=5 that's 2
+    // duplicated windows each, at consecutive positions: union covers
+    // min(5, 1) + 5 = 6 tokens of each doc's 20 → coverage 0.3
+    val shared = "s1 s2 s3 s4 s5 s6"
+    val d1 = s"a1 a2 a3 a4 a5 a6 a7 $shared b1 b2 b3 b4 b5 b6 b7"
+    val d2 = s"c1 c2 c3 c4 c5 c6 c7 $shared e1 e2 e3 e4 e5 e6 e7"
+    // doc 3 repeats ITS OWN 5-token run (positions 0 and 10): two dup
+    // windows 10 apart → 5 + 5 = 10 of 15 tokens covered → 0.6666, cut
+    val run = "r1 r2 r3 r4 r5"
+    val d3 = s"$run m1 m2 m3 m4 m5 $run"
+    // doc 4 shares nothing; doc 5 is shorter than k
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3), (4L, (1 to 20).map(i => s"u$i").mkString(" ")),
+      (5L, "tiny doc here")).toDF("doc_id", "text")
+    val got = operators.Dedup.windowDupCoverage(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getBoolean(5))).toMap
+    assert(got(1L) == (20L, 16L, 2L, 0.3, true), s"doc1: ${got(1L)}")
+    assert(got(2L) == (20L, 16L, 2L, 0.3, true), s"doc2: ${got(2L)}")
+    assert(got(3L) == (15L, 11L, 2L, 0.6666, false), s"doc3: ${got(3L)}")
+    assert(got(4L) == (20L, 16L, 0L, 0.0, true), s"doc4: ${got(4L)}")
+    assert(got(5L) == (3L, 0L, 0L, 0.0, true), s"doc5: ${got(5L)}")
+  }
 }
