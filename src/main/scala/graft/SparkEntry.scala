@@ -292,6 +292,9 @@ object SparkEntry {
     // entropy (ordered fold — a plain double SUM would be
     // partition-order-dependent and break the hash oracle)
     "text_diversity"   -> q(t => TextAnalysis.diversity(t.documents)),
+    // self-trained bigram-LM scoring (CCNet-style perplexity proxy):
+    // avg negative log-likelihood per doc under add-one smoothing
+    "text_lm_score"    -> q(t => TextAnalysis.lmScores(t.documents)),
     // corpus curation (training-data pipeline)
     "text_gopher"    -> q(t => Pipeline.gopherStats(t.documents)),
     "text_boilerplate" -> q(t => Pipeline.boilerplate(t.documents)),
@@ -1285,6 +1288,29 @@ $rounds
           | LEFT JOIN tot ON d.doc_id = tot.doc_id
           | LEFT JOIN ent ON d.doc_id = ent.doc_id
           |ORDER BY d.doc_id""").stripMargin,
+    // bigram LM replayed end-to-end: same add-one smoothing, same
+    // bg-ordered list_reduce fold as Spark's aggregate()
+    "text_lm_score" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | voc AS (SELECT COUNT(DISTINCT tk) AS v FROM (SELECT unnest(toks) AS tk FROM tok)),
+          | bgr AS (SELECT doc_id, toks[i]||' '||toks[i+1] AS bg
+          |   FROM (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM tok)),
+          | docbg AS (SELECT doc_id, bg, COUNT(*) AS m FROM bgr GROUP BY 1,2),
+          | cbt AS (SELECT bg, SUM(m) AS cb FROM docbg GROUP BY 1),
+          | cut AS (SELECT string_split(bg,' ')[1] AS w1, SUM(cb) AS cu FROM cbt GROUP BY 1),
+          | j AS (SELECT d.doc_id, d.bg, d.m, cbt.cb, cut.cu FROM docbg d
+          |   JOIN cbt USING (bg) JOIN cut ON string_split(d.bg,' ')[1] = cut.w1),
+          | per AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+          |   list_reduce(list_prepend(0.0, list(
+          |     CAST(m AS DOUBLE) * ln(CAST(cu + (SELECT v FROM voc) AS DOUBLE) / CAST(cb + 1 AS DOUBLE)) ORDER BY bg)),
+          |     (a, x) -> a + x) AS nll
+          |  FROM j GROUP BY doc_id)
+          |SELECT d.doc_id,
+          | CAST(coalesce(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+          | coalesce(floor(nll/n_bigrams*1e4)/1e4, 0.0) AS avg_nll,
+          | coalesce(nll/n_bigrams <= 10.0, TRUE) AS keep
+          |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""").stripMargin,
     "text_gopher" ->
       (s"""WITH tok AS (SELECT doc_id,
           |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]

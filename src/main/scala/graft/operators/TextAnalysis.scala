@@ -138,4 +138,67 @@ object TextAnalysis {
         poly_fingerprint(preprocess(col("text"))).as("fingerprint"),
         hex(poly_fingerprint(preprocess(col("text")))).as("fingerprint_hex"))
       .orderBy(col("doc_id"))
+
+  /** CCNet-style statistical-LM quality signal, self-trained on the
+    * corpus: an add-one-smoothed BIGRAM language model — p(w₂|w₁) =
+    * (c(w₁w₂)+1)/(c(w₁·)+V), with c(w₁·) the bigram-prefix count and V
+    * the corpus vocabulary — scores every doc by its average negative
+    * log-likelihood. Low avg-NLL = templated/predictable text, high =
+    * gibberish/OCR noise; pipelines gate on both ends (here: `keep` cuts
+    * the high tail at `maxAvgNll`; CCNet buckets by LM perplexity the
+    * same way, just with an external LM).
+    *
+    * Scale shape: "training" IS aggregation — per-doc bigram counts
+    * (map-side combined), corpus bigram counts derived from them (second
+    * groupBy collapses to distinct bigrams), prefix counts from the
+    * BIGRAM table (vocab-sized, not corpus-sized), V one countDistinct.
+    * The scoring join lands on per-doc DISTINCT bigrams (m carries the
+    * multiplicity), never the token stream.
+    *
+    * Determinism: the per-doc NLL is an ORDERED fold over the bg-sorted
+    * count structs — a plain SUM of doubles would depend on shuffle
+    * arrival order and break the hash oracle (same discipline as
+    * [[diversity]]'s entropy). Counts are exact longs; the only floating
+    * steps are the shared ln and one division, replayed identically by
+    * the oracle. */
+  def lmScores(docs: DataFrame, maxAvgNll: Double = 10.0): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      .localCheckpoint() // barrier + read twice: vocabulary and bigrams
+    val vocab = toks
+      .select(explode(col("toks")).as("tk"))
+      .agg(count_distinct(col("tk")).as("V"))
+    val docBg = toks
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
+      .localCheckpoint() // read twice: corpus counts + scoring join
+    val cbTab = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cb"))
+      .localCheckpoint() // read twice: prefix counts + scoring join
+    val cuTab = cbTab
+      .select(split(col("bg"), " ").getItem(0).as("w1"), col("cb"))
+      .groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
+    val scored = docBg
+      .join(cbTab, Seq("bg"))
+      .join(cuTab, split(col("bg"), " ").getItem(0) === col("w1"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_bigrams"),
+        sort_array(collect_list(
+          struct(col("bg"), col("m"), col("cb"), col("cu")))).as("cs"))
+      .crossJoin(broadcast(vocab))
+    val nll = aggregate(col("cs"), lit(0.0), (acc, e) => {
+      acc + e.getField("m").cast("double") *
+        log((e.getField("cu") + col("V")).cast("double") /
+          (e.getField("cb") + lit(1L)).cast("double"))
+    })
+    val avg = nll / col("n_bigrams").cast("double")
+    docs.select(col("doc_id"))
+      .join(scored.select(col("doc_id"), col("n_bigrams"),
+        (floor(avg * 1e4) / 1e4).as("avg_nll"),
+        (avg <= maxAvgNll).as("keep")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"),
+        coalesce(col("keep"), lit(true)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

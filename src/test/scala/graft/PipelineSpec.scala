@@ -110,6 +110,31 @@ class PipelineSpec extends SparkSuite {
     assert(got(3L) == ((0L, 0L, 0.0, 0.0)), s"empty doc: ${got(3L)}")
   }
 
+  test("lm score: repeated template reads predictable, unique text does not") {
+    import spark.implicits._
+    // docs 1-3 are the SAME sentence: every bigram has corpus count 3 →
+    // high smoothed probability → low avg-NLL. doc 4's bigrams are all
+    // singletons (cb=1, p=2/(cu+V)) → higher NLL. doc 5: one token, no
+    // bigrams; doc 6 empty.
+    val template = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, template), (2L, template), (3L, template),
+      (4L, (1 to 10).map(i => s"zzz$i yyy$i").mkString(" ")),
+      (5L, "lonely"), (6L, "")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.lmScores(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val (n1, s1, _) = got(1L)
+    assert(n1 == 9L, s"template bigrams: $n1")
+    assert(got(1L) == got(2L) && got(2L) == got(3L),
+      "identical docs must score identically")
+    val (n4, s4, _) = got(4L)
+    assert(n4 == 19L, s"unique-doc bigrams: $n4")
+    assert(s4 > s1, s"unique text must out-NLL the template: $s4 vs $s1")
+    assert(got(5L) == ((0L, 0.0, true)), s"no-bigram doc: ${got(5L)}")
+    assert(got(6L) == ((0L, 0.0, true)), s"empty doc: ${got(6L)}")
+  }
+
   test("stratified sample: k per stratum, partition-invariant, map-side cap") {
     import org.apache.spark.sql.functions.col
     val t = sources.Tables(spark, sfDir)
