@@ -179,6 +179,24 @@ object SparkEntry {
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
         nprobe = 4, k = 5)
     }),
+    // the co-located fact-fact join: orders and lineitem bucketed on the
+    // orderkey (build memoized per JVM+corpus like the index layouts),
+    // joined with NO Exchange on either side — layout never changes the
+    // answer, so the oracle is the same query over raw parquet
+    "q_bucketed_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val memoKey = s"facts:$dir@${corpusFingerprint(dir, "lineitem.parquet")}"
+      val tag = memoKey.hashCode & 0x7fffffff
+      val oTbl = s"graft_q_orders_b_$tag"
+      val lTbl = s"graft_q_lineitem_b_$tag"
+      if (!builtBucketed.contains(memoKey) || !s.catalog.tableExists(oTbl) ||
+          !s.catalog.tableExists(lTbl)) {
+        Relational.persistBucketedFacts(t, oTbl, lTbl,
+          s"$ivfTmpBase/facts-$tag")
+        builtBucketed(memoKey) = oTbl
+      }
+      Relational.bucketedOrderRevenue(s, oTbl, lTbl)
+    }),
     // the memory-lean production configuration: IVF pruning AND int8
     // posting lists (probe/assign on exact centroids, score dequantized)
     "q_ivf_quantized" -> q(t => IvfIndex.searchQuantized(
@@ -678,6 +696,12 @@ $rounds
          | COUNT(*) AS count_order
          |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-02'
          |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q_bucketed_join" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+         | CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+         | CAST(SUM($REV) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q2_join" ->
       s"""SELECT r_name, n_name, CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey=o_orderkey

@@ -290,4 +290,49 @@ object Relational {
            sum(dec(col("value"))).cast("double").as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
   }
+
+  /** Write `orders` and `lineitem` as catalog tables BUCKETED (and
+    * sorted) on the join key — the co-located layout for the one join a
+    * warehouse runs constantly and can never broadcast: fact × fact.
+    * Build once; every subsequent orderkey join reads both sides already
+    * hash-distributed, so the join plans with NO Exchange (the sort may
+    * remain when a bucket spans several files — cheap and local, the
+    * network move is what the layout deletes). At 100 TB this is the
+    * difference between shuffling the two largest tables per query and
+    * never shuffling them again. */
+  def persistBucketedFacts(t: Tables, ordersTable: String,
+                           lineitemTable: String, path: String,
+                           nBuckets: Int = 8): Unit = {
+    t.orders.write.mode("overwrite")
+      .bucketBy(nBuckets, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$path/orders").saveAsTable(ordersTable)
+    t.lineitem.write.mode("overwrite")
+      .bucketBy(nBuckets, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$path/lineitem").saveAsTable(lineitemTable)
+  }
+
+  /** The fact-fact join served from the [[persistBucketedFacts]] layout:
+    * per-priority order counts and revenue. The LAYOUT must never change
+    * the answer — the oracle is the same query over the raw parquet. The
+    * only shuffle left in the plan is the final 5-row priority rollup;
+    * the orderkey join itself is Exchange-free (gated in PlanSpec). */
+  def bucketedOrderRevenue(spark: org.apache.spark.sql.SparkSession,
+                           ordersTable: String,
+                           lineitemTable: String): DataFrame = {
+    val o = spark.table(ordersTable)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val l = spark.table(lineitemTable)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    // MERGE hint: without it the planner happily broadcasts the smaller
+    // fact at test scale and never touches the bucketed layout — the
+    // exact plan this operator exists to demonstrate. At 100 TB neither
+    // fact broadcasts and SMJ-over-buckets is the only sane plan anyway.
+    l.hint("merge").join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        count_distinct(col("o_orderkey")).as("n_orders"),
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
 }

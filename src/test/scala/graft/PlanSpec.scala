@@ -135,4 +135,35 @@ class PlanSpec extends SparkSuite {
     // partial aggregation: two HashAggregate nodes around the exchange
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
+
+  test("bucketed fact-fact join: orderkey join runs with no Exchange") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-facts").toString
+    Relational.persistBucketedFacts(t, "graft_t_orders_b",
+      "graft_t_lineitem_b", dir)
+    try {
+      val df = Relational.bucketedOrderRevenue(spark,
+        "graft_t_orders_b", "graft_t_lineitem_b")
+      val plan = planOf(df)
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the rollup/sort after the join may shuffle; the JOIN KEYS never do
+      assert(!plan.contains("hashpartitioning(l_orderkey") &&
+        !plan.contains("hashpartitioning(o_orderkey"),
+        s"bucketed join re-shuffled a fact table:\n$plan")
+      // the layout must be invisible in the answer
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,2)")
+      val raw = t.lineitem
+        .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          count_distinct(col("o_orderkey")).as("n_orders"),
+          sum(dec(col("l_extendedprice")) *
+            (lit(1) - dec(col("l_discount")))).cast("double").as("revenue"))
+        .orderBy(col("o_orderpriority"))
+      assert(df.collect().toSeq == raw.collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_t_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_t_lineitem_b")
+    }
+  }
 }
