@@ -197,6 +197,19 @@ object SparkEntry {
       }
       Relational.bucketedOrderRevenue(s, oTbl, lTbl)
     }),
+    // day-partitioned events layout: one day's rollup reads ONE partition
+    // directory (PartitionFilters-gated in PlanSpec); build memoized like
+    // the other layouts, answer identical to filtering the raw table
+    "q_partition_prune" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val memoKey = s"evdays:$dir@${corpusFingerprint(dir, "events.parquet")}"
+      val tag = memoKey.hashCode & 0x7fffffff
+      val path = s"$ivfTmpBase/evdays-$tag"
+      builtPersisted.getOrElseUpdate(memoKey, {
+        Relational.persistPartitionedEvents(t, path); path
+      })
+      Relational.prunedDailyEvents(s, path)
+    }),
     // the memory-lean production configuration: IVF pruning AND int8
     // posting lists (probe/assign on exact centroids, score dequantized)
     "q_ivf_quantized" -> q(t => IvfIndex.searchQuantized(
@@ -702,6 +715,14 @@ $rounds
          | CAST(SUM($REV) AS DOUBLE) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_partition_prune" ->
+      """WITH ev AS (SELECT event_type, value, user_id,
+        |   CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS d FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM ev WHERE d = DATE '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q2_join" ->
       s"""SELECT r_name, n_name, CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey=o_orderkey

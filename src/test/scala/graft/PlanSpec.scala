@@ -166,4 +166,24 @@ class PlanSpec extends SparkSuite {
       spark.sql("DROP TABLE IF EXISTS graft_t_lineitem_b")
     }
   }
+
+  test("day-partitioned events: the date predicate prunes at the directory") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evdays").toString
+    Relational.persistPartitionedEvents(t, dir)
+    val df = Relational.prunedDailyEvents(spark, dir)
+    val plan = planOf(df)
+    // pruning must be a PARTITION filter (directory-level), not a data
+    // filter evaluated per row after the scan
+    assert(plan.contains("PartitionFilters") && plan.contains("event_date"),
+      s"no partition filter in scan:\n$plan")
+    // and the layout is invisible in the answer
+    val raw = t.events.filter(to_date($"ts") === lit("2024-01-15").cast("date"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), count_distinct($"user_id").as("n_users"),
+        sum($"value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy($"event_type")
+    assert(df.collect().toSeq == raw.collect().toSeq)
+  }
 }
