@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Fused product-quantizer encode / reconstruct as ONE native expression.
+  *
+  * The declarative formulation this replaces — per subspace a 16-way
+  * `least(struct(‖s‖² − 2·s·cw + ‖cw‖², c))` over `slice()`d subvectors,
+  * then `element_at` decode — is correct but pays for itself m×k times per
+  * row: every codeword distance is its own expression subtree re-reading
+  * the sliced array, and ‖s‖² is re-derived per candidate. Here the whole
+  * argmin runs as three nested primitive loops reading the embedding
+  * once, with ‖s‖² hoisted per subspace (measured at sf0.1: the flat PQ
+  * search drops ~2.0 s → ~0.75 s steady-state).
+  *
+  * Arithmetic is BIT-IDENTICAL to the formulation it replaces (and to the
+  * DuckDB oracle replay): float reads promoted to double, dot and ‖·‖²
+  * fold left-to-right ascending, dist = (ss − 2.0·dot) + ‖cw‖², candidates
+  * scanned in codeword order keeping the first strict minimum — exactly
+  * `least(struct(dist, c))`'s tie-break on equal distances.
+  */
+abstract class PqExpressionBase extends UnaryExpression {
+  def books: Array[Array[Array[Float]]]
+
+  @transient protected lazy val m: Int = books.length
+  @transient protected lazy val k: Int = books(0).length
+  @transient protected lazy val sub: Int = books(0)(0).length
+
+  /** Codeword floats flattened [j][c][i] — one cache-friendly array for
+    * both the interpreted and generated loops. */
+  @transient protected lazy val flat: Array[Float] = {
+    val out = new Array[Float](m * k * sub)
+    var p = 0
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        var i = 0
+        while (i < sub) { out(p) = books(j)(c)(i); p += 1; i += 1 }
+        c += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** ‖cw‖² per [j*k+c], folded in the same order as the driver-side
+    * literal the declarative form baked in. */
+  @transient protected lazy val cnorms: Array[Double] =
+    Array.tabulate(m * k)(p =>
+      books(p / k)(p % k).foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorTypeCheck.require(prettyName, "input" -> child.dataType)
+
+  /** Argmin codeword per subspace. */
+  protected def bestCodes(a: ArrayData): Array[Int] = {
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      val off = j * sub
+      var ss = 0.0
+      var i = 0
+      while (i < sub) {
+        val x = a.getFloat(off + i).toDouble; ss += x * x; i += 1
+      }
+      var best = Double.PositiveInfinity
+      var bc = 0
+      var c = 0
+      while (c < k) {
+        var dot = 0.0
+        val boff = (j * k + c) * sub
+        i = 0
+        while (i < sub) {
+          dot += a.getFloat(off + i).toDouble * flat(boff + i); i += 1
+        }
+        val dist = ss - 2.0 * dot + cnorms(j * k + c)
+        if (dist < best) { best = dist; bc = c }
+        c += 1
+      }
+      out(j) = bc
+      j += 1
+    }
+    out
+  }
+
+  /** The shared argmin loop as Java source; `emit(bc, j)` consumes the
+    * winning codeword index per subspace. All locals are freshName'd —
+    * this code lands inside a whole-stage-codegen method body. */
+  protected def argminCode(ctx: CodegenContext, a: String,
+                           emit: (String, String) => String): String = {
+    val flatRef = ctx.addReferenceObj("pqFlat", flat, "float[]")
+    val cnRef = ctx.addReferenceObj("pqCnorms", cnorms, "double[]")
+    val j = ctx.freshName("j"); val i = ctx.freshName("i")
+    val c = ctx.freshName("c"); val off = ctx.freshName("off")
+    val ss = ctx.freshName("ss"); val x = ctx.freshName("x")
+    val best = ctx.freshName("best"); val bc = ctx.freshName("bc")
+    val dot = ctx.freshName("dot"); val boff = ctx.freshName("boff")
+    val dist = ctx.freshName("dist")
+    s"""
+       |for (int $j = 0; $j < $m; $j++) {
+       |  int $off = $j * $sub;
+       |  double $ss = 0.0;
+       |  for (int $i = 0; $i < $sub; $i++) {
+       |    double $x = (double) $a.getFloat($off + $i);
+       |    $ss += $x * $x;
+       |  }
+       |  double $best = Double.POSITIVE_INFINITY;
+       |  int $bc = 0;
+       |  for (int $c = 0; $c < $k; $c++) {
+       |    double $dot = 0.0;
+       |    int $boff = ($j * $k + $c) * $sub;
+       |    for (int $i = 0; $i < $sub; $i++) {
+       |      $dot += ((double) $a.getFloat($off + $i)) * $flatRef[$boff + $i];
+       |    }
+       |    double $dist = $ss - 2.0 * $dot + $cnRef[$j * $k + $c];
+       |    if ($dist < $best) { $best = $dist; $bc = $c; }
+       |  }
+       |  ${emit(bc, j)}
+       |}
+       |""".stripMargin
+  }
+}
+
+/** PQ encode: embedding → `m` codeword indices (the stored form). */
+case class PqEncode(child: Expression, books: Array[Array[Array[Float]]])
+    extends PqExpressionBase {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(bestCodes(v.asInstanceOf[ArrayData]))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("pqCodes")
+      s"""
+         |int[] $out = new int[$m];
+         |${argminCode(ctx, a, (bc, j) => s"$out[$j] = $bc;")}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "pq_encode"
+}
+
+/** PQ encode fused with decode: embedding → its reconstruction (each
+  * subvector replaced by the nearest codeword). One pass, no intermediate
+  * codes column, no `element_at` lookup chain. */
+case class PqReconstruct(child: Expression, books: Array[Array[Array[Float]]])
+    extends PqExpressionBase {
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val codes = bestCodes(v.asInstanceOf[ArrayData])
+    val out = new Array[Float](m * sub)
+    var j = 0
+    while (j < m) {
+      val boff = (j * k + codes(j)) * sub
+      var i = 0
+      while (i < sub) { out(j * sub + i) = flat(boff + i); i += 1 }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val flatRef = ctx.addReferenceObj("pqFlatOut", flat, "float[]")
+      val out = ctx.freshName("pqRec")
+      val ii = ctx.freshName("ri")
+      s"""
+         |float[] $out = new float[${m * sub}];
+         |${argminCode(ctx, a, (bc, j) =>
+            s"""for (int $ii = 0; $ii < $sub; $ii++) {
+               |  $out[$j * $sub + $ii] = $flatRef[($j * $k + $bc) * $sub + $ii];
+               |}""".stripMargin)}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |""".stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "pq_reconstruct"
+}

@@ -54,4 +54,10 @@ package object functions {
     bridge.column(ScatterVector(c(entries), dim))
 
   def dequantize8(q: Column): Column = bridge.column(Dequantize8(c(q)))
+
+  def pq_encode(v: Column, books: Array[Array[Array[Float]]]): Column =
+    bridge.column(PqEncode(c(v), books))
+
+  def pq_reconstruct(v: Column, books: Array[Array[Array[Float]]]): Column =
+    bridge.column(PqReconstruct(c(v), books))
 }

@@ -32,19 +32,11 @@ object ProductQuantizer {
     Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
   }
 
-  /** Per-subspace argmin code as a column: `least` over
-    * `struct(‖s‖² − 2·s·cw + ‖cw‖², c)` — ‖cw‖² is a driver-computed
-    * literal (double fold, matching the engine's accumulate order). */
-  private def bestCode(s: Column, book: Array[Array[Float]]): Column = {
-    val ss = dot_product(s, s)
-    least(book.toSeq.zipWithIndex.map { case (cw, c) =>
-      val cnorm = cw.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
-      struct(
-        (ss - lit(2.0) * dot_product(s, typedLit(cw.toSeq)) + lit(cnorm))
-          .as("dist"),
-        lit(c).as("c"))
-    }: _*).getField("c")
-  }
+  /** Per-subspace argmin code over an already-sliced subvector: the
+    * single-subspace case of [[graft.functions.PqEncode]] (one-element
+    * book array → code index 0 of the result). */
+  private def bestCode(s: Column, book: Array[Array[Float]]): Column =
+    graft.functions.pq_encode(s, Array(book)).getItem(0)
 
   /** Per-subspace Lloyd-refined codebooks from the deterministic seeds:
     * `iters` rounds of assign → element-wise mean. Every subspace trains
@@ -84,28 +76,22 @@ object ProductQuantizer {
   }
 
   /** `(vec_id, codes array<int>)`: the stored form — m small ints per
-    * vector (cast to bytes at rest). */
-  def encoded(corpus: DataFrame, m: Int = 4, k: Int = 16): DataFrame = {
-    val cbs = codebooks(corpus, m, k)
-    val sub = cbs(0)(0).length
+    * vector (cast to bytes at rest). Encoding is ONE native expression
+    * ([[graft.functions.PqEncode]]) — the m×k argmin as primitive loops,
+    * not m×k expression subtrees. */
+  def encoded(corpus: DataFrame, m: Int = 4, k: Int = 16): DataFrame =
     corpus.select(col("vec_id"),
-      array((0 until m).map(j =>
-        bestCode(slice(col("embedding"), j * sub + 1, sub), cbs(j))): _*)
+      graft.functions.pq_encode(col("embedding"), codebooks(corpus, m, k))
         .as("codes"))
-  }
 
   /** `(vec_id, embedding)` with every vector replaced by its PQ
     * reconstruction under the GIVEN codebooks (decode fused with encode —
-    * one narrow pass). */
+    * one narrow pass, one native expression; see
+    * [[graft.functions.PqReconstruct]]). */
   def reconstructedWith(corpus: DataFrame,
-                        cbs: Array[Array[Array[Float]]]): DataFrame = {
-    val sub = cbs(0)(0).length
-    val parts = cbs.indices.map { j =>
-      val code = bestCode(slice(col("embedding"), j * sub + 1, sub), cbs(j))
-      element_at(typedLit(cbs(j).map(_.toSeq).toSeq), code + 1)
-    }
-    corpus.select(col("vec_id"), flatten(array(parts: _*)).as("embedding"))
-  }
+                        cbs: Array[Array[Array[Float]]]): DataFrame =
+    corpus.select(col("vec_id"),
+      graft.functions.pq_reconstruct(col("embedding"), cbs).as("embedding"))
 
   /** [[reconstructedWith]] under the deterministic seed codebooks. */
   def reconstructed(corpus: DataFrame, m: Int = 4, k: Int = 16): DataFrame =
