@@ -45,7 +45,8 @@ object Bench {
     // selected) so their TIMED runs measure the pruned search, not the
     // index build — the build-once/search-many contract they check.
     (Seq("q1_agg", "text_tokens") ++
-      Seq("q_ivf_persisted", "q_ivf_bucketed", "q_pq_persisted")
+      Seq("q_ivf_persisted", "q_ivf_bucketed", "q_pq_persisted",
+          "q_bucketed_join", "q_partition_prune")
         .filter(selected.contains))
       .foreach(n =>
         SparkEntry.queries.get(n).foreach(f => f(spark, sfDir).count()))

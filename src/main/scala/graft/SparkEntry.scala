@@ -85,6 +85,9 @@ object SparkEntry {
     // regular hourly grid per user with zero-filled silent hours (the
     // time-series resampling prep; grid via narrow sequence() explode)
     "q_gap_fill"      -> q(t => Relational.gapFillHourly(t)),
+    // time-RANGE window frame: trailing-24h per-user count/sum — the
+    // value-defined frame (same-second events are peers on both engines)
+    "q_sliding_window" -> q(t => Relational.trailingDaily(t.events)),
     // sessions (reference: utils/session_manager.py)
     "q_sessionize"      -> q(t => Sessionize.sessions(t.events)),
     "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
@@ -723,6 +726,16 @@ $rounds
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM ev WHERE d = DATE '2024-01-15'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sliding_window" ->
+      """WITH ev AS (SELECT event_id, user_id,
+        |   CAST(epoch_ns(ts)//1000000000 AS BIGINT) AS sec, value FROM events)
+        |SELECT event_id, user_id, sec,
+        | COUNT(*) OVER w AS trailing_n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_sum
+        |FROM ev
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |  RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q2_join" ->
       s"""SELECT r_name, n_name, CAST(SUM($REV) AS DOUBLE) AS revenue, COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey=o_orderkey

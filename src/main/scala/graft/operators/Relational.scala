@@ -336,6 +336,26 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Time-RANGE framed window: per event, the count and exact decimal sum
+    * of the SAME USER's events in the trailing 24 hours (inclusive). The
+    * rest of the window family here is ROWS-framed ([[supplierWindows]],
+    * `lastN`) — RANGE frames are the time-series form: the frame is
+    * defined by the ORDER-BY VALUE, so same-second events are peers and
+    * enter each other's frames regardless of arrival order, which is what
+    * makes the result partition-order-proof. One shuffle on user_id;
+    * Spark's WindowExec keeps the sliding frame incremental (it never
+    * rescans 24 h per row). */
+  def trailingDaily(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("user_id"),
+      col("ts").cast("long").as("sec"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-86400, Window.currentRow)
+    base.select(col("event_id"), col("user_id"), col("sec"),
+        count(lit(1)).over(w).as("trailing_n"),
+        sum(dec(col("value"))).over(w).cast("double").as("trailing_sum"))
+      .orderBy(col("event_id"))
+  }
+
   /** Write events Hive-partitioned by day — the time-series layout every
     * event warehouse lands on: a day-ranged query must open only that
     * day's directories, never list-then-filter the full history. At

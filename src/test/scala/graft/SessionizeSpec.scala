@@ -42,6 +42,24 @@ class SessionizeSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("trailing-24h RANGE frame: boundary inclusive, same-second peers") {
+    val events = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-02 00:00:00"), 2L, 2.0),  // exactly 24h later → IN frame
+      (1L, ts("2024-01-02 00:00:01"), 3L, 4.0),  // 24h+1s after e1 → e1 out
+      // same-second PEERS: each sees the other regardless of order
+      (2L, ts("2024-01-01 12:00:00"), 4L, 1.0),
+      (2L, ts("2024-01-01 12:00:00"), 5L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = operators.Relational.trailingDaily(events).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == (1L, 1.0))
+    assert(got(2L) == (2L, 3.0), s"24h boundary must be inclusive: ${got(2L)}")
+    assert(got(3L) == (2L, 6.0), s"e1 must age out: ${got(3L)}")
+    assert(got(4L) == (2L, 3.0) && got(5L) == (2L, 3.0),
+      s"same-second events are peers: ${got(4L)} ${got(5L)}")
+  }
+
   test("gap fill: contiguous hourly grid, zeros only where no events") {
     val t = sources.Tables(spark, sfDir)
     val gf = operators.Relational.gapFillHourly(t, maxUserId = 10).collect()
