@@ -115,6 +115,49 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("late events beyond the watermark are dropped AND accounted") {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("graft-late-stream").toString
+    def write(path: String, rows: Seq[(Long, String, Long, String, Double)]): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map { case (id, ts, u, et, v) =>
+          Row(id, java.sql.Timestamp.valueOf(ts), u, et, v) }: _*),
+        schema).coalesce(1).write.parquet(path)
+    // batch a: 10:15 and 12:00 → watermark advances to 11:00 (12:00 − 1h).
+    // The input-side late filter lags the eviction watermark by a batch,
+    // so the late row goes in batch C, two data batches later — by then
+    // 11:00 is live on the filter under any propagation schedule.
+    write(s"$dir/chunk=a", Seq(
+      (1L, "2026-01-01 10:15:00", 1L, "x", 1.0),
+      (2L, "2026-01-01 12:00:00", 1L, "x", 1.0)))
+    Thread.sleep(1100)
+    write(s"$dir/chunk=b", Seq(
+      (3L, "2026-01-01 13:30:00", 1L, "x", 1.0)))
+    Thread.sleep(1100)
+    // 09:30's window [09:00, 10:00) ended before ANY live watermark value
+    // (≥ 11:00) → dropped; 14:30 pushes the final watermark to 13:30
+    write(s"$dir/chunk=c", Seq(
+      (4L, "2026-01-01 09:30:00", 1L, "x", 1.0),
+      (5L, "2026-01-01 14:30:00", 1L, "x", 1.0)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
+    val q = EventWindows.hourly(stream, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("late_out")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(2))).toSet
+      // final watermark 13:30 closes [10:00) and [12:00); [13:00) and
+      // [14:00) stay open; the late 09:30 event is in NO emitted window...
+      assert(emitted == Set(("2026-01-01 10:00:00.0", 1L),
+        ("2026-01-01 12:00:00.0", 1L)), s"emitted: $emitted")
+      // ...and the drop is visible where an operator can alarm on it
+      assert(LateData.droppedByWatermark(q) == 1L,
+        s"dropped: ${LateData.droppedByWatermark(q)}")
+    } finally q.stop()
+  }
+
   test("EventWindows.hourly batch twin equals q_events_window totals") {
     val streaming = EventWindows.hourly(t.events)  // unified API: batch DF in
     val batch = operators.Relational.eventHourly(t)
