@@ -320,4 +320,42 @@ class ExpressionSpec extends SparkSuite {
       .orderBy($"query_id", $"rank").collect().toSeq
     assert(viaAgg == viaWindow)
   }
+
+  test("pq encode/reconstruct: codegen equals interpreted equals manual argmin") {
+    // 2 subspaces × 3 codewords × 2 dims; vectors chosen so some argmins
+    // tie on distance (codeword 0 repeated) — the FIRST index must win,
+    // matching least(struct(dist, c)) tie-breaking
+    val books: Array[Array[Array[Float]]] = Array(
+      Array(Array(0f, 0f), Array(0f, 0f), Array(1f, 1f)),  // c0 == c1
+      Array(Array(2f, 2f), Array(-1f, 0f), Array(0.5f, 0.5f)))
+    val df = Seq(
+      Tuple1(vec(0.1f, -0.1f, 0.4f, 0.6f)),
+      Tuple1(vec(1f, 1f, 2f, 2f)),
+      Tuple1(vec(0f, 0f, -1f, 0f))).toDF("v")
+    val codes = df.select(pq_encode($"v", books)).as[Seq[Int]].collect()
+    // manual argmin with first-wins ties
+    def enc(v: Array[Float]): Seq[Int] = (0 until 2).map { j =>
+      val s = v.slice(j * 2, j * 2 + 2).map(_.toDouble)
+      val dists = books(j).map { cw =>
+        s.zip(cw.map(_.toDouble)).map { case (x, y) => (x - y) * (x - y) }.sum }
+      dists.indexOf(dists.min)
+    }
+    val vs = Seq(vec(0.1f, -0.1f, 0.4f, 0.6f), vec(1f, 1f, 2f, 2f),
+      vec(0f, 0f, -1f, 0f))
+    assert(codes.toSeq == vs.map(enc), s"codes: ${codes.toSeq}")
+    assert(codes(0).head == 0, "tied codewords must resolve to the first")
+    // interpreted eval (expression.eval outside codegen) agrees
+    val e = graft.functions.PqEncode(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        vs.head, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false)), books)
+    val interp = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    assert(interp.toSeq == codes(0).toSeq)
+    // reconstruct = the winning codewords, flattened
+    val rec = df.select(pq_reconstruct($"v", books)).as[Seq[Float]].collect()
+    val wantRec = vs.map(v => enc(v).zipWithIndex
+      .flatMap { case (c, j) => books(j)(c) }.toSeq)
+    assert(rec.toSeq.map(_.toSeq) == wantRec, s"rec: ${rec.toSeq}")
+  }
 }
