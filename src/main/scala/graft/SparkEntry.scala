@@ -329,6 +329,9 @@ object SparkEntry {
     // self-trained bigram-LM scoring (CCNet-style perplexity proxy):
     // avg negative log-likelihood per doc under add-one smoothing
     "text_lm_score"    -> q(t => TextAnalysis.lmScores(t.documents)),
+    // BPE tokenizer induction: top merge candidates by corpus-weighted
+    // adjacent-char-pair count — one corpus pass, then vocab-sized work
+    "q_bpe_pairs"      -> q(t => TextAnalysis.bpePairs(t.documents)),
     // corpus curation (training-data pipeline)
     "text_gopher"    -> q(t => Pipeline.gopherStats(t.documents)),
     "text_boilerplate" -> q(t => Pipeline.boilerplate(t.documents)),
@@ -1369,6 +1372,14 @@ $rounds
           | coalesce(floor(nll/n_bigrams*1e4)/1e4, 0.0) AS avg_nll,
           | coalesce(nll/n_bigrams <= 10.0, TRUE) AS keep
           |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""").stripMargin,
+    "q_bpe_pairs" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tokq AS (SELECT unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n0),
+          | f AS (SELECT tk, COUNT(*) AS f FROM tokq GROUP BY 1),
+          | p AS (SELECT unnest(list_transform(range(1, len(cs)), i -> cs[i]||' '||cs[i+1])) AS pair, f
+          |   FROM (SELECT string_split(tk,'') AS cs, f FROM f)),
+          | s AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS score FROM p GROUP BY 1)
+          |SELECT pair, score FROM s ORDER BY score DESC, pair LIMIT 20""").stripMargin,
     "text_gopher" ->
       (s"""WITH tok AS (SELECT doc_id,
           |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]

@@ -161,6 +161,30 @@ object TextAnalysis {
     * [[diversity]]'s entropy). Counts are exact longs; the only floating
     * steps are the shared ln and one division, replayed identically by
     * the oracle. */
+  /** The BPE tokenizer-induction step: corpus-frequency-weighted counts
+    * of adjacent CHARACTER pairs over the vocabulary — the statistic a
+    * byte-pair-encoding trainer maximizes when choosing its next merge.
+    * Returns the top `topK` merge candidates `(pair, score)` where
+    * score = Σ over words of word_freq × in-word pair multiplicity.
+    *
+    * Scale shape — the reason BPE training is feasible at 100 TB: ONE
+    * corpus pass builds the word-frequency table (map-side combined
+    * token groupBy); everything after runs on the VOCABULARY (millions of
+    * rows, not billions) — the char-pair explode is per DISTINCT word,
+    * weighted by its frequency, never per occurrence. Subsequent merge
+    * rounds would iterate on the vocab table alone; the corpus is never
+    * re-read. Top-k is a TakeOrdered (never a full sort). */
+  def bpePairs(docs: DataFrame, topK: Int = 20): DataFrame = {
+    val freq = docs
+      .select(explode(tokens(preprocess(col("text")))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("f"))
+    freq
+      .select(col("f"), explode(shingles(split(col("tk"), ""), 2)).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("score"))
+      .orderBy(col("score").desc, col("pair"))
+      .limit(topK)
+  }
+
   def lmScores(docs: DataFrame, maxAvgNll: Double = 10.0): DataFrame = {
     val toks = docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))

@@ -135,6 +135,15 @@ class PipelineSpec extends SparkSuite {
     assert(got(6L) == ((0L, 0.0, true)), s"empty doc: ${got(6L)}")
   }
 
+  test("bpe pairs: frequency-weighted in-word multiplicity, ordered ties") {
+    import spark.implicits._
+    // f(ab)=2, f(ba)=1, f(aaa)=1 → "a b"=2·1, "b a"=1·1, "a a"=1·2
+    val docs = Seq((1L, "ab ab ba"), (2L, "aaa")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.bpePairs(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a a", 2L), ("a b", 2L), ("b a", 1L)), s"got $got")
+  }
+
   test("stratified sample: k per stratum, partition-invariant, map-side cap") {
     import org.apache.spark.sql.functions.col
     val t = sources.Tables(spark, sfDir)
