@@ -200,6 +200,9 @@ object SparkEntry {
       }
       Relational.bucketedOrderRevenue(s, oTbl, lTbl)
     }),
+    // MERGE-style upsert: broadcast anti-join + union — the base table
+    // never shuffles for a daily CDC batch; per-status rollup checks it
+    "q_upsert" -> q(Relational.upsertSummary),
     // day-partitioned events layout: one day's rollup reads ONE partition
     // directory (PartitionFilters-gated in PlanSpec); build memoized like
     // the other layouts, answer identical to filtering the raw table
@@ -729,6 +732,15 @@ $rounds
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM ev WHERE d = DATE '2024-01-15'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_upsert" ->
+      """WITH upd AS (SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |   o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        | merged AS (SELECT * FROM orders WHERE o_orderkey % 100 <> 0
+        |   UNION ALL SELECT * FROM upd)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sliding_window" ->
       """WITH ev AS (SELECT event_id, user_id,
         |   CAST(epoch_ns(ts)//1000000000 AS BIGINT) AS sec, value FROM events)

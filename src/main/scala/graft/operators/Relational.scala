@@ -356,6 +356,36 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** MERGE-style upsert without a table format: `base ⟕̸ updates ∪ updates`
+    * — rows whose key appears in the update batch are replaced, everyone
+    * else survives, new keys insert. The anti-join carries a BROADCAST
+    * hint on the update side: a daily CDC batch is orders of magnitude
+    * smaller than the base, so the 100 TB base never shuffles for the
+    * merge (broadcast-hash LEFT ANTI) and the union is a zero-shuffle
+    * concatenation. Returns the merged table; callers aggregate or write.
+    * (With a bucketed base — [[persistBucketedFacts]] — even an
+    * over-broadcast-sized update batch merges with the base side
+    * unshuffled.) */
+  def mergeOrders(base: DataFrame, updates: DataFrame): DataFrame =
+    base
+      .join(broadcast(updates.select(col("o_orderkey"))),
+        Seq("o_orderkey"), "left_anti")
+      .unionByName(updates)
+
+  /** The checked upsert summary: a deterministic update batch (every
+    * 100th orderkey re-statused 'U') merged into orders, rolled up per
+    * status — counts AND decimal-exact revenue move between statuses iff
+    * the merge replaced exactly the right rows. */
+  def upsertSummary(t: Tables): DataFrame = {
+    val updates = t.orders.filter(col("o_orderkey") % 100 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    mergeOrders(t.orders, updates)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Write events Hive-partitioned by day — the time-series layout every
     * event warehouse lands on: a day-ranged query must open only that
     * day's directories, never list-then-filter the full history. At

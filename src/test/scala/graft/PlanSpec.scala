@@ -167,6 +167,27 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("merge upsert: broadcast anti join — the base table never shuffles") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val updates = t.orders.filter($"o_orderkey" % 100 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+    val merged = Relational.mergeOrders(t.orders, updates)
+    val plan = planOf(merged)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"anti join must broadcast the update batch:\n$plan")
+    assert(!plan.contains("hashpartitioning(o_orderkey"),
+      s"merge must not shuffle the base:\n$plan")
+    // pure UPDATE batch: row count preserved, every targeted key replaced
+    assert(merged.count() == t.orders.count())
+    assert(merged.filter($"o_orderkey" % 100 === 0 &&
+      $"o_orderstatus" =!= "U").count() == 0)
+    // INSERT: a new key grows the table by exactly one
+    val ins = t.orders.limit(1).withColumn("o_orderkey", lit(999999999L))
+    assert(Relational.mergeOrders(t.orders, ins).count() ==
+      t.orders.count() + 1)
+  }
+
   test("day-partitioned events: the date predicate prunes at the directory") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
