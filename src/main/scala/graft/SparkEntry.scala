@@ -335,6 +335,9 @@ object SparkEntry {
     // BPE tokenizer induction: top merge candidates by corpus-weighted
     // adjacent-char-pair count — one corpus pass, then vocab-sized work
     "q_bpe_pairs"      -> q(t => TextAnalysis.bpePairs(t.documents)),
+    // RAG chunking prep: overlapping 64-token windows every 48 tokens —
+    // the narrow splitter feeding the embedding seam (no shuffle)
+    "q_chunk"          -> q(t => TextAnalysis.chunks(t.documents)),
     // corpus curation (training-data pipeline)
     "text_gopher"    -> q(t => Pipeline.gopherStats(t.documents)),
     "text_boilerplate" -> q(t => Pipeline.boilerplate(t.documents)),
@@ -1392,6 +1395,16 @@ $rounds
           |   FROM (SELECT string_split(tk,'') AS cs, f FROM f)),
           | s AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS score FROM p GROUP BY 1)
           |SELECT pair, score FROM s ORDER BY score DESC, pair LIMIT 20""").stripMargin,
+    "q_chunk" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | b AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+          | g AS (SELECT doc_id, toks, n, unnest(range(0, n, 48)) AS start FROM b)
+          |SELECT doc_id, CAST(start//48 AS BIGINT) AS chunk_id,
+          | CAST(start AS BIGINT) AS start_tok,
+          | CAST(LEAST(64, n - start) AS BIGINT) AS n_tok,
+          | array_to_string(list_slice(toks, start+1, start+64), ' ') AS chunk_text
+          |FROM g ORDER BY doc_id, chunk_id""").stripMargin,
     "text_gopher" ->
       (s"""WITH tok AS (SELECT doc_id,
           |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]

@@ -161,6 +161,38 @@ object TextAnalysis {
     * [[diversity]]'s entropy). Counts are exact longs; the only floating
     * steps are the shared ln and one division, replayed identically by
     * the oracle. */
+  /** RAG/embedding chunking prep: overlapping fixed-size token windows
+    * per document — `size`-token chunks every `stride` tokens (overlap =
+    * size − stride), with stable ids and offsets. The reference embeds
+    * whole documents (`services/index_service.py:45` joins the full
+    * text); a corpus-scale deployment embeds CHUNKS — bounded sequence
+    * length for the encoder, one retrievable unit per passage — and this
+    * is the deterministic splitter that feeds `q_embed`'s encoder seam.
+    *
+    * Pure narrow pass: tokenize once (checkpoint barrier against
+    * Generate re-evaluation), explode the stride grid, slice. No shuffle
+    * anywhere; chunk_id = start/stride needs no window function. Blank
+    * docs produce no chunks. */
+  def chunks(docs: DataFrame, size: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && size >= stride, "need 0 < stride <= size")
+    val base = docs
+      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      .localCheckpoint() // barrier: see cappedShingleTable in Dedup
+      .select(col("doc_id"), col("toks"),
+        org.apache.spark.sql.functions.size(col("toks")).as("n"))
+      .filter(col("n") > 0)
+    base
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        least(lit(size), col("n") - col("start")).cast("long").as("n_tok"),
+        array_join(slice(col("toks"), col("start") + 1, lit(size)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** The BPE tokenizer-induction step: corpus-frequency-weighted counts
     * of adjacent CHARACTER pairs over the vocabulary — the statistic a
     * byte-pair-encoding trainer maximizes when choosing its next merge.

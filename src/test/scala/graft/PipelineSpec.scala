@@ -135,6 +135,25 @@ class PipelineSpec extends SparkSuite {
     assert(got(6L) == ((0L, 0.0, true)), s"empty doc: ${got(6L)}")
   }
 
+  test("chunks: stride grid, overlap, tail truncation, blank docs vanish") {
+    import spark.implicits._
+    // 10 tokens, size 4 / stride 3 → starts 0,3,6,9; tail chunk len 1
+    val docs = Seq((1L, (0 to 9).map(i => s"t$i").mkString(" ")),
+      (2L, ""), (3L, "one")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.chunks(docs, size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0L, 0L, 4L), (1L, 3L, 4L), (2L, 6L, 4L), (3L, 9L, 1L)), s"$d1")
+    assert(d1.head._5 == "t0 t1 t2 t3" && d1.last._5 == "t9")
+    // consecutive chunks overlap by size − stride tokens
+    assert(d1(0)._5.split(" ").last == "t3" && d1(1)._5.split(" ").head == "t3")
+    assert(!got.exists(_._1 == 2L), "blank doc must produce no chunks")
+    assert(got.filter(_._1 == 3L).toSeq ==
+      Seq((3L, 0L, 0L, 1L, "one")), "single-token doc = one chunk")
+  }
+
   test("bpe pairs: frequency-weighted in-word multiplicity, ordered ties") {
     import spark.implicits._
     // f(ab)=2, f(ba)=1, f(aaa)=1 → "a b"=2·1, "b a"=1·1, "a a"=1·2
