@@ -338,6 +338,22 @@ object SparkEntry {
     // RAG chunking prep: overlapping 64-token windows every 48 tokens —
     // the narrow splitter feeding the embedding seam (no shuffle)
     "q_chunk"          -> q(t => TextAnalysis.chunks(t.documents)),
+    // the reference's retrieval loop at corpus scale, end to end: chunk →
+    // embed each chunk → top-5 chunks per query (composite chunk key;
+    // queries = whole-doc embeddings of the first 3 docs). Every stage is
+    // a checked operator; the composition is what a RAG deployment runs.
+    "q_rag_search" -> q(t => {
+      val corpus = TextAnalysis.chunks(t.documents)
+        .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"),
+          graft.functions.hash_embed(col("chunk_text"), 64).as("embedding"))
+      val qs = t.documents
+        .filter(col("doc_id") < 3 &&
+          length(trim(graft.functions.TextFunctions.preprocess(col("text")))) > 0)
+        .select(col("doc_id").as("query_id"),
+          graft.functions.hash_embed(
+            graft.functions.TextFunctions.preprocess(col("text")), 64).as("qv"))
+      Search.bruteForceTopK(qs, corpus, 5)
+    }),
     // corpus curation (training-data pipeline)
     "text_gopher"    -> q(t => Pipeline.gopherStats(t.documents)),
     "text_boilerplate" -> q(t => Pipeline.boilerplate(t.documents)),
@@ -1405,6 +1421,42 @@ $rounds
           | CAST(LEAST(64, n - start) AS BIGINT) AS n_tok,
           | array_to_string(list_slice(toks, start+1, start+64), ' ') AS chunk_text
           |FROM g ORDER BY doc_id, chunk_id""").stripMargin,
+    // the chunked-retrieval composition replayed end to end: chunking,
+    // FNV bucket hashing, HashEmbed's exact float normalization
+    // (CAST(c·(1/√Σc²) AS REAL)), cosine, windowed top-k
+    "q_rag_search" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | b0 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+          | g AS (SELECT doc_id, unnest(range(0, n, 48)) AS start, toks FROM b0),
+          | ctok AS (SELECT doc_id*1000 + start//48 AS vec_id,
+          |    unnest(list_slice(toks, start+1, start+64)) AS tk FROM g),
+          | chh AS (SELECT vec_id, ((${signedSql(
+                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
+          |   FROM ctok WHERE tk <> ''),
+          | ccnt AS (SELECT vec_id, bucket, COUNT(*) AS c FROM chh GROUP BY 1,2),
+          | cnrm AS (SELECT vec_id, sqrt(SUM(c*c)) AS nr FROM ccnt GROUP BY 1),
+          | cvec AS (SELECT k.vec_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
+          |   FROM cnrm k CROSS JOIN range(0,64) r
+          |   LEFT JOIN ccnt c ON c.vec_id = k.vec_id AND c.bucket = r.range
+          |   GROUP BY k.vec_id),
+          | qtok AS (SELECT doc_id AS query_id, unnest(toks) AS tk FROM b0 WHERE doc_id < 3),
+          | qhh AS (SELECT query_id, ((${signedSql(
+                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
+          |   FROM qtok WHERE tk <> ''),
+          | qcnt AS (SELECT query_id, bucket, COUNT(*) AS c FROM qhh GROUP BY 1,2),
+          | qnrm AS (SELECT query_id, sqrt(SUM(c*c)) AS nr FROM qcnt GROUP BY 1),
+          | qvec AS (SELECT k.query_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS qv
+          |   FROM qnrm k CROSS JOIN range(0,64) r
+          |   LEFT JOIN qcnt c ON c.query_id = k.query_id AND c.bucket = r.range
+          |   GROUP BY k.query_id),
+          | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim
+          |   FROM qvec CROSS JOIN cvec),
+          | r AS (SELECT query_id, vec_id, sim,
+          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+          |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+          | floor(sim*1e6)/1e6 AS score
+          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
     "text_gopher" ->
       (s"""WITH tok AS (SELECT doc_id,
           |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]
