@@ -193,4 +193,32 @@ class PropertySpec extends SparkSuite {
       .select($"query_id", $"rank", $"vec_id").collect().toSeq
     assert(k5 == k8)
   }
+
+  test("window-dup coverage: bounded in [0,1]; full-corpus duplication saturates") {
+    val docsGen: Gen[Seq[(Long, String)]] =
+      Gen.chooseNum(2, 8).flatMap(n =>
+        Gen.sequence[Seq[(Long, String)], (Long, String)]((1 to n).map(id =>
+          Gen.chooseNum(0, 20).flatMap(len =>
+            Gen.listOfN(len, Gen.oneOf((1 to 9).map(i => s"w$i")))
+              .map(ts => (id.toLong, ts.mkString(" ")))))))
+    forAll(docsGen, 6) { rows =>
+      val docs = rows.toDF("doc_id", "text")
+      val cov = operators.Dedup.windowDupCoverage(docs)
+        .select($"doc_id", $"n_tok", $"dup_coverage").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(cov.forall { case (_, _, c) => c >= 0.0 && c <= 1.0 },
+        s"coverage out of [0,1]: ${cov.toSeq}")
+      // duplicate the whole corpus: every window now occurs ≥2× somewhere,
+      // so every doc with at least one window reads coverage 1.0 (floored
+      // at 1e4 the union of all windows covers n_tok positions exactly)
+      val doubled = rows.toDF("doc_id", "text").unionByName(
+        rows.map { case (id, tx) => (id + 1000L, tx) }.toDF("doc_id", "text"))
+      val sat = operators.Dedup.windowDupCoverage(doubled)
+        .select($"n_tok", $"n_dup_windows", $"dup_coverage").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(sat.forall { case (n, ndw, c) =>
+        if (n >= 5) ndw > 0 && c == 1.0 else ndw == 0 && c == 0.0 },
+        s"duplication must saturate coverage: ${sat.toSeq}")
+    }
+  }
 }
