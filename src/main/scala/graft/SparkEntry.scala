@@ -335,6 +335,9 @@ object SparkEntry {
     // BPE tokenizer induction: top merge candidates by corpus-weighted
     // adjacent-char-pair count — one corpus pass, then vocab-sized work
     "q_bpe_pairs"      -> q(t => TextAnalysis.bpePairs(t.documents)),
+    // Zipf audit: log-log least-squares slope of the head vocabulary's
+    // rank-frequency curve (corpus-health gate; natural text ≈ −1)
+    "q_zipf"           -> q(t => TextAnalysis.zipfAudit(t.documents)),
     // RAG chunking prep: overlapping 64-token windows every 48 tokens —
     // the narrow splitter feeding the embedding seam (no shuffle)
     "q_chunk"          -> q(t => TextAnalysis.chunks(t.documents)),
@@ -1411,6 +1414,24 @@ $rounds
           |   FROM (SELECT string_split(tk,'') AS cs, f FROM f)),
           | s AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS score FROM p GROUP BY 1)
           |SELECT pair, score FROM s ORDER BY score DESC, pair LIMIT 20""").stripMargin,
+    // zipf replayed: same rank order, same rank-ordered folds, same
+    // closed-form combination
+    "q_zipf" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tokq AS (SELECT unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n0),
+          | cnt AS (SELECT tk, COUNT(*) AS c FROM tokq GROUP BY 1),
+          | top AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tk) AS r FROM cnt QUALIFY r <= 100),
+          | s AS (SELECT COUNT(*) AS n,
+          |   list_reduce(list_prepend(0.0, list(ln(CAST(r AS DOUBLE)) ORDER BY r)), (a,v)->a+v) AS sx,
+          |   list_reduce(list_prepend(0.0, list(ln(CAST(c AS DOUBLE)) ORDER BY r)), (a,v)->a+v) AS sy,
+          |   list_reduce(list_prepend(0.0, list(ln(CAST(r AS DOUBLE))*ln(CAST(c AS DOUBLE)) ORDER BY r)), (a,v)->a+v) AS sxy,
+          |   list_reduce(list_prepend(0.0, list(ln(CAST(r AS DOUBLE))*ln(CAST(r AS DOUBLE)) ORDER BY r)), (a,v)->a+v) AS sxx
+          |  FROM top),
+          | s2 AS (SELECT n, sx, sy, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope FROM s)
+          |SELECT CAST(n AS BIGINT) AS n_tokens,
+          | CASE WHEN n >= 2 THEN floor(slope*1e4)/1e4 ELSE 0.0 END AS zipf_slope,
+          | CASE WHEN n >= 2 THEN floor((sy - slope*sx)/n*1e4)/1e4 ELSE 0.0 END AS intercept
+          |FROM s2""").stripMargin,
     "q_chunk" ->
       (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
           | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),

@@ -161,6 +161,46 @@ object TextAnalysis {
     * [[diversity]]'s entropy). Counts are exact longs; the only floating
     * steps are the shared ln and one division, replayed identically by
     * the oracle. */
+  /** Zipf audit — the corpus-health statistic for training data: natural
+    * text follows rank × frequency ≈ const (log-log slope ≈ −1); a slope
+    * far from −1 over the head vocabulary flags templated/spam-heavy or
+    * truncated corpora before any model sees them. Least-squares fit of
+    * ln(freq) on ln(rank) over the top `topN` tokens.
+    *
+    * Scale shape: ONE map-side-combined token groupBy, then a bounded
+    * TakeOrdered to `topN` rows — the rank window and the regression run
+    * on ≤ topN rows (bounded by contract, like the centroid collects).
+    * The four regression sums are ORDERED folds over the rank-sorted
+    * struct list (the [[diversity]] determinism discipline); the closed
+    * form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) is replayed term-for-term by the
+    * oracle. */
+  def zipfAudit(docs: DataFrame, topN: Int = 100): DataFrame = {
+    val counts = docs
+      .select(explode(tokens(preprocess(col("text")))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("c"))
+    val top = counts.orderBy(col("c").desc, col("tk")).limit(topN)
+    val ranked = top.select(col("c"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("tk"))).as("r"))
+    val pts = ranked.select(struct(col("r"), col("c")).as("p"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
+    def x(e: Column) = log(e.getField("r").cast("double"))
+    def y(e: Column) = log(e.getField("c").cast("double"))
+    def fold(term: Column => Column) =
+      aggregate(col("ps"), lit(0.0), (acc, e) => acc + term(e))
+    val n = org.apache.spark.sql.functions.size(col("ps")).cast("double")
+    val sx = fold(x); val sy = fold(y)
+    val sxy = fold(e => x(e) * y(e)); val sxx = fold(e => x(e) * x(e))
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    pts.select(
+      org.apache.spark.sql.functions.size(col("ps")).cast("long")
+        .as("n_tokens"),
+      when(n >= 2, floor(slope * 1e4) / 1e4).otherwise(0.0).as("zipf_slope"),
+      when(n >= 2, floor(intercept * 1e4) / 1e4).otherwise(0.0)
+        .as("intercept"))
+  }
+
   /** RAG/embedding chunking prep: overlapping fixed-size token windows
     * per document — `size`-token chunks every `stride` tokens (overlap =
     * size − stride), with stable ids and offsets. The reference embeds

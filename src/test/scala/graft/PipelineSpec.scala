@@ -154,6 +154,22 @@ class PipelineSpec extends SparkSuite {
       Seq((3L, 0L, 0L, 1L, "one")), "single-token doc = one chunk")
   }
 
+  test("zipf audit: a 1/r corpus fits slope ≈ −1, flat corpus ≈ 0") {
+    import spark.implicits._
+    // freq(r) = floor(120/r) for ranks 1..8 — an exact power-law head
+    val zipfy = (1 to 8).flatMap(r => Seq.fill(120 / r)(s"w$r")).mkString(" ")
+    val gz = operators.TextAnalysis.zipfAudit(
+      Seq((1L, zipfy)).toDF("doc_id", "text")).head()
+    assert(gz.getLong(0) == 8L)
+    assert(math.abs(gz.getDouble(1) + 1.0) < 0.05,
+      s"power-law slope: ${gz.getDouble(1)}")
+    // all-equal frequencies → slope exactly 0 (and floor keeps it 0.0)
+    val flat = (1 to 10).map(i => s"u$i").mkString(" ")
+    val gf = operators.TextAnalysis.zipfAudit(
+      Seq((1L, flat)).toDF("doc_id", "text")).head()
+    assert(gf.getLong(0) == 10L && gf.getDouble(1) == 0.0, s"flat: $gf")
+  }
+
   test("bpe pairs: frequency-weighted in-word multiplicity, ordered ties") {
     import spark.implicits._
     // f(ab)=2, f(ba)=1, f(aaa)=1 → "a b"=2·1, "b a"=1·1, "a a"=1·2
