@@ -106,6 +106,21 @@ object Oracles {
        | pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
        |   FROM capped a JOIN capped b ON a.band = b.band AND a.h = b.h AND a.doc_id <> b.doc_id)""".stripMargin
 
+  /** dedup_edit: exact Levenshtein over the normalized text of the capped
+    * LSH candidate pairs (both engines' levenshtein is the unit-cost
+    * char-level edit distance; both `len`s count characters). */
+  def dedupEditSql(maxBucket: Int = 1000, maxDistFrac: Double = 0.2): String =
+    s"""WITH ${minhashPairsCte(maxBucket)},
+       | d AS (SELECT p.id1, p.id2, levenshtein(a.s, b.s) AS dist,
+       |     greatest(len(a.s), len(b.s)) AS ml
+       |   FROM pairs p JOIN n a ON a.doc_id = p.id1 JOIN n b ON b.doc_id = p.id2
+       |   WHERE p.id1 < p.id2)
+       |SELECT id1, id2, CAST(dist AS BIGINT) AS edit_dist,
+       | CAST(ml AS BIGINT) AS max_len,
+       | CASE WHEN ml = 0 THEN 1.0 ELSE floor((1 - CAST(dist AS DOUBLE)/ml)*1e6)/1e6 END AS edit_sim,
+       | CASE WHEN ml = 0 THEN TRUE ELSE CAST(dist AS DOUBLE)/ml <= $maxDistFrac END AS is_dup
+       |FROM d ORDER BY id1, id2""".stripMargin
+
   /** dedup_minhash_est: jaccard estimates for the capped LSH candidate
     * pairs — matching signature positions / numHashes (m/128 is exact in
     * binary: the denominator is a power of two). */

@@ -279,6 +279,9 @@ object SparkEntry {
     // ExactSubstr-style positional signal: fraction of each doc's token
     // positions inside k-token windows occurring ≥2× verbatim corpus-wide
     "dedup_windows"   -> q(t => Dedup.windowDupCoverage(t.documents)),
+    // char-level verification of the LSH candidates: exact Levenshtein on
+    // normalized text, affordable because the input is pairs, not corpus
+    "dedup_edit"      -> q(t => Dedup.editVerified(t.documents)),
     "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
     "dedup_clusters"  -> q(t => Dedup.clusters(t.documents)),
     // SemDeDup-style: near-dup NN within LEARNED (centroid) blocks — the
@@ -1244,6 +1247,7 @@ $rounds
     "dedup_clusters" -> Oracles.dedupClustersSql(),
     "dedup_incremental" -> Oracles.dedupIncrementalSql(),
     "dedup_minhash_est" -> Oracles.dedupMinhashEstSql(),
+    "dedup_edit" -> Oracles.dedupEditSql(),
     "dedup_verified" -> Oracles.dedupVerifiedSql(),
     // hashing-trick embedding replayed: FNV token buckets → counts →
     // L2-normalized floats → (dim, norm, nnz, moment) digest

@@ -445,6 +445,46 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-level verification of the LSH candidates: exact Levenshtein
+    * distance over the NORMALIZED text of each candidate pair — the edit
+    * metric catches in-place character churn (OCR noise, typo farms,
+    * template variable substitution) that token-shingle jaccard reads as
+    * whole-shingle differences. Complements [[verifiedDuplicates]]
+    * (token-set view) the way simhash complements minhash.
+    *
+    * Scale shape: Levenshtein is O(len²) per pair — affordable ONLY
+    * because the join input is the capped banded candidate set, never the
+    * corpus; the normalized text is rebuilt just for pair members
+    * (semi-join pushdown, the [[verifiedDuplicates]] pattern). Output per
+    * pair: distance, `edit_sim = 1 − dist/max_len`, and the `is_dup` gate
+    * at `maxDistFrac`. */
+  def editVerified(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
+                   shingleLen: Int = 3, maxBucket: Int = 1000,
+                   maxDistFrac: Double = 0.2): DataFrame = {
+    val pairs = bandedPairs(
+      minhashBuckets(docs, numHashes, bands, shingleLen), maxBucket)
+      .localCheckpoint() // read thrice: id union + the two text joins
+    val ids = pairs.select(col("id1").as("doc_id"))
+      .union(pairs.select(col("id2").as("doc_id"))).distinct()
+    val txt = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), preprocess(col("text")).as("nt"))
+      .localCheckpoint() // normalize once per surviving doc, read twice
+    val frac = col("edit_dist").cast("double") / col("max_len")
+    pairs
+      .join(txt.select(col("doc_id").as("id1"), col("nt").as("t1")), Seq("id1"))
+      .join(txt.select(col("doc_id").as("id2"), col("nt").as("t2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"),
+        greatest(length(col("t1")), length(col("t2"))).cast("long")
+          .as("max_len"))
+      .select(col("id1"), col("id2"), col("edit_dist"), col("max_len"),
+        when(col("max_len") === 0, lit(1.0))
+          .otherwise(floor((lit(1) - frac) * 1e6) / 1e6).as("edit_sim"),
+        when(col("max_len") === 0, lit(true))
+          .otherwise(frac <= maxDistFrac).as("is_dup"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** ExactSubstr-style duplicated-window coverage (the "Deduplicating
     * Training Data Makes Language Models Better" signal): for every doc,
     * the fraction of its TOKEN POSITIONS covered by at least one k-token

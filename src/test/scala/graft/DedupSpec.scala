@@ -247,6 +247,24 @@ class DedupSpec extends SparkSuite {
     assert(jac.getDouble(2) < 0.2, s"jaccard sees ${jac.getDouble(2)}")
   }
 
+  test("edit verification: distance counts the churn, gate splits on it") {
+    // doc 2 = doc 1 with one token replaced by an equal-length token
+    // (edit distance = the changed chars); doc 3 is unrelated and never
+    // becomes an LSH candidate, so it produces NO pair row at all
+    val a = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val b = a.replace("w10tok10", "w10tokXX")
+    val docs = Seq((1L, a), (2L, b), (3L, distinctDoc))
+      .toDF("doc_id", "text")
+    val rows = operators.Dedup.editVerified(docs).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)),
+      s"only the candidate pair: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getLong(2) == 2L, s"two chars changed: ${r.getLong(2)}")
+    assert(r.getBoolean(5), "2 edits over ~700 chars is a dup")
+    val sim = r.getDouble(4)
+    assert(sim > 0.99 && sim < 1.0, s"edit_sim: $sim")
+  }
+
   test("window-dup coverage: interval union over shared and repeated spans") {
     // doc 1 and doc 2 share a verbatim 6-token run → with k=5 that's 2
     // duplicated windows each, at consecutive positions: union covers
