@@ -392,6 +392,10 @@ object SparkEntry {
     // multimodal plumbing (digest projection — see q_embed note; the stub
     // features derive from the FNV checksum, so their left-fold sum is
     // oracle-replayable)
+    // checksum payload dedup: the no-stub first pass on a media corpus —
+    // byte-identical payloads collapse on md5, payloads never shuffle
+    "mm_dedup" -> q(t =>
+      graft.multimodal.Multimodal.documentPayloadDedup(t.documents)),
     "mm_features" -> q(t => graft.multimodal.Multimodal.documentFeatures(t.documents)
       .select(col("doc_id"), col("n_bytes"), col("checksum"),
         col("width").cast("long").as("width"),
@@ -1284,6 +1288,13 @@ $rounds
           | CAST(nnz AS BIGINT) AS nnz,
           | floor(mom*1e6)/1e6 AS moment
           |FROM fin ORDER BY doc_id""").stripMargin,
+    // raw-byte md5 both sides: Spark hashes the binary cast's UTF-8
+    // bytes, DuckDB's md5(VARCHAR) hashes the same UTF-8 byte stream
+    "mm_dedup" ->
+      """SELECT md5(text) AS payload_md5,
+        | MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count,
+        | CAST(MIN(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // multimodal stub replayed: FNV checksum over the raw (ASCII) payload
     // bytes, stub width/height from truncated-mod arithmetic (integer
     // floor-division stands in for the JVM's arithmetic shift), features

@@ -109,4 +109,27 @@ object Multimodal {
       nFrames)
       .toDF()
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  /** Checksum-based payload dedup — the REAL (no codec, no stub) first
+    * pass on a media corpus: byte-identical payloads collapse on their
+    * md5, keeping the smallest doc_id as canonical. At 100 TB this is one
+    * map-side-combined groupBy over (16-byte digest, id, length) — the
+    * payloads themselves never shuffle — and it typically removes the
+    * bulk of crawl duplication before any expensive perceptual pass. */
+  def payloadDedup(media: DataFrame): DataFrame =
+    media
+      .select(md5(col("payload")).as("payload_md5"),
+        col("doc_id").cast("long").as("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("payload_md5"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("dup_count"),
+        min(col("n_bytes")).as("n_bytes"))
+      .orderBy(col("payload_md5"))
+
+  /** Demo payload-dedup pipeline over `documents` (text bytes stand in
+    * for media payloads, same convention as [[documentFeatures]]). */
+  def documentPayloadDedup(docs: DataFrame): DataFrame =
+    payloadDedup(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
 }
