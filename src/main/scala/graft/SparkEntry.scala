@@ -348,9 +348,15 @@ object SparkEntry {
     // embed each chunk → top-5 chunks per query (composite chunk key;
     // queries = whole-doc embeddings of the first 3 docs). Every stage is
     // a checked operator; the composition is what a RAG deployment runs.
+    // vec_id = doc_id·2³² + chunk_id: chunk_id = start/stride is bounded
+    // by doc length, and 2³² chunks ≈ 200 G tokens per doc — no real
+    // document overflows into the next doc's id space (a 1000× multiplier
+    // would collide at ~48 k tokens, an ordinary book; collision-freedom
+    // spec-tested in EngineSpec with a >48 k-token doc).
     "q_rag_search" -> q(t => {
       val corpus = TextAnalysis.chunks(t.documents)
-        .select((col("doc_id") * 1000 + col("chunk_id")).as("vec_id"),
+        .select((col("doc_id") * lit(4294967296L) + col("chunk_id"))
+            .as("vec_id"),
           graft.functions.hash_embed(col("chunk_text"), 64).as("embedding"))
       val qs = t.documents
         .filter(col("doc_id") < 3 &&
@@ -1443,7 +1449,7 @@ $rounds
           |   list_reduce(list_prepend(0.0, list(ln(CAST(r AS DOUBLE))*ln(CAST(r AS DOUBLE)) ORDER BY r)), (a,v)->a+v) AS sxx
           |  FROM top),
           | s2 AS (SELECT n, sx, sy, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope FROM s)
-          |SELECT CAST(n AS BIGINT) AS n_tokens,
+          |SELECT CAST(n AS BIGINT) AS n_ranks,
           | CASE WHEN n >= 2 THEN floor(slope*1e4)/1e4 ELSE 0.0 END AS zipf_slope,
           | CASE WHEN n >= 2 THEN floor((sy - slope*sx)/n*1e4)/1e4 ELSE 0.0 END AS intercept
           |FROM s2""").stripMargin,
@@ -1465,7 +1471,7 @@ $rounds
           | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
           | b0 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
           | g AS (SELECT doc_id, unnest(range(0, n, 48)) AS start, toks FROM b0),
-          | ctok AS (SELECT doc_id*1000 + start//48 AS vec_id,
+          | ctok AS (SELECT doc_id*4294967296 + start//48 AS vec_id,
           |    unnest(list_slice(toks, start+1, start+64)) AS tk FROM g),
           | chh AS (SELECT vec_id, ((${signedSql(
                 fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket

@@ -57,8 +57,20 @@ abstract class PqExpressionBase extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult =
     VectorTypeCheck.require(prettyName, "input" -> child.dataType)
 
+  /** Fail fast on a mis-sized embedding: `UnsafeArrayData.getFloat` is
+    * NOT bounds-checked, so without this gate an undersized input would
+    * silently read adjacent row memory and emit garbage codes (the
+    * `slice()`-based declarative form this expression replaced degraded
+    * safely to nulls). Checked in both the interpreted and generated
+    * paths. */
+  protected def checkLen(n: Int): Unit =
+    if (n != m * sub)
+      throw new IllegalArgumentException(
+        s"$prettyName: embedding length $n != m*sub = ${m * sub}")
+
   /** Argmin codeword per subspace. */
   protected def bestCodes(a: ArrayData): Array[Int] = {
+    checkLen(a.numElements())
     val out = new Array[Int](m)
     var j = 0
     while (j < m) {
@@ -102,6 +114,11 @@ abstract class PqExpressionBase extends UnaryExpression {
     val dot = ctx.freshName("dot"); val boff = ctx.freshName("boff")
     val dist = ctx.freshName("dist")
     s"""
+       |if ($a.numElements() != ${m * sub}) {
+       |  throw new IllegalArgumentException(
+       |    "$prettyName: embedding length " + $a.numElements() +
+       |    " != m*sub = ${m * sub}");
+       |}
        |for (int $j = 0; $j < $m; $j++) {
        |  int $off = $j * $sub;
        |  double $ss = 0.0;

@@ -208,12 +208,12 @@ object Dedup {
     * partner, and the `is_dup_of_base` gate a pipeline filters on. */
   def incrementalCandidates(newDocs: DataFrame, base: DataFrame,
                             numHashes: Int = 128, bands: Int = 16,
-                            shingleLen: Int = 3, maxBucket: Int = 1000)
-      : DataFrame =
+                            shingleLen: Int = 3, maxBucket: Int = 1000,
+                            autoBroadcast: Boolean = true): DataFrame =
     incrementalProbe(newDocs,
       capBuckets(minhashBuckets(base, numHashes, bands, shingleLen),
         maxBucket),
-      numHashes, bands, shingleLen)
+      numHashes, bands, shingleLen, autoBroadcast)
 
   /** Write `docs`'s banded minhash signature table as a BUCKETED catalog
     * table — the one-time full pass that makes [[incrementalCandidatesFromStore]]
@@ -261,7 +261,8 @@ object Dedup {
   def incrementalCandidatesFromStore(newDocs: DataFrame,
                                      spark: org.apache.spark.sql.SparkSession,
                                      table: String, numHashes: Int = 128,
-                                     bands: Int = 16, shingleLen: Int = 3)
+                                     bands: Int = 16, shingleLen: Int = 3,
+                                     autoBroadcast: Boolean = true)
       : DataFrame = {
     // the store is append-heavy BY DESIGN (every increment/micro-batch
     // adds its signatures, possibly from another session — streaming
@@ -271,22 +272,33 @@ object Dedup {
     // re-reads data.
     spark.catalog.refreshTable(table)
     incrementalProbe(newDocs, spark.table(table),
-      numHashes, bands, shingleLen)
+      numHashes, bands, shingleLen, autoBroadcast)
   }
 
   /** The shared probe: increment signatures × base banded-signature table
-    * (recomputed or persisted) → per-new-doc summary. The increment side
-    * carries the broadcast hint — a daily batch is orders of magnitude
-    * smaller than the base, so the base-side scan joins with NO exchange;
-    * when an increment outgrows the broadcast threshold Spark falls back
-    * to a shuffled join in which the bucketed store still only shuffles
-    * the increment (see [[persistSignatures]]). */
+    * (recomputed or persisted) → per-new-doc summary.
+    *
+    * `autoBroadcast=true` (the daily-increment default) puts an explicit
+    * broadcast hint on the increment side: a daily batch is orders of
+    * magnitude smaller than the base, so the base-side scan joins with NO
+    * exchange. An explicit hint OVERRIDES Spark's size threshold, though —
+    * a too-large build side fails the job at the broadcast hard limit
+    * instead of falling back. So for oversized increments (a backfill
+    * replaying weeks of docs at once) pass `autoBroadcast=false`: the
+    * un-hinted join lets Spark/AQE pick a runtime broadcast when the
+    * measured increment is small and a shuffled join otherwise — and
+    * against the BUCKETED signature store ([[persistSignatures]]) that
+    * shuffled join puts its one Exchange on the increment side only; the
+    * 100 TB store never moves (plan-gated in DedupSpec). Results are
+    * identical either way — the switch is pure physical planning. */
   private def incrementalProbe(newDocs: DataFrame, baseBuckets: DataFrame,
-                               numHashes: Int, bands: Int, shingleLen: Int)
+                               numHashes: Int, bands: Int, shingleLen: Int,
+                               autoBroadcast: Boolean = true)
       : DataFrame = {
     val nb = minhashBuckets(newDocs, numHashes, bands, shingleLen)
+    val probeSide = if (autoBroadcast) broadcast(nb.as("a")) else nb.as("a")
     val pairs = baseBuckets.as("b")
-      .join(broadcast(nb.as("a")),
+      .join(probeSide,
         col("a.band") === col("b.band") && col("a.h") === col("b.h"))
       .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("base_id"))
       .distinct()
@@ -501,7 +513,18 @@ object Dedup {
     * back restricted to hot windows, then the interval-union is a per-doc
     * sort over DUPLICATED positions only (∝ dup windows, not corpus):
     * covered = Σ min(k, gap to next dup window) — the classic sorted
-    * interval merge as a lead() window, no collect anywhere. */
+    * interval merge as a lead() window, no collect anywhere.
+    *
+    * Hash-vs-string convention (the [[cappedShingleTable]] trade, stated
+    * here too because the oracle takes the OTHER side): windows group by
+    * their 64-bit FNV-1a hash, never the window STRING — the string would
+    * multiply shuffle bytes by k tokens per position. The DuckDB oracle
+    * groups by the literal window string, so the hash-oracle equality
+    * holds only while no two distinct windows collide in 64 bits
+    * (p ≈ n²/2⁶⁵ — vanishing at test SF, nonzero at full corpus scale).
+    * A collision merges two windows' occurrence counts, which errs toward
+    * OVER-counting duplication — conservative for a keep/drop gate, and
+    * the accepted cost of hashing the shuffle key. */
   def windowDupCoverage(docs: DataFrame, k: Int = 5,
                         maxFrac: Double = 0.5): DataFrame = {
     val toks = docs

@@ -358,19 +358,29 @@ object Relational {
 
   /** MERGE-style upsert without a table format: `base ⟕̸ updates ∪ updates`
     * — rows whose key appears in the update batch are replaced, everyone
-    * else survives, new keys insert. The anti-join carries a BROADCAST
-    * hint on the update side: a daily CDC batch is orders of magnitude
-    * smaller than the base, so the 100 TB base never shuffles for the
-    * merge (broadcast-hash LEFT ANTI) and the union is a zero-shuffle
-    * concatenation. Returns the merged table; callers aggregate or write.
-    * (With a bucketed base — [[persistBucketedFacts]] — even an
-    * over-broadcast-sized update batch merges with the base side
-    * unshuffled.) */
-  def mergeOrders(base: DataFrame, updates: DataFrame): DataFrame =
+    * else survives, new keys insert. With `autoBroadcast=true` (default)
+    * the anti-join carries a BROADCAST hint on the update side: a daily
+    * CDC batch is orders of magnitude smaller than the base, so the
+    * 100 TB base never shuffles for the merge (broadcast-hash LEFT ANTI)
+    * and the union is a zero-shuffle concatenation.
+    *
+    * SIZE CONTRACT: an explicit broadcast hint OVERRIDES Spark's
+    * threshold — an update batch past the broadcast hard limit fails the
+    * job rather than falling back. For oversized batches (a backfill
+    * replaying weeks of CDC at once) pass `autoBroadcast=false`: the
+    * un-hinted join lets AQE pick a runtime broadcast when the measured
+    * batch is small and a shuffled join otherwise — and with a bucketed
+    * base ([[persistBucketedFacts]]) that shuffled join still moves only
+    * the update side. Returns the merged table; callers aggregate or
+    * write. */
+  def mergeOrders(base: DataFrame, updates: DataFrame,
+                  autoBroadcast: Boolean = true): DataFrame = {
+    val keys = updates.select(col("o_orderkey"))
     base
-      .join(broadcast(updates.select(col("o_orderkey"))),
+      .join(if (autoBroadcast) broadcast(keys) else keys,
         Seq("o_orderkey"), "left_anti")
       .unionByName(updates)
+  }
 
   /** The checked upsert summary: a deterministic update batch (every
     * 100th orderkey re-statused 'U') merged into orders, rolled up per

@@ -193,9 +193,11 @@ object TextAnalysis {
     val sxy = fold(e => x(e) * y(e)); val sxx = fold(e => x(e) * x(e))
     val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     val intercept = (sy - slope * sx) / n
+    // n_ranks = head ranks actually fitted (≤ topN) — NOT a corpus token
+    // count; any corpus with ≥ topN distinct tokens reads exactly topN
     pts.select(
       org.apache.spark.sql.functions.size(col("ps")).cast("long")
-        .as("n_tokens"),
+        .as("n_ranks"),
       when(n >= 2, floor(slope * 1e4) / 1e4).otherwise(0.0).as("zipf_slope"),
       when(n >= 2, floor(intercept * 1e4) / 1e4).otherwise(0.0)
         .as("intercept"))

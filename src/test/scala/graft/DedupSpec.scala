@@ -194,6 +194,45 @@ class DedupSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"), s"probe not broadcast:\n$plan")
   }
 
+  test("oversized increment: un-hinted probe shuffles ONLY the increment") {
+    // the backfill scenario the forced broadcast would kill: with
+    // autoBroadcast=false and the broadcast threshold off (simulating an
+    // increment past the hard limit), the probe must fall back to a
+    // shuffled join whose ONE (band,h) Exchange sits on the increment
+    // side — the bucketed store never moves
+    val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val base = Seq((1L, baseText),
+      (2L, (1 to 80).map(i => s"other${i}x").mkString(" "))).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, baseText.split(" ").updated(10, "EDITED").mkString(" ")),
+      (11L, (1 to 80).map(i => s"new${i}z").mkString(" "))).toDF("doc_id", "text")
+    val tbl = "graft_test_sig_store_shuffled"
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigsh").toString
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    operators.Dedup.persistSignatures(base, tbl, s"$dir/sig")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = operators.Dedup.incrementalCandidatesFromStore(
+        incoming, spark, tbl, autoBroadcast = false)
+      val plan = planOf(df)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), s"no shuffled fallback:\n$plan")
+      val bandExchanges =
+        """hashpartitioning\(band""".r.findAllIn(plan).size
+      assert(bandExchanges == 1,
+        s"expected exactly ONE (band,h) Exchange (increment side only), " +
+          s"got $bandExchanges:\n$plan")
+      // the physical fallback must be invisible in the answer
+      val hinted = operators.Dedup.incrementalCandidatesFromStore(
+        incoming, spark, tbl)
+      assert(df.collect().toSeq == hinted.collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("verified dedup: exact jaccard re-checks the estimate survivors") {
     val a = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
     val b = a.split(" ").updated(10, "EDIT").mkString(" ")

@@ -71,6 +71,24 @@ class EngineSpec extends SparkSuite {
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("rag chunk key: a >48k-token book never collides into the next doc") {
+    import spark.implicits._
+    // 1000 chunks at stride 48 → chunk_id reaches 1000; under the old
+    // doc_id*1000 key, doc 0's chunk 1000 stole doc 1's chunk 0 id.
+    // Under doc_id*2³² every doc owns a disjoint id block.
+    val book = (0 until 48 * 1001).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, book), (1L, "short doc here")).toDF("doc_id", "text")
+    val ids = operators.TextAnalysis.chunks(docs)
+      .select((col("doc_id") * lit(4294967296L) + col("chunk_id"))
+        .as("vec_id"), col("doc_id"))
+      .as[(Long, Long)].collect()
+    assert(ids.length == ids.map(_._1).distinct.length, "vec_id collision")
+    // every vec_id decodes back to exactly its own document
+    assert(ids.forall { case (v, d) => v / 4294967296L == d },
+      "chunk escaped its doc's id block")
+    assert(ids.count(_._2 == 0L) > 1000, "long doc must exceed 1000 chunks")
+  }
+
   test("multimodal feature extraction: schema and determinism") {
     val t = sources.Tables(spark, sfDir)
     val f = multimodal.Multimodal.documentFeatures(t.documents)
