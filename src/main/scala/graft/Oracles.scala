@@ -210,6 +210,27 @@ object Oracles {
        | COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** mm_neardup: the perceptual-fingerprint near-dup pass replayed. The
+    * stub decoder's features are the FNV64 checksum's bytes and the
+    * quantize-back (byte → float/255 → ×255 → round) is the identity on
+    * 0..255, so the fingerprint IS the checksum — the oracle recomputes
+    * FNV64 over the payload (= text) bytes and replays the 4×16-bit
+    * banding, bucket cap, and exact-hamming verify of
+    * `Multimodal.payloadNearDup`. */
+  def mmNearDupSql(maxBucket: Int = 1000, maxHamming: Int = 3): String =
+    s"""WITH n AS (SELECT doc_id FROM documents),
+       | u0 AS (SELECT doc_id,
+       |   CASE WHEN length(text)=0 THEN 14695981039346656037::HUGEINT
+       |        ELSE ${fnvChars("text")} END AS u FROM documents),
+       | banded AS (SELECT doc_id, u, b, CAST((u // $pow2[16*b+1]) % 65536 AS BIGINT) AS chunk
+       |   FROM u0, range(4) r(b)),
+       | capped AS (SELECT * FROM banded QUALIFY COUNT(*) OVER (PARTITION BY b, chunk) <= $maxBucket),
+       | pairs AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+       |   FROM capped a JOIN capped b ON a.b = b.b AND a.chunk = b.chunk AND a.doc_id <> b.doc_id
+       |   WHERE bit_count(xor(${signed("a.u")}, ${signed("b.u")})) <= $maxHamming),
+       |$summaryTail"""
+      .stripMargin
+
   /** dedup_simhash: SimHash64 bit votes over tokens (with multiplicity),
     * 4×16-bit banded buckets with the same cap, exact hamming ≤ 3. */
   def dedupSimhashSql(maxBucket: Int = 1000, maxHamming: Int = 3): String =

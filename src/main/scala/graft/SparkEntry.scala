@@ -377,6 +377,12 @@ object SparkEntry {
     // fixed-SIZE companion to sample_mix's fixed-rate filter: k rows per
     // stratum by hash rank (reproducible reservoir, WindowGroupLimit cap)
     "q_stratified_sample" -> q(t => Pipeline.stratifiedSample(t.events)),
+    // the composed curation funnel: every keep/drop gate as ONE pipeline —
+    // per-doc verdicts conjoined into the final keep (composition twin of
+    // q_rag_search; the oracle replays every gate, joined on doc_id)
+    "q_curate"        -> q(t => Pipeline.curate(t.documents)),
+    // per-gate attrition of the same funnel: docs in/surviving per stage
+    "q_curate_report" -> q(t => Pipeline.curationReport(t.documents)),
     "pack_sequences" -> q(t => Pipeline.packSequences(t.documents)),
     // corpus-statistics embedding: hashing TF-IDF (digest projection — see
     // q_embed note)
@@ -402,6 +408,11 @@ object SparkEntry {
     // byte-identical payloads collapse on md5, payloads never shuffle
     "mm_dedup" -> q(t =>
       graft.multimodal.Multimodal.documentPayloadDedup(t.documents)),
+    // perceptual near-dup: decoded-feature fingerprints through the
+    // banded-hamming funnel — the second media-dedup stage, catching what
+    // a re-encode pushes off byte-identity (exact under the stub decoder)
+    "mm_neardup" -> q(t =>
+      graft.multimodal.Multimodal.documentNearDup(t.documents)),
     "mm_features" -> q(t => graft.multimodal.Multimodal.documentFeatures(t.documents)
       .select(col("doc_id"), col("n_bytes"), col("checksum"),
         col("width").cast("long").as("width"),
@@ -741,7 +752,56 @@ $rounds
   private val DISC = "CAST(l_discount AS DECIMAL(18,2))"
   private val REV = s"$DEC * (1 - $DISC)"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val base = oracleSqlBase
+    base ++ Map(
+      // q_curate: the five per-gate oracles composed exactly like the
+      // Spark funnel — each subquery IS the gate's own hash oracle, the
+      // composition is a doc_id join + conjunction (the inner join to the
+      // decontamination verdicts restricts to the training split)
+      "q_curate" ->
+        s"""SELECT g.doc_id, g.keep AS keep_gopher, l.keep AS keep_lm,
+           | b.keep AS keep_boiler, w.keep AS keep_windows,
+           | NOT d.contaminated AS keep_decontam,
+           | (g.keep AND l.keep AND b.keep AND w.keep AND NOT d.contaminated) AS keep
+           |FROM (${base("text_gopher")}) g
+           |JOIN (${base("text_lm_score")}) l USING (doc_id)
+           |JOIN (${base("text_boilerplate")}) b USING (doc_id)
+           |JOIN (${base("dedup_windows")}) w USING (doc_id)
+           |JOIN (${base("decontaminate")}) d USING (doc_id)
+           |ORDER BY g.doc_id""".stripMargin,
+      // q_curate_report: cumulative-survival sums over the same composed
+      // verdict table, unpivoted into one row per gate
+      "q_curate_report" ->
+        s"""WITH c AS (
+           | SELECT g.doc_id, g.keep AS keep_gopher, l.keep AS keep_lm,
+           |  b.keep AS keep_boiler, w.keep AS keep_windows,
+           |  NOT d.contaminated AS keep_decontam
+           | FROM (${base("text_gopher")}) g
+           | JOIN (${base("text_lm_score")}) l USING (doc_id)
+           | JOIN (${base("text_boilerplate")}) b USING (doc_id)
+           | JOIN (${base("dedup_windows")}) w USING (doc_id)
+           | JOIN (${base("decontaminate")}) d USING (doc_id)),
+           | a AS (SELECT COUNT(*) AS n0,
+           |  SUM(CASE WHEN keep_gopher THEN 1 ELSE 0 END) AS s1,
+           |  SUM(CASE WHEN keep_gopher AND keep_lm THEN 1 ELSE 0 END) AS s2,
+           |  SUM(CASE WHEN keep_gopher AND keep_lm AND keep_boiler THEN 1 ELSE 0 END) AS s3,
+           |  SUM(CASE WHEN keep_gopher AND keep_lm AND keep_boiler AND keep_windows THEN 1 ELSE 0 END) AS s4,
+           |  SUM(CASE WHEN keep_gopher AND keep_lm AND keep_boiler AND keep_windows AND keep_decontam THEN 1 ELSE 0 END) AS s5
+           | FROM c)
+           |SELECT CAST(stage AS BIGINT) AS stage, gate,
+           | CAST(n_in AS BIGINT) AS n_in,
+           | CAST(n_surviving AS BIGINT) AS n_surviving
+           |FROM (
+           | SELECT 1 AS stage, 'gopher' AS gate, n0 AS n_in, s1 AS n_surviving FROM a
+           | UNION ALL SELECT 2, 'lm_score', s1, s2 FROM a
+           | UNION ALL SELECT 3, 'boilerplate', s2, s3 FROM a
+           | UNION ALL SELECT 4, 'window_dup', s3, s4 FROM a
+           | UNION ALL SELECT 5, 'decontaminate', s4, s5 FROM a)
+           |ORDER BY stage""".stripMargin)
+  }
+
+  private def oracleSqlBase: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
          | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1294,6 +1354,9 @@ $rounds
           | CAST(nnz AS BIGINT) AS nnz,
           | floor(mom*1e6)/1e6 AS moment
           |FROM fin ORDER BY doc_id""").stripMargin,
+    // fingerprint = FNV checksum under the stub decoder (quantize-back is
+    // the identity); banding + cap + hamming replayed in full
+    "mm_neardup" -> Oracles.mmNearDupSql(),
     // raw-byte md5 both sides: Spark hashes the binary cast's UTF-8
     // bytes, DuckDB's md5(VARCHAR) hashes the same UTF-8 byte stream
     "mm_dedup" ->

@@ -132,4 +132,54 @@ object Multimodal {
   def documentPayloadDedup(docs: DataFrame): DataFrame =
     payloadDedup(
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** Perceptual 64-bit fingerprint per payload: each decoded feature is
+    * quantized back to a byte and the 8 bytes packed little-endian — the
+    * dHash-shaped step between decode and the banded-hamming near-dup
+    * join. With a REAL decoder the features survive re-encoding while the
+    * raw bytes don't, so this fingerprint catches the near-dups
+    * [[payloadDedup]]'s exact checksum misses; with the stub decoder the
+    * features ARE the checksum bytes, so the fingerprint round-trips to
+    * the checksum exactly — which is what makes the downstream query
+    * oracle-replayable (the DuckDB side recomputes the same FNV64; the
+    * byte → float → ×255 → round quantization is the identity on 0..255,
+    * so replaying it is mathematically redundant). The plumbing —
+    * per-partition decode, quantize, pack, band, verify — is the real,
+    * tested shape a production perceptual pass has. */
+  def perceptualFingerprints(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder init would go here
+        it.map { case (id, payload) =>
+          val (_, _, feats) = decodeStub(payload)
+          var fp = 0L
+          var i = 0
+          while (i < 8) {
+            fp |= (math.round(feats(i) * 255.0f).toLong & 0xffL) << (8 * i)
+            i += 1
+          }
+          (id, fp)
+        }
+      }.toDF("doc_id", "fp")
+  }
+
+  /** Perceptual near-dup pass over a media corpus: fingerprint each
+    * payload, then the banded-hamming candidate join + exact verify +
+    * per-doc rollup from [[graft.operators.Dedup.fingerprintNearDup]] —
+    * the second funnel stage after [[payloadDedup]], catching payloads a
+    * re-encode pushed off byte-identity (under a real decoder). Shuffle
+    * carries only (doc_id, fp, band, h) — payloads never move. */
+  def payloadNearDup(media: DataFrame, maxHamming: Int = 3,
+                     maxBucket: Int = 1000): DataFrame =
+    graft.operators.Dedup.fingerprintNearDup(
+      perceptualFingerprints(media), maxHamming, maxBucket)
+
+  /** Demo perceptual-near-dup pipeline over `documents` (text bytes stand
+    * in for media payloads, same convention as [[documentFeatures]]). */
+  def documentNearDup(docs: DataFrame): DataFrame =
+    payloadNearDup(
+      docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
 }

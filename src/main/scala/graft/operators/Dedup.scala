@@ -252,6 +252,62 @@ object Dedup {
       .bucketBy(nBuckets, "band", "h").sortBy("band", "h")
       .saveAsTable(table)
 
+  /** Compact the persisted signature store: [[appendSignatures]] adds
+    * bucketed files per micro-batch forever — after weeks of triggers the
+    * probe's scan pays per-file open/footer cost that dwarfs the data
+    * (the same small-file decay [[graft.streaming.IndexMaintenance.compact]]
+    * fixes for posting lists). This is the BUCKET-PRESERVING twin: files
+    * group by the bucket id Spark encodes in the file name (`…_NNNNN.c000…`),
+    * each over-`maxFiles` bucket is rewritten to one file, and the
+    * compacted file is renamed back INTO the bucket-id naming scheme so
+    * the catalog table's bucketed scan (and therefore the exchange-free
+    * probe join) keeps working unchanged — rows, bucket membership, and
+    * every probe answer are identical, only the file count drops. Rows
+    * are re-sorted on (band, h) within the rewritten file, preserving the
+    * store's sortBy contract. Buckets compact independently, so at fleet
+    * scale the pass parallelizes per bucket. Same concurrency contract as
+    * the posting-list compactor: run between appends, not during one.
+    * Returns the number of buckets compacted. */
+  def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
+                            table: String, maxFiles: Int = 8): Int = {
+    import org.apache.hadoop.fs.Path
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    val loc =
+      new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Spark's bucketed-file convention: bucket id is the final _NNNNN
+    // group before the extensions (BucketingUtils.getBucketId's pattern)
+    val bucketRe = """.*_(\d+)(?:\..*)?$""".r
+    val byBucket = fs.listStatus(loc)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .groupBy(f => f.getPath.getName match {
+        case bucketRe(b) => b.toInt
+        case _           => -1
+      })
+      .filter { case (b, _) => b >= 0 }
+    var compacted = 0
+    byBucket.foreach { case (b, files) =>
+      if (files.length > maxFiles) {
+        val tmp = new Path(loc, f".compact-$b%05d")
+        fs.delete(tmp, true)
+        spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+          .coalesce(1).sortWithinPartitions("band", "h")
+          .write.mode("overwrite").parquet(tmp.toString)
+        files.foreach(f => fs.delete(f.getPath, false))
+        fs.listStatus(tmp)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            fs.rename(f.getPath, new Path(loc,
+              f"part-$i%05d-compact-${java.util.UUID.randomUUID}_$b%05d.c000.snappy.parquet"))
+          }
+        fs.delete(tmp, true)
+        compacted += 1
+      }
+    }
+    if (compacted > 0) spark.catalog.refreshTable(table)
+    compacted
+  }
+
   /** [[incrementalCandidates]] served from the PERSISTED signature table:
     * the production shape for a daily increment landing on a 100 TB base —
     * the base corpus is never re-read and its signatures are never
@@ -319,10 +375,34 @@ object Dedup {
     * degeneracy less severely than minhash bands, but an all-identical
     * corpus still collapses into 4 quadratic buckets without the cap. */
   def simhashCandidates(docs: DataFrame, maxHamming: Int = 3,
-                        maxBucket: Int = 1000): DataFrame = {
-    val hashed = docs.select(col("doc_id"),
-      simhash64(tokens(preprocess(col("text")))).as("sh"))
-      .localCheckpoint() // barrier: see minhashBuckets
+                        maxBucket: Int = 1000): DataFrame =
+    hammingNearDup(
+      docs.select(col("doc_id"),
+        simhash64(tokens(preprocess(col("text")))).as("sh"))
+        .localCheckpoint(), // barrier: see minhashBuckets
+      maxHamming, maxBucket)
+
+  /** Banded-hamming near-dup over ANY caller-supplied 64-bit fingerprint
+    * `(doc_id, fp)` — the [[simhashCandidates]] machinery with the
+    * text-hashing step unplugged, so perceptual hashes (image dHash,
+    * audio chromaprints, [[graft.multimodal.Multimodal.perceptualFingerprints]])
+    * ride the exact same banding + cap + hamming-verify + per-doc-summary
+    * path. The 4×16-bit banding guarantees RECALL for the tolerance it
+    * verifies: ≤ 3 flipped bits can touch at most 3 of the 4 bands, so
+    * every pair within `maxHamming` ≤ 3 shares at least one intact band
+    * and is generated as a candidate (pigeonhole — same argument as
+    * simhash's). */
+  def fingerprintNearDup(fps: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Int = 1000): DataFrame =
+    hammingNearDup(
+      fps.select(col("doc_id"), col("fp").as("sh")).localCheckpoint(),
+      maxHamming, maxBucket)
+
+  /** Shared core: `(doc_id, sh)` 64-bit hashes → 4×16-bit banded
+    * candidates ([[capBuckets]]-guarded), exact-hamming verified, rolled
+    * up per doc. */
+  private def hammingNearDup(hashed: DataFrame, maxHamming: Int,
+                             maxBucket: Int): DataFrame = {
     val banded = hashed.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(j =>
         struct(lit(j).as("band"),
@@ -332,7 +412,7 @@ object Dedup {
     val pairs = bandedPairs(banded, maxBucket,
       verify = Some(
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))) <= maxHamming))
-    perDocSummary(docs, pairs)
+    perDocSummary(hashed, pairs)
   }
 
   /** The df-capped per-doc shingle table `(doc_id, n_sh, sh)` shared by

@@ -220,6 +220,71 @@ object Pipeline {
       .orderBy(col("event_type"))
   }
 
+  /** The composed curation funnel: every keep/drop gate this library
+    * ships, run as ONE pipeline over the corpus — per-doc verdicts from
+    * [[gopherStats]] (repetition/quality), [[graft.operators.TextAnalysis.lmScores]]
+    * (bigram-LM perplexity proxy), [[boilerplate]] (cross-doc gram
+    * coverage), [[graft.operators.Dedup.windowDupCoverage]] (ExactSubstr
+    * span coverage) and [[decontaminate]] (benchmark 8-gram overlap;
+    * bench = `doc_id < benchSplit`, the repo-wide convention), conjoined
+    * into the final `keep`. Corpus-wide statistics (LM counts, gram df,
+    * window occurrence) are computed over the FULL corpus — a curation
+    * pass filters documents, it doesn't re-estimate its statistics per
+    * split — and the verdict rows cover the training split the
+    * decontamination gate is defined on.
+    *
+    * Scale shape: each gate keeps its own audited plan (one corpus pass
+    * each, all map-side-combined); the composition adds only doc_id-keyed
+    * joins of 1-bit verdict columns — bytes per doc, nothing rescanned.
+    * Output: (doc_id, keep_gopher, keep_lm, keep_boiler, keep_windows,
+    * keep_decontam, keep). */
+  def curate(docs: DataFrame, benchSplit: Long = 100): DataFrame = {
+    val g = gopherStats(docs)
+      .select(col("doc_id"), col("keep").as("keep_gopher"))
+    val l = TextAnalysis.lmScores(docs)
+      .select(col("doc_id"), col("keep").as("keep_lm"))
+    val b = boilerplate(docs)
+      .select(col("doc_id"), col("keep").as("keep_boiler"))
+    val w = Dedup.windowDupCoverage(docs)
+      .select(col("doc_id"), col("keep").as("keep_windows"))
+    val d = decontaminate(docs.filter(col("doc_id") >= benchSplit),
+        docs.filter(col("doc_id") < benchSplit))
+      .select(col("doc_id"), (!col("contaminated")).as("keep_decontam"))
+    g.join(l, Seq("doc_id")).join(b, Seq("doc_id")).join(w, Seq("doc_id"))
+      .join(d, Seq("doc_id")) // inner: restricts to the training split
+      .select(col("doc_id"), col("keep_gopher"), col("keep_lm"),
+        col("keep_boiler"), col("keep_windows"), col("keep_decontam"),
+        (col("keep_gopher") && col("keep_lm") && col("keep_boiler") &&
+          col("keep_windows") && col("keep_decontam")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-gate attrition for [[curate]]: the table an operator reads to
+    * see WHERE the corpus went — docs entering each stage and surviving
+    * it, gates applied in pipeline order (cheap narrow gates first, the
+    * corpus-join gates after). One aggregate over the verdict table →
+    * five rows via `stack`; at 100 TB this is a second's work on the
+    * 1-bit columns, not a rescan. */
+  def curationReport(docs: DataFrame, benchSplit: Long = 100): DataFrame = {
+    val c = curate(docs, benchSplit)
+    val g1 = col("keep_gopher")
+    val g2 = g1 && col("keep_lm")
+    val g3 = g2 && col("keep_boiler")
+    val g4 = g3 && col("keep_windows")
+    val g5 = g4 && col("keep_decontam")
+    def s(cond: Column) = sum(when(cond, 1L).otherwise(0L))
+    c.agg(count(lit(1)).as("n0"), s(g1).as("s1"), s(g2).as("s2"),
+        s(g3).as("s3"), s(g4).as("s4"), s(g5).as("s5"))
+      .select(expr(
+        "stack(5, " +
+          "1L, 'gopher', n0, s1, " +
+          "2L, 'lm_score', s1, s2, " +
+          "3L, 'boilerplate', s2, s3, " +
+          "4L, 'window_dup', s3, s4, " +
+          "5L, 'decontaminate', s4, s5) AS (stage, gate, n_in, n_surviving)"))
+      .orderBy(col("stage"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs by
     * cumulative token offset, sharded so the running sum is a per-shard
     * window (one shuffle on the shard key, each shard packs

@@ -233,6 +233,33 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("fingerprint near-dup: hamming<=3 always found, far prints dropped") {
+    import spark.implicits._
+    // pigeonhole recall: <=3 flipped bits touch at most 3 of the 4
+    // 16-bit bands, so every within-tolerance pair shares an intact band.
+    // a~b differ in 2 bits; c differs from a in 10 bits spread over ALL
+    // four bands (no intact band -> never even a candidate); d == a.
+    val a = 0x0123456789abcdefL
+    val b = a ^ (1L << 3) ^ (1L << 40)
+    val c = a ^ 0x0101010101010101L ^ 0x8080L
+    val fps = Seq((1L, a), (2L, b), (3L, c), (4L, a)).toDF("doc_id", "fp")
+    val got = operators.Dedup.fingerprintNearDup(fps).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(got(1L) == (2L, 2L), s"a pairs with b and d: ${got(1L)}")
+    assert(got(2L) == (2L, 1L), s"b pairs with a and d: ${got(2L)}")
+    assert(got(3L) == (0L, -1L), s"c is far from everything: ${got(3L)}")
+    assert(got(4L) == (2L, 1L), s"d pairs with a and b: ${got(4L)}")
+    // and the multimodal wrapper: identical payloads -> identical
+    // fingerprints -> flagged as perceptual dups end to end
+    val media = Seq((1L, "same bytes"), (2L, "same bytes"), (3L, "different"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val nd = multimodal.Multimodal.payloadNearDup(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nd(1L) == 1L && nd(2L) == 1L && nd(3L) == 0L, s"$nd")
+  }
+
   test("verified dedup: exact jaccard re-checks the estimate survivors") {
     val a = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
     val b = a.split(" ").updated(10, "EDIT").mkString(" ")

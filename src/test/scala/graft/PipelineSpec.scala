@@ -170,6 +170,27 @@ class PipelineSpec extends SparkSuite {
     assert(gf.getLong(0) == 10L && gf.getDouble(1) == 0.0, s"flat: $gf")
   }
 
+  test("curation funnel: keep is the gate conjunction, attrition chains") {
+    val t = sources.Tables(spark, sfDir)
+    val c = operators.Pipeline.curate(t.documents).collect()
+    assert(c.nonEmpty, "funnel must cover the training split")
+    // the final verdict is exactly the conjunction of the five gates
+    c.foreach { r =>
+      assert(r.getBoolean(6) == (r.getBoolean(1) && r.getBoolean(2) &&
+        r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5)), r.toString)
+    }
+    val rep = operators.Pipeline.curationReport(t.documents).collect()
+    assert(rep.map(_.getString(1)).toSeq ==
+      Seq("gopher", "lm_score", "boilerplate", "window_dup", "decontaminate"))
+    // survivors never exceed entrants, and each stage's survivors are the
+    // next stage's entrants — the attrition table chains
+    rep.foreach(r => assert(r.getLong(3) <= r.getLong(2), r.toString))
+    assert(rep.sliding(2).forall(p => p(0).getLong(3) == p(1).getLong(2)))
+    assert(rep.head.getLong(2) == c.length)
+    assert(rep.last.getLong(3) == c.count(_.getBoolean(6)),
+      "final survivors must equal the per-doc keep count")
+  }
+
   test("bpe pairs: frequency-weighted in-word multiplicity, ordered ties") {
     import spark.implicits._
     // f(ab)=2, f(ba)=1, f(aaa)=1 → "a b"=2·1, "b a"=1·1, "a a"=1·2

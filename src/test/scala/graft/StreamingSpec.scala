@@ -270,6 +270,56 @@ class StreamingSpec extends SparkSuite {
       "near-dup in batch B of a doc from batch A — the cross-batch flag")
   }
 
+  test("signature-store compaction: fewer files, same probes, buckets kept") {
+    import spark.implicits._
+    val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val tbl = "graft_sig_compact_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = Files.createTempDirectory("graft-sig-compact").toString
+    operators.Dedup.persistSignatures(
+      Seq((1L, baseText),
+        (2L, (1 to 80).map(i => s"other${i}x").mkString(" ")))
+        .toDF("doc_id", "text"), tbl, s"$dir/store")
+    // six micro-batch appends — each leaves files per (task, bucket),
+    // the small-file decay the compactor exists for
+    (0 until 6).foreach { b =>
+      operators.Dedup.appendSignatures(
+        Seq((100L + b, (1 to 80).map(i => s"batch${b}doc${i}").mkString(" ")))
+          .toDF("doc_id", "text"), tbl)
+    }
+    def nFiles: Int = new java.io.File(s"$dir/store").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val incoming = Seq(
+      (200L, baseText.split(" ").updated(10, "EDITED").mkString(" ")),
+      (201L, (1 to 80).map(i => s"fresh${i}z").mkString(" ")))
+      .toDF("doc_id", "text")
+    val before = operators.Dedup
+      .incrementalCandidatesFromStore(incoming, spark, tbl).collect().toSeq
+    val filesBefore = nFiles
+    val compacted = operators.Dedup.compactSignatureStore(spark, tbl,
+      maxFiles = 2)
+    assert(compacted > 0, "append-heavy buckets must be compacted")
+    assert(nFiles < filesBefore, s"file count must drop: $filesBefore -> $nFiles")
+    // probe answers must be byte-identical over the compacted store
+    val after = operators.Dedup
+      .incrementalCandidatesFromStore(incoming, spark, tbl).collect().toSeq
+    assert(after == before, "compaction must not change probe results")
+    // and the store must STILL satisfy the bucketed-join contract: the
+    // un-hinted shuffled probe plans its one (band,h) Exchange on the
+    // increment side only (compaction preserved the bucket file naming)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = planOf(operators.Dedup.incrementalCandidatesFromStore(
+        incoming, spark, tbl, autoBroadcast = false))
+      assert("""hashpartitioning\(band""".r.findAllIn(plan).size == 1,
+        s"bucket layout lost after compaction:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
   test("index compaction merges small posting files, search unchanged") {
     import spark.implicits._
     import graft.functions._
