@@ -266,6 +266,13 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, nCentroids = 16, nprobe = 4, k = 5)),
+    // the nprobe/recall TRADE: recall@5 + scanned-posting share for
+    // nprobe in {1,2,4,8} — the tuning table a deployment reads to pick
+    // its operating point (one scoring pass serves all sweep values)
+    "q_recall_sweep" -> q(t => IvfIndex.recallSweep(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, nCentroids = 16)),
     // LLM-pipeline dedup family
     "dedup_minhash"   -> q(t => Dedup.minhashCandidates(t.documents)),
     // the estimation step between LSH candidates and exact verification:
@@ -1231,6 +1238,49 @@ $rounds
         |FROM exact x LEFT JOIN approx a
         | ON x.query_id = a.query_id AND x.vec_id = a.vec_id
         |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+    // the sweep replayed: ONE ranked-probe table (crank <= 8), one scored
+    // candidate set, each sweep value a filter + windowed top-5 over it;
+    // scanned share from per-centroid posting sizes
+    "q_recall_sweep" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+        | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+        | exact AS (SELECT query_id, vec_id FROM (
+        |   SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, ev) DESC, vec_id) AS rn
+        |   FROM q CROSS JOIN e) WHERE rn <= 5),
+        | assign AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT e.vec_id, c.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM e CROSS JOIN c) WHERE rn = 1),
+        | ranked AS (SELECT query_id, centroid_id, crank FROM (
+        |   SELECT query_id, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS crank
+        |   FROM q CROSS JOIN c) WHERE crank <= 8),
+        | scored AS (SELECT r.query_id, a.vec_id, r.crank, list_cosine_similarity(q.qv, e.ev) AS sim
+        |   FROM ranked r JOIN assign a USING (centroid_id)
+        |   JOIN q ON r.query_id = q.query_id JOIN e ON a.vec_id = e.vec_id),
+        | ps AS (SELECT unnest([1, 2, 4, 8]) AS nprobe),
+        | ax AS (SELECT nprobe, query_id, vec_id FROM (
+        |   SELECT ps.nprobe, s.query_id, s.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY ps.nprobe, s.query_id ORDER BY s.sim DESC, s.vec_id) AS rn
+        |   FROM scored s CROSS JOIN ps WHERE s.crank <= ps.nprobe) WHERE rn <= 5),
+        | hits AS (SELECT a.nprobe, COUNT(*) AS n_hits FROM ax a
+        |   JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id GROUP BY 1),
+        | sizes AS (SELECT centroid_id, COUNT(*) AS psz FROM assign GROUP BY 1),
+        | scanned AS (SELECT ps.nprobe, SUM(psz) AS n_scanned
+        |   FROM ps, ranked r JOIN sizes USING (centroid_id)
+        |   WHERE r.crank <= ps.nprobe GROUP BY 1),
+        | nn AS (SELECT (SELECT COUNT(*) FROM q) AS nq, (SELECT COUNT(*) FROM e) AS n)
+        |SELECT CAST(ps.nprobe AS BIGINT) AS nprobe,
+        | CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        | floor(coalesce(n_hits, 0)/CAST(nq*5 AS DOUBLE)*1e6)/1e6 AS recall,
+        | CAST(coalesce(n_scanned, 0) AS BIGINT) AS n_scanned,
+        | floor(coalesce(n_scanned, 0)/CAST(nq*n AS DOUBLE)*1e6)/1e6 AS scan_share
+        |FROM ps CROSS JOIN nn
+        | LEFT JOIN hits ON hits.nprobe = ps.nprobe
+        | LEFT JOIN scanned ON scanned.nprobe = ps.nprobe
+        |ORDER BY 1""".stripMargin,
     "dedup_jaccard" ->
       s"""WITH tok AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
          | sh AS (SELECT doc_id, unnest(list_distinct(

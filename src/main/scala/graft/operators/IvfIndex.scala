@@ -299,4 +299,73 @@ object IvfIndex {
         (floor(count(col("hit")) / lit(k.toDouble) * 1e6) / 1e6).as("recall"))
       .orderBy(col("query_id"))
   }
+
+  /** The nprobe/recall trade as ONE table — what a deployment actually
+    * reads to pick its operating point: per sweep value, aggregate
+    * recall@k against brute force AND the share of postings scanned (the
+    * cost axis recall is traded against). [[recallAudit]] measures one
+    * fixed configuration; this measures the curve.
+    *
+    * Shape: the expensive work happens ONCE, not per sweep point — one
+    * corpus assignment, one probe ranking to `max(nprobes)` centroids per
+    * query, one scoring pass over the WIDEST candidate set, each row
+    * tagged with its centroid's probe rank (`crank`). A sweep point is
+    * then a filter (`crank <= p`) + bounded top-k window over that
+    * materialized table, and the scanned-postings count is a join of the
+    * ranked probes against per-centroid posting sizes — no second corpus
+    * scan anywhere. The scored table is localCheckpoint'ed because all
+    * sweep points re-read it; its size is queries × probed-corpus-share,
+    * bounded by the audit's query-sample contract (same bound as the
+    * probe-id collects). `queries.count`/`corpus.count` feed the ratio
+    * denominators — two cheap count jobs, not data collects. */
+  def recallSweep(queries: DataFrame, corpus: DataFrame, nCentroids: Int,
+                  nprobes: Seq[Int] = Seq(1, 2, 4, 8), k: Int = 5)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxP = nprobes.max
+    val cents = centroids(corpus, nCentroids)
+    val assign = nearestCentroid(corpus, cents)
+      .select(col("vec_id"), col("centroid_id"))
+      .localCheckpoint() // read twice: candidates + posting sizes
+    val ranked = cents.crossJoin(broadcast(queries))
+      .select(col("query_id"),
+        cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))
+      .withColumn("crank", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("centroid_id"))))
+      .filter(col("crank") <= maxP)
+      .select(col("query_id"), col("centroid_id"), col("crank"))
+      .localCheckpoint() // bounded: queries × maxP rows, read per sweep point
+    val scored = assign.join(broadcast(ranked), Seq("centroid_id"))
+      .join(corpus, Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("crank"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
+      .localCheckpoint() // all sweep points filter this one scoring pass
+    val exact = Search.bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint()
+    val sizes = assign.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("psz"))
+    val nq = queries.count()
+    val n = corpus.count()
+    nprobes.map { p =>
+      val approx = scored.filter(col("crank") <= p)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("query_id"))
+          .orderBy(col("sim").desc, col("vec_id"))))
+        .filter(col("rn") <= k)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      val hits = exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .agg(count(col("hit")).as("n_hits"))
+      val scanned = ranked.filter(col("crank") <= p)
+        .join(sizes, Seq("centroid_id"))
+        .agg(sum(col("psz")).as("n_scanned"))
+      hits.crossJoin(scanned).select(
+        lit(p.toLong).as("nprobe"),
+        col("n_hits"),
+        (floor(col("n_hits") / lit((nq * k).toDouble) * 1e6) / 1e6)
+          .as("recall"),
+        col("n_scanned"),
+        (floor(col("n_scanned") / lit((nq * n).toDouble) * 1e6) / 1e6)
+          .as("scan_share"))
+    }.reduce(_ unionByName _).orderBy(col("nprobe"))
+  }
 }

@@ -176,4 +176,21 @@ class IvfSpec extends SparkSuite {
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
     assert(full == exact)
   }
+
+  test("recall sweep: both axes monotone, full probe hits recall 1.0") {
+    val sweep = IvfIndex.recallSweep(queries, t.embeddings, nCentroids = 16,
+        nprobes = Seq(1, 4, 16))
+      .as[(Long, Long, Double, Long, Double)].collect()
+    assert(sweep.map(_._1).toSeq == Seq(1L, 4L, 16L))
+    // more probes can only ADD candidates: recall and scanned share are
+    // non-decreasing in nprobe
+    assert(sweep.map(_._3).sliding(2).forall(p => p(0) <= p(1)), sweep.toSeq)
+    assert(sweep.map(_._5).sliding(2).forall(p => p(0) <= p(1)), sweep.toSeq)
+    // probing every centroid scans the whole corpus and equals brute force
+    val full = sweep.last
+    assert(full._3 == 1.0, s"full-probe recall: ${full._3}")
+    assert(full._5 == 1.0, s"full-probe scan share: ${full._5}")
+    // the trade exists: the cheapest point scans a strict subset
+    assert(sweep.head._5 < 1.0)
+  }
 }

@@ -375,6 +375,46 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("RocksDB state backend: identical sessions, state metrics surfaced") {
+    import spark.implicits._
+    // the production state store must be invisible in the answer: the
+    // same stream under RocksDB emits exactly the sessions the default
+    // heap store emits (and the batch twin contains them)
+    val emitted = StateBackend.withRocksDB(spark) {
+      val q = SessionStream.statefulSessions(
+          streamEvents.as[SessionStream.Event])
+        .writeStream.format("memory").queryName("sessions_rocks")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(StateBackend.usesRocksDB(q),
+          "provider switch did not engage — no rocksdb metrics in progress")
+        // state-size metrics readable next to the drop accounting
+        val m = StateBackend.stateMetrics(q)
+        assert(m.nonEmpty && m.forall { case (_, rows, bytes) =>
+          rows >= 0L && bytes > 0L }, m.toString)
+        spark.table("sessions_rocks")
+          .select($"user_id", $"session_start", $"n_events").collect().toSet
+      } finally q.stop()
+    }
+    // default-provider run of the SAME stream (fresh query, no shared
+    // checkpoint) — result sets must match exactly
+    val q2 = SessionStream.statefulSessions(
+        streamEvents.as[SessionStream.Event])
+      .writeStream.format("memory").queryName("sessions_hdfs")
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(!StateBackend.usesRocksDB(q2))
+      val hdfs = spark.table("sessions_hdfs")
+        .select($"user_id", $"session_start", $"n_events").collect().toSet
+      assert(emitted == hdfs,
+        s"providers disagree: only-rocks=${(emitted -- hdfs).size} " +
+          s"only-hdfs=${(hdfs -- emitted).size}")
+      assert(emitted.nonEmpty)
+    } finally q2.stop()
+  }
+
   test("streaming count-min grid converges to the batch grid") {
     import org.apache.spark.sql.Row
     val dir = Files.createTempDirectory("graft-cms-stream").toString
