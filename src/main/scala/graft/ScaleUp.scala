@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bench-data scale-up: replicate an SF directory `reps`× into a larger
+  * one (`runMain graft.ScaleUp <srcDir> <outDir> [reps]`) so the scale
+  * story can be validated EMPIRICALLY — per-query sf0.1 → sf1 wall-time
+  * ratios instead of plan-shape arguments (PROGRESS.md records them).
+  *
+  * Replication preserves the workload's SHAPE, not just its row count:
+  *  - every key domain gets a disjoint per-replica offset (a clean power
+  *    of ten past the source max), and FOREIGN keys move with their
+  *    parents — replica r's lineitem rows join replica r's orders,
+  *    events.user_id follows c_custkey — so join selectivities and group
+  *    cardinalities scale the way a bigger corpus actually scales;
+  *  - dimension tables (region, nation) stay fixed, as they do in TPC-H;
+  *  - document text is token-suffixed per replica (`_r`, r ≥ 1; suffix
+  *    survives the preprocess normalizer), making replicas DISJOINT in
+  *    token/shingle space: dedup candidate pairs and vocabulary grow
+  *    linearly. Naive duplication would put every doc in a 10-way
+  *    exact-dup cluster and inflate every pair table ~45× — measured
+  *    "super-linear scaling" that is an artifact of the generator, not
+  *    the operator;
+  *  - embeddings are rotated by r positions (norm- and
+  *    distribution-preserving), so replicas are not mutual
+  *    nearest-neighbor ties and top-k semantics keep their sf0.1
+  *    character;
+  *  - events keep their timestamps (10× density over the same window —
+  *    how a bigger corpus lands in practice); the raw TIMESTAMP(NANOS)
+  *    longs are round-tripped unchanged, so `Tables.events` applies the
+  *    same ns→µs truncation on the scaled directory.
+  *
+  * Query-side literals keep their meaning: replica ids live ABOVE the
+  * offsets, so `vec_id < 3` query sets, the `doc_id < 100` bench split
+  * and the `doc_id < 250` incremental base all still select original
+  * (replica-0) rows — query counts stay fixed while the corpus grows,
+  * which is exactly the scaling a deployment sees. */
+object ScaleUp {
+
+  /** Smallest power of ten strictly above `max` — a readable disjoint
+    * offset stride per key domain. */
+  private def stride(max: Long): Long = {
+    var s = 10L
+    while (s <= max) s *= 10
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val Array(srcDir, outDir) = args.take(2)
+    val reps = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.coalesce(4).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    // fixed dims — same five regions / 25 nations at every SF
+    Seq("region", "nation").foreach(t => write(read(t), t))
+
+    def maxOf(t: String, c: String): Long =
+      read(t).agg(max(col(c))).head.getLong(0)
+    val custOff = stride(maxOf("customer", "c_custkey"))
+    val suppOff = stride(maxOf("supplier", "s_suppkey"))
+    val partOff = stride(maxOf("part", "p_partkey"))
+    val ordOff = stride(maxOf("orders", "o_orderkey"))
+    val evOff = stride(maxOf("events", "event_id"))
+    val docOff = stride(maxOf("documents", "doc_id"))
+    val vecOff = stride(maxOf("embeddings", "vec_id"))
+
+    /** Union of `reps` per-replica transforms. */
+    def replicate(t: String)(f: (DataFrame, Int) => DataFrame): Unit =
+      write((0 until reps).map(r => f(read(t), r)).reduce(_ unionByName _), t)
+
+    def shift(df: DataFrame, r: Int, offs: (String, Long)*): DataFrame =
+      offs.foldLeft(df) { case (d, (c, off)) =>
+        d.withColumn(c, col(c) + lit(r * off))
+      }
+
+    replicate("customer")((d, r) => shift(d, r, "c_custkey" -> custOff))
+    replicate("supplier")((d, r) => shift(d, r, "s_suppkey" -> suppOff))
+    replicate("part")((d, r) => shift(d, r, "p_partkey" -> partOff))
+    replicate("orders")((d, r) =>
+      shift(d, r, "o_orderkey" -> ordOff, "o_custkey" -> custOff))
+    replicate("lineitem")((d, r) =>
+      shift(d, r, "l_orderkey" -> ordOff, "l_partkey" -> partOff,
+        "l_suppkey" -> suppOff))
+    replicate("events")((d, r) =>
+      shift(d, r, "event_id" -> evOff, "user_id" -> custOff))
+    replicate("documents") { (d, r) =>
+      val shifted = shift(d, r, "doc_id" -> docOff)
+      if (r == 0) shifted
+      else shifted.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", "$1_" + r))
+    }
+    replicate("embeddings") { (d, r) =>
+      val shifted = shift(d, r, "vec_id" -> vecOff)
+      if (r == 0) shifted
+      else shifted.withColumn("embedding", expr(
+        s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
+          s"slice(embedding, 1, $r))"))
+    }
+    println(s"[scaleup] wrote ${reps}x of $srcDir to $outDir " +
+      s"(offsets: cust=$custOff supp=$suppOff part=$partOff ord=$ordOff " +
+      s"ev=$evOff doc=$docOff vec=$vecOff)")
+    spark.stop()
+  }
+}
