@@ -210,6 +210,13 @@ object Oracles {
        | COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** dedup_canonical: the funnel's apply step — keep verdicts projected
+    * from the clusters oracle (canonical member = smallest doc_id). */
+  def dedupCanonicalSql(maxBucket: Int = 1000): String =
+    s"""SELECT doc_id, cluster_id, cluster_size,
+       | cluster_id = doc_id AS keep
+       |FROM (${dedupClustersSql(maxBucket)}) ORDER BY doc_id""".stripMargin
+
   /** mm_neardup: the perceptual-fingerprint near-dup pass replayed. The
     * stub decoder's features are the FNV64 checksum's bytes and the
     * quantize-back (byte → float/255 → ×255 → round) is the identity on

@@ -291,6 +291,9 @@ object SparkEntry {
     "dedup_edit"      -> q(t => Dedup.editVerified(t.documents)),
     "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
     "dedup_clusters"  -> q(t => Dedup.clusters(t.documents)),
+    // the funnel's APPLY step: keep exactly the canonical member of each
+    // converged cluster — `WHERE keep` IS the deduplicated corpus
+    "dedup_canonical" -> q(t => Dedup.canonicalize(t.documents)),
     // SemDeDup-style: near-dup NN within LEARNED (centroid) blocks — the
     // blocking key is computed, not given; assignment is a narrow pass
     "dedup_semantic"  -> q(t => Dedup.semanticNeighbors(t.embeddings)),
@@ -1365,6 +1368,7 @@ $rounds
     "dedup_minhash"  -> Oracles.dedupMinhashSql(),
     "dedup_simhash"  -> Oracles.dedupSimhashSql(),
     "dedup_clusters" -> Oracles.dedupClustersSql(),
+    "dedup_canonical" -> Oracles.dedupCanonicalSql(),
     "dedup_incremental" -> Oracles.dedupIncrementalSql(),
     "dedup_minhash_est" -> Oracles.dedupMinhashEstSql(),
     "dedup_edit" -> Oracles.dedupEditSql(),

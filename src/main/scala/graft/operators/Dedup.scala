@@ -606,9 +606,21 @@ object Dedup {
     * OVER-counting duplication — conservative for a keep/drop gate, and
     * the accepted cost of hashing the shuffle key. */
   def windowDupCoverage(docs: DataFrame, k: Int = 5,
-                        maxFrac: Double = 0.5): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+                        maxFrac: Double = 0.5): DataFrame =
+    windowDupCoverageFrom(
+      docs.select(col("doc_id"), tokens(preprocess(col("text"))).as("toks")),
+      k, maxFrac)
+
+  /** [[windowDupCoverage]] over a pre-tokenized `(doc_id, toks)` table —
+    * the fused-curation entry point (one shared tokenization pass across
+    * the gates; see [[Pipeline.curate]]). The window build checkpoints
+    * its own derived table below, so `toksDf` may be a plain projection
+    * (standalone) or an already-materialized shared table (fused) —
+    * results identical either way. */
+  private[operators] def windowDupCoverageFrom(toksDf: DataFrame, k: Int = 5,
+                                               maxFrac: Double = 0.5)
+      : DataFrame = {
+    val toks = toksDf
       .select(col("doc_id"), size(col("toks")).as("n_tok"),
         shingles(col("toks"), k).as("ws"))
       .localCheckpoint() // barrier: see cappedShingleTable
@@ -741,6 +753,22 @@ object Dedup {
           spark, priorCkptDir)
     }
   }
+
+  /** The APPLY step that ends the dedup funnel: per-doc keep/drop from
+    * the converged [[clusters]] assignment — each cluster keeps exactly
+    * its canonical member (the smallest doc_id, i.e. `cluster_id ==
+    * doc_id`), everyone else drops. This is the row a pipeline actually
+    * filters on after candidates → verification → components: `WHERE
+    * keep` yields the deduplicated corpus, `1 − keeps/total` is the
+    * measured dup rate, and `cluster_size` tells an auditor how big the
+    * group each survivor represents was. Costs nothing beyond
+    * [[clusters]] itself — the verdict is a projection of its output. */
+  def canonicalize(docs: DataFrame, maxIters: Int = 10,
+                   maxBucket: Int = 1000): DataFrame =
+    clusters(docs, maxIters, maxBucket)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("cluster_id") === col("doc_id")).as("keep"))
+      .orderBy(col("doc_id"))
 
   /** The blocked-NN core shared by [[embeddingNeighbors]] (given blocks)
     * and [[semanticNeighbors]] (learned blocks): self-join WITHIN a block

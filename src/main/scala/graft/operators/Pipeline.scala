@@ -26,12 +26,18 @@ object Pipeline {
     * Two doc_id-keyed shuffles (token mode via explode→count→max) joined
     * back to the narrow array-side stats; everything partial-aggregates
     * map-side. */
-  def gopherStats(docs: DataFrame): DataFrame = {
+  def gopherStats(docs: DataFrame): DataFrame =
     // barrier: explode (Generate) re-evaluates its child per OUTPUT row —
     // the tokenization chain must be materialized first
-    val base = docs
+    gopherStatsFrom(docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint()
+      .localCheckpoint())
+
+  /** [[gopherStats]] over a pre-tokenized, MATERIALIZED `(doc_id, toks)`
+    * table — the fused-curation entry point ([[curate]] shares one
+    * tokenization pass across all gates). Caller must pass a
+    * checkpointed table (read twice, feeds a Generate). */
+  private[operators] def gopherStatsFrom(base: DataFrame): DataFrame = {
     val stats = base.select(
       col("doc_id"),
       size(col("toks")).cast("long").as("n_tok"),
@@ -75,10 +81,21 @@ object Pipeline {
     * Both df sides partial-aggregate map-side; no all-pairs step exists
     * anywhere. Output: (doc_id, n_grams, n_boiler, boiler_frac, keep). */
   def boilerplate(docs: DataFrame, n: Int = 5, minDf: Int = 3,
-                  maxFrac: Double = 0.5): DataFrame = {
-    val grams = docs
+                  maxFrac: Double = 0.5): DataFrame =
+    boilerplateFrom(
+      docs.select(col("doc_id"), tokens(preprocess(col("text"))).as("toks")),
+      n, minDf, maxFrac)
+
+  /** [[boilerplate]] over a pre-tokenized `(doc_id, toks)` table — the
+    * fused-curation entry point. The gram build checkpoints its own
+    * derived tables below, so `toksDf` may be a plain projection
+    * (standalone) or a shared materialized table ([[curate]]). */
+  private[operators] def boilerplateFrom(toksDf: DataFrame, n: Int = 5,
+                                         minDf: Int = 3,
+                                         maxFrac: Double = 0.5): DataFrame = {
+    val grams = toksDf
       .select(col("doc_id"),
-        array_distinct(shingles(tokens(preprocess(col("text"))), n)).as("gs"))
+        array_distinct(shingles(col("toks"), n)).as("gs"))
       // barrier (Generate re-evaluation) + read twice: df and per-doc join
       .localCheckpoint()
       .select(col("doc_id"), explode(col("gs")).as("gram"))
@@ -92,7 +109,7 @@ object Pipeline {
     val frac = when(col("n_grams") > 0,
       col("n_boiler").cast("double") / col("n_grams").cast("double"))
       .otherwise(lit(0.0))
-    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+    toksDf.select(col("doc_id")).join(per, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_grams", "n_boiler"))
       .select(col("doc_id"), col("n_grams"), col("n_boiler"),
         r4(frac).as("boiler_frac"),
@@ -134,10 +151,21 @@ object Pipeline {
     * broadcasts — the training side never shuffles for the probe; the
     * only shuffle is the per-doc hit count, keyed by doc_id. */
   def decontaminate(training: DataFrame, bench: DataFrame, n: Int = 8): DataFrame = {
+    def toks(df: DataFrame) = df.select(col("doc_id"),
+      tokens(preprocess(col("text"))).as("toks"))
+    decontaminateFrom(toks(training), toks(bench), n)
+  }
+
+  /** [[decontaminate]] over pre-tokenized `(doc_id, toks)` tables — the
+    * fused-curation entry point. The gram-set build keeps its own
+    * barrier below, so the inputs may be plain projections (standalone)
+    * or slices of a shared materialized table ([[curate]]). */
+  private[operators] def decontaminateFrom(training: DataFrame,
+                                           bench: DataFrame,
+                                           n: Int = 8): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
-        array_distinct(shingles(tokens(preprocess(col("text"))), n))
-          .as("grams"))
+        array_distinct(shingles(col("toks"), n)).as("grams"))
       // ONE barrier, on the finished gram-set arrays: Generate re-evaluates
       // its child per output row, so the array build must be materialized —
       // but tokenize→shingle→distinct is a single narrow projection, and
@@ -233,22 +261,29 @@ object Pipeline {
     * split — and the verdict rows cover the training split the
     * decontamination gate is defined on.
     *
-    * Scale shape: each gate keeps its own audited plan (one corpus pass
-    * each, all map-side-combined); the composition adds only doc_id-keyed
-    * joins of 1-bit verdict columns — bytes per doc, nothing rescanned.
-    * Output: (doc_id, keep_gopher, keep_lm, keep_boiler, keep_windows,
-    * keep_decontam, keep). */
+    * Scale shape: the preprocess/tokenize regex chain — the funnel's
+    * hottest CPU — runs ONCE into a shared materialized token table that
+    * all five gates consume (measured warm at sf0.1: 6.3 → 5.4 s for the
+    * funnel, 6.0 → 4.7 s for the report; the residual is the gates' own
+    * downstream work, whose barriers serialize); each gate keeps its own
+    * audited downstream plan (map-side-combined aggregates), and the
+    * composition adds only doc_id-keyed joins of 1-bit verdict columns —
+    * bytes per doc, nothing rescanned. Output: (doc_id, keep_gopher,
+    * keep_lm, keep_boiler, keep_windows, keep_decontam, keep). */
   def curate(docs: DataFrame, benchSplit: Long = 100): DataFrame = {
-    val g = gopherStats(docs)
+    val toks = docs
+      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      .localCheckpoint() // ONE tokenization pass, shared by all gates
+    val g = gopherStatsFrom(toks)
       .select(col("doc_id"), col("keep").as("keep_gopher"))
-    val l = TextAnalysis.lmScores(docs)
+    val l = TextAnalysis.lmScoresFrom(toks)
       .select(col("doc_id"), col("keep").as("keep_lm"))
-    val b = boilerplate(docs)
+    val b = boilerplateFrom(toks)
       .select(col("doc_id"), col("keep").as("keep_boiler"))
-    val w = Dedup.windowDupCoverage(docs)
+    val w = Dedup.windowDupCoverageFrom(toks)
       .select(col("doc_id"), col("keep").as("keep_windows"))
-    val d = decontaminate(docs.filter(col("doc_id") >= benchSplit),
-        docs.filter(col("doc_id") < benchSplit))
+    val d = decontaminateFrom(toks.filter(col("doc_id") >= benchSplit),
+        toks.filter(col("doc_id") < benchSplit))
       .select(col("doc_id"), (!col("contaminated")).as("keep_decontam"))
     g.join(l, Seq("doc_id")).join(b, Seq("doc_id")).join(w, Seq("doc_id"))
       .join(d, Seq("doc_id")) // inner: restricts to the training split

@@ -259,10 +259,20 @@ object TextAnalysis {
       .limit(topK)
   }
 
-  def lmScores(docs: DataFrame, maxAvgNll: Double = 10.0): DataFrame = {
-    val toks = docs
+  def lmScores(docs: DataFrame, maxAvgNll: Double = 10.0): DataFrame =
+    lmScoresFrom(docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint() // barrier + read twice: vocabulary and bigrams
+      .localCheckpoint(), // barrier + read twice: vocabulary and bigrams
+      maxAvgNll)
+
+  /** [[lmScores]] over a pre-tokenized, MATERIALIZED `(doc_id, toks)`
+    * table — the fused-curation entry point ([[Pipeline.curate]] shares
+    * ONE tokenization pass across all five gates; each gate alone paid
+    * the preprocess regex chain, the hottest CPU in the funnel). Caller
+    * must pass a checkpointed/materialized table: `toks` is read twice
+    * and feeds Generates. Results identical to [[lmScores]]. */
+  private[operators] def lmScoresFrom(toks: DataFrame,
+                                      maxAvgNll: Double = 10.0): DataFrame = {
     val vocab = toks
       .select(explode(col("toks")).as("tk"))
       .agg(count_distinct(col("tk")).as("V"))
@@ -289,7 +299,7 @@ object TextAnalysis {
           (e.getField("cb") + lit(1L)).cast("double"))
     })
     val avg = nll / col("n_bigrams").cast("double")
-    docs.select(col("doc_id"))
+    toks.select(col("doc_id"))
       .join(scored.select(col("doc_id"), col("n_bigrams"),
         (floor(avg * 1e4) / 1e4).as("avg_nll"),
         (avg <= maxAvgNll).as("keep")), Seq("doc_id"), "left")

@@ -32,6 +32,29 @@ class ClusterSpec extends SparkSuite {
     assert(bad == 0)
   }
 
+  test("canonicalize: exactly one keep per cluster, and it is the min id") {
+    val a = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val b = a.split(" ").updated(10, "EDIT1").mkString(" ")
+    val c = b.split(" ").updated(50, "EDIT2").mkString(" ")
+    val d = (1 to 80).map(i => s"zz${i}qq").mkString(" ")
+    val docs = Seq((1L, a), (2L, b), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val got = Dedup.canonicalize(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // the dup cluster {1,2,3} keeps only 1; singleton 4 keeps itself
+    assert(got.map(r => r._1 -> r._4).toMap ==
+      Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+    // `WHERE keep` is the deduplicated corpus: one survivor per cluster
+    val perCluster = got.groupBy(_._2).view.mapValues(_.count(_._4))
+    assert(perCluster.values.forall(_ == 1), perCluster.toMap.toString)
+    // and the survivor is always the cluster's smallest member
+    got.filter(_._4).foreach(r => assert(r._1 == r._2, r.toString))
+    // on the real corpus: keep count == cluster count
+    val t = Tables(spark, sfDir)
+    val real = Dedup.canonicalize(t.documents)
+    assert(real.filter($"keep").count() ==
+      real.select($"cluster_id").distinct().count())
+  }
+
   test("reliable-checkpoint mode produces identical clusters") {
     val t = Tables(spark, sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString

@@ -375,6 +375,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch trailing-window join") {
+    import spark.implicits._
+    val q = JoinStream.purchaseAttribution(streamEvents)
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("attrib_out")
+        .select($"purchase_id", $"click_id").collect().toSet
+      val batch = JoinStream.purchaseAttributionBatch(
+          t.events.select("event_id", "ts", "user_id", "event_type", "value"))
+        .select($"purchase_id", $"click_id").collect().toSet
+      assert(batch.nonEmpty, "batch comparator must find attributions")
+      // inner stream-stream join: matches emit once both rows arrived —
+      // exact batch equality for in-watermark data
+      assert(streamed == batch,
+        s"only-stream=${(streamed -- batch).size} " +
+          s"only-batch=${(batch -- streamed).size} of ${batch.size}")
+      // two-sided join state is real and measured
+      val m = StateBackend.stateMetrics(q)
+      assert(m.exists { case (op, _, _) => op.contains("symmetricHashJoin") },
+        m.toString)
+    } finally q.stop()
+  }
+
   test("RocksDB state backend: identical sessions, state metrics surfaced") {
     import spark.implicits._
     // the production state store must be invisible in the answer: the
