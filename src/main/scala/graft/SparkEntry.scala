@@ -348,6 +348,9 @@ object SparkEntry {
     // BPE tokenizer induction: top merge candidates by corpus-weighted
     // adjacent-char-pair count — one corpus pass, then vocab-sized work
     "q_bpe_pairs"      -> q(t => TextAnalysis.bpePairs(t.documents)),
+    // one REAL BPE training round: pick best merge, apply to the vocab
+    // (left-to-right non-overlap replace), recount — both rounds emitted
+    "q_bpe_train"      -> q(t => TextAnalysis.bpeTrain(t.documents)),
     // Zipf audit: log-log least-squares slope of the head vocabulary's
     // rank-frequency curve (corpus-health gate; natural text ≈ −1)
     "q_zipf"           -> q(t => TextAnalysis.zipfAudit(t.documents)),
@@ -1552,6 +1555,30 @@ $rounds
           |   FROM (SELECT string_split(tk,'') AS cs, f FROM f)),
           | s AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS score FROM p GROUP BY 1)
           |SELECT pair, score FROM s ORDER BY score DESC, pair LIMIT 20""").stripMargin,
+    // one BPE training round replayed: best merge chosen by (score desc,
+    // pair), applied with left-to-right non-overlapping replace() (the
+    // same convention in both engines), round-2 pairs recounted over the
+    // rewritten vocabulary with the merge as a chr(1) sentinel
+    "q_bpe_train" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tokq AS (SELECT unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n0),
+          | f AS (SELECT tk, COUNT(*) AS f FROM tokq GROUP BY 1),
+          | p1 AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS score FROM (
+          |   SELECT unnest(list_transform(range(1, len(cs)), i -> cs[i]||' '||cs[i+1])) AS pair, f
+          |   FROM (SELECT string_split(tk,'') AS cs, f FROM f)) GROUP BY 1),
+          | mg AS (SELECT replace(pair, ' ', '') AS m FROM (
+          |   SELECT pair FROM p1 ORDER BY score DESC, pair LIMIT 1)),
+          | f2 AS (SELECT replace(tk, (SELECT m FROM mg), chr(1)) AS tk2, f FROM f),
+          | p2 AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS score FROM (
+          |   SELECT unnest(list_transform(range(1, len(cs)), i -> cs[i]||' '||cs[i+1])) AS pair, f
+          |   FROM (SELECT string_split(tk2,'') AS cs, f FROM f2)) GROUP BY 1)
+          |SELECT CAST(round AS BIGINT) AS round, pair, score FROM (
+          | SELECT 1 AS round, pair, score FROM (
+          |   SELECT pair, score FROM p1 ORDER BY score DESC, pair LIMIT 10)
+          | UNION ALL
+          | SELECT 2, replace(pair, chr(1), (SELECT m FROM mg)), score FROM (
+          |   SELECT pair, score FROM p2 ORDER BY score DESC, pair LIMIT 10))
+          |ORDER BY round, score DESC, pair""").stripMargin,
     // zipf replayed: same rank order, same rank-ordered folds, same
     // closed-form combination
     "q_zipf" ->

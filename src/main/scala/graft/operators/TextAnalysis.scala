@@ -259,6 +259,52 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** One real BPE TRAINING iteration on top of [[bpePairs]]' counting:
+    * pick the best merge, APPLY it to the vocabulary, and recount — the
+    * loop a byte-pair-encoding trainer runs to convergence, demonstrated
+    * for one round with both rounds' top-`topK` tables emitted
+    * (`(round, pair, score)`; round-2 pairs containing the merged symbol
+    * are printed expanded, e.g. `ab c`).
+    *
+    * Scale shape (why BPE training is vocab-bound, not corpus-bound):
+    * the corpus is read ONCE into the word-frequency table; the merge
+    * application is a `replace()` over VOCABULARY strings (left-to-right
+    * non-overlapping in both engines — the classic BPE convention), and
+    * every subsequent round recounts pairs over the vocabulary alone.
+    * The winning merge is a ONE-row collect (bounded by contract, like
+    * the centroid collects) folded into round 2's expression; the merged
+    * pair travels as a single sentinel char (`\\u0001` — outside the
+    * normalized alphabet) so round-2 adjacency is again char adjacency. */
+  def bpeTrain(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val freq = docs
+      .select(explode(tokens(preprocess(col("text")))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("f"))
+      .localCheckpoint() // read three times: round-1 pairs, winner, round-2
+    def pairsOf(words: DataFrame, wordCol: String): DataFrame =
+      words
+        .select(col("f"), explode(shingles(split(col(wordCol), ""), 2)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("score"))
+    val r1 = pairsOf(freq, "tk")
+    val top1 = r1.orderBy(col("score").desc, col("pair")).limit(1)
+      .collect().headOption // ONE row: the winning merge
+    val r1Out = r1.orderBy(col("score").desc, col("pair")).limit(topK)
+      .select(lit(1L).as("round"), col("pair"), col("score"))
+    top1 match {
+      case None => r1Out // empty corpus: no merge to apply
+      case Some(row) =>
+        val merged = row.getString(0).split(" ").mkString
+        val applied = freq.withColumn("tk2",
+          expr(s"replace(tk, '$merged', chr(1))"))
+        val r2Out = pairsOf(applied, "tk2")
+          .orderBy(col("score").desc, col("pair")).limit(topK)
+          .select(lit(2L).as("round"),
+            expr(s"replace(pair, chr(1), '$merged')").as("pair"),
+            col("score"))
+        r1Out.unionByName(r2Out)
+          .orderBy(col("round"), col("score").desc, col("pair"))
+    }
+  }
+
   def lmScores(docs: DataFrame, maxAvgNll: Double = 10.0): DataFrame =
     lmScoresFrom(docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))

@@ -191,6 +191,24 @@ class PipelineSpec extends SparkSuite {
       "final survivors must equal the per-doc keep count")
   }
 
+  test("bpe train: winning merge applied left-to-right, round 2 recounts") {
+    import spark.implicits._
+    // vocab {ab:3, ba:1}: round 1 picks "a b" (score 3). After the merge,
+    // word "ab" collapses to ONE symbol (no pairs left) and only "b a"
+    // survives into round 2 — the recount must see the rewritten vocab.
+    val docs = Seq((1L, "ab ab ab ba")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.bpeTrain(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, "a b", 3L), (1L, "b a", 1L), (2L, "b a", 1L)),
+      s"got $got")
+    // left-to-right non-overlap: "aaa" under merge "a a" -> [aa][a], so
+    // round 2 still counts one adjacent (merged, a) pair
+    val got2 = operators.TextAnalysis.bpeTrain(
+        Seq((1L, "aaa aaa")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got2.filter(_._1 == 2L) == Seq((2L, "aa a", 2L)), s"got $got2")
+  }
+
   test("bpe pairs: frequency-weighted in-word multiplicity, ordered ties") {
     import spark.implicits._
     // f(ab)=2, f(ba)=1, f(aaa)=1 → "a b"=2·1, "b a"=1·1, "a a"=1·2

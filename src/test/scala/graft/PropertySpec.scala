@@ -221,4 +221,40 @@ class PropertySpec extends SparkSuite {
         s"duplication must saturate coverage: ${sat.toSeq}")
     }
   }
+
+  test("fingerprint near-dup recall: any pair within hamming<=3 is found") {
+    // the pigeonhole guarantee behind mm_neardup: 3 flipped bits touch
+    // at most 3 of the 4 16-bit bands, so one band survives intact and
+    // the pair MUST surface as a candidate and pass the exact verify —
+    // checked against random fingerprints with random <=3-bit flips
+    val caseGen = for {
+      fp <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      k <- Gen.chooseNum(0, 3)
+      bits <- Gen.listOfN(k, Gen.chooseNum(0, 63))
+    } yield (fp, bits.distinct)
+    forAll(caseGen, 25) { case (fp, bits) =>
+      val near = bits.foldLeft(fp)((acc, b) => acc ^ (1L << b))
+      val fps = Seq((1L, fp), (2L, near)).toDF("doc_id", "fp")
+      val got = operators.Dedup.fingerprintNearDup(fps).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(1L) == 1L && got(2L) == 1L,
+        s"fp=$fp bits=$bits (hamming=${bits.size}) must pair: $got")
+    }
+    // and the complement: >3 flips spread across all four bands (one per
+    // band plus one more) must NOT pair — either no intact band or the
+    // exact hamming verify rejects
+    val farGen = for {
+      fp <- Gen.chooseNum(Long.MinValue, Long.MaxValue)
+      extra <- Gen.chooseNum(0, 15)
+    } yield (fp, extra)
+    forAll(farGen, 10) { case (fp, extra) =>
+      val far = fp ^ (1L << 3) ^ (1L << 19) ^ (1L << 35) ^
+        (1L << 51) ^ (1L << (16 + (extra % 3)))
+      val fps = Seq((1L, fp), (2L, far)).toDF("doc_id", "fp")
+      val got = operators.Dedup.fingerprintNearDup(fps).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got(1L) == 0L && got(2L) == 0L,
+        s"fp=$fp extra=$extra must not pair: $got")
+    }
+  }
 }
