@@ -617,7 +617,7 @@ object Dedup {
     * its own derived table below, so `toksDf` may be a plain projection
     * (standalone) or an already-materialized shared table (fused) —
     * results identical either way. */
-  private[operators] def windowDupCoverageFrom(toksDf: DataFrame, k: Int = 5,
+  private[graft] def windowDupCoverageFrom(toksDf: DataFrame, k: Int = 5,
                                                maxFrac: Double = 0.5)
       : DataFrame = {
     val toks = toksDf

@@ -37,7 +37,7 @@ object Pipeline {
     * table — the fused-curation entry point ([[curate]] shares one
     * tokenization pass across all gates). Caller must pass a
     * checkpointed table (read twice, feeds a Generate). */
-  private[operators] def gopherStatsFrom(base: DataFrame): DataFrame = {
+  private[graft] def gopherStatsFrom(base: DataFrame): DataFrame = {
     val stats = base.select(
       col("doc_id"),
       size(col("toks")).cast("long").as("n_tok"),
@@ -90,7 +90,7 @@ object Pipeline {
     * fused-curation entry point. The gram build checkpoints its own
     * derived tables below, so `toksDf` may be a plain projection
     * (standalone) or a shared materialized table ([[curate]]). */
-  private[operators] def boilerplateFrom(toksDf: DataFrame, n: Int = 5,
+  private[graft] def boilerplateFrom(toksDf: DataFrame, n: Int = 5,
                                          minDf: Int = 3,
                                          maxFrac: Double = 0.5): DataFrame = {
     val grams = toksDf
@@ -160,7 +160,7 @@ object Pipeline {
     * fused-curation entry point. The gram-set build keeps its own
     * barrier below, so the inputs may be plain projections (standalone)
     * or slices of a shared materialized table ([[curate]]). */
-  private[operators] def decontaminateFrom(training: DataFrame,
+  private[graft] def decontaminateFrom(training: DataFrame,
                                            bench: DataFrame,
                                            n: Int = 8): DataFrame = {
     def grams(df: DataFrame): DataFrame = df

@@ -317,7 +317,7 @@ object TextAnalysis {
     * the preprocess regex chain, the hottest CPU in the funnel). Caller
     * must pass a checkpointed/materialized table: `toks` is read twice
     * and feeds Generates. Results identical to [[lmScores]]. */
-  private[operators] def lmScoresFrom(toks: DataFrame,
+  private[graft] def lmScoresFrom(toks: DataFrame,
                                       maxAvgNll: Double = 10.0): DataFrame = {
     val vocab = toks
       .select(explode(col("toks")).as("tk"))

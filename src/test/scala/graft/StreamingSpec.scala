@@ -375,6 +375,40 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming curation with frozen stats equals the batch funnel") {
+    import spark.implicits._
+    // freeze the corpus statistics from the FULL corpus (the batch
+    // "training" pass), stream the training split in two micro-batches,
+    // and require verdicts IDENTICAL to the batch funnel over the same
+    // corpus — the train/serve fidelity contract
+    val docs = t.documents
+    val stats = CurationStream.freezeStats(
+      docs, docs.filter($"doc_id" < 100))
+    val dir = Files.createTempDirectory("graft-curate-stream").toString
+    val training = docs.filter($"doc_id" >= 100)
+    training.filter($"doc_id" < 300).coalesce(1)
+      .write.parquet(s"$dir/src/c=a")
+    Thread.sleep(1100)
+    training.filter($"doc_id" >= 300).coalesce(1)
+      .write.parquet(s"$dir/src/c=b")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/src/c=*")
+    CurationStream.start(spark, stream, stats, s"$dir/out", s"$dir/_ckpt")
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .orderBy($"doc_id").collect().toSeq
+    val batch = operators.Pipeline.curate(docs)
+      .collect().toSeq
+    assert(streamed.length == batch.length,
+      s"${streamed.length} streamed vs ${batch.length} batch rows")
+    val diff = streamed.zip(batch).filter { case (s, b) => s != b }
+    assert(diff.isEmpty,
+      s"${diff.size} verdict rows differ; first: ${diff.headOption}")
+  }
+
   test("stream-stream interval join equals the batch trailing-window join") {
     import spark.implicits._
     val q = JoinStream.purchaseAttribution(streamEvents)
