@@ -127,6 +127,18 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings.filter(col("vec_id") >= 20), maxDistance = 0.4)),
+    // contrastive-training negative mining: most-similar NON-near-dups
+    // per anchor (the informative band below sim 0.95; self excluded)
+    "q_hard_negatives" -> q(t => Search.hardNegatives(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings)),
+    // diversified retrieval: greedy MMR re-rank of the top-20 candidates
+    // (λ=0.7) — one corpus scan, then a bounded per-query fold
+    "q_mmr" -> q(t => Search.mmrRerank(
+      t.embeddings.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings)),
     "q_topic_change" -> q(t => Search.topicChanges(
         t.embeddings.select(col("label"), col("vec_id"), col("embedding")),
         col("label"), col("vec_id"))
@@ -667,6 +679,39 @@ object SparkEntry {
     * (‖s‖² − 2·s·cw + ‖cw‖², ties by code), reconstruction by ordered
     * flatten, ADC cosine ranking — every fold in DOUBLE. The index LAYOUT
     * must never change the search RESULT. */
+  /** q_mmr replayed: the greedy MMR selection with the k-step loop
+    * UNROLLED (k=5 fixed) — step 1 picks argmax 0.7·sim, each later step
+    * re-scores the unselected candidates against the selected set via a
+    * correlated MAX of pairwise cosines. `(1-0.7)` is written as the
+    * expression, not 0.3: the Spark side computes the same binary double
+    * (0.30000000000000004), and the selection compares raw doubles. */
+  private val oracleSqlMmr: String = {
+    val steps = (2 to 5).map { i =>
+      val prev = s"s${i - 1}"
+      s""" p$i AS (SELECT c.query_id, c.vec_id, c.ev,
+         |   0.7*c.sim - (1-0.7)*(SELECT MAX(list_cosine_similarity(c.ev, s.ev))
+         |     FROM $prev s WHERE s.query_id = c.query_id) AS mmr
+         |  FROM cand c WHERE NOT EXISTS (SELECT 1 FROM $prev s
+         |    WHERE s.query_id = c.query_id AND s.id = c.vec_id)),
+         | s$i AS (SELECT * FROM $prev UNION ALL
+         |  SELECT query_id, $i AS rank, vec_id AS id, ev, mmr FROM (
+         |   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY mmr DESC, vec_id) AS rn
+         |   FROM p$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+       | q AS (SELECT vec_id AS query_id, ev AS qv FROM c WHERE vec_id < 3),
+       | sims AS (SELECT query_id, vec_id, c.ev, list_cosine_similarity(qv, c.ev) AS sim FROM q CROSS JOIN c),
+       | cand AS (SELECT query_id, vec_id, ev, sim FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims) WHERE rn <= 20),
+       | s1 AS (SELECT query_id, 1 AS rank, vec_id AS id, ev, 0.7*sim AS mmr FROM (
+       |   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY 0.7*sim DESC, vec_id) AS rn
+       |   FROM cand) WHERE rn = 1),
+       |$steps
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS vec_id,
+       | floor(mmr*1e6)/1e6 AS mmr_score
+       |FROM s5 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val oracleSqlPqSearch: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
       | cb AS (SELECT e.vec_id AS c, r.j, list_slice(ev, j*16+1, j*16+16) AS cw
@@ -1021,6 +1066,15 @@ $rounds
         | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
         |SELECT query_id, vec_id AS best_id, floor(sim*1e6)/1e6 AS best_score, (1.0 - sim) < 0.4 AS accepted
         |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN c),
+        | f AS (SELECT * FROM sims WHERE vec_id <> query_id AND sim < 0.95),
+        | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM f)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+        |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_mmr" -> oracleSqlMmr,
     "q_topic_change" ->
       """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
         | l AS (SELECT label, vec_id, ev, lag(ev) OVER (PARTITION BY label ORDER BY vec_id) AS prev FROM e)

@@ -109,6 +109,83 @@ object Search {
         .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * most-similar corpus vectors that are NOT near-duplicates — the
+    * `sim < dupThreshold` band just below duplicate territory, which is
+    * where the informative negatives live (a random negative is trivially
+    * separable; a near-dup is a false negative that poisons the loss).
+    * Same scan shape as [[bruteForceTopK]] — one corpus pass, anchors
+    * broadcast, bounded per-partition heaps — with the dup-gate pushed
+    * BELOW the top-k aggregate so excluded near-dups never occupy heap
+    * slots. Self-pairs are excluded structurally. */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, k: Int = 10,
+                    dupThreshold: Double = 0.95): DataFrame = {
+    val sims = corpus.crossJoin(broadcast(anchors))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
+      .filter(col("vec_id") =!= col("query_id") &&
+        col("sim") < dupThreshold)
+    explodeTopK(
+      sims.groupBy(col("query_id"))
+        .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
+  }
+
+  /** Maximal-marginal-relevance re-ranking — diversified retrieval, the
+    * re-rank layer every production vector-search deployment puts over
+    * its top-k: greedily select `k` of the top-`nCandidates` candidates
+    * maximizing `λ·sim(q,c) − (1−λ)·max_{s∈selected} cos(c,s)` — high
+    * relevance, low redundancy (λ=1 degenerates to plain top-k).
+    *
+    * Scale shape: the corpus pays ONE scan (the candidate top-N, same
+    * cost as [[bruteForceTopK]]); the greedy loop then runs per query
+    * over ≤ nCandidates structs as a bounded `aggregate` fold — k steps,
+    * each filtering already-selected ids and arg-maxing the MMR score
+    * via struct ordering (max mmr, then min id — deterministic ties).
+    * Nothing iterative ever touches the corpus, so the operator is as
+    * distributable as the scan that feeds it. The DuckDB oracle replays
+    * the same greedy selection with the loop unrolled; score arithmetic
+    * (including the binary-double `1−λ`) is identical in both engines. */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                nCandidates: Int = 20, lambda: Double = 0.7): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val cand = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"), col("embedding"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nCandidates)
+    val packed = cand.groupBy(col("query_id"))
+      .agg(sort_array(collect_list(struct(
+        col("rn"), col("vec_id").as("id"), col("sim"),
+        col("embedding").as("emb")))).as("cs"))
+    val zero = expr(
+      "CAST(array() AS ARRAY<STRUCT<id: BIGINT, mmr: DOUBLE, emb: ARRAY<FLOAT>>>)")
+    val sel = aggregate(sequence(lit(1), lit(k)), zero, (state, _) => {
+      val remaining = filter(col("cs"), c =>
+        !exists(state, s => s.getField("id") === c.getField("id")))
+      val scored = transform(remaining, c => {
+        val maxSim = array_max(transform(state, s =>
+          cosine_similarity(c.getField("emb"), s.getField("emb"))))
+        val mmr = lit(lambda) * c.getField("sim") -
+          lit(1 - lambda) * coalesce(maxSim, lit(0.0))
+        struct(mmr.as("mmr"), (-c.getField("id")).as("negid"),
+          c.getField("id").as("id"), c.getField("emb").as("emb"))
+      })
+      val pick = array_max(scored)
+      when(size(scored) > 0,
+        concat(state, array(struct(pick.getField("id").as("id"),
+          pick.getField("mmr").as("mmr"),
+          pick.getField("emb").as("emb")))))
+        .otherwise(state)
+    })
+    packed.select(col("query_id"), posexplode(sel).as(Seq("pos", "s")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("s.id").as("vec_id"),
+        (floor(col("s.mmr") * 1e6) / 1e6).as("mmr_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Top-1 with acceptance gate: the reference keeps the best match only if
     * cosine distance < `maxDistance` (qa_service.py:150-168, threshold 0.4).
     * Every query keeps its row; `accepted` carries the gate. */

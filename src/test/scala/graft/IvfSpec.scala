@@ -177,6 +177,45 @@ class IvfSpec extends SparkSuite {
     assert(full == exact)
   }
 
+  test("mmr rerank: λ=1 degenerates to top-k, λ<1 swaps in diversity") {
+    // q sees a at sim .9 twice (ids 10,11 — identical vectors) and the
+    // diverse b at sim .4 with cos(b,a) ≈ .3. Plain relevance keeps the
+    // duplicate pair; MMR(λ=.5) pays the redundancy penalty and swaps
+    // the second duplicate for b: (.5·.9 − .5·1) < (.5·.4 − .5·.3).
+    val a = Array(0.9f, 0.4359f, 0f, 0f)
+    val b = Array(0.4f, -0.1376f, 0f, 0.9062f)
+    val corpus = Seq((10L, a), (11L, a), (12L, b))
+      .toDF("vec_id", "embedding")
+    val qs = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("query_id", "qv")
+    val relevance = Search.mmrRerank(qs, corpus, k = 2, nCandidates = 3,
+        lambda = 1.0)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(relevance == Seq(10L, 11L), s"λ=1 must be plain top-k: $relevance")
+    val diverse = Search.mmrRerank(qs, corpus, k = 2, nCandidates = 3,
+        lambda = 0.5)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(diverse == Seq(10L, 12L), s"MMR must swap in b: $diverse")
+    // k > candidates: selection stops at the candidate count, no repeats
+    val all = Search.mmrRerank(qs, corpus, k = 5, nCandidates = 3,
+        lambda = 0.5)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(all.length == 3 && all.distinct.length == 3, s"$all")
+  }
+
+  test("hard negatives: self and near-dups excluded, best confusables kept") {
+    val anchors = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("query_id", "qv")
+    val corpus = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),        // self — excluded structurally
+      (1L, Array(0.999f, 0.0447f, 0f, 0f)), // near-dup (sim > .95) — excluded
+      (2L, Array(0.8f, 0.6f, 0f, 0f)),     // the hard negative
+      (3L, Array(0f, 1f, 0f, 0f)))         // easy negative
+      .toDF("vec_id", "embedding")
+    val got = Search.hardNegatives(anchors, corpus, k = 2)
+      .select($"rank", $"vec_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 3L)),
+      s"expected the sub-threshold band ranked by sim: $got")
+  }
+
   test("recall sweep: both axes monotone, full probe hits recall 1.0") {
     val sweep = IvfIndex.recallSweep(queries, t.embeddings, nCentroids = 16,
         nprobes = Seq(1, 4, 16))
