@@ -293,13 +293,19 @@ object Dedup {
         spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
           .coalesce(1).sortWithinPartitions("band", "h")
           .write.mode("overwrite").parquet(tmp.toString)
-        files.foreach(f => fs.delete(f.getPath, false))
+        // rename the replacement IN before deleting the originals: a
+        // crash in the overlap window leaves duplicate signature rows,
+        // which the probe contract tolerates (candidate pairs are
+        // DISTINCT doc-id pairs — see appendSignatures' replay note);
+        // the delete-first order would instead lose the bucket silently
+        // (its rows stranded under a dot-dir the scan never reads)
         fs.listStatus(tmp)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .zipWithIndex.foreach { case (f, i) =>
             fs.rename(f.getPath, new Path(loc,
               f"part-$i%05d-compact-${java.util.UUID.randomUUID}_$b%05d.c000.snappy.parquet"))
           }
+        files.foreach(f => fs.delete(f.getPath, false))
         fs.delete(tmp, true)
         compacted += 1
       }
@@ -616,10 +622,19 @@ object Dedup {
     * the gates; see [[Pipeline.curate]]). The window build checkpoints
     * its own derived table below, so `toksDf` may be a plain projection
     * (standalone) or an already-materialized shared table (fused) —
-    * results identical either way. */
+    * results identical either way.
+    *
+    * `hotWindows`: the train/serve seam — the frozen set of window
+    * hashes `(wh)` occurring ≥ 2× in a corpus snapshot
+    * ([[graft.streaming.CurationStream.freezeStats]]); when given, the
+    * corpus-wide occurrence groupBy is skipped and docs score against
+    * the frozen set. Un-hinted join either way: the hot set grows with
+    * corpus content, so a forced broadcast would eventually fail at the
+    * hard limit (AQE still broadcasts it while small). */
   private[graft] def windowDupCoverageFrom(toksDf: DataFrame, k: Int = 5,
-                                               maxFrac: Double = 0.5)
-      : DataFrame = {
+                                           maxFrac: Double = 0.5,
+                                           hotWindows: Option[DataFrame] =
+                                             None): DataFrame = {
     val toks = toksDf
       .select(col("doc_id"), size(col("toks")).as("n_tok"),
         shingles(col("toks"), k).as("ws"))
@@ -629,8 +644,9 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         graft.functions.fnv1a64(col("w")).as("wh"))
       .localCheckpoint() // read twice: occurrence count + position join
-    val hot = wpos.groupBy(col("wh")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2)
+    val hot = hotWindows.getOrElse(
+      wpos.groupBy(col("wh")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("wh")))
     val dup = wpos.join(hot, Seq("wh"))
       .select(col("doc_id"), col("pos"))
     // sorted interval union: window at pos covers [pos, pos+k-1]; with

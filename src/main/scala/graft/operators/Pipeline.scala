@@ -89,10 +89,19 @@ object Pipeline {
   /** [[boilerplate]] over a pre-tokenized `(doc_id, toks)` table — the
     * fused-curation entry point. The gram build checkpoints its own
     * derived tables below, so `toksDf` may be a plain projection
-    * (standalone) or a shared materialized table ([[curate]]). */
+    * (standalone) or a shared materialized table ([[curate]]).
+    *
+    * `hotGrams`: the TRAIN/SERVE seam — pass the frozen hot-gram set
+    * `(gh)` built from a corpus snapshot
+    * ([[graft.streaming.CurationStream.freezeStats]]) and the df groupBy
+    * is skipped; docs score against the frozen statistics. Default
+    * (None) computes the hot set from `toksDf` itself — the batch
+    * semantics. Verdict arithmetic is ONE code path either way; a gram
+    * absent from the frozen set is simply not boilerplate. */
   private[graft] def boilerplateFrom(toksDf: DataFrame, n: Int = 5,
-                                         minDf: Int = 3,
-                                         maxFrac: Double = 0.5): DataFrame = {
+                                     minDf: Int = 3, maxFrac: Double = 0.5,
+                                     hotGrams: Option[DataFrame] = None)
+      : DataFrame = {
     val grams = toksDf
       .select(col("doc_id"),
         array_distinct(shingles(col("toks"), n)).as("gs"))
@@ -101,11 +110,17 @@ object Pipeline {
       .select(col("doc_id"), explode(col("gs")).as("gram"))
       .select(col("doc_id"), graft.functions.fnv1a64(col("gram")).as("gh"))
       .localCheckpoint()
-    val dfTab = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-    val per = grams.join(dfTab, Seq("gh"))
+    // the hot set stays un-hinted: it grows with corpus content, and a
+    // forced broadcast would fail at the hard limit on a large corpus
+    // (AQE still broadcasts it while it is small)
+    val hot = hotGrams.getOrElse(
+        grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= minDf).select(col("gh")))
+      .withColumn("__hot", lit(1))
+    val per = grams.join(hot, Seq("gh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"))
+        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
     val frac = when(col("n_grams") > 0,
       col("n_boiler").cast("double") / col("n_grams").cast("double"))
       .otherwise(lit(0.0))
@@ -159,10 +174,17 @@ object Pipeline {
   /** [[decontaminate]] over pre-tokenized `(doc_id, toks)` tables — the
     * fused-curation entry point. The gram-set build keeps its own
     * barrier below, so the inputs may be plain projections (standalone)
-    * or slices of a shared materialized table ([[curate]]). */
+    * or slices of a shared materialized table ([[curate]]).
+    *
+    * `frozenBenchGrams`: the train/serve seam — a pre-built distinct
+    * benchmark gram set `(gram)` frozen by
+    * [[graft.streaming.CurationStream.freezeStats]]; when given, `bench`
+    * is not read. The broadcast hint is correct either way: the
+    * benchmark set is bounded by contract (an eval suite). */
   private[graft] def decontaminateFrom(training: DataFrame,
-                                           bench: DataFrame,
-                                           n: Int = 8): DataFrame = {
+                                       bench: DataFrame, n: Int = 8,
+                                       frozenBenchGrams: Option[DataFrame] =
+                                         None): DataFrame = {
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"),
         array_distinct(shingles(col("toks"), n)).as("grams"))
@@ -173,7 +195,8 @@ object Pipeline {
       // block-manager traffic
       .localCheckpoint()
       .select(col("doc_id"), explode(col("grams")).as("gram"))
-    val benchGrams = grams(bench).select(col("gram")).distinct()
+    val benchGrams = frozenBenchGrams.getOrElse(
+      grams(bench).select(col("gram")).distinct())
     val hits = grams(training).join(broadcast(benchGrams), Seq("gram"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared_grams")) // grams pre-distinct per doc

@@ -311,37 +311,64 @@ object TextAnalysis {
       .localCheckpoint(), // barrier + read twice: vocabulary and bigrams
       maxAvgNll)
 
+  /** Frozen bigram model — the train/serve seam for [[lmScoresFrom]]:
+    * corpus bigram counts `(bg, cb)`, prefix counts `(w1, cu)` and the
+    * vocabulary size, trained once by a batch pass
+    * ([[graft.streaming.CurationStream.freezeStats]]) and applied to any
+    * later batch. */
+  final case class LmModel(bigrams: DataFrame, prefixes: DataFrame,
+                           vocabSize: Long)
+
   /** [[lmScores]] over a pre-tokenized, MATERIALIZED `(doc_id, toks)`
     * table — the fused-curation entry point ([[Pipeline.curate]] shares
     * ONE tokenization pass across all five gates; each gate alone paid
     * the preprocess regex chain, the hottest CPU in the funnel). Caller
     * must pass a checkpointed/materialized table: `toks` is read twice
-    * and feeds Generates. Results identical to [[lmScores]]. */
+    * and feeds Generates. Results identical to [[lmScores]].
+    *
+    * `model`: when given, the counts/vocab come FROZEN from a corpus
+    * snapshot instead of being self-trained on `toks` — the streaming
+    * twin's serve path. The scoring joins are LEFT with cb/cu coalesced
+    * to 0 (pure add-one smoothing for bigrams unseen at freeze time) —
+    * for the self-trained path every bigram matches, so the values are
+    * identical to the inner-join form this generalizes. The model
+    * tables' joins stay un-hinted: the bigram table grows with corpus
+    * vocabulary, and a forced broadcast would fail at the hard limit on
+    * a large freeze. */
   private[graft] def lmScoresFrom(toks: DataFrame,
-                                      maxAvgNll: Double = 10.0): DataFrame = {
-    val vocab = toks
-      .select(explode(col("toks")).as("tk"))
-      .agg(count_distinct(col("tk")).as("V"))
+                                  maxAvgNll: Double = 10.0,
+                                  model: Option[LmModel] = None)
+      : DataFrame = {
     val docBg = toks
       .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
       .localCheckpoint() // read twice: corpus counts + scoring join
-    val cbTab = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cb"))
-      .localCheckpoint() // read twice: prefix counts + scoring join
-    val cuTab = cbTab
-      .select(split(col("bg"), " ").getItem(0).as("w1"), col("cb"))
-      .groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
-    val scored = docBg
-      .join(cbTab, Seq("bg"))
-      .join(cuTab, split(col("bg"), " ").getItem(0) === col("w1"))
+    val (cbTab, cuTab) = model match {
+      case Some(m) => (m.bigrams, m.prefixes)
+      case None =>
+        val cb = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cb"))
+          .localCheckpoint() // read twice: prefix counts + scoring join
+        (cb, cb.select(split(col("bg"), " ").getItem(0).as("w1"), col("cb"))
+          .groupBy(col("w1")).agg(sum(col("cb")).as("cu")))
+    }
+    val grouped = docBg
+      .join(cbTab, Seq("bg"), "left")
+      .join(cuTab, split(col("bg"), " ").getItem(0) === col("w1"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_bigrams"),
         sort_array(collect_list(
-          struct(col("bg"), col("m"), col("cb"), col("cu")))).as("cs"))
-      .crossJoin(broadcast(vocab))
+          struct(col("bg"), col("m"),
+            coalesce(col("cb"), lit(0L)).as("cb"),
+            coalesce(col("cu"), lit(0L)).as("cu")))).as("cs"))
+    val (scored, vCol) = model match {
+      case Some(m) => (grouped, lit(m.vocabSize))
+      case None => (grouped.crossJoin(broadcast(
+        toks.select(explode(col("toks")).as("tk"))
+          .agg(count_distinct(col("tk")).as("V")))), col("V"))
+    }
     val nll = aggregate(col("cs"), lit(0.0), (acc, e) => {
       acc + e.getField("m").cast("double") *
-        log((e.getField("cu") + col("V")).cast("double") /
+        log((e.getField("cu") + vCol).cast("double") /
           (e.getField("cb") + lit(1L)).cast("double"))
     })
     val avg = nll / col("n_bigrams").cast("double")

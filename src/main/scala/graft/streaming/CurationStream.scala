@@ -17,11 +17,21 @@ import graft.operators.Pipeline
   * the benchmark gram set), and recomputing any of them per micro-batch
   * would re-read the corpus on every trigger. Frozen, each batch's
   * verdicts are embarrassingly parallel — tokenization plus joins
-  * against bounded broadcast stat tables, no cross-batch state at all
-  * (the state-FUL streaming problems live in the other twins; curation
-  * is deliberately the stateless one). Re-freeze on a cadence (weekly,
-  * per corpus snapshot) exactly like re-training the IVF centroids
+  * against the stat tables, no cross-batch state at all (the state-FUL
+  * streaming problems live in the other twins; curation is deliberately
+  * the stateless one). Re-freeze on a cadence (weekly, per corpus
+  * snapshot) exactly like re-training the IVF centroids
   * ([[IndexMaintenance]] keeps serving between rebuilds).
+  *
+  * Broadcast posture: only the BENCHMARK gram set carries an explicit
+  * broadcast hint (bounded by contract — an eval suite). The four
+  * corpus-relative stat tables grow with corpus vocabulary/content, and
+  * a forced hint would override Spark's size threshold and fail the job
+  * at the broadcast hard limit on a large freeze — the exact hazard the
+  * `autoBroadcast` gates close in `Dedup.incrementalProbe` and
+  * `Relational.mergeOrders`. Their joins are left un-hinted: AQE picks
+  * a runtime broadcast while the tables are small and a shuffled join
+  * once they aren't.
   *
   * Fidelity contract (spec-proved): gates applied with stats frozen
   * from corpus C produce, for any batch ⊆ C, verdicts IDENTICAL to the
@@ -89,7 +99,13 @@ object CurationStream {
   }
 
   /** Apply all five gates to one (micro-)batch with frozen stats.
-    * Output = [[Pipeline.curate]]'s verdict schema. */
+    * Output = [[Pipeline.curate]]'s verdict schema.
+    *
+    * Every gate runs the BATCH operator's own code, parameterized by the
+    * frozen stat table (the `hotGrams`/`hotWindows`/`model`/
+    * `frozenBenchGrams` seams) — there is no second implementation of
+    * any gate's arithmetic to drift from the batch semantics; the
+    * corpus-equality spec in StreamingSpec pins the composition. */
   def applyGates(batch: DataFrame, st: FrozenStats,
                  maxAvgNll: Double = 10.0, boilerN: Int = 5,
                  boilerMaxFrac: Double = 0.5, windowK: Int = 5,
@@ -100,87 +116,19 @@ object CurationStream {
       .localCheckpoint()
     val g = Pipeline.gopherStatsFrom(toks)
       .select(col("doc_id"), col("keep").as("keep_gopher"))
-
-    // bigram-LM score under the FROZEN model (cb/cu/V from freeze time;
-    // unseen bigrams score with cb=0/cu=0 — pure add-one smoothing)
-    val docBg = toks
-      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
-      .localCheckpoint()
-    val scored = docBg
-      .join(broadcast(st.bigrams), Seq("bg"), "left")
-      .join(broadcast(st.prefixes),
-        split(col("bg"), " ").getItem(0) === col("w1"), "left")
-      .groupBy(col("doc_id"))
-      .agg(sum(col("m")).as("n_bigrams"),
-        sort_array(collect_list(struct(col("bg"), col("m"),
-          coalesce(col("cb"), lit(0L)).as("cb"),
-          coalesce(col("cu"), lit(0L)).as("cu")))).as("cs"))
-    val nll = aggregate(col("cs"), lit(0.0), (acc, e) =>
-      acc + e.getField("m").cast("double") *
-        log((e.getField("cu") + lit(st.vocabSize)).cast("double") /
-          (e.getField("cb") + lit(1L)).cast("double")))
-    val l = toks.select(col("doc_id"))
-      .join(scored.select(col("doc_id"),
-        ((nll / col("n_bigrams").cast("double")) <= maxAvgNll).as("keep_lm")),
-        Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("keep_lm"), lit(true)).as("keep_lm"))
-
-    // boilerplate share vs the frozen hot-gram set
-    val docGh = toks
-      .select(col("doc_id"), array_distinct(shingles(col("toks"), boilerN)).as("gs"))
-      .localCheckpoint()
-      .select(col("doc_id"), explode(col("gs")).as("gram"))
-      .select(col("doc_id"), fnv1a64(col("gram")).as("gh"))
-    val bPer = docGh
-      .join(broadcast(st.hotGrams.withColumn("__hot", lit(1))), Seq("gh"), "left")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__hot").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
-    val bFrac = when(col("n_grams") > 0,
-      col("n_boiler").cast("double") / col("n_grams").cast("double"))
-      .otherwise(lit(0.0))
-    val b = toks.select(col("doc_id")).join(bPer, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_grams", "n_boiler"))
-      .select(col("doc_id"), (bFrac <= boilerMaxFrac).as("keep_boiler"))
-
-    // duplicated-window coverage vs the frozen hot-window set (the
-    // interval union over dup positions, as in windowDupCoverage)
-    val wTab = toks
-      .select(col("doc_id"), size(col("toks")).as("n_tok"),
-        shingles(col("toks"), windowK).as("ws"))
-      .localCheckpoint()
-    val wpos = wTab
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
-      .select(col("doc_id"), col("pos"), fnv1a64(col("w")).as("wh"))
-    val dup = wpos.join(broadcast(st.hotWindows), Seq("wh"))
-      .select(col("doc_id"), col("pos"))
-    val nextPos = lead(col("pos"), 1).over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_id")).orderBy(col("pos")))
-    val wPer = dup
-      .select(col("doc_id"), col("pos"),
-        least(lit(windowK), coalesce(nextPos - col("pos"), lit(windowK)))
-          .as("cov"))
-      .groupBy(col("doc_id")).agg(sum(col("cov")).as("covered"))
-    val wFrac = when(col("n_tok") > 0,
-      coalesce(col("covered"), lit(0L)).cast("double") /
-        col("n_tok").cast("double")).otherwise(lit(0.0))
-    val w = wTab.select(col("doc_id"), col("n_tok"))
-      .join(wPer, Seq("doc_id"), "left")
-      .select(col("doc_id"), (wFrac <= windowMaxFrac).as("keep_windows"))
-
-    // decontamination vs the frozen benchmark gram set
-    val hits = toks
-      .select(col("doc_id"), array_distinct(shingles(col("toks"), decontamN)).as("grams"))
-      .localCheckpoint()
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
-      .join(broadcast(st.benchGrams), Seq("gram"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val d = toks.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (coalesce(col("nsh"), lit(0L)) === 0L).as("keep_decontam"))
-
+    val l = graft.operators.TextAnalysis.lmScoresFrom(toks, maxAvgNll,
+        model = Some(graft.operators.TextAnalysis.LmModel(
+          st.bigrams, st.prefixes, st.vocabSize)))
+      .select(col("doc_id"), col("keep").as("keep_lm"))
+    val b = Pipeline.boilerplateFrom(toks, boilerN, maxFrac = boilerMaxFrac,
+        hotGrams = Some(st.hotGrams))
+      .select(col("doc_id"), col("keep").as("keep_boiler"))
+    val w = graft.operators.Dedup.windowDupCoverageFrom(toks, windowK,
+        windowMaxFrac, hotWindows = Some(st.hotWindows))
+      .select(col("doc_id"), col("keep").as("keep_windows"))
+    val d = Pipeline.decontaminateFrom(toks, toks.limit(0), decontamN,
+        frozenBenchGrams = Some(st.benchGrams))
+      .select(col("doc_id"), (!col("contaminated")).as("keep_decontam"))
     g.join(l, Seq("doc_id")).join(b, Seq("doc_id")).join(w, Seq("doc_id"))
       .join(d, Seq("doc_id"))
       .select(col("doc_id"), col("keep_gopher"), col("keep_lm"),

@@ -19,19 +19,25 @@ def main():
     qs, qb = small["queries"], big["queries"]
     shs, shb = small.get("shuffle_mb", {}), big.get("shuffle_mb", {})
     rows = []
-    for name in sorted(qs):
+    # union of both query sets: a query missing on either side (baseline
+    # generated before a registration landed, or a failed run reporting
+    # -1) is listed with a blank ratio, never dropped or crashed on
+    for name in sorted(set(qs) | set(qb)):
         ts, tb = qs.get(name), qb.get(name)
         if ts is None or tb is None or ts < 0 or tb < 0:
             rows.append((float("inf"), name, ts, tb, None))
             continue
         rows.append((tb / ts if ts > 0 else float("inf"), name, ts, tb,
                      (shs.get(name), shb.get(name))))
-    rows.sort(reverse=True)
+    rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
     print("| query | t_sf0.1 (s) | t_sf1 (s) | ratio | shuffle sf0.1→sf1 (MB) |")
     print("| --- | --- | --- | --- | --- |")
+    def fmt(v):
+        return f"{v:.2f}" if isinstance(v, (int, float)) and v >= 0 else "—"
     for ratio, name, ts, tb, sh in rows:
         shtxt = f"{sh[0]} → {sh[1]}" if sh and sh[0] is not None else ""
-        print(f"| {name} | {ts:.2f} | {tb:.2f} | {ratio:.2f}x | {shtxt} |")
+        rtxt = f"{ratio:.2f}x" if sh is not None else "—"
+        print(f"| {name} | {fmt(ts)} | {fmt(tb)} | {rtxt} | {shtxt} |")
     ratios = [r for r, *_ in rows if r != float("inf")]
     n_super = sum(1 for r in ratios if r > data_ratio)
     print()
