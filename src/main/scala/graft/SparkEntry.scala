@@ -408,6 +408,10 @@ object SparkEntry {
     "q_curate"        -> q(t => Pipeline.curate(t.documents)),
     // per-gate attrition of the same funnel: docs in/surviving per stage
     "q_curate_report" -> q(t => Pipeline.curationReport(t.documents)),
+    // the dataset card: one summary row per corpus release, every number
+    // drawn from an already-audited pass (size, dup rate, language mix,
+    // quality, keep rate, PII incidence)
+    "q_dataset_card" -> q(t => Pipeline.datasetCard(t)),
     "pack_sequences" -> q(t => Pipeline.packSequences(t.documents)),
     // corpus-statistics embedding: hashing TF-IDF (digest projection — see
     // q_embed note)
@@ -828,6 +832,27 @@ $rounds
            |JOIN (${base("dedup_windows")}) w USING (doc_id)
            |JOIN (${base("decontaminate")}) d USING (doc_id)
            |ORDER BY g.doc_id""".stripMargin,
+      // q_dataset_card: each constituent aggregate replays over its own
+      // gate's base oracle; the one double mean rides the same
+      // DECIMAL(18,4) discipline as the Spark side
+      "q_dataset_card" ->
+        (s"""WITH tokq AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks
+           |  FROM (SELECT doc_id, ${Oracles.normSql("text")} AS s FROM documents)),
+           | basic AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM tokq),
+           | voc AS (SELECT COUNT(DISTINCT tk) AS vocab_size FROM (SELECT unnest(toks) AS tk FROM tokq)),
+           | dup AS (SELECT floor((1.0 - COUNT(*)/CAST(SUM(dup_count) AS DOUBLE))*1e4)/1e4 AS exact_dup_rate
+           |   FROM (${base("dedup_exact")})),
+           | lang AS (SELECT floor(SUM(CASE WHEN predicted_lang='en' THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS frac_en
+           |   FROM (${base("text_langid")})),
+           | qual AS (SELECT floor(CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS mean_quality
+           |   FROM (${base("text_quality")})),
+           | keepr AS (SELECT floor(SUM(CASE WHEN keep THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS gopher_keep_rate
+           |   FROM (${base("text_gopher")})),
+           | pii AS (SELECT floor(SUM(CASE WHEN n_emails+n_ips+n_phones > 0 THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS pii_doc_frac
+           |   FROM (${base("text_pii")}))
+           |SELECT n_docs, n_tokens, vocab_size, exact_dup_rate, frac_en,
+           | mean_quality, gopher_keep_rate, pii_doc_frac
+           |FROM basic, voc, dup, lang, qual, keepr, pii""").stripMargin,
       // q_curate_report: cumulative-survival sums over the same composed
       // verdict table, unpivoted into one row per gate
       "q_curate_report" ->

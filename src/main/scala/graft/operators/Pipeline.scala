@@ -343,6 +343,59 @@ object Pipeline {
       .orderBy(col("stage"))
   }
 
+  /** The dataset card: ONE summary row for a corpus release — the
+    * numbers a training-data consumer reads before anything else, each
+    * drawn from an already-audited pass: size (docs/tokens/vocabulary),
+    * exact-duplicate rate ([[graft.operators.Dedup.exactGroups]]),
+    * language mix ([[graft.operators.TextAnalysis.languageId]]'s argmax),
+    * mean quality ([[graft.operators.TextAnalysis.qualityScores]]),
+    * the gopher keep rate and the PII incidence ([[piiRedact]]).
+    *
+    * Scale/determinism: every constituent is a bounded aggregate over
+    * one corpus pass; the single mean over doubles goes through
+    * DECIMAL(18,4) (the per-doc scores are already 1e-4-floored, so the
+    * cast is exact) because a partial-aggregated double SUM is
+    * partition-order-dependent and would break the hash oracle — the
+    * same discipline as the money math. The 1-row aggregates cross-join
+    * into the card; nothing here adds a corpus pass beyond its source
+    * audit. */
+  def datasetCard(t: graft.sources.Tables): DataFrame = {
+    val docs = t.documents
+    val toks = docs
+      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      .localCheckpoint() // read twice: sizes + vocabulary
+    val basic = toks.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("toks"))).cast("long").as("n_tokens"))
+    val vocab = toks.select(explode(col("toks")).as("tk"))
+      .agg(count_distinct(col("tk")).as("vocab_size"))
+    val dup = Dedup.exactGroups(t)
+      .agg(count(lit(1)).as("__groups"), sum(col("dup_count")).as("__docs"))
+      .select(r4(lit(1.0) - col("__groups").cast("double") /
+        col("__docs").cast("double")).as("exact_dup_rate"))
+    val lang = TextAnalysis.languageId(t)
+      .agg(sum(when(col("predicted_lang") === "en", 1L).otherwise(0L))
+        .as("__en"), count(lit(1)).as("__n"))
+      .select(r4(col("__en").cast("double") / col("__n").cast("double"))
+        .as("frac_en"))
+    val qual = TextAnalysis.qualityScores(t)
+      .agg(sum(col("quality_score").cast("decimal(18,4)")).as("__qs"),
+        count(lit(1)).as("__n"))
+      .select(r4(col("__qs").cast("double") / col("__n").cast("double"))
+        .as("mean_quality"))
+    val keep = gopherStats(docs)
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("__k"),
+        count(lit(1)).as("__n"))
+      .select(r4(col("__k").cast("double") / col("__n").cast("double"))
+        .as("gopher_keep_rate"))
+    val pii = piiRedact(docs)
+      .agg(sum(when(col("n_emails") + col("n_ips") + col("n_phones") > 0,
+        1L).otherwise(0L)).as("__p"), count(lit(1)).as("__n"))
+      .select(r4(col("__p").cast("double") / col("__n").cast("double"))
+        .as("pii_doc_frac"))
+    basic.crossJoin(vocab).crossJoin(dup).crossJoin(lang)
+      .crossJoin(qual).crossJoin(keep).crossJoin(pii)
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs by
     * cumulative token offset, sharded so the running sum is a per-shard
     * window (one shuffle on the shard key, each shard packs

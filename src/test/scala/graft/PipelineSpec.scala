@@ -191,6 +191,22 @@ class PipelineSpec extends SparkSuite {
       "final survivors must equal the per-doc keep count")
   }
 
+  test("dataset card: one row, ratios bounded, counts consistent") {
+    val t = sources.Tables(spark, sfDir)
+    val card = operators.Pipeline.datasetCard(t)
+    assert(card.columns.toSeq == Seq("n_docs", "n_tokens", "vocab_size",
+      "exact_dup_rate", "frac_en", "mean_quality", "gopher_keep_rate",
+      "pii_doc_frac"))
+    val rows = card.collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) == t.documents.count())
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0)
+    assert(r.getLong(2) <= r.getLong(1), "vocab cannot exceed tokens")
+    (3 to 7).foreach(i =>
+      assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"col $i: $r"))
+  }
+
   test("bpe train: winning merge applied left-to-right, round 2 recounts") {
     import spark.implicits._
     // vocab {ab:3, ba:1}: round 1 picks "a b" (score 3). After the merge,
