@@ -382,7 +382,7 @@ object Pipeline {
         count(lit(1)).as("__n"))
       .select(r4(col("__qs").cast("double") / col("__n").cast("double"))
         .as("mean_quality"))
-    val keep = gopherStats(docs)
+    val keep = gopherStatsFrom(toks) // shares the card's tokenization pass
       .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("__k"),
         count(lit(1)).as("__n"))
       .select(r4(col("__k").cast("double") / col("__n").cast("double"))
