@@ -193,6 +193,18 @@ object Oracles {
   def dedupMinhashSql(maxBucket: Int = 1000): String =
     s"WITH ${minhashPairsCte(maxBucket)},\n$summaryTail"
 
+  /** dedup_cap_audit: the maxBucket recall accounting — per band, the
+    * bucket census over the UNcapped signature table (capBuckets' input)
+    * with capped-bucket row and within-bucket pair totals. */
+  def dedupCapAuditSql(maxBucket: Int): String =
+    s"""WITH $minhashBandsCte,
+       | bs AS (SELECT band, h, COUNT(*) AS bsz FROM bh GROUP BY 1, 2)
+       |SELECT CAST(band AS BIGINT) AS band, COUNT(*) AS n_buckets,
+       | COUNT(*) FILTER (WHERE bsz > $maxBucket) AS n_capped,
+       | CAST(coalesce(SUM(bsz) FILTER (WHERE bsz > $maxBucket), 0) AS BIGINT) AS rows_dropped,
+       | CAST(coalesce(SUM(bsz * (bsz - 1) // 2) FILTER (WHERE bsz > $maxBucket), 0) AS BIGINT) AS est_pairs_lost
+       |FROM bs GROUP BY band ORDER BY band""".stripMargin
+
   /** dedup_clusters: connected components via a recursive reachability
     * closure; min reachable label == the converged min-label propagation
     * (the Spark side caps at 10 rounds, which converges at oracle scale —

@@ -65,8 +65,20 @@ object ScaleUp {
     // fixed dims — same five regions / 25 nations at every SF
     Seq("region", "nation").foreach(t => write(read(t), t))
 
-    def maxOf(t: String, c: String): Long =
-      read(t).agg(max(col(c))).head.getLong(0)
+    // checked read: an empty table yields a NULL max (abrupt NPE via
+    // getLong) and a non-integral key column a ClassCastException — both
+    // deserve a message naming the table, not a bare stack trace
+    def maxOf(t: String, c: String): Long = {
+      val row = read(t).agg(max(col(c))).head()
+      require(!row.isNullAt(0), s"$srcDir/$t.parquet is empty — cannot " +
+        s"derive a replication offset for $c")
+      row.get(0) match {
+        case n: Number => n.longValue
+        case other => throw new IllegalArgumentException(
+          s"$t.$c is ${other.getClass.getSimpleName}, expected an " +
+            "integral key column")
+      }
+    }
     val custOff = stride(maxOf("customer", "c_custkey"))
     val suppOff = stride(maxOf("supplier", "s_suppkey"))
     val partOff = stride(maxOf("part", "p_partkey"))

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** The materialization barrier behind every corpus-sized intermediate in
+  * the library (shared token tables, signature tables, LM count tables,
+  * PQ training slices, candidate-pair tables).
+  *
+  * Why barriers exist at all: `Generate` re-evaluates its child once per
+  * OUTPUT row (an un-materialized tokenize→explode chain runs the regex
+  * pipeline per token, the round-1 33 s blowup), and the optimizer moves
+  * projections past a mere `repartition()` — materializing the
+  * intermediate is the only reliable cut, and it also lets several
+  * consumers read one computed table.
+  *
+  * Two interchangeable mechanisms, selected per session:
+  *
+  *  - DEFAULT (`spark.graft.reliableBarriers` unset/false):
+  *    `localCheckpoint()` — blocks live on executors, no replication, no
+  *    lineage. Fastest; right for local mode, tests and short jobs. On a
+  *    real cluster a lost executor kills the job instead of recomputing
+  *    a partition (no lineage to replay).
+  *  - RELIABLE (`spark.conf.set("spark.graft.reliableBarriers", "true")`
+  *    plus `sparkContext.setCheckpointDir(<HDFS/S3 path>)`): every
+  *    barrier becomes a reliable `checkpoint()` — partitions are written
+  *    to replicated storage, so a multi-hour 100 TB run survives
+  *    executor loss at the cost of one distributed write per barrier.
+  *    This is the [[Dedup.clusters]] `checkpointDir` pattern promoted to
+  *    the whole library (clusters keeps its explicit parameter: its
+  *    per-iteration state wants opt-in granularity independent of the
+  *    session default).
+  *
+  * Results are identical through either path (spec-proved in
+  * BarrierSpec); the switch is pure fault-tolerance posture. Budget
+  * reliable-barrier storage ≈ the summed size of the materialized
+  * intermediates, and set
+  * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to reap files
+  * when the DataFrames are collected. */
+object Barrier {
+
+  /** Session flag selecting the reliable path. */
+  val ReliableKey = "spark.graft.reliableBarriers"
+
+  /** Materialize `df` as a consumable-many-times barrier (see object doc
+    * for the local-vs-reliable contract). */
+  def apply(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      spark.conf.getOption(ReliableKey).exists(_.equalsIgnoreCase("true"))
+    if (reliable) {
+      require(
+        org.apache.spark.sql.graft.bridge.checkpointDir(spark).isDefined,
+        s"$ReliableKey=true needs sparkContext.setCheckpointDir(<reliable " +
+          "path>) — reliable barriers are written there")
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
+  /** Chain syntax: `df.barrier()` ≡ `Barrier(df)`. */
+  implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
+    def barrier(): DataFrame = Barrier(df)
+  }
+}

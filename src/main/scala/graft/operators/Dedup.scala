@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.functions.TextFunctions._
 import graft.sources.Tables
+import graft.operators.Barrier.BarrierOps
 
 /** Deduplication operators for LLM-data pipelines.
   *
@@ -24,8 +25,11 @@ object Dedup {
 
   /** Exact duplicate groups keyed by md5 of the normalized text:
     * canonical (min) doc id + multiplicity per group. */
-  def exactGroups(t: Tables): DataFrame =
-    t.documents
+  def exactGroups(t: Tables): DataFrame = exactGroups(t.documents)
+
+  /** [[exactGroups]] over any `(doc_id, text)` table. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"),
         md5(preprocess(col("text")).cast("binary")).as("text_hash"))
       .groupBy(col("text_hash"))
@@ -42,7 +46,7 @@ object Dedup {
     * self-join → distinct) once per branch — 2× the most expensive stage
     * of the dedup pipeline for zero benefit. */
   private def perDocSummary(docs: DataFrame, rawPairs: DataFrame): DataFrame = {
-    val pairs = rawPairs.localCheckpoint()
+    val pairs = rawPairs.barrier()
     val sym = pairs.select(col("id1").as("doc_id"), col("id2").as("partner"))
       .union(pairs.select(col("id2").as("doc_id"), col("id1").as("partner")))
     docs.select(col("doc_id"))
@@ -85,14 +89,15 @@ object Dedup {
       .distinct()
   }
 
-  /** Banded minhash signatures: (doc_id, band, h), checkpointed.
+  /** Banded minhash signatures: (doc_id, band, h), materialized.
     *
-    * localCheckpoint = materialization barrier: Generate re-evaluates
+    * [[Barrier]] = materialization barrier: Generate re-evaluates
     * its child per OUTPUT row (the minhash chain would run `bands` times
     * per doc), and the optimizer moves projections past a mere
-    * repartition(); checkpointing the signature table is the only
-    * reliable cut (57 s -> sub-second at sf0.1). At cluster scale this
-    * is where you'd persist/bucket the signature table anyway. */
+    * repartition(); materializing the signature table is the only
+    * reliable cut (57 s -> sub-second at sf0.1). On a cluster, run with
+    * reliable barriers (see [[Barrier]]) or persist the signature table
+    * outright ([[persistSignatures]]). */
   private def minhashBuckets(docs: DataFrame, numHashes: Int, bands: Int,
                              shingleLen: Int): DataFrame = {
     val sigs = docs.select(col("doc_id"),
@@ -100,7 +105,7 @@ object Dedup {
         minhash_signature(
           shingles(tokens(preprocess(col("text"))), shingleLen), numHashes),
         bands, numHashes / bands).as("bh"))
-    sigs.localCheckpoint()
+    sigs.barrier()
       .select(col("doc_id"), posexplode(col("bh")).as(Seq("band", "h")))
   }
 
@@ -111,6 +116,34 @@ object Dedup {
     perDocSummary(docs,
       bandedPairs(minhashBuckets(docs, numHashes, bands, shingleLen),
         maxBucket))
+
+  /** Recall ACCOUNTING for the `maxBucket` skew guard: [[capBuckets]]
+    * drops over-cap (band, h) buckets silently — a documented trade, but
+    * "documented" is not "measured". This emits the per-band side table
+    * a release review reads next to the dedup summaries: buckets seen,
+    * buckets capped, signature rows inside capped buckets, and the
+    * within-bucket pair count those buckets would have generated
+    * (ESTIMATED pair loss: an upper bound per band, since capped members
+    * can still pair through their other `bands − 1` buckets — the same
+    * caveat the cap's recall argument rests on, now with numbers). One
+    * groupBy over the signature table (the cheap domain — bands × docs
+    * rows, no document text) plus a bands-sized aggregate; the same
+    * accounting discipline as [[graft.streaming.LateData]]'s watermark-
+    * drop audit. Run it with the SAME `maxBucket` as the candidate pass
+    * it audits. */
+  def bandingCapAudit(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
+                      shingleLen: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val sizes = minhashBuckets(docs, numHashes, bands, shingleLen)
+      .groupBy(col("band"), col("h")).agg(count(lit(1)).as("bsz"))
+    sizes.groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("bsz") > maxBucket, 1L).otherwise(0L)).as("n_capped"),
+        sum(when(col("bsz") > maxBucket, col("bsz")).otherwise(0L))
+          .as("rows_dropped"),
+        sum(when(col("bsz") > maxBucket, expr("bsz * (bsz - 1) DIV 2"))
+          .otherwise(0L)).as("est_pairs_lost"))
+      .orderBy(col("band"))
+  }
 
   /** MinHash similarity ESTIMATES for the LSH candidate pairs: the step
     * between candidate generation ([[minhashCandidates]]) and a
@@ -139,7 +172,7 @@ object Dedup {
       minhash_signature(
         shingles(tokens(preprocess(col("text"))), shingleLen), numHashes)
         .as("sig"))
-      .localCheckpoint() // barrier + read thrice (bands, both join sides)
+      .barrier() // barrier + read thrice (bands, both join sides)
     val banded = sigs
       .select(col("doc_id"),
         posexplode(band_hashes(col("sig"), bands, numHashes / bands))
@@ -172,14 +205,14 @@ object Dedup {
                          confirmThreshold: Double = 0.5): DataFrame = {
     val surv = estimatePairs(docs, numHashes, bands, shingleLen, maxBucket)
       .filter(col("n_match") >= minMatch)
-      .localCheckpoint() // read thrice: id semi-join + the two set joins
+      .barrier() // read thrice: id semi-join + the two set joins
     val ids = surv.select(col("id1").as("doc_id"))
       .union(surv.select(col("id2").as("doc_id"))).distinct()
     val sets = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
         array_distinct(
           shingles(tokens(preprocess(col("text"))), shingleLen)).as("shs"))
-      .localCheckpoint() // barrier: see jaccardNeighbors; read twice
+      .barrier() // barrier: see jaccardNeighbors; read twice
     val inter = size(array_intersect(col("sh1"), col("sh2")))
     val uni = size(col("sh1")) + size(col("sh2")) - inter
     surv
@@ -265,9 +298,17 @@ object Dedup {
     * every probe answer are identical, only the file count drops. Rows
     * are re-sorted on (band, h) within the rewritten file, preserving the
     * store's sortBy contract. Buckets compact independently, so at fleet
-    * scale the pass parallelizes per bucket. Same concurrency contract as
-    * the posting-list compactor: run between appends, not during one.
-    * Returns the number of buckets compacted. */
+    * scale the pass parallelizes per bucket. Concurrency contract
+    * (stricter than the posting-list compactor's): run between appends
+    * AND between probes — a concurrent probe can fail mid-compaction on
+    * a just-deleted file (the rename-in/delete-after window protects
+    * DATA, not concurrent readers' file listings). The rewrite is also
+    * SELF-HEALING: rows are deduplicated while coalescing a bucket, so
+    * the duplicate signature rows a crash in the overlap window leaves
+    * behind (tolerated for probe answers, but silently inflating the
+    * store) are reabsorbed by the next compaction of that bucket —
+    * exact-duplicate rows can only arise from crash/replay, since rows
+    * carry doc_id. Returns the number of buckets compacted. */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
                             table: String, maxFiles: Int = 8): Int = {
     import org.apache.hadoop.fs.Path
@@ -291,6 +332,7 @@ object Dedup {
         val tmp = new Path(loc, f".compact-$b%05d")
         fs.delete(tmp, true)
         spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+          .dropDuplicates() // self-heal crash-window duplicate rows
           .coalesce(1).sortWithinPartitions("band", "h")
           .write.mode("overwrite").parquet(tmp.toString)
         // rename the replacement IN before deleting the originals: a
@@ -385,7 +427,7 @@ object Dedup {
     hammingNearDup(
       docs.select(col("doc_id"),
         simhash64(tokens(preprocess(col("text")))).as("sh"))
-        .localCheckpoint(), // barrier: see minhashBuckets
+        .barrier(), // barrier: see minhashBuckets
       maxHamming, maxBucket)
 
   /** Banded-hamming near-dup over ANY caller-supplied 64-bit fingerprint
@@ -401,7 +443,7 @@ object Dedup {
   def fingerprintNearDup(fps: DataFrame, maxHamming: Int = 3,
                          maxBucket: Int = 1000): DataFrame =
     hammingNearDup(
-      fps.select(col("doc_id"), col("fp").as("sh")).localCheckpoint(),
+      fps.select(col("doc_id"), col("fp").as("sh")).barrier(),
       maxHamming, maxBucket)
 
   /** Shared core: `(doc_id, sh)` 64-bit hashes → 4×16-bit banded
@@ -453,7 +495,7 @@ object Dedup {
       .select(col("doc_id"),
         array_distinct(
           shingles(tokens(preprocess(col("text"))), shingleLen)).as("shs"))
-      .localCheckpoint() // barrier: see minhashCandidates
+      .barrier() // barrier: see minhashCandidates
       .select(col("doc_id"), size(col("shs")).as("n_sh"),
         explode(col("shs")).as("s"))
       .select(col("doc_id"), col("n_sh"),
@@ -462,7 +504,7 @@ object Dedup {
       .filter(col("__df") <= maxShingleDf && col("__df") >= 2)
       .drop("__df")
       // both sides of the self-join read the materialized shingle table
-      .localCheckpoint()
+      .barrier()
 
   /** Word-n-gram Jaccard nearest neighbor per doc (docs sharing no shingle
     * have no neighbor and drop out — same on the oracle side). Built on
@@ -561,12 +603,12 @@ object Dedup {
                    maxDistFrac: Double = 0.2): DataFrame = {
     val pairs = bandedPairs(
       minhashBuckets(docs, numHashes, bands, shingleLen), maxBucket)
-      .localCheckpoint() // read thrice: id union + the two text joins
+      .barrier() // read thrice: id union + the two text joins
     val ids = pairs.select(col("id1").as("doc_id"))
       .union(pairs.select(col("id2").as("doc_id"))).distinct()
     val txt = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), preprocess(col("text")).as("nt"))
-      .localCheckpoint() // normalize once per surviving doc, read twice
+      .barrier() // normalize once per surviving doc, read twice
     val frac = col("edit_dist").cast("double") / col("max_len")
     pairs
       .join(txt.select(col("doc_id").as("id1"), col("nt").as("t1")), Seq("id1"))
@@ -638,12 +680,12 @@ object Dedup {
     val toks = toksDf
       .select(col("doc_id"), size(col("toks")).as("n_tok"),
         shingles(col("toks"), k).as("ws"))
-      .localCheckpoint() // barrier: see cappedShingleTable
+      .barrier() // barrier: see cappedShingleTable
     val wpos = toks
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"),
         graft.functions.fnv1a64(col("w")).as("wh"))
-      .localCheckpoint() // read twice: occurrence count + position join
+      .barrier() // read twice: occurrence count + position join
     val hot = hotWindows.getOrElse(
       wpos.groupBy(col("wh")).agg(count(lit(1)).as("c"))
         .filter(col("c") >= 2).select(col("wh")))
@@ -683,11 +725,12 @@ object Dedup {
     * the canonicalization step after candidate generation in an LLM dedup
     * pipeline: keep `cluster_id == doc_id` rows, drop the rest.
     *
-    * `checkpointDir`: by default the iteration state is `localCheckpoint`ed
-    * (fast, but executor-local — documented as NOT fault-tolerant). On a
-    * real cluster pass a reliable dir (HDFS/S3): iteration state is then
-    * `checkpoint()`ed there, so a multi-hour propagation over billions of
-    * edges survives executor loss instead of restarting from nothing.
+    * `checkpointDir`: by default the iteration state goes through the
+    * session [[Barrier]] (local by default; session-wide reliable via
+    * `spark.graft.reliableBarriers`). Passing a reliable dir (HDFS/S3)
+    * here opts THIS iteration in explicitly: state is `checkpoint()`ed
+    * there, so a multi-hour propagation over billions of edges survives
+    * executor loss instead of restarting from nothing.
     * Two operational notes: (1) Spark has no per-job checkpoint dir, so
     * the CONTEXT-wide setting is switched for the duration of the
     * iteration and the caller's prior configuration (including "none") is
@@ -703,7 +746,7 @@ object Dedup {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     try {
     def barrier(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint() else df.barrier()
     // same capped pair generation as minhashCandidates — one code path,
     // one skew guard
     // materialized before the symmetric union (see perDocSummary): the
@@ -791,19 +834,35 @@ object Dedup {
     * only — never corpus² — then top-1 by cosine via the bounded-heap
     * aggregate. Input `(block, vec_id, embedding)`.
     *
-    * `maxBlock` is this path's skew guard (the blocked twin of
-    * [[capBuckets]]): a degenerate block — near-duplicate embedding mass
-    * collapsing into one coarse cluster, exactly what a dedup corpus
-    * contains — would otherwise put |block|² comparisons on ONE task.
-    * Unlike the banded generators we must NOT drop oversized blocks: a
-    * huge block is precisely where the duplicates live. Instead it is
-    * SUB-SALTED — split into ceil(|block|/maxBlock) hash-assigned
-    * sub-blocks, each compared only within itself — so per-task work is
-    * bounded by ~maxBlock² while every vector still gets a neighbor
-    * (from its own sub-block; a documented recall trade for blocks over
-    * the cap, the same contract as `maxBucket`). Blocks at or under
-    * `maxBlock` get one sub-block (salt 0 for every member), so results
-    * are bit-identical to the unsalted join — the oracle doesn't change.
+    * Two composable skew guards (the blocked twins of [[capBuckets]]);
+    * a degenerate block — near-duplicate embedding mass collapsing into
+    * one coarse cluster, exactly what a dedup corpus contains — would
+    * otherwise put |block|² comparisons on ONE task. Unlike the banded
+    * generators we must NOT drop oversized blocks: a huge block is
+    * precisely where the duplicates live. Instead a block is SUB-SALTED
+    * into `salts = max(ceil(|block| / maxBlock), ceil(|block|² /
+    * pairBudget))` hash-assigned sub-blocks, each compared only within
+    * itself:
+    *  - `maxBlock` is the hard per-TASK size cap (sub-block ≤ maxBlock
+    *    rows, so one task never materializes more than ~maxBlock² pairs);
+    *  - `pairBudget` bounds each block's TOTAL pair count: a block of
+    *    size s split s²/budget ways does ≤ `pairBudget` comparisons no
+    *    matter how big s grows. This is the guard that removes the
+    *    quadratic window the size cap alone left open — with a fixed-
+    *    cardinality blocking key, blocks grow ∝ corpus and the per-block
+    *    s² work was quadratic until s reached maxBlock (measured 22× wall
+    *    for 10× data before this budget; ~bench-flat after).
+    * Every vector still gets a neighbor from its own sub-block — a
+    * documented recall trade for blocks over the guards, the same
+    * contract as `maxBucket`. Blocks small enough for both guards get
+    * one sub-block (salt 0 for every member), so results are
+    * bit-identical to the unsalted join — the oracle doesn't change.
+    *
+    * 100 TB posture: with a GIVEN fixed-cardinality key the budget keeps
+    * cost bounded but sub-blocks shrink as blocks grow (recall decays
+    * smoothly); the scale path is [[semanticNeighbors]]' LEARNED blocks,
+    * whose COUNT grows with the corpus (auto-k) so expected block size —
+    * and per-vector work — stays constant and the guards never engage.
     *
     * Block sizes come from a map-side-combined aggregate, NOT a window
     * count: a `count over (partition by block)` would ship the whole
@@ -811,12 +870,16 @@ object Dedup {
     * one row per block (blocks ≈ coarse clusters, thousands at most) and
     * broadcasts. */
   private def blockedNeighbors(e: DataFrame, simThreshold: Double,
-                               maxBlock: Int = 4096): DataFrame = {
+                               maxBlock: Int = 4096,
+                               pairBudget: Long = 1L << 18): DataFrame = {
     val sizes = e.groupBy(col("block")).agg(count(lit(1)).as("__bsz"))
+    // s² in double: a Long s² overflows past ~3e9-row blocks
+    val bsz = col("__bsz").cast("double")
+    val salts = greatest(lit(1L),
+      ceil(bsz / lit(maxBlock.toDouble)).cast("long"),
+      ceil(bsz * bsz / lit(pairBudget.toDouble)).cast("long"))
     val salted = e.join(broadcast(sizes), Seq("block"))
-      .withColumn("__salt",
-        pmod(xxhash64(col("vec_id")),
-          greatest(lit(1L), ceil(col("__bsz") / lit(maxBlock.toDouble)))))
+      .withColumn("__salt", pmod(xxhash64(col("vec_id")), salts))
       .drop("__bsz")
     val sims = salted.as("a")
       .join(salted.as("b"), col("a.block") === col("b.block") &&
@@ -834,42 +897,87 @@ object Dedup {
       .orderBy(col("vec_id"))
   }
 
-  /** Embedding-cosine nearest neighbor within a blocking key (`label` =
-    * coarse cluster): (vec_id, nn_id, nn_score, is_dup at `simThreshold`). */
+  /** Embedding-cosine nearest neighbor within a GIVEN blocking key
+    * (`label` = a trusted pre-existing partition — language, source
+    * shard, coarse cluster): (vec_id, nn_id, nn_score, is_dup at
+    * `simThreshold`). Cost is bounded at every block size by the
+    * [[blockedNeighbors]] pair budget; when no trustworthy key exists or
+    * blocks grow with the corpus, [[semanticNeighbors]] (learned blocks,
+    * auto-scaled count) is the scale path. */
   def embeddingNeighbors(t: Tables, simThreshold: Double = 0.95,
-                         maxBlock: Int = 4096): DataFrame =
+                         maxBlock: Int = 4096,
+                         pairBudget: Long = 1L << 18): DataFrame =
     blockedNeighbors(
       t.embeddings.select(col("label").as("block"), col("vec_id"),
-        col("embedding")), simThreshold, maxBlock)
+        col("embedding")), simThreshold, maxBlock, pairBudget)
 
   /** SemDeDup-style semantic dedup with LEARNED blocks: assign every
     * vector to its nearest of `nCentroids` deterministic centroids, then
     * near-dup NN within each centroid block.
     *
-    * The assignment is a pure NARROW pass — the k×dim centroid matrix is
-    * collected once (bounded by contract, like every IVF path) and folded
-    * into a codegen'd `least(struct(dist, cid)…)` expression, so no
-    * shuffle happens until the blocked self-join, and that join only ever
-    * compares vectors within a block (corpus²/k per block in expectation;
-    * scale k with the corpus — the block-local work stays bounded). */
-  def semanticNeighbors(embeddings: DataFrame, nCentroids: Int = 16,
+    * `nCentroids = 0` (the default) auto-scales the block count to the
+    * corpus: k = [[IvfIndex.autoCentroids]](count, `targetBlock`) — so
+    * EXPECTED block size (and per-vector join work) is a constant
+    * ~`targetBlock` regardless of corpus size. This is what makes
+    * semantic dedup the 100 TB path: a fixed k would mean blocks ∝
+    * corpus (the quadratic trap a fixed blocking key has); auto-k keeps
+    * total work linear. The extra `count()` is one metadata-cheap action.
+    *
+    * Assignment picks its mechanism by k — the RESULT is identical
+    * (argmin by `(dist, centroid_id)` struct ordering, both ways):
+    *  - small k (≤ 32, incl. the floor'd small-corpus default): the
+    *    k×dim centroid matrix is collected once (bounded by contract,
+    *    like every IVF path) and folded into a codegen'd
+    *    `least(struct(dist, cid)…)` expression — a pure NARROW pass,
+    *    zero shuffle before the blocked self-join;
+    *  - large k (auto-k on a big corpus): a k-way `least()` expression
+    *    tree blows past JIT/codegen limits and falls back to
+    *    interpreted evaluation (measured 32× wall for 10× data at
+    *    k = 79), so the assignment becomes the IVF-build shape instead —
+    *    broadcast the centroid table, crossJoin, one map-side-combined
+    *    struct-min aggregate (shuffles one best-so-far row per vector,
+    *    never the k candidates). */
+  def semanticNeighbors(embeddings: DataFrame, nCentroids: Int = 0,
                         simThreshold: Double = 0.95,
-                        maxBlock: Int = 4096): DataFrame = {
-    val cents: Array[(Long, Seq[Float])] =
-      IvfIndex.centroids(embeddings, nCentroids)
-        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    // argmin by (dist, centroid_id): struct least() == the struct-min
-    // aggregate in IvfIndex.nearestCentroid, row-at-a-time (least()
-    // requires ≥ 2 args, so a single-centroid "choice" is the struct itself)
-    val structs = cents.toSeq.map { case (cid, cv) =>
-      struct(
-        (lit(1.0) - cosine_similarity(col("embedding"), typedLit(cv)))
-          .as("dist"),
-        lit(cid).as("cid"))
-    }
-    val best = if (structs.sizeIs == 1) structs.head else least(structs: _*)
-    blockedNeighbors(
-      embeddings.select(best.getField("cid").as("block"), col("vec_id"),
-        col("embedding")), simThreshold, maxBlock)
+                        maxBlock: Int = 4096,
+                        pairBudget: Long = 1L << 18,
+                        targetBlock: Int = 256): DataFrame = {
+    val k =
+      if (nCentroids > 0) nCentroids
+      else IvfIndex.autoCentroids(embeddings.count(), targetBlock)
+    val blocked =
+      if (k <= 32) {
+        val cents: Array[(Long, Seq[Float])] =
+          IvfIndex.centroids(embeddings, k)
+            .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+        // argmin by (dist, centroid_id): struct least() == the struct-min
+        // aggregate below, row-at-a-time (least() requires ≥ 2 args, so a
+        // single-centroid "choice" is the struct itself)
+        val structs = cents.toSeq.map { case (cid, cv) =>
+          struct(
+            (lit(1.0) - cosine_similarity(col("embedding"), typedLit(cv)))
+              .as("dist"),
+            lit(cid).as("cid"))
+        }
+        val best = if (structs.sizeIs == 1) structs.head else least(structs: _*)
+        embeddings.select(best.getField("cid").as("block"), col("vec_id"),
+          col("embedding"))
+      } else {
+        // the embedding rides inside the min-struct (kmeansCentroids'
+        // trick): (dist, centroid_id) is already unique per candidate, so
+        // the array never participates in the comparison, and no second
+        // join is needed to re-attach it
+        embeddings.crossJoin(broadcast(IvfIndex.centroids(embeddings, k)))
+          .select(col("vec_id"),
+            (lit(1.0) - cosine_similarity(col("embedding"), col("cv")))
+              .as("dist"),
+            col("centroid_id"), col("embedding"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("centroid_id"), col("embedding")))
+            .as("best"))
+          .select(col("best.centroid_id").as("block"), col("vec_id"),
+            col("best.embedding").as("embedding"))
+      }
+    blockedNeighbors(blocked, simThreshold, maxBlock, pairBudget)
   }
 }

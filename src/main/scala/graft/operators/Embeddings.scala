@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.functions.TextFunctions._
+import graft.operators.Barrier.BarrierOps
 
 /** Corpus-statistics-aware embeddings: hashing-trick TF-IDF.
   *
@@ -33,7 +34,7 @@ object Embeddings {
   def tfidfVectors(docs: DataFrame, dim: Int = 64): DataFrame = {
     val base = docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint() // barrier: Generate re-evals codegen'd children
+      .barrier() // barrier: Generate re-evals codegen'd children
     // corpus size N (ALL docs, token-less included) counted off the
     // materialized checkpoint blocks — not a second scan of the corpus
     val n = base.count()
@@ -42,7 +43,7 @@ object Embeddings {
     // explode→groupBy subtree would execute once per consumer
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .barrier()
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // FNV bucket hash (not an engine-internal hash): public and
     // SQL-replayable, so the correctness oracle can rebuild the vectors

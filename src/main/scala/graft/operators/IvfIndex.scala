@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions._
+import graft.operators.Barrier.BarrierOps
 
 /** IVF (inverted-file) approximate search: the scale path that replaces the
   * reference's single-node HNSW graph (services/index_service.py:55-100).
@@ -16,10 +17,33 @@ import graft.functions._
   */
 object IvfIndex {
 
-  /** Deterministic seed centroids: (centroid_id, cv). */
-  def centroids(corpus: DataFrame, nCentroids: Int): DataFrame =
-    corpus.filter(col("vec_id") < nCentroids)
+  /** Auto-scaled centroid count: k = max(`floor`, ceil(n / `targetList`)),
+    * so the EXPECTED posting-list/block size is a constant ~`targetList`
+    * at every corpus size. This is the scale-invariance every learned-
+    * block path needs — a fixed k means lists/blocks grow ∝ corpus (100×
+    * data = 100× per-list scan and per-block join work), while auto-k
+    * keeps per-vector work constant and total work linear. The floor
+    * keeps k sane on small corpora (and keeps small-SF oracles stable:
+    * any corpus under `floor × targetList` rows resolves to exactly
+    * `floor` centroids). */
+  def autoCentroids(corpusCount: Long, targetList: Int = 256,
+                    floor: Int = 16): Int = {
+    require(targetList > 0 && floor > 0, "targetList and floor must be > 0")
+    math.max(floor.toLong,
+      (corpusCount + targetList - 1) / targetList).min(Int.MaxValue).toInt
+  }
+
+  /** Deterministic seed centroids: (centroid_id, cv). `nCentroids ≤ 0`
+    * resolves through [[autoCentroids]] (one cheap count) — every IVF
+    * build/search path funnels through here, so passing 0 anywhere gives
+    * the corpus-scaled posting-list contract without each caller
+    * re-deriving k. */
+  def centroids(corpus: DataFrame, nCentroids: Int): DataFrame = {
+    val k =
+      if (nCentroids > 0) nCentroids else autoCentroids(corpus.count())
+    corpus.filter(col("vec_id") < k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+  }
 
   /** (vec_id, centroid_id, dist): each corpus vector's nearest centroid,
     * argmin by (distance, centroid_id) — the ONE assignment core behind
@@ -161,7 +185,7 @@ object IvfIndex {
     // materialized once: the ids are collected for the bucket-pruning IN
     // filter AND the table feeds the broadcast join — without the barrier
     // the probe subtree would execute twice
-    val probes = probeCentroids(cents, queries, nprobe).localCheckpoint()
+    val probes = probeCentroids(cents, queries, nprobe).barrier()
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)) // bounded: <= queries x nprobe
     val scored = postings
@@ -182,7 +206,7 @@ object IvfIndex {
                       queries: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val cents = spark.read.parquet(s"$path/centroids")
     // materialized once: ids for partition pruning + the broadcast side
-    val probes = probeCentroids(cents, queries, nprobe).localCheckpoint()
+    val probes = probeCentroids(cents, queries, nprobe).barrier()
     val probedIds = probes.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)) // bounded: <= queries x nprobe
     val postings = spark.read.parquet(s"$path/postings")
@@ -313,7 +337,7 @@ object IvfIndex {
     * then a filter (`crank <= p`) + bounded top-k window over that
     * materialized table, and the scanned-postings count is a join of the
     * ranked probes against per-centroid posting sizes — no second corpus
-    * scan anywhere. The scored table is localCheckpoint'ed because all
+    * scan anywhere. The scored table is [[Barrier]]-materialized because all
     * sweep points re-read it; its size is queries × probed-corpus-share,
     * bounded by the audit's query-sample contract (same bound as the
     * probe-id collects). `queries.count`/`corpus.count` feed the ratio
@@ -326,7 +350,7 @@ object IvfIndex {
     val cents = centroids(corpus, nCentroids)
     val assign = nearestCentroid(corpus, cents)
       .select(col("vec_id"), col("centroid_id"))
-      .localCheckpoint() // read twice: candidates + posting sizes
+      .barrier() // read twice: candidates + posting sizes
     val ranked = cents.crossJoin(broadcast(queries))
       .select(col("query_id"),
         cosine_similarity(col("qv"), col("cv")).as("sim"), col("centroid_id"))
@@ -334,15 +358,15 @@ object IvfIndex {
         .orderBy(col("sim").desc, col("centroid_id"))))
       .filter(col("crank") <= maxP)
       .select(col("query_id"), col("centroid_id"), col("crank"))
-      .localCheckpoint() // bounded: queries × maxP rows, read per sweep point
+      .barrier() // bounded: queries × maxP rows, read per sweep point
     val scored = assign.join(broadcast(ranked), Seq("centroid_id"))
       .join(corpus, Seq("vec_id"))
       .join(broadcast(queries), Seq("query_id"))
       .select(col("query_id"), col("vec_id"), col("crank"),
         cosine_similarity(col("qv"), col("embedding")).as("sim"))
-      .localCheckpoint() // all sweep points filter this one scoring pass
+      .barrier() // all sweep points filter this one scoring pass
     val exact = Search.bruteForceTopK(queries, corpus, k)
-      .select(col("query_id"), col("vec_id")).localCheckpoint()
+      .select(col("query_id"), col("vec_id")).barrier()
     val sizes = assign.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("psz"))
     val nq = queries.count()

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
+import graft.operators.Barrier.BarrierOps
 
 /** Corpus-curation operators for a large-scale training-data pipeline:
   * repetition/quality gating, PII redaction, benchmark decontamination,
@@ -31,7 +32,7 @@ object Pipeline {
     // the tokenization chain must be materialized first
     gopherStatsFrom(docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint())
+      .barrier())
 
   /** [[gopherStats]] over a pre-tokenized, MATERIALIZED `(doc_id, toks)`
     * table — the fused-curation entry point ([[curate]] shares one
@@ -106,10 +107,10 @@ object Pipeline {
       .select(col("doc_id"),
         array_distinct(shingles(col("toks"), n)).as("gs"))
       // barrier (Generate re-evaluation) + read twice: df and per-doc join
-      .localCheckpoint()
+      .barrier()
       .select(col("doc_id"), explode(col("gs")).as("gram"))
       .select(col("doc_id"), graft.functions.fnv1a64(col("gram")).as("gh"))
-      .localCheckpoint()
+      .barrier()
     // the hot set stays un-hinted: it grows with corpus content, and a
     // forced broadcast would fail at the hard limit on a large corpus
     // (AQE still broadcasts it while it is small)
@@ -193,7 +194,7 @@ object Pipeline {
       // but tokenize→shingle→distinct is a single narrow projection, and
       // checkpointing its intermediate token arrays too just doubled the
       // block-manager traffic
-      .localCheckpoint()
+      .barrier()
       .select(col("doc_id"), explode(col("grams")).as("gram"))
     val benchGrams = frozenBenchGrams.getOrElse(
       grams(bench).select(col("gram")).distinct())
@@ -296,7 +297,7 @@ object Pipeline {
   def curate(docs: DataFrame, benchSplit: Long = 100): DataFrame = {
     val toks = docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint() // ONE tokenization pass, shared by all gates
+      .barrier() // ONE tokenization pass, shared by all gates
     val g = gopherStatsFrom(toks)
       .select(col("doc_id"), col("keep").as("keep_gopher"))
     val l = TextAnalysis.lmScoresFrom(toks)
@@ -322,9 +323,20 @@ object Pipeline {
     * it, gates applied in pipeline order (cheap narrow gates first, the
     * corpus-join gates after). One aggregate over the verdict table →
     * five rows via `stack`; at 100 TB this is a second's work on the
-    * 1-bit columns, not a rescan. */
-  def curationReport(docs: DataFrame, benchSplit: Long = 100): DataFrame = {
-    val c = curate(docs, benchSplit)
+    * 1-bit columns, not a rescan. When the funnel's verdicts are already
+    * materialized, use [[curationReportFrom]] — the report should never
+    * pay the corpus twice. (The banded dedup paths' `maxBucket` /
+    * df-cap recall trades are accounted the same one-table way by
+    * [[Dedup.bandingCapAudit]] — cite both in a release review.) */
+  def curationReport(docs: DataFrame, benchSplit: Long = 100): DataFrame =
+    curationReportFrom(curate(docs, benchSplit))
+
+  /** [[curationReport]] over an already-computed [[curate]] verdict
+    * table — the single-pass seam: materialize the verdicts once, read
+    * `keep` from them AND aggregate this report, and the funnel runs
+    * exactly once for both consumers. */
+  def curationReportFrom(verdicts: DataFrame): DataFrame = {
+    val c = verdicts
     val g1 = col("keep_gopher")
     val g2 = g1 && col("keep_lm")
     val g3 = g2 && col("keep_boiler")
@@ -359,41 +371,95 @@ object Pipeline {
     * same discipline as the money math. The 1-row aggregates cross-join
     * into the card; nothing here adds a corpus pass beyond its source
     * audit. */
-  def datasetCard(t: graft.sources.Tables): DataFrame = {
-    val docs = t.documents
-    val toks = docs
-      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint() // read twice: sizes + vocabulary
-    val basic = toks.agg(count(lit(1)).as("n_docs"),
-      sum(size(col("toks"))).cast("long").as("n_tokens"))
-    val vocab = toks.select(explode(col("toks")).as("tk"))
-      .agg(count_distinct(col("tk")).as("vocab_size"))
-    val dup = Dedup.exactGroups(t)
-      .agg(count(lit(1)).as("__groups"), sum(col("dup_count")).as("__docs"))
+  def datasetCard(t: graft.sources.Tables): DataFrame =
+    datasetCardFrom(t.documents)
+
+  /** [[datasetCard]] over any `(doc_id, text)` corpus: ONE preprocess
+    * pass (the card's hottest CPU — the normalization regex chain) is
+    * materialized and shared by everything derived from normalized text
+    * (token counts, vocabulary, language ID, gopher gates, the exact-dup
+    * hash); only the constituents DEFINED on raw text (quality's
+    * length/alpha counts, PII regexes) scan `docs` again. */
+  def datasetCardFrom(docs: DataFrame): DataFrame = {
+    val clean = docs
+      .select(col("doc_id"), preprocess(col("text")).as("clean"))
+      .barrier() // the ONE normalization pass: tokens + dup hash
+    val toks = clean
+      .select(col("doc_id"), tokens(col("clean")).as("toks"))
+      .barrier() // read thrice: sizes, gates, vocabulary
+    cardAssemble(cardDocStats(docs, clean, toks),
+      toks.select(explode(col("toks")).as("tk")))
+  }
+
+  /** Per-document card contributions — every constituent of the card
+    * that is DOCUMENT-LOCAL, one row per doc: token count, normalized-
+    * text hash (the exact-dup group key), language-ID verdict, quality
+    * score, gopher keep and PII incidence. This is the micro-batch unit
+    * of the card: contributions are corpus-independent, so a stream can
+    * append them per batch ([[graft.streaming.DatasetCardStream]]) and
+    * the release card is one aggregate over the store — only the
+    * vocabulary and dup-group counts need their distinct-key tables,
+    * which the stream accumulates the same append-only way. `cleanDf`
+    * `(doc_id, clean)` and `toksDf` `(doc_id, toks)` must be
+    * materialized (each feeds multiple consumers). */
+  private[graft] def cardDocStats(docs: DataFrame, cleanDf: DataFrame,
+                                  toksDf: DataFrame): DataFrame = {
+    val lang = TextAnalysis.languageIdFrom(toksDf)
+      .select(col("doc_id"), (col("predicted_lang") === "en").as("is_en"))
+    val qual = TextAnalysis.qualityScores(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val goph = gopherStatsFrom(toksDf)
+      .select(col("doc_id"), col("keep").as("keep_gopher"))
+    val pii = piiRedact(docs)
+      .select(col("doc_id"),
+        (col("n_emails") + col("n_ips") + col("n_phones") > 0).as("has_pii"))
+    toksDf.select(col("doc_id"), size(col("toks")).cast("long").as("n_toks"))
+      .join(cleanDf.select(col("doc_id"),
+        md5(col("clean").cast("binary")).as("text_hash")), Seq("doc_id"))
+      .join(lang, Seq("doc_id")).join(qual, Seq("doc_id"))
+      .join(goph, Seq("doc_id")).join(pii, Seq("doc_id"))
+  }
+
+  /** The one-row card assembled from [[cardDocStats]] rows plus a token
+    * table (deduped here, so redundant appends are harmless).
+    *
+    * Scale/determinism: bounded aggregates over the per-doc stats; the
+    * vocabulary and dup-group counts go through TWO-LEVEL exact
+    * distincts — `distinct()` spreads the key hash across shuffle
+    * partitions (map-side partial dedup, then per-partition counts),
+    * where a bare `count_distinct` funnels every distinct key into ONE
+    * final hash table (the card's measured 12.6×-for-10× scaler before
+    * this split). The quality mean goes through DECIMAL(18,4) (the
+    * per-doc scores are 1e-4-floored, so the cast is exact) because a
+    * partial-aggregated double SUM is partition-order-dependent and
+    * would break the hash oracle — the money-math discipline. */
+  private[graft] def cardAssemble(stats: DataFrame,
+                                  tokens: DataFrame): DataFrame = {
+    val basic = stats.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_toks")).cast("long").as("n_tokens"))
+    val vocab = tokens.select(col("tk"))
+      .distinct().agg(count(lit(1)).as("vocab_size"))
+    val dup = stats.select(col("text_hash")).distinct()
+      .agg(count(lit(1)).as("__groups"))
+      .crossJoin(stats.agg(count(lit(1)).as("__docs")))
       .select(r4(lit(1.0) - col("__groups").cast("double") /
         col("__docs").cast("double")).as("exact_dup_rate"))
-    val lang = TextAnalysis.languageId(t)
-      .agg(sum(when(col("predicted_lang") === "en", 1L).otherwise(0L))
-        .as("__en"), count(lit(1)).as("__n"))
-      .select(r4(col("__en").cast("double") / col("__n").cast("double"))
-        .as("frac_en"))
-    val qual = TextAnalysis.qualityScores(t)
-      .agg(sum(col("quality_score").cast("decimal(18,4)")).as("__qs"),
+    val rates = stats.agg(
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("__en"),
+        sum(col("quality_score").cast("decimal(18,4)")).as("__qs"),
+        sum(when(col("keep_gopher"), 1L).otherwise(0L)).as("__k"),
+        sum(when(col("has_pii"), 1L).otherwise(0L)).as("__p"),
         count(lit(1)).as("__n"))
-      .select(r4(col("__qs").cast("double") / col("__n").cast("double"))
-        .as("mean_quality"))
-    val keep = gopherStatsFrom(toks) // shares the card's tokenization pass
-      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("__k"),
-        count(lit(1)).as("__n"))
-      .select(r4(col("__k").cast("double") / col("__n").cast("double"))
-        .as("gopher_keep_rate"))
-    val pii = piiRedact(docs)
-      .agg(sum(when(col("n_emails") + col("n_ips") + col("n_phones") > 0,
-        1L).otherwise(0L)).as("__p"), count(lit(1)).as("__n"))
-      .select(r4(col("__p").cast("double") / col("__n").cast("double"))
-        .as("pii_doc_frac"))
-    basic.crossJoin(vocab).crossJoin(dup).crossJoin(lang)
-      .crossJoin(qual).crossJoin(keep).crossJoin(pii)
+      .select(
+        r4(col("__en").cast("double") / col("__n").cast("double"))
+          .as("frac_en"),
+        r4(col("__qs").cast("double") / col("__n").cast("double"))
+          .as("mean_quality"),
+        r4(col("__k").cast("double") / col("__n").cast("double"))
+          .as("gopher_keep_rate"),
+        r4(col("__p").cast("double") / col("__n").cast("double"))
+          .as("pii_doc_frac"))
+    basic.crossJoin(vocab).crossJoin(dup).crossJoin(rates)
   }
 
   /** Sequence packing: assign documents to fixed-token-budget packs by

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.dot_product
+import graft.operators.Barrier.BarrierOps
 
 /** Product quantization: split each `dim`-vector into `m` subvectors and
   * replace every subvector by its nearest of `k` per-subspace codewords —
@@ -58,7 +59,7 @@ object ProductQuantizer {
     val slices = corpus.select(
       posexplode(array((0 until m).map(j =>
         slice(col("embedding"), j * sub + 1, sub)): _*)).as(Seq("j", "s")))
-      .localCheckpoint()
+      .barrier()
     for (_ <- 1 to iters) {
       val code = coalesce((0 until m).map(j =>
         when(col("j") === j, bestCode(col("s"), cbs(j)))): _*)
@@ -129,10 +130,10 @@ object ProductQuantizer {
     // searches (flat PQ + IVFPQ) and every search then scans stored
     // arrays instead of re-running the 64-way argmin encode per pass
     val seedRec = reconstructedWith(corpus, codebooks(corpus, m, k))
-      .localCheckpoint()
+      .barrier()
     val trainedRec =
       reconstructedWith(corpus, trainedCodebooks(corpus, m, k, iters))
-        .localCheckpoint()
+        .barrier()
     val seed = hitsOf(Search.bruteForceTopK(queries, seedRec, topK),
       "hit_seed")
     val trained = hitsOf(Search.bruteForceTopK(queries, trainedRec, topK),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.fnv1a64
 import graft.functions.TextFunctions.{preprocess, tokens}
+import graft.operators.Barrier.BarrierOps
 
 /** Streaming-friendly frequency sketches over the token stream.
   *
@@ -46,7 +47,7 @@ object Sketches {
       // read twice (grid + exact audit)
       .repartition(32)
       .select(explode(col("toks")).as("tok"))
-      .localCheckpoint()
+      .barrier()
     // the sketch: one pass, partial-aggregated into ≤ depth×width cells
     val grid = toks.select(gridCoords(col("tok"), depth, width).as("db"))
       .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.poly_fingerprint
 import graft.sources.Tables
+import graft.operators.Barrier.BarrierOps
 
 /** Document-level text analysis for LLM-data pipelines: token counting,
   * quality scoring. Pure narrow transforms — no shuffle; scales linearly
@@ -29,12 +30,15 @@ object TextAnalysis {
   /** Quality scoring: length, alpha ratio, stopword ratio, avg word
     * length, composite score — deterministic double math, rounded at the
     * boundary so the DuckDB oracle hash-matches. */
-  def qualityScores(t: Tables): DataFrame = {
+  def qualityScores(t: Tables): DataFrame = qualityScores(t.documents)
+
+  /** [[qualityScores]] over any `(doc_id, text)` table. */
+  def qualityScores(docs: DataFrame): DataFrame = {
     // two-step select: tokenization/regex counts computed ONCE in the
     // first projection; the ratio arithmetic below references only cheap
     // attributes (a single projection would re-evaluate the regex chain
     // per reference — CollapseProject rightly refuses to merge these)
-    val base = t.documents.select(
+    val base = docs.select(
       col("doc_id"),
       length(col("text")).cast("double").as("__len"),
       alphaCount(col("text")).cast("double").as("__alpha"),
@@ -72,11 +76,21 @@ object TextAnalysis {
 
   /** n-gram-heuristic language ID: per-language stopword-hit ratios and an
     * argmax prediction (priority order on ties). */
-  def languageId(t: Tables): DataFrame = {
+  def languageId(t: Tables): DataFrame = languageId(t.documents)
+
+  /** [[languageId]] over any `(doc_id, text)` table. */
+  def languageId(docs: DataFrame): DataFrame =
+    languageIdFrom(docs.select(col("doc_id"),
+      tokens(preprocess(col("text"))).as("toks")))
+
+  /** [[languageId]] over a pre-tokenized `(doc_id, toks)` table — the
+    * fused entry point ([[Pipeline.datasetCardFrom]] shares ONE
+    * preprocess/tokenize pass across the card's constituents; the regex
+    * chain is the card's hottest CPU). */
+  private[graft] def languageIdFrom(toksDf: DataFrame): DataFrame = {
     // two-step select: the tokenization chain is evaluated once (see
     // qualityScores); scores reference the materialized attribute
-    val base = t.documents.select(col("doc_id"),
-      tokens(preprocess(col("text"))).as("__toks"))
+    val base = toksDf.select(col("doc_id"), col("toks").as("__toks"))
     val toks = col("__toks")
     val nTok = size(toks).cast("double")
     def r4(c: Column) = floor(c * 10000.0) / 10000.0
@@ -108,7 +122,7 @@ object TextAnalysis {
   def diversity(docs: DataFrame): DataFrame = {
     val cnt = docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint() // barrier: see tokenCounts
+      .barrier() // barrier: see tokenCounts
       .select(col("doc_id"), explode(col("toks")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val per = cnt.groupBy(col("doc_id"))
@@ -219,7 +233,7 @@ object TextAnalysis {
     require(stride > 0 && size >= stride, "need 0 < stride <= size")
     val base = docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint() // barrier: see cappedShingleTable in Dedup
+      .barrier() // barrier: see cappedShingleTable in Dedup
       .select(col("doc_id"), col("toks"),
         org.apache.spark.sql.functions.size(col("toks")).as("n"))
       .filter(col("n") > 0)
@@ -259,56 +273,87 @@ object TextAnalysis {
       .limit(topK)
   }
 
-  /** One real BPE TRAINING iteration on top of [[bpePairs]]' counting:
-    * pick the best merge, APPLY it to the vocabulary, and recount — the
-    * loop a byte-pair-encoding trainer runs to convergence, demonstrated
-    * for one round with both rounds' top-`topK` tables emitted
-    * (`(round, pair, score)`; round-2 pairs containing the merged symbol
-    * are printed expanded, e.g. `ab c`).
+  /** One real BPE TRAINING iteration — [[bpeTrainMulti]] with a single
+    * merge round (rounds 1 and 2's top-`topK` tables emitted). */
+  def bpeTrain(docs: DataFrame, topK: Int = 10): DataFrame =
+    bpeTrainMulti(docs, rounds = 1, topK = topK)
+
+  /** Iterated BPE training on top of [[bpePairs]]' counting: `rounds`
+    * times, pick the best merge (by score desc, then pair), APPLY it to
+    * the vocabulary, and recount — the loop a byte-pair-encoding trainer
+    * runs to convergence. Emits the top-`topK` pair table seen at every
+    * round, `rounds + 1` tables in all (`(round, pair, score)`; round 1
+    * is the pre-merge count, round r+1 reflects merges 1..r). Pairs
+    * containing merged symbols are printed expanded (e.g. `ab c`).
     *
     * Scale shape (why BPE training is vocab-bound, not corpus-bound):
-    * the corpus is read ONCE into the word-frequency table; the merge
+    * the corpus is read ONCE into the word-frequency table; each merge
     * application is a `replace()` over VOCABULARY strings (left-to-right
     * non-overlapping in both engines — the classic BPE convention), and
-    * every subsequent round recounts pairs over the vocabulary alone.
-    * The winning merge is a ONE-row collect (bounded by contract, like
-    * the centroid collects) folded into round 2's expression; the merged
-    * pair travels as a single sentinel char (`\\u0001` — outside the
-    * normalized alphabet) so round-2 adjacency is again char adjacency. */
-  def bpeTrain(docs: DataFrame, topK: Int = 10): DataFrame = {
+    * every round recounts pairs over the vocabulary alone. Each round's
+    * winning merge is a ONE-row collect (bounded by contract, like the
+    * centroid collects); merge r travels as the single sentinel char
+    * `chr(r)` — outside the normalized `[\w %]` alphabet — so later
+    * rounds' adjacency is again char adjacency, and the sentinels are
+    * expanded back (newest first, so nested merges unfold) only for
+    * display. All string rewriting goes through the `replace` COLUMN
+    * function — corpus-derived strings are never interpolated into SQL
+    * text, so a token containing quote-like characters can never break
+    * (or inject into) a query. */
+  def bpeTrainMulti(docs: DataFrame, rounds: Int = 5,
+                    topK: Int = 10): DataFrame = {
+    require(rounds >= 1 && rounds <= 30,
+      "1..30 merge rounds (one sentinel char per round, below the space)")
     val freq = docs
       .select(explode(tokens(preprocess(col("text")))).as("tk"))
       .groupBy(col("tk")).agg(count(lit(1)).as("f"))
-      .localCheckpoint() // read three times: round-1 pairs, winner, round-2
-    def pairsOf(words: DataFrame, wordCol: String): DataFrame =
+      .barrier() // the ONE corpus pass; all rounds below are vocab-bound
+    def pairsOf(words: DataFrame): DataFrame =
       words
-        .select(col("f"), explode(shingles(split(col(wordCol), ""), 2)).as("pair"))
+        .select(col("f"), explode(shingles(split(col("tk"), ""), 2)).as("pair"))
         .groupBy(col("pair")).agg(sum(col("f")).as("score"))
-    val r1 = pairsOf(freq, "tk")
-    val top1 = r1.orderBy(col("score").desc, col("pair")).limit(1)
-      .collect().headOption // ONE row: the winning merge
-    val r1Out = r1.orderBy(col("score").desc, col("pair")).limit(topK)
-      .select(lit(1L).as("round"), col("pair"), col("score"))
-    top1 match {
-      case None => r1Out // empty corpus: no merge to apply
-      case Some(row) =>
-        val merged = row.getString(0).split(" ").mkString
-        val applied = freq.withColumn("tk2",
-          expr(s"replace(tk, '$merged', chr(1))"))
-        val r2Out = pairsOf(applied, "tk2")
-          .orderBy(col("score").desc, col("pair")).limit(topK)
-          .select(lit(2L).as("round"),
-            expr(s"replace(pair, chr(1), '$merged')").as("pair"),
-            col("score"))
-        r1Out.unionByName(r2Out)
-          .orderBy(col("round"), col("score").desc, col("pair"))
+    // sentinel expansion for display: newest merge first, so a merge
+    // whose symbol contains an earlier sentinel unfolds completely
+    def expand(c: Column, merges: List[String]): Column =
+      merges.zipWithIndex.reverse.foldLeft(c) { case (acc, (m, i)) =>
+        replace(acc, lit((i + 1).toChar.toString), lit(m))
+      }
+    var vocab = freq
+    var merges = List.empty[String]
+    var outs = List.empty[DataFrame]
+    var r = 1
+    var dry = false
+    while (r <= rounds + 1 && !dry) {
+      val pr = pairsOf(vocab).barrier() // read twice: top-k + winner
+      // the top-k CUT and the winner use the RAW pair order (same
+      // convention as the oracle); expansion is presentation only
+      outs = outs :+ pr.orderBy(col("score").desc, col("pair")).limit(topK)
+        .select(lit(r.toLong).as("round"),
+          expand(col("pair"), merges).as("pair"), col("score"))
+      if (r <= rounds) {
+        val winner = pr.orderBy(col("score").desc, col("pair")).limit(1)
+          .collect().headOption // ONE row: this round's merge
+        winner match {
+          case None => dry = true // no adjacent pairs left: converged
+          case Some(row) =>
+            val merged = row.getString(0).split(" ").mkString
+            vocab = vocab
+              .withColumn("tk",
+                replace(col("tk"), lit(merged), lit(r.toChar.toString)))
+              .barrier() // vocab-sized; keeps round lineage flat
+            merges = merges :+ merged
+        }
+      }
+      r += 1
     }
+    outs.reduce(_ unionByName _)
+      .orderBy(col("round"), col("score").desc, col("pair"))
   }
 
   def lmScores(docs: DataFrame, maxAvgNll: Double = 10.0): DataFrame =
     lmScoresFrom(docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint(), // barrier + read twice: vocabulary and bigrams
+      .barrier(), // barrier + read twice: vocabulary and bigrams
       maxAvgNll)
 
   /** Frozen bigram model — the train/serve seam for [[lmScoresFrom]]:
@@ -342,12 +387,12 @@ object TextAnalysis {
     val docBg = toks
       .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("bg"))
       .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("m"))
-      .localCheckpoint() // read twice: corpus counts + scoring join
+      .barrier() // read twice: corpus counts + scoring join
     val (cbTab, cuTab) = model match {
       case Some(m) => (m.bigrams, m.prefixes)
       case None =>
         val cb = docBg.groupBy(col("bg")).agg(sum(col("m")).as("cb"))
-          .localCheckpoint() // read twice: prefix counts + scoring join
+          .barrier() // read twice: prefix counts + scoring join
         (cb, cb.select(split(col("bg"), " ").getItem(0).as("w1"), col("cb"))
           .groupBy(col("w1")).agg(sum(col("cb")).as("cu")))
     }
@@ -363,8 +408,11 @@ object TextAnalysis {
     val (scored, vCol) = model match {
       case Some(m) => (grouped, lit(m.vocabSize))
       case None => (grouped.crossJoin(broadcast(
+        // two-level exact distinct (see Pipeline.datasetCard): the
+        // vocabulary hash is spread across partitions instead of one
+        // final count_distinct table
         toks.select(explode(col("toks")).as("tk"))
-          .agg(count_distinct(col("tk")).as("V")))), col("V"))
+          .distinct().agg(count(lit(1)).as("V")))), col("V"))
     }
     val nll = aggregate(col("cs"), lit(0.0), (acc, e) => {
       acc + e.getField("m").cast("double") *

@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.functions._
 import graft.functions.TextFunctions._
 import graft.operators.Pipeline
+import graft.operators.Barrier.BarrierOps
 
 /** Streaming curation — the per-micro-batch twin of
   * [[graft.operators.Pipeline.curate]], in the shape a production
@@ -41,7 +42,7 @@ import graft.operators.Pipeline
   * from the frozen df table is simply not boilerplate). */
 object CurationStream {
 
-  /** The frozen corpus statistics (all `localCheckpoint`ed — each table
+  /** The frozen corpus statistics (all [[graft.operators.Barrier]]-materialized — each table
     * is re-read on every micro-batch):
     *  - `hotGrams` (gh): boilerplate grams with df ≥ minDf at freeze;
     *  - `hotWindows` (wh): k-token windows occurring ≥ 2× at freeze;
@@ -59,42 +60,42 @@ object CurationStream {
                   decontamN: Int = 8): FrozenStats = {
     val toks = docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint()
+      .barrier()
     val hotGrams = toks
       .select(col("doc_id"), array_distinct(shingles(col("toks"), boilerN)).as("gs"))
-      .localCheckpoint() // barrier: Generate re-evaluation (see boilerplate)
+      .barrier() // barrier: Generate re-evaluation (see boilerplate)
       .select(explode(col("gs")).as("gram"))
       .select(fnv1a64(col("gram")).as("gh"))
       .groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= boilerMinDf)
       .select(col("gh"))
-      .localCheckpoint()
+      .barrier()
     val hotWindows = toks
       .select(col("doc_id"), shingles(col("toks"), windowK).as("ws"))
-      .localCheckpoint()
+      .barrier()
       .select(explode(col("ws")).as("w"))
       .select(fnv1a64(col("w")).as("wh"))
       .groupBy(col("wh")).agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2)
       .select(col("wh"))
-      .localCheckpoint()
+      .barrier()
     val bigrams = toks
       .select(explode(shingles(col("toks"), 2)).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("cb"))
-      .localCheckpoint()
+      .barrier()
     val prefixes = bigrams
       .select(split(col("bg"), " ").getItem(0).as("w1"), col("cb"))
       .groupBy(col("w1")).agg(sum(col("cb")).as("cu"))
-      .localCheckpoint()
+      .barrier()
     val vocabSize = toks
       .select(explode(col("toks")).as("tk"))
       .agg(count_distinct(col("tk"))).head.getLong(0)
     val benchGrams = bench
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"), decontamN)).as("grams"))
-      .localCheckpoint()
+      .barrier()
       .select(explode(col("grams")).as("gram")).distinct()
-      .localCheckpoint()
+      .barrier()
     FrozenStats(hotGrams, hotWindows, bigrams, prefixes, vocabSize, benchGrams)
   }
 
@@ -113,7 +114,7 @@ object CurationStream {
       : DataFrame = {
     val toks = batch
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .localCheckpoint()
+      .barrier()
     val g = Pipeline.gopherStatsFrom(toks)
       .select(col("doc_id"), col("keep").as("keep_gopher"))
     val l = graft.operators.TextAnalysis.lmScoresFrom(toks, maxAvgNll,

@@ -170,6 +170,73 @@ class DedupSpec extends SparkSuite {
     assert(def_ == atCap)
   }
 
+  test("pair budget bounds block work smoothly — no quadratic window") {
+    // 64 identical vectors in one block, pairBudget=1024: salts =
+    // ceil(64²/1024) = 4 — the budget engages long before the size cap
+    // (maxBlock=4096) would, splitting the block into 4 sub-blocks so
+    // total pair work ≤ ~budget instead of 64². Every vector still finds
+    // a perfect dup inside its own sub-block.
+    val vecs = (0L until 64L).map(i => (i, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val nn = operators.Dedup.semanticNeighbors(vecs, nCentroids = 1,
+        pairBudget = 1024L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(nn.size == 64 && nn.values.forall(_._2))
+    val salt = vecs.select($"vec_id",
+        pmod(xxhash64($"vec_id"), lit(4L)).as("s"))
+      .as[(Long, Long)].collect().toMap
+    nn.foreach { case (v, (n, _)) =>
+      assert(salt(v) == salt(n), s"$v's neighbor $n crossed sub-blocks") }
+    // a budget the block fits under: bit-identical to the default join
+    val def_ = operators.Dedup.semanticNeighbors(vecs, nCentroids = 1)
+      .collect().toSeq
+    val roomy = operators.Dedup.semanticNeighbors(vecs, nCentroids = 1,
+      pairBudget = 64L * 64L).collect().toSeq
+    assert(def_ == roomy)
+  }
+
+  test("banding cap audit measures exactly what the cap drops") {
+    import spark.implicits._
+    // 20 identical docs: every one of the 16 bands collapses to ONE
+    // bucket of 20. With maxBucket=10 the cap drops them all — and the
+    // audit must say so, per band: 20 rows dropped, 20·19/2 = 190
+    // within-bucket pairs lost (the upper bound; here exact, since every
+    // bucket is capped so no pair survives via another band)
+    val docs = (1L to 20L).map(i => (i, base)).toDF("doc_id", "text")
+    val audit = operators.Dedup.bandingCapAudit(docs, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(audit.map(_._1) == (0L until 16L), s"one row per band: $audit")
+    audit.foreach { case (_, nb, nc, rows, pairs) =>
+      assert(nb == 1 && nc == 1 && rows == 20 && pairs == 190, audit.toString)
+    }
+    // consistency with the candidate pass it audits: same cap → zero
+    // candidates; cap above the bucket size → audit reports nothing lost
+    assert(operators.Dedup.minhashCandidates(docs, maxBucket = 10)
+      .filter($"n_candidates" > 0).count() == 0)
+    operators.Dedup.bandingCapAudit(docs, maxBucket = 20).collect()
+      .foreach(r => assert(r.getLong(2) == 0 && r.getLong(3) == 0 &&
+        r.getLong(4) == 0, "nothing capped means nothing dropped"))
+  }
+
+  test("auto-k keeps expected block size scale-invariant") {
+    import operators.IvfIndex.autoCentroids
+    // floor region: small corpora (and the sf0.01 oracle) resolve to
+    // exactly `floor` centroids — oracles stay stable
+    assert(autoCentroids(500) == 16)
+    assert(autoCentroids(0) == 16)
+    // scaling region: expected block size n/k stays within a constant
+    // band (target/2, target] as the corpus grows 100×, 10 000×
+    for (n <- Seq(100000L, 1000000L, 10000000L, 1000000000L)) {
+      val k = autoCentroids(n)
+      val block = n.toDouble / k
+      assert(block <= 256.0 && block > 128.0,
+        s"n=$n k=$k expected block $block escaped the target band")
+    }
+    // monotone in n: more data never means fewer blocks
+    assert(autoCentroids(1 << 20) < autoCentroids(1 << 24))
+  }
+
   test("incremental dedup from the persisted signature store matches recompute") {
     val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
     val base = Seq((1L, baseText),

@@ -19,6 +19,22 @@ class IvfSpec extends SparkSuite {
     assert(assign.select($"centroid_id").distinct().count() <= 16)
   }
 
+  test("auto-k IVF: nCentroids=0 resolves to the corpus-scaled count") {
+    // sf0.001 sits under floor×targetList, so auto-k resolves to the
+    // floor (16) and the whole search must equal the explicit-16 build —
+    // the seam every build/search path shares (centroids()); the
+    // scaling region itself is pinned in DedupSpec's autoCentroids spec
+    val auto = IvfIndex.search(queries, t.embeddings,
+      nCentroids = 0, nprobe = 4, k = 5).collect().toSeq
+    val explicit = IvfIndex.search(queries, t.embeddings,
+      nCentroids = 16, nprobe = 4, k = 5).collect().toSeq
+    assert(auto == explicit)
+    // recall stays audited, not asserted, through the same auto seam
+    val audit = IvfIndex.recallAudit(queries, t.embeddings,
+      nCentroids = 0, nprobe = 4, k = 5).collect()
+    assert(audit.nonEmpty)
+  }
+
   test("IVF results are a subset of the corpus and self is always found") {
     val res = IvfIndex.search(queries, t.embeddings,
       nCentroids = 16, nprobe = 4, k = 5)

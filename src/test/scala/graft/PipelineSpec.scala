@@ -207,6 +207,42 @@ class PipelineSpec extends SparkSuite {
       assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"col $i: $r"))
   }
 
+  test("curation report served from a materialized verdict table") {
+    // the single-pass seam the registered queries use: verdicts land in
+    // parquet once; the report is one aggregate over the store and must
+    // equal the recompute-from-corpus form exactly
+    val t = sources.Tables(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-verdicts").toString
+    operators.Pipeline.curate(t.documents).write.mode("overwrite").parquet(dir)
+    val fromStore = operators.Pipeline
+      .curationReportFrom(spark.read.parquet(dir)).collect().toSeq
+    val recompute = operators.Pipeline
+      .curationReport(t.documents).collect().toSeq
+    assert(fromStore == recompute)
+  }
+
+  test("bpe multi-round: merges chain through sentinels and expand back") {
+    import spark.implicits._
+    // vocab {abc:3, bca:1}. Round 1 pairs: "b c"=4, "a b"=3, "c a"=1 →
+    // merge "bc". Round 2 (abc→a␁, bca→␁a): "a ␁"=3 → shown "a bc";
+    // "␁ a"=1 → "bc a"; merge "a␁". Round 3 (a␁→␂): only "␁ a"=1
+    // remains; merge "␁a". Round 4: single-symbol words only — the
+    // table is empty and the trainer stops early (no winner).
+    val docs = Seq((1L, "abc abc abc bca")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.bpeTrainMulti(docs, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, "b c", 4L), (1L, "a b", 3L), (1L, "c a", 1L),
+      (2L, "a bc", 3L), (2L, "bc a", 1L),
+      (3L, "bc a", 1L)), s"got $got")
+    // the k=1 case IS bpeTrain (delegation pinned against the same corpus)
+    val one = operators.TextAnalysis.bpeTrainMulti(docs, rounds = 1)
+      .collect().toSeq
+    val legacy = operators.TextAnalysis.bpeTrain(docs).collect().toSeq
+    assert(one == legacy)
+  }
+
   test("bpe train: winning merge applied left-to-right, round 2 recounts") {
     import spark.implicits._
     // vocab {ab:3, ba:1}: round 1 picks "a b" (score 3). After the merge,

@@ -409,6 +409,47 @@ class StreamingSpec extends SparkSuite {
       s"${diff.size} verdict rows differ; first: ${diff.headOption}")
   }
 
+  test("streamed dataset card equals the batch card over the same corpus") {
+    import spark.implicits._
+    // stream the corpus in two micro-batches; the card assembled from
+    // the append-only stores must equal the batch card bit for bit —
+    // every document-local constituent is additive, and the two
+    // distinct-key counts (vocabulary, dup groups) dedup at read
+    val docs = t.documents
+    val dir = Files.createTempDirectory("graft-card-stream").toString
+    val cut = docs.agg(expr("percentile_approx(doc_id, 0.5)"))
+      .head().getLong(0)
+    docs.filter($"doc_id" <= cut).coalesce(1).write.parquet(s"$dir/src/c=a")
+    Thread.sleep(1100)
+    docs.filter($"doc_id" > cut).coalesce(1).write.parquet(s"$dir/src/c=b")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/src/c=*")
+    DatasetCardStream.start(stream, s"$dir/stats", s"$dir/toks",
+      s"$dir/_ckpt").awaitTermination(180000)
+    val streamed = DatasetCardStream
+      .card(spark, s"$dir/stats", s"$dir/toks").collect().toSeq
+    val batch = operators.Pipeline.datasetCardFrom(docs).collect().toSeq
+    assert(streamed == batch,
+      s"streamed $streamed must equal batch $batch")
+    // replay safety: appending a batch's contributions twice must not
+    // move the card (dropDuplicates + distinct absorb the replay)
+    val replayDocs = docs.filter($"doc_id" <= cut)
+    val replayClean = replayDocs.select($"doc_id",
+        graft.functions.TextFunctions.preprocess($"text").as("clean"))
+      .localCheckpoint()
+    operators.Pipeline.cardDocStats(replayDocs, replayClean,
+        replayClean.select($"doc_id",
+          graft.functions.TextFunctions.tokens($"clean").as("toks"))
+          .localCheckpoint())
+      .write.mode("append").parquet(s"$dir/stats")
+    val replayed = DatasetCardStream
+      .card(spark, s"$dir/stats", s"$dir/toks").collect().toSeq
+    assert(replayed == batch, "a replayed micro-batch must be absorbed")
+  }
+
   test("stream-stream interval join equals the batch trailing-window join") {
     import spark.implicits._
     val q = JoinStream.purchaseAttribution(streamEvents)

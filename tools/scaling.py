@@ -24,10 +24,12 @@ def main():
     # -1) is listed with a blank ratio, never dropped or crashed on
     for name in sorted(set(qs) | set(qb)):
         ts, tb = qs.get(name), qb.get(name)
-        if ts is None or tb is None or ts < 0 or tb < 0:
+        # ts == 0 is a missing/degenerate measurement, not an infinite
+        # speed-down: treat it like an absent side (blank ratio row)
+        if ts is None or tb is None or ts <= 0 or tb < 0:
             rows.append((float("inf"), name, ts, tb, None))
             continue
-        rows.append((tb / ts if ts > 0 else float("inf"), name, ts, tb,
+        rows.append((tb / ts, name, ts, tb,
                      (shs.get(name), shb.get(name))))
     rows.sort(key=lambda r: (r[0], r[1]), reverse=True)
     print("| query | t_sf0.1 (s) | t_sf1 (s) | ratio | shuffle sf0.1→sf1 (MB) |")
