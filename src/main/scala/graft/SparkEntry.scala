@@ -325,6 +325,10 @@ object SparkEntry {
     // ExactSubstr-style positional signal: fraction of each doc's token
     // positions inside k-token windows occurring ≥2× verbatim corpus-wide
     "dedup_windows"   -> q(t => Dedup.windowDupCoverage(t.documents)),
+    // the APPLY step: duplicated spans removed (canonical first
+    // occurrence survives) and the cleaned text emitted — the actual
+    // ExactSubstr corpus cut, not just its measurement
+    "dedup_windows_apply" -> q(t => Dedup.windowDupApply(t.documents)),
     // char-level verification of the LSH candidates: exact Levenshtein on
     // normalized text, affordable because the input is pairs, not corpus
     "dedup_edit"      -> q(t => Dedup.editVerified(t.documents)),
@@ -395,6 +399,11 @@ object SparkEntry {
     // and recounts; all 6 round tables emitted, oracle replays every
     // rewrite
     "q_bpe_train_multi" -> q(t => TextAnalysis.bpeTrainMulti(t.documents)),
+    // the APPLY half of BPE: encode the corpus with the 5 learned
+    // merges — per-doc symbol counts and compression, the number a
+    // packing/context-budget pipeline consumes; merges applied on the
+    // VOCABULARY, docs join the (word → symbol length) table
+    "q_bpe_encode"     -> q(t => TextAnalysis.bpeEncode(t.documents)),
     // Zipf audit: log-log least-squares slope of the head vocabulary's
     // rank-frequency curve (corpus-health gate; natural text ≈ −1)
     "q_zipf"           -> q(t => TextAnalysis.zipfAudit(t.documents)),
@@ -657,18 +666,22 @@ object SparkEntry {
     s"CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT " +
       s"THEN $u - 18446744073709551616::HUGEINT ELSE $u END AS BIGINT)"
 
-  /** The iterated-BPE oracle, generated for `rounds` merge rounds: the
-    * word-frequency table f1 is built once, then per round r the pair
-    * count p_r, the winning merge mg_r (score desc, pair — the RAW-pair
-    * cut, same as the engine) and the rewritten vocabulary f_{r+1}
-    * (left-to-right non-overlapping `replace`, sentinel `chr(r)`). The
-    * final union expands sentinels newest-first for display, exactly as
-    * [[graft.operators.TextAnalysis.bpeTrainMulti]] does. */
-  private def bpeMultiOracleSql(rounds: Int, topK: Int): String = {
+  /** The shared iterated-BPE CTE chain, generated for `rounds` merge
+    * rounds: the word-frequency table f1 (carrying the ORIGINAL word
+    * `tk0` so the encode oracle can map words to their final symbol
+    * strings), then per round r the pair count p_r, the winning merge
+    * mg_r (score desc, pair — the RAW-pair cut, same as the engine) and
+    * the rewritten vocabulary f_{r+1} (left-to-right non-overlapping
+    * `replace`, sentinel `chr(r)`; the search string coalesces to the
+    * never-occurring `chr(127)` when a round has no winner, so an
+    * early-converged corpus leaves the vocabulary unchanged — exactly
+    * the engine's early stop). */
+  private def bpeCtes(rounds: Int): String = {
     val head = new StringBuilder
     head ++= s"WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),\n"
-    head ++= " tokq AS (SELECT unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n0),\n"
-    head ++= " f1 AS (SELECT tk, COUNT(*) AS f FROM tokq GROUP BY 1)"
+    head ++= " tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),\n"
+    head ++= " tokq AS (SELECT unnest(toks) AS tk FROM tok),\n"
+    head ++= " f1 AS (SELECT tk AS tk0, tk, COUNT(*) AS f FROM tokq GROUP BY 1, 2)"
     for (r <- 1 to rounds + 1) {
       head ++= s",\n p$r AS (SELECT pair, CAST(SUM(f) AS BIGINT) AS score FROM (\n"
       head ++= "   SELECT unnest(list_transform(range(1, len(cs)), i -> cs[i]||' '||cs[i+1])) AS pair, f\n"
@@ -676,21 +689,49 @@ object SparkEntry {
       if (r <= rounds) {
         head ++= s",\n mg$r AS (SELECT replace(pair, ' ', '') AS m FROM (" +
           s"SELECT pair FROM p$r ORDER BY score DESC, pair LIMIT 1)),"
-        head ++= s"\n f${r + 1} AS (SELECT replace(tk, (SELECT m FROM mg$r), chr($r)) AS tk, f FROM f$r)"
+        head ++= s"\n f${r + 1} AS (SELECT tk0, replace(tk, coalesce((SELECT m FROM mg$r), chr(127)), chr($r)) AS tk, f FROM f$r)"
       }
     }
+    head.toString
+  }
+
+  /** The iterated-BPE TRAINER oracle: [[bpeCtes]] plus the per-round
+    * top-`topK` union, sentinels expanded newest-first for display,
+    * exactly as [[graft.operators.TextAnalysis.bpeTrainMulti]] does. */
+  private def bpeMultiOracleSql(rounds: Int, topK: Int): String = {
     def expand(r: Int): String =
       (1 until r).reverse.foldLeft("pair") { (acc, j) =>
         s"replace($acc, chr($j), (SELECT m FROM mg$j))"
       }
-    head ++= "\nSELECT CAST(round AS BIGINT) AS round, pair, score FROM (\n"
-    head ++= (1 to rounds + 1).map { r =>
-      s" SELECT $r AS round, ${expand(r)} AS pair, score FROM (" +
-        s"SELECT pair, score FROM p$r ORDER BY score DESC, pair LIMIT $topK)"
-    }.mkString("\n UNION ALL\n")
-    head ++= ")\nORDER BY round, score DESC, pair"
-    head.toString
+    bpeCtes(rounds) +
+      "\nSELECT CAST(round AS BIGINT) AS round, pair, score FROM (\n" +
+      (1 to rounds + 1).map { r =>
+        s" SELECT $r AS round, ${expand(r)} AS pair, score FROM (" +
+          s"SELECT pair, score FROM p$r ORDER BY score DESC, pair LIMIT $topK)"
+      }.mkString("\n UNION ALL\n") +
+      ")\nORDER BY round, score DESC, pair"
   }
+
+  /** The BPE ENCODE oracle: the final vocabulary's symbol lengths
+    * joined back to every word occurrence, rolled up per document —
+    * replaying [[graft.operators.TextAnalysis.bpeEncode]]. */
+  private def bpeEncodeOracleSql(rounds: Int): String =
+    bpeCtes(rounds) +
+      s""",
+         | sl AS (SELECT tk0, len(tk) AS n_sym FROM f${rounds + 1}),
+         | dw AS (SELECT doc_id, unnest(toks) AS tk0 FROM tok),
+         | per AS (SELECT doc_id, COUNT(*) AS n_words,
+         |    SUM(len(tk0)) AS n_chars, SUM(n_sym) AS n_symbols
+         |   FROM dw JOIN sl USING (tk0) GROUP BY 1)
+         |SELECT d.doc_id,
+         | CAST(coalesce(per.n_words, 0) AS BIGINT) AS n_words,
+         | CAST(coalesce(per.n_chars, 0) AS BIGINT) AS n_chars,
+         | CAST(coalesce(per.n_symbols, 0) AS BIGINT) AS n_symbols,
+         | CASE WHEN coalesce(per.n_chars, 0) > 0
+         |      THEN floor(per.n_symbols/CAST(per.n_chars AS DOUBLE)*1e4)/1e4
+         |      ELSE 0.0 END AS compression
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
 
   /** Shared digest tail: (doc_id, bucket, c) weights → (norm, nnz, moment)
     * replaying ScatterVector/HashEmbed: inv = 1/sqrt(Σc²), v = float(c·inv),
@@ -1484,6 +1525,30 @@ $rounds
          | floor((CASE WHEN b.n_tok > 0 THEN CAST(COALESCE(c.covered,0) AS DOUBLE)/b.n_tok ELSE 0 END) * 1e4)/1e4 AS dup_coverage,
          | (CASE WHEN b.n_tok > 0 THEN CAST(COALESCE(c.covered,0) AS DOUBLE)/b.n_tok ELSE 0 END) <= 0.5 AS keep
          |FROM base b LEFT JOIN cov c USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    // the apply step replayed in the window-STRING domain (same
+    // hash-vs-string trade as dedup_windows): canonical = first
+    // occurrence by (doc_id, pos); every other occurrence's k-token
+    // span drops; text rebuilt from surviving positions in order
+    "dedup_windows_apply" ->
+      s"""WITH tok AS (SELECT doc_id, CASE WHEN len(trim(n))=0 THEN []::VARCHAR[] ELSE string_split(n,' ') END AS toks
+         |   FROM (SELECT doc_id, ${normSql("text")} AS n FROM documents)),
+         | ws AS (SELECT doc_id, pos,
+         |   toks[pos]||' '||toks[pos+1]||' '||toks[pos+2]||' '||toks[pos+3]||' '||toks[pos+4] AS w
+         |  FROM (SELECT doc_id, unnest(range(1, len(toks)-3)) AS pos, toks FROM tok)),
+         | occ AS (SELECT doc_id, pos,
+         |   ROW_NUMBER() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+         |   COUNT(*) OVER (PARTITION BY w) AS c FROM ws),
+         | dropped AS (SELECT DISTINCT doc_id, pos + j AS pos
+         |   FROM occ, range(5) r(j) WHERE c >= 2 AND rn > 1),
+         | tp AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(1, len(toks)+1)) AS pos FROM tok),
+         | kept AS (SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+         |   ANTI JOIN dropped ON tp.doc_id = dropped.doc_id AND tp.pos = dropped.pos),
+         | per AS (SELECT doc_id, COUNT(*) AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY pos) AS cleaned FROM kept GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+         | CAST(len(toks) - coalesce(per.n_kept, 0) AS BIGINT) AS n_dropped,
+         | coalesce(per.cleaned, '') AS cleaned_text
+         |FROM tok t LEFT JOIN per USING (doc_id) ORDER BY t.doc_id""".stripMargin,
     "dedup_embedding" ->
       """WITH e AS (SELECT label, vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
         | sims AS (SELECT a.vec_id AS vec_id, b.vec_id AS nn, list_cosine_similarity(a.ev, b.ev) AS sim
@@ -1733,6 +1798,9 @@ $rounds
     // the iterated trainer replayed: 5 chained rewrite rounds, each CTE
     // trio (pairs, winner, rewritten vocab) generated per round
     "q_bpe_train_multi" -> bpeMultiOracleSql(rounds = 5, topK = 10),
+    // the encode oracle shares the trainer's generated CTE chain and
+    // joins the final vocabulary's symbol lengths back per document
+    "q_bpe_encode" -> bpeEncodeOracleSql(rounds = 5),
     // zipf replayed: same rank order, same rank-ordered folds, same
     // closed-form combination
     "q_zipf" ->

@@ -715,6 +715,62 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The APPLY step of ExactSubstr dedup — [[windowDupCoverage]] measures
+    * duplicated-span coverage; this REMOVES the spans and emits the
+    * cleaned text, the way "Deduplicating Training Data Makes Language
+    * Models Better" cuts the corpus: every k-token window occurring ≥ 2×
+    * verbatim corpus-wide keeps its CANONICAL occurrence (the first, by
+    * (doc_id, position)) and every other occurrence's token span is
+    * dropped. Output per doc: `n_tok`, `n_dropped`, `cleaned_text`
+    * (tokens outside dropped spans, original order, space-joined; docs
+    * with nothing duplicated come back verbatim-normalized).
+    *
+    * Scale shape: occurrence counting and canonical choice run in the
+    * hashed window domain ((doc_id, pos, fnv64) — the
+    * [[windowDupCoverage]] shape, with the same hash-vs-string oracle
+    * trade); dropped positions are ∝ duplicated windows × k. Only the
+    * REASSEMBLY shuffles the token stream (one doc_id groupBy over
+    * (pos, token) with a per-doc sorted fold) — inherent to any step
+    * that rewrites text, and the output it pays for IS the deduplicated
+    * corpus. */
+  def windowDupApply(docs: DataFrame, k: Int = 5): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      .barrier() // read twice: window build + reassembly
+    val wpos = toks
+      .select(col("doc_id"), posexplode(shingles(col("toks"), k))
+        .as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"),
+        graft.functions.fnv1a64(col("w")).as("wh"))
+      .barrier() // read twice: occurrence census + non-canonical join
+    // canonical occurrence per duplicated window: min (doc_id, pos) —
+    // one map-side-combined groupBy in the hash domain
+    val dupGroups = wpos.groupBy(col("wh"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col("doc_id"), col("pos"))).as("__first"))
+      .filter(col("__c") >= 2)
+    val dropped = wpos.join(dupGroups, Seq("wh"))
+      .filter(!(col("doc_id") === col("__first.doc_id") &&
+        col("pos") === col("__first.pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+      .join(dropped, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("cleaned_text"))
+    toks.select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        (col("n_tok") - coalesce(col("__kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Duplicate-cluster assignment: connected components over the minhash
     * candidate graph via iterative min-label propagation. Each doc ends in
     * the cluster of the smallest doc_id it is (transitively) connected to;

@@ -302,34 +302,62 @@ object TextAnalysis {
     * (or inject into) a query. */
   def bpeTrainMulti(docs: DataFrame, rounds: Int = 5,
                     topK: Int = 10): DataFrame = {
-    require(rounds >= 1 && rounds <= 30,
-      "1..30 merge rounds (one sentinel char per round, below the space)")
-    val freq = docs
-      .select(explode(tokens(preprocess(col("text")))).as("tk"))
-      .groupBy(col("tk")).agg(count(lit(1)).as("f"))
-      .barrier() // the ONE corpus pass; all rounds below are vocab-bound
-    def pairsOf(words: DataFrame): DataFrame =
-      words
-        .select(col("f"), explode(shingles(split(col("tk"), ""), 2)).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("f")).as("score"))
+    val st = bpeTrainLoop(docs, rounds)
     // sentinel expansion for display: newest merge first, so a merge
     // whose symbol contains an earlier sentinel unfolds completely
     def expand(c: Column, merges: List[String]): Column =
       merges.zipWithIndex.reverse.foldLeft(c) { case (acc, (m, i)) =>
         replace(acc, lit((i + 1).toChar.toString), lit(m))
       }
+    st.roundPairs.zipWithIndex.map { case ((pr, merges), i) =>
+      // the top-k CUT and the winner use the RAW pair order (same
+      // convention as the oracle); expansion is presentation only
+      pr.orderBy(col("score").desc, col("pair")).limit(topK)
+        .select(lit((i + 1).toLong).as("round"),
+          expand(col("pair"), merges).as("pair"), col("score"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("round"), col("score").desc, col("pair"))
+  }
+
+  /** The trained state [[bpeTrainLoop]] returns: per-round pre-merge
+    * pair tables (each with the merges applied BEFORE that round, for
+    * display expansion), the merge strings in application order, and
+    * the rewritten vocabulary `(tk0, tk, f)` — original word, post-
+    * merge symbol string (sentinel char per merge), corpus frequency. */
+  private[graft] final case class BpeState(
+      roundPairs: List[(DataFrame, List[String])],
+      merges: List[String], vocab: DataFrame)
+
+  /** The shared BPE training loop ([[bpeTrainMulti]] emits its pair
+    * tables, [[bpeEncode]] applies its vocabulary): ONE corpus pass
+    * builds the word-frequency table; each of `rounds` rounds counts
+    * adjacent symbol pairs over the VOCABULARY, picks the winner
+    * (score desc, raw pair — one bounded single-row collect), and
+    * rewrites the vocabulary with the merge as the `chr(round)`
+    * sentinel (left-to-right non-overlapping `replace`, the classic
+    * BPE convention, identical in both engines). Stops early when no
+    * adjacent pair remains. All rewriting goes through the `replace`
+    * COLUMN function — corpus strings never reach SQL text. */
+  private[graft] def bpeTrainLoop(docs: DataFrame, rounds: Int): BpeState = {
+    require(rounds >= 1 && rounds <= 30,
+      "1..30 merge rounds (one sentinel char per round, below the space)")
+    val freq = docs
+      .select(explode(tokens(preprocess(col("text")))).as("tk"))
+      .groupBy(col("tk")).agg(count(lit(1)).as("f"))
+      .select(col("tk").as("tk0"), col("tk"), col("f"))
+      .barrier() // the ONE corpus pass; all rounds below are vocab-bound
+    def pairsOf(words: DataFrame): DataFrame =
+      words
+        .select(col("f"), explode(shingles(split(col("tk"), ""), 2)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("score"))
     var vocab = freq
     var merges = List.empty[String]
-    var outs = List.empty[DataFrame]
+    var outs = List.empty[(DataFrame, List[String])]
     var r = 1
     var dry = false
     while (r <= rounds + 1 && !dry) {
       val pr = pairsOf(vocab).barrier() // read twice: top-k + winner
-      // the top-k CUT and the winner use the RAW pair order (same
-      // convention as the oracle); expansion is presentation only
-      outs = outs :+ pr.orderBy(col("score").desc, col("pair")).limit(topK)
-        .select(lit(r.toLong).as("round"),
-          expand(col("pair"), merges).as("pair"), col("score"))
+      outs = outs :+ (pr, merges)
       if (r <= rounds) {
         val winner = pr.orderBy(col("score").desc, col("pair")).limit(1)
           .collect().headOption // ONE row: this round's merge
@@ -346,8 +374,45 @@ object TextAnalysis {
       }
       r += 1
     }
-    outs.reduce(_ unionByName _)
-      .orderBy(col("round"), col("score").desc, col("pair"))
+    BpeState(outs, merges, vocab)
+  }
+
+  /** ENCODE the corpus with the learned merges — the apply half of BPE
+    * that [[bpeTrainMulti]] trains: every document scored by its
+    * post-merge symbol count, the number a sequence-packing or
+    * context-budget pipeline actually consumes. Output per doc:
+    * `n_words`, `n_chars` (normalized character count across word
+    * occurrences), `n_symbols` (BPE symbols after `rounds` merges —
+    * each merged pair is one symbol) and `compression` =
+    * n_symbols/n_chars (1.0 = merges never fire, lower = corpus fits
+    * the learned vocabulary better).
+    *
+    * Scale shape: the merges are APPLIED on the vocabulary (each
+    * rewrite is a `replace` over DISTINCT words), and documents join
+    * the (word → symbol length) table by token — the corpus is read
+    * twice (frequency pass, scoring pass) and never rewritten
+    * row-by-row; per-occurrence work is one join probe. The join is
+    * un-hinted: the vocabulary grows with the corpus (AQE broadcasts
+    * while it is small; the [[Pipeline.boilerplateFrom]] posture). */
+  def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    val st = bpeTrainLoop(docs, rounds)
+    val symLen = st.vocab
+      .select(col("tk0"), length(col("tk")).cast("long").as("n_sym"))
+    val per = docs
+      .select(col("doc_id"), explode(tokens(preprocess(col("text")))).as("tk0"))
+      .join(symLen, Seq("tk0"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("tk0"))).cast("long").as("n_chars"),
+        sum(col("n_sym")).cast("long").as("n_symbols"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_words", "n_chars", "n_symbols"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("n_symbols"),
+        when(col("n_chars") > 0,
+          floor(col("n_symbols").cast("double") /
+            col("n_chars").cast("double") * 1e4) / 1e4)
+          .otherwise(0.0).as("compression"))
+      .orderBy(col("doc_id"))
   }
 
   def lmScores(docs: DataFrame, maxAvgNll: Double = 10.0): DataFrame =

@@ -195,6 +195,32 @@ class DedupSpec extends SparkSuite {
     assert(def_ == roomy)
   }
 
+  test("window-dup apply: non-canonical spans cut, first occurrence survives") {
+    import spark.implicits._
+    // doc 1 carries the 5-token span "a b c d e" that doc 2 repeats
+    // (and doc 2 repeats it TWICE). Canonical = doc 1's occurrence:
+    // doc 1 comes back verbatim; both of doc 2's copies drop, its
+    // unique tail survives. Unique doc 3 is untouched.
+    val span = "a b c d e"
+    val docs = Seq(
+      (1L, s"$span x y z"),
+      (2L, s"$span q $span r"),
+      (3L, "u v w m n o p")).toDF("doc_id", "text")
+    val got = operators.Dedup.windowDupApply(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 8L, 0L, "a b c d e x y z"),
+      (2L, 12L, 10L, "q r"),
+      (3L, 7L, 0L, "u v w m n o p")), s"got $got")
+    // consistency with the measurement: a doc whose spans were all cut
+    // canonical-side reads 0 dropped here while windowDupCoverage still
+    // reports its coverage (both occurrences count as covered there)
+    val cov = operators.Dedup.windowDupCoverage(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(cov(1L) > 0 && cov(2L) > 0 && cov(3L) == 0.0)
+  }
+
   test("banding cap audit measures exactly what the cap drops") {
     import spark.implicits._
     // 20 identical docs: every one of the 16 bands collapses to ONE

@@ -243,6 +243,29 @@ class PipelineSpec extends SparkSuite {
     assert(one == legacy)
   }
 
+  test("bpe encode: learned merges compress documents, converged corpora stay intact") {
+    import spark.implicits._
+    // corpus {abc:3, bca:1} (doc 1 = "abc abc abc", doc 2 = "bca").
+    // 5 requested rounds converge after 3 merges (bc, a␁, ␁a): every
+    // word collapses to ONE symbol. n_chars counts normalized chars per
+    // occurrence; n_symbols the post-merge lengths.
+    val docs = Seq((1L, "abc abc abc"), (2L, "bca")).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.bpeEncode(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == Seq((1L, 3L, 9L, 3L, 0.3333), (2L, 1L, 3L, 1L, 0.3333)),
+      s"got $got")
+    // one round only: "bc" merged, "abc" -> 2 symbols, "bca" -> 2
+    val one = operators.TextAnalysis.bpeEncode(docs, rounds = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toMap
+    assert(one == Map(1L -> 6L, 2L -> 2L), s"got $one")
+    // a blank doc keeps its row with zero counts and compression 0
+    val blank = operators.TextAnalysis.bpeEncode(
+        Seq((1L, "ab ab"), (2L, "   ")).toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    assert(blank == Seq((1L, 2L, 0.5), (2L, 0L, 0.0)), s"got $blank")
+  }
+
   test("bpe train: winning merge applied left-to-right, round 2 recounts") {
     import spark.implicits._
     // vocab {ab:3, ba:1}: round 1 picks "a b" (score 3). After the merge,
