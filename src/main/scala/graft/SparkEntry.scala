@@ -388,6 +388,10 @@ object SparkEntry {
     // self-trained bigram-LM scoring (CCNet-style perplexity proxy):
     // avg negative log-likelihood per doc under add-one smoothing
     "text_lm_score"    -> q(t => TextAnalysis.lmScores(t.documents)),
+    // CCNet-style perplexity bucketing: head/middle/tail thirds by LM
+    // avg-NLL with ORDER-STATISTIC cuts (no interpolated doubles — the
+    // cut values exist in the data, so both engines compare identically)
+    "q_lm_buckets"     -> q(t => TextAnalysis.lmBuckets(t.documents)),
     // BPE tokenizer induction: top merge candidates by corpus-weighted
     // adjacent-char-pair count — one corpus pass, then vocab-sized work
     "q_bpe_pairs"      -> q(t => TextAnalysis.bpePairs(t.documents)),
@@ -591,9 +595,17 @@ object SparkEntry {
         .repartition(32) // barrier: see q_token_topk
         .select(col("shard"), explode(col("toks")).as("tok"))
         .select(col("shard"), graft.functions.fnv1a64(col("tok")).as("h"))
-      base.groupBy(col("shard"))
-        .agg(count(lit(1)).as("n_tokens"),
-          countDistinct(col("h")).as("exact_distinct"),
+      // two-level exact distinct (the Pipeline.cardAssemble discipline):
+      // the (shard, h) pre-aggregation spreads each shard's vocabulary
+      // across partitions with map-side dedup, instead of one
+      // per-shard COUNT(DISTINCT) hash table at the reducer; the KMV
+      // sketch is a function of the distinct hash SET, so feeding it
+      // deduped hashes is value-identical
+      base.groupBy(col("shard"), col("h"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("shard"))
+        .agg(sum(col("__c")).as("n_tokens"),
+          count(lit(1)).as("exact_distinct"),
           graft.functions.kmv_distinct(col("h"), 256).as("sk"))
         .select(col("shard"), col("n_tokens"), col("exact_distinct"),
           col("sk.est_distinct").as("est_distinct"),
@@ -965,6 +977,26 @@ $rounds
            |SELECT n_docs, n_tokens, vocab_size, exact_dup_rate, frac_en,
            | mean_quality, gopher_keep_rate, pii_doc_frac
            |FROM basic, voc, dup, lang, qual, keepr, pii""").stripMargin,
+      // q_lm_buckets: order-statistic tercile cuts over the lm-score
+      // oracle — the cumulative window runs over DISTINCT floored NLL
+      // values, cuts are observed values (no interpolation), ties share
+      // a bucket on both sides
+      "q_lm_buckets" ->
+        s"""WITH s AS (SELECT doc_id, avg_nll FROM (${base("text_lm_score")})),
+           | v AS (SELECT avg_nll, COUNT(*) AS c FROM s GROUP BY 1),
+           | cumt AS (SELECT avg_nll, SUM(c) OVER (ORDER BY avg_nll) AS cum FROM v),
+           | tot AS (SELECT COUNT(*) AS n FROM s),
+           | cuts AS (SELECT MIN(CASE WHEN cum*3 >= n THEN avg_nll END) AS b1,
+           |    MIN(CASE WHEN cum*3 >= 2*n THEN avg_nll END) AS b2 FROM cumt, tot),
+           | a AS (SELECT s.avg_nll,
+           |    CASE WHEN s.avg_nll <= b1 THEN 'head'
+           |         WHEN s.avg_nll <= b2 THEN 'middle'
+           |         ELSE 'tail' END AS bucket
+           |   FROM s, cuts)
+           |SELECT bucket, COUNT(*) AS n_docs,
+           | MIN(avg_nll) AS min_nll, MAX(avg_nll) AS max_nll,
+           | floor(CAST(SUM(CAST(avg_nll AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*)*1e4)/1e4 AS mean_nll
+           |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
       // q_curate_report: cumulative-survival sums over the same composed
       // verdict table, unpivoted into one row per gate
       "q_curate_report" ->

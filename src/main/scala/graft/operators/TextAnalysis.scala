@@ -415,6 +415,50 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** CCNet-style perplexity BUCKETING on top of [[lmScores]]: split the
+    * corpus into `head` / `middle` / `tail` thirds by LM average NLL
+    * (head = most predictable; CCNet trains on head+middle and drops or
+    * down-weights tail). Output per bucket: doc count, min/max/mean NLL
+    * — the mix table a curation recipe cites.
+    *
+    * Determinism across engines (the reason this does NOT use
+    * interpolated percentiles): bucket cuts are ORDER STATISTICS — the
+    * smallest observed NLL value whose cumulative count reaches ⌈n/3⌉
+    * (and ⌈2n/3⌉) — so every cut is a double that already exists in the
+    * data and both engines compare bit-identically; an interpolated cut
+    * manufactures a new double whose last ulp can differ between
+    * engines and flip boundary docs. Ties share a bucket (head/middle
+    * may exceed n/3 by the tie mass), identically on both sides.
+    *
+    * Scale shape: the cumulative-count window runs over the DISTINCT
+    * 1e-4-floored NLL values — a domain bounded by the score range
+    * (≤ ~10⁵ rows) regardless of corpus size, so the single-partition
+    * window is scale-invariant; scoring and assignment stay
+    * corpus-parallel (the 2-value cut row broadcasts). */
+  def lmBuckets(docs: DataFrame): DataFrame = {
+    val scores = lmScores(docs).select(col("doc_id"), col("avg_nll"))
+      .barrier() // read twice: cut derivation + assignment
+    val vals = scores.groupBy(col("avg_nll")).agg(count(lit(1)).as("c"))
+    val cum = vals.withColumn("cum",
+      sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("avg_nll"))))
+    val cuts = cum.crossJoin(broadcast(scores.agg(count(lit(1)).as("n"))))
+      .agg(min(when(col("cum") * 3 >= col("n"), col("avg_nll"))).as("b1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("avg_nll"))).as("b2"))
+    scores.crossJoin(broadcast(cuts))
+      .select(col("avg_nll"),
+        when(col("avg_nll") <= col("b1"), "head")
+          .when(col("avg_nll") <= col("b2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("avg_nll")).as("min_nll"),
+        max(col("avg_nll")).as("max_nll"),
+        (floor(sum(col("avg_nll").cast("decimal(18,4)")).cast("double") /
+          count(lit(1)).cast("double") * 1e4) / 1e4).as("mean_nll"))
+      .orderBy(col("bucket"))
+  }
+
   def lmScores(docs: DataFrame, maxAvgNll: Double = 10.0): DataFrame =
     lmScoresFrom(docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))

@@ -89,7 +89,8 @@ object CurationStream {
       .barrier()
     val vocabSize = toks
       .select(explode(col("toks")).as("tk"))
-      .agg(count_distinct(col("tk"))).head.getLong(0)
+      .distinct() // two-level exact distinct (see Pipeline.cardAssemble)
+      .count()
     val benchGrams = bench
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
       .select(col("doc_id"), array_distinct(shingles(col("toks"), decontamN)).as("grams"))

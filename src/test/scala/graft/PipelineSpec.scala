@@ -207,6 +207,24 @@ class PipelineSpec extends SparkSuite {
       assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"col $i: $r"))
   }
 
+  test("lm buckets: order-statistic terciles, ties share a bucket") {
+    val t = sources.Tables(spark, sfDir)
+    val rows = operators.TextAnalysis.lmBuckets(t.documents).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    val n = t.documents.count()
+    assert(rows.values.map(_._1).sum == n, "every doc lands in a bucket")
+    // bucket boundaries are ordered: head's max <= middle's min <= tail's
+    for (pair <- Seq("head" -> "middle", "middle" -> "tail"))
+      (rows.get(pair._1), rows.get(pair._2)) match {
+        case (Some(lo), Some(hi)) => assert(lo._3 <= hi._2,
+          s"${pair._1} max ${lo._3} must not exceed ${pair._2} min ${hi._2}")
+        case _ => // a degenerate tie corpus can leave a bucket empty
+      }
+    // head holds at least its third (ties only ever inflate it)
+    assert(rows("head")._1 * 3 >= n)
+  }
+
   test("curation report served from a materialized verdict table") {
     // the single-pass seam the registered queries use: verdicts land in
     // parquet once; the report is one aggregate over the store and must

@@ -99,9 +99,13 @@ class PlanSpec extends SparkSuite {
   test("kmv sketch partially aggregates map-side (k longs per partition)") {
     val plan = planOf(SparkEntry.queries("q_distinct_sketch")(spark, sfDir))
     // partial sketch before the exchange: each partition ships one
-    // serialized k-minima buffer, never its token hashes
+    // serialized k-minima buffer, never its token hashes. The exact
+    // column rides the two-level (shard, h) pre-aggregation instead of
+    // COUNT(DISTINCT), so the plan is a plain 2-phase agg (partial +
+    // final), not the 4-phase distinct rewrite with its PartialMerge.
     assert(plan.contains("partial_kmv_distinct"), plan)
-    assert(plan.contains("merge_kmv_distinct"), plan)
+    assert(plan.contains("kmv_distinct(h"), plan)
+    assert(!plan.contains("merge_kmv_distinct"), plan)
   }
 
   test("grouped top-k rewrites into WindowGroupLimit (map-side rank cap)") {
