@@ -24,6 +24,19 @@ object SparkEntry {
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => f(Tables(s, dir))
 
+  /** The literal keyword queries the lexical-retrieval family shares —
+    * three parsed query strings; the engine takes them as a bounded
+    * (query_id, term) table, the oracle as a VALUES list. */
+  private val Bm25QueryTerms: Seq[(Long, String)] = Seq(
+    0L -> "hash", 0L -> "join", 0L -> "table",
+    1L -> "window", 1L -> "agg", 1L -> "stream",
+    2L -> "vector", 2L -> "scan", 2L -> "filter")
+
+  private def bm25Terms(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Bm25QueryTerms.toDF("query_id", "term")
+  }
+
   /** Process-private base dir + per-corpus memo for the build-once index
     * queries: reused within a JVM, never shared across processes (no
     * /tmp path races), and keyed on (dir, corpus file fingerprint) so a
@@ -288,6 +301,13 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, m = 4, k = 16, topK = 5)),
+    // two-stage retrieval: the PQ shortlist (top-20 on compressed codes)
+    // exactly re-ranked against the full-precision store — the FAISS
+    // "refine" pattern; exact work ∝ queries × shortlist, never corpus
+    "q_pq_refine" -> q(t => ProductQuantizer.searchRefined(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings)),
     // the PQ twin of q_recall: recall@k of seed-codebook PQ, Lloyd-TRAINED
     // PQ, and IVFPQ against brute force — the audit that justifies (and
     // measures) the codebook training pass
@@ -436,6 +456,24 @@ object SparkEntry {
             graft.functions.TextFunctions.preprocess(col("text")), 64).as("qv"))
       Search.bruteForceTopK(qs, corpus, 5)
     }),
+    // lexical retrieval: Okapi BM25 over the inverted index (the keyword
+    // half of hybrid search; postings restricted to query terms by a
+    // broadcast semi-join before any scoring)
+    "q_bm25" -> ((s, dir) =>
+      Bm25.topK(Tables(s, dir).documents, bm25Terms(s))),
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and the
+    // dense cosine top-20 — exact decimal RRF sums, ties by doc_id
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bm = Bm25.topK(t.documents, bm25Terms(s), topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val kn = Search.bruteForceTopK(
+        t.embeddings.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        t.embeddings, k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Search.rrfFuse(bm, kn)
+    }),
     // corpus curation (training-data pipeline)
     "text_gopher"    -> q(t => Pipeline.gopherStats(t.documents)),
     "text_boilerplate" -> q(t => Pipeline.boilerplate(t.documents)),
@@ -444,6 +482,9 @@ object SparkEntry {
       t.documents.filter(col("doc_id") >= 100),
       t.documents.filter(col("doc_id") < 100))),
     "sample_mix"     -> q(t => Pipeline.mixingReport(t.events)),
+    // token-budget mixture planning: quality-mass-weighted per-source
+    // sampling plan (the recipe step a hash-sampler then applies)
+    "q_mix_budget"   -> q(t => Pipeline.mixBudget(t.documents)),
     // fixed-SIZE companion to sample_mix's fixed-rate filter: k rows per
     // stratum by hash rank (reproducible reservoir, WindowGroupLimit cap)
     "q_stratified_sample" -> q(t => Pipeline.stratifiedSample(t.events)),
@@ -840,8 +881,12 @@ object SparkEntry {
        |FROM s5 ORDER BY query_id, rank""".stripMargin
   }
 
-  private val oracleSqlPqSearch: String =
-    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+  /** The PQ encode → reconstruct → ADC-rank CTE chain (seed codebooks),
+    * ending at `rk` — the full ranking. Shared by the flat-PQ search
+    * oracles and the refine oracle, which reads its shortlist from the
+    * SAME ranking the search oracle truncates. */
+  private val pqRankCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
       | cb AS (SELECT e.vec_id AS c, r.j, list_slice(ev, j*16+1, j*16+16) AS cw
       |   FROM e, range(4) r(j) WHERE e.vec_id < 16),
       | cbn AS (SELECT c, j, cw, list_inner_product(cw, cw) AS cnorm FROM cb),
@@ -855,9 +900,55 @@ object SparkEntry {
       | rec AS (SELECT vec_id, flatten(list(cw ORDER BY j)) AS rv FROM a GROUP BY 1),
       | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
       | sims AS (SELECT query_id, rec.vec_id, list_cosine_similarity(qv, rv) AS sim FROM q CROSS JOIN rec),
-      | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+      | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)""".stripMargin
+
+  private val oracleSqlPqSearch: String =
+    s"""WITH $pqRankCtes
       |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
       |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** q_pq_refine replayed: the top-20 of the SAME PQ ranking, exactly
+    * re-scored (true cosine on full-precision vectors) and re-ranked. */
+  private val oracleSqlPqRefine: String =
+    s"""WITH $pqRankCtes,
+      | short AS (SELECT query_id, vec_id FROM rk WHERE rn <= 20),
+      | ex AS (SELECT s.query_id, s.vec_id, list_cosine_similarity(q.qv, e.ev) AS sim
+      |   FROM short s JOIN q USING (query_id) JOIN e ON s.vec_id = e.vec_id),
+      | rk2 AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM ex)
+      |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+      |FROM rk2 WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Okapi BM25 ranking replay (k1=1.25, b=0.75 — dyadic doubles, so
+    * every literal fold — k1+1, 1−b — is exact in both engines):
+    * inverted index from the normalized-token split, df over matched
+    * postings only, per-term scores floored to the 1e-6 grid and summed
+    * as DECIMAL(18,6) (addition-order invariant, like the engine). */
+  private def bm25RankSql(topK: Int): String = {
+    val vals = Bm25QueryTerms.map { case (id, t) => s"($id, '$t')" }
+      .mkString(", ")
+    s"""WITH qt(query_id, term) AS (VALUES $vals),
+       | tkn AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
+       | dlt AS (SELECT doc_id,
+       |    CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS dl,
+       |    string_split(nt, ' ') AS toks FROM tkn),
+       | st AS (SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dlt),
+       | tf AS (SELECT doc_id, dl, term, COUNT(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(toks) AS term FROM dlt WHERE dl > 0) GROUP BY 1,2,3),
+       | mt AS (SELECT qt.query_id, t.doc_id, t.dl, t.term, t.tf FROM tf t JOIN qt USING (term)),
+       | dft AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT term, doc_id FROM mt) GROUP BY 1),
+       | sc AS (SELECT query_id, doc_id,
+       |    CAST(floor(ln(((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) + 0.5)/(CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * ((CAST(tf AS DOUBLE) * (1.25 + 1.0)) /
+       |         (CAST(tf AS DOUBLE) + 1.25 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))
+       |      * 1e6)/1e6 AS DECIMAL(18,6)) AS s
+       |   FROM mt JOIN dft USING (term) CROSS JOIN st),
+       | ag AS (SELECT query_id, doc_id, SUM(s) AS sdec FROM sc GROUP BY 1,2),
+       | bmrk AS (SELECT query_id, doc_id, sdec, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rn FROM ag)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
+       | doc_id, CAST(sdec AS DOUBLE) AS score
+       |FROM bmrk WHERE rn <= $topK ORDER BY query_id, rank""".stripMargin
+  }
 
   /** q_pq_recall replayed: the PQ encode CTEs (seed codebooks) + two
     * Lloyd rounds per subspace (assign by ‖s‖²−2·s·cw+‖cw‖² ties-by-code,
@@ -956,6 +1047,29 @@ $rounds
            |JOIN (${base("dedup_windows")}) w USING (doc_id)
            |JOIN (${base("decontaminate")}) d USING (doc_id)
            |ORDER BY g.doc_id""".stripMargin,
+      // q_mix_budget: per-source aggregation over the text_quality base
+      // oracle (quality on its 1e-4 grid as DECIMAL(9,4) — mass sums
+      // exact), then the weight/keep_frac/exp_tokens double arithmetic
+      // structured CTE-for-CTE like the Spark projections so every
+      // floored value derives from the same floored inputs
+      "q_mix_budget" ->
+        s"""WITH tq AS (SELECT doc_id, n_tokens, quality_score FROM (${base("text_quality")})),
+           | d AS (SELECT s.source, tq.n_tokens, CAST(tq.quality_score AS DECIMAL(9,4)) AS q2
+           |   FROM tq JOIN documents s USING (doc_id)),
+           | src AS (SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens, SUM(q2) AS qmass FROM d GROUP BY 1),
+           | tot AS (SELECT SUM(n_tokens) AS tot_tokens, SUM(qmass) AS tot_qmass FROM src),
+           | w AS (SELECT source, n_docs, src.n_tokens,
+           |    CAST(qmass AS DOUBLE) AS quality_mass,
+           |    floor(CAST(qmass AS DOUBLE) / CAST(tot_qmass AS DOUBLE) * 1e6) / 1e6 AS weight,
+           |    0.5 * CAST(tot_tokens AS DOUBLE) AS budget
+           |   FROM src, tot),
+           | kf AS (SELECT source, n_docs, n_tokens, quality_mass, weight,
+           |    floor(least(1.0, (budget * weight) / CAST(n_tokens AS DOUBLE)) * 1e6) / 1e6 AS keep_frac
+           |   FROM w)
+           |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens, quality_mass,
+           | weight, keep_frac,
+           | CAST(floor(keep_frac * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS exp_tokens
+           |FROM kf ORDER BY source""".stripMargin,
       // q_dataset_card: each constituent aggregate replays over its own
       // gate's base oracle; the one double mean rides the same
       // DECIMAL(18,4) discipline as the Spark side
@@ -1330,6 +1444,27 @@ $rounds
     // identical semantics (and oracle) served from the persisted codes —
     // the PQ twin of the q_ivf_persisted layout-invariance contract
     "q_pq_persisted" -> oracleSqlPqSearch,
+    // the refine pattern: PQ shortlist (top-20 of the same ranking) with
+    // exact cosine re-scoring on the full-precision vectors
+    "q_pq_refine" -> oracleSqlPqRefine,
+    // Okapi BM25 lexical retrieval, and its RRF fusion with the dense
+    // cosine ranking — both exact-decimal score folds
+    "q_bm25" -> bm25RankSql(10),
+    "q_hybrid_rrf" ->
+      s"""WITH bm AS (${bm25RankSql(20)}),
+         | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+         | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN c),
+         | kn AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims),
+         | u AS (SELECT query_id, doc_id, rank FROM bm
+         |   UNION ALL SELECT query_id, vec_id AS doc_id, CAST(rn AS BIGINT) AS rank FROM kn WHERE rn <= 20),
+         | contrib AS (SELECT query_id, doc_id,
+         |    CAST(floor(1.0/(60.0 + CAST(rank AS DOUBLE))*1e9)/1e9 AS DECIMAL(18,9)) AS c FROM u),
+         | f AS (SELECT query_id, doc_id, SUM(c) AS sdec, COUNT(*) AS n_lists FROM contrib GROUP BY 1,2),
+         | rk2 AS (SELECT query_id, doc_id, sdec, n_lists, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rn FROM f)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+         | CAST(sdec AS DOUBLE) AS rrf_score, n_lists
+         |FROM rk2 WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
     // KMV sketch replayed exactly: same FNV hashes (HUGEINT), same k-th
     // smallest distinct unsigned value, same integer-division estimator
     "q_distinct_sketch" ->

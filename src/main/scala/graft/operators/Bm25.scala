@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{preprocess, tokens}
+
+/** Okapi BM25 keyword retrieval — the lexical half of a hybrid search
+  * stack (the reference serves only the vector half through hnswlib;
+  * production retrieval fuses both, see [[Search.rrfFuse]]).
+  *
+  * Scale shape (100 TB): the inverted-index build is one tokenization
+  * scan plus one (doc_id, term) groupBy whose partial counts combine
+  * map-side — the same cost class as any token-statistics pass, and the
+  * only corpus-sized shuffle here. The corpus stats (N, avgdl) are a
+  * second NARROW scan folding to one row — cheaper than materializing
+  * corpus-sized token arrays to share the first scan. Everything after is bounded by the
+  * QUERY set: term postings are restricted by a broadcast semi-join on
+  * the query terms before df/idf are even computed, so document
+  * frequency, scoring, and ranking touch `docs-matching-query-terms`
+  * rows, never the corpus. The final per-query top-k rides the shared
+  * bounded-heap aggregate (shuffle = partitions × k × queries).
+  *
+  * Determinism across engines: k1/b default to DYADIC doubles
+  * (1.25 / 0.75) so every literal subexpression (k1+1, 1−b) is exact;
+  * per-term scores are floored to the 1e-6 grid and summed as
+  * DECIMAL(18,6), making the document score independent of the order
+  * floating-point addition happens to visit the matched terms — the
+  * same discipline as the curation funnel's decimal folds. The only
+  * transcendental is `ln` on identical double inputs in both engines.
+  */
+object Bm25 {
+
+  /** The inverted index: one row per (doc_id, term) with the term
+    * frequency and the document length carried inline (dl is
+    * functionally dependent on doc_id, so keeping it in the groupBy key
+    * costs nothing and saves the corpus-sized dl join at score time). */
+  def invertedIndex(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus stats for the BM25 normalizer: doc count and average doc
+    * length over ALL docs (empty docs count toward both — dl values are
+    * integral doubles, so the sum is exact and order-invariant). */
+  private def stats(docs: DataFrame): DataFrame =
+    docs.select(tokens(preprocess(col("text"))).as("toks"))
+      .select(size(col("toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+
+  /** Top-k BM25 retrieval: `queryTerms(query_id, term)` (a bounded,
+    * broadcastable table — a parsed query string per query_id) against
+    * the documents corpus → (query_id, rank, doc_id, score). Ties break
+    * by doc_id asc on the exact decimal score. */
+  def topK(docs: DataFrame, queryTerms: DataFrame, k1: Double = 1.25,
+           b: Double = 0.75, topK: Int = 10): DataFrame = {
+    val idx = invertedIndex(docs)
+    // postings restricted to query terms FIRST: df/idf and scoring see
+    // only matched rows. df per term is invariant under this restriction
+    // (it counts docs per term, and the filter is on term).
+    val matched = idx.join(broadcast(queryTerms.distinct()), Seq("term"))
+    val dfTab = matched.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(broadcast(dfTab), Seq("term"))
+      .crossJoin(broadcast(stats(docs)))
+    val nd = col("n_docs").cast("double")
+    val dfd = col("df").cast("double")
+    val tfd = col("tf").cast("double")
+    val dld = col("dl").cast("double")
+    // idf: ln((N - df + 0.5)/(df + 0.5) + 1)  [the +1 keeps it positive]
+    val idf = log(((nd - dfd) + lit(0.5)) / (dfd + lit(0.5)) + lit(1.0))
+    // tf normalizer: tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    val denom = tfd + lit(k1) * ((lit(1.0) - lit(b)) +
+      (lit(b) * dld) / col("avgdl"))
+    val termScore = idf * ((tfd * (lit(k1) + lit(1.0))) / denom)
+    val perDoc = scored
+      .select(col("query_id"), col("doc_id"),
+        (floor(termScore * 1e6) / 1e6).cast("decimal(18,6)").as("s"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s")).as("sdec"))
+    // bounded per-partition heaps, not a per-query window sort: the
+    // 1e-6-grid decimal → double map is injective at these magnitudes,
+    // so heap order (score desc, id asc) equals exact decimal order
+    perDoc
+      .select(col("query_id"), col("doc_id"),
+        col("sdec").cast("double").as("score"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.top_k_by_score(col("score"), col("doc_id"), topK)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.id").as("doc_id"), col("hit.score").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -272,6 +272,53 @@ object Pipeline {
       .orderBy(col("event_type"))
   }
 
+  /** Token-budget mixture planning (the DoReMi/Pile-style recipe step):
+    * given a total token budget (`budgetFrac` × corpus tokens), split it
+    * across sources proportionally to each source's QUALITY MASS (sum of
+    * per-doc composite quality scores — more docs of higher quality ⇒
+    * more budget) and emit the per-source sampling plan: the keep
+    * fraction `min(1, budget·weight / tokens_s)` a hash-sampler (
+    * [[sampleByHash]]) then applies, plus the expected token yield.
+    *
+    * Scale shape: ONE quality-scoring scan with `source` carried through
+    * (no corpus-sized join-back), one map-side-combined per-source
+    * aggregate, then arithmetic over `n_sources` rows against a
+    * broadcast 1-row total — at 100 TB the only corpus-cost is the scan.
+    *
+    * Determinism: quality scores ride their 1e-4 grid as DECIMAL(9,4),
+    * so quality mass and its grand total are exact sums (addition-order
+    * invariant); weight/keep_frac are IEEE double ops over those exact
+    * inputs, floored to the 1e-6 grid, and `exp_tokens` floors the
+    * already-floored keep fraction — every derived column sits on a grid
+    * both engines compute identically. */
+  def mixBudget(docs: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
+    val perSrc = graft.operators.TextAnalysis
+      .qualityScores(docs, carry = Seq("source"))
+      .select(col("source"), col("n_tokens"),
+        col("quality_score").cast("decimal(9,4)").as("q"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        sum(col("q")).as("qmass"))
+    val totals = perSrc
+      .agg(sum(col("n_tokens")).as("tot_tokens"), sum(col("qmass")).as("tot_qmass"))
+    val weighted = perSrc.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("qmass").cast("double").as("quality_mass"),
+        (floor(col("qmass").cast("double") / col("tot_qmass").cast("double")
+          * 1e6) / 1e6).as("weight"),
+        (lit(budgetFrac) * col("tot_tokens").cast("double")).as("budget"))
+    weighted
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("quality_mass"), col("weight"),
+        (floor(least(lit(1.0), (col("budget") * col("weight")) /
+          col("n_tokens").cast("double")) * 1e6) / 1e6).as("keep_frac"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("quality_mass"), col("weight"), col("keep_frac"),
+        floor(col("keep_frac") * col("n_tokens").cast("double"))
+          .cast("long").as("exp_tokens"))
+      .orderBy(col("source"))
+  }
+
   /** The composed curation funnel: every keep/drop gate this library
     * ships, run as ONE pipeline over the corpus — per-doc verdicts from
     * [[gopherStats]] (repetition/quality), [[graft.operators.TextAnalysis.lmScores]]

@@ -104,6 +104,31 @@ object ProductQuantizer {
              topK: Int = 5): DataFrame =
     Search.bruteForceTopK(queries, reconstructed(corpus, m, k), topK)
 
+  /** Two-stage retrieval: PQ ADC shortlist → EXACT re-rank (the "refine"
+    * pattern every compressed-index deployment ends with): the cheap
+    * compressed scan nominates `nCandidates` per query, then true cosine
+    * is computed only for shortlist members against the full-precision
+    * store. At 100 TB the exact side touches queries × nCandidates rows
+    * — the shortlist broadcasts into a hash-join against the corpus (a
+    * semi-join-shaped probe, never a second scan-and-score), so the
+    * refine step costs a corpus READ of the matched rows only, and the
+    * final ranking carries exact scores with PQ's recall profile. */
+  def searchRefined(queries: DataFrame, corpus: DataFrame, m: Int = 4,
+                    k: Int = 16, nCandidates: Int = 20, topK: Int = 5)
+      : DataFrame = {
+    val shortlist = search(queries, corpus, m, k, nCandidates)
+      .select(col("query_id"), col("vec_id"))
+    val exact = corpus.join(broadcast(shortlist), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.cosine_similarity(col("qv"), col("embedding"))
+          .as("sim"))
+    Search.explodeTopK(
+      exact.groupBy(col("query_id"))
+        .agg(graft.functions.top_k_by_score(col("sim"), col("vec_id"), topK)
+          .as("topk")))
+  }
+
   /** [[search]] under Lloyd-TRAINED codebooks: same dataflow, lower
     * quantization error (the training is a one-time build cost; encoding
     * and search are unchanged narrow passes). */

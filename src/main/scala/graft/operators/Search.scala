@@ -186,6 +186,43 @@ object Search {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion of two retrieval rankings — the standard
+    * hybrid-search combiner (lexical BM25 + dense cosine, see
+    * [[Bm25]]): each list contributes `1/(rrfK + rank)` per document,
+    * fused score is the sum, missing-from-a-list contributes nothing.
+    * Implemented as a UNION + groupBy rather than a full outer join —
+    * same semantics, one shuffle, no null-handling branches.
+    *
+    * Determinism: each contribution is one IEEE division floored to the
+    * 1e-9 grid, summed as DECIMAL(18,9) — the fused score is exact and
+    * independent of addition order, so cross-engine ranking ties break
+    * identically (score desc, doc_id asc). Inputs are top-k lists, so
+    * everything here is bounded by queries × k — driver-scale data at
+    * any corpus size.
+    *
+    * @param a,b rankings shaped (query_id, doc_id, rank) — rank 1-based
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, rrfK: Int = 60,
+              topK: Int = 10): DataFrame = {
+    val cols = Seq("query_id", "doc_id", "rank")
+    val contrib = a.select(cols.map(col): _*)
+      .unionByName(b.select(cols.map(col): _*))
+      .select(col("query_id"), col("doc_id"),
+        (floor(lit(1.0) / (lit(rrfK).cast("double") +
+          col("rank").cast("double")) * 1e9) / 1e9)
+          .cast("decimal(18,9)").as("c"))
+    val fused = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("c")).as("sdec"), count(lit(1)).as("n_lists"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sdec").desc, col("doc_id"))
+    fused
+      .withColumn("rrf_rank", row_number().over(w).cast("long"))
+      .filter(col("rrf_rank") <= topK)
+      .select(col("query_id"), col("rrf_rank").as("rank"), col("doc_id"),
+        col("sdec").cast("double").as("rrf_score"), col("n_lists"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Top-1 with acceptance gate: the reference keeps the best match only if
     * cosine distance < `maxDistance` (qa_service.py:150-168, threshold 0.4).
     * Every query keeps its row; `accepted` carries the gate. */

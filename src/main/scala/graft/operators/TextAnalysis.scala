@@ -32,17 +32,20 @@ object TextAnalysis {
     * boundary so the DuckDB oracle hash-matches. */
   def qualityScores(t: Tables): DataFrame = qualityScores(t.documents)
 
-  /** [[qualityScores]] over any `(doc_id, text)` table. */
-  def qualityScores(docs: DataFrame): DataFrame = {
+  /** [[qualityScores]] over any `(doc_id, text)` table. `carry` names
+    * extra input columns to thread through unchanged (e.g. `source` for
+    * the mixture planner) — carrying them through the one scoring scan
+    * beats a corpus-sized join-back on doc_id. */
+  def qualityScores(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     // two-step select: tokenization/regex counts computed ONCE in the
     // first projection; the ratio arithmetic below references only cheap
     // attributes (a single projection would re-evaluate the regex chain
     // per reference — CollapseProject rightly refuses to merge these)
     val base = docs.select(
-      col("doc_id"),
-      length(col("text")).cast("double").as("__len"),
-      alphaCount(col("text")).cast("double").as("__alpha"),
-      tokens(col("text")).as("__toks"))
+      (col("doc_id") +: carry.map(col)) ++ Seq(
+        length(col("text")).cast("double").as("__len"),
+        alphaCount(col("text")).cast("double").as("__alpha"),
+        tokens(col("text")).as("__toks")): _*)
     val nTok = size(col("__toks")).cast("double")
     val len = col("__len")
     val alpha = col("__alpha")
@@ -56,14 +59,14 @@ object TextAnalysis {
     // are not (Spark rounds the shortest decimal repr, DuckDB the binary).
     def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0) / 10000.0
     base.select(
-      col("doc_id"),
-      col("__len").cast("long").as("n_chars"),
-      size(col("__toks")).cast("long").as("n_tokens"),
-      r4(alphaRatio).as("alpha_ratio"),
-      r4(stopRatio).as("stopword_ratio"),
-      r4(avgWordLen).as("avg_word_len"),
-      r4(lit(0.4) * lenScore + lit(0.3) * alphaRatio
-            + lit(0.3) * (lit(1.0) - stopRatio)).as("quality_score"))
+      (col("doc_id") +: carry.map(col)) ++ Seq(
+        col("__len").cast("long").as("n_chars"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        r4(alphaRatio).as("alpha_ratio"),
+        r4(stopRatio).as("stopword_ratio"),
+        r4(avgWordLen).as("avg_word_len"),
+        r4(lit(0.4) * lenScore + lit(0.3) * alphaRatio
+              + lit(0.3) * (lit(1.0) - stopRatio)).as("quality_score")): _*)
       .orderBy(col("doc_id"))
   }
 

@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Bm25, Pipeline, ProductQuantizer, Search}
+import graft.sources.Tables
+
+/** The lexical/hybrid retrieval family: BM25, RRF fusion, the
+  * quality-mass mixture planner, and the PQ refine stage. */
+class RetrievalSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val t = Tables(spark, sfDir)
+
+  private def terms = Seq(
+    (0L, "hash"), (0L, "join"), (0L, "table"),
+    (1L, "window"), (1L, "agg"), (1L, "stream"))
+    .toDF("query_id", "term")
+
+  test("bm25: every hit contains a query term, ranks contiguous, scores non-increasing") {
+    val hits = Bm25.topK(t.documents, terms, topK = 10).collect()
+    assert(hits.nonEmpty)
+    val byQ = hits.groupBy(_.getLong(0))
+    for ((_, rows) <- byQ) {
+      assert(rows.map(_.getLong(1)).toSeq == (1L to rows.length).toSeq)
+      val scores = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ > 0.0))
+    }
+    // membership: a returned doc matches at least one of its query's terms
+    val qt = terms.collect().map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val texts = t.documents
+      .select($"doc_id", graft.functions.TextFunctions.tokens(
+        graft.functions.TextFunctions.preprocess($"text")).as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    hits.foreach { r =>
+      val (q, d) = (r.getLong(0), r.getLong(2))
+      assert(texts(d).intersect(qt(q)).nonEmpty, s"doc $d has no term of query $q")
+    }
+  }
+
+  test("bm25: rarer terms weigh more (idf), term saturation bounds tf (k1)") {
+    val docs = Seq(
+      (0L, "rare common"), // rare term → highest score on the rare query
+      (1L, "common stuff"),
+      (2L, "common common common common common common filler"),
+      (3L, "other words entirely")).toDF("doc_id", "text")
+    val q = Seq((0L, "rare"), (1L, "common")).toDF("query_id", "term")
+    val res = Bm25.topK(docs, q, topK = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // rare query: only doc 0 matches
+    assert(res.filter(_._1 == 0L).map(_._3).toSeq == Seq(0L))
+    // common query: df=3, and the rare-doc's idf(rare) doesn't leak in;
+    // doc 2 has tf=6 but long dl — saturation keeps its lead bounded
+    val common = res.filter(_._1 == 1L)
+    assert(common.map(_._3).toSet == Set(0L, 1L, 2L))
+    val s2 = common.find(_._3 == 2L).get._4
+    val s0 = common.find(_._3 == 0L).get._4
+    assert(s2 > s0, "higher tf must still outrank tf=1")
+    assert(s2 < s0 * (1.25 + 1.0), "k1 saturation bounds the tf advantage")
+  }
+
+  test("bm25 plan: query-term restriction and df join broadcast, no corpus-side sort") {
+    val plan = planOf(Bm25.topK(t.documents, terms, topK = 10))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the ranking rides the bounded-heap aggregate, not a window sort
+    assert(plan.contains("top_k_by_score"), plan)
+    assert(!plan.contains("WindowGroupLimit"), plan)
+  }
+
+  test("rrf fusion: exact grid sums, overlap wins, n_lists counts membership") {
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 11L, 1L), (0L, 13L, 2L), (0L, 12L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val rows = Search.rrfFuse(a, b, topK = 4).collect()
+      .map(r => r.getLong(2) ->
+        (r.getLong(1), r.getDouble(3), r.getLong(4))).toMap
+    def g(rk: Long) = math.floor(1.0 / (60.0 + rk) * 1e9) / 1e9
+    // doc 11 (ranks 2+1) beats doc 10 (rank 1 in one list only)
+    assert(rows(11L)._1 == 1L)
+    assert(math.abs(rows(11L)._2 - (g(2) + g(1))) < 1e-12)
+    assert(rows(11L)._3 == 2L)
+    assert(rows(10L)._3 == 1L)
+    assert(math.abs(rows(10L)._2 - g(1)) < 1e-12)
+    // doc 12 in both lists at rank 3+3 still beats single-list doc 10
+    assert(rows(12L)._1 == 2L && rows(10L)._1 > 2L)
+  }
+
+  test("mix budget: weights sum to ~1, oversubscribed sources cap at 1, yields consistent") {
+    val plan = Pipeline.mixBudget(t.documents).collect()
+    assert(plan.length > 1)
+    val wsum = plan.map(_.getDouble(4)).sum
+    assert(wsum <= 1.0 + 1e-9 && wsum > 1.0 - plan.length * 1e-6 - 1e-9)
+    plan.foreach { r =>
+      val (ntok, kf, exp) = (r.getLong(2), r.getDouble(5), r.getLong(6))
+      assert(kf >= 0.0 && kf <= 1.0)
+      assert(exp == math.floor(kf * ntok).toLong)
+    }
+    // budget respected in expectation: total expected yield ≤ corpus/2
+    // (keep_frac caps at 1 so a surplus source can't overspend another's)
+    val totTok = plan.map(_.getLong(2)).sum
+    assert(plan.map(_.getLong(6)).sum <= (0.5 * totTok).toLong + plan.length)
+  }
+
+  test("pq refine: hits come from the PQ shortlist, re-ranked by exact cosine") {
+    val qs = t.embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val refined = ProductQuantizer.searchRefined(qs, t.embeddings).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val shortlist = ProductQuantizer.search(qs, t.embeddings, topK = 20)
+      .select($"query_id", $"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined.nonEmpty)
+    refined.foreach { case (q, _, v, _) =>
+      assert(shortlist.contains((q, v)), s"($q,$v) not in PQ top-20") }
+    // exact scores: each refined score equals the true cosine, so the
+    // refine stage fixed any reconstruction-induced score error
+    val exact = qs.crossJoin(t.embeddings)
+      .select($"query_id", $"vec_id",
+        (floor(graft.functions.cosine_similarity($"qv", $"embedding") * 1e6) / 1e6)
+          .as("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    refined.foreach { case (q, _, v, s) =>
+      assert(math.abs(exact((q, v)) - s) < 1e-12) }
+    // within each query the ranking is by exact score desc
+    refined.groupBy(_._1).foreach { case (_, rows) =>
+      val ss = rows.sortBy(_._2).map(_._4)
+      assert(ss.zip(ss.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
