@@ -184,6 +184,13 @@ object SparkEntry {
     // seeds, then final assignment (same contract as q_index_build)
     "q_kmeans_refine" -> q(t => IvfIndex.assignments(
       t.embeddings, IvfIndex.kmeansCentroids(t.embeddings, 8, iters = 2))),
+    // nearest-centroid classification: per-label prototypes trained on
+    // the 80% split (one VectorAvg pass), held-out 20% assigned against
+    // the broadcast prototype table — train one wide pass, infer narrow
+    "q_classify" -> q(t => Classifier.classify(t.embeddings)),
+    // the classifier audit: per-true-label support/hits/recall over the
+    // same held-out assignment — the gate before trusting its verdicts
+    "q_classify_eval" -> q(t => Classifier.evalReport(t.embeddings)),
     "q_ivf_search" -> q(t => IvfIndex.search(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -918,6 +925,28 @@ object SparkEntry {
       |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
       |FROM rk2 WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** q_classify replayed: per-label centroids from the `vec_id % 5 != 0`
+    * split (double avg → REAL → DOUBLE, the established ulp-swallowing
+    * image), held-out rows assigned by (cosine distance, label) argmin.
+    * Shared by the eval-report oracle, which aggregates this table. */
+  private val oracleSqlClassify: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
+      | tr AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+      | te AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+      | m AS (SELECT label, idx, avg(val) AS mval FROM (
+      |   SELECT label, unnest(ev) AS val, unnest(range(len(ev))) AS idx FROM tr) GROUP BY 1,2),
+      | c AS (SELECT label AS pred_label, list(CAST(CAST(mval AS REAL) AS DOUBLE) ORDER BY idx) AS cv FROM m GROUP BY 1),
+      | a AS (SELECT vec_id, label, pred_label, dist,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, pred_label) AS rn FROM (
+      |   SELECT te.vec_id, te.label, c.pred_label,
+      |    1.0 - list_cosine_similarity(ev, cv) AS dist
+      |   FROM te CROSS JOIN c))
+      |SELECT vec_id, CAST(label AS BIGINT) AS label,
+      | CAST(pred_label AS BIGINT) AS predicted,
+      | floor(greatest(dist, 0.0)*1e6)/1e6 AS dist,
+      | label = pred_label AS correct
+      |FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
   /** Okapi BM25 ranking replay (k1=1.25, b=0.75 — dyadic doubles, so
     * every literal fold — k1+1, 1−b — is exact in both engines):
     * inverted index from the normalized-token split, df over matched
@@ -1575,6 +1604,18 @@ $rounds
         | SELECT e.vec_id, c2.centroid_id, 1.0 - list_cosine_similarity(ev, cv) AS dist,
         |  ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
         | FROM e CROSS JOIN c2) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // nearest-centroid classification replayed: per-label element-wise
+    // means over the 80% split (double avg cast to REAL — the same
+    // partition-order-ulp swallow as the k-means image), held-out 20%
+    // assigned by (cosine distance, label) argmin
+    "q_classify" -> oracleSqlClassify,
+    "q_classify_eval" ->
+      s"""WITH cls AS ($oracleSqlClassify)
+         |SELECT label, COUNT(*) AS n,
+         | CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         | floor(SUM(CASE WHEN correct THEN 1 ELSE 0 END)
+         |   / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6 AS recall
+         |FROM cls GROUP BY label ORDER BY label""".stripMargin,
     "q_recall" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
         | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

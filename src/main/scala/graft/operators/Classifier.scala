@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.cosine_similarity
+
+/** Nearest-centroid (Rocchio) classification over the embedding column —
+  * the shape of a FastText/FineWeb-Edu-style quality or domain
+  * classifier applied at corpus scale: train a per-class prototype from
+  * labeled vectors, then score every document against the (tiny) set of
+  * prototypes. The reference stores labels alongside its hnswlib vectors
+  * (services/index_service.py persists id→document maps keyed by the
+  * same ids the index serves); this is the classification counterpart a
+  * training-data pipeline runs with those labels.
+  *
+  * Scale shape (100 TB): training is ONE pass over the labeled split —
+  * the [[graft.functions.VectorAvg]] typed aggregator shuffles one
+  * (sum, count) buffer per label per partition, never the member
+  * vectors — and inference is a NARROW pass: the n_labels × dim centroid
+  * table broadcasts (kilobytes), each vector scores against all
+  * prototypes map-side, argmin by (distance, label) picks the class. No
+  * corpus-sized shuffle anywhere; the only wide op is the label-count
+  * aggregate inside training.
+  *
+  * Determinism across engines: centroid components are double sums
+  * finished as REAL (float) — the cast swallows partition-order ulps,
+  * the same discipline [[IvfIndex.kmeansCentroids]] established; the
+  * assignment distance is one double cosine against identical inputs,
+  * floored to the 1e-6 grid only for presentation (ranking uses the
+  * exact double, ties by label ascending).
+  */
+object Classifier {
+
+  /** Per-label prototype vectors: (pred_label, cv) — element-wise mean
+    * of the labeled split's embeddings. */
+  def centroids(train: DataFrame): DataFrame = {
+    val spark = train.sparkSession
+    import spark.implicits._
+    train.select(col("label").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.VectorAvg.toColumn.name("cv"))
+      .toDF("pred_label", "cv")
+  }
+
+  /** Classify the held-out split (`vec_id % heldoutMod == 0`) against
+    * centroids trained on the rest: (vec_id, label, predicted, dist,
+    * correct). The same deterministic-modulus split discipline as the
+    * library's hash samplers — reproducible, partition-invariant. */
+  def classify(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame = {
+    val train = embeddings.filter(pmod(col("vec_id"), lit(heldoutMod)) =!= 0)
+    val test = embeddings.filter(pmod(col("vec_id"), lit(heldoutMod)) === 0)
+    val cents = centroids(train)
+    test.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        (lit(1.0) - cosine_similarity(col("embedding"), col("cv")))
+          .as("dist"),
+        col("pred_label"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dist"), col("pred_label"))).as("best"))
+      .select(col("vec_id"), col("label"),
+        col("best.pred_label").as("predicted"),
+        // clamp: cos(v,v) can exceed 1 by an ulp and floor() would turn
+        // the resulting -2e-16 distance into -1e-6
+        (floor(greatest(col("best.dist"), lit(0.0)) * 1e6) / 1e6).as("dist"),
+        (col("label") === col("best.pred_label")).as("correct"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** The audit over [[classify]]: per-true-label support, hits, and
+    * recall (n_correct/n on the 1e-6 grid) plus macro row ordering by
+    * label — the number a pipeline gates on before trusting the
+    * classifier's keep/drop verdicts. Costs one n_labels-row aggregate
+    * over the classification table. */
+  def evalReport(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame =
+    classify(embeddings, heldoutMod)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("correct").cast("long")).as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        (floor(col("n_correct").cast("double") / col("n").cast("double")
+          * 1e6) / 1e6).as("recall"))
+      .orderBy(col("label"))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Classifier
+import graft.sources.Tables
+
+/** Nearest-centroid classification: split discipline, prototype
+  * geometry, argmin ties, and the plan's broadcast-only inference. */
+class ClassifierSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val t = Tables(spark, sfDir)
+
+  test("classify: held-out rows only, every label predicted from the train set") {
+    val rows = Classifier.classify(t.embeddings).collect()
+    assert(rows.nonEmpty)
+    // exactly the vec_id % 5 == 0 split, each exactly once
+    val ids = rows.map(_.getLong(0))
+    assert(ids.forall(_ % 5 == 0))
+    assert(ids.distinct.length == ids.length)
+    assert(ids.length ==
+      t.embeddings.filter($"vec_id" % 5 === 0).count())
+    // predictions come from the train-split label alphabet
+    val trainLabels = t.embeddings.filter($"vec_id" % 5 =!= 0)
+      .select($"label".cast("long")).distinct().as[Long].collect().toSet
+    rows.foreach { r =>
+      assert(trainLabels.contains(r.getLong(2)))
+      assert(r.getDouble(3) >= 0.0)
+      assert(r.getBoolean(4) == (r.getLong(1) == r.getLong(2)))
+    }
+  }
+
+  test("classify: a point sitting on a class prototype gets that class") {
+    // two tight clusters on orthogonal axes — the held-out member of
+    // each (id % 5 == 0) must classify into its own cluster
+    def v(axis: Int, eps: Float): Array[Float] = {
+      val a = new Array[Float](4); a(axis) = 1.0f; a((axis + 1) % 4) = eps; a
+    }
+    val df = Seq(
+      (0L, v(0, 0.00f), 7), (1L, v(0, 0.01f), 7), (2L, v(0, 0.02f), 7),
+      (5L, v(2, 0.00f), 9), (6L, v(2, 0.01f), 9), (7L, v(2, 0.02f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val got = Classifier.classify(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(4))).toMap
+    assert(got(0L) == (7L, true))
+    assert(got(5L) == (9L, true))
+  }
+
+  test("eval report: support sums to the held-out count, recall on the 1e-6 grid") {
+    val rep = Classifier.evalReport(t.embeddings).collect()
+    val heldout = t.embeddings.filter($"vec_id" % 5 === 0).count()
+    assert(rep.map(_.getLong(1)).sum == heldout)
+    rep.foreach { r =>
+      val (n, nc, rec) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nc <= n)
+      assert(rec == math.floor(nc.toDouble / n * 1e6) / 1e6)
+    }
+  }
+
+  test("plan: inference is broadcast-only — no shuffle of the corpus side pre-argmin") {
+    val plan = planOf(Classifier.classify(t.embeddings))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    // the only wide ops are the VectorAvg training aggregate and the
+    // per-vec argmin — no window sort anywhere
+    assert(!plan.contains("Window"), plan)
+  }
+}
