@@ -42,6 +42,23 @@ object Bm25 {
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 
+  /** The frozen form of the index: postings (doc_id, dl, term, tf) plus
+    * the one-row corpus stats (n_docs, avgdl) — everything a scoring
+    * pass needs, with the corpus itself out of the picture. The batch
+    * path assembles it lazily per query; the serve path
+    * ([[graft.streaming.RetrievalStream]]) materializes it once and
+    * scores every micro-batch against it, re-freezing on the same
+    * cadence the IVF index rebuilds. */
+  final case class Bm25Index(postings: DataFrame, stats: DataFrame)
+
+  /** Build and MATERIALIZE the index (one corpus scan for the postings,
+    * one narrow scan for the stats) — the build-once half of
+    * build-once/search-many. */
+  def buildIndex(docs: DataFrame): Bm25Index = {
+    import graft.operators.Barrier.BarrierOps
+    Bm25Index(invertedIndex(docs).barrier(), stats(docs).barrier())
+  }
+
   /** Corpus stats for the BM25 normalizer: doc count and average doc
     * length over ALL docs (empty docs count toward both — dl values are
     * integral doubles, so the sum is exact and order-invariant). */
@@ -58,17 +75,25 @@ object Bm25 {
     * the documents corpus → (query_id, rank, doc_id, score). Ties break
     * by doc_id asc on the exact decimal score. */
   def topK(docs: DataFrame, queryTerms: DataFrame, k1: Double = 1.25,
-           b: Double = 0.75, topK: Int = 10): DataFrame = {
-    val idx = invertedIndex(docs)
+           b: Double = 0.75, topK: Int = 10): DataFrame =
+    topKFrom(Bm25Index(invertedIndex(docs), stats(docs)), queryTerms,
+      k1, b, topK)
+
+  /** [[topK]] against a pre-built (frozen) index — the seam the
+    * streaming serve path scores through, so there is exactly one
+    * implementation of the BM25 arithmetic. */
+  def topKFrom(index: Bm25Index, queryTerms: DataFrame, k1: Double = 1.25,
+               b: Double = 0.75, topK: Int = 10): DataFrame = {
     // postings restricted to query terms FIRST: df/idf and scoring see
     // only matched rows. df per term is invariant under this restriction
     // (it counts docs per term, and the filter is on term).
-    val matched = idx.join(broadcast(queryTerms.distinct()), Seq("term"))
+    val matched = index.postings
+      .join(broadcast(queryTerms.distinct()), Seq("term"))
     val dfTab = matched.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = matched
       .join(broadcast(dfTab), Seq("term"))
-      .crossJoin(broadcast(stats(docs)))
+      .crossJoin(broadcast(index.stats))
     val nd = col("n_docs").cast("double")
     val dfd = col("df").cast("double")
     val tfd = col("tf").cast("double")

@@ -551,4 +551,35 @@ class StreamingSpec extends SparkSuite {
       assert(got.size <= 4 * 64)
     } finally q.stop()
   }
+
+  test("streamed BM25 against the frozen index equals batch retrieval") {
+    import spark.implicits._
+    // freeze the index once, then stream the query set in two
+    // micro-batches (terms of a query never split across batches);
+    // streamed rankings must equal the batch topK bit for bit
+    val terms = Seq(
+      (0L, "hash"), (0L, "join"), (0L, "table"),
+      (1L, "window"), (1L, "agg"), (1L, "stream"),
+      (2L, "vector"), (2L, "scan"), (2L, "filter"))
+      .toDF("query_id", "term")
+    val index = graft.operators.Bm25.buildIndex(t.documents)
+    val dir = Files.createTempDirectory("graft-retrieval-stream").toString
+    terms.filter($"query_id" < 2).coalesce(1).write.parquet(s"$dir/src/c=a")
+    Thread.sleep(1100)
+    terms.filter($"query_id" === 2).coalesce(1).write.parquet(s"$dir/src/c=b")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("query_id", LongType),
+        StructField("term", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/src/c=*")
+    RetrievalStream.start(spark, stream, index, s"$dir/out", s"$dir/_ckpt")
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val batch = graft.operators.Bm25.topK(t.documents, terms)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"${streamed.length} streamed vs ${batch.length} batch rows")
+  }
 }
