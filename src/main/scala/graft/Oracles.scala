@@ -205,6 +205,58 @@ object Oracles {
        | CAST(coalesce(SUM(bsz * (bsz - 1) // 2) FILTER (WHERE bsz > $maxBucket), 0) AS BIGINT) AS est_pairs_lost
        |FROM bs GROUP BY band ORDER BY band""".stripMargin
 
+  /** dedup_source_matrix: the capped LSH candidate pairs rolled up to
+    * unordered (source_a ≤ source_b) cells with each cell's share of all
+    * candidate pairs — `Dedup.sourceMatrix` replayed. */
+  def dedupSourceMatrixSql(maxBucket: Int = 1000): String =
+    s"""WITH ${minhashPairsCte(maxBucket)},
+       | up AS (SELECT id1, id2 FROM pairs WHERE id1 < id2),
+       | lab AS (SELECT least(a.source, b.source) AS source_a,
+       |     greatest(a.source, b.source) AS source_b
+       |   FROM up u JOIN documents a ON a.doc_id = u.id1
+       |   JOIN documents b ON b.doc_id = u.id2),
+       | cell AS (SELECT source_a, source_b, COUNT(*) AS n_pairs
+       |   FROM lab GROUP BY 1, 2),
+       | tot AS (SELECT SUM(n_pairs) AS t FROM cell)
+       |SELECT source_a, source_b, CAST(n_pairs AS BIGINT) AS n_pairs,
+       | floor(CAST(n_pairs AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)
+       |   * 1e6) / 1e6 AS pair_share
+       |FROM cell ORDER BY source_a, source_b""".stripMargin
+
+  /** q_dsir: `Selection.dsirScores` replayed — FNV-1a tokens into a
+    * power-of-two bucket grid (unsigned-mod here == Spark's signed pmod
+    * exactly because `buckets` divides 2^64), target/raw unigram counts
+    * with add-one smoothing, the per-doc log-likelihood-ratio fold in
+    * bucket order, the 1e-4 floor, and the integer order-statistic keep
+    * cut (largest floored score with cum·4 ≥ n). */
+  def dsirSql(targetLang: String = "en", buckets: Int = 4096): String =
+    s"""WITH n0 AS (SELECT doc_id, lang, ${normSql("text")} AS s FROM documents),
+       | tokq AS (SELECT doc_id, lang, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n0),
+       | bk AS (SELECT doc_id, lang, CAST(${fnvChars("tk")} % $buckets AS BIGINT) AS b FROM tokq),
+       | docb AS (SELECT doc_id, lang, b, COUNT(*) AS m FROM bk GROUP BY 1, 2, 3),
+       | grid AS (SELECT b, SUM(CASE WHEN lang = '$targetLang' THEN m ELSE 0 END) AS ct,
+       |     SUM(m) AS cr FROM docb GROUP BY 1),
+       | tot AS (SELECT SUM(CASE WHEN lang = '$targetLang' THEN m ELSE 0 END) AS nt,
+       |     SUM(m) AS nr FROM docb),
+       | per AS (SELECT doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+       |   list_reduce(list_prepend(0.0, list(
+       |     CAST(m AS DOUBLE) * (
+       |       ln(CAST(ct + 1 AS DOUBLE) / CAST((SELECT nt FROM tot) + $buckets AS DOUBLE)) -
+       |       ln(CAST(cr + 1 AS DOUBLE) / CAST((SELECT nr FROM tot) + $buckets AS DOUBLE)))
+       |     ORDER BY b)), (a, x) -> a + x) AS sc
+       |  FROM docb JOIN grid USING (b) GROUP BY doc_id),
+       | scored AS (SELECT doc_id, n_tokens,
+       |     floor(sc / n_tokens * 1e4) / 1e4 AS score FROM per),
+       | vals AS (SELECT score, COUNT(*) AS c FROM scored GROUP BY 1),
+       | cm AS (SELECT score, SUM(c) OVER (ORDER BY score DESC) AS cum FROM vals),
+       | cut AS (SELECT coalesce(MAX(CASE WHEN cum * 4 >= (SELECT COUNT(*) FROM scored)
+       |     THEN score END), 0.0) AS cv FROM cm)
+       |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+       | coalesce(score, 0.0) AS dsir_score,
+       | coalesce(score, 0.0) >= (SELECT cv FROM cut) AS keep
+       |FROM documents d LEFT JOIN scored USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** dedup_clusters: connected components via a recursive reachability
     * closure; min reachable label == the converged min-label propagation
     * (the Spark side caps at 10 rounds, which converges at oracle scale —

@@ -341,6 +341,10 @@ object SparkEntry {
     // actually engages at oracle scale — exact-dup groups cross it)
     "dedup_cap_audit" -> q(t =>
       Dedup.bandingCapAudit(t.documents, maxBucket = 2)),
+    // provenance rollup of the SAME candidate pairs: which sources
+    // near-duplicate which (off-diagonal = mirroring, diagonal =
+    // intra-source boilerplate) — the dataset-card companion table
+    "dedup_source_matrix" -> q(t => Dedup.sourceMatrix(t.documents)),
     // the estimation step between LSH candidates and exact verification:
     // per candidate pair, matching-signature-position jaccard estimate
     "dedup_minhash_est" -> q(t => Dedup.minhashEstimates(t.documents)),
@@ -492,6 +496,15 @@ object SparkEntry {
     // token-budget mixture planning: quality-mass-weighted per-source
     // sampling plan (the recipe step a hash-sampler then applies)
     "q_mix_budget"   -> q(t => Pipeline.mixBudget(t.documents)),
+    // temperature-flattened source weights (sampling ∝ n^0.5): the
+    // multilingual-mix convention — small sources up-weighted vs their
+    // natural share; α fixed at 0.5 (sqrt is IEEE-exact in both engines)
+    "q_mix_temperature" -> q(t => Selection.mixTemperature(t.documents)),
+    // DSIR-style importance resampling: hashed-unigram log-likelihood
+    // ratio against the lang='en' target slice, fixed 4096-bucket model
+    // (broadcastable at ANY corpus size), top-quarter keep by
+    // order-statistic cut
+    "q_dsir"         -> q(t => Selection.dsirScores(t.documents)),
     // fixed-SIZE companion to sample_mix's fixed-rate filter: k rows per
     // stratum by hash rank (reproducible reservoir, WindowGroupLimit cap)
     "q_stratified_sample" -> q(t => Pipeline.stratifiedSample(t.events)),
@@ -1099,6 +1112,26 @@ $rounds
            | weight, keep_frac,
            | CAST(floor(keep_frac * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS exp_tokens
            |FROM kf ORDER BY source""".stripMargin,
+      // q_mix_temperature: per-source token totals over the normalized
+      // text, sqrt-flattened masses floored to the 1e-6 grid and summed
+      // as DECIMAL (order-free), every output ratio re-floored — sqrt is
+      // correctly rounded in both engines, which is why α is 0.5
+      "q_mix_temperature" ->
+        s"""WITH n0 AS (SELECT source, ${Oracles.normSql("text")} AS s FROM documents),
+           | t AS (SELECT source, CASE WHEN len(trim(s))=0 THEN 0 ELSE len(string_split(s,' ')) END AS ntok FROM n0),
+           | per AS (SELECT source, COUNT(*) AS n_docs, SUM(ntok) AS n_tokens FROM t GROUP BY 1),
+           | w AS (SELECT source, n_docs, n_tokens,
+           |    CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) / 1e6 AS DECIMAL(28,6)) AS q FROM per),
+           | tot AS (SELECT SUM(q) AS qt, SUM(n_tokens) AS tt FROM w),
+           | r AS (SELECT source, n_docs, n_tokens,
+           |    floor(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) * 1e6) / 1e6 AS nat_share,
+           |    floor(CAST(q AS DOUBLE) / CAST(qt AS DOUBLE) * 1e6) / 1e6 AS temp_weight
+           |   FROM w, tot)
+           |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           | CAST(n_tokens AS BIGINT) AS n_tokens, nat_share, temp_weight,
+           | CASE WHEN nat_share > 0 THEN floor(temp_weight / nat_share * 1e4) / 1e4
+           |      ELSE 0.0 END AS boost
+           |FROM r ORDER BY source""".stripMargin,
       // q_dataset_card: each constituent aggregate replays over its own
       // gate's base oracle; the one double mean rides the same
       // DECIMAL(18,4) discipline as the Spark side
@@ -1793,6 +1826,8 @@ $rounds
     // cap, simhash votes, reachability closure) — see Oracles.scala
     "dedup_minhash"  -> Oracles.dedupMinhashSql(),
     "dedup_cap_audit" -> Oracles.dedupCapAuditSql(maxBucket = 2),
+    "dedup_source_matrix" -> Oracles.dedupSourceMatrixSql(),
+    "q_dsir"         -> Oracles.dsirSql(),
     "dedup_simhash"  -> Oracles.dedupSimhashSql(),
     "dedup_clusters" -> Oracles.dedupClustersSql(),
     "dedup_canonical" -> Oracles.dedupCanonicalSql(),

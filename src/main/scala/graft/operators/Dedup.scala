@@ -145,6 +145,44 @@ object Dedup {
       .orderBy(col("band"))
   }
 
+  /** Provenance near-dup matrix — WHICH SOURCES near-duplicate each
+    * other: the capped LSH candidate pairs ([[minhashCandidates]]'s
+    * generator, unordered `id1 < id2`) mapped to their unordered
+    * `(source_a ≤ source_b)` cell, with the cell's share of all
+    * candidate pairs. The dataset-card companion a release review reads
+    * next to the dedup summaries: a hot off-diagonal cell means one
+    * source is mirroring another (and the smaller one is probably the
+    * copy); a hot diagonal cell means intra-source boilerplate.
+    *
+    * Scale shape: candidate pairs are band-bounded (never all-pairs);
+    * the two source lookups are doc_id equi-joins whose right side is a
+    * 2-column projection of the corpus, and the matrix itself is
+    * |sources|² rows — the final aggregate is map-side combined down to
+    * a handful of cells. The share divides two identical longs-as-
+    * doubles and floors to the 1e-6 grid. */
+  def sourceMatrix(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
+                   shingleLen: Int = 3, maxBucket: Int = 1000): DataFrame = {
+    val pairs =
+      bandedPairs(minhashBuckets(docs, numHashes, bands, shingleLen),
+        maxBucket)
+    val src = docs.select(col("doc_id"), col("source"))
+    val cells = pairs
+      .join(src.select(col("doc_id").as("id1"), col("source").as("s1")),
+        Seq("id1"))
+      .join(src.select(col("doc_id").as("id2"), col("source").as("s2")),
+        Seq("id2"))
+      .groupBy(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .barrier() // |sources|² rows, read twice: total + output
+    cells
+      .crossJoin(broadcast(cells.agg(sum(col("n_pairs")).as("t"))))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (floor(col("n_pairs").cast("double") / col("t").cast("double")
+          * 1e6) / 1e6).as("pair_share"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** MinHash similarity ESTIMATES for the LSH candidate pairs: the step
     * between candidate generation ([[minhashCandidates]]) and a
     * verify-with-exact-jaccard pass — est = matching signature positions

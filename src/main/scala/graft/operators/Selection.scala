@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.functions.TextFunctions._
+import graft.operators.Barrier.BarrierOps
+
+/** Data-SELECTION operators: which documents (and how much of each
+  * source) go into the training mix. The quality gates
+  * ([[Pipeline.curate]]) answer "is this document acceptable"; these
+  * answer "is this document the kind of data we want more of" —
+  * importance resampling against a target distribution (DSIR-style,
+  * hashed-n-gram likelihood ratios) and temperature-flattened source
+  * weighting (the multilingual-mix convention).
+  *
+  * Scale shapes (100 TB):
+  *  - dsir: the model is a FIXED 4096-bucket grid (two longs per
+  *    bucket), so the weight table broadcasts at any corpus size; the
+  *    corpus contributes one tokenize pass and one (doc, bucket)
+  *    groupBy whose partial counts combine map-side. The keep cut is an
+  *    order statistic over the DISTINCT 1e-4-floored scores — a domain
+  *    bounded by the score grid, not the corpus.
+  *  - temperature mix: per-source aggregates (sources ≪ corpus), pure
+  *    arithmetic after one narrow scan.
+  */
+object Selection {
+
+  /** DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by the log-likelihood ratio of a TARGET unigram model to
+    * the RAW-pool unigram model, both estimated over a fixed hashed
+    * feature space, then keep the top quarter by score.
+    *
+    * Mechanics: tokens hash into `buckets` = 4096 FNV-1a buckets
+    * (hashing bounds the model at any vocabulary — DSIR's own trick, and
+    * at 100 TB the reason the weight table is kilobytes); target counts
+    * come from the `lang = targetLang` slice, raw counts from the whole
+    * pool; per-bucket weight w_b = ln((ct+1)/(Nt+B)) − ln((cr+1)/(Nr+B))
+    * (add-one smoothing on both models); doc score = Σ m_b·w_b / n_tokens.
+    *
+    * Determinism across engines: the per-doc sum folds over bucket ids in
+    * SORTED order (`sort_array` + ordered fold — bucket ids are unique
+    * per doc), both engines evaluate the same `ln` on the same doubles,
+    * and the final average is floored to the 1e-4 grid. The keep cut is
+    * an ORDER-STATISTIC (the largest floored score with ≥ N/4 docs at or
+    * above it — `cum·4 ≥ n` stays in integers), so no interpolated
+    * doubles cross the engine seam. Docs with no tokens score 0.0 and
+    * face the same cut.
+    *
+    * The broadcast is safe BY CONSTRUCTION (≤ `buckets` rows — a fixed
+    * bound, unlike the corpus-growing vocabulary joins that must stay
+    * un-hinted, see [[Pipeline.boilerplateFrom]]). */
+  def dsirScores(docs: DataFrame, targetLang: String = "en",
+                 buckets: Int = 4096): DataFrame = {
+    require((buckets & (buckets - 1)) == 0 && buckets > 0,
+      "buckets must be a power of two: the oracle's unsigned-mod and " +
+        "Spark's signed pmod agree only when buckets divides 2^64")
+    val docB = docs
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(preprocess(col("text")))).as("tk"))
+      .select(col("doc_id"), col("lang"),
+        pmod(fnv1a64(col("tk")), lit(buckets.toLong)).as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("m"))
+      .barrier() // read three ways: bucket grid, totals, scoring fold
+    val grid = docB.groupBy(col("b"))
+      .agg(sum(when(col("lang") === targetLang, col("m")).otherwise(0L))
+        .as("ct"),
+        sum(col("m")).as("cr"))
+    val totals = docB.agg(
+      sum(when(col("lang") === targetLang, col("m")).otherwise(0L)).as("nt"),
+      sum(col("m")).as("nr"))
+    val per = docB
+      .join(broadcast(grid), Seq("b")) // ≤ `buckets` rows, fixed bound
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_tokens"),
+        sort_array(collect_list(
+          struct(col("b"), col("m"), col("ct"), col("cr")))).as("cs"))
+      .crossJoin(broadcast(totals))
+    val bLit = lit(buckets.toLong)
+    val fold = aggregate(col("cs"), lit(0.0), (acc, e) =>
+      acc + e.getField("m").cast("double") *
+        (log((e.getField("ct") + lit(1L)).cast("double") /
+            (col("nt") + bLit).cast("double")) -
+          log((e.getField("cr") + lit(1L)).cast("double") /
+            (col("nr") + bLit).cast("double"))))
+    val scored = per
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(fold / col("n_tokens").cast("double") * 1e4) / 1e4)
+          .as("score"))
+      .barrier() // read twice: cut derivation + the output join
+    val nRow = scored.agg(count(lit(1)).as("n"))
+    val cut = scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("score").desc)))
+      .crossJoin(broadcast(nRow))
+      .agg(coalesce(max(when(col("cum") * 4 >= col("n"), col("score"))),
+        lit(0.0)).as("cut"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cut))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("score"), lit(0.0)).as("dsir_score"),
+        (coalesce(col("score"), lit(0.0)) >= col("cut")).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature-flattened source weights — the multilingual-mix
+    * convention (sampling probability ∝ n_s^α): small sources are
+    * up-weighted relative to their natural share so the mix is not
+    * dominated by the largest crawl. α is FIXED at 0.5 (temperature 2)
+    * because `sqrt` is correctly rounded under IEEE 754 in both engines
+    * while a general `pow` is libm-dependent — the one α where the
+    * cross-engine hash check is exact. Outputs per source: natural token
+    * share, the temperature weight, and the implied up/down-sampling
+    * boost (weight / share).
+    *
+    * Determinism: the flattened masses are floored to the 1e-6 grid and
+    * summed as DECIMAL (order-free), every ratio divides two identical
+    * doubles, and each output ratio is floored back to the grid. */
+  def mixTemperature(docs: DataFrame): DataFrame = {
+    val perSrc = docs
+      .select(col("source"),
+        size(tokens(preprocess(col("text")))).cast("long").as("ntok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val flat = perSrc.select(col("source"), col("n_docs"), col("n_tokens"),
+      (floor(sqrt(col("n_tokens").cast("double")) * 1e6) / 1e6)
+        .cast("decimal(28,6)").as("q"))
+    val totals = flat.agg(sum(col("q")).as("qt"), sum(col("n_tokens")).as("tt"))
+    flat.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (floor(col("n_tokens").cast("double") / col("tt").cast("double")
+          * 1e6) / 1e6).as("nat_share"),
+        (floor(col("q").cast("double") / col("qt").cast("double")
+          * 1e6) / 1e6).as("temp_weight"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("nat_share"), col("temp_weight"),
+        when(col("nat_share") > 0,
+          floor(col("temp_weight") / col("nat_share") * 1e4) / 1e4)
+          .otherwise(0.0).as("boost"))
+      .orderBy(col("source"))
+  }
+}
