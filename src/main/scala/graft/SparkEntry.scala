@@ -508,6 +508,10 @@ object SparkEntry {
     // fixed-SIZE companion to sample_mix's fixed-rate filter: k rows per
     // stratum by hash rank (reproducible reservoir, WindowGroupLimit cap)
     "q_stratified_sample" -> q(t => Pipeline.stratifiedSample(t.events)),
+    // quality-WEIGHTED reproducible sampling: Efraimidis–Spirakis
+    // exponential race with FNV-keyed determinism — higher quality ⇒
+    // stochastically smaller key ⇒ sampled; same map-side rank cap
+    "q_weighted_sample" -> q(t => Selection.weightedSample(t.documents)),
     // the composed curation funnel: every keep/drop gate as ONE pipeline —
     // per-doc verdicts conjoined into the final keep (composition twin of
     // q_rag_search; the oracle replays every gate, joined on doc_id)
@@ -1132,6 +1136,25 @@ $rounds
            | CASE WHEN nat_share > 0 THEN floor(temp_weight / nat_share * 1e4) / 1e4
            |      ELSE 0.0 END AS boost
            |FROM r ORDER BY source""".stripMargin,
+      // q_weighted_sample: the exponential race replayed over the
+      // text_quality base oracle — u from the signed FNV of the doc id
+      // (exact power-of-two scaling into [0,1)), clamped at 2^-64 before
+      // ln, ranked on full-precision keys with doc_id tie-breaks
+      "q_weighted_sample" ->
+        s"""WITH tq AS (SELECT doc_id, quality_score FROM (${base("text_quality")})),
+           | j AS (SELECT d.source, tq.doc_id, tq.quality_score
+           |   FROM tq JOIN documents d USING (doc_id)),
+           | keyed AS (SELECT source, doc_id, quality_score,
+           |    -ln(greatest(CAST(${signedSql(fnvSql("list_transform(string_split(CAST(doc_id AS VARCHAR),''), c -> unicode(c)::HUGEINT)"))} AS DOUBLE)
+           |        / 18446744073709551616.0 + 0.5,
+           |      1.0 / 18446744073709551616.0)) / (quality_score + 0.0001) AS k
+           |   FROM j),
+           | r AS (SELECT source, doc_id, quality_score, k,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY k, doc_id) AS rnk
+           |   FROM keyed)
+           |SELECT source, CAST(rnk AS BIGINT) AS rnk, doc_id, quality_score,
+           | floor(k * 1e6) / 1e6 AS sample_key
+           |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin,
       // q_dataset_card: each constituent aggregate replays over its own
       // gate's base oracle; the one double mean rides the same
       // DECIMAL(18,4) discipline as the Spark side

@@ -49,6 +49,57 @@ class SelectionSpec extends SparkSuite {
     }
   }
 
+  test("dsirApply with a frozen model reproduces the batch scorer on any subset") {
+    val docs = (1 to 40).map { i =>
+      val lang = if (i % 4 == 0) "en" else "xx"
+      (i.toLong, s"alpha tok${i % 7} beta tok${i % 3} tail$i", lang)
+    }.toDF("doc_id", "text", "lang")
+    val model = Selection.trainDsir(docs)
+    val full = Selection.dsirScores(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val subset = docs.filter(col("doc_id") % 3 === 0)
+    val served = Selection.dsirApply(subset, model).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val b = full(r.getLong(0))
+      assert(r.getLong(1) == b.getLong(1) &&
+        r.getDouble(2) == b.getDouble(2) && r.getBoolean(3) == b.getBoolean(3),
+        s"doc ${r.getLong(0)}: served $r != batch $b")
+    }
+    // a doc with vocabulary entirely unseen at freeze time still scores
+    // (ct=0/cr=0 smoothing), it does not crash or go missing
+    val novel = Seq((999L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = Selection.dsirApply(novel, model).collect()
+    assert(out.length == 1 && out(0).getLong(1) == 3L)
+  }
+
+  test("weightedSample favors high-quality docs and caps per stratum") {
+    // 40 docs per source: 20 long/clean (high quality) vs 20 short
+    // (low quality) — the k=10 weighted sample should lean heavily
+    // toward the high-quality half in every stratum
+    val good = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = (0 until 80).map { i =>
+      val src = if (i < 40) "s1" else "s2"
+      val text = if (i % 2 == 0) good else "tiny"
+      (i.toLong, text, src)
+    }.toDF("doc_id", "text", "source")
+    val out = Selection.weightedSample(docs, k = 10).collect()
+    assert(out.length == 20, "k rows per stratum")
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc.keySet == Set("s1", "s2"))
+    bySrc.values.foreach { rows =>
+      assert(rows.length == 10)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to 10L),
+        "ranks are 1..k")
+      val highQuality = rows.count(_.getLong(2) % 2 == 0)
+      assert(highQuality >= 7,
+        s"weighted race must favor high-quality docs ($highQuality/10)")
+    }
+    // deterministic: a second run returns the identical sample
+    assert(Selection.weightedSample(docs, k = 10).collect().toSeq ==
+      out.toSeq)
+  }
+
   test("mixTemperature flattens shares toward small sources") {
     val docs = (
       (1 to 90).map(i => (i.toLong, "w1 w2 w3 w4 w5 w6 w7 w8", "big")) ++

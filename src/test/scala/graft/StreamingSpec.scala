@@ -582,4 +582,34 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch,
       s"${streamed.length} streamed vs ${batch.length} batch rows")
   }
+
+  test("streaming dsir with a frozen model equals the batch scorer") {
+    import spark.implicits._
+    // train the importance model on the FULL corpus, stream the corpus
+    // in two micro-batches, and require rows IDENTICAL to the batch
+    // dsirScores over the same corpus — the train/serve fidelity
+    // contract (same fold code, same grid, same frozen cut)
+    val docs = t.documents
+    val model = graft.operators.Selection.trainDsir(docs)
+    val dir = Files.createTempDirectory("graft-dsir-stream").toString
+    docs.filter($"doc_id" < 250).select($"doc_id", $"text").coalesce(1)
+      .write.parquet(s"$dir/src/c=a")
+    Thread.sleep(1100)
+    docs.filter($"doc_id" >= 250).select($"doc_id", $"text").coalesce(1)
+      .write.parquet(s"$dir/src/c=b")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/src/c=*")
+    SelectionStream.start(spark, stream, model, s"$dir/out", s"$dir/_ckpt")
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .orderBy($"doc_id").collect().toSeq
+    val batch = graft.operators.Selection.dsirScores(docs)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"${streamed.length} streamed vs ${batch.length} batch rows")
+  }
 }
