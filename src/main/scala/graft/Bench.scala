@@ -46,7 +46,7 @@ object Bench {
     // index build — the build-once/search-many contract they check.
     (Seq("q1_agg", "text_tokens") ++
       Seq("q_ivf_persisted", "q_ivf_bucketed", "q_pq_persisted",
-          "q_bucketed_join", "q_partition_prune")
+          "q_bm25_persisted", "q_bucketed_join", "q_partition_prune")
         .filter(selected.contains))
       .foreach(n =>
         SparkEntry.queries.get(n).foreach(f => f(spark, sfDir).count()))

@@ -70,6 +70,25 @@ object Bm25 {
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
 
+  /** Persist the frozen index to parquet — the lexical twin of
+    * `IvfIndex.persist`'s build-once/search-many contract. Postings are
+    * REPARTITIONED BY TERM and sorted within partitions, so (a) each
+    * parquet row group covers a narrow term range and min/max stats
+    * prune per-term lookups (`WHERE term IN (…)`), and (b) a future
+    * scoring join against a term list touches term-clustered files
+    * instead of a corpus-shuffled scatter. Stats are one row. */
+  def persist(docs: DataFrame, path: String): Unit = {
+    invertedIndex(docs)
+      .repartition(col("term")).sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    stats(docs).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Load a [[persist]]ed index — no corpus access on the search path. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): Bm25Index =
+    Bm25Index(spark.read.parquet(s"$path/postings"),
+      spark.read.parquet(s"$path/stats"))
+
   /** Top-k BM25 retrieval: `queryTerms(query_id, term)` (a bounded,
     * broadcastable table — a parsed query string per query_id) against
     * the documents corpus → (query_id, rank, doc_id, score). Ties break

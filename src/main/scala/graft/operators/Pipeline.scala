@@ -293,7 +293,7 @@ object Pipeline {
     * both engines compute identically. */
   def mixBudget(docs: DataFrame, budgetFrac: Double = 0.5): DataFrame = {
     val perSrc = graft.operators.TextAnalysis
-      .qualityScores(docs, carry = Seq("source"))
+      .qualityScores(docs, carry = Seq("source"), sorted = false)
       .select(col("source"), col("n_tokens"),
         col("quality_score").cast("decimal(9,4)").as("q"))
       .groupBy(col("source"))

@@ -228,7 +228,7 @@ object Selection {
     val win = Window.partitionBy(col("source"))
       .orderBy(col("sample_key"), col("doc_id"))
     graft.operators.TextAnalysis
-      .qualityScores(docs, carry = Seq("source"))
+      .qualityScores(docs, carry = Seq("source"), sorted = false)
       .select(col("source"), col("doc_id"), col("quality_score"),
         key.as("sample_key"))
       .withColumn("rnk", row_number().over(win))

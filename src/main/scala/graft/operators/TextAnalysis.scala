@@ -36,7 +36,13 @@ object TextAnalysis {
     * extra input columns to thread through unchanged (e.g. `source` for
     * the mixture planner) — carrying them through the one scoring scan
     * beats a corpus-sized join-back on doc_id. */
-  def qualityScores(docs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+  /** `sorted=false` skips the final doc_id ordering — composition entry
+    * point for consumers that immediately aggregate or re-window
+    * ([[Pipeline.mixBudget]], [[Selection.weightedSample]]): the global
+    * range-exchange + sort is pure waste under a downstream shuffle, and
+    * EliminateSorts does not remove it below a Window. */
+  def qualityScores(docs: DataFrame, carry: Seq[String] = Nil,
+                    sorted: Boolean = true): DataFrame = {
     // two-step select: tokenization/regex counts computed ONCE in the
     // first projection; the ratio arithmetic below references only cheap
     // attributes (a single projection would re-evaluate the regex chain
@@ -58,7 +64,7 @@ object TextAnalysis {
     // binary double, so floor is engine-portable while round-half modes
     // are not (Spark rounds the shortest decimal repr, DuckDB the binary).
     def r4(c: org.apache.spark.sql.Column) = floor(c * 10000.0) / 10000.0
-    base.select(
+    val out = base.select(
       (col("doc_id") +: carry.map(col)) ++ Seq(
         col("__len").cast("long").as("n_chars"),
         size(col("__toks")).cast("long").as("n_tokens"),
@@ -67,7 +73,7 @@ object TextAnalysis {
         r4(avgWordLen).as("avg_word_len"),
         r4(lit(0.4) * lenScore + lit(0.3) * alphaRatio
               + lit(0.3) * (lit(1.0) - stopRatio)).as("quality_score")): _*)
-      .orderBy(col("doc_id"))
+    if (sorted) out.orderBy(col("doc_id")) else out
   }
 
   /** Stopword-profile scores per language; shared with the DuckDB oracle. */

@@ -68,6 +68,18 @@ class RetrievalSpec extends SparkSuite {
     assert(!plan.contains("WindowGroupLimit"), plan)
   }
 
+  test("bm25 persisted index: identical rankings, zero corpus access on probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    Bm25.persist(t.documents, dir)
+    val probe = Bm25.topKFrom(Bm25.load(spark, dir), terms, topK = 10)
+    assert(probe.collect().toSeq ==
+      Bm25.topK(t.documents, terms, topK = 10).collect().toSeq)
+    // build-once/search-many: the probe plan reads the persisted
+    // postings/stats, never the documents table
+    assert(!planOf(probe).contains("documents.parquet"),
+      "probe must not rescan the corpus")
+  }
+
   test("rrf fusion: exact grid sums, overlap wins, n_lists counts membership") {
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L))
       .toDF("query_id", "doc_id", "rank")
