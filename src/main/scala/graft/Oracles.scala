@@ -75,6 +75,24 @@ object Oracles {
     * the self-join pair generator ([[dedupMinhashSql]]/[[dedupClustersSql]])
     * and the incremental new-vs-base generator ([[dedupIncrementalSql]]). */
   private def minhashBandsCte: String =
+    s"""$minhashSigCte,
+       | ${bandingCte(8, "")}""".stripMargin
+
+  /** Re-band the signature table at `r` rows per band (`suffix` keeps
+    * multiple configs in one statement distinct) — the CTE twin of the
+    * engine's `band_hashes(sig, bands, r)`: group `r` consecutive
+    * signature longs, serialize little-endian, FNV the bytes. */
+  private def bandingCte(r: Int, suffix: String): String =
+    s"""bandbytes$suffix AS (SELECT doc_id, i // $r AS band,
+       |    flatten(list_transform(list(su ORDER BY i), l -> list_transform(range(0,8), j -> (l // $pow256[j+1]) % 256))) AS bytes
+       |   FROM su GROUP BY doc_id, i // $r),
+       | bh$suffix AS (SELECT doc_id, band, ${signed(fnv("bytes"))} AS h FROM bandbytes$suffix)""".stripMargin
+
+  /** The signature chain `n → … → su` (per-(doc, i) signature values,
+    * signed in `sigall`, unsigned in `su`) with NO banding — shared by
+    * [[minhashBandsCte]] (default 16×8 banding) and the multi-config
+    * [[dedupLshSweepSql]]. */
+  private def minhashSigCte: String =
     s"""n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
        | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n),
        | shq AS (SELECT doc_id, unnest(CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
@@ -91,11 +109,7 @@ object Oracles {
        | sig AS (SELECT doc_id, i, MIN(g) AS sg FROM mg GROUP BY 1,2),
        | sigall AS (SELECT n.doc_id, r.i, coalesce(sg, 9223372036854775807) AS sg
        |   FROM n CROSS JOIN range(128) r(i) LEFT JOIN sig ON sig.doc_id = n.doc_id AND sig.i = r.i),
-       | su AS (SELECT doc_id, i, ${unsigned("sg")} AS su FROM sigall),
-       | bandbytes AS (SELECT doc_id, i // 8 AS band,
-       |    flatten(list_transform(list(su ORDER BY i), l -> list_transform(range(0,8), j -> (l // $pow256[j+1]) % 256))) AS bytes
-       |   FROM su GROUP BY doc_id, i // 8),
-       | bh AS (SELECT doc_id, band, ${signed(fnv("bytes"))} AS h FROM bandbytes)""".stripMargin
+       | su AS (SELECT doc_id, i, ${unsigned("sg")} AS su FROM sigall)""".stripMargin
 
   /** [[minhashBandsCte]] + the capBuckets skew guard + SYMMETRIC candidate
     * pairs (both directions), which both the per-doc summary and the
@@ -204,6 +218,44 @@ object Oracles {
        | CAST(coalesce(SUM(bsz) FILTER (WHERE bsz > $maxBucket), 0) AS BIGINT) AS rows_dropped,
        | CAST(coalesce(SUM(bsz * (bsz - 1) // 2) FILTER (WHERE bsz > $maxBucket), 0) AS BIGINT) AS est_pairs_lost
        |FROM bs GROUP BY band ORDER BY band""".stripMargin
+
+  /** dedup_lsh_sweep: `Dedup.lshSweep` replayed — ONE signature chain,
+    * re-banded per config (b bands × r rows); per config the capped
+    * `id1 < id2` pair count, the integer `minMatch` gate count, and the
+    * floored precision / mean-estimated-jaccard ratios (both derived
+    * from integer sums, so addition order never matters). */
+  def dedupLshSweepSql(numHashes: Int = 128,
+                       configs: Seq[Int] = Seq(32, 16, 8),
+                       maxBucket: Int = 1000, minMatch: Int = 64): String = {
+    val per = configs.map { nb =>
+      val r = numHashes / nb
+      s"""${bandingCte(r, s"_$nb")},
+         | capped_$nb AS (SELECT * FROM bh_$nb QUALIFY COUNT(*) OVER (PARTITION BY band, h) <= $maxBucket),
+         | pairs_$nb AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |   FROM capped_$nb a JOIN capped_$nb b ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id),
+         | m_$nb AS (SELECT p.id1, p.id2, SUM(CASE WHEN a.sg = b.sg THEN 1 ELSE 0 END) AS nm
+         |   FROM pairs_$nb p JOIN sigall a ON a.doc_id = p.id1
+         |   JOIN sigall b ON b.doc_id = p.id2 AND b.i = a.i GROUP BY 1, 2),
+         | agg_$nb AS (SELECT $nb AS bands, $r AS rows_per_band,
+         |   COUNT(*) AS n_candidates,
+         |   coalesce(SUM(CASE WHEN nm >= $minMatch THEN 1 ELSE 0 END), 0) AS n_est_dups,
+         |   coalesce(SUM(nm), 0) AS sum_match FROM m_$nb)""".stripMargin
+    }.mkString(",\n")
+    val union = configs.map(nb => s"SELECT * FROM agg_$nb")
+      .mkString(" UNION ALL ")
+    s"""WITH $minhashSigCte,
+       |$per,
+       | allcfg AS ($union)
+       |SELECT CAST(bands AS BIGINT) AS bands,
+       | CAST(rows_per_band AS BIGINT) AS rows_per_band,
+       | CAST(n_candidates AS BIGINT) AS n_candidates,
+       | CAST(n_est_dups AS BIGINT) AS n_est_dups,
+       | CASE WHEN n_candidates = 0 THEN 0.0
+       |   ELSE floor(CAST(n_est_dups AS DOUBLE) / CAST(n_candidates AS DOUBLE) * 1e4) / 1e4 END AS precision_est,
+       | CASE WHEN n_candidates = 0 THEN 0.0
+       |   ELSE floor(CAST(sum_match AS DOUBLE) / (CAST(n_candidates AS DOUBLE) * $numHashes) * 1e4) / 1e4 END AS mean_est_jaccard
+       |FROM allcfg ORDER BY bands DESC""".stripMargin
+  }
 
   /** dedup_source_matrix: the capped LSH candidate pairs rolled up to
     * unordered (source_a ≤ source_b) cells with each cell's share of all

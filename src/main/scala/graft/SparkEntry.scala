@@ -345,6 +345,10 @@ object SparkEntry {
     // near-duplicate which (off-diagonal = mirroring, diagonal =
     // intra-source boilerplate) — the dataset-card companion table
     "dedup_source_matrix" -> q(t => Dedup.sourceMatrix(t.documents)),
+    // the banding TRADE itself as data (the dedup twin of q_recall_sweep):
+    // one signature pass re-banded at 32×4 / 16×8 / 8×16, each config's
+    // candidate volume + integer-gate precision estimate
+    "dedup_lsh_sweep" -> q(t => Dedup.lshSweep(t.documents)),
     // the estimation step between LSH candidates and exact verification:
     // per candidate pair, matching-signature-position jaccard estimate
     "dedup_minhash_est" -> q(t => Dedup.minhashEstimates(t.documents)),
@@ -1864,6 +1868,7 @@ $rounds
     "dedup_minhash"  -> Oracles.dedupMinhashSql(),
     "dedup_cap_audit" -> Oracles.dedupCapAuditSql(maxBucket = 2),
     "dedup_source_matrix" -> Oracles.dedupSourceMatrixSql(),
+    "dedup_lsh_sweep" -> Oracles.dedupLshSweepSql(),
     "q_dsir"         -> Oracles.dsirSql(),
     "dedup_simhash"  -> Oracles.dedupSimhashSql(),
     "dedup_clusters" -> Oracles.dedupClustersSql(),

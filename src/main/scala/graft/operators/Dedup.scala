@@ -225,6 +225,56 @@ object Dedup {
       .select(col("id1"), col("id2"), matches.cast("long").as("n_match"))
   }
 
+  /** The LSH banding TRADE as a table — the dedup twin of
+    * `q_recall_sweep`: for each banding `(b bands × r rows, b·r =
+    * numHashes)` the candidate volume and estimated candidate quality a
+    * deployment reads to pick its operating point (few rows per band →
+    * high recall, many low-jaccard candidates; many rows → precise, can
+    * miss near-dups). MinHash signatures are computed ONCE (barriered);
+    * each config re-bands the SIGNATURE table (the cheap domain —
+    * `numHashes` longs per doc, never document text) and its estimate
+    * join input is ∝ that config's candidates. All quality numbers
+    * derive from integer `n_match` sums (order-invariant, oracle-exact):
+    * `n_est_dups` counts candidates clearing the `minMatch / numHashes`
+    * integer gate, `precision_est` and `mean_est_jaccard` are floored
+    * to the 1e-4 grid. */
+  def lshSweep(docs: DataFrame, numHashes: Int = 128,
+               bandConfigs: Seq[Int] = Seq(32, 16, 8),
+               shingleLen: Int = 3, maxBucket: Int = 1000,
+               minMatch: Int = 64): DataFrame = {
+    val sigs = docs.select(col("doc_id"),
+      minhash_signature(
+        shingles(tokens(preprocess(col("text"))), shingleLen), numHashes)
+        .as("sig"))
+      .barrier() // one signature pass serves every banding config
+    val matches = aggregate(
+      zip_with(col("s1"), col("s2"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    bandConfigs.map { b =>
+      val r = numHashes / b
+      val banded = sigs.select(col("doc_id"),
+        posexplode(band_hashes(col("sig"), b, r)).as(Seq("band", "h")))
+      bandedPairs(banded, maxBucket)
+        .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1")), Seq("id1"))
+        .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2")), Seq("id2"))
+        .select(matches.cast("long").as("n_match"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("n_match") >= minMatch, 1L).otherwise(0L)),
+            lit(0L)).as("n_est_dups"),
+          coalesce(sum(col("n_match")), lit(0L)).as("sum_match"))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_est_dups"),
+          when(col("n_candidates") === 0L, 0.0).otherwise(
+            floor(col("n_est_dups").cast("double")
+              / col("n_candidates").cast("double") * 1e4) / 1e4)
+            .as("precision_est"),
+          when(col("n_candidates") === 0L, 0.0).otherwise(
+            floor(col("sum_match").cast("double")
+              / (col("n_candidates").cast("double") * numHashes) * 1e4) / 1e4)
+            .as("mean_est_jaccard"))
+    }.reduce(_.unionAll(_)).orderBy(col("bands").desc)
+  }
+
   /** The final stage of the dedup funnel: LSH candidates → signature-level
     * estimate → EXACT word-shingle jaccard, computed ONLY for pairs whose
     * estimate clears `minMatch` matching signature positions (an INTEGER

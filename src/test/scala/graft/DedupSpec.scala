@@ -245,6 +245,33 @@ class DedupSpec extends SparkSuite {
         r.getLong(4) == 0, "nothing capped means nothing dropped"))
   }
 
+  test("lsh sweep: nested bandings give monotone candidates, exact dups survive every config") {
+    import spark.implicits._
+    // doc 4 is an exact duplicate of doc 1: all 128 signature positions
+    // agree, so every banding config pairs them and the n_match >= 64
+    // gate counts them as an estimated dup
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinctDoc), (4L, base))
+      .toDF("doc_id", "text")
+    val sweep = operators.Dedup.lshSweep(docs).collect()
+    assert(sweep.map(_.getLong(0)).toSeq == Seq(32L, 16L, 8L))
+    assert(sweep.map(_.getLong(1)).toSeq == Seq(4L, 8L, 16L))
+    // 32×4 bands refine 16×8 refine 8×16 (i//4 refines i//8 refines
+    // i//16): a wide band matching forces all its sub-bands to match, so
+    // candidate sets are nested and counts monotone as bands shrink
+    val cands = sweep.map(_.getLong(2))
+    assert(cands(0) >= cands(1) && cands(1) >= cands(2),
+      s"candidate monotonicity violated: ${cands.toSeq}")
+    sweep.foreach { r =>
+      assert(r.getLong(3) >= 1L, "exact-dup pair cleared the gate")
+      val (prec, mej) = (r.getDouble(4), r.getDouble(5))
+      assert(prec > 0.0 && prec <= 1.0 && mej > 0.0 && mej <= 1.0,
+        s"ratios out of range: $prec $mej")
+    }
+    // the strictest config (8 bands × 16 rows) admits only the exact
+    // pair here, so its precision estimate is exactly 1 on the grid
+    assert(sweep.last.getDouble(4) == 1.0)
+  }
+
   test("auto-k keeps expected block size scale-invariant") {
     import operators.IvfIndex.autoCentroids
     // floor region: small corpora (and the sf0.01 oracle) resolve to
