@@ -257,6 +257,44 @@ object Oracles {
        |FROM allcfg ORDER BY bands DESC""".stripMargin
   }
 
+  /** decontaminate_fuzzy: `Pipeline.decontaminateFuzzy` replayed — the
+    * shared signature chain over ALL documents (the engine computes the
+    * two sides separately, but the per-position hash family is fixed, so
+    * union-then-split is identical), banded at `numHashes / bands` rows
+    * per band, (train ≥ `benchBelow`, bench < `benchBelow`) candidates
+    * restricted to docs WITH shingles (`sig` has rows only for them;
+    * empty docs share the sentinel signature and must not band-collide),
+    * matching-position counts from `sigall`, and the per-train-doc
+    * (nm DESC, bench_id ASC) argmax. `est_jaccard` divides by a power of
+    * two — IEEE-exact both engines, no grid. */
+  def decontaminateFuzzySql(numHashes: Int = 128, bands: Int = 16,
+                            minMatch: Int = 64,
+                            benchBelow: Long = 100L): String =
+    s"""WITH $minhashSigCte,
+       | ${bandingCte(numHashes / bands, "")},
+       | ne AS (SELECT DISTINCT doc_id FROM sig),
+       | cand AS (SELECT DISTINCT a.doc_id AS tid, b.doc_id AS bid
+       |   FROM bh a JOIN bh b ON a.band = b.band AND a.h = b.h
+       |   WHERE a.doc_id >= $benchBelow AND b.doc_id < $benchBelow
+       |     AND a.doc_id IN (SELECT doc_id FROM ne)
+       |     AND b.doc_id IN (SELECT doc_id FROM ne)),
+       | m AS (SELECT tid, bid, SUM(CASE WHEN sa.sg = sb.sg THEN 1 ELSE 0 END) AS nm
+       |   FROM cand JOIN sigall sa ON sa.doc_id = cand.tid
+       |             JOIN sigall sb ON sb.doc_id = cand.bid AND sb.i = sa.i
+       |   GROUP BY 1, 2),
+       | best AS (SELECT tid, nm, bid,
+       |     COUNT(*) OVER (PARTITION BY tid) AS nb,
+       |     ROW_NUMBER() OVER (PARTITION BY tid ORDER BY nm DESC, bid) AS rn
+       |   FROM m)
+       |SELECT d.doc_id,
+       | CAST(coalesce(nb, 0) AS BIGINT) AS n_bench_matches,
+       | CAST(coalesce(bid, -1) AS BIGINT) AS best_match,
+       | coalesce(CAST(nm AS DOUBLE) / $numHashes, 0.0) AS est_jaccard,
+       | coalesce(nm >= $minMatch, false) AS contaminated
+       |FROM (SELECT doc_id FROM documents WHERE doc_id >= $benchBelow) d
+       | LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.tid
+       |ORDER BY d.doc_id""".stripMargin
+
   /** dedup_source_matrix: the capped LSH candidate pairs rolled up to
     * unordered (source_a ≤ source_b) cells with each cell's share of all
     * candidate pairs — `Dedup.sourceMatrix` replayed. */

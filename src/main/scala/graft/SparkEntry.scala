@@ -372,6 +372,12 @@ object SparkEntry {
     // the funnel's APPLY step: keep exactly the canonical member of each
     // converged cluster — `WHERE keep` IS the deduplicated corpus
     "dedup_canonical" -> q(t => Dedup.canonicalize(t.documents)),
+    // the apply step a production pipeline actually wants: per cluster
+    // keep the BEST-QUALITY member (argmax on the 1e-4 quality grid,
+    // doc_id tie-break), not the first-crawled one; the argmax window
+    // runs only over multi-member clusters — singletons bypass it
+    "dedup_canonical_quality" -> q(t =>
+      Dedup.canonicalizeByQuality(t.documents)),
     // SemDeDup-style: near-dup NN within LEARNED (centroid) blocks — the
     // blocking key is computed, not given; assignment is a narrow pass
     "dedup_semantic"  -> q(t => Dedup.semanticNeighbors(t.embeddings)),
@@ -509,6 +515,13 @@ object SparkEntry {
     "decontaminate"  -> q(t => Pipeline.decontaminate(
       t.documents.filter(col("doc_id") >= 100),
       t.documents.filter(col("doc_id") < 100))),
+    // fuzzy decontamination: MinHash near-match vs the eval set — catches
+    // the paraphrase/whitespace-churn contamination the exact 8-gram
+    // overlap misses; the bench signature table broadcasts, training
+    // never shuffles for candidates
+    "decontaminate_fuzzy" -> q(t => Pipeline.decontaminateFuzzy(
+      t.documents.filter(col("doc_id") >= 100),
+      t.documents.filter(col("doc_id") < 100))),
     "sample_mix"     -> q(t => Pipeline.mixingReport(t.events)),
     // token-budget mixture planning: quality-mass-weighted per-source
     // sampling plan (the recipe step a hash-sampler then applies)
@@ -544,6 +557,11 @@ object SparkEntry {
     // quality, keep rate, PII incidence)
     "q_dataset_card" -> q(t => Pipeline.datasetCard(t)),
     "pack_sequences" -> q(t => Pipeline.packSequences(t.documents)),
+    // padding-waste audit for power-of-two length-bucketed batching —
+    // the table that says whether bucketing suffices or packing is worth
+    // its shuffle; one corpus scan, everything after runs on the bounded
+    // (token-count → doc-count) table
+    "q_length_buckets" -> q(t => Pipeline.lengthBuckets(t.documents)),
     // corpus-statistics embedding: hashing TF-IDF (digest projection — see
     // q_embed note)
     "q_tfidf" -> q(t => vectorDigest(Embeddings.tfidfVectors(t.documents))),
@@ -1110,6 +1128,18 @@ $rounds
            |JOIN (${base("dedup_windows")}) w USING (doc_id)
            |JOIN (${base("decontaminate")}) d USING (doc_id)
            |ORDER BY g.doc_id""".stripMargin,
+      // dedup_canonical_quality: the clusters oracle joined to the
+      // text_quality base; keep = rank-1 by (quality DESC, doc_id) per
+      // cluster — both orderings on exact grids, so the verdict is
+      // engine-portable
+      "dedup_canonical_quality" ->
+        s"""WITH cl AS (${Oracles.dedupClustersSql()}),
+           | tq AS (SELECT doc_id, quality_score FROM (${base("text_quality")}))
+           |SELECT cl.doc_id, cluster_id, cluster_size, quality_score,
+           | ROW_NUMBER() OVER (PARTITION BY cluster_id
+           |   ORDER BY quality_score DESC, cl.doc_id) = 1 AS keep
+           |FROM cl JOIN tq ON cl.doc_id = tq.doc_id
+           |ORDER BY cl.doc_id""".stripMargin,
       // q_mix_budget: per-source aggregation over the text_quality base
       // oracle (quality on its 1e-4 grid as DECIMAL(9,4) — mass sums
       // exact), then the weight/keep_frac/exp_tokens double arithmetic
@@ -2189,6 +2219,7 @@ $rounds
         |   '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
         |  '\+?\d{3}[- .]?\d{3}[- .]?\d{4}', '[PHONE]', 'g') AS redacted_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "decontaminate_fuzzy" -> Oracles.decontaminateFuzzySql(),
     "decontaminate" ->
       (s"""WITH tok AS (SELECT doc_id,
           |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]
@@ -2226,6 +2257,19 @@ $rounds
         | CAST(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         | floor(SUM(CASE WHEN h < rate THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*10000.0)/10000.0 AS realized_rate
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_length_buckets" ->
+      """WITH b AS (SELECT CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+        |  FROM documents),
+        | g AS (SELECT n, COUNT(*) AS c FROM b GROUP BY 1),
+        | p AS (SELECT (1::BIGINT << i) AS bucket_max FROM range(0, 33) t(i)),
+        | a AS (SELECT n, c, MIN(bucket_max) AS bucket_max
+        |   FROM g JOIN p ON bucket_max >= greatest(n, 1) GROUP BY 1, 2)
+        |SELECT bucket_max, CAST(SUM(c) AS BIGINT) AS n_docs,
+        | CAST(SUM(n * c) AS BIGINT) AS sum_tokens,
+        | CAST(SUM(c) * bucket_max AS BIGINT) AS padded_tokens,
+        | floor(CAST(SUM(c) * bucket_max - SUM(n * c) AS DOUBLE)
+        |   / CAST(SUM(c) * bucket_max AS DOUBLE) * 1e4) / 1e4 AS waste_frac
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "pack_sequences" ->
       """WITH b AS (SELECT doc_id, doc_id % 8 AS shard,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens

@@ -973,6 +973,42 @@ object Dedup {
         (col("cluster_id") === col("doc_id")).as("keep"))
       .orderBy(col("doc_id"))
 
+  /** [[canonicalize]] keeping the BEST-QUALITY member of each duplicate
+    * cluster instead of the smallest id — the apply step a production
+    * pipeline actually wants: when a page and its mirror near-duplicate,
+    * keep the cleaner copy (fewer boilerplate tokens, better
+    * length/stopword profile), not the one that happened to be crawled
+    * first. Canonical member = argmax by `(quality_score DESC, doc_id
+    * ASC)` over [[graft.operators.TextAnalysis.qualityScores]]'
+    * composite (its 1e-4 grid makes the ordering — and therefore the
+    * keep verdict — engine-portable); the deterministic id tie-break
+    * means equal-quality clusters degrade to [[canonicalize]]'s choice.
+    *
+    * Scale shape: the quality join is a doc_id equi-join of the cluster
+    * table against a narrow scoring projection (one corpus scan, no
+    * text re-read after it), and the argmax WINDOW runs only over
+    * multi-member clusters — singletons (the overwhelming corpus mass;
+    * every doc outside the candidate graph) are canonical by definition
+    * and bypass the exchange entirely, so the rank shuffle is ∝ dup-
+    * cluster membership, not the corpus. */
+  def canonicalizeByQuality(docs: DataFrame, maxIters: Int = 10,
+                            maxBucket: Int = 1000): DataFrame = {
+    val scored = clusters(docs, maxIters, maxBucket)
+      .join(TextAnalysis.qualityScores(docs, sorted = false)
+        .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
+      .barrier() // read twice below; without this both branches re-run
+                 // the cluster iteration AND the scoring scan
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val cols = Seq(col("doc_id"), col("cluster_id"), col("cluster_size"),
+      col("quality_score"), col("keep"))
+    scored.filter(col("cluster_size") === 1L)
+      .withColumn("keep", lit(true)).select(cols: _*)
+      .unionAll(scored.filter(col("cluster_size") > 1L)
+        .withColumn("keep", row_number().over(w) === 1).select(cols: _*))
+      .orderBy(col("doc_id"))
+  }
+
   /** The blocked-NN core shared by [[embeddingNeighbors]] (given blocks)
     * and [[semanticNeighbors]] (learned blocks): self-join WITHIN a block
     * only — never corpus² — then top-1 by cosine via the bounded-heap

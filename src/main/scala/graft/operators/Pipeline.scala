@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions._
 import graft.functions.TextFunctions._
 import graft.operators.Barrier.BarrierOps
 
@@ -205,6 +206,72 @@ object Pipeline {
       .select(col("doc_id"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
         (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** FUZZY benchmark decontamination: MinHash near-match of training docs
+    * against the eval set — the companion to [[decontaminate]]'s exact
+    * n-gram overlap, which a light paraphrase or whitespace/punctuation
+    * churn defeats (every 8-gram changes, yet the doc is still the
+    * benchmark item). Here both sides become MinHash(`numHashes`)
+    * signatures over word `shingleLen`-shingles; LSH banding proposes
+    * (train, bench) pairs and the matching-signature-position fraction
+    * estimates jaccard — `contaminated` = any bench doc with
+    * `n_match ≥ minMatch` (est ≥ minMatch/numHashes, default 0.5).
+    *
+    * Scale shape (the reason this beats pairwise jaccard at 100 TB): the
+    * eval suite is bounded by contract, so its banded signature table
+    * BROADCASTS — the training corpus never shuffles for candidate
+    * generation, and the only shuffle is the per-doc summary aggregate,
+    * keyed by doc_id with input ∝ banded matches (rare by construction).
+    * Everything after the scan runs on signatures (`numHashes` longs per
+    * doc), never document text. One aggregate computes the distinct-
+    * partner count and the (n_match desc, bench_id asc) argmax — band
+    * duplicates of a pair carry identical n_match, so max-of-struct
+    * dedups them for free. Docs with zero shingles (shorter than
+    * `shingleLen`) have no gram domain to overlap and are excluded from
+    * matching on BOTH sides — they'd otherwise share the sentinel
+    * signature and band-collide with every other empty doc.
+    *
+    * `est_jaccard` is `n_match / numHashes` with numHashes a power of
+    * two, so the division is IEEE-exact cross-engine; no grid needed.
+    * Reference seam: the exact-overlap contract this estimates is
+    * [[decontaminate]]'s (GPT-3-style n-gram decontamination). */
+  def decontaminateFuzzy(training: DataFrame, bench: DataFrame,
+                         numHashes: Int = 128, bands: Int = 16,
+                         shingleLen: Int = 3, minMatch: Int = 64): DataFrame = {
+    val r = numHashes / bands
+    def sigsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        shingles(tokens(preprocess(col("text"))), shingleLen).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhash_signature(col("sh"), numHashes).as("sig"))
+    // bench is read twice (bands + the broadcast estimate side would be
+    // one more without carrying sig through the explode) — barrier it;
+    // the training side is ONE pass: bands and sig travel together
+    val benchBanded = sigsOf(bench).barrier()
+      .select(col("doc_id").as("bench_id"), col("sig").as("bsig"),
+        posexplode(band_hashes(col("sig"), bands, r)).as(Seq("band", "h")))
+    val trainBanded = sigsOf(training)
+      .select(col("doc_id"), col("sig"),
+        posexplode(band_hashes(col("sig"), bands, r)).as(Seq("band", "h")))
+    val matches = aggregate(
+      zip_with(col("sig"), col("bsig"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
+    val summary = trainBanded
+      .join(broadcast(benchBanded), Seq("band", "h"))
+      .select(col("doc_id"), col("bench_id"), matches.cast("long").as("n_match"))
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(col("bench_id")).as("n_bench_matches"),
+        max(struct(col("n_match"), (-col("bench_id")).as("nb"))).as("best"))
+    training.select(col("doc_id"))
+      .join(summary, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_matches"), lit(0L)).as("n_bench_matches"),
+        coalesce(-col("best.nb"), lit(-1L)).as("best_match"),
+        (coalesce(col("best.n_match"), lit(0L)).cast("double") / numHashes)
+          .as("est_jaccard"),
+        (coalesce(col("best.n_match"), lit(0L)) >= minMatch).as("contaminated"))
       .orderBy(col("doc_id"))
   }
 
@@ -543,5 +610,43 @@ object Pipeline {
           floor((col("cum_tokens") - col("n_tokens")).cast("double") / maxTokens)
             .cast("long")).as("pack_id"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Padding-waste audit for length-bucketed batching — the planning
+    * companion to [[packSequences]]: when sequences batch at power-of-two
+    * boundaries (the fixed-shape-kernel convention), how much of each
+    * bucket's padded token volume is padding? Per bucket (smallest power
+    * of two ≥ the doc's BPE-ish token count; empty docs land in bucket
+    * 1): doc count, true token mass, padded volume at the bucket
+    * boundary, and the padding fraction — the table that says whether
+    * bucketing is fine or packing ([[packSequences]]) is worth its
+    * shuffle.
+    *
+    * Scale shape: ONE corpus scan collapses to a (token-count → doc
+    * count) table via a map-side-combined groupBy — distinct lengths are
+    * bounded by the longest document, not the corpus — and everything
+    * after (the non-equi min-join against 33 broadcast powers of two,
+    * the per-bucket rollup) runs on that bounded table. The waste ratio
+    * divides two longs as doubles identically in both engines and rides
+    * the 1e-4 floor grid. */
+  def lengthBuckets(docs: DataFrame): DataFrame = {
+    val pows = docs.sparkSession.range(0, 33)
+      .select(shiftleft(lit(1L), col("id").cast("int")).as("bucket_max"))
+    val byLen = docs
+      .select(bpeTokenCount(col("text")).cast("long").as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("c"))
+    val padded = col("n_docs") * col("bucket_max")
+    byLen
+      .join(broadcast(pows), col("bucket_max") >= greatest(col("n"), lit(1L)))
+      .groupBy(col("n"), col("c"))
+      .agg(min(col("bucket_max")).as("bucket_max"))
+      .groupBy(col("bucket_max"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("n") * col("c")).as("sum_tokens"))
+      .select(col("bucket_max"), col("n_docs"), col("sum_tokens"),
+        padded.as("padded_tokens"),
+        (floor((padded - col("sum_tokens")).cast("double")
+          / padded.cast("double") * 1e4) / 1e4).as("waste_frac"))
+      .orderBy(col("bucket_max"))
   }
 }
