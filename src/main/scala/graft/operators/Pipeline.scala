@@ -631,7 +631,7 @@ object Pipeline {
     * the 1e-4 floor grid. */
   def lengthBuckets(docs: DataFrame): DataFrame = {
     val pows = docs.sparkSession.range(0, 33)
-      .select(shiftleft(lit(1L), col("id").cast("int")).as("bucket_max"))
+      .select(expr("shiftleft(1L, cast(id as int))").as("bucket_max"))
     val byLen = docs
       .select(bpeTokenCount(col("text")).cast("long").as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("c"))
