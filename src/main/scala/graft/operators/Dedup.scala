@@ -1051,7 +1051,7 @@ object Dedup {
     * broadcasts. */
   private def blockedNeighbors(e: DataFrame, simThreshold: Double,
                                maxBlock: Int = 4096,
-                               pairBudget: Long = 1L << 18): DataFrame = {
+                               pairBudget: Long = 1L << 24): DataFrame = {
     val sizes = e.groupBy(col("block")).agg(count(lit(1)).as("__bsz"))
     // s² in double: a Long s² overflows past ~3e9-row blocks
     val bsz = col("__bsz").cast("double")
