@@ -49,6 +49,36 @@ object SparkEntry {
   private val builtBucketed =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Collision-resistant on-disk tag for a memo key: SHA-256 hex prefix
+    * (64 bits). `hashCode` (32 bits, trivially collidable) let two
+    * corpora map to the same parquet path, the second build silently
+    * overwriting the first while the first memo entry still pointed at
+    * it. Hex keeps the tag a valid identifier fragment for catalog
+    * table names too. */
+  private def memoTag(memoKey: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(memoKey.getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
+
+  /** computeIfAbsent-style critical section for the build-once layouts:
+    * check-validity → build → memo-insert runs under one lock, so two
+    * query threads arriving together can't both run the (side-effecting,
+    * overwrite-mode) build against the same path. Builds are rare
+    * (once per JVM+corpus) and the bench runs queries sequentially, so
+    * one global lock costs nothing; `valid` re-checks disk/catalog state
+    * because a memo entry can outlive a dropped table or cleaned tmp. */
+  private val memoLock = new Object
+  private def memoized(map: scala.collection.concurrent.TrieMap[String, String],
+                       memoKey: String)(valid: String => Boolean)
+                      (build: => String): String =
+    memoLock.synchronized {
+      map.get(memoKey).filter(valid).getOrElse {
+        val v = build
+        map(memoKey) = v
+        v
+      }
+    }
+
   /** The curation funnel's verdict table, materialized ONCE per
     * (JVM, corpus) and served to BOTH `q_curate` (the rows) and
     * `q_curate_report` (one aggregate over its 1-bit columns) — the
@@ -61,14 +91,29 @@ object SparkEntry {
     * consumer reads it. */
   private def curatedVerdicts(s: SparkSession, dir: String): DataFrame = {
     val memoKey = s"curate:$dir@${corpusFingerprint(dir, "documents.parquet")}"
-    val path = s"$ivfTmpBase/curate-${memoKey.hashCode & 0x7fffffff}"
-    if (!builtPersisted.contains(memoKey) ||
-        !new java.io.File(path).exists) {
+    val path = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
+      val p = s"$ivfTmpBase/curate-${memoTag(memoKey)}"
       Pipeline.curate(Tables(s, dir).documents)
-        .write.mode("overwrite").parquet(path)
-      builtPersisted(memoKey) = path
+        .write.mode("overwrite").parquet(p)
+      p
     }
     s.read.parquet(path).orderBy(col("doc_id"))
+  }
+
+  /** The frozen BM25 index (postings term-clustered + one-row stats),
+    * persisted ONCE per (JVM, corpus) and loaded on every use — the
+    * lexical build-once/search-many seam shared by `q_bm25_persisted`
+    * and `q_hybrid_rrf`'s lexical side, so the fused query never
+    * re-tokenizes the corpus to rebuild an index another query already
+    * landed on disk. */
+  private def frozenBm25(s: SparkSession, dir: String): Bm25.Bm25Index = {
+    val memoKey = s"bm25:$dir@${corpusFingerprint(dir, "documents.parquet")}"
+    val p = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
+      val path = s"$ivfTmpBase/bm25-${memoTag(memoKey)}"
+      Bm25.persist(Tables(s, dir).documents, path)
+      path
+    }
+    Bm25.load(s, p)
   }
 
   /** Cheap driver-side fingerprint of the corpus files backing one of
@@ -207,11 +252,11 @@ object SparkEntry {
     "q_ivf_persisted" -> ((s, dir) => {
       val t = Tables(s, dir)
       val memoKey = s"$dir@${corpusFingerprint(dir)}"
-      val idx = builtPersisted.getOrElseUpdate(memoKey, {
-        val p = s"$ivfTmpBase/persisted-${memoKey.hashCode & 0x7fffffff}"
+      val idx = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
+        val p = s"$ivfTmpBase/persisted-${memoTag(memoKey)}"
         IvfIndex.persist(t.embeddings, nCentroids = 16, path = p)
         p
-      })
+      }
       IvfIndex.searchPersisted(s, idx,
         t.embeddings.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -224,12 +269,13 @@ object SparkEntry {
     "q_ivf_bucketed" -> ((s, dir) => {
       val t = Tables(s, dir)
       val memoKey = s"$dir@${corpusFingerprint(dir)}"
-      val tbl = "graft_q_postings_" + (memoKey.hashCode & 0x7fffffff)
-      if (!builtBucketed.contains(memoKey) || !s.catalog.tableExists(tbl) ||
-          !s.catalog.tableExists(tbl + "_centroids")) {
+      val tag = memoTag(memoKey)
+      val tbl = memoized(builtBucketed, memoKey)(t0 =>
+        s.catalog.tableExists(t0) && s.catalog.tableExists(t0 + "_centroids")) {
+        val t0 = s"graft_q_postings_$tag"
         IvfIndex.persistBucketed(t.embeddings, nCentroids = 16,
-          table = tbl, path = s"$ivfTmpBase/bucketed-${memoKey.hashCode & 0x7fffffff}")
-        builtBucketed(memoKey) = tbl
+          table = t0, path = s"$ivfTmpBase/bucketed-$tag")
+        t0
       }
       IvfIndex.searchBucketed(s, tbl,
         t.embeddings.filter(col("vec_id") < 5)
@@ -243,16 +289,16 @@ object SparkEntry {
     "q_bucketed_join" -> ((s, dir) => {
       val t = Tables(s, dir)
       val memoKey = s"facts:$dir@${corpusFingerprint(dir, "lineitem.parquet")}"
-      val tag = memoKey.hashCode & 0x7fffffff
-      val oTbl = s"graft_q_orders_b_$tag"
-      val lTbl = s"graft_q_lineitem_b_$tag"
-      if (!builtBucketed.contains(memoKey) || !s.catalog.tableExists(oTbl) ||
-          !s.catalog.tableExists(lTbl)) {
-        Relational.persistBucketedFacts(t, oTbl, lTbl,
+      val tag = memoTag(memoKey)
+      val lTblOf = (o: String) => o.replace("orders", "lineitem")
+      val oTbl = memoized(builtBucketed, memoKey)(o =>
+        s.catalog.tableExists(o) && s.catalog.tableExists(lTblOf(o))) {
+        val o = s"graft_q_orders_b_$tag"
+        Relational.persistBucketedFacts(t, o, lTblOf(o),
           s"$ivfTmpBase/facts-$tag")
-        builtBucketed(memoKey) = oTbl
+        o
       }
-      Relational.bucketedOrderRevenue(s, oTbl, lTbl)
+      Relational.bucketedOrderRevenue(s, oTbl, lTblOf(oTbl))
     }),
     // MERGE-style upsert: broadcast anti-join + union — the base table
     // never shuffles for a daily CDC batch; per-status rollup checks it
@@ -263,11 +309,10 @@ object SparkEntry {
     "q_partition_prune" -> ((s, dir) => {
       val t = Tables(s, dir)
       val memoKey = s"evdays:$dir@${corpusFingerprint(dir, "events.parquet")}"
-      val tag = memoKey.hashCode & 0x7fffffff
-      val path = s"$ivfTmpBase/evdays-$tag"
-      builtPersisted.getOrElseUpdate(memoKey, {
-        Relational.persistPartitionedEvents(t, path); path
-      })
+      val path = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
+        val p = s"$ivfTmpBase/evdays-${memoTag(memoKey)}"
+        Relational.persistPartitionedEvents(t, p); p
+      }
       Relational.prunedDailyEvents(s, path)
     }),
     // the memory-lean production configuration: IVF pruning AND int8
@@ -285,11 +330,11 @@ object SparkEntry {
     "q_pq_persisted" -> ((s, dir) => {
       val t = Tables(s, dir)
       val memoKey = s"pq:$dir@${corpusFingerprint(dir)}"
-      val idx = builtPersisted.getOrElseUpdate(memoKey, {
-        val p = s"$ivfTmpBase/pq-${memoKey.hashCode & 0x7fffffff}"
+      val idx = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
+        val p = s"$ivfTmpBase/pq-${memoTag(memoKey)}"
         ProductQuantizer.persist(t.embeddings, p, m = 4, k = 16)
         p
-      })
+      }
       ProductQuantizer.searchPersisted(s, idx,
         t.embeddings.filter(col("vec_id") < 5)
           .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -390,11 +435,12 @@ object SparkEntry {
     "dedup_incremental" -> ((s, dir) => {
       val t = Tables(s, dir)
       val memoKey = s"sig:$dir@${corpusFingerprint(dir, "documents.parquet")}"
-      val tbl = "graft_sig_store_" + (memoKey.hashCode & 0x7fffffff)
-      if (!builtBucketed.contains(memoKey) || !s.catalog.tableExists(tbl)) {
-        Dedup.persistSignatures(t.documents.filter(col("doc_id") < 250), tbl,
-          path = s"$ivfTmpBase/sig-${memoKey.hashCode & 0x7fffffff}")
-        builtBucketed(memoKey) = tbl
+      val tag = memoTag(memoKey)
+      val tbl = memoized(builtBucketed, memoKey)(s.catalog.tableExists) {
+        val t0 = s"graft_sig_store_$tag"
+        Dedup.persistSignatures(t.documents.filter(col("doc_id") < 250), t0,
+          path = s"$ivfTmpBase/sig-$tag")
+        t0
       }
       Dedup.incrementalCandidatesFromStore(
         t.documents.filter(col("doc_id") >= 250), s, tbl)
@@ -486,20 +532,16 @@ object SparkEntry {
     // q_ivf_persisted): postings + stats persisted term-clustered, the
     // timed run probes the frozen index with zero corpus access — same
     // memoization contract (per-JVM, fingerprint-keyed) and same oracle
-    "q_bm25_persisted" -> ((s, dir) => {
-      val memoKey = s"bm25:$dir@${corpusFingerprint(dir, "documents.parquet")}"
-      val p = builtPersisted.getOrElseUpdate(memoKey, {
-        val path = s"$ivfTmpBase/bm25-${memoKey.hashCode & 0x7fffffff}"
-        Bm25.persist(Tables(s, dir).documents, path)
-        path
-      })
-      Bm25.topKFrom(Bm25.load(s, p), bm25Terms(s))
-    }),
+    "q_bm25_persisted" -> ((s, dir) =>
+      Bm25.topKFrom(frozenBm25(s, dir), bm25Terms(s))),
     // hybrid retrieval: reciprocal-rank fusion of the BM25 top-20 and the
-    // dense cosine top-20 — exact decimal RRF sums, ties by doc_id
+    // dense cosine top-20 — exact decimal RRF sums, ties by doc_id. The
+    // BM25 side scores through the SAME frozen index q_bm25_persisted
+    // builds (build-once/search-many, the q_ivf_persisted contract) —
+    // the fused query never re-tokenizes the documents corpus
     "q_hybrid_rrf" -> ((s, dir) => {
       val t = Tables(s, dir)
-      val bm = Bm25.topK(t.documents, bm25Terms(s), topK = 20)
+      val bm = Bm25.topKFrom(frozenBm25(s, dir), bm25Terms(s), topK = 20)
         .select(col("query_id"), col("doc_id"), col("rank"))
       val kn = Search.bruteForceTopK(
         t.embeddings.filter(col("vec_id") < 3)

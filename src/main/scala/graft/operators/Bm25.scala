@@ -61,13 +61,18 @@ object Bm25 {
 
   /** Corpus stats for the BM25 normalizer: doc count and average doc
     * length over ALL docs (empty docs count toward both — dl values are
-    * integral doubles, so the sum is exact and order-invariant). */
+    * integral doubles, so the sum is exact and order-invariant). An
+    * EMPTY corpus yields `(0, 1.0)` instead of a NULL avgdl (sum/0):
+    * scoring output is empty either way (no postings match), but a
+    * stats consumer gets a well-typed row, not a silent NULL that
+    * cross-joins into every score expression. */
   private def stats(docs: DataFrame): DataFrame =
     docs.select(tokens(preprocess(col("text"))).as("toks"))
       .select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .select(col("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+        when(col("n_docs") === 0L, lit(1.0))
+          .otherwise(col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))
 
   /** Persist the frozen index to parquet — the lexical twin of
