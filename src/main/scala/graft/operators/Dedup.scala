@@ -1086,7 +1086,7 @@ object Dedup {
     * auto-scaled count) is the scale path. */
   def embeddingNeighbors(t: Tables, simThreshold: Double = 0.95,
                          maxBlock: Int = 4096,
-                         pairBudget: Long = 1L << 18): DataFrame =
+                         pairBudget: Long = 1L << 24): DataFrame =
     blockedNeighbors(
       t.embeddings.select(col("label").as("block"), col("vec_id"),
         col("embedding")), simThreshold, maxBlock, pairBudget)
@@ -1120,7 +1120,7 @@ object Dedup {
   def semanticNeighbors(embeddings: DataFrame, nCentroids: Int = 0,
                         simThreshold: Double = 0.95,
                         maxBlock: Int = 4096,
-                        pairBudget: Long = 1L << 18,
+                        pairBudget: Long = 1L << 24,
                         targetBlock: Int = 256): DataFrame = {
     val k =
       if (nCentroids > 0) nCentroids

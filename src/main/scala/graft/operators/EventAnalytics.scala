@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the `events` stream table: ordered
+  * conversion funnels, cohort retention, and last-touch attribution —
+  * the query family a training-data platform runs against its own
+  * telemetry (and the standard companions to [[Sessionize]]).
+  *
+  * Scale notes (100 TB of events):
+  *  - every operator is one or two user-keyed shuffles — the per-user
+  *    state (first timestamp, stage reach, last touch) is O(1), never a
+  *    per-user event buffer;
+  *  - funnel stages filter BEFORE joining, so each stage join moves only
+  *    that stage's events against a monotonically shrinking user set;
+  *  - cohort/stage summary tables are tiny (rows = days or stages) and
+  *    broadcast back — the events table is never re-scanned to attach a
+  *    denominator;
+  *  - ratios are a single integer÷integer division in double (IEEE-exact
+  *    both engines), value sums ride DECIMAL(18,2) — results are
+  *    partition-order independent.
+  */
+object EventAnalytics {
+
+  /** Strictly-ordered conversion funnel: a user reaches stage k when an
+    * event of stage k's type occurs STRICTLY AFTER their earliest
+    * reach of stage k-1 (classic min-timestamp chaining). One row per
+    * stage: users reached + conversion from stage 1.
+    *
+    * Per stage: one type-filtered scan, one equi-join against the
+    * (shrinking) reached set, one map-side-combined min — the events
+    * table never self-joins and no per-user event list is ever built. */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "signup", "purchase"))
+      : DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val byType = (st: String) => events.filter(col("event_type") === st)
+    // stage 1: earliest event of the first type per user
+    var reached = byType(stages.head).groupBy(col("user_id"))
+      .agg(min(col("ts")).as("t"))
+    var perStage = Vector(
+      reached.select(col("user_id"), lit(1L).as("stage_idx"),
+        lit(stages.head).as("stage")))
+    stages.tail.zipWithIndex.foreach { case (st, i) =>
+      reached = byType(st)
+        .join(reached.select(col("user_id"), col("t").as("prev_t")), "user_id")
+        .filter(col("ts") > col("prev_t"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
+      perStage :+= reached.select(col("user_id"),
+        lit((i + 2).toLong).as("stage_idx"), lit(st).as("stage"))
+    }
+    val counts = perStage.reduce(_ unionByName _)
+      .groupBy(col("stage_idx"), col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+    // denominator: the stage-1 row (a 1-row table; the plan broadcasts it)
+    val first = counts.filter(col("stage_idx") === 1L)
+      .select(col("n_users").as("n_first"))
+    counts.crossJoin(broadcast(first))
+      .select(col("stage_idx"), col("stage"), col("n_users"),
+        (col("n_users").cast("double") / col("n_first").cast("double"))
+          .as("conversion"))
+      .orderBy(col("stage_idx"))
+  }
+
+  /** Cohort retention: users cohorted by FIRST-seen day; one row per
+    * (cohort_day, day_offset ≤ `maxOffset`) with active users, cohort
+    * size, and the retention fraction.
+    *
+    * Two user-keyed aggregates (first day, distinct active days) and one
+    * broadcast of the per-day cohort sizes — rows after the first
+    * aggregate are (user × active-day), never raw events. */
+  def retention(events: DataFrame, maxOffset: Int = 14): DataFrame = {
+    val firsts = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("cohort_day"))
+    val active = events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val sizes = firsts.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    active.join(firsts, "user_id")
+      .select(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .filter(col("day_offset") <= maxOffset)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  /** Last-touch attribution: each `convType` event is credited to the
+    * LAST preceding touch event (`touchTypes`) by the same user within
+    * `windowDays` days — or the "none" bucket. One row per credited
+    * type: conversions + exact value sum.
+    *
+    * One user-keyed shuffle: touches and conversions ride the SAME
+    * ordered window (ts, event_id tie-break), the last touch is an O(1)
+    * running `last(ignoreNulls)` over the preceding frame — no
+    * touch×conversion join, no per-user buffer. */
+  def attribution(events: DataFrame,
+                  touchTypes: Seq[String] = Seq("view", "click"),
+                  convType: String = "purchase",
+                  windowDays: Int = 7): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin(touchTypes.map(lit): _*)
+    val lastTouch = last(
+      when(isTouch, struct(col("ts").as("t_ts"),
+        col("event_type").as("t_type"))), ignoreNulls = true).over(w)
+    events
+      .filter(isTouch || col("event_type") === convType)
+      .withColumn("lt", lastTouch)
+      .filter(col("event_type") === convType)
+      .select(
+        when(col("lt").isNotNull &&
+            col("ts") <= col("lt.t_ts") + expr(s"INTERVAL $windowDays DAYS"),
+          col("lt.t_type")).otherwise(lit("none")).as("touch_type"),
+        col("value"))
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(18,2)")).cast("double")
+          .as("sum_value"))
+      .orderBy(col("touch_type"))
+  }
+}

@@ -212,6 +212,32 @@ object Relational {
       .orderBy(col("region"), col("segment"))
   }
 
+  /** Explicit GROUPING SETS — the general lattice rollup and cube are
+    * special cases of: here `((flag, status), (flag), ())`, i.e. the
+    * detail grain plus one chosen subtotal axis plus the grand total,
+    * WITHOUT the `(status)` slice a full cube would also pay for. Same
+    * two-level discipline as [[revenueRollup]]: collapse to the finest
+    * grain first, so Expand multiplies the ~6-row grouped result by 3,
+    * never the fact table. `grouping_id` disambiguates a real NULL key
+    * from a subtotal row — the engine-portable marker. */
+  def revenueGroupingSets(t: Tables): DataFrame = {
+    val rev = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+    val base = t.lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(rev).as("rev"), count(lit(1)).as("n"))
+    base.groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty[org.apache.spark.sql.Column]),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        sum(col("rev")).cast("double").as("revenue"),
+        sum(col("n")).as("n_items"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("revenue"), col("n_items"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+  }
+
   /** Grouped top-k (top `k` parts by retail price per brand) via a rank
     * window + filter — the shape Spark rewrites into `WindowGroupLimit`:
     * each map task keeps only its local top-k per group BEFORE the

@@ -19,16 +19,29 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects;
-    * read it as long (legacy flag) and truncate to micros — the same
-    * normalization the DuckDB oracles apply (`epoch_ns(ts)//1000`). */
+  /** `events.ts` arrives in whichever flavor the corpus writer used —
+    * parquet TIMESTAMP(NANOS) (read as long via the legacy flag, truncated
+    * to micros: the DuckDB oracles' `epoch_ns(ts)//1000` normalization),
+    * TIMESTAMP_NTZ (micros with `isAdjustedToUTC=false`, what pyarrow
+    * writes by default and Spark 4 surfaces as NTZ), or a plain
+    * session-zoned TIMESTAMP. All three normalize to TIMESTAMP here, so
+    * every downstream operator (`unix_micros`, interval arithmetic,
+    * watermarks) sees ONE type. NTZ→TIMESTAMP reinterprets the wall-clock
+    * in the session zone — pinned to UTC by every graft session, which is
+    * exactly the naive reading the oracles use. */
   def events: DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t("events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -195,6 +195,25 @@ class DedupSpec extends SparkSuite {
     assert(def_ == roomy)
   }
 
+  test("exactness boundary: default pairBudget = maxBlock² — every block " +
+       "at/under the size cap is bit-identical to the unsalted join") {
+    // 600 vectors in one block: 600² = 360,000 pairs exceeds the OLD
+    // 2^18 default budget (which silently sub-salted blocks > 512 while
+    // the oracle did the full join) but fits the maxBlock²=2^24 default,
+    // so salts = 1 and the result must equal an explicit full-join
+    // budget bit-for-bit. Pins the contract the DuckDB oracles assume:
+    // the exact region is maxBlock, not some smaller budget-derived cap.
+    val vecs = (0L until 600L)
+      .map(i => (i, Array(1f + (i % 3) * 0.001f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding")
+    val def_ = operators.Dedup.semanticNeighbors(vecs, nCentroids = 1)
+      .collect().toSeq
+    val full = operators.Dedup.semanticNeighbors(vecs, nCentroids = 1,
+      pairBudget = 600L * 600L).collect().toSeq
+    assert(def_ == full)
+    assert(def_.size == 600)
+  }
+
   test("window-dup apply: non-canonical spans cut, first occurrence survives") {
     import spark.implicits._
     // doc 1 carries the 5-token span "a b c d e" that doc 2 repeats
