@@ -168,6 +168,28 @@ object SparkEntry {
     // time-RANGE window frame: trailing-24h per-user count/sum — the
     // value-defined frame (same-second events are peers on both engines)
     "q_sliding_window" -> q(t => Relational.trailingDaily(t.events)),
+    // product analytics over events: strict-ordered conversion funnel
+    // (min-timestamp chaining — stage joins move only each stage's
+    // events against a shrinking user set, never a self-join). The
+    // 4-day slice keeps the conversion gradient real at test SF — the
+    // full month saturates every stage to 1.0, which checks nothing.
+    "q_funnel"      -> q(t => EventAnalytics.funnel(
+      t.events.filter(col("ts") < lit("2024-01-05").cast("timestamp")))),
+    // cohort retention: users cohorted by first-seen day, per-offset
+    // active fraction (two user-keyed aggregates + broadcast sizes)
+    "q_retention"   -> q(t => EventAnalytics.retention(t.events)),
+    // last-touch attribution: conversions credited to the last preceding
+    // touch within 7 days via one ordered window (no touch×conv join)
+    "q_attribution" -> q(t => EventAnalytics.attribution(t.events)),
+    // explicit GROUPING SETS lattice with grouping_id, Expand applied
+    // AFTER collapsing lineitem to the (returnflag, linestatus) grain
+    "q_grouping_sets" -> q(Relational.revenueGroupingSets),
+    // first-order Markov next-event matrix: one lead() window over
+    // events, then a types²-row aggregate with a window normalizer
+    "q_transition"  -> q(t => EventAnalytics.transitions(t.events)),
+    // RFM quintile segmentation: one user-keyed aggregate, ntile cuts
+    // over the collapsed users table under fully-deterministic orders
+    "q_rfm"         -> q(t => EventAnalytics.rfm(t.events)),
     // sessions (reference: utils/session_manager.py)
     "q_sessionize"      -> q(t => Sessionize.sessions(t.events)),
     "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
@@ -188,6 +210,14 @@ object SparkEntry {
     // vectors; only the driver-facing projections digest them.
     "q_embed" -> ((s, dir) => vectorDigest(
       new SearchEngine(s, dir).buildIndex())),
+    // the batch-inference seam (reference: services/embedding_service.py
+    // batch encode): clean → bounded mapPartitions batches through a
+    // pluggable BatchEncoder → same schema, same digest, SAME ORACLE as
+    // q_embed — the deliberately-odd batchSize proves batch boundaries
+    // never leak into results
+    "q_embed_batch" -> q(t => vectorDigest(
+      Inference.encode(TextAnalysis.preprocessed(t), Inference.HashEncoder(64),
+        batchSize = 37))),
     "q_knn_fused" -> q(t => Search.fusedTopK(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -1155,6 +1185,9 @@ $rounds
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     base ++ Map(
+      // the batched seam must produce EXACTLY the expression path's
+      // vectors — same digest oracle, verbatim
+      "q_embed_batch" -> base("q_embed"),
       // q_curate: the five per-gate oracles composed exactly like the
       // Spark funnel — each subquery IS the gate's own hash oracle, the
       // composition is a doc_id join + conjunction (the inner join to the
@@ -1404,6 +1437,112 @@ $rounds
         |SELECT g.user_id, g.hour, coalesce(n, 0) AS n, coalesce(sum_value, 0.0) AS sum_value
         |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
         |ORDER BY 1, 2""".stripMargin,
+    // q_funnel: the same min-timestamp chaining, one CTE per stage; the
+    // UNION-ALL scaffold always emits all 4 stage rows (the Spark side's
+    // left join against the stage list matches it when a stage is empty)
+    "q_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events
+        |            WHERE make_timestamp(epoch_ns(ts)//1000) < TIMESTAMP '2024-01-05'),
+        | s1 AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type='view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 ON e.user_id=s1.user_id
+        |        WHERE e.event_type='click' AND e.ts > s1.t GROUP BY 1),
+        | s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s2 ON e.user_id=s2.user_id
+        |        WHERE e.event_type='signup' AND e.ts > s2.t GROUP BY 1),
+        | s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s3 ON e.user_id=s3.user_id
+        |        WHERE e.event_type='purchase' AND e.ts > s3.t GROUP BY 1),
+        | counts AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'signup', (SELECT COUNT(*) FROM s3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4))
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        | CAST(n_users AS BIGINT) AS n_users,
+        | CAST(n_users AS DOUBLE) /
+        |   (SELECT CAST(n_users AS DOUBLE) FROM counts WHERE stage_idx = 1) AS conversion
+        |FROM counts ORDER BY stage_idx""".stripMargin,
+    // q_retention: first-seen-day cohorts; integer÷integer retention in
+    // double is IEEE-exact on both engines
+    "q_retention" ->
+      """WITH ev AS (SELECT user_id, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+        | firsts AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM ev GROUP BY 1),
+        | active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM ev),
+        | sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size FROM firsts GROUP BY 1),
+        | r AS (SELECT f.cohort_day,
+        |         CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset
+        |       FROM active a JOIN firsts f USING (user_id)
+        |       WHERE date_diff('day', f.cohort_day, a.day) <= 14)
+        |SELECT r.cohort_day, r.day_offset, COUNT(*) AS n_active,
+        | s.cohort_size,
+        | CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+        |FROM r JOIN sizes s USING (cohort_day)
+        |GROUP BY r.cohort_day, r.day_offset, s.cohort_size
+        |ORDER BY 1, 2""".stripMargin,
+    // q_attribution: same ROWS-frame last-touch window (ts, event_id
+    // order; touches and conversions pre-filtered IDENTICALLY so frame
+    // row counts agree engine-to-engine), value sums in DECIMAL
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, value,
+        |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events
+        |            WHERE event_type IN ('view','click','purchase')),
+        | x AS (SELECT *,
+        |   last_value(CASE WHEN event_type IN ('view','click') THEN ts END IGNORE NULLS) OVER w AS t_ts,
+        |   last_value(CASE WHEN event_type IN ('view','click') THEN event_type END IGNORE NULLS) OVER w AS t_type
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN t_ts IS NOT NULL AND ts <= t_ts + INTERVAL 7 DAY
+        |            THEN t_type ELSE 'none' END AS touch_type,
+        | COUNT(*) AS n_conversions,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM x WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_transition: same lead() chain (ts, event_id order), counts
+    // normalized by a window over the tiny aggregate
+    "q_transition" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |             make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+        | x AS (SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |       FROM ev),
+        | c AS (SELECT from_type, to_type, COUNT(*) AS n FROM x
+        |       WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        |FROM c ORDER BY 1, 2""".stripMargin,
+    // q_rfm: ntile ties dealt identically under the full (metric,
+    // user_id) orders; monetary sums ride DECIMAL(18,2)
+    "q_rfm" ->
+      """WITH ev AS (SELECT user_id, value, make_timestamp(epoch_ns(ts)//1000) AS ts
+        |            FROM events WHERE event_type = 'purchase'),
+        | per AS (SELECT user_id,
+        |          CAST(date_diff('day', CAST(MAX(ts) AS DATE), DATE '2024-01-31') AS BIGINT) AS recency_days,
+        |          COUNT(*) AS frequency,
+        |          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |         FROM ev GROUP BY 1),
+        | ranked AS (SELECT *,
+        |   CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_quintile,
+        |   CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_quintile,
+        |   CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_quintile
+        |  FROM per)
+        |SELECT user_id, recency_days, frequency, monetary,
+        | r_quintile, f_quintile, m_quintile,
+        | CAST(r_quintile AS VARCHAR) || CAST(f_quintile AS VARCHAR) || CAST(m_quintile AS VARCHAR) AS segment
+        |FROM ranked ORDER BY user_id""".stripMargin,
+    // q_grouping_sets: same two-level shape — decimal partials at the
+    // finest grain, GROUPING SETS over the collapsed base, gid from the
+    // same bit order (grouping(returnflag)*2 + grouping(linestatus))
+    "q_grouping_sets" ->
+      s"""WITH base AS (
+         | SELECT l_returnflag, l_linestatus, SUM($REV) AS rev, COUNT(*) AS n
+         | FROM lineitem GROUP BY 1, 2)
+         |SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+         | coalesce(l_linestatus, 'ALL') AS linestatus,
+         | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+         | CAST(SUM(rev) AS DOUBLE) AS revenue,
+         | CAST(SUM(n) AS BIGINT) AS n_items
+         |FROM base
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY gid, returnflag, linestatus""".stripMargin,
     "q_sessionize" ->
       """WITH events_us AS (
         | SELECT user_id, event_id, value, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events

@@ -54,7 +54,7 @@ object Dedup {
         .agg(count(lit(1)).as("n_candidates"),
              min(col("partner")).as("min_partner")), Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_candidates"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** The skew guard shared by every banded candidate generator: drop rows
@@ -502,7 +502,7 @@ object Dedup {
       .select(col("doc_id"), col("n_base_candidates"),
         col("min_base_partner"),
         (col("n_base_candidates") > 0).as("is_dup_of_base"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** SimHash64 + banded (4 × 16-bit) candidate generation, verified by
@@ -623,7 +623,7 @@ object Dedup {
     jac.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
       .select(col("doc_id"), col("neighbor_id"),
         (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** ASYMMETRIC containment dedup: for each doc, the corpus doc that best
@@ -670,7 +670,7 @@ object Dedup {
       .select(col("doc_id"), col("container_id"),
         (floor(col("containment") * 1e6) / 1e6).as("containment"),
         (col("containment") >= threshold).as("is_contained"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** Character-level verification of the LSH candidates: exact Levenshtein
@@ -800,7 +800,7 @@ object Dedup {
         col("n_windows"), col("n_dup_windows"),
         (floor(frac * 1e4) / 1e4).as("dup_coverage"),
         (frac <= maxFrac).as("keep"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** The APPLY step of ExactSubstr dedup — [[windowDupCoverage]] measures
@@ -856,7 +856,7 @@ object Dedup {
       .select(col("doc_id"), col("n_tok"),
         (col("n_tok") - coalesce(col("__kept"), lit(0L))).as("n_dropped"),
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** Duplicate-cluster assignment: connected components over the minhash
@@ -947,7 +947,7 @@ object Dedup {
         .withColumnRenamed("cluster_id", "cid"),
         col("cluster_id") === col("cid"))
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
     } finally {
       // the iteration's checkpoint files are already written, so the
       // caller's prior dir (or none) can safely come back before return
@@ -971,7 +971,7 @@ object Dedup {
     clusters(docs, maxIters, maxBucket)
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("cluster_id") === col("doc_id")).as("keep"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
 
   /** [[canonicalize]] keeping the BEST-QUALITY member of each duplicate
     * cluster instead of the smallest id — the apply step a production
@@ -1006,7 +1006,7 @@ object Dedup {
       .withColumn("keep", lit(true)).select(cols: _*)
       .unionAll(scored.filter(col("cluster_size") > 1L)
         .withColumn("keep", row_number().over(w) === 1).select(cols: _*))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** The blocked-NN core shared by [[embeddingNeighbors]] (given blocks)

@@ -27,7 +27,10 @@ object EventAnalytics {
   /** Strictly-ordered conversion funnel: a user reaches stage k when an
     * event of stage k's type occurs STRICTLY AFTER their earliest
     * reach of stage k-1 (classic min-timestamp chaining). One row per
-    * stage: users reached + conversion from stage 1.
+    * stage — ALWAYS one per requested stage: a stage no user reaches
+    * still emits `n_users = 0, conversion = 0.0` (left join against the
+    * literal stage list), so consumers comparing against a fixed stage
+    * list never misread a missing row as "not computed".
     *
     * Per stage: one type-filtered scan, one equi-join against the
     * (shrinking) reached set, one map-side-combined min — the events
@@ -51,9 +54,17 @@ object EventAnalytics {
       perStage :+= reached.select(col("user_id"),
         lit((i + 2).toLong).as("stage_idx"), lit(st).as("stage"))
     }
-    val counts = perStage.reduce(_ unionByName _)
-      .groupBy(col("stage_idx"), col("stage"))
-      .agg(count(lit(1)).as("n_users"))
+    val session = events.sparkSession
+    import session.implicits._
+    val stageDf = stages.zipWithIndex
+      .map { case (st, i) => ((i + 1).toLong, st) }.toDF("stage_idx", "stage")
+    val counts = stageDf.join(
+        perStage.reduce(_ unionByName _)
+          .groupBy(col("stage_idx"), col("stage"))
+          .agg(count(lit(1)).as("n_reached")),
+        Seq("stage_idx", "stage"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n_reached"), lit(0L)).as("n_users"))
     // denominator: the stage-1 row (a 1-row table; the plan broadcasts it)
     val first = counts.filter(col("stage_idx") === 1L)
       .select(col("n_users").as("n_first"))
@@ -126,5 +137,63 @@ object EventAnalytics {
         sum(col("value").cast("decimal(18,2)")).cast("double")
           .as("sum_value"))
       .orderBy(col("touch_type"))
+  }
+
+  /** Next-event transition matrix (first-order Markov counts): for each
+    * ordered (from, to) pair of consecutive events BY THE SAME USER,
+    * the transition count and row-normalized probability.
+    *
+    * One user-keyed window (`lead` carries O(1) state) + one tiny
+    * (types²-row) aggregate; the probability normalizer is a window over
+    * the aggregate, never a second pass over events. Integer÷integer
+    * division in double is IEEE-exact, so `p` is engine-portable. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** RFM segmentation: per-user Recency (days since last purchase, from
+    * a fixed `asOf` anchor — never wall-clock), Frequency (purchase
+    * count) and Monetary (DECIMAL-exact value sum), each cut into
+    * quintiles by `ntile(5)` under a fully-deterministic order
+    * (metric, then user_id tie-break — both engines deal ties and the
+    * +1-sized leading buckets identically).
+    *
+    * One user-keyed aggregate; the three ntile windows run over the
+    * USERS table (corpus-collapsed), not events. Unpartitioned ntile
+    * over users is the one global pass — at 1000-executor scale swap in
+    * percentile cuts from `q_histogram`'s sketch if users outgrow one
+    * stage's sort. */
+  def rfm(events: DataFrame, asOf: String = "2024-01-31",
+          purchaseType: String = "purchase"): DataFrame = {
+    val per = events.filter(col("event_type") === purchaseType)
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(lit(asOf).cast("date"), to_date(max(col("ts"))))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("monetary"))
+    val rQ = Window.orderBy(col("recency_days"), col("user_id"))
+    val fQ = Window.orderBy(col("frequency").desc, col("user_id"))
+    val mQ = Window.orderBy(col("monetary").desc, col("user_id"))
+    per.select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"),
+        ntile(5).over(rQ).cast("long").as("r_quintile"),
+        ntile(5).over(fQ).cast("long").as("f_quintile"),
+        ntile(5).over(mQ).cast("long").as("m_quintile"))
+      .withColumn("segment",
+        concat(col("r_quintile").cast("string"),
+          col("f_quintile").cast("string"), col("m_quintile").cast("string")))
+      .orderBy(col("user_id"))
   }
 }

@@ -68,7 +68,7 @@ object Pipeline {
         r4(meanLen).as("mean_token_len"),
         (col("n_tok") >= 10 && col("n_tok") <= 100000 &&
           fracUnique >= 0.5 && topFrac <= 0.2 && dup2g <= 0.3).as("keep"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** Corpus-wide boilerplate coverage: the fraction of each document's
@@ -131,7 +131,7 @@ object Pipeline {
       .select(col("doc_id"), col("n_grams"), col("n_boiler"),
         r4(frac).as("boiler_frac"),
         (frac <= maxFrac).as("keep"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** PII patterns shared with the DuckDB oracle. Deliberately free of
@@ -158,7 +158,7 @@ object Pipeline {
       regexp_count(col("text"), lit(Ipv4Pattern)).cast("long").as("n_ips"),
       regexp_count(col("text"), lit(PhonePattern)).cast("long").as("n_phones"),
       redacted.as("redacted_text"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** Benchmark decontamination: flag training documents sharing any word
@@ -206,7 +206,7 @@ object Pipeline {
       .select(col("doc_id"),
         coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
         (coalesce(col("n_shared_grams"), lit(0L)) > 0).as("contaminated"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** FUZZY benchmark decontamination: MinHash near-match of training docs
@@ -272,7 +272,7 @@ object Pipeline {
         (coalesce(col("best.n_match"), lit(0L)).cast("double") / numHashes)
           .as("est_jaccard"),
         (coalesce(col("best.n_match"), lit(0L)) >= minMatch).as("contaminated"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** Deterministic multiplicative scramble of the row key into [0, 1000).
@@ -429,7 +429,7 @@ object Pipeline {
         col("keep_boiler"), col("keep_windows"), col("keep_decontam"),
         (col("keep_gopher") && col("keep_lm") && col("keep_boiler") &&
           col("keep_windows") && col("keep_decontam")).as("keep"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** Per-gate attrition for [[curate]]: the table an operator reads to
@@ -609,7 +609,7 @@ object Pipeline {
         (col("shard") * 1000000L +
           floor((col("cum_tokens") - col("n_tokens")).cast("double") / maxTokens)
             .cast("long")).as("pack_id"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** Padding-waste audit for length-bucketed batching — the planning

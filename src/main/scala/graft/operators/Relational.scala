@@ -83,7 +83,10 @@ object Relational {
           .over(w.rowsBetween(Window.unboundedPreceding, 0))
           .cast("double").as("running_qty"),
         row_number().over(wRank).cast("long").as("price_rank"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      // oracle-determinism sort only: no consumer needs this global order,
+      // and at scale it is a full range Exchange of the corpus-sized output
+      .transform(graft.Determinism.sorted(_)(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber")))
   }
 
   /** Semi + anti join: customers with orders but no line over `priceCap`. */
@@ -229,7 +232,7 @@ object Relational {
         Seq(Seq(col("l_returnflag"), col("l_linestatus")),
           Seq(col("l_returnflag")), Seq.empty[org.apache.spark.sql.Column]),
         col("l_returnflag"), col("l_linestatus"))
-      .agg(grouping_id().as("gid"),
+      .agg(grouping_id().cast("long").as("gid"),
         sum(col("rev")).cast("double").as("revenue"),
         sum(col("n")).as("n_items"))
       .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),

@@ -17,7 +17,7 @@ object TextAnalysis {
   def preprocessed(t: Tables): DataFrame =
     t.documents
       .select(col("doc_id"), preprocess(col("text")).as("clean_text"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
 
   /** Whitespace + BPE-ish token counts. */
   def tokenCounts(t: Tables): DataFrame =
@@ -25,7 +25,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         wsTokenCount(col("text")).cast("long").as("ws_tokens"),
         bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
 
   /** Quality scoring: length, alpha ratio, stopword ratio, avg word
     * length, composite score — deterministic double math, rounded at the
@@ -117,7 +117,7 @@ object TextAnalysis {
       r4(s("en")).as("score_en"), r4(s("de")).as("score_de"),
       r4(s("es")).as("score_es"), r4(s("fr")).as("score_fr"),
       predicted.as("predicted_lang"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** Token-diversity scores — the templated/spam-document signal the
@@ -151,7 +151,7 @@ object TextAnalysis {
           (col("n_tok") * col("n_tok")), lit(0.0)) * 1e4) / 1e4)
           .as("simpson"),
         (floor(coalesce(ent, lit(0.0)) * 1e4) / 1e4).as("entropy"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** Rolling polynomial 64-bit fingerprint of the normalized text. */
@@ -160,7 +160,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         poly_fingerprint(preprocess(col("text"))).as("fingerprint"),
         hex(poly_fingerprint(preprocess(col("text")))).as("fingerprint_hex"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
 
   /** CCNet-style statistical-LM quality signal, self-trained on the
     * corpus: an add-one-smoothed BIGRAM language model — p(w₂|w₁) =
@@ -421,7 +421,7 @@ object TextAnalysis {
           floor(col("n_symbols").cast("double") /
             col("n_chars").cast("double") * 1e4) / 1e4)
           .otherwise(0.0).as("compression"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
   /** CCNet-style perplexity BUCKETING on top of [[lmScores]]: split the
@@ -546,6 +546,6 @@ object TextAnalysis {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("avg_nll"), lit(0.0)).as("avg_nll"),
         coalesce(col("keep"), lit(true)).as("keep"))
-      .orderBy(col("doc_id"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 }

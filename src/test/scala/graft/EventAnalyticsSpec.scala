@@ -1,0 +1,198 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.EventAnalytics
+import graft.sources.Tables
+
+/** Pins the subtle window/join semantics of the event-analytics family:
+  * funnel stage chaining (strictly-after, zero-stage rows), attribution's
+  * lookback boundary and tie-breaks, retention's cohort arithmetic. */
+class EventAnalyticsSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, String, Long, Double)*): DataFrame = {
+    val sess = spark
+    import sess.implicits._
+    rows.toSeq
+      .map { case (uid, typ, t, eid, v) => (eid, ts(t), uid, typ, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  // --- funnel ---
+
+  test("funnel counts strictly-ordered stage reaches") {
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "click", "2024-01-01 11:00:00", 2L, 0.0),
+      (1L, "purchase", "2024-01-01 12:00:00", 3L, 5.0),
+      // user 2 clicks BEFORE viewing: reaches view, not click
+      (2L, "click", "2024-01-01 09:00:00", 4L, 0.0),
+      (2L, "view", "2024-01-01 10:00:00", 5L, 0.0))
+    val out = EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq((1L, "view", 2L), (2L, "click", 1L),
+      (3L, "purchase", 1L)))
+  }
+
+  test("funnel emits n_users=0 rows for stages nobody reaches") {
+    val ev = events((1L, "view", "2024-01-01 10:00:00", 1L, 0.0))
+    val out = EventAnalytics.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(("view", 1L, 1.0), ("click", 0L, 0.0),
+      ("purchase", 0L, 0.0)))
+  }
+
+  test("funnel same-timestamp event does NOT advance a stage (strictly after)") {
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "click", "2024-01-01 10:00:00", 2L, 0.0))
+    val out = EventAnalytics.funnel(ev, Seq("view", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("view", 1L), ("click", 0L)))
+  }
+
+  // --- attribution ---
+
+  test("attribution credits the last touch inside the window") {
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "click", "2024-01-02 10:00:00", 2L, 0.0),
+      (1L, "purchase", "2024-01-03 10:00:00", 3L, 10.0))
+    val out = EventAnalytics.attribution(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("click", 1L, 10.0)))
+  }
+
+  test("attribution window boundary: touch exactly windowDays old still counts") {
+    val ev = events(
+      // touch exactly 7 days (to the second) before the conversion: the
+      // contract is ts <= touch_ts + 7 days, so the boundary is INSIDE
+      (1L, "click", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "purchase", "2024-01-08 10:00:00", 2L, 3.0),
+      // one second past the boundary: falls to "none"
+      (2L, "click", "2024-01-01 10:00:00", 3L, 0.0),
+      (2L, "purchase", "2024-01-08 10:00:01", 4L, 4.0))
+    val out = EventAnalytics.attribution(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("click", 1L, 3.0), ("none", 1L, 4.0)))
+  }
+
+  test("attribution with no prior touch lands in the none bucket") {
+    val ev = events(
+      (1L, "purchase", "2024-01-03 10:00:00", 1L, 7.0),
+      // later touch must NOT be credited (frame ends 1 row before)
+      (1L, "view", "2024-01-04 10:00:00", 2L, 0.0))
+    val out = EventAnalytics.attribution(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("none", 1L, 7.0)))
+  }
+
+  test("attribution same-second touches tie-break by event_id") {
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 5L, 0.0),
+      (1L, "click", "2024-01-01 10:00:00", 6L, 0.0), // higher id wins
+      (1L, "purchase", "2024-01-01 11:00:00", 7L, 2.0),
+      (2L, "click", "2024-01-01 10:00:00", 9L, 0.0), // higher id wins
+      (2L, "view", "2024-01-01 10:00:00", 8L, 0.0),
+      (2L, "purchase", "2024-01-01 11:00:00", 10L, 4.0))
+    val out = EventAnalytics.attribution(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("click", 2L, 6.0)))
+  }
+
+  // --- retention ---
+
+  test("retention cohorts by first-seen day with exact fractions") {
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "view", "2024-01-02 10:00:00", 2L, 0.0),
+      (2L, "view", "2024-01-01 09:00:00", 3L, 0.0),
+      (3L, "view", "2024-01-02 09:00:00", 4L, 0.0))
+    val out = EventAnalytics.retention(ev).collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 2L, 2L, 1.0),
+      ("2024-01-01", 1L, 1L, 2L, 0.5),
+      ("2024-01-02", 0L, 1L, 1L, 1.0)))
+  }
+
+  test("retention drops offsets beyond maxOffset") {
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "view", "2024-01-20 10:00:00", 2L, 0.0))
+    val out = EventAnalytics.retention(ev, maxOffset = 14)
+    assert(out.agg(max(col("day_offset"))).head.getLong(0) === 0L)
+  }
+
+  // --- transitions ---
+
+  test("transitions counts consecutive same-user pairs with row-normalized p") {
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "click", "2024-01-01 11:00:00", 2L, 0.0),
+      (1L, "view", "2024-01-01 12:00:00", 3L, 0.0),
+      (1L, "purchase", "2024-01-01 13:00:00", 4L, 1.0),
+      // user 2's single event produces no transition
+      (2L, "view", "2024-01-01 10:00:00", 5L, 0.0))
+    val out = EventAnalytics.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      ("click", "view", 1L, 1.0),
+      ("view", "click", 1L, 0.5),
+      ("view", "purchase", 1L, 0.5)))
+  }
+
+  test("transitions never cross users and tie-break same-second by event_id") {
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 2L, 0.0),
+      (1L, "click", "2024-01-01 10:00:00", 1L, 0.0), // click first by id
+      (2L, "purchase", "2024-01-01 11:00:00", 3L, 1.0))
+    val out = EventAnalytics.transitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("click", "view", 1L)))
+  }
+
+  // --- rfm ---
+
+  test("rfm computes recency/frequency/monetary with deterministic quintiles") {
+    val ev = events(
+      (1L, "purchase", "2024-01-30 10:00:00", 1L, 10.0),
+      (1L, "purchase", "2024-01-10 10:00:00", 2L, 5.0),
+      (2L, "purchase", "2024-01-20 10:00:00", 3L, 50.0),
+      (3L, "purchase", "2024-01-05 10:00:00", 4L, 1.0),
+      // non-purchase events are ignored entirely
+      (3L, "view", "2024-01-29 10:00:00", 5L, 99.0))
+    val out = EventAnalytics.rfm(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(7)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, 2L, 15.0, "112"),   // most recent, most frequent, 2nd monetary
+      (2L, 11L, 1L, 50.0, "221"),  // 2nd recent, tied freq (id break), top $
+      (3L, 26L, 1L, 1.0, "333")))
+  }
+
+  // --- grouping sets ---
+
+  test("revenueGroupingSets matches a recomputed lattice at sf0.001") {
+    val t = Tables(spark, sfDir)
+    val out = operators.Relational.revenueGroupingSets(t).collect()
+    val fine = out.filter(_.getLong(2) == 0L)
+    val byFlag = out.filter(_.getLong(2) == 1L)
+    val total = out.filter(_.getLong(2) == 3L)
+    assert(total.length === 1)
+    assert(fine.map(_.getLong(4)).sum === total.head.getLong(4))
+    assert(byFlag.map(_.getLong(4)).sum === total.head.getLong(4))
+    assert(math.abs(fine.map(_.getDouble(3)).sum - total.head.getDouble(3)) < 1e-6)
+    // every by-flag row aggregates exactly its fine rows
+    byFlag.foreach { r =>
+      val flag = r.getString(0)
+      val mine = fine.filter(_.getString(0) == flag)
+      assert(mine.map(_.getLong(4)).sum === r.getLong(4))
+      assert(math.abs(mine.map(_.getDouble(3)).sum - r.getDouble(3)) < 1e-6)
+    }
+  }
+}
