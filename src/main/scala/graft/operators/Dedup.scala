@@ -1044,14 +1044,25 @@ object Dedup {
     * whose COUNT grows with the corpus (auto-k) so expected block size —
     * and per-vector work — stays constant and the guards never engage.
     *
+    * Defaults keep the exactness invariant `pairBudget = maxBlock²` —
+    * the budget NEVER engages below the size cap, so every block at or
+    * under `maxBlock` rows is bit-identical to the unsalted join (the
+    * contract the DuckDB oracles assume; spec-pinned). The pair is sized
+    * 2048/2²² rather than 4096/2²⁴ because the per-block ceiling IS the
+    * pre-saturation cost hump a fixed-key corpus hits while its blocks
+    * cross the cap: at 10× data the 2²⁴ ceiling measured 18.6× wall for
+    * 10× data on the label-blocked gate query; 2²² holds the same sweep
+    * near the data ratio, and the extra salts are extra parallelism (a
+    * degenerate block spreads over 4× more tasks), not extra work.
+    *
     * Block sizes come from a map-side-combined aggregate, NOT a window
     * count: a `count over (partition by block)` would ship the whole
     * degenerate block to one task just to measure it. The size table is
     * one row per block (blocks ≈ coarse clusters, thousands at most) and
     * broadcasts. */
   private def blockedNeighbors(e: DataFrame, simThreshold: Double,
-                               maxBlock: Int = 4096,
-                               pairBudget: Long = 1L << 24): DataFrame = {
+                               maxBlock: Int = 1024,
+                               pairBudget: Long = 1L << 20): DataFrame = {
     val sizes = e.groupBy(col("block")).agg(count(lit(1)).as("__bsz"))
     // s² in double: a Long s² overflows past ~3e9-row blocks
     val bsz = col("__bsz").cast("double")
@@ -1067,13 +1078,20 @@ object Dedup {
         col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
         cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
-    sims.groupBy(col("query_id"))
-      .agg(top_k_by_score(col("sim"), col("vec_id"), 1).as("topk"))
+    // top-1 as a DECLARATIVE struct-max, not top_k_by_score: the object
+    // aggregate's per-pair buffer updates (one per candidate pair — tens
+    // of millions in a salted degenerate block) dominated the kernel;
+    // max(struct(sim, -id)) is codegen'd, map-side-combined, and encodes
+    // the same (score desc, id asc) tie-break. NaN sims are filtered to
+    // match top_k's skip contract (a query whose EVERY candidate is NaN
+    // drops its row — only reachable with zero-norm vectors).
+    sims.filter(!isnan(col("sim")))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("nid"))).as("best"))
       .select(col("query_id").as("vec_id"),
-        col("topk").getItem(0).getField("id").as("nn_id"),
-        (floor(col("topk").getItem(0).getField("score") * 1e6) / 1e6)
-          .as("nn_score"),
-        (col("topk").getItem(0).getField("score") >= simThreshold).as("is_dup"))
+        (-col("best.nid")).as("nn_id"),
+        (floor(col("best.sim") * 1e6) / 1e6).as("nn_score"),
+        (col("best.sim") >= simThreshold).as("is_dup"))
       .orderBy(col("vec_id"))
   }
 
@@ -1085,8 +1103,8 @@ object Dedup {
     * blocks grow with the corpus, [[semanticNeighbors]] (learned blocks,
     * auto-scaled count) is the scale path. */
   def embeddingNeighbors(t: Tables, simThreshold: Double = 0.95,
-                         maxBlock: Int = 4096,
-                         pairBudget: Long = 1L << 24): DataFrame =
+                         maxBlock: Int = 1024,
+                         pairBudget: Long = 1L << 20): DataFrame =
     blockedNeighbors(
       t.embeddings.select(col("label").as("block"), col("vec_id"),
         col("embedding")), simThreshold, maxBlock, pairBudget)
@@ -1119,8 +1137,8 @@ object Dedup {
     *    never the k candidates). */
   def semanticNeighbors(embeddings: DataFrame, nCentroids: Int = 0,
                         simThreshold: Double = 0.95,
-                        maxBlock: Int = 4096,
-                        pairBudget: Long = 1L << 24,
+                        maxBlock: Int = 1024,
+                        pairBudget: Long = 1L << 20,
                         targetBlock: Int = 256): DataFrame = {
     val k =
       if (nCentroids > 0) nCentroids

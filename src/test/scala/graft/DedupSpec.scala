@@ -173,7 +173,7 @@ class DedupSpec extends SparkSuite {
   test("pair budget bounds block work smoothly — no quadratic window") {
     // 64 identical vectors in one block, pairBudget=1024: salts =
     // ceil(64²/1024) = 4 — the budget engages long before the size cap
-    // (maxBlock=4096) would, splitting the block into 4 sub-blocks so
+    // (maxBlock=1024) would, splitting the block into 4 sub-blocks so
     // total pair work ≤ ~budget instead of 64². Every vector still finds
     // a perfect dup inside its own sub-block.
     val vecs = (0L until 64L).map(i => (i, Array(1f, 2f, 3f, 4f)))
@@ -199,7 +199,7 @@ class DedupSpec extends SparkSuite {
        "at/under the size cap is bit-identical to the unsalted join") {
     // 600 vectors in one block: 600² = 360,000 pairs exceeds the OLD
     // 2^18 default budget (which silently sub-salted blocks > 512 while
-    // the oracle did the full join) but fits the maxBlock²=2^24 default,
+    // the oracle did the full join) but fits the maxBlock²=2^20 default,
     // so salts = 1 and the result must equal an explicit full-join
     // budget bit-for-bit. Pins the contract the DuckDB oracles assume:
     // the exact region is maxBlock, not some smaller budget-derived cap.
