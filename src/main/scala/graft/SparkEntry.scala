@@ -190,6 +190,9 @@ object SparkEntry {
     // RFM quintile segmentation: one user-keyed aggregate, ntile cuts
     // over the collapsed users table under fully-deterministic orders
     "q_rfm"         -> q(t => EventAnalytics.rfm(t.events)),
+    // per-type z-score anomaly flags: DECIMAL-exact moments broadcast
+    // back, z derived in double from exact components (layout-proof)
+    "q_anomaly"     -> q(t => EventAnalytics.anomalies(t.events)),
     // sessions (reference: utils/session_manager.py)
     "q_sessionize"      -> q(t => Sessionize.sessions(t.events)),
     "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
@@ -1528,6 +1531,26 @@ $rounds
         | r_quintile, f_quintile, m_quintile,
         | CAST(r_quintile AS VARCHAR) || CAST(f_quintile AS VARCHAR) || CAST(m_quintile AS VARCHAR) AS segment
         |FROM ranked ORDER BY user_id""".stripMargin,
+    // q_anomaly: same exact-moment replay — DECIMAL (n, Σv, Σv²), z in
+    // double from the exact components, structured identically so every
+    // FP step matches
+    "q_anomaly" ->
+      """WITH s AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sv,
+        |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS svv
+        |   FROM events GROUP BY 1),
+        | j AS (SELECT e.event_id, e.event_type, e.value,
+        |    CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(greatest(0.0,
+        |      (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / CAST(n AS DOUBLE))) AS sd
+        |   FROM events e JOIN s USING (event_type)),
+        | zt AS (SELECT event_id, event_type, value,
+        |    CASE WHEN sd > 0.0 THEN (value - mean) / sd ELSE 0.0 END AS z
+        |   FROM j)
+        |SELECT event_id, event_type, value,
+        | floor(z * 1e4) / 1e4 AS z, abs(z) > 3.0 AS is_anomaly
+        |FROM zt ORDER BY event_id""".stripMargin,
     // q_grouping_sets: same two-level shape — decimal partials at the
     // finest grain, GROUPING SETS over the collapsed base, gid from the
     // same bit order (grouping(returnflag)*2 + grouping(linestatus))

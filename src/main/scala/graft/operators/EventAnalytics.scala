@@ -162,6 +162,35 @@ object EventAnalytics {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Per-type z-score anomaly flags over event values — the telemetry
+    * data-quality gate (the numeric twin of the text pipeline's quality
+    * scores).
+    *
+    * Exact two-pass shape: per-type moments (n, Σv, Σv²) accumulate in
+    * DECIMAL (order-free — double sums are not associative, so a
+    * double-moment z would flap with partition count), the types-row
+    * stats table broadcasts back, and z is derived in double from the
+    * exact components — identical on any cluster layout and replayable
+    * by the oracle. Zero-variance types emit z = 0 (no flag). */
+  def anomalies(events: DataFrame, zThreshold: Double = 3.0): DataFrame = {
+    val dv = col("value").cast("decimal(18,2)")
+    val stats = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dv).as("sv"),
+        sum((dv * dv).cast("decimal(38,4)")).as("svv"))
+    val mean = col("sv").cast("double") / col("n").cast("double")
+    val varr = greatest(lit(0.0),
+      (col("svv").cast("double") -
+        col("sv").cast("double") * col("sv").cast("double") /
+          col("n").cast("double")) / col("n").cast("double"))
+    val sd = sqrt(varr)
+    val z = when(sd > 0.0, (col("value") - mean) / sd).otherwise(lit(0.0))
+    events.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        (floor(z * 1e4) / 1e4).as("z"),
+        (abs(z) > zThreshold).as("is_anomaly"))
+      .transform(graft.Determinism.sorted(_)(col("event_id")))
+  }
+
   /** RFM segmentation: per-user Recency (days since last purchase, from
     * a fixed `asOf` anchor — never wall-clock), Frequency (purchase
     * count) and Monetary (DECIMAL-exact value sum), each cut into

@@ -175,6 +175,42 @@ class EventAnalyticsSpec extends SparkSuite {
       (3L, 26L, 1L, 1.0, "333")))
   }
 
+  // --- anomalies ---
+
+  test("anomalies flags far outliers per type; zero variance emits z=0") {
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 1.0),
+      (2L, "view", "2024-01-01 10:01:00", 2L, 1.0),
+      (3L, "view", "2024-01-01 10:02:00", 3L, 1.0),
+      (4L, "view", "2024-01-01 10:03:00", 4L, 1.0),
+      (5L, "view", "2024-01-01 10:04:00", 5L, 1.0),
+      (6L, "view", "2024-01-01 10:05:00", 6L, 1.0),
+      (7L, "view", "2024-01-01 10:06:00", 7L, 1.0),
+      (8L, "view", "2024-01-01 10:07:00", 8L, 1.0),
+      (9L, "view", "2024-01-01 10:08:00", 9L, 1.0),
+      (10L, "view", "2024-01-01 10:09:00", 10L, 1.0),
+      (11L, "view", "2024-01-01 10:10:00", 11L, 1000.0), // the outlier
+      // constant-valued type: sd = 0, z = 0, never flagged
+      (12L, "click", "2024-01-01 10:00:00", 12L, 7.0),
+      (13L, "click", "2024-01-01 10:01:00", 13L, 7.0))
+    val out = EventAnalytics.anomalies(ev).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out(11L)._2, s"outlier not flagged: ${out(11L)}")
+    assert((1L to 10L).forall(!out(_)._2), "inliers must not flag")
+    assert(out(12L) === ((0.0, false)) && out(13L) === ((0.0, false)))
+    // z is a real standardized score for the outlier (~sqrt(n-1) shape)
+    assert(out(11L)._1 > 3.0)
+  }
+
+  test("anomalies is partition-layout-proof (decimal moments)") {
+    val ev = events((1L to 50L).map(i =>
+      (i % 7, "view", f"2024-01-01 10:${i % 60}%02d:00", i, i * 1.37)): _*)
+    val a = EventAnalytics.anomalies(ev).collect().map(_.toSeq).toSeq
+    val b = EventAnalytics.anomalies(ev.repartition(13)).collect()
+      .map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
   // --- grouping sets ---
 
   test("revenueGroupingSets matches a recomputed lattice at sf0.001") {
