@@ -175,6 +175,11 @@ object SparkEntry {
     // full month saturates every stage to 1.0, which checks nothing.
     "q_funnel"      -> q(t => EventAnalytics.funnel(
       t.events.filter(col("ts") < lit("2024-01-05").cast("timestamp")))),
+    // time-boxed variant over the full month: each step must land within
+    // 24h of the previous reach (first-touch chaining, same joins + one
+    // residual predicate — no extra shuffle)
+    "q_funnel_windowed" -> q(t =>
+      EventAnalytics.funnel(t.events, maxGapHours = 24)),
     // cohort retention: users cohorted by first-seen day, per-offset
     // active fraction (two user-keyed aggregates + broadcast sizes)
     "q_retention"   -> q(t => EventAnalytics.retention(t.events)),
@@ -1453,6 +1458,30 @@ $rounds
         |        WHERE e.event_type='signup' AND e.ts > s2.t GROUP BY 1),
         | s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s3 ON e.user_id=s3.user_id
         |        WHERE e.event_type='purchase' AND e.ts > s3.t GROUP BY 1),
+        | counts AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
+        |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |  UNION ALL SELECT 3, 'signup', (SELECT COUNT(*) FROM s3)
+        |  UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4))
+        |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
+        | CAST(n_users AS BIGINT) AS n_users,
+        | CAST(n_users AS DOUBLE) /
+        |   (SELECT CAST(n_users AS DOUBLE) FROM counts WHERE stage_idx = 1) AS conversion
+        |FROM counts ORDER BY stage_idx""".stripMargin,
+    // q_funnel_windowed: the same chaining with the 24h residual gate on
+    // every step (full month, no date slice)
+    "q_funnel_windowed" ->
+      """WITH ev AS (SELECT user_id, event_type, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+        | s1 AS (SELECT user_id, MIN(ts) AS t FROM ev WHERE event_type='view' GROUP BY 1),
+        | s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s1 ON e.user_id=s1.user_id
+        |        WHERE e.event_type='click' AND e.ts > s1.t
+        |          AND e.ts <= s1.t + INTERVAL 24 HOUR GROUP BY 1),
+        | s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s2 ON e.user_id=s2.user_id
+        |        WHERE e.event_type='signup' AND e.ts > s2.t
+        |          AND e.ts <= s2.t + INTERVAL 24 HOUR GROUP BY 1),
+        | s4 AS (SELECT e.user_id, MIN(e.ts) AS t FROM ev e JOIN s3 ON e.user_id=s3.user_id
+        |        WHERE e.event_type='purchase' AND e.ts > s3.t
+        |          AND e.ts <= s3.t + INTERVAL 24 HOUR GROUP BY 1),
         | counts AS (
         |  SELECT 1 AS stage_idx, 'view' AS stage, (SELECT COUNT(*) FROM s1) AS n_users
         |  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)

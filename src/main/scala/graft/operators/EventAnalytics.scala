@@ -34,12 +34,21 @@ object EventAnalytics {
     *
     * Per stage: one type-filtered scan, one equi-join against the
     * (shrinking) reached set, one map-side-combined min — the events
-    * table never self-joins and no per-user event list is ever built. */
+    * table never self-joins and no per-user event list is ever built.
+    *
+    * `maxGapHours > 0` time-boxes each step (the standard
+    * windowed-funnel variant): stage k counts only when its event lands
+    * within `maxGapHours` of the user's stage-(k-1) reach — same joins,
+    * one extra residual predicate, zero extra shuffles. 0 = unbounded. */
   def funnel(events: DataFrame,
-             stages: Seq[String] = Seq("view", "click", "signup", "purchase"))
-      : DataFrame = {
+             stages: Seq[String] = Seq("view", "click", "signup", "purchase"),
+             maxGapHours: Int = 0): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     val byType = (st: String) => events.filter(col("event_type") === st)
+    val withinGap =
+      if (maxGapHours > 0)
+        col("ts") <= col("prev_t") + expr(s"INTERVAL $maxGapHours HOURS")
+      else lit(true)
     // stage 1: earliest event of the first type per user
     var reached = byType(stages.head).groupBy(col("user_id"))
       .agg(min(col("ts")).as("t"))
@@ -49,7 +58,7 @@ object EventAnalytics {
     stages.tail.zipWithIndex.foreach { case (st, i) =>
       reached = byType(st)
         .join(reached.select(col("user_id"), col("t").as("prev_t")), "user_id")
-        .filter(col("ts") > col("prev_t"))
+        .filter(col("ts") > col("prev_t") && withinGap)
         .groupBy(col("user_id")).agg(min(col("ts")).as("t"))
       perStage :+= reached.select(col("user_id"),
         lit((i + 2).toLong).as("stage_idx"), lit(st).as("stage"))

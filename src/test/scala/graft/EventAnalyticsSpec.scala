@@ -54,6 +54,20 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(out.toSeq === Seq(("view", 1L), ("click", 0L)))
   }
 
+  test("windowed funnel drops steps outside the gap; boundary is inside") {
+    val ev = events(
+      // user 1: click exactly 24h after view — boundary is INSIDE
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "click", "2024-01-02 10:00:00", 2L, 0.0),
+      // user 2: click one second past the gap — dropped
+      (2L, "view", "2024-01-01 10:00:00", 3L, 0.0),
+      (2L, "click", "2024-01-02 10:00:01", 4L, 0.0))
+    val out = EventAnalytics.funnel(ev, Seq("view", "click"),
+        maxGapHours = 24).collect()
+      .map(r => (r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("view", 2L), ("click", 1L)))
+  }
+
   // --- attribution ---
 
   test("attribution credits the last touch inside the window") {
