@@ -612,4 +612,35 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == batch,
       s"${streamed.length} streamed vs ${batch.length} batch rows")
   }
+
+  test("streamed anomaly scoring against frozen stats equals the batch gate") {
+    // freeze the reference moments from the batch history, stream the
+    // SAME events in two micro-batches: stateless scoring must be
+    // bit-identical to EventAnalytics.anomalies over those rows
+    val ref = AnomalyStream.referenceStats(t.events)
+    val q = AnomalyStream.score(streamEvents, ref)
+      .writeStream.format("memory").queryName("anomaly_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("anomaly_out").collect()
+        .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+      val want = graft.operators.EventAnalytics.anomalies(t.events).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(3), r.getBoolean(4))).toMap
+      assert(got == want,
+        s"streamed scores diverged (${got.size} vs ${want.size} rows)")
+    } finally q.stop()
+  }
+
+  test("anomaly scoring: types unseen in the reference score z=0, no flag") {
+    import org.apache.spark.sql.Row
+    val rows = java.util.Arrays.asList(
+      Row(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L,
+        "brand_new_type", 1e9))
+    val novel = spark.createDataFrame(rows, schema)
+    val ref = AnomalyStream.referenceStats(t.events)
+    val got = AnomalyStream.score(novel, ref).collect()
+    assert(got.length == 1)
+    assert(got.head.getDouble(3) == 0.0 && !got.head.getBoolean(4))
+  }
 }
