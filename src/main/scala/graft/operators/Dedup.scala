@@ -1060,9 +1060,69 @@ object Dedup {
     * degenerate block to one task just to measure it. The size table is
     * one row per block (blocks ≈ coarse clusters, thousands at most) and
     * broadcasts. */
-  private def blockedNeighbors(e: DataFrame, simThreshold: Double,
-                               maxBlock: Int = 1024,
-                               pairBudget: Long = 1L << 20): DataFrame = {
+  /** Similarity-COHERENT sub-blocking for oversized blocks — the
+    * recall-preserving complement to [[blockedNeighbors]]' hash guard.
+    *
+    * Hash sub-salting bounds work but splits near-duplicate pairs across
+    * sub-blocks uniformly at random (a pair survives with probability
+    * 1/salts). Here an oversized block is instead refined by ONE
+    * nearest-seed assignment round: seeds are the block's
+    * `⌈s/maxBlock⌉` lowest-id members (deterministic — no RNG, no
+    * iteration), every member joins its nearest seed's sub-block, so
+    * near-dups land together BY CONSTRUCTION and recall survives the
+    * refinement. Coherent groups target ~`maxBlock` rows, which under
+    * the `pairBudget = maxBlock²` invariant is exactly the exact-join
+    * region; a degenerate group (identical embeddings tie onto one
+    * seed) still falls through to the hash guard, so the per-task
+    * ceiling is never surrendered to an unlucky seed spread.
+    *
+    * Dataflow (no per-block driver loop, no window over the block):
+    * seed ids via one map-side-combined bounded top-k aggregate, seed
+    * embeddings via one id equi-join, assignment via a NARROW
+    * `array_min(transform(...))` argmin over each row's broadcast seed
+    * array. Blocks at/under `maxBlock` bypass untouched (the early
+    * return keeps every oracle-scale plan byte-identical). The one
+    * `head()` action mirrors [[semanticNeighbors]]' metadata-cheap
+    * `count()` contract. */
+  private[graft] def coherentBlocks(e: DataFrame, maxBlock: Int): DataFrame = {
+    val sizes = e.groupBy(col("block")).agg(count(lit(1)).as("__bsz"))
+    val over = sizes.filter(col("__bsz") > maxBlock)
+      .select(col("block"),
+        ceil(col("__bsz").cast("double") / lit(maxBlock.toDouble))
+          .cast("int").as("__k"))
+    val maxK = over.agg(coalesce(max(col("__k")), lit(0))).head().getInt(0)
+    if (maxK == 0) e
+    else {
+      // seed ids: the __k lowest vec_ids per oversized block, from one
+      // bounded top-k aggregate (score = -id ⇒ best-first = lowest ids)
+      val seedIds = e.join(broadcast(over), Seq("block"))
+        .groupBy(col("block"), col("__k"))
+        .agg(graft.functions.top_k_by_score(
+          (-col("vec_id")).cast("double"), col("vec_id"), maxK).as("tk"))
+        .select(col("block"),
+          posexplode(transform(slice(col("tk"), lit(1), col("__k")),
+            s => s.getField("id"))).as(Seq("__i", "__sid")))
+      val seedArrays = seedIds
+        .join(e.select(col("vec_id").as("__sid"), col("embedding").as("__se")),
+          Seq("__sid"))
+        .groupBy(col("block"))
+        .agg(sort_array(collect_list(
+          struct(col("__i").cast("long").as("i"), col("__se").as("emb"))))
+          .as("__seeds"))
+      val best = array_min(transform(col("__seeds"), s =>
+        struct((lit(1.0) - cosine_similarity(col("embedding"),
+          s.getField("emb"))).as("dist"), s.getField("i").as("i"))))
+      e.join(broadcast(seedArrays), Seq("block"), "left")
+        .withColumn("block", struct(col("block").as("b"),
+          when(col("__seeds").isNotNull, best.getField("i"))
+            .otherwise(lit(0L)).as("s")))
+        .drop("__seeds")
+    }
+  }
+
+  private[graft] def blockedNeighbors(e: DataFrame, simThreshold: Double,
+                                      maxBlock: Int = 1024,
+                                      pairBudget: Long = 1L << 20): DataFrame = {
     val sizes = e.groupBy(col("block")).agg(count(lit(1)).as("__bsz"))
     // s² in double: a Long s² overflows past ~3e9-row blocks
     val bsz = col("__bsz").cast("double")
@@ -1099,15 +1159,21 @@ object Dedup {
     * (`label` = a trusted pre-existing partition — language, source
     * shard, coarse cluster): (vec_id, nn_id, nn_score, is_dup at
     * `simThreshold`). Cost is bounded at every block size by the
-    * [[blockedNeighbors]] pair budget; when no trustworthy key exists or
-    * blocks grow with the corpus, [[semanticNeighbors]] (learned blocks,
-    * auto-scaled count) is the scale path. */
+    * [[blockedNeighbors]] pair budget; `coherent` (default on) first
+    * refines oversized blocks into similarity-coherent sub-blocks via
+    * [[coherentBlocks]] so the bound costs recall only in the
+    * adversarial cases the hash guard then absorbs. When no trustworthy
+    * key exists or blocks grow with the corpus, [[semanticNeighbors]]
+    * (learned blocks, auto-scaled count) is the scale path. */
   def embeddingNeighbors(t: Tables, simThreshold: Double = 0.95,
                          maxBlock: Int = 1024,
-                         pairBudget: Long = 1L << 20): DataFrame =
-    blockedNeighbors(
-      t.embeddings.select(col("label").as("block"), col("vec_id"),
-        col("embedding")), simThreshold, maxBlock, pairBudget)
+                         pairBudget: Long = 1L << 20,
+                         coherent: Boolean = true): DataFrame = {
+    val base = t.embeddings.select(col("label").as("block"), col("vec_id"),
+      col("embedding"))
+    blockedNeighbors(if (coherent) coherentBlocks(base, maxBlock) else base,
+      simThreshold, maxBlock, pairBudget)
+  }
 
   /** SemDeDup-style semantic dedup with LEARNED blocks: assign every
     * vector to its nearest of `nCentroids` deterministic centroids, then

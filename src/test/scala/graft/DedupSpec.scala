@@ -214,6 +214,65 @@ class DedupSpec extends SparkSuite {
     assert(def_.size == 600)
   }
 
+  test("coherent sub-blocking keeps near-dup pairs together; hash salting splits some") {
+    // ONE oversized block (32 > maxBlock=8) of 16 tight near-dup pairs
+    // spread around 4 far directions. Hash sub-salting assigns pair
+    // members independently (a pair survives with p = 1/salts); coherent
+    // refinement assigns both members to the same nearest seed, so EVERY
+    // pair must be found.
+    // ids interleave the four directions (0,1,2,3,0,1,…) so the
+    // id-ordered seed sample lands one seed per cluster — the
+    // uncorrelated-ids layout a real corpus has
+    val vecs = (0L until 32L).map { i =>
+      val d = (i % 4).toInt
+      val v = Array.fill(4)(0f)
+      v(d) = 1f
+      v((d + 1) % 4) += 0.002f * ((i / 4) % 8 + 1)
+      (i, v)
+    }.toDF("vec_id", "embedding").withColumn("block", lit("all"))
+      .select($"block", $"vec_id", $"embedding")
+    val coherent = operators.Dedup.blockedNeighbors(
+      operators.Dedup.coherentBlocks(vecs, maxBlock = 8),
+      simThreshold = 0.95, maxBlock = 8, pairBudget = 64L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(coherent.size == 32)
+    assert(coherent.values.forall(identity),
+      s"coherent refinement lost near-dups: ${coherent.filterNot(_._2)}")
+    val hashed = operators.Dedup.blockedNeighbors(
+      vecs, simThreshold = 0.95, maxBlock = 8, pairBudget = 64L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // the hash guard bounds work but is blind to similarity: with salts=4
+    // on this layout at least one same-direction neighbor pair splits
+    assert(hashed.count(!_._2) > 0,
+      "expected the random split to lose at least one pair (layout-pinned)")
+  }
+
+  test("coherent sub-blocking bypasses blocks at/under the cap untouched") {
+    val vecs = (0L until 10L).map(i => (i, Array(1f, 0f, 0f, i * 0.01f)))
+      .toDF("vec_id", "embedding").withColumn("block", lit("b"))
+      .select($"block", $"vec_id", $"embedding")
+    val out = operators.Dedup.coherentBlocks(vecs, maxBlock = 16)
+    // early return: the SAME plan (block column type untouched)
+    assert(out.schema("block").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.count() == 10)
+  }
+
+  test("coherent refinement still bounded on identical-vector degenerate blocks") {
+    // 64 identical vectors: every member ties onto seed 0, so the
+    // coherent group IS the whole block — the hash guard must still
+    // engage underneath and every vector still finds a perfect dup.
+    val vecs = (0L until 64L).map(i => (i, Array(1f, 2f, 3f, 4f)))
+      .toDF("vec_id", "embedding").withColumn("block", lit("one"))
+      .select($"block", $"vec_id", $"embedding")
+    val nn = operators.Dedup.blockedNeighbors(
+      operators.Dedup.coherentBlocks(vecs, maxBlock = 16),
+      simThreshold = 0.95, maxBlock = 16, pairBudget = 1L << 20)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(nn.size == 64)
+    assert(nn.values.forall(identity))
+  }
+
   test("window-dup apply: non-canonical spans cut, first occurrence survives") {
     import spark.implicits._
     // doc 1 carries the 5-token span "a b c d e" that doc 2 repeats
