@@ -632,6 +632,30 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed funnel state equals the batch funnel's stage counts") {
+    // two time-split micro-batches (per-user event-time order holds
+    // across triggers); after the stream drains, max(stage_reached) per
+    // user must reproduce the batch min-timestamp chaining exactly
+    val q = FunnelStream.progress(streamEvents)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val highest = spark.table("funnel_out").groupBy(col("user_id"))
+        .agg(max(col("stage_reached")).as("h"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.operators.EventAnalytics.funnel(t.events).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap // stage_idx -> n_users
+      (1L to 4L).foreach { k =>
+        val streamed = highest.values.count(_ >= k).toLong
+        assert(streamed === batch(k),
+          s"stage $k: streamed $streamed vs batch ${batch(k)}")
+      }
+      // per-user state is O(stages): progress rows only ever advance
+      assert(highest.values.forall(h => h >= 1L && h <= 4L))
+    } finally q.stop()
+  }
+
   test("anomaly scoring: types unseen in the reference score z=0, no flag") {
     import org.apache.spark.sql.Row
     val rows = java.util.Arrays.asList(
