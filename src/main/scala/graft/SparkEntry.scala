@@ -205,6 +205,10 @@ object SparkEntry {
     // text pipeline (reference: services/index_service.py)
     "q_preprocess"   -> q(TextAnalysis.preprocessed),
     "text_tokens"    -> q(TextAnalysis.tokenCounts),
+    // PMI collocation mining (phrase detection): exact bigram/unigram
+    // counts, vocabulary joins shuffle (never broadcast the vocab),
+    // grid-deterministic floored-PMI ranking
+    "q_collocations" -> q(t => TextAnalysis.collocations(t)),
     "text_quality"   -> q(TextAnalysis.qualityScores),
     "dedup_exact"    -> q(Dedup.exactGroups),
     // vector index health (reference: controllers/health_controller.py)
@@ -2595,6 +2599,29 @@ $rounds
           | t2 AS (SELECT unnest(toks) AS tok FROM tok WHERE len(toks) > 0)
           |SELECT tok, COUNT(*) AS n FROM t2 GROUP BY 1
           |ORDER BY n DESC, tok LIMIT 20""").stripMargin,
+    // q_collocations: exact unigram/bigram counts over the same
+    // normalized tokens, PMI from the identical double expression,
+    // ranked on the FLOORED grid with the bigram tie-break both sides
+    "q_collocations" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tokq AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | uc AS (SELECT tok, COUNT(*) AS c FROM (SELECT unnest(toks) AS tok FROM tokq) GROUP BY 1),
+          | nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uc),
+          | bgx AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+          |            i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          |         FROM tokq WHERE len(toks) > 1),
+          | bc AS (SELECT bigram, COUNT(*) AS c_ab FROM bgx GROUP BY 1 HAVING COUNT(*) >= 5),
+          | nb AS (SELECT CAST(SUM(greatest(len(toks)-1, 0)) AS BIGINT) AS n_bi FROM tokq),
+          | j AS (SELECT bc.bigram, bc.c_ab, a.c AS c_a, b.c AS c_b FROM bc
+          |   JOIN uc a ON a.tok = string_split(bc.bigram, ' ')[1]
+          |   JOIN uc b ON b.tok = string_split(bc.bigram, ' ')[2]),
+          | p AS (SELECT bigram, c_ab, c_a, c_b,
+          |   floor(ln((CAST(c_ab AS DOUBLE)/CAST(n_bi AS DOUBLE)) /
+          |     ((CAST(c_a AS DOUBLE)/CAST(n_uni AS DOUBLE)) *
+          |      (CAST(c_b AS DOUBLE)/CAST(n_uni AS DOUBLE)))) * 1e4)/1e4 AS pmi
+          |  FROM j, nu, nb)
+          |SELECT bigram, c_ab, c_a, c_b, pmi
+          |FROM p ORDER BY pmi DESC, bigram LIMIT 20""").stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | COUNT(*) AS n, MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max

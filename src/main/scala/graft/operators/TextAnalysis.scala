@@ -27,6 +27,57 @@ object TextAnalysis {
         bpeTokenCount(col("text")).cast("long").as("bpe_tokens"))
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
 
+  /** PMI collocation mining over consecutive-token bigrams — the phrase
+    * detector a tokenizer/vocab prep runs before merging multiword units
+    * (word2vec-phrases style). PMI(a,b) = ln( p(ab) / (p(a)·p(b)) ) with
+    * probabilities from exact corpus counts; `minCount` suppresses the
+    * unstable low-frequency tail before ranking.
+    *
+    * Scale shape: bigrams come from the native single-pass
+    * [[graft.functions.TextFunctions.shingles]] (linear in tokens, never
+    * tokens²), both count tables are map-side-combined aggregates, the
+    * two unigram attach joins are vocabulary joins and therefore SHUFFLE
+    * joins (vocabulary is unbounded — same rule as TF-IDF's df join;
+    * AQE may broadcast the minCount-filtered bigram side, which is the
+    * correct adaptive call), and the corpus totals ride a broadcast
+    * 1-row crossJoin — no driver-side action. Ranking sorts the FLOORED
+    * pmi (with bigram tie-break) so the top-k boundary is
+    * grid-deterministic cross-engine. */
+  def collocations(t: Tables, minCount: Long = 5, k: Int = 20): DataFrame =
+    collocations(t.documents, minCount, k)
+
+  /** [[collocations]] over any `(doc_id, text)` table. */
+  def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    val base = docs
+      .select(tokens(preprocess(col("text"))).as("toks"))
+      .barrier() // Generate re-eval guard + two consumers (uni, bigrams)
+    val uni = base.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val bi = base.select(explode(shingles(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val totU = uni.agg(sum(col("c")).as("n_uni"))
+    val totB = base
+      .select(greatest(lit(0), size(col("toks")) - 1).cast("long").as("nb"))
+      .agg(sum(col("nb")).as("n_bi"))
+    val parts = bi
+      .withColumn("a", split(col("bigram"), " ").getItem(0))
+      .withColumn("b", split(col("bigram"), " ").getItem(1))
+    val joined = parts
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+    val pmi = log(
+      (col("c_ab").cast("double") / col("n_bi").cast("double")) /
+        ((col("c_a").cast("double") / col("n_uni").cast("double")) *
+          (col("c_b").cast("double") / col("n_uni").cast("double"))))
+    joined
+      .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+        (floor(pmi * 1e4) / 1e4).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Quality scoring: length, alpha ratio, stopword ratio, avg word
     * length, composite score — deterministic double math, rounded at the
     * boundary so the DuckDB oracle hash-matches. */

@@ -374,4 +374,25 @@ class PipelineSpec extends SparkSuite {
       .orderBy(col("doc_id")).collect().toSeq
     assert(back == want)
   }
+
+  test("collocations: a planted phrase dominates PMI; loners suppressed") {
+    // "neural network" co-occurs always and its parts appear nowhere
+    // else → near-maximal PMI. "the" pairs with everything → low PMI.
+    // Pairs under minCount never rank.
+    val phraseDocs = (1L to 6L).map(i =>
+      (i, s"the neural network runs the test u$i v$i"))
+    // "runs" and "network" also appear apart, so every bigram EXCEPT the
+    // planted phrase has diluted PMI
+    val rareDocs = Seq(
+      (7L, "rare pair rare pair the end runs alone here network alone too"))
+    val docs = (phraseDocs ++ rareDocs).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.collocations(docs, minCount = 5, k = 5)
+    val rows = got.collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rows.contains("neural network"), s"planted phrase missing: $rows")
+    // the planted phrase outranks every "the …" collocation
+    val top = got.collect().head.getString(0)
+    assert(top == "neural network", s"top collocation was $top")
+    assert(!rows.keys.exists(_.startsWith("rare")),
+      "sub-minCount pair must not rank")
+  }
 }
