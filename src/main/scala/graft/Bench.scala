@@ -94,7 +94,10 @@ object Bench {
     val shuffle = results.map { case (k, _, _, mb) =>
       "\"" + k + "\":" + (math.floor(mb * 100) / 100) }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"shuffle_mb":$shuffle,"sf":"$sfDir"}"""
+    // "sort":false is a methodology flag: timings EXCLUDE the trailing
+    // oracle-determinism sorts (graft.sort=false above). Rounds ≤ 9
+    // included them — cross-round comparisons must account for it.
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sort":${Determinism.enabled},"queries":$qs,"failed":$failed,"shuffle_mb":$shuffle,"sf":"$sfDir"}"""
     println(full)
     // the driver records only the LAST 2000 stdout chars, which until
     // round 9 captured the (deterministic) shuffle map and truncated the

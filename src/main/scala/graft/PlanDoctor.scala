@@ -1,12 +1,15 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Alias, ExprId}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Complete, Final, Partial}
 import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
-import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, GlobalLimitExec, InputAdapter, LocalLimitExec, ProjectExec, SortExec, SparkPlan, TakeOrderedAndProjectExec, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
 import org.apache.spark.sql.execution.aggregate.{BaseAggregateExec, HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan triage for the anti-patterns that kill 100 TB jobs — the
   * programmatic form of the PLANS.md review checklist. `audit` walks a
@@ -83,6 +86,28 @@ object PlanDoctor {
           case _ => ()
         }
 
+      // A window with NO partition keys moves every input row to one
+      // task (Spark's own WindowExec WARN). Legitimate ONLY when the
+      // input's row count is bounded by a VALUE domain, not the corpus —
+      // mechanically: every window order key is a grouping key of the
+      // aggregate directly below (rows = distinct values of the ordered
+      // domain; the `lmBuckets`/`keepCut`/`rfm` CDF-cut shape). A window
+      // ordered by an aggregate OUTPUT (the old `rfm` ntile-over-users
+      // shape) funnels a corpus-scaling table through one task: error.
+      // Known limit: an id-keyed domain (order key = the id grouping
+      // key) passes — the rule bounds rows by the ordered domain's
+      // cardinality, it cannot know which domains are small.
+      case w: WindowExec if w.partitionSpec.isEmpty =>
+        val needed = w.orderSpec.flatMap(_.child.references).map(_.exprId).toSet
+        if (!boundedByOrderedDomain(w.child, needed))
+          findings += Finding("error", "single-partition-window",
+            "unpartitioned window over an input not bounded by its " +
+              s"ordered value domain: ${w.simpleStringWithNodeId()}")
+        else
+          findings += Finding("info", "single-partition-window-bounded",
+            "unpartitioned window over a distinct-value table (bounded " +
+              "by the ordered domain, not the corpus)")
+
       // A final-mode aggregate whose exchange child feeds raw rows (no
       // partial below) ships the full input across the wire — the
       // map-side combine is missing.
@@ -101,6 +126,49 @@ object PlanDoctor {
     }
     findings.result()
   }
+
+  /** True when every attribute in `needed` traces (through projects,
+    * sorts, filters, exchanges and codegen/AQE wrappers) to a GROUPING
+    * key of the first aggregate below — i.e. the window's input has one
+    * row per distinct ordered value, so its size is bounded by the value
+    * domain regardless of corpus size. Anything else (a scan, a join, an
+    * aggregate whose order key is an output) is corpus-sized: not
+    * bounded. */
+  private def boundedByOrderedDomain(p: SparkPlan, needed: Set[ExprId]): Boolean =
+    p match {
+      case a: BaseAggregateExec =>
+        // a grouping ALIAS (`groupBy(col(x).as("v"))`) keeps the raw
+        // attribute in groupingExpressions and materializes `v` only in
+        // resultExpressions — key-derived outputs count as keys
+        val keys = a.groupingExpressions.map(_.toAttribute.exprId).toSet
+        val keyOutputs = a.resultExpressions.collect {
+          case ne if ne.references.map(_.exprId).toSet.subsetOf(keys) =>
+            ne.toAttribute.exprId
+        }.toSet
+        needed.subsetOf(keys ++ keyOutputs)
+      // a LIMIT bounds its output by a literal row count — bounded by
+      // contract whatever the order keys are (`zipfAudit`'s top-N rank)
+      case _: GlobalLimitExec | _: LocalLimitExec |
+          _: TakeOrderedAndProjectExec => true
+      case pr: ProjectExec =>
+        val remapped = needed.flatMap { id =>
+          pr.projectList.find(_.toAttribute.exprId == id) match {
+            case Some(al: Alias) => al.child.references.map(_.exprId).toSet
+            case Some(att)       => Set(att.toAttribute.exprId)
+            case None            => Set(id)
+          }
+        }
+        boundedByOrderedDomain(pr.child, remapped)
+      case s: SortExec              => boundedByOrderedDomain(s.child, needed)
+      case f: FilterExec            => boundedByOrderedDomain(f.child, needed)
+      case e: ShuffleExchangeExec   => boundedByOrderedDomain(e.child, needed)
+      case w: WholeStageCodegenExec => boundedByOrderedDomain(w.child, needed)
+      case i: InputAdapter          => boundedByOrderedDomain(i.child, needed)
+      case a: AdaptiveSparkPlanExec => boundedByOrderedDomain(a.executedPlan, needed)
+      case q: QueryStageExec        => boundedByOrderedDomain(q.plan, needed)
+      case r: AQEShuffleReadExec    => boundedByOrderedDomain(r.child, needed)
+      case _                        => false
+    }
 
   private def hasPartialAgg(plan: SparkPlan): Boolean = plan.exists {
     case a: HashAggregateExec =>

@@ -230,6 +230,13 @@ object SparkEntry {
     "q_embed_batch" -> q(t => vectorDigest(
       Inference.encode(TextAnalysis.preprocessed(t), Inference.HashEncoder(64),
         batchSize = 37))),
+    // the LEARNED-weights path through the same seam: a frozen linear
+    // projection over the bucket features, weights broadcast once —
+    // integer-valued weights keep the algebra exact, so THIS encoder
+    // gets its own full hash oracle replaying W·x end-to-end
+    "q_embed_linear" -> ((s, dir) => vectorDigest(
+      Inference.encode(TextAnalysis.preprocessed(sources.Tables(s, dir)),
+        Inference.LinearEncoder.frozen(s), batchSize = 29))),
     "q_knn_fused" -> q(t => Search.fusedTopK(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -1469,8 +1476,10 @@ $rounds
         |  UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4))
         |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
         | CAST(n_users AS BIGINT) AS n_users,
-        | CAST(n_users AS DOUBLE) /
-        |   (SELECT CAST(n_users AS DOUBLE) FROM counts WHERE stage_idx = 1) AS conversion
+        | CASE WHEN (SELECT n_users FROM counts WHERE stage_idx = 1) > 0
+        |   THEN CAST(n_users AS DOUBLE) /
+        |     (SELECT CAST(n_users AS DOUBLE) FROM counts WHERE stage_idx = 1)
+        |   ELSE 0.0 END AS conversion
         |FROM counts ORDER BY stage_idx""".stripMargin,
     // q_funnel_windowed: the same chaining with the 24h residual gate on
     // every step (full month, no date slice)
@@ -1493,8 +1502,10 @@ $rounds
         |  UNION ALL SELECT 4, 'purchase', (SELECT COUNT(*) FROM s4))
         |SELECT CAST(stage_idx AS BIGINT) AS stage_idx, stage,
         | CAST(n_users AS BIGINT) AS n_users,
-        | CAST(n_users AS DOUBLE) /
-        |   (SELECT CAST(n_users AS DOUBLE) FROM counts WHERE stage_idx = 1) AS conversion
+        | CASE WHEN (SELECT n_users FROM counts WHERE stage_idx = 1) > 0
+        |   THEN CAST(n_users AS DOUBLE) /
+        |     (SELECT CAST(n_users AS DOUBLE) FROM counts WHERE stage_idx = 1)
+        |   ELSE 0.0 END AS conversion
         |FROM counts ORDER BY stage_idx""".stripMargin,
     // q_retention: first-seen-day cohorts; integer÷integer retention in
     // double is IEEE-exact on both engines
@@ -1545,8 +1556,10 @@ $rounds
         |SELECT from_type, to_type, n,
         | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
         |FROM c ORDER BY 1, 2""".stripMargin,
-    // q_rfm: ntile ties dealt identically under the full (metric,
-    // user_id) orders; monetary sums ride DECIMAL(18,2)
+    // q_rfm: the same order-statistic quintile cuts (cum·5 ≥ i·n over
+    // the DISTINCT ascending sort keys; ties share a bucket — no
+    // row-order tie-break on either engine); monetary rides
+    // DECIMAL(18,2) and cuts on the whole-unit floor grid
     "q_rfm" ->
       """WITH ev AS (SELECT user_id, value, make_timestamp(epoch_ns(ts)//1000) AS ts
         |            FROM events WHERE event_type = 'purchase'),
@@ -1555,15 +1568,40 @@ $rounds
         |          COUNT(*) AS frequency,
         |          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
         |         FROM ev GROUP BY 1),
-        | ranked AS (SELECT *,
-        |   CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS BIGINT) AS r_quintile,
-        |   CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_quintile,
-        |   CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_quintile
-        |  FROM per)
+        | keyed AS (SELECT user_id, recency_days, frequency, monetary,
+        |          recency_days AS s_r, -frequency AS s_f,
+        |          -CAST(floor(monetary) AS BIGINT) AS s_m FROM per),
+        | nn AS (SELECT COUNT(*) AS n FROM per),
+        | rcut AS (SELECT MIN(CASE WHEN cum*5 >= n   THEN v END) AS r1,
+        |                 MIN(CASE WHEN cum*5 >= n*2 THEN v END) AS r2,
+        |                 MIN(CASE WHEN cum*5 >= n*3 THEN v END) AS r3,
+        |                 MIN(CASE WHEN cum*5 >= n*4 THEN v END) AS r4
+        |   FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+        |         FROM (SELECT s_r AS v, COUNT(*) AS c FROM keyed GROUP BY 1)), nn),
+        | fcut AS (SELECT MIN(CASE WHEN cum*5 >= n   THEN v END) AS f1,
+        |                 MIN(CASE WHEN cum*5 >= n*2 THEN v END) AS f2,
+        |                 MIN(CASE WHEN cum*5 >= n*3 THEN v END) AS f3,
+        |                 MIN(CASE WHEN cum*5 >= n*4 THEN v END) AS f4
+        |   FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+        |         FROM (SELECT s_f AS v, COUNT(*) AS c FROM keyed GROUP BY 1)), nn),
+        | mcut AS (SELECT MIN(CASE WHEN cum*5 >= n   THEN v END) AS m1,
+        |                 MIN(CASE WHEN cum*5 >= n*2 THEN v END) AS m2,
+        |                 MIN(CASE WHEN cum*5 >= n*3 THEN v END) AS m3,
+        |                 MIN(CASE WHEN cum*5 >= n*4 THEN v END) AS m4
+        |   FROM (SELECT v, SUM(c) OVER (ORDER BY v) AS cum
+        |         FROM (SELECT s_m AS v, COUNT(*) AS c FROM keyed GROUP BY 1)), nn),
+        | q AS (SELECT user_id, recency_days, frequency, monetary,
+        |   CAST(1 + CAST(s_r > r1 AS INT) + CAST(s_r > r2 AS INT)
+        |          + CAST(s_r > r3 AS INT) + CAST(s_r > r4 AS INT) AS BIGINT) AS r_quintile,
+        |   CAST(1 + CAST(s_f > f1 AS INT) + CAST(s_f > f2 AS INT)
+        |          + CAST(s_f > f3 AS INT) + CAST(s_f > f4 AS INT) AS BIGINT) AS f_quintile,
+        |   CAST(1 + CAST(s_m > m1 AS INT) + CAST(s_m > m2 AS INT)
+        |          + CAST(s_m > m3 AS INT) + CAST(s_m > m4 AS INT) AS BIGINT) AS m_quintile
+        |  FROM keyed, rcut, fcut, mcut)
         |SELECT user_id, recency_days, frequency, monetary,
         | r_quintile, f_quintile, m_quintile,
         | CAST(r_quintile AS VARCHAR) || CAST(f_quintile AS VARCHAR) || CAST(m_quintile AS VARCHAR) AS segment
-        |FROM ranked ORDER BY user_id""".stripMargin,
+        |FROM q ORDER BY user_id""".stripMargin,
     // q_anomaly: same exact-moment replay — DECIMAL (n, Σv, Σv²), z in
     // double from the exact components, structured identically so every
     // FP step matches
@@ -2153,6 +2191,27 @@ $rounds
           |  FROM tok WHERE tk <> ''),
           | b AS (SELECT doc_id, ((${signedSql("u")} % 64) + 64) % 64 AS bucket FROM h),
           | cnt AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY 1,2),
+          |$digestTailSql
+          |SELECT n.doc_id, CAST(64 AS BIGINT) AS dim,
+          | floor(sqrt(coalesce(ss, 0))*1e6)/1e6 AS norm,
+          | CAST(coalesce(nnz, 0) AS BIGINT) AS nnz,
+          | floor(coalesce(mom, 0)*1e6)/1e6 AS moment
+          |FROM n LEFT JOIN fin ON n.doc_id = fin.doc_id ORDER BY n.doc_id""").stripMargin,
+    // the learned-linear seam replayed END-TO-END: same FNV bucket
+    // counts, then y_j = Σ_i w(j,i)·c_i against the frozen integer
+    // weight grid w(j,i) = ((i·31+j·17) mod 13) − 6 — every product and
+    // sum exact in double, then the shared normalized digest
+    "q_embed_linear" ->
+      (s"""WITH n AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n),
+          | h AS (SELECT doc_id, ${fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)")} AS u
+          |  FROM tok WHERE tk <> ''),
+          | b AS (SELECT doc_id, ((${signedSql("u")} % 64) + 64) % 64 AS bucket FROM h),
+          | cnt0 AS (SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c FROM b GROUP BY 1,2),
+          | wg AS (SELECT j, i, CAST(((i*31 + j*17) % 13) - 6 AS DOUBLE) AS w
+          |  FROM range(64) t1(j), range(64) t2(i)),
+          | cnt AS (SELECT doc_id, j AS bucket, SUM(w * c) AS c
+          |  FROM cnt0 JOIN wg ON wg.i = cnt0.bucket GROUP BY 1, 2),
           |$digestTailSql
           |SELECT n.doc_id, CAST(64 AS BIGINT) AS dim,
           | floor(sqrt(coalesce(ss, 0))*1e6)/1e6 AS norm,

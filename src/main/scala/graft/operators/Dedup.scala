@@ -1060,70 +1060,157 @@ object Dedup {
     * degenerate block to one task just to measure it. The size table is
     * one row per block (blocks ≈ coarse clusters, thousands at most) and
     * broadcasts. */
+  /** A chosen sub-block seed: assignment index + embedding (the UDF
+    * return row of [[farthestFirstSeeds]]). */
+  final case class Seed(i: Long, emb: Seq[Float])
+
+  /** Greedy farthest-first (k-means++-style, but deterministic — no
+    * RNG) seed selection over a BOUNDED candidate pool: seed 0 is the
+    * lowest-id candidate, each next seed is the candidate with the
+    * largest min-distance to the seeds so far (ties → lowest id). One
+    * oversized block = one UDF call over its pooled candidate array —
+    * O(k·pool) cosines on one task, bounded by [[SeedPoolCap]]. */
+  private val SeedPoolCap = 4096
+
+  private def cosineDist(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 1.0
+    else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private[graft] def farthestFirstPick(cands: Seq[Seq[Float]],
+                                       k: Int): Seq[Seed] = {
+    val n = cands.length
+    val kk = math.min(k, n)
+    if (kk <= 0) Seq.empty
+    else if (kk == n) // pool == seeds: spread adds nothing, keep id order
+      cands.zipWithIndex.map { case (c, i) => Seed(i.toLong, c) }
+    else {
+      val chosen = new Array[Int](kk)
+      val taken = new Array[Boolean](n)
+      val minDist = Array.fill(n)(Double.MaxValue)
+      chosen(0) = 0; taken(0) = true
+      var m = 1; var last = 0
+      while (m < kk) {
+        var best = -1; var bestD = -1.0; var i = 0
+        while (i < n) {
+          if (!taken(i)) {
+            val d = cosineDist(cands(i), cands(last))
+            if (d < minDist(i)) minDist(i) = d
+            if (minDist(i) > bestD) { bestD = minDist(i); best = i }
+          }
+          i += 1
+        }
+        chosen(m) = best; taken(best) = true; last = best; m += 1
+      }
+      chosen.toSeq.zipWithIndex.map { case (ci, i) =>
+        Seed(i.toLong, cands(ci))
+      }
+    }
+  }
+
+  private val farthestFirstSeeds =
+    udf((cands: Seq[Seq[Float]], k: Int) => farthestFirstPick(cands, k))
+
   /** Similarity-COHERENT sub-blocking for oversized blocks — the
     * recall-preserving complement to [[blockedNeighbors]]' hash guard.
     *
     * Hash sub-salting bounds work but splits near-duplicate pairs across
     * sub-blocks uniformly at random (a pair survives with probability
     * 1/salts). Here an oversized block is instead refined by ONE
-    * nearest-seed assignment round: seeds are the block's
-    * `⌈s/maxBlock⌉` lowest-id members (deterministic — no RNG, no
-    * iteration), every member joins its nearest seed's sub-block, so
-    * near-dups land together BY CONSTRUCTION and recall survives the
-    * refinement. Coherent groups target ~`maxBlock` rows, which under
-    * the `pairBudget = maxBlock²` invariant is exactly the exact-join
+    * nearest-seed assignment round: `⌈s/maxBlock⌉` seeds are chosen by
+    * deterministic greedy farthest-first selection over the block's
+    * `4k`-lowest-id candidate pool (capped at [[SeedPoolCap]]; no RNG,
+    * no iteration), and every member joins its nearest seed's
+    * sub-block. Both members of a near-dup pair see the same seed set,
+    * so WITH HIGH PROBABILITY for well-separated clusters they land in
+    * the same sub-block and recall survives the refinement — not a
+    * guarantee: a pair straddling the midpoint between two seeds can
+    * split, and a pool whose ids all fall in one cluster degrades the
+    * spread (farthest-first needs the pool to touch a cluster to seed
+    * it; the pool is 4× oversampled for exactly that reason, and the
+    * adversarial id-correlated layout is spec-pinned in DedupSpec).
+    * Coherent groups target ~`maxBlock` rows, which under the
+    * `pairBudget = maxBlock²` invariant is exactly the exact-join
     * region; a degenerate group (identical embeddings tie onto one
     * seed) still falls through to the hash guard, so the per-task
     * ceiling is never surrendered to an unlucky seed spread.
     *
     * Dataflow (no per-block driver loop, no window over the block):
-    * seed ids via one map-side-combined bounded top-k aggregate, seed
-    * embeddings via one id equi-join, assignment via a NARROW
-    * `array_min(transform(...))` argmin over each row's broadcast seed
-    * array. Blocks at/under `maxBlock` bypass untouched (the early
-    * return keeps every oracle-scale plan byte-identical). The one
-    * `head()` action mirrors [[semanticNeighbors]]' metadata-cheap
-    * `count()` contract. */
-  private[graft] def coherentBlocks(e: DataFrame, maxBlock: Int): DataFrame = {
-    val sizes = e.groupBy(col("block")).agg(count(lit(1)).as("__bsz"))
+    * candidate ids via one map-side-combined bounded top-k aggregate,
+    * candidate embeddings via one id equi-join, seed choice via one
+    * per-block UDF call over the pooled array (one row per oversized
+    * block — never the corpus), assignment via a NARROW argmin over
+    * each row's broadcast seed array. Blocks at/under `maxBlock` bypass
+    * untouched (the early return keeps every oracle-scale plan
+    * byte-identical), and the block-size aggregate is BARRIERED and
+    * handed back to [[blockedNeighbors]] in that case, so the common
+    * all-blocks-small path pays ONE sizes pass total. */
+  private[graft] def coherentBlocks(e: DataFrame, maxBlock: Int): DataFrame =
+    coherentBlocksWithSizes(e, maxBlock)._1
+
+  /** As [[coherentBlocks]], returning also the materialized block-size
+    * table when the blocks were left untouched (reusable by
+    * [[blockedNeighbors]] — the keys still match). */
+  private[graft] def coherentBlocksWithSizes(
+      e: DataFrame, maxBlock: Int): (DataFrame, Option[DataFrame]) = {
+    val sizes =
+      e.groupBy(col("block")).agg(count(lit(1)).as("__bsz")).barrier()
     val over = sizes.filter(col("__bsz") > maxBlock)
       .select(col("block"),
         ceil(col("__bsz").cast("double") / lit(maxBlock.toDouble))
           .cast("int").as("__k"))
     val maxK = over.agg(coalesce(max(col("__k")), lit(0))).head().getInt(0)
-    if (maxK == 0) e
+    if (maxK == 0) (e, Some(sizes))
     else {
-      // seed ids: the __k lowest vec_ids per oversized block, from one
-      // bounded top-k aggregate (score = -id ⇒ best-first = lowest ids)
-      val seedIds = e.join(broadcast(over), Seq("block"))
+      // candidate pool: the min(4·__k, max(__k, SeedPoolCap)) lowest
+      // vec_ids per oversized block, from one bounded top-k aggregate
+      // (score = -id ⇒ best-first = lowest ids)
+      val maxCand = math.min(4L * maxK, math.max(maxK.toLong, SeedPoolCap.toLong)).toInt
+      val poolSz = least(col("__k") * 4,
+        greatest(col("__k"), lit(SeedPoolCap))).cast("int")
+      val candIds = e.join(broadcast(over), Seq("block"))
         .groupBy(col("block"), col("__k"))
         .agg(graft.functions.top_k_by_score(
-          (-col("vec_id")).cast("double"), col("vec_id"), maxK).as("tk"))
-        .select(col("block"),
-          posexplode(transform(slice(col("tk"), lit(1), col("__k")),
-            s => s.getField("id"))).as(Seq("__i", "__sid")))
-      val seedArrays = seedIds
-        .join(e.select(col("vec_id").as("__sid"), col("embedding").as("__se")),
-          Seq("__sid"))
-        .groupBy(col("block"))
+          (-col("vec_id")).cast("double"), col("vec_id"), maxCand).as("tk"))
+        .select(col("block"), col("__k"),
+          posexplode(transform(slice(col("tk"), lit(1), poolSz),
+            s => s.getField("id"))).as(Seq("__ci", "__cid")))
+      val seedArrays = candIds
+        .join(e.select(col("vec_id").as("__cid"), col("embedding").as("__ce")),
+          Seq("__cid"))
+        .groupBy(col("block"), col("__k"))
         .agg(sort_array(collect_list(
-          struct(col("__i").cast("long").as("i"), col("__se").as("emb"))))
-          .as("__seeds"))
+          struct(col("__ci").cast("long").as("ci"), col("__ce").as("emb"))))
+          .as("cs"))
+        .select(col("block"),
+          farthestFirstSeeds(
+            transform(col("cs"), s => s.getField("emb")), col("__k"))
+            .as("__seeds"))
       val best = array_min(transform(col("__seeds"), s =>
         struct((lit(1.0) - cosine_similarity(col("embedding"),
           s.getField("emb"))).as("dist"), s.getField("i").as("i"))))
-      e.join(broadcast(seedArrays), Seq("block"), "left")
+      val refined = e.join(broadcast(seedArrays), Seq("block"), "left")
         .withColumn("block", struct(col("block").as("b"),
           when(col("__seeds").isNotNull, best.getField("i"))
             .otherwise(lit(0L)).as("s")))
         .drop("__seeds")
+      (refined, None)
     }
   }
 
   private[graft] def blockedNeighbors(e: DataFrame, simThreshold: Double,
                                       maxBlock: Int = 1024,
-                                      pairBudget: Long = 1L << 20): DataFrame = {
-    val sizes = e.groupBy(col("block")).agg(count(lit(1)).as("__bsz"))
+                                      pairBudget: Long = 1L << 20,
+                                      precomputedSizes: Option[DataFrame] = None)
+      : DataFrame = {
+    val sizes = precomputedSizes.getOrElse(
+      e.groupBy(col("block")).agg(count(lit(1)).as("__bsz")))
     // s² in double: a Long s² overflows past ~3e9-row blocks
     val bsz = col("__bsz").cast("double")
     val salts = greatest(lit(1L),
@@ -1171,8 +1258,10 @@ object Dedup {
                          coherent: Boolean = true): DataFrame = {
     val base = t.embeddings.select(col("label").as("block"), col("vec_id"),
       col("embedding"))
-    blockedNeighbors(if (coherent) coherentBlocks(base, maxBlock) else base,
-      simThreshold, maxBlock, pairBudget)
+    val (blocked, sizesOpt) =
+      if (coherent) coherentBlocksWithSizes(base, maxBlock)
+      else (base, None)
+    blockedNeighbors(blocked, simThreshold, maxBlock, pairBudget, sizesOpt)
   }
 
   /** SemDeDup-style semantic dedup with LEARNED blocks: assign every

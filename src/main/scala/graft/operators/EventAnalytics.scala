@@ -79,8 +79,11 @@ object EventAnalytics {
       .select(col("n_users").as("n_first"))
     counts.crossJoin(broadcast(first))
       .select(col("stage_idx"), col("stage"), col("n_users"),
-        (col("n_users").cast("double") / col("n_first").cast("double"))
-          .as("conversion"))
+        // zero-guard: an empty stage 1 yields 0.0 rows, never NaN —
+        // cross-engine hash equality must not ride IEEE 0/0 behavior
+        when(col("n_first") > 0L,
+          col("n_users").cast("double") / col("n_first").cast("double"))
+          .otherwise(lit(0.0)).as("conversion"))
       .orderBy(col("stage_idx"))
   }
 
@@ -203,17 +206,28 @@ object EventAnalytics {
   /** RFM segmentation: per-user Recency (days since last purchase, from
     * a fixed `asOf` anchor — never wall-clock), Frequency (purchase
     * count) and Monetary (DECIMAL-exact value sum), each cut into
-    * quintiles by `ntile(5)` under a fully-deterministic order
-    * (metric, then user_id tie-break — both engines deal ties and the
-    * +1-sized leading buckets identically).
+    * quintiles by VALUE (order-statistic cuts, [[graft.operators
+    * .TextAnalysis.lmBuckets]]' scheme): cut i = smallest sort-key
+    * value whose cumulative user count reaches ⌈i·n/5⌉, and a user's
+    * quintile is `1 + #{cuts their key exceeds}`. Ties SHARE a bucket
+    * (a mega-tie may oversize its quintile by the tie mass) — both
+    * engines resolve ties identically with no row-order tie-break at
+    * all. Quintile 1 is always "best" (most recent / most frequent /
+    * highest spend); monetary cuts land on the whole-unit grid
+    * (`floor`) so the cut table stays value-domain-bounded.
     *
-    * One user-keyed aggregate; the three ntile windows run over the
-    * USERS table (corpus-collapsed), not events. Unpartitioned ntile
-    * over users is the one global pass — at 1000-executor scale swap in
-    * percentile cuts from `q_histogram`'s sketch if users outgrow one
-    * stage's sort. */
+    * Scale shape — no global sort anywhere: one user-keyed aggregate
+    * (barriered, read once per metric + once to assign), then per
+    * metric a distinct-value count, a cumulative window over the
+    * DISTINCT sort keys (domain-bounded: days / purchase counts /
+    * whole currency units — never user count), and a 1-row cut table
+    * broadcast back. The previous `ntile(5)` form moved the whole
+    * users table through one task three times; this plan's only
+    * single-partition passes are over the bounded distinct-key
+    * tables. */
   def rfm(events: DataFrame, asOf: String = "2024-01-31",
           purchaseType: String = "purchase"): DataFrame = {
+    import Barrier.BarrierOps
     val per = events.filter(col("event_type") === purchaseType)
       .groupBy(col("user_id"))
       .agg(
@@ -221,17 +235,40 @@ object EventAnalytics {
           .cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("monetary"))
-    val rQ = Window.orderBy(col("recency_days"), col("user_id"))
-    val fQ = Window.orderBy(col("frequency").desc, col("user_id"))
-    val mQ = Window.orderBy(col("monetary").desc, col("user_id"))
-    per.select(col("user_id"), col("recency_days"), col("frequency"),
+      .barrier() // read 5 ways: n, three cut derivations, assignment
+    // ascending sort keys, "best" first: recency as-is, the other two negated
+    val keyed = per.select(col("user_id"), col("recency_days"),
+      col("frequency"), col("monetary"),
+      col("recency_days").as("s_r"),
+      (-col("frequency")).as("s_f"),
+      (-floor(col("monetary"))).cast("long").as("s_m"))
+    val n = per.agg(count(lit(1)).as("n"))
+    // cum·5 ≥ i·n  ⇔  cum ≥ ⌈i·n/5⌉ for integer cum — no ceil needed
+    def cuts(key: String, pfx: String): DataFrame =
+      keyed.groupBy(col(key).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+        .crossJoin(broadcast(n))
+        .agg(
+          min(when(col("cum") * 5 >= col("n"), col("v"))).as(s"${pfx}1"),
+          min(when(col("cum") * 5 >= col("n") * 2, col("v"))).as(s"${pfx}2"),
+          min(when(col("cum") * 5 >= col("n") * 3, col("v"))).as(s"${pfx}3"),
+          min(when(col("cum") * 5 >= col("n") * 4, col("v"))).as(s"${pfx}4"))
+    val allCuts = cuts("s_r", "r").crossJoin(cuts("s_f", "f"))
+      .crossJoin(cuts("s_m", "m"))
+    def quintile(s: Column, pfx: String): Column =
+      lit(1L) + (s > col(s"${pfx}1")).cast("long") +
+        (s > col(s"${pfx}2")).cast("long") +
+        (s > col(s"${pfx}3")).cast("long") +
+        (s > col(s"${pfx}4")).cast("long")
+    keyed.crossJoin(broadcast(allCuts))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
         col("monetary"),
-        ntile(5).over(rQ).cast("long").as("r_quintile"),
-        ntile(5).over(fQ).cast("long").as("f_quintile"),
-        ntile(5).over(mQ).cast("long").as("m_quintile"))
+        quintile(col("s_r"), "r").as("r_quintile"),
+        quintile(col("s_f"), "f").as("f_quintile"),
+        quintile(col("s_m"), "m").as("m_quintile"))
       .withColumn("segment",
         concat(col("r_quintile").cast("string"),
           col("f_quintile").cast("string"), col("m_quintile").cast("string")))
-      .orderBy(col("user_id"))
+      .transform(graft.Determinism.sorted(_)(col("user_id")))
   }
 }

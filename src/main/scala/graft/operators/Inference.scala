@@ -41,34 +41,95 @@ object Inference {
     def encode(texts: Seq[String]): Seq[Array[Float]]
   }
 
+  /** Whitespace tokens → FNV-1a 64 bucket → raw counts (the shared
+    * feature front of both stand-in encoders; bit-identical to the
+    * `hash_embed` expression's bucketing). */
+  private def bucketCounts(text: String, dim: Int): Array[Double] = {
+    val acc = new Array[Double](dim)
+    var start = 0; var i = 0; val len = text.length
+    while (i <= len) {
+      if (i == len || text.charAt(i) == ' ') {
+        if (i > start) {
+          val tok = text.substring(start, i)
+          val h = GraftHash.fnv1a64(tok.getBytes("UTF-8"))
+          val b = ((h % dim) + dim).toInt % dim
+          acc(b) += 1.0
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    acc
+  }
+
+  /** Index-order L2 normalization to float32 — same double-accumulator
+    * operation order as the `hash_embed` expression (inv FIRST, then one
+    * multiply per entry), so both encoders stay bit-replayable. */
+  private def l2ToFloat(y: Array[Double]): Array[Float] = {
+    var norm = 0.0; var i = 0
+    while (i < y.length) { norm += y(i) * y(i); i += 1 }
+    val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
+    val out = new Array[Float](y.length)
+    i = 0
+    while (i < y.length) { out(i) = (y(i) * inv).toFloat; i += 1 }
+    out
+  }
+
   /** Plain-Scala replica of the `hash_embed` expression (whitespace
     * tokens → FNV-1a 64 bucket → counts → L2-normalized float32), same
     * double-accumulator operation order, so vectors are bit-identical
     * to the expression path (pinned in InferenceSpec). */
   final case class HashEncoder(dim: Int = 64) extends BatchEncoder {
-    def encode(texts: Seq[String]): Seq[Array[Float]] = texts.map { text =>
-      val acc = new Array[Double](dim)
-      var start = 0; var i = 0; val len = text.length
-      while (i <= len) {
-        if (i == len || text.charAt(i) == ' ') {
-          if (i > start) {
-            val tok = text.substring(start, i)
-            val h = GraftHash.fnv1a64(tok.getBytes("UTF-8"))
-            val b = ((h % dim) + dim).toInt % dim
-            acc(b) += 1.0
-          }
-          start = i + 1
+    def encode(texts: Seq[String]): Seq[Array[Float]] =
+      texts.map(t => l2ToFloat(bucketCounts(t, dim)))
+  }
+
+  /** A LEARNED-weights encoder through the same seam: a dense linear
+    * projection `y = W·x` over the bucket-count features, L2-normalized
+    * — the shape of the final pooling/projection layer of a real text
+    * encoder (reference: `services/embedding_service.py:18`'s
+    * sentence-transformer). The weight matrix is shipped to executors
+    * via ONE Spark broadcast (fetched once per executor, never re-read
+    * per partition or per batch) — exactly how frozen model weights
+    * ride along a 1000-executor encode job; a Triton/JNI encoder swaps
+    * the matmul and keeps the plumbing.
+    *
+    * Weights are float32 (model-typical). [[LinearEncoder.frozen]] pins
+    * an INTEGER-VALUED frozen matrix so every product and double sum is
+    * exact and the DuckDB oracle replays the algebra bit-for-bit
+    * (`q_embed_linear`) — determinism by value choice, not by luck. */
+  final case class LinearEncoder(
+      weights: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+      inDim: Int = 64) extends BatchEncoder {
+    def dim: Int = weights.value.length
+    def encode(texts: Seq[String]): Seq[Array[Float]] = {
+      val w = weights.value // one fetch per executor (broadcast-cached)
+      texts.map { text =>
+        val x = bucketCounts(text, inDim)
+        val y = new Array[Double](w.length)
+        var j = 0
+        while (j < w.length) {
+          var s = 0.0; var i = 0
+          val row = w(j)
+          while (i < inDim) { s += row(i) * x(i); i += 1 }
+          y(j) = s; j += 1
         }
-        i += 1
+        l2ToFloat(y)
       }
-      var norm = 0.0; i = 0
-      while (i < dim) { norm += acc(i) * acc(i); i += 1 }
-      val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)
-      val out = new Array[Float](dim)
-      i = 0
-      while (i < dim) { out(i) = (acc(i) * inv).toFloat; i += 1 }
-      out
     }
+  }
+
+  object LinearEncoder {
+    /** The frozen stand-in weights: w(j,i) = ((i·31 + j·17) mod 13) − 6
+      * — integer-valued (exact in float32 and in every double product /
+      * sum below), dense, full-rank-ish, and trivially replayable in
+      * SQL. A deployment replaces this factory with a weight-file load;
+      * nothing else changes. */
+    def frozen(spark: org.apache.spark.sql.SparkSession,
+               outDim: Int = 64, inDim: Int = 64): LinearEncoder =
+      LinearEncoder(spark.sparkContext.broadcast(
+        Array.tabulate(outDim, inDim)((j, i) =>
+          (((i * 31 + j * 17) % 13) - 6).toFloat)), inDim)
   }
 
   /** Run `encoder` over `(idCol, textCol)` in bounded batches →

@@ -247,6 +247,54 @@ class DedupSpec extends SparkSuite {
       "expected the random split to lose at least one pair (layout-pinned)")
   }
 
+  test("farthest-first seeds survive id-geometry correlation (id-ordered seeds collapse)") {
+    // ADVERSARIAL layout: ids correlate with geometry so the k
+    // lowest-id members all fall in ONE cluster — ids 0-3 cluster A,
+    // 4-7 B, 8-11 C, 12-15 D, then 16-31 wrap around. Id-ordered seeds
+    // (the pre-round-11 scheme) would put all 4 seeds in cluster A:
+    // B∪C∪D (24 rows) tie onto one seed, the coherent group oversizes,
+    // and the hash guard splits pairs. Farthest-first over the 4×
+    // candidate pool (16 ids — spanning all four clusters) must seed
+    // every cluster: 4 sub-blocks of 8, zero lost pairs.
+    val vecs = (0L until 32L).map { i =>
+      val d = ((i / 4) % 4).toInt       // cluster from id-block
+      val m = ((i / 16) * 4 + i % 4).toInt // member 0-7 within cluster
+      val v = Array.fill(4)(0f)
+      v(d) = 1f
+      v((d + 1) % 4) += 0.002f * (m / 2 + 1) // members pair up (0,1),(2,3),…
+      (i, v)
+    }.toDF("vec_id", "embedding").withColumn("block", lit("all"))
+      .select($"block", $"vec_id", $"embedding")
+    val refined = operators.Dedup.coherentBlocks(vecs, maxBlock = 8)
+    val groups = refined.groupBy($"block").count()
+      .collect().map(_.getLong(1)).sorted.toSeq
+    assert(groups === Seq(8L, 8L, 8L, 8L),
+      s"seeds did not spread across the clusters: group sizes $groups")
+    val nn = operators.Dedup.blockedNeighbors(refined,
+      simThreshold = 0.95, maxBlock = 8, pairBudget = 64L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(nn.size == 32)
+    assert(nn.values.forall(identity),
+      s"id-correlated layout lost near-dups: ${nn.filterNot(_._2)}")
+  }
+
+  test("farthestFirstPick is deterministic, spreads, and tie-breaks by id order") {
+    val a = Seq(1f, 0f, 0f, 0f); val b = Seq(0f, 1f, 0f, 0f)
+    val c = Seq(0f, 0f, 1f, 0f)
+    // pool of 6 in id order: a a b b c c — 3 seeds must hit a, then the
+    // first of each remaining far direction (lowest id on ties)
+    val picked = operators.Dedup.farthestFirstPick(
+      Seq(a, a, b, b, c, c), 3)
+    assert(picked.map(_.i) === Seq(0L, 1L, 2L))
+    assert(picked.map(_.emb) === Seq(a, b, c))
+    // pool == k: id order, no spread pass
+    val all = operators.Dedup.farthestFirstPick(Seq(a, b), 2)
+    assert(all.map(_.emb) === Seq(a, b))
+    // k > pool: bounded by the pool
+    assert(operators.Dedup.farthestFirstPick(Seq(a), 5).size === 1)
+    assert(operators.Dedup.farthestFirstPick(Seq.empty, 3).isEmpty)
+  }
+
   test("coherent sub-blocking bypasses blocks at/under the cap untouched") {
     val vecs = (0L until 10L).map(i => (i, Array(1f, 0f, 0f, i * 0.01f)))
       .toDF("vec_id", "embedding").withColumn("block", lit("b"))

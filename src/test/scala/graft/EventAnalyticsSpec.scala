@@ -45,6 +45,13 @@ class EventAnalyticsSpec extends SparkSuite {
       ("purchase", 0L, 0.0)))
   }
 
+  test("funnel with an empty stage 1 emits 0.0 conversions, never NaN") {
+    val ev = events((1L, "click", "2024-01-01 10:00:00", 1L, 0.0))
+    val out = EventAnalytics.funnel(ev, Seq("view", "click"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(("view", 0L, 0.0), ("click", 0L, 0.0)))
+  }
+
   test("funnel same-timestamp event does NOT advance a stage (strictly after)") {
     val ev = events(
       (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
@@ -183,10 +190,31 @@ class EventAnalyticsSpec extends SparkSuite {
     val out = EventAnalytics.rfm(ev).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
         r.getString(7)))
+    // value-based cuts: ties SHARE a bucket (users 2 and 3 both have
+    // frequency 1 → both f-quintile 2; no row-order tie-break exists)
     assert(out.toSeq === Seq(
-      (1L, 1L, 2L, 15.0, "112"),   // most recent, most frequent, 2nd monetary
-      (2L, 11L, 1L, 50.0, "221"),  // 2nd recent, tied freq (id break), top $
-      (3L, 26L, 1L, 1.0, "333")))
+      (1L, 1L, 2L, 15.0, "112"),   // most recent, most frequent, 2nd $
+      (2L, 11L, 1L, 50.0, "221"),  // 2nd recent, tied freq, top $
+      (3L, 26L, 1L, 1.0, "424")))
+  }
+
+  test("rfm quintiles are value-deterministic under repartitioning") {
+    val ev = events((1L to 60L).map(i =>
+      (i, "purchase", f"2024-01-${(i % 28) + 1}%02d 10:00:00", i,
+        (i % 9) * 3.5)): _*)
+    val a = EventAnalytics.rfm(ev).collect().map(_.toSeq).toSeq
+    val b = EventAnalytics.rfm(ev.repartition(13)).collect()
+      .map(_.toSeq).toSeq
+    assert(a === b)
+    // quintile arithmetic: every quintile in 1..5, ties share buckets
+    a.foreach { r =>
+      Seq(4, 5, 6).foreach(i => assert(r(i).asInstanceOf[Long] >= 1L &&
+        r(i).asInstanceOf[Long] <= 5L))
+    }
+    // equal metric values always land in the same quintile
+    val byFreq = a.groupBy(_(2)).values
+    byFreq.foreach(rows => assert(rows.map(_(5)).distinct.size === 1,
+      "tied frequencies split across f-quintiles"))
   }
 
   // --- anomalies ---

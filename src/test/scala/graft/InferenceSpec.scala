@@ -65,6 +65,49 @@ class InferenceSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.contains("vectors")))
   }
 
+  // --- the learned-weights (linear) encoder through the same seam ---
+
+  test("linear encoder is invariant to batch size and partitioning") {
+    val enc = Inference.LinearEncoder.frozen(spark)
+    val base = collectVecs(Inference.encode(cleaned, enc, batchSize = 1))
+    Seq(13, 500).foreach { bs =>
+      val got = collectVecs(
+        Inference.encode(cleaned.repartition(7), enc, batchSize = bs))
+      assert(got === base, s"batchSize=$bs")
+    }
+  }
+
+  test("linear encoder applies the broadcast weights (y = W·x, L2-normed)") {
+    val sess = spark
+    import sess.implicits._
+    // 2-in/2-out identity weights: output = normalized bucket counts
+    val id2 = Inference.LinearEncoder(
+      spark.sparkContext.broadcast(
+        Array(Array(1.0f, 0.0f), Array(0.0f, 1.0f))), inDim = 2)
+    val df = Seq((1L, "a a b")).toDF("doc_id", "clean_text")
+    val got = collectVecs(Inference.encode(df, id2, batchSize = 4))(1L)
+    // counts land in the 2-bucket FNV grid; the normalized vector must
+    // have unit L2 norm and the 2:1 count ratio preserved
+    val norm = math.sqrt(got.map(v => v.toDouble * v).sum)
+    assert(math.abs(norm - 1.0) < 1e-6)
+    assert(math.abs(got.max / got.min - 2.0f) < 1e-6f)
+    // and the frozen grid really is the documented closed form
+    val w = Inference.LinearEncoder.frozen(spark).weights.value
+    assert(w(3)(5) === (((5 * 31 + 3 * 17) % 13) - 6).toFloat)
+    assert(w.length === 64 && w(0).length === 64)
+  }
+
+  test("linear encoder output differs from the hash encoder (it's a model)") {
+    val viaHash = collectVecs(
+      Inference.encode(cleaned, Inference.HashEncoder(64), batchSize = 64))
+    val viaLin = collectVecs(Inference.encode(cleaned,
+      Inference.LinearEncoder.frozen(spark), batchSize = 64))
+    assert(viaLin.keySet === viaHash.keySet)
+    // same ids, same shape, different geometry
+    assert(viaLin.exists { case (id, v) => v !== viaHash(id) })
+    viaLin.values.foreach(v => assert(v.length === 64))
+  }
+
   test("null text encodes as the zero vector (empty-string contract)") {
     val sess = spark
     import sess.implicits._

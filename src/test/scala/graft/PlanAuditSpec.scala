@@ -50,4 +50,32 @@ class PlanAuditSpec extends SparkSuite {
       PlanDoctor.audit(t.lineitem.repartition(1, col("l_orderkey") * 0 + 1))
         .exists(_.rule == "single-partition-exchange"))
   }
+
+  test("PlanDoctor flags an unpartitioned window over corpus-sized input") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val t = sources.Tables(spark, sfDir)
+    // the OLD q_rfm shape: ntile ordered by an aggregate OUTPUT — the
+    // per-user table scales with the corpus, and all of it moves to one
+    // task. The round-10 audit missed exactly this; it must fail now.
+    val per = t.events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("frequency"))
+    val planted = per.select(col("user_id"),
+      ntile(5).over(Window.orderBy(col("frequency"), col("user_id")))
+        .as("q"))
+    assert(PlanDoctor.audit(planted)
+      .exists(f => f.severity == "error" &&
+        f.rule == "single-partition-window"),
+      PlanDoctor.audit(planted).mkString("\n"))
+    // the bounded CDF-cut shape (order key IS the grouping key below —
+    // one row per distinct value): info, never error
+    val cdf = t.events.groupBy(col("value").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
+    val bounded = PlanDoctor.audit(cdf)
+    assert(!bounded.exists(_.rule == "single-partition-window"),
+      bounded.mkString("\n"))
+    assert(bounded.exists(_.rule == "single-partition-window-bounded"),
+      bounded.mkString("\n"))
+  }
 }
