@@ -656,6 +656,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed retention marks rebuild the batch cohort table exactly") {
+    // same time-split chunks (per-user event-time order across triggers);
+    // accumulated (user, cohort, offset) marks folded by table() must be
+    // row-identical to the batch operator — including the ratio doubles
+    val q = RetentionStream.marks(streamEvents)
+      .writeStream.format("memory").queryName("retention_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = RetentionStream.table(spark.table("retention_out"))
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.operators.EventAnalytics.retention(t.events)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch,
+        s"${streamed.length} streamed vs ${batch.length} batch rows")
+      // state really is two longs: marks per user are bounded by offsets
+      val perUser = spark.table("retention_out").groupBy(col("user_id"))
+        .count().agg(max(col("count"))).head().getLong(0)
+      assert(perUser <= 15L)
+    } finally q.stop()
+  }
+
   test("anomaly scoring: types unseen in the reference score z=0, no flag") {
     import org.apache.spark.sql.Row
     val rows = java.util.Arrays.asList(
