@@ -20,6 +20,7 @@ object GraftSql {
     "cosine_similarity" -> (es => CosineSimilarity(es(0), es(1))),
     "dot_product"       -> (es => DotProduct(es(0), es(1))),
     "l2_norm"           -> (es => L2Norm(es(0))),
+    "nearest_seed"      -> (es => NearestSeed(es(0), es(1))),
     "hash_embed"        -> (es => HashEmbed(es(0), foldInt(es(1)))),
     "minhash_signature" -> (es => MinHashSignature(es(0), foldInt(es(1)))),
     "simhash64"         -> (es => SimHash64(es(0))),

@@ -209,7 +209,14 @@ object SparkEntry {
     // counts, vocabulary joins shuffle (never broadcast the vocab),
     // grid-deterministic floored-PMI ranking
     "q_collocations" -> q(t => TextAnalysis.collocations(t)),
+    // skip-gram (center, context) training-pair counts — word2vec/GloVe
+    // data generation; narrow per-row pair expansion, vocabulary-profile
+    // shuffle aggregate, integer-count TakeOrdered ranking
+    "q_skipgram"     -> q(t => TextAnalysis.skipgrams(t)),
     "text_quality"   -> q(TextAnalysis.qualityScores),
+    // per-doc char/token Shannon entropy (low-information filter signal);
+    // narrow native kernels, order-free integer-sum formulation
+    "text_entropy"   -> q(TextAnalysis.entropyScores),
     "dedup_exact"    -> q(Dedup.exactGroups),
     // vector index health (reference: controllers/health_controller.py)
     "q_index_stats"  -> q(indexStats),
@@ -2681,6 +2688,50 @@ $rounds
           |  FROM j, nu, nb)
           |SELECT bigram, c_ab, c_a, c_b, pmi
           |FROM p ORDER BY pmi DESC, bigram LIMIT 20""").stripMargin,
+    // q_skipgram: directed (center, context) pairs at distance ≤ 3 via
+    // list comprehension (range(a, b) is end-exclusive and EMPTY when
+    // b ≤ a, so short docs vanish without a guard), exact counts,
+    // integer-count ranking with lexicographic tie-break
+    "q_skipgram" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tokq AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | prs AS (SELECT pr[1] AS center, pr[2] AS context FROM (
+          |   SELECT unnest(flatten(flatten(list_transform(range(1, 4), d ->
+          |     list_transform(range(1, len(toks) - d + 1), i ->
+          |       [[toks[i], toks[i+d]], [toks[i+d], toks[i]]]))))) AS pr
+          |   FROM tokq)),
+          | cc AS (SELECT center, context, COUNT(*) AS c FROM prs
+          |   GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+          |SELECT center, context, c FROM cc
+          |ORDER BY c DESC, center, context LIMIT 30""").stripMargin,
+    // text_entropy: the order-free integer-sum entropy replay —
+    // S = Σ floor(c·ln(c)·1e6) is an exact BIGINT sum over unordered
+    // groups, H = ln(n) − S/1e6/n floored to 1e-4; every double op is a
+    // function of exact integer counts, so the hash matches bit-for-bit
+    "text_entropy" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | ch AS (SELECT doc_id, c, COUNT(*) AS cnt FROM (
+          |   SELECT doc_id, unnest(list_transform(range(1, len(s) + 1),
+          |     i -> s[i])) AS c FROM n0) GROUP BY 1, 2),
+          | che AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+          |   CAST(SUM(CAST(floor(cnt * ln(cnt) * 1e6) AS BIGINT)) AS BIGINT) AS sm
+          |   FROM ch GROUP BY 1),
+          | tk AS (SELECT doc_id, t, COUNT(*) AS cnt FROM (
+          |   SELECT doc_id, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[]
+          |     ELSE string_split(s,' ') END) AS t FROM n0) GROUP BY 1, 2),
+          | tke AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n,
+          |   CAST(SUM(CAST(floor(cnt * ln(cnt) * 1e6) AS BIGINT)) AS BIGINT) AS sm
+          |   FROM tk GROUP BY 1)
+          |SELECT n0.doc_id,
+          | coalesce(che.n, 0) AS n_chars_norm,
+          | CASE WHEN coalesce(che.n, 0) = 0 THEN 0.0 ELSE
+          |   floor((ln(che.n) - che.sm / 1e6 / che.n) * 1e4) / 1e4 END AS char_entropy,
+          | coalesce(tke.n, 0) AS n_tokens,
+          | CASE WHEN coalesce(tke.n, 0) = 0 THEN 0.0 ELSE
+          |   floor((ln(tke.n) - tke.sm / 1e6 / tke.n) * 1e4) / 1e4 END AS token_entropy
+          |FROM n0 LEFT JOIN che ON n0.doc_id = che.doc_id
+          | LEFT JOIN tke ON n0.doc_id = tke.doc_id
+          |ORDER BY n0.doc_id""").stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | COUNT(*) AS n, MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max

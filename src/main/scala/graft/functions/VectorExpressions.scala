@@ -440,3 +440,159 @@ case class BandHashes(child: Expression, bands: Int, rowsPerBand: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "band_hashes"
 }
+
+/** Argmin-by-cosine-distance over a per-row seed matrix:
+  * `nearest_seed(embedding: array<float>, seeds: array<array<float>>)` →
+  * the 0-based index (long) of the seed with the smallest `1 − cosine`,
+  * ties → lowest index (the `(dist, i)` struct-min ordering). One fused
+  * codegen'd loop per row replaces the
+  * `array_min(transform(seeds, struct(1 − cos, i)))` formulation in
+  * `Dedup.coherentBlocks`, which materialized a k-struct array per row
+  * (array copies dominated the refinement kernel, not flops). Null seed
+  * entries are skipped (matching `array_min`'s null-skip contract); an
+  * all-null or empty seed array yields 0. Cosine arithmetic is identical
+  * to [[CosineSimilarity]] (double accumulation, left-to-right, 0.0 on a
+  * zero norm), so assignments are bit-equal to the replaced plan. */
+case class NearestSeed(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okL = VectorTypeCheck.isFloatVector(left.dataType)
+    val okR = right.dataType match {
+      case ArrayType(e, _) => VectorTypeCheck.isFloatVector(e)
+      case _ => false
+    }
+    if (okL && okR) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "nearest_seed requires (array<float>, array<array<float>>), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val v = l.asInstanceOf[ArrayData]
+    val seeds = r.asInstanceOf[ArrayData]
+    var best = 0L; var bestD = Double.MaxValue; var s = 0
+    while (s < seeds.numElements()) {
+      if (!seeds.isNullAt(s)) {
+        val sv = seeds.getArray(s)
+        val n = math.min(v.numElements(), sv.numElements())
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = v.getFloat(i).toDouble
+          val y = sv.getFloat(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val sim =
+          if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        val d = 1.0 - sim
+        if (d < bestD) { bestD = d; best = s.toLong }
+      }
+      s += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, seeds) => {
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val s = ctx.freshName("s"); val sv = ctx.freshName("sv")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val sim = ctx.freshName("sim")
+      val d = ctx.freshName("d")
+      s"""
+         |long $best = 0L; double $bestD = Double.MAX_VALUE;
+         |for (int $s = 0; $s < $seeds.numElements(); $s++) {
+         |  if (!$seeds.isNullAt($s)) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $sv =
+         |      $seeds.getArray($s);
+         |    int $n = java.lang.Math.min($v.numElements(), $sv.numElements());
+         |    double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double x = (double) $v.getFloat($i);
+         |      double y = (double) $sv.getFloat($i);
+         |      $dot += x * y; $na += x * x; $nb += y * y;
+         |    }
+         |    double $sim = ($na == 0.0 || $nb == 0.0) ? 0.0
+         |      : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |    double $d = 1.0 - $sim;
+         |    if ($d < $bestD) { $bestD = $d; $best = (long) $s; }
+         |  }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "nearest_seed"
+}
+
+/** Shannon entropy (nats) of a document's character or whitespace-token
+  * distribution — the quality-filter signal pretraining curation uses to
+  * drop low-information pages (gibberish → low char entropy; boilerplate
+  * key-value spam → low token entropy relative to length).
+  *
+  * Cross-engine determinism: a float Σ p·ln p over an UNORDERED frequency
+  * map is summation-order-dependent, so the kernel instead computes the
+  * order-free integer sum S = Σ floor(c·ln(c)·1e6) over the counts (long
+  * addition is exact and commutative) and derives
+  * H = ln(n) − S/1e6/n, floored to the 1e-4 grid — every double op is a
+  * deterministic function of exact integer counts, so DuckDB replays it
+  * bit-identically (`Oracles` scaffold). Runs as one NARROW per-row call
+  * (generated code calls the static kernel — no shuffle, no explode;
+  * entropy via explode+groupBy(doc) would shuffle the whole corpus). */
+object TextEntropy {
+  def compute(s: UTF8String, overTokens: Boolean): Double = {
+    val str = s.toString
+    val counts = new java.util.HashMap[String, Long]()
+    var n = 0L
+    if (overTokens) {
+      var i = 0; val len = str.length
+      while (i < len) {
+        var j = i
+        while (j < len && str.charAt(j) != ' ') j += 1
+        if (j > i) {
+          val tok = str.substring(i, j)
+          counts.merge(tok, 1L, (a, b) => a + b); n += 1
+        }
+        i = j + 1
+      }
+    } else {
+      var i = 0
+      while (i < str.length) {
+        counts.merge(String.valueOf(str.charAt(i)), 1L, (a, b) => a + b)
+        n += 1; i += 1
+      }
+    }
+    if (n == 0L) 0.0
+    else {
+      var sum = 0L
+      val it = counts.values().iterator()
+      while (it.hasNext) {
+        val c = it.next().toDouble
+        sum += math.floor(c * math.log(c) * 1e6).toLong
+      }
+      math.floor((math.log(n.toDouble) - sum / 1e6 / n.toDouble) * 1e4) / 1e4
+    }
+  }
+}
+
+case class TextEntropy(child: Expression, overTokens: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${dt.simpleString}")
+  }
+  override def nullSafeEval(v: Any): Any =
+    TextEntropy.compute(v.asInstanceOf[UTF8String], overTokens)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TextEntropy.compute($c, $overTokens)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String =
+    if (overTokens) "token_entropy" else "char_entropy"
+}

@@ -55,6 +55,15 @@ package object functions {
 
   def dequantize8(q: Column): Column = bridge.column(Dequantize8(c(q)))
 
+  def char_entropy(text: Column): Column =
+    bridge.column(TextEntropy(c(text), overTokens = false))
+
+  def token_entropy(text: Column): Column =
+    bridge.column(TextEntropy(c(text), overTokens = true))
+
+  def nearest_seed(v: Column, seeds: Column): Column =
+    bridge.column(NearestSeed(c(v), c(seeds)))
+
   def pq_encode(v: Column, books: Array[Array[Array[Float]]]): Column =
     bridge.column(PqEncode(c(v), books))
 

@@ -1114,8 +1114,11 @@ object Dedup {
     }
   }
 
+  // the seed's assignment index IS its array position (farthestFirstPick
+  // numbers seeds 0..k-1 in pick order), so the dataflow ships bare
+  // embedding arrays and nearest_seed returns the position
   private val farthestFirstSeeds =
-    udf((cands: Seq[Seq[Float]], k: Int) => farthestFirstPick(cands, k))
+    udf((cands: Seq[Seq[Float]], k: Int) => farthestFirstPick(cands, k).map(_.emb))
 
   /** Similarity-COHERENT sub-blocking for oversized blocks — the
     * recall-preserving complement to [[blockedNeighbors]]' hash guard.
@@ -1192,12 +1195,14 @@ object Dedup {
           farthestFirstSeeds(
             transform(col("cs"), s => s.getField("emb")), col("__k"))
             .as("__seeds"))
-      val best = array_min(transform(col("__seeds"), s =>
-        struct((lit(1.0) - cosine_similarity(col("embedding"),
-          s.getField("emb"))).as("dist"), s.getField("i").as("i"))))
+      // assignment: ONE codegen'd fused argmin over the row's seed matrix
+      // (nearest_seed) — no per-row (dist, i) struct-array materialization;
+      // same (dist asc, i asc) ordering as the array_min(transform(...))
+      // formulation it replaced, bit-equal assignments
       val refined = e.join(broadcast(seedArrays), Seq("block"), "left")
         .withColumn("block", struct(col("block").as("b"),
-          when(col("__seeds").isNotNull, best.getField("i"))
+          when(col("__seeds").isNotNull,
+            graft.functions.nearest_seed(col("embedding"), col("__seeds")))
             .otherwise(lit(0L)).as("s")))
         .drop("__seeds")
       (refined, None)

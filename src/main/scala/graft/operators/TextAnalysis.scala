@@ -599,4 +599,68 @@ object TextAnalysis {
         coalesce(col("keep"), lit(true)).as("keep"))
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
+
+  /** Skip-gram context-pair mining over normalized tokens — the training
+    * pair generator for word2vec/GloVe-style embedding pretraining: every
+    * DIRECTED pair of tokens at distance ≤ `window` within a document is
+    * a (center, context) observation; pairs are counted corpus-wide,
+    * `minCount` drops the unstable tail, and the top `k` by count (ties →
+    * lexicographic) are returned as the checkable summary surface.
+    *
+    * Scale shape: pair expansion is one NARROW per-row expression
+    * (2·window·len structs per doc — linear in tokens, never tokens²; no
+    * positional self-join of an exploded token table, which would shuffle
+    * the corpus token list twice and join on doc_id), counting is one
+    * map-side-combined aggregate shuffled on the pair key (the TF-IDF
+    * vocabulary profile — unbounded key domain, so a SHUFFLE agg is the
+    * rule), and ranking is a TakeOrdered over integer counts. */
+  def skipgrams(t: Tables, window: Int = 3, minCount: Long = 5,
+                k: Int = 30): DataFrame =
+    skipgrams(t.documents, window, minCount, k)
+
+  /** [[skipgrams]] over any `(doc_id, text)` table. */
+  def skipgrams(docs: DataFrame, window: Int, minCount: Long,
+                k: Int): DataFrame = {
+    require(window >= 1, s"window must be ≥ 1, got $window")
+    // filter() guards the descending-sequence trap: sequence(1, 0) is
+    // [1, 0] (step defaults to -1), so the inner sequence only ever runs
+    // with size(toks) > d
+    val pairs = docs
+      .select(tokens(preprocess(col("text"))).as("toks"))
+      .select(explode(expr(
+        s"""flatten(flatten(transform(
+           |  filter(sequence(1, $window), d -> size(toks) > d),
+           |  d -> transform(sequence(1, size(toks) - d), i ->
+           |    array(named_struct('center', toks[i-1], 'context', toks[i-1+d]),
+           |          named_struct('center', toks[i-1+d], 'context', toks[i-1]))))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.center").as("center"), col("p.context").as("context"))
+    pairs
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("center"), col("context"))
+      .limit(k)
+  }
+
+  /** Per-document Shannon entropy of the character and token
+    * distributions over normalized text — the low-information filter
+    * signal (gibberish/repeated-char spam → low char entropy;
+    * template/key-value boilerplate → low token entropy for its length).
+    * Both kernels are NARROW native calls
+    * ([[graft.functions.char_entropy]]/[[graft.functions.token_entropy]],
+    * order-free integer-sum formulation for cross-engine determinism) —
+    * zero shuffle, linear in input splits. */
+  def entropyScores(t: Tables): DataFrame = entropyScores(t.documents)
+
+  /** [[entropyScores]] over any `(doc_id, text)` table. */
+  def entropyScores(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), preprocess(col("text")).as("s"))
+      .select(col("doc_id"),
+        length(col("s")).cast("long").as("n_chars_norm"),
+        graft.functions.char_entropy(col("s")).as("char_entropy"),
+        wsTokenCount(col("s")).cast("long").as("n_tokens"),
+        graft.functions.token_entropy(col("s")).as("token_entropy"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
 }

@@ -285,6 +285,38 @@ class ExpressionSpec extends SparkSuite {
     } finally operators.Search.uninstallAutoFusion(spark)
   }
 
+  test("nearest_seed matches the struct-min formulation it replaced") {
+    // random-ish vectors, 5 seeds per row — the fused argmin must agree
+    // with array_min(transform(seeds, struct(1 - cos, i))).i exactly
+    val rows = (0 until 50).map { r =>
+      val v = vec((0 until 8).map(i => ((r * 31 + i * 7) % 13 - 6).toFloat): _*)
+      val seeds = (0 until 5).map(s =>
+        (0 until 8).map(i => ((r * 17 + s * 5 + i * 3) % 11 - 5).toFloat).toArray)
+      (v, seeds)
+    }
+    val df = rows.toDF("v", "seeds")
+    val declarative = df.select(
+      array_min(transform($"seeds", (s, i) =>
+        struct((lit(1.0) - cosine_similarity($"v", s)).as("dist"),
+          i.cast("long").as("i")))).getField("i"))
+      .as[Long].collect()
+    val fused = df.select(nearest_seed($"v", $"seeds")).as[Long].collect()
+    assert(fused.toSeq == declarative.toSeq)
+    // ties → lowest index; zero-norm seeds score sim 0.0 (dist 1.0)
+    val tied = Seq((vec(1f, 0f), Seq(vec(2f, 0f), vec(1f, 0f), vec(0f, 0f))))
+      .toDF("v", "seeds")
+    assert(tied.select(nearest_seed($"v", $"seeds")).as[Long].head() == 0L)
+    // null seed entries are skipped, matching array_min's null skip
+    val withNull = Seq((vec(1f, 0f), Seq(null, vec(1f, 0f))))
+      .toDF("v", "seeds")
+    assert(withNull.select(nearest_seed($"v", $"seeds")).as[Long].head() == 1L)
+    // SQL face registered
+    GraftSql.register(spark)
+    assert(spark.sql(
+      "SELECT nearest_seed(array(1.0f, 0.0f), array(array(0.0f, 1.0f), array(1.0f, 0.1f)))")
+      .head().getLong(0) == 1L)
+  }
+
   test("SQL registry exposes the full expression surface") {
     GraftSql.register(spark)
     val row = spark.sql("""

@@ -395,4 +395,54 @@ class PipelineSpec extends SparkSuite {
     assert(!rows.keys.exists(_.startsWith("rare")),
       "sub-minCount pair must not rank")
   }
+
+  test("skipgrams: directed pairs at distance ≤ window, exact counts") {
+    // one doc "a b c d": window 2 forward pairs are (a,b) (b,c) (c,d)
+    // (a,c) (b,d) — each also emitted reversed. 5 identical docs put
+    // every pair at count 5 (= minCount); a 1-token doc emits nothing.
+    val docs = ((1L to 5L).map(i => (i, "a b c d")) :+ (6L, "z"))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis
+      .skipgrams(docs, window = 2, minCount = 5, k = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val fwd = Seq("a" -> "b", "b" -> "c", "c" -> "d", "a" -> "c", "b" -> "d")
+    val want = (fwd ++ fwd.map(_.swap)).map(_ -> 5L).toMap
+    assert(got == want, s"got $got")
+    // window 1 drops the distance-2 pairs
+    val w1 = operators.TextAnalysis
+      .skipgrams(docs, window = 1, minCount = 5, k = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w1 == Set("a" -> "b", "b" -> "a", "b" -> "c", "c" -> "b",
+      "c" -> "d", "d" -> "c"))
+    // minCount filters: raise it and everything vanishes
+    assert(operators.TextAnalysis
+      .skipgrams(docs, window = 2, minCount = 6, k = 100).count() == 0)
+  }
+
+  test("entropy: uniform text maxes, constant text zeroes, empty is 0") {
+    val docs = Seq(
+      (1L, "aaaa"),          // one char class → char entropy 0
+      (2L, "ab ab ab ab"),   // tokens all equal → token entropy 0
+      (3L, ""),              // empty → all zeros
+      (4L, "a b c d"))       // 4 distinct tokens → ln(4)
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.entropyScores(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == ((4L, 0.0, 1L, 0.0)))
+    assert(got(2L)._4 == 0.0)                  // identical tokens
+    assert(got(3L) == ((0L, 0.0, 0L, 0.0)))
+    // "a b c d": 7 chars = 4 distinct letters + 3 spaces;
+    // token entropy = ln(4) on the 1e-4 grid via the integer-sum replay
+    val lnFour = math.floor(math.log(4.0) * 1e4) / 1e4
+    assert(got(4L)._4 == lnFour, s"token entropy ${got(4L)._4} != $lnFour")
+    assert(got(4L)._3 == 4L)
+    // kernel formula cross-check on the char side of doc 4:
+    // counts: 4 letters ×1, space ×3, n = 7
+    val s = Seq(1L, 1L, 1L, 1L, 3L)
+    val sm = s.map(c => math.floor(c * math.log(c.toDouble) * 1e6).toLong).sum
+    val h = math.floor((math.log(7.0) - sm / 1e6 / 7.0) * 1e4) / 1e4
+    assert(got(4L)._2 == h)
+  }
 }
