@@ -25,8 +25,19 @@ object Scratch {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"TIME $name ${(System.nanoTime() - t0) / 1e9}%8.2f s")
-        val plan = fn(spark, sfDir).queryExecution.optimizedPlan
-        println(plan.toString.linesIterator.take(12).mkString("\n"))
+        if (sys.env.contains("GRAFT_SHOW_EXECUTED")) {
+          // the AQE-FINAL physical plan: runtime join strategy decisions
+          // (broadcast-vs-shuffle) only exist after execution, so run the
+          // df's own queryExecution (collect, not a writer — the writer
+          // wraps a separate command plan) and print what actually ran
+          val df = fn(spark, sfDir)
+          df.collect()
+          println(df.queryExecution.executedPlan.toString.linesIterator
+            .take(60).mkString("\n"))
+        } else {
+          val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+          println(plan.toString.linesIterator.take(12).mkString("\n"))
+        }
       }
     }
     spark.stop()

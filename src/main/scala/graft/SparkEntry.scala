@@ -217,6 +217,12 @@ object SparkEntry {
     // per-doc char/token Shannon entropy (low-information filter signal);
     // narrow native kernels, order-free integer-sum formulation
     "text_entropy"   -> q(TextAnalysis.entropyScores),
+    // tokenizer fertility per language (BPE tokens/word, chars/token);
+    // narrow count kernels + bounded lang aggregate, exact int ratios
+    "q_fertility"    -> q(TextAnalysis.fertility),
+    // per-source token-distribution KL vs the corpus (mixing diagnostic);
+    // one token pass, vocabulary shuffle join, integer-sum determinism
+    "q_source_kl"    -> q(TextAnalysis.sourceKl),
     "dedup_exact"    -> q(Dedup.exactGroups),
     // vector index health (reference: controllers/health_controller.py)
     "q_index_stats"  -> q(indexStats),
@@ -2732,6 +2738,41 @@ $rounds
           |FROM n0 LEFT JOIN che ON n0.doc_id = che.doc_id
           | LEFT JOIN tke ON n0.doc_id = tke.doc_id
           |ORDER BY n0.doc_id""").stripMargin,
+    // q_fertility: RAW-text token counts (the text_tokens kernels) summed
+    // per lang; the two ratios are integer÷integer doubles (IEEE-exact)
+    "q_fertility" ->
+      """WITH d AS (SELECT lang,
+        |  CAST(CASE WHEN len(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text),'\s+')) END AS BIGINT) AS ws,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe,
+        |  CAST(n_chars AS BIGINT) AS nc FROM documents),
+        | a AS (SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+        |  CAST(SUM(nc) AS BIGINT) AS n_chars FROM d GROUP BY 1)
+        |SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+        | CASE WHEN ws_tokens > 0 THEN CAST(bpe_tokens AS DOUBLE)/CAST(ws_tokens AS DOUBLE) ELSE 0.0 END AS fertility,
+        | CASE WHEN bpe_tokens > 0 THEN CAST(n_chars AS DOUBLE)/CAST(bpe_tokens AS DOUBLE) ELSE 0.0 END AS chars_per_token
+        |FROM a ORDER BY lang""".stripMargin,
+    // q_source_kl: each KL term floored to a 1e-6-grid BIGINT (a function
+    // of four exact counts), summed as exact integer addition — the same
+    // order-free trick as text_entropy, so the unordered vocabulary
+    // aggregate cannot produce an order-dependent float sum
+    "q_source_kl" ->
+      (s"""WITH n0 AS (SELECT source, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT source, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n0),
+          | st AS (SELECT source, tk, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+          | ct AS (SELECT tk, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+          | ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+          | nn AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM ns),
+          | tm AS (SELECT st.source, ns.n_s,
+          |   CAST(floor(CAST(c_st AS DOUBLE) *
+          |     (ln(CAST(c_st AS DOUBLE)) + ln(CAST(n AS DOUBLE)) -
+          |      ln(CAST(n_s AS DOUBLE)) - ln(CAST(c_t AS DOUBLE))) * 1e6)
+          |     AS BIGINT) AS term
+          |   FROM st JOIN ct USING (tk) JOIN ns USING (source), nn)
+          |SELECT source, n_s AS n_tokens,
+          | floor(CAST(SUM(term) AS DOUBLE) / 1e6 / CAST(n_s AS DOUBLE) * 1e4) / 1e4 AS kl
+          |FROM tm GROUP BY source, n_s ORDER BY source""").stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | COUNT(*) AS n, MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max

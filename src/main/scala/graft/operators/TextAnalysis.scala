@@ -643,6 +643,89 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Tokenizer fertility by language — the tokenizer-evaluation metric a
+    * multilingual corpus release reports: subword (BPE-ish) tokens per
+    * whitespace word and characters per subword token, per `lang`. A
+    * high-fertility language is under-served by the tokenizer (more
+    * tokens per word → shorter effective context, higher training cost
+    * per content unit).
+    *
+    * One narrow per-doc count pass (the [[tokenCounts]] kernels) + one
+    * bounded groupBy(lang) — integer sums, then integer÷integer double
+    * ratios (IEEE-exact, engine-portable; no floor grid needed). */
+  def fertility(t: Tables): DataFrame = fertility(t.documents)
+
+  /** [[fertility]] over any `(doc_id, text, lang, n_chars)` table. */
+  def fertility(docs: DataFrame): DataFrame =
+    docs
+      .select(col("lang"),
+        wsTokenCount(col("text")).cast("long").as("ws"),
+        bpeTokenCount(col("text")).cast("long").as("bpe"),
+        col("n_chars").cast("long").as("nc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("nc")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"),
+        col("bpe_tokens"), col("n_chars"),
+        when(col("ws_tokens") > 0,
+          col("bpe_tokens").cast("double") / col("ws_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("fertility"),
+        when(col("bpe_tokens") > 0,
+          col("n_chars").cast("double") / col("bpe_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("chars_per_token"))
+      .orderBy(col("lang"))
+
+  /** Per-source token-distribution KL divergence vs the whole corpus —
+    * the domain-shift diagnostic a data-mixing pass reads before
+    * reweighting sources (a source with high KL(source‖corpus) is
+    * lexically far from the mix and dominates or starves a naive
+    * proportional blend).
+    *
+    * KL(s‖corpus) = (1/n_s) Σ_t c_st · ln(c_st·n / (n_s·c_t)), computed
+    * with the same ORDER-FREE integer-sum trick as `text_entropy`: each
+    * term is floored to a 1e-6-grid BIGINT (a deterministic function of
+    * the four exact counts), the per-source sum is exact integer
+    * addition, and only the final division is float (floored to 1e-4) —
+    * so the unordered vocabulary aggregate can never produce an
+    * order-dependent float sum.
+    *
+    * Scale shape: ONE pass over tokens builds the (source, token) count
+    * table; the corpus token counts re-aggregate THAT table (never a
+    * second pass over documents); the token-key attach is a vocabulary
+    * SHUFFLE join (unbounded key domain — TF-IDF's df-join rule); the
+    * per-source totals and the corpus total are bounded-row broadcasts. */
+  def sourceKl(t: Tables): DataFrame = sourceKl(t.documents)
+
+  /** [[sourceKl]] over any `(doc_id, text, source)` table. */
+  def sourceKl(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(preprocess(col("text")))).as("tk"))
+      .groupBy(col("source"), col("tk"))
+      .agg(count(lit(1)).as("c_st"))
+      .barrier() // three consumers: corpus counts, source totals, terms
+    val ct = st.groupBy(col("tk")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = ns.agg(sum(col("n_s")).as("n"))
+    val terms = st
+      .join(ct, Seq("tk"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .select(col("source"), col("n_s"),
+        floor(col("c_st").cast("double") *
+          (log(col("c_st").cast("double")) + log(col("n").cast("double")) -
+            log(col("n_s").cast("double")) - log(col("c_t").cast("double"))) *
+          lit(1e6)).cast("long").as("term"))
+    terms
+      .groupBy(col("source"), col("n_s"))
+      .agg(sum(col("term")).as("s_sum"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        (floor(col("s_sum").cast("double") / 1e6 /
+          col("n_s").cast("double") * 1e4) / 1e4).as("kl"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document Shannon entropy of the character and token
     * distributions over normalized text — the low-information filter
     * signal (gibberish/repeated-char spam → low char entropy;

@@ -420,6 +420,53 @@ class PipelineSpec extends SparkSuite {
       .skipgrams(docs, window = 2, minCount = 6, k = 100).count() == 0)
   }
 
+  test("fertility: per-lang token ratios from exact integer sums") {
+    val docs = Seq(
+      (1L, "ab cd", "en", "s1", 5L),    // ws 2, bpe 2
+      (2L, "a1 b!", "en", "s1", 5L),    // ws 2, bpe 4 (a,1,b,!)
+      (3L, "", "xx", "s2", 0L))         // empty: all zero, ratios 0.0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = operators.TextAnalysis.fertility(docs)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got("en") == Seq(2L, 4L, 6L, 10L, 1.5, 10.0 / 6.0))
+    assert(got("xx") == Seq(1L, 0L, 0L, 0L, 0.0, 0.0))
+  }
+
+  test("sourceKl: sources matching the mix give 0; divergence replays") {
+    // KL(s‖corpus) is zero only when the source distribution equals the
+    // MIX — three identical sources all land at exactly 0.0
+    val same = Seq((1L, "x y z", "s1", ""), (2L, "x y z", "s2", ""),
+      (3L, "x y z", "s3", "")).toDF("doc_id", "text", "source", "lang")
+    val zeros = operators.TextAnalysis.sourceKl(same)
+      .collect().map(r => r.getString(0) -> r.getDouble(2))
+    assert(zeros.forall(_._2 == 0.0), s"got ${zeros.toSeq}")
+    // a concentrated source diverges; every value replays the floored
+    // integer-sum formula exactly
+    val docs = Seq(
+      (1L, "x y z", "s1", ""), (2L, "x y z", "s2", ""),
+      (3L, "q q q", "s3", ""))
+      .toDF("doc_id", "text", "source", "lang")
+    val got = operators.TextAnalysis.sourceKl(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == Seq("s1", "s2", "s3"))
+    def kl(terms: Seq[(Long, Long, Long, Long)]): Double = {
+      val s = terms.map { case (cst, ct, ns, n) =>
+        math.floor(cst.toDouble * math.log(
+          cst.toDouble * n / (ns.toDouble * ct)) * 1e6).toLong
+      }.sum
+      math.floor(s.toDouble / 1e6 / terms.head._3.toDouble * 1e4) / 1e4
+    }
+    // s1: x, y, z each c_st=1, c_t=2, n_s=3, n=9 → 3·ln(1.5)-ish terms
+    val wantS1 = kl(Seq.fill(3)((1L, 2L, 3L, 9L)))
+    // s3: q with c_st=3, c_t=3, n_s=3, n=9 → ln(3)
+    val wantS3 = kl(Seq((3L, 3L, 3L, 9L)))
+    assert(got.find(_._1 == "s1").get._3 == wantS1, s"got $got")
+    assert(got.find(_._1 == "s2").get._3 == wantS1)
+    assert(got.find(_._1 == "s3").get._3 == wantS3)
+    assert(wantS3 > wantS1 && wantS1 > 0.0)
+    assert(got.map(_._2).toSeq == Seq(3L, 3L, 3L))
+  }
+
   test("entropy: uniform text maxes, constant text zeroes, empty is 0") {
     val docs = Seq(
       (1L, "aaaa"),          // one char class → char entropy 0

@@ -679,6 +679,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed attribution credits rebuild the batch report exactly") {
+    // time-split chunks preserve per-user event-time order across
+    // triggers; folded credits must match the batch window operator —
+    // including the DECIMAL value sums and the "none" bucket
+    val q = AttributionStream.credits(streamEvents)
+      .writeStream.format("memory").queryName("attribution_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = AttributionStream.table(spark.table("attribution_out"))
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.operators.EventAnalytics.attribution(t.events)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch,
+        s"${streamed.length} streamed vs ${batch.length} batch rows")
+      // one credit per conversion, never a touch buffer
+      val nCredits = spark.table("attribution_out").count()
+      val nConv = t.events.filter(col("event_type") === "purchase").count()
+      assert(nCredits == nConv)
+    } finally q.stop()
+  }
+
   test("anomaly scoring: types unseen in the reference score z=0, no flag") {
     import org.apache.spark.sql.Row
     val rows = java.util.Arrays.asList(
