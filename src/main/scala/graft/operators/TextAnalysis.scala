@@ -608,12 +608,18 @@ object TextAnalysis {
     * lexicographic) are returned as the checkable summary surface.
     *
     * Scale shape: pair expansion is one NARROW per-row expression
-    * (2·window·len structs per doc — linear in tokens, never tokens²; no
+    * (window·len structs per doc — linear in tokens, never tokens²; no
     * positional self-join of an exploded token table, which would shuffle
     * the corpus token list twice and join on doc_id), counting is one
     * map-side-combined aggregate shuffled on the pair key (the TF-IDF
     * vocabulary profile — unbounded key domain, so a SHUFFLE agg is the
-    * rule), and ranking is a TakeOrdered over integer counts. */
+    * rule), and ranking is a TakeOrdered over integer counts. The
+    * DIRECTED symmetry is exploited: only FORWARD (position-ordered)
+    * pairs are expanded and counted — half the explode and shuffle
+    * volume of emitting both directions per position — and the directed
+    * count c(x→y) = F(x,y) + F(y,x) is assembled by mirroring the
+    * forward-count TABLE (distinct-pair rows, orders of magnitude
+    * smaller than the pair stream) and re-aggregating. */
   def skipgrams(t: Tables, window: Int = 3, minCount: Long = 5,
                 k: Int = 30): DataFrame =
     skipgrams(t.documents, window, minCount, k)
@@ -625,19 +631,25 @@ object TextAnalysis {
     // filter() guards the descending-sequence trap: sequence(1, 0) is
     // [1, 0] (step defaults to -1), so the inner sequence only ever runs
     // with size(toks) > d
-    val pairs = docs
+    val fwd = docs
       .select(tokens(preprocess(col("text"))).as("toks"))
       .select(explode(expr(
-        s"""flatten(flatten(transform(
+        s"""flatten(transform(
            |  filter(sequence(1, $window), d -> size(toks) > d),
            |  d -> transform(sequence(1, size(toks) - d), i ->
-           |    array(named_struct('center', toks[i-1], 'context', toks[i-1+d]),
-           |          named_struct('center', toks[i-1+d], 'context', toks[i-1]))))))"""
+           |    named_struct('center', toks[i-1], 'context', toks[i-1+d]))))"""
           .stripMargin)).as("p"))
-      .select(col("p.center").as("center"), col("p.context").as("context"))
-    pairs
-      .groupBy(col("center"), col("context"))
-      .agg(count(lit(1)).as("c"))
+      .groupBy(col("p.center").as("center"), col("p.context").as("context"))
+      .agg(count(lit(1)).as("f"))
+    fwd
+      // mirror INSIDE one dataflow (a self-union would re-run the pair
+      // aggregate twice): each forward row fans out to itself + its swap
+      .select(explode(array(
+        struct(col("center"), col("context"), col("f")),
+        struct(col("context").as("center"), col("center").as("context"),
+          col("f")))).as("r"))
+      .groupBy(col("r.center").as("center"), col("r.context").as("context"))
+      .agg(sum(col("r.f")).as("c"))
       .filter(col("c") >= minCount)
       .orderBy(col("c").desc, col("center"), col("context"))
       .limit(k)

@@ -257,4 +257,39 @@ class PropertySpec extends SparkSuite {
         s"fp=$fp extra=$extra must not pair: $got")
     }
   }
+
+  test("entropy kernel: order-free, bounded by ln(n), zero iff uniform-1") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String, tok: Boolean) =
+      graft.functions.TextEntropy.compute(UTF8String.fromString(s), tok)
+    forAll(tokensGen, 25) { toks =>
+      val s = toks.mkString(" ")
+      // order-free: any permutation of tokens/characters scores the same
+      val perm = scala.util.Random.shuffle(toks).mkString(" ")
+      assert(h(s, tok = true) == h(perm, tok = true))
+      assert(h(s, tok = false) == h(s.reverse, tok = false))
+      // bounded: 0 ≤ H ≤ ln(n) (+ floor slack) in both modes
+      val ht = h(s, tok = true)
+      assert(ht >= 0.0 && ht <= math.log(toks.length.toDouble) + 1e-4)
+      val hc = h(s, tok = false)
+      assert(hc >= 0.0 && hc <= math.log(s.length.toDouble) + 1e-4)
+      // all-identical tokens → exactly 0
+      assert(h(Seq.fill(toks.length)(toks.head).mkString(" "), tok = true)
+        == 0.0)
+    }
+  }
+
+  test("skipgram pair conservation: 2·Σ_d max(len−d, 0) directed pairs") {
+    forAll(tokensGen, 8) { toks =>
+      val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
+      val window = 3
+      val total = operators.TextAnalysis
+        .skipgrams(docs, window = window, minCount = 1, k = 1000000)
+        .agg(org.apache.spark.sql.functions.sum("c")).head()
+      val len = toks.length
+      val want = 2L * (1 to window).map(d => math.max(len - d, 0)).sum
+      val got = if (total.isNullAt(0)) 0L else total.getLong(0)
+      assert(got == want, s"len=$len got=$got want=$want")
+    }
+  }
 }

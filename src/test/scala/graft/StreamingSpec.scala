@@ -702,6 +702,27 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streamed transition pairs rebuild the batch matrix exactly") {
+    val q = TransitionStream.pairs(streamEvents)
+      .writeStream.format("memory").queryName("transition_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = TransitionStream.table(spark.table("transition_out"))
+        .collect().map(_.toSeq).toSeq
+      val batch = graft.operators.EventAnalytics.transitions(t.events)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed === batch,
+        s"${streamed.length} streamed vs ${batch.length} batch rows")
+      // one pair per consecutive same-user event pair: events − users
+      val nPairs = spark.table("transition_out").count()
+      val nEvents = t.events.count()
+      val nUsers = t.events.select(col("user_id")).distinct().count()
+      assert(nPairs == nEvents - nUsers)
+    } finally q.stop()
+  }
+
   test("anomaly scoring: types unseen in the reference score z=0, no flag") {
     import org.apache.spark.sql.Row
     val rows = java.util.Arrays.asList(
