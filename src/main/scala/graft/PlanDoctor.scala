@@ -167,8 +167,52 @@ object PlanDoctor {
       case a: AdaptiveSparkPlanExec => boundedByOrderedDomain(a.executedPlan, needed)
       case q: QueryStageExec        => boundedByOrderedDomain(q.plan, needed)
       case r: AQEShuffleReadExec    => boundedByOrderedDomain(r.child, needed)
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        boundedByOrderedDomain(b.child, needed)
+      // a JOIN of two value-domain-bounded inputs is itself bounded (at
+      // most the product of two value domains — never corpus-scaling):
+      // each side must be bounded in (its needed attrs ∪ its equi-join
+      // keys); a side contributing neither must be a 1-row global
+      // aggregate (the broadcast-totals crossJoin shape). This admits the
+      // bounded bucket-join-then-cumsum shape (`vocabGrowth`) while a
+      // join with any corpus-sized side still fails the trace.
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        val (lk, rk) = j match {
+          case h: org.apache.spark.sql.execution.joins.HashJoin =>
+            (h.leftKeys, h.rightKeys)
+          case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+            (s.leftKeys, s.rightKeys)
+          case _ => (Seq.empty, Seq.empty)
+        }
+        def side(child: SparkPlan,
+                 keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+            : Boolean = {
+          val out = child.outputSet.map(_.exprId).toSet
+          val ids = needed.filter(out) ++
+            keys.flatMap(_.references.map(_.exprId))
+          if (ids.nonEmpty) boundedByOrderedDomain(child, ids)
+          else isOneRow(child)
+        }
+        side(j.left, lk) && side(j.right, rk)
       case _                        => false
     }
+
+  /** True when the plan provably yields at most one row (a global
+    * aggregate — the broadcast corpus-totals shape). */
+  private def isOneRow(p: SparkPlan): Boolean = p match {
+    case a: BaseAggregateExec     => a.groupingExpressions.isEmpty
+    case pr: ProjectExec          => isOneRow(pr.child)
+    case f: FilterExec            => isOneRow(f.child)
+    case e: ShuffleExchangeExec   => isOneRow(e.child)
+    case w: WholeStageCodegenExec => isOneRow(w.child)
+    case i: InputAdapter          => isOneRow(i.child)
+    case a: AdaptiveSparkPlanExec => isOneRow(a.executedPlan)
+    case q: QueryStageExec        => isOneRow(q.plan)
+    case r: AQEShuffleReadExec    => isOneRow(r.child)
+    case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+      isOneRow(b.child)
+    case _                        => false
+  }
 
   private def hasPartialAgg(plan: SparkPlan): Boolean = plan.exists {
     case a: HashAggregateExec =>

@@ -223,6 +223,10 @@ object SparkEntry {
     // per-source token-distribution KL vs the corpus (mixing diagnostic);
     // one token pass, vocabulary shuffle join, integer-sum determinism
     "q_source_kl"    -> q(TextAnalysis.sourceKl),
+    // Heaps'-law vocabulary growth over doc_id-prefix tenths (vocab/BPE
+    // sizing diagnostic); value-cut buckets (no global row window), one
+    // token pass, min-bucket first-seen, 10-row cumulative
+    "q_vocab_growth" -> q(t => TextAnalysis.vocabGrowth(t)),
     "dedup_exact"    -> q(Dedup.exactGroups),
     // vector index health (reference: controllers/health_controller.py)
     "q_index_stats"  -> q(indexStats),
@@ -2773,6 +2777,25 @@ $rounds
           |SELECT source, n_s AS n_tokens,
           | floor(CAST(SUM(term) AS DOUBLE) / 1e6 / CAST(n_s AS DOUBLE) * 1e4) / 1e4 AS kl
           |FROM tm GROUP BY source, n_s ORDER BY source""").stripMargin,
+    // q_vocab_growth: doc_id value-cut buckets (floor(id·10/(max+1)) —
+    // both engines divide integers as doubles), first-seen = min bucket
+    // per token type, cumulative over the 10-row bucket table
+    "q_vocab_growth" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | mx AS (SELECT MAX(doc_id) AS m FROM documents),
+          | tok AS (SELECT CAST(floor(doc_id * 10 / (m + 1)) AS INT) AS bucket,
+          |   unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk
+          |   FROM n0, mx),
+          | occ AS (SELECT bucket, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+          | fs AS (SELECT bucket, COUNT(*) AS new_types FROM (
+          |   SELECT tk, MIN(bucket) AS bucket FROM tok GROUP BY 1) GROUP BY 1),
+          | pb AS (SELECT occ.bucket, occ.n_tokens,
+          |   coalesce(fs.new_types, 0) AS new_types
+          |   FROM occ LEFT JOIN fs USING (bucket))
+          |SELECT bucket, n_tokens, new_types,
+          | CAST(SUM(n_tokens) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+          | CAST(SUM(new_types) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
+          |FROM pb ORDER BY bucket""").stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | COUNT(*) AS n, MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 import graft.functions.poly_fingerprint
@@ -736,6 +737,51 @@ object TextAnalysis {
         (floor(col("s_sum").cast("double") / 1e6 /
           col("n_s").cast("double") * 1e4) / 1e4).as("kl"))
       .orderBy(col("source"))
+  }
+
+  /** Vocabulary-growth (Heaps'-law) curve over corpus prefixes — the
+    * corpus statistic vocabulary/BPE sizing reads: how many NEW token
+    * types each additional tenth of the corpus contributes, and the
+    * cumulative vocabulary at each prefix. Sub-linear growth (Heaps'
+    * V ∝ nᵝ, β < 1) is the expected shape; a linear tail signals
+    * unbounded noise (OCR garbage, serial numbers) that will bloat any
+    * trained vocabulary.
+    *
+    * Prefix buckets come from doc_id VALUE cuts against the broadcast
+    * max (floor(id·10/(max+1))) — no global row-number window (a
+    * corpus-sized unpartitioned Window is exactly what PlanDoctor
+    * rejects). Each token type records its FIRST bucket via one
+    * map-side-combined min aggregate; the cumulative sum runs over the
+    * 10-row bucket aggregate (order key = the aggregate's grouping key —
+    * the value-domain-bounded window shape the plan gate whitelists). */
+  def vocabGrowth(t: Tables, buckets: Int = 10): DataFrame =
+    vocabGrowth(t.documents, buckets)
+
+  /** [[vocabGrowth]] over any `(doc_id, text)` table. */
+  def vocabGrowth(docs: DataFrame, buckets: Int): DataFrame = {
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val toks = docs
+      .select(
+        floor(col("doc_id") * buckets / lit(maxId + 1)).cast("int")
+          .as("bucket"),
+        explode(tokens(preprocess(col("text")))).as("tk"))
+      .barrier() // two consumers: per-bucket occurrence counts, first-seen
+    val occ = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = toks.groupBy(col("tk"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val perBucket = occ.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket
+      .select(col("bucket"), col("n_tokens"), col("new_types"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"),
+        sum(col("new_types")).over(w).as("cum_types"))
+      .orderBy(col("bucket"))
   }
 
   /** Per-document Shannon entropy of the character and token

@@ -467,6 +467,30 @@ class PipelineSpec extends SparkSuite {
     assert(got.map(_._2).toSeq == Seq(3L, 3L, 3L))
   }
 
+  test("vocabGrowth: new types credited to first bucket, cumsums exact") {
+    // ids 0..9 with buckets = 10 → bucket == doc_id (max 9, cut id*10/10)
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"), (2L, "a b c"), (3L, "d"),
+      (4L, ""), (5L, "a"), (6L, "e e"), (7L, "a"), (8L, "a"), (9L, "f"))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.vocabGrowth(docs, buckets = 10)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // bucket 4 (empty doc) contributes no tokens → absent entirely
+    assert(!got.contains(4))
+    assert(got(0) == ((2L, 2L, 2L, 2L)))   // a, b new
+    assert(got(1) == ((2L, 1L, 4L, 3L)))   // c new
+    assert(got(2) == ((3L, 0L, 7L, 3L)))   // nothing new
+    assert(got(3) == ((1L, 1L, 8L, 4L)))   // d new
+    assert(got(6) == ((2L, 1L, 11L, 5L)))  // e new (counted once)
+    assert(got(9) == ((1L, 1L, 14L, 6L)))  // f new
+    // plan gate: the bucket-join-then-cumsum shape is bounded — no
+    // error-severity window finding
+    val audit = PlanDoctor.audit(
+      operators.TextAnalysis.vocabGrowth(docs, buckets = 10))
+    assert(!audit.exists(f => f.severity == "error"), audit.mkString("\n"))
+  }
+
   test("entropy: uniform text maxes, constant text zeroes, empty is 0") {
     val docs = Seq(
       (1L, "aaaa"),          // one char class → char entropy 0

@@ -78,4 +78,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(bounded.exists(_.rule == "single-partition-window-bounded"),
       bounded.mkString("\n"))
   }
+
+  test("window over a join: bounded×bounded admitted, corpus side flagged") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val t = sources.Tables(spark, sfDir)
+    // two bounded aggregates joined on their grouping key, then a cumsum
+    // ordered by that key (the vocabGrowth shape): bounded, never error
+    val a = t.events.groupBy(col("event_type").as("k"))
+      .agg(count(lit(1)).as("n"))
+    val b = t.events.groupBy(col("event_type").as("k"))
+      .agg(sum(col("value")).as("v"))
+    val joined = a.join(b, Seq("k"), "left")
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("k"))))
+    val got = PlanDoctor.audit(joined)
+    assert(!got.exists(_.rule == "single-partition-window"),
+      got.mkString("\n"))
+    // the same window but one join side is the raw corpus: error
+    val badJoin = a.join(
+      t.events.select(col("event_type").as("k"), col("value")), Seq("k"))
+      .withColumn("cum", sum(col("n")).over(Window.orderBy(col("k"))))
+    assert(PlanDoctor.audit(badJoin)
+      .exists(f => f.severity == "error" &&
+        f.rule == "single-partition-window"),
+      PlanDoctor.audit(badJoin).mkString("\n"))
+  }
 }
