@@ -475,6 +475,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("RocksDB state backend: event-family twin identical to heap run") {
+    // the newest stateful family must also be provider-invisible: the
+    // retention twin's 16-byte-per-user state under RocksDB folds to the
+    // exact batch cohort table the heap store produces
+    val rocks = StateBackend.withRocksDB(spark) {
+      val q = RetentionStream.marks(streamEvents)
+        .writeStream.format("memory").queryName("retention_rocks")
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        assert(StateBackend.usesRocksDB(q),
+          "provider switch did not engage")
+        RetentionStream.table(spark.table("retention_rocks"))
+          .collect().map(_.toSeq).toSeq
+      } finally q.stop()
+    }
+    val batch = graft.operators.EventAnalytics.retention(t.events)
+      .collect().map(_.toSeq).toSeq
+    assert(rocks.nonEmpty && rocks === batch,
+      s"${rocks.length} rocks vs ${batch.length} batch rows")
+  }
+
   test("RocksDB state backend: identical sessions, state metrics surfaced") {
     import spark.implicits._
     // the production state store must be invisible in the answer: the
