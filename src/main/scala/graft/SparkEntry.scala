@@ -213,6 +213,11 @@ object SparkEntry {
     // data generation; narrow per-row pair expansion, vocabulary-profile
     // shuffle aggregate, integer-count TakeOrdered ranking
     "q_skipgram"     -> q(t => TextAnalysis.skipgrams(t)),
+    // smoothed positive PMI over the skip-gram table (shifted-PPMI word
+    // associations, the matrix SGNS factorizes); barriered pair table
+    // read 3×, vocabulary SHUFFLE marginal joins, integer-floored
+    // smoothed mass, floored-grid ranking
+    "q_ppmi"         -> q(t => TextAnalysis.ppmi(t)),
     "text_quality"   -> q(TextAnalysis.qualityScores),
     // per-doc char/token Shannon entropy (low-information filter signal);
     // narrow native kernels, order-free integer-sum formulation
@@ -533,6 +538,10 @@ object SparkEntry {
     "q_cms_topk" -> q(t => Sketches.cmsTokenTopK(t.documents)),
     // text analysis
     "text_langid"      -> q(TextAnalysis.languageId),
+    // langid audit vs the labeled lang column (the classifier-eval twin
+    // for text): truth label carried through the ONE scoring scan, two
+    // bounded per-language aggregates, recall + precision per language
+    "q_langid_eval"    -> q(TextAnalysis.langidEval),
     "text_fingerprint" -> q(TextAnalysis.fingerprints),
     // token diversity: Simpson concentration (integer core) + Shannon
     // entropy (ordered fold — a plain double SUM would be
@@ -1224,6 +1233,25 @@ $rounds
       // the batched seam must produce EXACTLY the expression path's
       // vectors — same digest oracle, verbatim
       "q_embed_batch" -> base("q_embed"),
+      // q_langid_eval: the langid replay joined back to the labeled lang,
+      // then two |languages|-row aggregates; hits grouped by truth serve
+      // both recall and precision (truth = prediction on a hit)
+      "q_langid_eval" ->
+        s"""WITH cls AS (${base("text_langid")}),
+           | lbl AS (SELECT d.lang, c.predicted_lang
+           |  FROM cls c JOIN documents d USING (doc_id)),
+           | t AS (SELECT lang, COUNT(*) AS n,
+           |   CAST(SUM(CASE WHEN lang = predicted_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+           |  FROM lbl GROUP BY 1),
+           | p AS (SELECT predicted_lang AS lang, COUNT(*) AS n_pred
+           |  FROM lbl GROUP BY 1)
+           |SELECT t.lang, n, n_correct,
+           | floor(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6 AS recall,
+           | coalesce(n_pred, 0) AS n_pred,
+           | CASE WHEN coalesce(n_pred, 0) > 0
+           |   THEN floor(CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE) * 1e6) / 1e6
+           |   ELSE 0.0 END AS "precision"
+           |FROM t LEFT JOIN p USING (lang) ORDER BY lang""".stripMargin,
       // q_curate: the five per-gate oracles composed exactly like the
       // Spark funnel — each subquery IS the gate's own hash oracle, the
       // composition is a doc_id join + conjunction (the inner join to the
@@ -2714,6 +2742,33 @@ $rounds
           |   GROUP BY 1, 2 HAVING COUNT(*) >= 5)
           |SELECT center, context, c FROM cc
           |ORDER BY c DESC, center, context LIMIT 30""").stripMargin,
+    // q_ppmi: the same pair expansion WITHOUT the count cut feeds the
+    // marginals; smoothed context mass as exact integer sum of floored
+    // sqrt (DuckDB SUM(BIGINT)→HUGEINT, cast to double at the end like
+    // Spark's long→double); the SGNS shift is the identical binary
+    // double literal in both engines; 1e-4 floored ranking grid
+    "q_ppmi" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tokq AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | prs AS (SELECT pr[1] AS center, pr[2] AS context FROM (
+          |   SELECT unnest(flatten(flatten(list_transform(range(1, 4), d ->
+          |     list_transform(range(1, len(toks) - d + 1), i ->
+          |       [[toks[i], toks[i+d]], [toks[i+d], toks[i]]]))))) AS pr
+          |   FROM tokq)),
+          | pc AS (SELECT center, context, COUNT(*) AS c FROM prs GROUP BY 1, 2),
+          | cw AS (SELECT center, CAST(SUM(c) AS BIGINT) AS c_w FROM pc GROUP BY 1),
+          | ccm AS (SELECT context,
+          |   CAST(floor(sqrt(CAST(SUM(c) AS DOUBLE)) * 1e6) AS BIGINT) AS sc
+          |  FROM pc GROUP BY 1),
+          | st AS (SELECT CAST(SUM(sc) AS BIGINT) AS s_alpha FROM ccm)
+          |SELECT center, context, c,
+          | floor(greatest(0.0,
+          |   ln((CAST(c AS DOUBLE) * CAST(s_alpha AS DOUBLE)) /
+          |      (CAST(c_w AS DOUBLE) * CAST(sc AS DOUBLE)))
+          |   - ${graft.operators.TextAnalysis.PpmiShift}) * 10000.0) / 10000.0 AS sppmi
+          |FROM pc JOIN cw USING (center) JOIN ccm USING (context) CROSS JOIN st
+          |WHERE c >= 5
+          |ORDER BY sppmi DESC, center, context LIMIT 30""").stripMargin,
     // text_entropy: the order-free integer-sum entropy replay —
     // S = Σ floor(c·ln(c)·1e6) is an exact BIGINT sum over unordered
     // groups, H = ln(n) − S/1e6/n floored to 1e-4; every double op is a

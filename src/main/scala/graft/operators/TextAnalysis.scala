@@ -148,10 +148,12 @@ object TextAnalysis {
     * fused entry point ([[Pipeline.datasetCardFrom]] shares ONE
     * preprocess/tokenize pass across the card's constituents; the regex
     * chain is the card's hottest CPU). */
-  private[graft] def languageIdFrom(toksDf: DataFrame): DataFrame = {
+  private[graft] def languageIdFrom(toksDf: DataFrame,
+                                    carry: Seq[String] = Nil): DataFrame = {
     // two-step select: the tokenization chain is evaluated once (see
     // qualityScores); scores reference the materialized attribute
-    val base = toksDf.select(col("doc_id"), col("toks").as("__toks"))
+    val base = toksDf.select(
+      (col("doc_id") +: carry.map(col)) :+ col("toks").as("__toks"): _*)
     val toks = col("__toks")
     val nTok = size(toks).cast("double")
     def r4(c: Column) = floor(c * 10000.0) / 10000.0
@@ -165,11 +167,50 @@ object TextAnalysis {
         .when(s("es") >= s("fr"), "es")
         .otherwise("fr")
     base.select(
-      col("doc_id"),
-      r4(s("en")).as("score_en"), r4(s("de")).as("score_de"),
-      r4(s("es")).as("score_es"), r4(s("fr")).as("score_fr"),
-      predicted.as("predicted_lang"))
+      (col("doc_id") +: carry.map(col)) ++ Seq(
+        r4(s("en")).as("score_en"), r4(s("de")).as("score_de"),
+        r4(s("es")).as("score_es"), r4(s("fr")).as("score_fr"),
+        predicted.as("predicted_lang")): _*)
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
+  }
+
+  /** The audit over [[languageId]] — the langid twin of
+    * `Classifier.evalReport`, against the corpus's labeled `lang` column:
+    * per TRUE language its support, hits, recall, plus the PREDICTED-side
+    * volume and the implied precision (hits grouped by truth equal hits
+    * grouped by prediction for the same language, since a hit has
+    * truth = prediction — so one hit count serves both ratios). The
+    * table a pipeline reads before trusting langid-gated filtering or
+    * per-language mixing weights.
+    *
+    * Scale shape: the truth label rides the ONE scoring scan (the
+    * `carry` seam — never a corpus-sized join-back on doc_id); the
+    * scored table is barriered and feeds two bounded aggregates
+    * (|languages| rows) joined broadcast-small. */
+  def langidEval(t: Tables): DataFrame = langidEval(t.documents)
+
+  /** [[langidEval]] over any `(doc_id, text, lang)` table. */
+  def langidEval(docs: DataFrame): DataFrame = {
+    val scored = languageIdFrom(
+      docs.select(col("doc_id"), col("lang"),
+        tokens(preprocess(col("text"))).as("toks")),
+      carry = Seq("lang"))
+      .select(col("lang"), col("predicted_lang"),
+        (col("lang") === col("predicted_lang")).cast("long").as("hit"))
+      .barrier() // read 2×: truth-side and prediction-side aggregates
+    val truth = scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("hit")).as("n_correct"))
+    val pred = scored.groupBy(col("predicted_lang").as("lang"))
+      .agg(count(lit(1)).as("n_pred"))
+    truth.join(pred, Seq("lang"), "left")
+      .select(col("lang"), col("n"), col("n_correct"),
+        (floor(col("n_correct").cast("double") / col("n").cast("double")
+          * 1e6) / 1e6).as("recall"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        when(coalesce(col("n_pred"), lit(0L)) > 0L,
+          floor(col("n_correct").cast("double") / col("n_pred").cast("double")
+            * 1e6) / 1e6).otherwise(lit(0.0)).as("precision"))
+      .orderBy(col("lang"))
   }
 
   /** Token-diversity scores — the templated/spam-document signal the
@@ -627,7 +668,17 @@ object TextAnalysis {
 
   /** [[skipgrams]] over any `(doc_id, text)` table. */
   def skipgrams(docs: DataFrame, window: Int, minCount: Long,
-                k: Int): DataFrame = {
+                k: Int): DataFrame =
+    skipgramCounts(docs, window)
+      .filter(col("c") >= minCount)
+      .orderBy(col("c").desc, col("center"), col("context"))
+      .limit(k)
+
+  /** The full directed co-occurrence count table c(x→y) = F(x,y)+F(y,x)
+    * at distance ≤ `window` — the shared base of [[skipgrams]] (which
+    * ranks it) and [[ppmi]] (which normalizes it). See [[skipgrams]] for
+    * the forward-only expansion + table-level mirroring scheme. */
+  private[graft] def skipgramCounts(docs: DataFrame, window: Int): DataFrame = {
     require(window >= 1, s"window must be ≥ 1, got $window")
     // filter() guards the descending-sequence trap: sequence(1, 0) is
     // [1, 0] (step defaults to -1), so the inner sequence only ever runs
@@ -651,8 +702,58 @@ object TextAnalysis {
           col("f")))).as("r"))
       .groupBy(col("r.center").as("center"), col("r.context").as("context"))
       .agg(sum(col("r.f")).as("c"))
-      .filter(col("c") >= minCount)
-      .orderBy(col("c").desc, col("center"), col("context"))
+  }
+
+  /** The SGNS word-vector shift: ln 5 as the exact Java binary-double
+    * literal, embedded identically in the Spark plan and the DuckDB
+    * oracle so both engines subtract bit-equal constants. */
+  private[graft] val PpmiShift = 1.6094379124341003 // ln(5): SGNS k=5
+
+  /** Smoothed positive PMI over the skip-gram co-occurrence table — the
+    * count-based word-association matrix SGNS factorizes (shifted PPMI,
+    * Levy & Goldberg 2014): `SPPMI(w,c) = max(0, PMI_α(w,c) − ln k)` with
+    * negative-sample shift k=5 and context-distribution smoothing α=0.5
+    * (the word2vec convention is 0.75; 0.5 keeps the power IEEE-exact —
+    * `sqrt` is correctly rounded in both engines, general `pow` is
+    * libm-dependent). The output is the top-`k` strongest associations,
+    * the table an embedding-pretraining pass materializes.
+    *
+    * Determinism: the smoothed context mass `Σ_c c_c^α` is a float sum
+    * over an UNBOUNDED vocabulary — order-dependent if summed as double —
+    * so each `sqrt(c_c)` is floored to a 1e-6-grid BIGINT and the total
+    * is exact integer addition (the `text_entropy` trick). PMI then
+    * reduces to `ln(c·S / (c_w·sc))` over four exact integers, floored to
+    * the 1e-4 grid for ranking (the `q_collocations` convention).
+    *
+    * Scale shape: the pair table is built ONCE (barriered) and read three
+    * ways (center marginals, context marginals, scoring); both marginal
+    * attaches are vocabulary SHUFFLE joins (unbounded key domain — the
+    * TF-IDF df-join rule); the smoothed total rides a broadcast 1-row
+    * crossJoin; ranking is a TakeOrdered on the floored grid. */
+  def ppmi(t: Tables, window: Int = 3, minCount: Long = 5,
+           k: Int = 30): DataFrame = ppmi(t.documents, window, minCount, k)
+
+  /** [[ppmi]] over any `(doc_id, text)` table. */
+  def ppmi(docs: DataFrame, window: Int, minCount: Long, k: Int): DataFrame = {
+    val pairs = skipgramCounts(docs, window)
+      .barrier() // read 3×: center marginals, context marginals, scoring
+    val cw = pairs.groupBy(col("center")).agg(sum(col("c")).as("c_w"))
+    val cc = pairs.groupBy(col("context"))
+      .agg(sum(col("c")).as("c_c"))
+      .select(col("context"),
+        floor(sqrt(col("c_c").cast("double")) * 1e6).cast("long").as("sc"))
+    val sTot = cc.agg(sum(col("sc")).as("s_alpha"))
+    val pmi = log(
+      (col("c").cast("double") * col("s_alpha").cast("double")) /
+        (col("c_w").cast("double") * col("sc").cast("double")))
+    pairs.filter(col("c") >= minCount)
+      .join(cw, Seq("center"))
+      .join(cc, Seq("context"))
+      .crossJoin(broadcast(sTot))
+      .select(col("center"), col("context"), col("c"),
+        (floor(greatest(lit(0.0), pmi - lit(PpmiShift)) * 1e4) / 1e4)
+          .as("sppmi"))
+      .orderBy(col("sppmi").desc, col("center"), col("context"))
       .limit(k)
   }
 

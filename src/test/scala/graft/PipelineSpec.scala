@@ -420,6 +420,67 @@ class PipelineSpec extends SparkSuite {
       .skipgrams(docs, window = 2, minCount = 6, k = 100).count() == 0)
   }
 
+  test("ppmi: planted association ranks, promiscuous pair clamps to 0") {
+    // corpus: a perfectly-correlated rare pair (zq zr) ×5; a promiscuous
+    // hub "the" co-occurring with 40 distinct fillers ×1 (sub-minCount:
+    // they shape the marginals but never rank) and with zz ×5
+    val docs = (
+      (1L to 5L).map(i => (i, "zq zr")) ++
+      (6L to 10L).map(i => (i, "the zz")) ++
+      (1 to 40).map(n => (100L + n, s"the c$n"))
+    ).toDF("doc_id", "text")
+    val got = operators.TextAnalysis.ppmi(docs, window = 3, minCount = 5, k = 30)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap // keyed (center, context)
+    // only the ≥ minCount pairs rank (4 directed rows)
+    assert(got.size == 4, s"got ${got.keySet}")
+    // replay the integer-smoothed formula: c_c ∈ {5 (zq, zr, zz), 45 (the)}
+    val sc5 = math.floor(math.sqrt(5.0) * 1e6).toLong   // 2236067
+    val sc45 = math.floor(math.sqrt(45.0) * 1e6).toLong // 6708203
+    val s = 3 * sc5 + sc45 + 40 * 1000000L
+    def sppmi(c: Long, cw: Long, sc: Long): Double =
+      math.floor(math.max(0.0,
+        math.log((c.toDouble * s.toDouble) / (cw.toDouble * sc.toDouble))
+          - operators.TextAnalysis.PpmiShift) * 1e4) / 1e4
+    assert(got(("zq", "zr")) == (5L, sppmi(5, 5, sc5)))
+    assert(got(("zr", "zq")) == (5L, sppmi(5, 5, sc5)))
+    assert(got(("zq", "zr"))._2 > 1.5, "planted pair must score high")
+    // the→zz: high center marginal (45) kills the association → clamped 0
+    assert(got(("the", "zz")) == (5L, 0.0))
+    // zz→the: same pair reversed survives (context smoothing is directed)
+    assert(got(("zz", "the")) == (5L, sppmi(5, 5, sc45)))
+    assert(got(("zz", "the"))._2 > 0.0)
+    // every score non-negative and on the 1e-4 grid
+    got.values.foreach { case (_, v) =>
+      assert(v >= 0.0 && math.floor(v * 1e4) == v * 1e4)
+    }
+  }
+
+  test("langidEval: per-language recall and precision vs the labeled lang") {
+    val docs = Seq(
+      (1L, "the cat is here", "en"),   // → en (hit)
+      (2L, "der hund ist da", "de"),   // → de (hit)
+      (3L, "el perro que ladra", "es"),// → es (hit)
+      (4L, "xyz abc", "en"),           // all-zero scores → tie → en (hit)
+      (5L, "le chien et la", "fr"),    // fr beats the es hit on "la"
+      (6L, "der und mit", "en"),       // → de: an en miss, a de false pos
+      (7L, "the of and", "pt"))        // truth lang NEVER predicted
+      .toDF("doc_id", "text", "lang")
+    val got = operators.TextAnalysis.langidEval(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    def g6(x: Double) = math.floor(x * 1e6) / 1e6
+    assert(got("en") == (3L, 2L, g6(2.0 / 3.0), 3L, g6(2.0 / 3.0)))
+    assert(got("de") == (1L, 1L, 1.0, 2L, 0.5))
+    assert(got("es") == (1L, 1L, 1.0, 1L, 1.0))
+    assert(got("fr") == (1L, 1L, 1.0, 1L, 1.0))
+    // unpredicted truth language: zero recall, zero prediction volume
+    assert(got("pt") == (1L, 0L, 0.0, 0L, 0.0))
+    assert(got.size == 5)
+  }
+
   test("fertility: per-lang token ratios from exact integer sums") {
     val docs = Seq(
       (1L, "ab cd", "en", "s1", 5L),    // ws 2, bpe 2
