@@ -296,6 +296,11 @@ object SparkEntry {
       .orderBy(col("label"), col("vec_id"))),
     "q_index_build" -> q(t => IvfIndex.assignments(
       t.embeddings, IvfIndex.centroids(t.embeddings, 16))),
+    // embedding-space prototypicality audit: per-cluster distance
+    // z-flags (far tail = noise/off-modal — the curation signal next to
+    // semantic dedup's too-close end); integer-grid DECIMAL moments,
+    // broadcast k-row stats, one assignment scan
+    "q_prototypes" -> q(t => IvfIndex.prototypicality(t.embeddings)),
     // Lloyd-refined variant: 2 k-means rounds from the deterministic
     // seeds, then final assignment (same contract as q_index_build)
     "q_kmeans_refine" -> q(t => IvfIndex.assignments(
@@ -1822,6 +1827,32 @@ $rounds
         | d AS (SELECT vec_id, centroid_id, 1.0 - list_cosine_similarity(ev, cv) AS dist FROM e CROSS JOIN c),
         | r AS (SELECT vec_id, centroid_id, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn FROM d)
         |SELECT vec_id, centroid_id, floor(greatest(dist, 0.0)*1e6)/1e6 AS dist FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // q_prototypes: the q_index_build assignment composed with the
+    // q_anomaly moment replay, on the 1e-6 INTEGER distance grid `m`
+    // (z over m = z over dist — z-scores are rescale-invariant; the
+    // moments are exact integer/DECIMAL sums, so no unordered float sum
+    // crosses the engine seam); is_outlier gates on the RAW z
+    "q_prototypes" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+        | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | d AS (SELECT vec_id, centroid_id, 1.0 - list_cosine_similarity(ev, cv) AS dist FROM e CROSS JOIN c),
+        | r AS (SELECT vec_id, centroid_id, dist, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, centroid_id) AS rn FROM d),
+        | a AS (SELECT vec_id, centroid_id,
+        |   CAST(floor(greatest(dist, 0.0)*1e6) AS BIGINT) AS m FROM r WHERE rn = 1),
+        | s AS (SELECT centroid_id, COUNT(*) AS n, CAST(SUM(m) AS BIGINT) AS sm,
+        |   SUM(CAST(m AS DECIMAL(38,0)) * m) AS smm FROM a GROUP BY 1),
+        | j AS (SELECT a.vec_id, a.centroid_id, a.m,
+        |   CAST(sm AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |   sqrt(greatest(0.0,
+        |     (CAST(smm AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+        |       / CAST(n AS DOUBLE))) AS sd
+        |  FROM a JOIN s USING (centroid_id)),
+        | zt AS (SELECT vec_id, centroid_id, m,
+        |   CASE WHEN sd > 0.0 THEN (CAST(m AS DOUBLE) - mean) / sd ELSE 0.0 END AS z
+        |  FROM j)
+        |SELECT vec_id, centroid_id, CAST(m AS DOUBLE) / 1e6 AS dist,
+        | floor(z * 1e4) / 1e4 AS z, z > 2.0 AS is_outlier
+        |FROM zt ORDER BY vec_id""".stripMargin,
     "q_ivf_search" -> ivfSearchSql,
     // identical semantics (and oracle) served from the persisted/bucketed
     // index layouts — the engine-side plans differ, the results must not

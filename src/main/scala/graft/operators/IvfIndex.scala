@@ -82,6 +82,53 @@ object IvfIndex {
         (floor(greatest(col("dist"), lit(0.0)) * 1e6) / 1e6).as("dist"))
       .orderBy(col("vec_id"))
 
+  /** Embedding-space prototypicality audit — the per-cluster distance
+    * outlier flag an embedding-driven curation pass reads next to its
+    * near-dup verdicts (the far tail of a cluster is noise / off-modal
+    * content; the SemDeDup-family prunes BOTH the too-close and the
+    * too-far ends, and [[Dedup.semanticNeighbors]] already covers
+    * too-close): each vector's cosine distance to its assigned centroid,
+    * z-scored against its OWN cluster's distance distribution.
+    *
+    * Determinism (the `q_anomaly` discipline, one notch stricter): the
+    * distance is floored to a 1e-6-grid INTEGER `m` first, the per-cluster
+    * moments (n, Σm, Σm²) are exact integer/DECIMAL sums over m — so the
+    * unordered aggregate can never produce an order-dependent float — and
+    * z is derived in double from the exact components. z over m equals z
+    * over dist exactly (z-scores are invariant under the linear 1e-6
+    * rescale). Zero-variance clusters emit z = 0.
+    *
+    * Scale shape: ONE broadcast-join assignment scan (map-side struct-min,
+    * never a corpus shuffle), the assignment barriered and read twice
+    * (k-row moments, scoring), the k-row stats broadcast back. */
+  def prototypicality(corpus: DataFrame, nCentroids: Int = 16,
+                      zThreshold: Double = 2.0): DataFrame = {
+    val cents = centroids(corpus, nCentroids)
+    val asg = nearestCentroid(corpus, cents)
+      .select(col("vec_id"), col("centroid_id"),
+        // clamp before flooring: cos(v,v) can exceed 1 by an ulp
+        floor(greatest(col("dist"), lit(0.0)) * 1e6).cast("long").as("m"))
+      .barrier() // read 2×: per-cluster moments + per-vector scoring
+    val stats = asg.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"), sum(col("m")).as("sm"),
+        sum((col("m").cast("decimal(38,0)") * col("m")).cast("decimal(38,0)"))
+          .as("smm"))
+    val mean = col("sm").cast("double") / col("n").cast("double")
+    val varr = greatest(lit(0.0),
+      (col("smm").cast("double") -
+        col("sm").cast("double") * col("sm").cast("double") /
+          col("n").cast("double")) / col("n").cast("double"))
+    val sd = sqrt(varr)
+    val z = when(sd > 0.0, (col("m").cast("double") - mean) / sd)
+      .otherwise(lit(0.0))
+    asg.join(broadcast(stats), Seq("centroid_id"))
+      .select(col("vec_id"), col("centroid_id"),
+        (col("m").cast("double") / 1e6).as("dist"),
+        (floor(z * 1e4) / 1e4).as("z"),
+        (z > zThreshold).as("is_outlier"))
+      .transform(graft.Determinism.sorted(_)(col("vec_id")))
+  }
+
   /** Lloyd-refined centroids: start from the deterministic seeds, then
     * `iters` rounds of assign → element-wise mean (via the
     * [[graft.functions.VectorAvg]] typed aggregator — shuffles one

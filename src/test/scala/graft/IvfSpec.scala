@@ -19,6 +19,37 @@ class IvfSpec extends SparkSuite {
     assert(assign.select($"centroid_id").distinct().count() <= 16)
   }
 
+  test("prototypicality: per-cluster z-flags the far tail, zero-variance clusters stay quiet") {
+    // cluster A (centroid 0 = [1,0]): six members AT the centroid + one
+    // at angle (cos 0.8 → dist ≈ 0.2). With 6 zeros and one positive m,
+    // z(outlier) = 6/√6 = √6 ≈ 2.449 and z(member) = −1/√6 — EXACTLY,
+    // for any m > 0 (z is scale-invariant), so the assertion is immune
+    // to float jitter in the cosine. Cluster B (centroid 1 = [0,1]):
+    // four identical members → sd = 0 → the zero-variance z=0 path.
+    val a = Array(1f, 0f); val b = Array(0f, 1f)
+    val tilt = Array(0.8f, 0.6f) // unit norm; cos to A = .8, to B = .6
+    val rows = Seq(
+      (0L, a), (1L, b),
+      (2L, a), (3L, a), (4L, a), (5L, a), (6L, a),
+      (7L, tilt),
+      (8L, b), (9L, b), (10L, b))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = IvfIndex.prototypicality(emb, nCentroids = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(3), r.getBoolean(4))).toMap
+    def g4(x: Double) = math.floor(x * 1e4) / 1e4
+    // the tilted vector: assigned to A, z = √6 > 2 → flagged
+    assert(got(7L) == (0L, g4(math.sqrt(6.0)), true), s"got ${got(7L)}")
+    // on-centroid A members: z = −1/√6, not flagged
+    Seq(0L, 2L, 3L, 4L, 5L, 6L).foreach { id =>
+      assert(got(id) == (0L, g4(-1.0 / math.sqrt(6.0)), false), s"vec $id: ${got(id)}")
+    }
+    // zero-variance cluster B: z = 0 everywhere, nothing flagged
+    Seq(1L, 8L, 9L, 10L).foreach { id =>
+      assert(got(id) == (1L, 0.0, false), s"vec $id: ${got(id)}")
+    }
+  }
+
   test("auto-k IVF: nCentroids=0 resolves to the corpus-scaled count") {
     // sf0.001 sits under floor×targetList, so auto-k resolves to the
     // floor (16) and the whole search must equal the explicit-16 build —
