@@ -207,6 +207,36 @@ object Oracles {
   def dedupMinhashSql(maxBucket: Int = 1000): String =
     s"WITH ${minhashPairsCte(maxBucket)},\n$summaryTail"
 
+  /** dedup_recall: ground-truth recall/precision of the capped LSH
+    * funnel on the `doc_id % sampleMod` sample — truth = exact distinct
+    * word-shingle jaccard ≥ threshold over within-sample pairs (from the
+    * shared `shd` distinct-shingle table), candidates = the production
+    * `pairs` CTE restricted to the sample universe (docs with ≥ 1
+    * shingle). Ratios are integer÷integer, floored to 1e-6. */
+  def dedupRecallSql(maxBucket: Int = 1000, sampleMod: Int = 4,
+                     threshold: Double = 0.5): String =
+    s"""WITH ${minhashPairsCte(maxBucket)},
+       | ssets AS (SELECT doc_id, sh FROM shd WHERE doc_id % $sampleMod = 0),
+       | ssz AS (SELECT doc_id, COUNT(*) AS sz FROM ssets GROUP BY 1),
+       | sint AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS i
+       |   FROM ssets a JOIN ssets b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |   GROUP BY 1, 2),
+       | tr AS (SELECT id1, id2 FROM sint
+       |   JOIN ssz a ON a.doc_id = sint.id1 JOIN ssz b ON b.doc_id = sint.id2
+       |   WHERE CAST(i AS DOUBLE) / CAST(a.sz + b.sz - i AS DOUBLE) >= $threshold),
+       | cs AS (SELECT id1, id2 FROM pairs
+       |   WHERE id1 < id2 AND id1 % $sampleMod = 0 AND id2 % $sampleMod = 0
+       |     AND id1 IN (SELECT doc_id FROM ssz) AND id2 IN (SELECT doc_id FROM ssz)),
+       | ct AS (SELECT COUNT(*) AS n_caught FROM tr JOIN cs USING (id1, id2))
+       |SELECT (SELECT COUNT(*) FROM ssz) AS n_sample,
+       | (SELECT COUNT(*) FROM tr) AS n_truth,
+       | (SELECT COUNT(*) FROM cs) AS n_cand, n_caught,
+       | CASE WHEN (SELECT COUNT(*) FROM tr) = 0 THEN 1.0
+       |   ELSE floor(CAST(n_caught AS DOUBLE) / (SELECT COUNT(*) FROM tr) * 1e6) / 1e6 END AS recall,
+       | CASE WHEN (SELECT COUNT(*) FROM cs) = 0 THEN 1.0
+       |   ELSE floor(CAST(n_caught AS DOUBLE) / (SELECT COUNT(*) FROM cs) * 1e6) / 1e6 END AS "precision"
+       |FROM ct""".stripMargin
+
   /** dedup_cap_audit: the maxBucket recall accounting — per band, the
     * bucket census over the UNcapped signature table (capBuckets' input)
     * with capped-bucket row and within-bucket pair totals. */

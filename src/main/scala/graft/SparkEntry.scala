@@ -457,6 +457,10 @@ object SparkEntry {
       t.embeddings, nCentroids = 16)),
     // LLM-pipeline dedup family
     "dedup_minhash"   -> q(t => Dedup.minhashCandidates(t.documents)),
+    // ground-truth recall/precision of the capped LSH funnel on the
+    // doc_id % 4 sample: exact shingle-jaccard truth (sample²-bounded by
+    // contract), candidates from the UNCHANGED production generator
+    "dedup_recall"    -> q(t => Dedup.lshRecallAudit(t.documents)),
     // the cap's recall cost AS DATA: per-band capped-bucket census with
     // dropped-row and estimated-pair-loss totals (maxBucket=2 so the cap
     // actually engages at oracle scale — exact-dup groups cross it)
@@ -2247,6 +2251,7 @@ $rounds
     // LSH dedup family replayed end-to-end (minhash mix, band FNV, bucket
     // cap, simhash votes, reachability closure) — see Oracles.scala
     "dedup_minhash"  -> Oracles.dedupMinhashSql(),
+    "dedup_recall"   -> Oracles.dedupRecallSql(),
     "dedup_cap_audit" -> Oracles.dedupCapAuditSql(maxBucket = 2),
     "dedup_source_matrix" -> Oracles.dedupSourceMatrixSql(),
     "dedup_lsh_sweep" -> Oracles.dedupLshSweepSql(),

@@ -145,6 +145,78 @@ object Dedup {
       .orderBy(col("band"))
   }
 
+  /** GROUND-TRUTH recall of the capped LSH funnel, measured on a
+    * deterministic corpus sample — the number [[bandingCapAudit]]'s
+    * upper-bound accounting and [[lshSweep]]'s precision side cannot
+    * provide: how many TRUE near-dup pairs the production candidate
+    * generator actually surfaces. Truth = exact word-shingle jaccard
+    * ≥ `threshold` over all within-sample pairs; candidates = the SAME
+    * capped banded generator the dedup family runs (full-corpus
+    * signatures, so cross-sample bucket crowding and the `maxBucket`
+    * cap act exactly as in production), restricted to the sample.
+    *
+    * One summary row: sample size, truth/candidate/caught pair counts,
+    * recall = caught/truth and precision = caught/candidates (both 1.0
+    * when their denominator is empty, floored to the 1e-6 grid —
+    * integer÷integer, engine-exact).
+    *
+    * Scale shape: the sample is `doc_id % sampleMod == 0` (the
+    * `q_classify` held-out convention — size the mod to the corpus so
+    * the sample stays audit-sized; the exact all-pairs truth join is
+    * sample²-bounded BY CONTRACT, the one place quadratic work is
+    * acceptable because the input is capped). Docs with no 3-shingle
+    * (sub-3-token) are excluded from the audit universe — they are
+    * exact-dedup's domain, and their sentinel signatures would make
+    * LSH look artificially perfect on them. */
+  def lshRecallAudit(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
+                     shingleLen: Int = 3, maxBucket: Int = 1000,
+                     sampleMod: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod must be ≥ 1, got $sampleMod")
+    // audit universe: sampled docs' DISTINCT shingle sets (row form)
+    val sets = docs.filter(col("doc_id") % sampleMod === 0)
+      .select(col("doc_id"),
+        explode(shingles(tokens(preprocess(col("text"))), shingleLen))
+          .as("sh"))
+      .distinct()
+      .barrier() // read 3×: sizes, both sides of the intersection join
+    val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      .barrier() // read 4×: n_sample + two size attaches + two semi-joins
+    val inter = sets.as("a")
+      .join(sets.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("i"))
+    val truth = inter
+      .join(sizes.select(col("doc_id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col("doc_id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .filter(col("i").cast("double") /
+        (col("sz1") + col("sz2") - col("i")).cast("double") >= threshold)
+      .select(col("id1"), col("id2"))
+    // the PRODUCTION generator, unchanged, then restricted to the universe
+    val cand = bandedPairs(
+      minhashBuckets(docs, numHashes, bands, shingleLen), maxBucket)
+      .filter(col("id1") % sampleMod === 0 && col("id2") % sampleMod === 0)
+      .join(sizes.select(col("doc_id").as("id1")), Seq("id1"), "left_semi")
+      .join(sizes.select(col("doc_id").as("id2")), Seq("id2"), "left_semi")
+      .select(col("id1"), col("id2"))
+      .barrier() // read 2×: n_cand + the caught join
+    val truthB = truth.barrier() // read 2×: n_truth + the caught join
+    val ns = sizes.agg(count(lit(1)).as("n_sample"))
+    val nt = truthB.agg(count(lit(1)).as("n_truth"))
+    val nc = cand.agg(count(lit(1)).as("n_cand"))
+    val caught = truthB.join(cand, Seq("id1", "id2"))
+      .agg(count(lit(1)).as("n_caught"))
+    ns.crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+      .crossJoin(broadcast(caught))
+      .select(col("n_sample"), col("n_truth"), col("n_cand"), col("n_caught"),
+        when(col("n_truth") === 0L, lit(1.0))
+          .otherwise(floor(col("n_caught").cast("double") /
+            col("n_truth").cast("double") * 1e6) / 1e6).as("recall"),
+        when(col("n_cand") === 0L, lit(1.0))
+          .otherwise(floor(col("n_caught").cast("double") /
+            col("n_cand").cast("double") * 1e6) / 1e6).as("precision"))
+  }
+
   /** Provenance near-dup matrix — WHICH SOURCES near-duplicate each
     * other: the capped LSH candidate pairs ([[minhashCandidates]]'s
     * generator, unordered `id1 < id2`) mapped to their unordered

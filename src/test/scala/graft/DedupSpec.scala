@@ -11,6 +11,40 @@ class DedupSpec extends SparkSuite {
   private val nearDup = base.split(" ").updated(10, "CHANGED").mkString(" ")
   private val distinctDoc = (1 to 80).map(i => s"z${i}q").mkString(" ")
 
+  test("lshRecallAudit: exact truth vs the production candidate funnel") {
+    val t0 = "alpha beta gamma delta epsilon zeta eta theta"
+    val t8 = "alpha beta gamma xx yy zz ww" // shares exactly 1 shingle with t0
+    val docs = Seq(
+      (0L, t0), (2L, t0),                      // exact pair in the sample
+      (4L, "one two three four five six"),     // unrelated, in sample
+      (8L, t8),                                // low-jaccard partner of 0/2
+      (6L, "too short"),                       // < 3 tokens: outside universe
+      (1L, t0), (3L, "pad words here today"))  // odd ids: outside sample
+      .toDF("doc_id", "text")
+    // threshold 0.5: truth = {(0,2)}; the exact copy is a certain LSH catch
+    val strict = operators.Dedup.lshRecallAudit(docs, sampleMod = 2)
+      .collect().head
+    assert(strict.getLong(0) == 4, s"n_sample: $strict")   // 0, 2, 4, 8
+    assert(strict.getLong(1) == 1 && strict.getLong(2) == 1 &&
+      strict.getLong(3) == 1, s"pair counts: $strict")
+    assert(strict.getDouble(4) == 1.0 && strict.getDouble(5) == 1.0)
+    // threshold 0.05 admits the 1-shared-shingle pairs (jac 1/10) into
+    // TRUTH; 16×8 banding deterministically misses them → measured recall
+    // drops to 1/3 while the candidate set is unchanged
+    val loose = operators.Dedup.lshRecallAudit(docs, sampleMod = 2,
+      threshold = 0.05).collect().head
+    assert(loose.getLong(1) == 3, s"n_truth: $loose") // (0,2) (0,8) (2,8)
+    assert(loose.getLong(2) == 1 && loose.getLong(3) == 1, s"cand: $loose")
+    assert(loose.getDouble(4) == math.floor(1.0 / 3.0 * 1e6) / 1e6)
+    assert(loose.getDouble(5) == 1.0)
+    // sub-3-token docs never enter the universe even as exact copies
+    val withTiny = operators.Dedup.lshRecallAudit(
+      docs.union(Seq((10L, "too short")).toDF("doc_id", "text")),
+      sampleMod = 2).collect().head
+    assert(withTiny.getLong(0) == 4 && withTiny.getLong(1) == 1,
+      s"tiny-doc leak: $withTiny")
+  }
+
   test("minhash+LSH banding surfaces near-duplicate pairs") {
     val docs = Seq((1L, base), (2L, nearDup), (3L, distinctDoc))
       .toDF("doc_id", "text")
