@@ -432,6 +432,11 @@ object SparkEntry {
     // two-stage retrieval: the PQ shortlist (top-20 on compressed codes)
     // exactly re-ranked against the full-precision store — the FAISS
     // "refine" pattern; exact work ∝ queries × shortlist, never corpus
+    // two-stage retrieval with a PAIRWISE reranker: hash-embed cosine
+    // shortlist (one corpus scan) → cross-encoder seam (bounded
+    // mapPartitions batches; deterministic overlap-F1 stand-in) → final
+    // top-5; everything after stage 1 bounded by queries × shortlist
+    "q_rerank" -> q(t => Rerank.rerankedSearch(t.documents)),
     "q_pq_refine" -> q(t => ProductQuantizer.searchRefined(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -2524,6 +2529,43 @@ $rounds
     // the chunked-retrieval composition replayed end to end: chunking,
     // FNV bucket hashing, HashEmbed's exact float normalization
     // (CAST(c·(1/√Σc²) AS REAL)), cosine, windowed top-k
+    // q_rerank: the doc-level hash-embed + cosine shortlist replay (the
+    // q_rag_search machinery without chunking), then the overlap-F1
+    // rerank: ce = 2·|Q∩D|/(|Q|+|D|) over distinct normalized tokens —
+    // integers except one division, identical association order both
+    // engines; rerank order (raw ce DESC, doc_id) re-derives the rank
+    "q_rerank" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | b0 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+          | dtk AS (SELECT doc_id, unnest(toks) AS tk FROM b0),
+          | dhh AS (SELECT doc_id, ((${signedSql(
+                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
+          |   FROM dtk WHERE tk <> ''),
+          | dcnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM dhh GROUP BY 1,2),
+          | dnrm AS (SELECT doc_id, sqrt(SUM(c*c)) AS nr FROM dcnt GROUP BY 1),
+          | dvec AS (SELECT k.doc_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
+          |   FROM dnrm k CROSS JOIN range(0,64) r
+          |   LEFT JOIN dcnt c ON c.doc_id = k.doc_id AND c.bucket = r.range
+          |   GROUP BY k.doc_id),
+          | qvec AS (SELECT doc_id AS query_id, ev AS qv FROM dvec WHERE doc_id < 5),
+          | sims AS (SELECT query_id, d.doc_id AS vec_id, list_cosine_similarity(qv, ev) AS sim
+          |   FROM qvec CROSS JOIN dvec d),
+          | sl AS (SELECT query_id, vec_id, sim FROM (
+          |   SELECT query_id, vec_id, sim,
+          |     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+          |   FROM sims) WHERE rn <= 20),
+          | dts AS (SELECT doc_id, list_distinct(toks) AS dt FROM b0),
+          | sc AS (SELECT sl.query_id, sl.vec_id, sl.sim,
+          |   CASE WHEN len(qd.dt) + len(dd.dt) = 0 THEN 0.0
+          |        ELSE 2.0 * len(list_intersect(qd.dt, dd.dt)) / (len(qd.dt) + len(dd.dt)) END AS ce
+          |  FROM sl JOIN dts qd ON qd.doc_id = sl.query_id
+          |  JOIN dts dd ON dd.doc_id = sl.vec_id),
+          | rr AS (SELECT query_id, vec_id, sim, ce,
+          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ce DESC, vec_id) AS rn FROM sc)
+          |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id AS doc_id,
+          | floor(ce*1e6)/1e6 AS ce_score, floor(sim*1e6)/1e6 AS ret_score
+          |FROM rr WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
     "q_rag_search" ->
       (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
           | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.functions.TextFunctions.{preprocess, tokens}
+import graft.operators.Barrier.BarrierOps
+
+/** Two-stage retrieval: a cheap first-stage retriever produces a bounded
+  * shortlist, a PAIRWISE scorer re-ranks it — the cross-encoder serving
+  * pattern behind every production semantic-search stack (the reference's
+  * bi-encoder search, `services/index_service.py:102-108`, is stage 1;
+  * stage 2 is the quality step a reranker model adds on top).
+  *
+  * The reranker is a seam exactly like [[Inference.BatchEncoder]]: a
+  * serializable [[Rerank.PairScorer]] sees bounded batches of
+  * (query_text, doc_text) pairs through `mapPartitions` +
+  * `grouped(batchSize)` — the shape a cross-encoder runtime (Triton/JNI)
+  * drops into, with no shuffle added (scoring is a narrow map over the
+  * shortlist). [[Rerank.OverlapScorer]] is the deterministic stand-in:
+  * distinct-token overlap F1 `2·|Q∩D| / (|Q|+|D|)` — a genuinely
+  * PAIRWISE interaction (not expressible as a dot product of independent
+  * encodings), integer-cored so the DuckDB oracle replays it exactly.
+  *
+  * Scale shape: stage 1 is the one corpus scan ([[Search.bruteForceTopK]]
+  * — swap in the fused or IVF form freely); everything after is bounded
+  * by queries × shortlist: the shortlist BROADCASTS into hash-join
+  * probes of the corpus text (the `q_pq_refine` pattern — text is
+  * re-read for shortlist members only, never scanned-and-scored a second
+  * time), and the final top-k window runs over ≤ shortlist rows per
+  * query.
+  */
+object Rerank {
+
+  /** The whole integration surface for a learned cross-encoder. */
+  trait PairScorer extends Serializable {
+
+    /** One call per bounded batch of (query_text, doc_text) pairs; must
+      * return exactly one score per pair, in input order. */
+    def score(pairs: Seq[(String, String)]): Seq[Double]
+  }
+
+  /** Deterministic stand-in: distinct-token overlap F1. The harmonic
+    * mean of precision and recall collapses to `2·|Q∩D| / (|Q|+|D|)` —
+    * one integer intersection, one division, engine-exact. */
+  case object OverlapScorer extends PairScorer {
+    private def distinctTokens(s: String): Set[String] =
+      s.split(" ").iterator.filter(_.nonEmpty).toSet
+    def score(pairs: Seq[(String, String)]): Seq[Double] =
+      pairs.map { case (q, d) =>
+        val qt = distinctTokens(q)
+        val dt = distinctTokens(d)
+        val denom = qt.size + dt.size
+        if (denom == 0) 0.0 else 2.0 * qt.intersect(dt).size / denom
+      }
+  }
+
+  /** Retrieve-then-rerank over `documents`: hash-embedding cosine top-
+    * `shortlist` per query (queries = docs with `doc_id < queryMaxId`,
+    * their own text as the query), re-ranked by `scorer` to the final
+    * top-`k` → (query_id, rank, doc_id, ce_score, ret_score). Docs with
+    * no token are outside the retrievable universe (their embedding is
+    * the zero vector — cosine undefined). Ties in the rerank order break
+    * by doc_id; ce_score floors to the 1e-6 grid at the boundary. */
+  def rerankedSearch(docs: DataFrame, queryMaxId: Long = 5,
+                     shortlist: Int = 20, k: Int = 5,
+                     scorer: PairScorer = OverlapScorer,
+                     batchSize: Int = 64): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), preprocess(col("text")).as("ct"))
+      .filter(size(tokens(col("ct"))) > 0)
+      .barrier() // read 3×: corpus vectors, query vectors, both text attaches
+    val corpus = base.select(col("doc_id").as("vec_id"),
+      hash_embed(col("ct"), 64).as("embedding"))
+    val queries = base.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id").as("query_id"),
+        hash_embed(col("ct"), 64).as("qv"))
+    val sl = Search.bruteForceTopK(queries, corpus, shortlist)
+      .drop("rank") // stage-1 order is re-derived by the reranker
+    // bounded shortlist → broadcast hash-join probes of the corpus text
+    val withText = base
+      .select(col("doc_id").as("vec_id"), col("ct").as("d_text"))
+      .join(broadcast(sl), Seq("vec_id"))
+      .join(broadcast(base.filter(col("doc_id") < queryMaxId)
+          .select(col("doc_id").as("query_id"), col("ct").as("q_text"))),
+        Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ce").desc, col("vec_id"))
+    scorePairs(withText, scorer, batchSize)
+      .withColumn("rr", row_number().over(w))
+      .filter(col("rr") <= k)
+      .select(col("query_id"), col("rr").cast("long").as("rank"),
+        col("vec_id").as("doc_id"),
+        (floor(col("ce") * 1e6) / 1e6).as("ce_score"),
+        col("score").as("ret_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Run `scorer` over the (q_text, d_text) pair columns in bounded
+    * batches, appending a raw `ce` double — the same `mapPartitions` +
+    * `grouped(batchSize)` seam shape as [[Inference.encode]]: bounded
+    * batches, one serialized scorer per task, no shuffle, results
+    * independent of batching and partitioning (spec-pinned). */
+  private[graft] def scorePairs(df: DataFrame, scorer: PairScorer,
+                                batchSize: Int): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("score").cast("double"),
+        coalesce(col("q_text").cast("string"), lit("")),
+        coalesce(col("d_text").cast("string"), lit("")))
+      .as[(Long, Long, Double, String, String)]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val ss = scorer.score(batch.map(b => (b._4, b._5)))
+          require(ss.length == batch.length,
+            s"scorer returned ${ss.length} scores for ${batch.length} pairs")
+          batch.iterator.zip(ss.iterator).map {
+            case ((q, v, r, _, _), s) => (q, v, r, s)
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "score", "ce")
+  }
+}

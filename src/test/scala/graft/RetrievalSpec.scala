@@ -16,6 +16,56 @@ class RetrievalSpec extends SparkSuite {
     (1L, "window"), (1L, "agg"), (1L, "stream"))
     .toDF("query_id", "term")
 
+  test("rerank: order follows the pairwise F1, not the stage-1 cosine") {
+    import graft.operators.Rerank
+    // query doc 0 + candidates; shortlist covers the whole corpus, so
+    // the final order is EXACTLY the overlap-F1 order — asserted against
+    // an in-test replay of the formula, with no cosine assumptions
+    // (hash-bucket collisions can bend stage-1 scores, never stage 2)
+    val texts = Map(
+      0L -> "apple banana cherry date elder fig",
+      10L -> "apple apple apple apple",          // multiset-close, set-poor
+      11L -> "apple banana cherry z1 z2 z3 z4 z5 z6 z7 z8 z9",
+      12L -> "apple banana cherry date elder fig", // exact copy: F1 = 1
+      13L -> "nothing shared at all")
+    val docs = texts.toSeq.map { case (id, s) => (id, s) }.toDF("doc_id", "text")
+    def f1(a: String, b: String): Double = {
+      val (x, y) = (a.split(" ").toSet, b.split(" ").toSet)
+      if (x.size + y.size == 0) 0.0
+      else 2.0 * x.intersect(y).size / (x.size + y.size)
+    }
+    val want = texts.keys.toSeq
+      .sortBy(id => (-f1(texts(0L), texts(id)), id))
+    val got = Rerank.rerankedSearch(docs, queryMaxId = 1, shortlist = 20,
+      k = 10).collect()
+    assert(got.map(_.getLong(2)).toSeq == want, s"order: ${got.toSeq}")
+    // ce_score is the floored F1 of the pair, rank is contiguous
+    got.foreach { r =>
+      val expect = math.floor(f1(texts(0L), texts(r.getLong(2))) * 1e6) / 1e6
+      assert(r.getDouble(3) == expect, s"ce of ${r.getLong(2)}")
+    }
+    assert(got.map(_.getLong(1)).toSeq == (1L to got.length).toSeq)
+    // the planted flip actually flips: doc 10 out-cosines doc 11 on the
+    // skewed multiset, but the PAIRWISE set overlap ranks 11 above 10
+    val ret = got.map(r => r.getLong(2) -> r.getDouble(4)).toMap
+    assert(ret(10L) > ret(11L), s"stage-1 scores: $ret")
+    assert(got.map(_.getLong(2)).indexOf(11L) <
+      got.map(_.getLong(2)).indexOf(10L))
+  }
+
+  test("rerank: results invariant to batch size and partitioning") {
+    import graft.operators.Rerank
+    val docs = t.documents.limit(60)
+    val base = Rerank.rerankedSearch(docs, queryMaxId = 3).collect().toSeq
+    val tiny = Rerank.rerankedSearch(docs, queryMaxId = 3, batchSize = 1)
+      .collect().toSeq
+    val parts = Rerank.rerankedSearch(docs.repartition(7), queryMaxId = 3)
+      .collect().toSeq
+    assert(base == tiny, "batchSize must not change results")
+    assert(base == parts, "partitioning must not change results")
+    assert(base.nonEmpty)
+  }
+
   test("bm25: every hit contains a query term, ranks contiguous, scores non-increasing") {
     val hits = Bm25.topK(t.documents, terms, topK = 10).collect()
     assert(hits.nonEmpty)
