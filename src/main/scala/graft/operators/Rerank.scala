@@ -67,23 +67,51 @@ object Rerank {
                      shortlist: Int = 20, k: Int = 5,
                      scorer: PairScorer = OverlapScorer,
                      batchSize: Int = 64): DataFrame = {
-    val base = docs
+    val base = frozenBase(docs)
+    rerankFrom(
+      base.filter(col("doc_id") < queryMaxId)
+        .select(col("doc_id").as("query_id"), col("ct").as("qt")),
+      base, shortlist, k, scorer, batchSize)
+  }
+
+  /** The frozen corpus side of the serve path: `(doc_id, ct)` — cleaned
+    * text, token-less docs excluded, barriered so every consumer (corpus
+    * vectors, the shortlist text attach) shares one normalization pass.
+    * Build once per corpus snapshot; re-freeze on the rebuild cadence
+    * (the [[Bm25.buildIndex]] convention). */
+  def frozenBase(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), preprocess(col("text")).as("ct"))
       .filter(size(tokens(col("ct"))) > 0)
-      .barrier() // read 3×: corpus vectors, query vectors, both text attaches
+      .barrier()
+
+  /** Normalize a raw `(query_id, <textCol>)` query table into
+    * [[rerankFrom]]'s contract (cleaned `qt`, empty queries dropped). */
+  def cleanQueries(queries: DataFrame, textCol: String = "text"): DataFrame =
+    queries
+      .select(col("query_id"), preprocess(col(textCol)).as("qt"))
+      .filter(size(tokens(col("qt"))) > 0)
+
+  /** Retrieve-then-rerank for a PRE-CLEANED query table `(query_id, qt)`
+    * against a [[frozenBase]] corpus — the serve-path entry the
+    * streaming twin calls per micro-batch. Queries are stateless (a
+    * ranking depends only on the query text and the frozen corpus), so
+    * batch and streamed results are identical by construction. */
+  def rerankFrom(queries: DataFrame, base: DataFrame,
+                 shortlist: Int = 20, k: Int = 5,
+                 scorer: PairScorer = OverlapScorer,
+                 batchSize: Int = 64): DataFrame = {
     val corpus = base.select(col("doc_id").as("vec_id"),
       hash_embed(col("ct"), 64).as("embedding"))
-    val queries = base.filter(col("doc_id") < queryMaxId)
-      .select(col("doc_id").as("query_id"),
-        hash_embed(col("ct"), 64).as("qv"))
-    val sl = Search.bruteForceTopK(queries, corpus, shortlist)
+    val qv = queries.select(col("query_id"),
+      hash_embed(col("qt"), 64).as("qv"))
+    val sl = Search.bruteForceTopK(qv, corpus, shortlist)
       .drop("rank") // stage-1 order is re-derived by the reranker
     // bounded shortlist → broadcast hash-join probes of the corpus text
     val withText = base
       .select(col("doc_id").as("vec_id"), col("ct").as("d_text"))
       .join(broadcast(sl), Seq("vec_id"))
-      .join(broadcast(base.filter(col("doc_id") < queryMaxId)
-          .select(col("doc_id").as("query_id"), col("ct").as("q_text"))),
+      .join(broadcast(queries.select(col("query_id"), col("qt").as("q_text"))),
         Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("ce").desc, col("vec_id"))

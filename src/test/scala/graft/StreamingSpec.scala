@@ -605,6 +605,35 @@ class StreamingSpec extends SparkSuite {
       s"${streamed.length} streamed vs ${batch.length} batch rows")
   }
 
+  test("streamed rerank against the frozen corpus equals the batch rerank") {
+    import spark.implicits._
+    // freeze the corpus base once, stream the query set (= the batch
+    // path's own queries: docs 0-4's raw text) in two micro-batches;
+    // streamed two-stage rankings must equal batch rerankedSearch bit
+    // for bit — the serve-path fidelity contract for the dense stack
+    val base = graft.operators.Rerank.frozenBase(t.documents)
+    val rawQ = t.documents.filter($"doc_id" < 5)
+      .select($"doc_id".as("query_id"), $"text")
+    val dir = Files.createTempDirectory("graft-rerank-stream").toString
+    rawQ.filter($"query_id" < 2).coalesce(1).write.parquet(s"$dir/src/c=a")
+    Thread.sleep(1100)
+    rawQ.filter($"query_id" >= 2).coalesce(1).write.parquet(s"$dir/src/c=b")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("query_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/src/c=*")
+    RerankStream.start(spark, stream, base, s"$dir/out", s"$dir/_ckpt")
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val batch = graft.operators.Rerank.rerankedSearch(t.documents)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"${streamed.length} streamed vs ${batch.length} batch rows")
+  }
+
   test("streaming dsir with a frozen model equals the batch scorer") {
     import spark.implicits._
     // train the importance model on the FULL corpus, stream the corpus
