@@ -612,6 +612,11 @@ object SparkEntry {
             graft.functions.TextFunctions.preprocess(col("text")), 64).as("qv"))
       Search.bruteForceTopK(qs, corpus, 5)
     }),
+    // token-budget context packing over the chunked-retrieval shortlist
+    // (the prompt-assembly decision between retrieval and generation);
+    // one barriered chunk pass, one corpus scan, broadcast shortlist
+    // probe, prefix window over ≤ shortlist rows per query
+    "q_context_pack" -> q(t => Rag.contextPack(t.documents)),
     // lexical retrieval: Okapi BM25 over the inverted index (the keyword
     // half of hybrid search; postings restricted to query terms by a
     // broadcast semi-join before any scoring)
@@ -2599,6 +2604,49 @@ $rounds
           |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
           | floor(sim*1e6)/1e6 AS score
           |FROM r WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
+    // q_context_pack: the q_rag_search replay + per-chunk token costs
+    // (least(64, n − start)) + the integer prefix window; kept is a pure
+    // integer compare against the budget
+    "q_context_pack" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | b0 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+          | g AS (SELECT doc_id, unnest(range(0, n, 48)) AS start, toks, n FROM b0),
+          | ctok AS (SELECT doc_id*4294967296 + start//48 AS vec_id,
+          |    unnest(list_slice(toks, start+1, start+64)) AS tk FROM g),
+          | chh AS (SELECT vec_id, ((${signedSql(
+                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
+          |   FROM ctok WHERE tk <> ''),
+          | ccnt AS (SELECT vec_id, bucket, COUNT(*) AS c FROM chh GROUP BY 1,2),
+          | cnrm AS (SELECT vec_id, sqrt(SUM(c*c)) AS nr FROM ccnt GROUP BY 1),
+          | cvec AS (SELECT k.vec_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
+          |   FROM cnrm k CROSS JOIN range(0,64) r
+          |   LEFT JOIN ccnt c ON c.vec_id = k.vec_id AND c.bucket = r.range
+          |   GROUP BY k.vec_id),
+          | qtok AS (SELECT doc_id AS query_id, unnest(toks) AS tk FROM b0 WHERE doc_id < 3),
+          | qhh AS (SELECT query_id, ((${signedSql(
+                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
+          |   FROM qtok WHERE tk <> ''),
+          | qcnt AS (SELECT query_id, bucket, COUNT(*) AS c FROM qhh GROUP BY 1,2),
+          | qnrm AS (SELECT query_id, sqrt(SUM(c*c)) AS nr FROM qcnt GROUP BY 1),
+          | qvec AS (SELECT k.query_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS qv
+          |   FROM qnrm k CROSS JOIN range(0,64) r
+          |   LEFT JOIN qcnt c ON c.query_id = k.query_id AND c.bucket = r.range
+          |   GROUP BY k.query_id),
+          | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim
+          |   FROM qvec CROSS JOIN cvec),
+          | r AS (SELECT query_id, vec_id, sim,
+          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims),
+          | sl AS (SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+          |   floor(sim*1e6)/1e6 AS score FROM r WHERE rn <= 5),
+          | cln AS (SELECT doc_id*4294967296 + start//48 AS vec_id,
+          |   CAST(least(64, n - start) AS BIGINT) AS n_tok FROM g),
+          | pk AS (SELECT sl.query_id, sl.rank, sl.vec_id, sl.score, cln.n_tok,
+          |   CAST(SUM(cln.n_tok) OVER (PARTITION BY sl.query_id ORDER BY sl.rank) AS BIGINT) AS cum
+          |  FROM sl JOIN cln ON cln.vec_id = sl.vec_id)
+          |SELECT query_id, rank, vec_id, score, n_tok AS n_tokens,
+          | cum AS cum_tokens, cum <= 150 AS kept
+          |FROM pk ORDER BY query_id, rank""").stripMargin,
     "text_gopher" ->
       (s"""WITH tok AS (SELECT doc_id,
           |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]

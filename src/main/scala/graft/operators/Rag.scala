@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.functions.TextFunctions.preprocess
+import graft.operators.Barrier.BarrierOps
+
+/** RAG prompt assembly: the step between retrieval and generation. The
+  * reference assembles its QA prompt from the retrieved context plus
+  * history (`services/qa_service.py:150-168` keeps the best match,
+  * `q_qa_context` renders the history window); at corpus scale the
+  * context side is a CHUNK shortlist packed under the model's token
+  * budget — this operator is that packing decision as data.
+  */
+object Rag {
+
+  /** Token-budget context packing over the chunked-retrieval shortlist
+    * (`q_rag_search`'s composition): per query, the top-`shortlist`
+    * chunks in rank order annotated with their token cost, the running
+    * prefix total, and the `kept` verdict — a chunk is kept while the
+    * PREFIX fits (`cum_tokens ≤ budget`; truncate-at-overflow, the
+    * standard prompt-window rule — rank order is relevance order, so a
+    * later smaller chunk never jumps an overflowing better one).
+    *
+    * Scale shape: one chunk pass (barriered — embeddings and token
+    * costs share it), ONE corpus scan for the shortlist
+    * ([[Search.bruteForceTopK]]), then the bounded shortlist BROADCASTS
+    * into a hash-join probe of the chunk token table and the prefix
+    * window runs over ≤ `shortlist` rows per query. */
+  def contextPack(docs: DataFrame, budget: Long = 150, shortlist: Int = 5,
+                  queryMaxId: Long = 3): DataFrame = {
+    val ch = TextAnalysis.chunks(docs)
+      .barrier() // read 2×: chunk embeddings + chunk token costs
+    val key = (col("doc_id") * lit(4294967296L) + col("chunk_id")).as("vec_id")
+    val corpus = ch.select(key,
+      hash_embed(col("chunk_text"), 64).as("embedding"))
+    val qs = docs
+      .filter(col("doc_id") < queryMaxId &&
+        length(trim(preprocess(col("text")))) > 0)
+      .select(col("doc_id").as("query_id"),
+        hash_embed(preprocess(col("text")), 64).as("qv"))
+    val sl = Search.bruteForceTopK(qs, corpus, shortlist)
+    val costs = ch.select(key, col("n_tok"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    costs.join(broadcast(sl), Seq("vec_id"))
+      .withColumn("cum_tokens", sum(col("n_tok")).over(w))
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("score"), col("n_tok").as("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("kept"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

@@ -53,6 +53,29 @@ class RetrievalSpec extends SparkSuite {
       got.map(_.getLong(2)).indexOf(10L))
   }
 
+  test("contextPack: prefix-packed shortlist under the token budget") {
+    import graft.operators.Rag
+    val budget = 150L
+    val rows = Rag.contextPack(t.documents, budget = budget).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // contiguous ranks, chunk costs within the window size
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.forall(r => r.getLong(4) >= 1 && r.getLong(4) <= 64))
+      // cum is the exact prefix sum; kept is the budget compare and
+      // therefore a PREFIX of the ranking (costs are positive)
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(4)
+        assert(r.getLong(5) == cum, s"q$q cum at rank ${r.getLong(1)}")
+        assert(r.getBoolean(6) == (cum <= budget))
+      }
+      assert(sorted.head.getBoolean(6) ||
+        sorted.head.getLong(4) > budget, s"q$q keeps nothing it could")
+    }
+  }
+
   test("rerank: results invariant to batch size and partitioning") {
     import graft.operators.Rerank
     val docs = t.documents.limit(60)
