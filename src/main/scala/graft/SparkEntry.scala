@@ -617,6 +617,10 @@ object SparkEntry {
     // one barriered chunk pass, one corpus scan, broadcast shortlist
     // probe, prefix window over ≤ shortlist rows per query
     "q_context_pack" -> q(t => Rag.contextPack(t.documents)),
+    // multi-vector late-interaction retrieval (ColBERT MaxSim at chunk
+    // granularity): per-aspect max collapses map-side, integer-floored
+    // cross-aspect sums, bounded per-query heaps
+    "q_maxsim" -> q(t => Rag.lateInteraction(t.documents)),
     // lexical retrieval: Okapi BM25 over the inverted index (the keyword
     // half of hybrid search; postings restricted to query terms by a
     // broadcast semi-join before any scoring)
@@ -2604,6 +2608,41 @@ $rounds
           |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
           | floor(sim*1e6)/1e6 AS score
           |FROM r WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
+    // q_maxsim: the chunk-vector replay (cvec, shared shape with
+    // q_rag_search) scored with late interaction — per-(query-chunk,
+    // doc) MAX is order-free, each max floored to a 1e-6 BIGINT before
+    // the cross-aspect SUM (exact integer addition), rank on the integer
+    // msum with doc_id ties
+    "q_maxsim" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | b0 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+          | g AS (SELECT doc_id, unnest(range(0, n, 48)) AS start, toks FROM b0),
+          | ctok AS (SELECT doc_id*4294967296 + start//48 AS vec_id,
+          |    unnest(list_slice(toks, start+1, start+64)) AS tk FROM g),
+          | chh AS (SELECT vec_id, ((${signedSql(
+                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
+          |   FROM ctok WHERE tk <> ''),
+          | ccnt AS (SELECT vec_id, bucket, COUNT(*) AS c FROM chh GROUP BY 1,2),
+          | cnrm AS (SELECT vec_id, sqrt(SUM(c*c)) AS nr FROM ccnt GROUP BY 1),
+          | cvec AS (SELECT k.vec_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
+          |   FROM cnrm k CROSS JOIN range(0,64) r
+          |   LEFT JOIN ccnt c ON c.vec_id = k.vec_id AND c.bucket = r.range
+          |   GROUP BY k.vec_id),
+          | cq AS (SELECT vec_id // 4294967296 AS query_id, vec_id AS qcid, ev AS qv
+          |   FROM cvec WHERE vec_id < 12884901888),
+          | asp AS (SELECT q.query_id, q.qcid, c.vec_id // 4294967296 AS ddoc,
+          |    MAX(list_cosine_similarity(q.qv, c.ev)) AS m
+          |   FROM cq q CROSS JOIN cvec c GROUP BY 1, 2, 3),
+          | sm AS (SELECT query_id, ddoc AS doc_id,
+          |    CAST(SUM(CAST(floor(m*1e6) AS BIGINT)) AS BIGINT) AS msum
+          |   FROM asp GROUP BY 1, 2),
+          | rk AS (SELECT query_id, doc_id, msum,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY msum DESC, doc_id) AS rn
+          |   FROM sm)
+          |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+          | CAST(msum AS DOUBLE)/1e6 AS sum_maxsim
+          |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
     // q_context_pack: the q_rag_search replay + per-chunk token costs
     // (least(64, n − start)) + the integer prefix window; kept is a pure
     // integer compare against the budget

@@ -29,6 +29,56 @@ object Rag {
     * ([[Search.bruteForceTopK]]), then the bounded shortlist BROADCASTS
     * into a hash-join probe of the chunk token table and the prefix
     * window runs over ≤ `shortlist` rows per query. */
+  /** Multi-vector LATE-INTERACTION retrieval (the ColBERT MaxSim family,
+    * at chunk granularity — the long-document form): a document is its
+    * SET of chunk vectors, a query is its set of chunk vectors, and
+    * `score(q, d) = Σ_{qc ∈ q} max_{dc ∈ d} cos(qc, dc)` — each query
+    * aspect independently finds its best-matching passage, which is
+    * exactly what single-vector pooling destroys (spec plants a
+    * two-topic query that MaxSim ranks correctly and mean-pooled
+    * single-vector retrieval cannot).
+    *
+    * Determinism: the per-(query-chunk, doc) max is order-free; each max
+    * is floored to a 1e-6 INTEGER before the Σ, so the cross-aspect sum
+    * is exact integer addition (never an order-dependent float sum).
+    * Ranking is per query by the integer `msum` (the query's chunk count
+    * is constant within a query, so sum-rank = mean-rank), doc_id ties.
+    *
+    * Scale shape: ONE chunk scan (barriered, shared with the query
+    * side); the bounded query-chunk set BROADCASTS into the corpus-chunk
+    * scan; the max collapses the doc-chunk dimension map-side (partial
+    * max combine — shuffle rows ∝ query_chunks × docs, never chunks);
+    * the final top-k is a bounded per-query heap. */
+  def lateInteraction(docs: DataFrame, k: Int = 5,
+                      queryMaxId: Long = 3): DataFrame = {
+    val cv = TextAnalysis.chunks(docs)
+      .select(col("doc_id"), col("chunk_id"),
+        hash_embed(col("chunk_text"), 64).as("v"))
+      .barrier() // read 2×: corpus side + query side
+    val qcv = cv.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id").as("query_id"), col("chunk_id").as("qc"),
+        col("v").as("qv"))
+    val perAspect = cv.crossJoin(broadcast(qcv))
+      .select(col("query_id"), col("qc"), col("doc_id"),
+        cosine_similarity(col("qv"), col("v")).as("sim"))
+      .groupBy(col("query_id"), col("qc"), col("doc_id"))
+      .agg(max(col("sim")).as("m"))
+    val scored = perAspect
+      .select(col("query_id"), col("doc_id"),
+        floor(col("m") * 1e6).cast("long").as("im"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("im")).as("msum"), count(lit(1)).as("n_qc"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(top_k_by_score(col("msum").cast("double"), col("doc_id"), k)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.id").as("doc_id"),
+        (col("hit.score") / 1e6).as("sum_maxsim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   def contextPack(docs: DataFrame, budget: Long = 150, shortlist: Int = 5,
                   queryMaxId: Long = 3): DataFrame = {
     val ch = TextAnalysis.chunks(docs)

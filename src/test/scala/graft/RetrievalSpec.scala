@@ -53,6 +53,36 @@ class RetrievalSpec extends SparkSuite {
       got.map(_.getLong(2)).indexOf(10L))
   }
 
+  test("lateInteraction: a full-coverage doc beats every single-topic doc") {
+    import graft.operators.Rag
+    // query doc 0 spans TWO topics across its chunks (128 tokens → 3
+    // chunks at 64/48); doc 13 covers both topics verbatim, docs 10/11
+    // each cover one. MaxSim must rank the full-coverage doc above both
+    // single-topic docs — the aspect-wise max a pooled single vector
+    // cannot express. Self vs the identical doc 13 tie-breaks by id.
+    val topicX = (1 to 64).map(i => s"xx$i").mkString(" ")
+    val topicY = (1 to 64).map(i => s"yy$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$topicX $topicY"),
+      (10L, topicX),
+      (11L, topicY),
+      (13L, s"$topicX $topicY"),
+      (14L, "entirely unrelated filler content here"))
+      .toDF("doc_id", "text")
+    val got = Rag.lateInteraction(docs, k = 5, queryMaxId = 1).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byDoc = got.map(r => r._2 -> r._3).toMap
+    // ranks 1-2: the query itself and its verbatim copy (equal integer
+    // msum = 3 full-match aspects, id tie-break), in that order
+    assert(got.take(2).map(_._2).toSeq == Seq(0L, 13L), s"got ${got.toSeq}")
+    assert(byDoc(0L) == byDoc(13L) && byDoc(0L) >= 2.999997)
+    // the full-coverage doc strictly beats both single-topic docs
+    assert(byDoc(13L) > byDoc(10L) && byDoc(13L) > byDoc(11L))
+    // ranks are contiguous and scores non-increasing
+    assert(got.map(_._1).toSeq == (1L to got.length).toSeq)
+    assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
+  }
+
   test("contextPack: prefix-packed shortlist under the token budget") {
     import graft.operators.Rag
     val budget = 150L
