@@ -198,6 +198,10 @@ object SparkEntry {
     // per-type z-score anomaly flags: DECIMAL-exact moments broadcast
     // back, z derived in double from exact components (layout-proof)
     "q_anomaly"     -> q(t => EventAnalytics.anomalies(t.events)),
+    // DAU / rolling-7-day WAU / stickiness: events collapse to the
+    // distinct (user, day) table once; the rolling window is a bounded
+    // 7-fan-out of that collapsed table, never a re-count over events
+    "q_active_users" -> q(t => EventAnalytics.activeUsers(t.events)),
     // sessions (reference: utils/session_manager.py)
     "q_sessionize"      -> q(t => Sessionize.sessions(t.events)),
     "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
@@ -1513,6 +1517,19 @@ $rounds
         |SELECT date_trunc('hour', ts) AS window_start, event_type,
         | COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM ev GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // q_active_users: the distinct (user, day) collapse, the DAU count,
+    // and the 7-day rolling fan-out (DATE + i) — all integer counts;
+    // stickiness is one int÷int IEEE-exact division
+    "q_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |   CAST(make_timestamp(epoch_ns(ts)//1000) AS DATE) AS day FROM events),
+        | dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY 1),
+        | con AS (SELECT DISTINCT user_id, day + CAST(r.i AS INTEGER) AS day
+        |   FROM ud CROSS JOIN range(7) r(i)),
+        | wau AS (SELECT day, COUNT(*) AS wau FROM con GROUP BY 1)
+        |SELECT d.day, d.dau, w.wau,
+        | CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
     "q_gap_fill" ->
       """WITH ev AS (SELECT user_id, date_trunc('hour', make_timestamp(epoch_ns(ts)//1000)) AS hour, value
         |   FROM events WHERE user_id < 50),

@@ -203,6 +203,42 @@ object EventAnalytics {
       .transform(graft.Determinism.sorted(_)(col("event_id")))
   }
 
+  /** Daily/rolling active users — the DAU / WAU / stickiness report
+    * every product-analytics deployment runs: per calendar day the
+    * distinct active users (DAU), the distinct users active in the
+    * trailing `windowDays` window ending that day (WAU), and
+    * stickiness = DAU/WAU (an integer÷integer IEEE-exact double — the
+    * `q_fertility` convention, no floor grid needed).
+    *
+    * Scale shape — events are scanned ONCE and never re-joined: the
+    * scan collapses to the DISTINCT (user, day) activity table first
+    * (the `q_retention` discipline — post-collapse rows are user ×
+    * active-day, not events); the rolling window is a bounded
+    * `windowDays`-fan-out of that COLLAPSED table (each activity day
+    * contributes to the `windowDays` window-end days it falls inside)
+    * deduplicated per (user, window-end) — never a per-day distinct
+    * re-count over events and never an unbounded window state. Days
+    * with zero activity emit no row (the inner join against DAU). */
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be ≥ 1, got $windowDays")
+    import Barrier.BarrierOps
+    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .barrier() // read 2×: DAU + the rolling fan-out
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("i"), col("day"))
+      .select(col("user_id"), date_add(col("day"), col("i")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double"))
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   /** RFM segmentation: per-user Recency (days since last purchase, from
     * a fixed `asOf` anchor — never wall-clock), Frequency (purchase
     * count) and Monetary (DECIMAL-exact value sum), each cut into

@@ -21,6 +21,31 @@ class EventAnalyticsSpec extends SparkSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value")
   }
 
+  // --- active users ---
+
+  test("activeUsers: DAU, trailing-7-day WAU, stickiness") {
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "view", "2024-01-01 11:00:00", 2L, 0.0), // same user+day: once
+      (2L, "view", "2024-01-01 12:00:00", 3L, 0.0),
+      (1L, "view", "2024-01-02 10:00:00", 4L, 0.0),
+      (3L, "view", "2024-01-09 10:00:00", 5L, 0.0)) // beyond day-2's reach
+    val got = graft.operators.EventAnalytics.activeUsers(ev)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // day 1: users {1,2}; window [dec 26, jan 1] sees only them
+    assert(got("2024-01-01") == (2L, 2L, 1.0))
+    // day 2: DAU {1}; trailing window still holds {1,2}
+    assert(got("2024-01-02") == (1L, 2L, 0.5))
+    // day 9: windows from days 1-2 reach at most day 8 — only user 3
+    assert(got("2024-01-09") == (1L, 1L, 1.0))
+    // no rows for silent days (the inner join against DAU)
+    assert(got.size == 3, s"days: ${got.keySet}")
+    // windowDays = 1 degenerates to DAU == WAU everywhere
+    graft.operators.EventAnalytics.activeUsers(ev, windowDays = 1)
+      .collect().foreach(r => assert(r.getLong(1) == r.getLong(2)))
+  }
+
   // --- funnel ---
 
   test("funnel counts strictly-ordered stage reaches") {
