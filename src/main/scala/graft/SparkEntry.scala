@@ -236,6 +236,10 @@ object SparkEntry {
     // sizing diagnostic); value-cut buckets (no global row window), one
     // token pass, min-bucket first-seen, 10-row cumulative
     "q_vocab_growth" -> q(t => TextAnalysis.vocabGrowth(t)),
+    // cross-source vocabulary overlap matrix (the q_source_kl companion:
+    // KL sees shift over shared vocab, this sees how much is shared);
+    // one distinct (source, token) collapse, |sources|²-bounded fan-out
+    "q_vocab_overlap" -> q(TextAnalysis.vocabOverlap),
     "dedup_exact"    -> q(Dedup.exactGroups),
     // vector index health (reference: controllers/health_controller.py)
     "q_index_stats"  -> q(indexStats),
@@ -3033,6 +3037,24 @@ $rounds
           | CAST(SUM(n_tokens) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
           | CAST(SUM(new_types) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_types
           |FROM pb ORDER BY bucket""").stripMargin,
+    // q_vocab_overlap: the distinct (source, token) collapse, the
+    // token-keyed pair self-join (unordered source_a ≤ source_b), and
+    // integer-count jaccard on the 1e-6 floor grid
+    "q_vocab_overlap" ->
+      (s"""WITH n0 AS (SELECT source, ${normSql("text")} AS s FROM documents),
+          | tk AS (SELECT source,
+          |   unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tok
+          |   FROM n0),
+          | st AS (SELECT DISTINCT source, tok FROM tk),
+          | sz AS (SELECT source, COUNT(*) AS v FROM st GROUP BY 1),
+          | sh AS (SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+          |   FROM st a JOIN st b ON a.tok = b.tok AND a.source <= b.source
+          |   GROUP BY 1, 2)
+          |SELECT source_a, source_b, n_shared, x.v AS v_a, y.v AS v_b,
+          | floor(CAST(n_shared AS DOUBLE) / CAST(x.v + y.v - n_shared AS DOUBLE) * 1e6) / 1e6 AS jaccard
+          |FROM sh JOIN sz x ON x.source = sh.source_a
+          | JOIN sz y ON y.source = sh.source_b
+          |ORDER BY source_a, source_b""").stripMargin,
     "q_json_extract" ->
       """SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
         | COUNT(*) AS n, MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max

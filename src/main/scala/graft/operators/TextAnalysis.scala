@@ -213,6 +213,47 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Cross-source VOCABULARY overlap matrix — the companion diagnostic
+    * to `q_source_kl` (KL sees distribution shift over the shared
+    * vocabulary; this sees how much vocabulary is shared at all): for
+    * every unordered source pair the shared distinct-token count and
+    * vocabulary jaccard. Low off-diagonal jaccard = lexically disjoint
+    * sources (a mixing/tokenizer-budget signal: their vocabularies ADD
+    * rather than overlap); the diagonal is each source's vocabulary
+    * size with jaccard 1.
+    *
+    * Scale shape: ONE token pass collapses to the DISTINCT (source,
+    * token) table (barriered, read 3×); the pair join is token-keyed —
+    * a vocabulary SHUFFLE join whose per-token fan-out is bounded by
+    * |sources|² (sources are bounded by contract, tokens never
+    * re-scan); sizes attach broadcast-small (|sources| rows). */
+  def vocabOverlap(t: Tables): DataFrame = vocabOverlap(t.documents)
+
+  /** [[vocabOverlap]] over any `(text, source)` table. */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(preprocess(col("text")))).as("tok"))
+      .distinct()
+      .barrier() // read 3×: sizes + both sides of the pair join
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val shared = st.as("a")
+      .join(st.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") <= col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("v").as("v_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("v").as("v_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("v_a"), col("v_b"),
+        (floor(col("n_shared").cast("double") /
+          (col("v_a") + col("v_b") - col("n_shared")).cast("double") * 1e6)
+          / 1e6).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** Token-diversity scores — the templated/spam-document signal the
     * per-gate fractions in `Pipeline.gopherStats` don't capture directly:
     * Simpson concentration Σp² (an exact rational — its core is the

@@ -481,6 +481,24 @@ class PipelineSpec extends SparkSuite {
     assert(got.size == 5)
   }
 
+  test("vocabOverlap: pairwise vocabulary jaccard, disjoint pairs absent") {
+    val docs = Seq(
+      (1L, "a b c", "s1"), (2L, "b a", "s1"),    // s1 vocab {a,b,c}
+      (3L, "b c d", "s2"),                       // s2 vocab {b,c,d}
+      (4L, "x y", "s3"))                         // s3 vocab {x,y}
+      .toDF("doc_id", "text", "source")
+    val got = operators.TextAnalysis.vocabOverlap(docs)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(got(("s1", "s1")) == (3L, 3L, 3L, 1.0))
+    assert(got(("s2", "s2")) == (3L, 3L, 3L, 1.0))
+    assert(got(("s3", "s3")) == (2L, 2L, 2L, 1.0))
+    // s1 ∩ s2 = {b, c}: jaccard 2/(3+3-2) = 0.5
+    assert(got(("s1", "s2")) == (2L, 3L, 3L, 0.5))
+    // zero-overlap pairs emit no row (jaccard 0 implied)
+    assert(got.size == 4, s"pairs: ${got.keySet}")
+  }
+
   test("fertility: per-lang token ratios from exact integer sums") {
     val docs = Seq(
       (1L, "ab cd", "en", "s1", 5L),    // ws 2, bpe 2
