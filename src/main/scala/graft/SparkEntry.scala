@@ -204,6 +204,10 @@ object SparkEntry {
     "q_active_users" -> q(t => EventAnalytics.activeUsers(t.events)),
     // sessions (reference: utils/session_manager.py)
     "q_sessionize"      -> q(t => Sessionize.sessions(t.events)),
+    // top session journeys (whole-path mining next to q_transition's
+    // one-step matrix): bounded maxLen per-session buffers, path-string
+    // vocabulary groupBy, TakeOrdered ranking
+    "q_paths"           -> q(t => Sessionize.paths(t.events)),
     "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
     "q_qa_context"      -> q(t => Sessionize.qaContext(t.events)),
     // text pipeline (reference: services/index_service.py)
@@ -1741,6 +1745,31 @@ $rounds
         | MAX(ts) AS session_end, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // q_paths: the sessionize replay + per-session ordered path strings
+    // (first 8 steps, ' > ...' marker when cut) counted and ranked
+    "q_paths" ->
+      """WITH events_us AS (
+        | SELECT user_id, event_id, event_type, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events
+        |), x AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events_us WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        | SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx FROM x
+        |), r AS (
+        | SELECT user_id, session_idx, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, session_idx ORDER BY ts, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY user_id, session_idx) AS len
+        | FROM y
+        |), p AS (
+        | SELECT user_id, session_idx,
+        |  string_agg(event_type, ' > ' ORDER BY rn) ||
+        |  CASE WHEN MAX(len) > 8 THEN ' > ...' ELSE '' END AS path
+        | FROM r WHERE rn <= 8 GROUP BY 1, 2
+        |)
+        |SELECT path, COUNT(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_history_window" ->
       """WITH ev AS (SELECT user_id, event_id, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events)
         |SELECT user_id, event_id, ts,

@@ -43,6 +43,46 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Top user-journey paths — the session-path (sankey) mining companion
+    * to [[graft.operators.EventAnalytics.transitions]] (the Markov
+    * matrix sees one step; this sees whole journeys): each session's
+    * ordered event-type sequence rendered `a > b > c`, truncated to its
+    * first `maxLen` steps (with a ` > ...` marker so a cut journey never
+    * aliases an exact one), counted corpus-wide, top-`k` by session
+    * count with lexicographic ties.
+    *
+    * Scale shape: sessionization's one user-keyed shuffle, then a
+    * per-session window + aggregate on the SAME key — and the per-
+    * session buffer is bounded BY CONSTRUCTION: events past `maxLen`
+    * collect as nulls (skipped by collect_list), so a pathological
+    * session costs `maxLen` structs, never its event count. Path
+    * counting is a map-side-combined groupBy on the path string
+    * (bounded by the type-alphabet^maxLen domain, vocabulary-profile
+    * shuffle), ranking a TakeOrdered. */
+  def paths(events: DataFrame, gap: String = "30 MINUTES", maxLen: Int = 8,
+            k: Int = 20): DataFrame = {
+    require(maxLen >= 1 && k >= 1, "maxLen and k must be ≥ 1")
+    val withIdx = withSessionIdx(
+      events, col("user_id"), col("ts"), col("event_id"), gap)
+    val w = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    val per = withIdx
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("len"),
+        sort_array(collect_list(when(col("rn") <= maxLen,
+          struct(col("rn"), col("event_type"))))).as("evs"))
+      .select(concat(
+        array_join(transform(col("evs"), e => e.getField("event_type")),
+          " > "),
+        when(col("len") > maxLen, lit(" > ...")).otherwise(lit("")))
+        .as("path"))
+    per.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Keep-last-N history per key (reference keeps the last 5 exchanges). */
   def lastN(events: DataFrame, n: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -23,6 +23,35 @@ class SessionizeSpec extends SparkSuite {
     assert(u1.map(_.getLong(4)).toSeq == Seq(2L, 1L)) // n_events per session
   }
 
+  test("paths: ordered session journeys, shared across users, truncated at maxLen") {
+    // users 1 and 2 walk the same 3-step journey; user 1 opens a SECOND
+    // session (31-min gap) of one step; user 3 walks 10 steps → cut at 8
+    // with the marker so it can never alias an exact 8-step path
+    def ev(uid: Long, t: String, eid: Long, typ: String) =
+      (uid, ts(t), eid, typ)
+    val events = (Seq(
+      ev(1L, "2024-01-01 10:00:00", 1L, "view"),
+      ev(1L, "2024-01-01 10:01:00", 2L, "click"),
+      ev(1L, "2024-01-01 10:02:00", 3L, "purchase"),
+      ev(1L, "2024-01-01 11:00:00", 4L, "view"), // 58m gap → new session
+      ev(2L, "2024-01-01 09:00:00", 5L, "view"),
+      ev(2L, "2024-01-01 09:10:00", 6L, "click"),
+      ev(2L, "2024-01-01 09:20:00", 7L, "purchase")) ++
+      (1 to 10).map(i =>
+        ev(3L, f"2024-01-01 12:00:$i%02d", 100L + i, s"s$i")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.paths(events, maxLen = 8, k = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("view > click > purchase") == 2L)
+    assert(got("view") == 1L)
+    assert(got("s1 > s2 > s3 > s4 > s5 > s6 > s7 > s8 > ...") == 1L)
+    assert(got.size == 3, s"paths: ${got.keySet}")
+    // maxLen exactly the session length: NO marker
+    val exact = Sessionize.paths(events, maxLen = 10, k = 20)
+      .collect().map(_.getString(0)).toSet
+    assert(exact.contains("s1 > s2 > s3 > s4 > s5 > s6 > s7 > s8 > s9 > s10"))
+  }
+
   test("lastN keeps exactly the most recent N per key") {
     val events = (1 to 12).map(i =>
       (1L, ts(f"2024-01-01 10:${i}%02d:00"), i.toLong, 1.0))
