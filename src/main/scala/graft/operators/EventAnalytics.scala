@@ -219,10 +219,20 @@ object EventAnalytics {
     * deduplicated per (user, window-end) — never a per-day distinct
     * re-count over events and never an unbounded window state. Days
     * with zero activity emit no row (the inner join against DAU). */
-  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+  def activeUsers(events: DataFrame, windowDays: Int = 7): DataFrame =
+    activeUsersFrom(
+      events.select(col("user_id"), to_date(col("ts")).as("day")),
+      windowDays)
+
+  /** [[activeUsers]] over a pre-collapsed `(user_id, day)` activity
+    * table — the entry the streaming twin reports from. Input rows are
+    * re-deduplicated here, so an at-least-once activity store (appended
+    * per micro-batch, possibly with replayed rows) still yields the
+    * exact report. */
+  def activeUsersFrom(activity: DataFrame, windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1, s"windowDays must be ≥ 1, got $windowDays")
     import Barrier.BarrierOps
-    val ud = events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val ud = activity.select(col("user_id"), col("day"))
       .distinct()
       .barrier() // read 2×: DAU + the rolling fan-out
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))

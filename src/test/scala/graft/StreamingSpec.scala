@@ -605,6 +605,23 @@ class StreamingSpec extends SparkSuite {
       s"${streamed.length} streamed vs ${batch.length} batch rows")
   }
 
+  test("streamed activity store rebuilds the batch DAU/WAU report exactly") {
+    // two time-split micro-batches build the append-only (user, day)
+    // store through the watermark-bounded dedup; the report over the
+    // store must equal the batch operator over the same events — even
+    // if the store holds at-least-once duplicates (the report re-dedups)
+    val dir = Files.createTempDirectory("graft-active-stream").toString
+    ActiveUsersStream.start(spark, streamEvents, s"$dir/out", s"$dir/_ckpt")
+      .awaitTermination(180000)
+    val streamed = ActiveUsersStream.report(spark, s"$dir/out")
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.EventAnalytics.activeUsers(t.events)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"${streamed.length} streamed vs ${batch.length} batch rows")
+  }
+
   test("streamed rerank against the frozen corpus equals the batch rerank") {
     import spark.implicits._
     // freeze the corpus base once, stream the query set (= the batch
