@@ -203,6 +203,13 @@ object Oracles {
       |SELECT n.doc_id, coalesce(n_candidates, 0) AS n_candidates, min_partner
       |FROM n LEFT JOIN summ ON n.doc_id = summ.doc_id ORDER BY n.doc_id""".stripMargin
 
+  /** q_sign_search: the sign fingerprint as exact HUGEINT bit math —
+    * Σ 2^i over positive dims (i < 64), wrapped to signed 64-bit (a
+    * double sum would lose bits past the 53-bit mantissa). */
+  def signBitsSql(ev: String): String =
+    signed(s"list_sum(list_transform(range(0, 64), i -> " +
+      s"CASE WHEN $ev[i+1] > 0 THEN $pow2[i+1] ELSE 0::HUGEINT END))")
+
   /** dedup_minhash: per-doc candidate summary. */
   def dedupMinhashSql(maxBucket: Int = 1000): String =
     s"WITH ${minhashPairsCte(maxBucket)},\n$summaryTail"

@@ -286,6 +286,13 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings.select(col("vec_id"), quantize8(col("embedding")).as("qcodes")),
       k = 5)),
+    // 1-bit sign-quantized search (the 32× compression extreme: dim-64
+    // float32 → ONE long; scan kernel = XOR + popcount): Hamming-ranked
+    // top-k, same one-scan broadcast shape as q_knn
+    "q_sign_search" -> q(t => Search.signTopK(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings)),
     "q_knn_threshold" -> q(t => Search.thresholdRetrieval(
       t.embeddings.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -1926,6 +1933,18 @@ $rounds
     // index layouts — the engine-side plans differ, the results must not
     "q_ivf_persisted" -> ivfSearchSql,
     "q_ivf_bucketed" -> ivfSearchSql,
+    // q_sign_search: exact HUGEINT sign-bit packing (a double Σ2^i would
+    // lose bits past the mantissa), XOR + bit_count Hamming ranking
+    "q_sign_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         | sb AS (SELECT vec_id, ${Oracles.signBitsSql("ev")} AS bits FROM e),
+         | qb AS (SELECT vec_id AS query_id, bits AS qbits FROM sb WHERE vec_id < 5),
+         | hd AS (SELECT query_id, s.vec_id, bit_count(xor(s.bits, qbits)) AS hamming
+         |   FROM qb CROSS JOIN sb s),
+         | r AS (SELECT query_id, vec_id, hamming,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn FROM hd)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, CAST(hamming AS BIGINT) AS hamming
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     // quantized exact search: the q_quantize REAL-replay (element-wise
     // float32 round-trip) composed with the q_knn ranking
     "q_knn_quantized" ->

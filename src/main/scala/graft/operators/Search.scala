@@ -109,6 +109,45 @@ object Search {
         .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
   }
 
+  /** Sign fingerprint: one bit per dimension (`v[i] > 0`), packed
+    * little-endian into ONE long (dims beyond 64 would need a second
+    * word; dims under 64 leave high bits zero). Declarative — stays in
+    * codegen'd HOF evaluation, no UDF. */
+  private def signBits(vCol: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(
+       |  transform(sequence(0, cast(least(size($vCol), 64) as int) - 1),
+       |    i -> IF(element_at($vCol, i + 1) > cast(0 as float),
+       |            shiftleft(1L, i), 0L)),
+       |  0L, (acc, x) -> acc | x)""".stripMargin)
+
+  /** 1-bit SIGN-quantized search — the compression extreme of the
+    * quantization matrix (int8 = 4×, PQ = 16×, sign = 32×: a dim-64
+    * float32 vector becomes ONE long, so a billion-vector index is
+    * 8 GB and the scan kernel is one XOR + popcount per candidate):
+    * fingerprint = the sign bit per dimension, ranking by Hamming
+    * distance asc with vec_id ties. For L2-normalized embeddings the
+    * sign pattern is a locality-sensitive sketch of direction (the
+    * classic SimHash/LSH bound: collision probability 1 − θ/π per
+    * bit) — rank quality degrades gracefully and the exact-rerank
+    * pattern of [[ProductQuantizer.searchRefined]] composes on top.
+    * Same one-scan shape as [[bruteForceTopK]]: queries broadcast,
+    * bounded per-query heaps, shuffle ∝ queries × k. */
+  def signTopK(queries: DataFrame, corpus: DataFrame, k: Int = 5): DataFrame = {
+    val enc = corpus.select(col("vec_id"), signBits("embedding").as("bits"))
+    val qenc = queries.select(col("query_id"), signBits("qv").as("qbits"))
+    enc.crossJoin(broadcast(qenc))
+      .select(col("query_id"), col("vec_id"),
+        bit_count(col("bits").bitwiseXOR(col("qbits"))).as("hd"))
+      .groupBy(col("query_id"))
+      .agg(top_k_by_score((-col("hd")).cast("double"), col("vec_id"), k)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.id").as("vec_id"),
+        (-col("hit.score")).cast("long").as("hamming"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training: per anchor, the
     * most-similar corpus vectors that are NOT near-duplicates — the
     * `sim < dupThreshold` band just below duplicate territory, which is

@@ -9,6 +9,25 @@ class PqSpec extends SparkSuite {
 
   lazy val t = Tables(spark, sfDir)
 
+  test("signTopK: hamming ranking over sign bits, zeros carry no bit") {
+    import graft.operators.Search
+    // 2-dim sign patterns: [+,+]=11, [-,+]=10, [+,-]=01, [-,-]=00;
+    // a zero dim is strictly-positive-gated → no bit (v5 ≡ v1's bits)
+    val corpus = Seq(
+      (0L, Array(1f, 1f)), (1L, Array(-1f, 1f)), (2L, Array(1f, -1f)),
+      (3L, Array(-1f, -1f)), (4L, Array(0.5f, 0.5f)), (5L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val got = Search.signTopK(q, corpus, k = 6).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // hamming to [1,1]: v0=0, v4=0 (same signs), v1=1, v2=1, v5=1, v3=2
+    assert(got.toSeq == Seq(
+      (1L, 0L, 0L), (2L, 4L, 0L),
+      (3L, 1L, 1L), (4L, 2L, 1L), (5L, 5L, 1L),
+      (6L, 3L, 2L)), s"got ${got.toSeq}")
+  }
+
   test("seed vectors reconstruct exactly (their subvectors ARE codewords)") {
     val rec = ProductQuantizer.reconstructed(t.embeddings, m = 4, k = 16)
       .filter($"vec_id" < 16).orderBy($"vec_id")
