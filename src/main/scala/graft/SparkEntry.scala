@@ -293,6 +293,13 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings)),
+    // two-stage sign retrieval: Hamming shortlist exactly re-ranked by
+    // true cosine (exact work ∝ queries × shortlist; the q_pq_refine
+    // pattern on the 32× code)
+    "q_sign_refine" -> q(t => Search.signRefined(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings)),
     "q_knn_threshold" -> q(t => Search.thresholdRetrieval(
       t.embeddings.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -1944,6 +1951,27 @@ $rounds
          | r AS (SELECT query_id, vec_id, hamming,
          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn FROM hd)
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, CAST(hamming AS BIGINT) AS hamming
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q_sign_refine: the sign shortlist (rn ≤ 20 on hamming, vec_id
+    // ties) exactly re-scored by true cosine, q_knn's ranking contract
+    "q_sign_refine" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         | sb AS (SELECT vec_id, ${Oracles.signBitsSql("ev")} AS bits FROM e),
+         | qb AS (SELECT vec_id AS query_id, bits AS qbits FROM sb WHERE vec_id < 5),
+         | hd AS (SELECT query_id, s.vec_id, bit_count(xor(s.bits, qbits)) AS hamming
+         |   FROM qb CROSS JOIN sb s),
+         | sl AS (SELECT query_id, vec_id FROM (
+         |   SELECT query_id, vec_id,
+         |     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn
+         |   FROM hd) WHERE rn <= 20),
+         | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+         | sims AS (SELECT sl.query_id, sl.vec_id,
+         |    list_cosine_similarity(qv, ev) AS sim
+         |   FROM sl JOIN e ON e.vec_id = sl.vec_id JOIN q ON q.query_id = sl.query_id),
+         | r AS (SELECT query_id, vec_id, sim,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+         | floor(sim*1e6)/1e6 AS score
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     // quantized exact search: the q_quantize REAL-replay (element-wise
     // float32 round-trip) composed with the q_knn ranking

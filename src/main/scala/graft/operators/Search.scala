@@ -148,6 +148,28 @@ object Search {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Two-stage sign search — [[signTopK]]'s Hamming shortlist exactly
+    * re-ranked by true cosine (the [[ProductQuantizer.searchRefined]]
+    * pattern applied to the 32× code): the XOR+popcount scan pays for
+    * the candidate generation, the exact work is ∝ queries × shortlist
+    * (the shortlist BROADCASTS into a hash-join probe of the
+    * full-precision store — never a second scan-and-score), and final
+    * scores carry NO quantization error. Same output contract as
+    * [[bruteForceTopK]]; equal to it whenever the true top-k survives
+    * the Hamming shortlist (spec-pinned at full shortlist). */
+  def signRefined(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                  shortlist: Int = 20): DataFrame = {
+    val sl = signTopK(queries, corpus, shortlist)
+      .select(col("query_id"), col("vec_id"))
+    val sims = corpus.join(broadcast(sl), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
+    explodeTopK(
+      sims.groupBy(col("query_id"))
+        .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
+  }
+
   /** Hard-negative mining for contrastive training: per anchor, the
     * most-similar corpus vectors that are NOT near-duplicates — the
     * `sim < dupThreshold` band just below duplicate territory, which is

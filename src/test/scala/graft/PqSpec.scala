@@ -28,6 +28,18 @@ class PqSpec extends SparkSuite {
       (6L, 3L, 2L)), s"got ${got.toSeq}")
   }
 
+  test("signRefined: full shortlist recovers the exact brute-force ranking") {
+    import graft.operators.Search
+    val q = t.embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val n = t.embeddings.count().toInt
+    val refined = Search.signRefined(q, t.embeddings, k = 5, shortlist = n)
+      .collect().toSeq
+    val exact = Search.bruteForceTopK(q, t.embeddings, 5).collect().toSeq
+    assert(refined == exact, "exact rerank over the full shortlist must " +
+      "equal brute force bit for bit")
+  }
+
   test("seed vectors reconstruct exactly (their subvectors ARE codewords)") {
     val rec = ProductQuantizer.reconstructed(t.embeddings, m = 4, k = 16)
       .filter($"vec_id" < 16).orderBy($"vec_id")
