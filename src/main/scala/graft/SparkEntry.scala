@@ -525,6 +525,10 @@ object SparkEntry {
     "dedup_edit"      -> q(t => Dedup.editVerified(t.documents)),
     "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
     "dedup_clusters"  -> q(t => Dedup.clusters(t.documents)),
+    // cluster-size histogram (how duplication mass is SHAPED: giant
+    // clusters = boilerplate/mirroring); two bounded aggregates over
+    // the converged cluster table, no extra corpus/pair pass
+    "dedup_hist"      -> q(t => Dedup.clusterHistogram(t.documents)),
     // the funnel's APPLY step: keep exactly the canonical member of each
     // converged cluster — `WHERE keep` IS the deduplicated corpus
     "dedup_canonical" -> q(t => Dedup.canonicalize(t.documents)),
@@ -2369,6 +2373,14 @@ $rounds
     "q_dsir"         -> Oracles.dsirSql(),
     "dedup_simhash"  -> Oracles.dedupSimhashSql(),
     "dedup_clusters" -> Oracles.dedupClustersSql(),
+    // dedup_hist: cluster sizes re-derived from the clusters replay,
+    // then the size-domain rollup — all integer counts
+    "dedup_hist" ->
+      s"""WITH cl AS (${Oracles.dedupClustersSql()}),
+         | per AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl GROUP BY 1)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         | CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_canonical" -> Oracles.dedupCanonicalSql(),
     "dedup_incremental" -> Oracles.dedupIncrementalSql(),
     "dedup_minhash_est" -> Oracles.dedupMinhashEstSql(),

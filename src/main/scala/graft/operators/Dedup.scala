@@ -1038,6 +1038,24 @@ object Dedup {
     * measured dup rate, and `cluster_size` tells an auditor how big the
     * group each survivor represents was. Costs nothing beyond
     * [[clusters]] itself — the verdict is a projection of its output. */
+  /** Duplicate-cluster size DISTRIBUTION — the one-glance release view
+    * of the dedup funnel's structure ([[clusters]] says who is in which
+    * cluster; this says how duplication mass is SHAPED): per cluster
+    * size the number of clusters and the document mass in them. A heavy
+    * tail (few giant clusters holding a large doc share) means
+    * boilerplate/mirroring and predicts most of the dedup win;
+    * singletons are the unique corpus. Two bounded aggregates over the
+    * converged cluster table (cluster-count rows, then size-domain
+    * rows) — no extra pass over documents or pairs. */
+  def clusterHistogram(docs: DataFrame, maxIters: Int = 10,
+                       maxBucket: Int = 1000): DataFrame =
+    clusters(docs, maxIters, maxBucket)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
   def canonicalize(docs: DataFrame, maxIters: Int = 10,
                    maxBucket: Int = 1000): DataFrame =
     clusters(docs, maxIters, maxBucket)

@@ -11,6 +11,15 @@ class DedupSpec extends SparkSuite {
   private val nearDup = base.split(" ").updated(10, "CHANGED").mkString(" ")
   private val distinctDoc = (1 to 80).map(i => s"z${i}q").mkString(" ")
 
+  test("clusterHistogram: size distribution of converged clusters") {
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinctDoc))
+      .toDF("doc_id", "text")
+    val got = operators.Dedup.clusterHistogram(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // {1,2} pair into one 2-cluster; 3 stays a singleton
+    assert(got == Map(1L -> (1L, 1L), 2L -> (1L, 2L)), s"got $got")
+  }
+
   test("lshRecallAudit: exact truth vs the production candidate funnel") {
     val t0 = "alpha beta gamma delta epsilon zeta eta theta"
     val t8 = "alpha beta gamma xx yy zz ww" // shares exactly 1 shingle with t0
