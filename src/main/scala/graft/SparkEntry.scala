@@ -227,6 +227,9 @@ object SparkEntry {
     // smoothed mass, floored-grid ranking
     "q_ppmi"         -> q(t => TextAnalysis.ppmi(t)),
     "text_quality"   -> q(TextAnalysis.qualityScores),
+    // signal-redundancy meta-audit: exact-moment Pearson r between the
+    // curation signals (grid ints, one all-pairs-moments aggregate)
+    "q_signal_corr"  -> q(t => Pipeline.signalCorrelation(t.documents)),
     // per-doc char/token Shannon entropy (low-information filter signal);
     // narrow native kernels, order-free integer-sum formulation
     "text_entropy"   -> q(TextAnalysis.entropyScores),
@@ -1305,6 +1308,38 @@ $rounds
            |   THEN floor(CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE) * 1e6) / 1e6
            |   ELSE 0.0 END AS "precision"
            |FROM t LEFT JOIN p USING (lang) ORDER BY lang""".stripMargin,
+      // q_signal_corr: the two gate oracles joined, grid ints recovered
+      // with the +0.5 floor, HUGEINT moments, double r per pair
+      "q_signal_corr" -> {
+        def rSql(sx: String, sy: String, sxy: String, sxx: String,
+                 syy: String): String =
+          s"""CASE WHEN CAST(nh*$sxx - $sx*$sx AS DOUBLE) > 0.0
+             |      AND CAST(nh*$syy - $sy*$sy AS DOUBLE) > 0.0
+             | THEN floor(CAST(nh*$sxy - $sx*$sy AS DOUBLE)
+             |   / sqrt(CAST(nh*$sxx - $sx*$sx AS DOUBLE) * CAST(nh*$syy - $sy*$sy AS DOUBLE))
+             |   * 1e4) / 1e4
+             | ELSE 0.0 END""".stripMargin
+        s"""WITH tq AS (SELECT doc_id, quality_score FROM (${base("text_quality")})),
+           | te AS (SELECT doc_id, char_entropy, token_entropy FROM (${base("text_entropy")})),
+           | g AS (SELECT CAST(floor(quality_score*1e4 + 0.5) AS BIGINT) AS a,
+           |   CAST(floor(char_entropy*1e4 + 0.5) AS BIGINT) AS b,
+           |   CAST(floor(token_entropy*1e4 + 0.5) AS BIGINT) AS c
+           |  FROM tq JOIN te USING (doc_id)),
+           | m AS (SELECT COUNT(*) AS n, CAST(COUNT(*) AS HUGEINT) AS nh,
+           |   SUM(a)::HUGEINT AS sa, SUM(b)::HUGEINT AS sb, SUM(c)::HUGEINT AS sc,
+           |   SUM(a*a)::HUGEINT AS saa, SUM(b*b)::HUGEINT AS sbb, SUM(c*c)::HUGEINT AS scc,
+           |   SUM(a*b)::HUGEINT AS sab, SUM(a*c)::HUGEINT AS sac, SUM(b*c)::HUGEINT AS sbc
+           |  FROM g)
+           |SELECT 'quality_score' AS signal_a, 'char_entropy' AS signal_b, n,
+           | ${rSql("sa", "sb", "sab", "saa", "sbb")} AS r FROM m
+           |UNION ALL
+           |SELECT 'quality_score', 'token_entropy', n,
+           | ${rSql("sa", "sc", "sac", "saa", "scc")} FROM m
+           |UNION ALL
+           |SELECT 'char_entropy', 'token_entropy', n,
+           | ${rSql("sb", "sc", "sbc", "sbb", "scc")} FROM m
+           |ORDER BY signal_a, signal_b""".stripMargin
+      },
       // q_curate: the five per-gate oracles composed exactly like the
       // Spark funnel — each subquery IS the gate's own hash oracle, the
       // composition is a doc_id join + conjunction (the inner join to the

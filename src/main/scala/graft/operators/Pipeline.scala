@@ -485,6 +485,68 @@ object Pipeline {
     * same discipline as the money math. The 1-row aggregates cross-join
     * into the card; nothing here adds a corpus pass beyond its source
     * audit. */
+  /** Exact-moment Pearson correlation matrix between per-doc curation
+    * signals — the signal-REDUNDANCY meta-audit a curation team reads
+    * before composing gates (two signals with \|r\| near 1 gate the same
+    * documents twice; near 0 they carry independent evidence). Signals:
+    * the composite quality score and the char/token entropies, all
+    * already on 1e-4 grids.
+    *
+    * Determinism: the published grid doubles are recovered as exact
+    * INTEGERS (`floor(x·1e4 + 0.5)` — the value is within an ulp of the
+    * integer, so both engines floor identically), all ten moments
+    * (n, Σ, Σ², Σ·cross) accumulate as exact DECIMAL sums of integer
+    * products (order-free), and r derives in double from the exact
+    * components, floored to 1e-4. Zero-variance signals emit r = 0.
+    *
+    * Scale shape: two narrow scoring scans joined once on doc_id (the
+    * `q_curate` composition rule), then ONE aggregate produces every
+    * pair's moments in a single pass — the 3-row matrix is assembled
+    * from that one row, no per-pair re-scan. */
+  def signalCorrelation(docs: DataFrame): DataFrame = {
+    val q = TextAnalysis.qualityScores(docs, sorted = false)
+      .select(col("doc_id"), col("quality_score"))
+    val e = TextAnalysis.entropyScores(docs)
+      .select(col("doc_id"), col("char_entropy"), col("token_entropy"))
+    def gi(c: Column) = floor(c * 1e4 + lit(0.5)).cast("long")
+    val g = q.join(e, Seq("doc_id"))
+      .select(gi(col("quality_score")).as("a"),
+        gi(col("char_entropy")).as("b"),
+        gi(col("token_entropy")).as("c"))
+    def dsum(c: Column) = sum(c.cast("decimal(38,0)"))
+    val m = g.agg(count(lit(1)).as("n"),
+      dsum(col("a")).as("sa"), dsum(col("b")).as("sb"),
+      dsum(col("c")).as("sc"),
+      dsum(col("a") * col("a")).as("saa"),
+      dsum(col("b") * col("b")).as("sbb"),
+      dsum(col("c") * col("c")).as("scc"),
+      dsum(col("a") * col("b")).as("sab"),
+      dsum(col("a") * col("c")).as("sac"),
+      dsum(col("b") * col("c")).as("sbc"))
+    val nD = col("n").cast("decimal(38,0)")
+    def r(sx: String, sy: String, sxy: String, sxx: String,
+          syy: String): Column = {
+      val cov = (nD * col(sxy) - col(sx) * col(sy)).cast("double")
+      val vx = (nD * col(sxx) - col(sx) * col(sx)).cast("double")
+      val vy = (nD * col(syy) - col(sy) * col(sy)).cast("double")
+      when(vx > 0.0 && vy > 0.0,
+        floor(cov / sqrt(vx * vy) * 1e4) / 1e4).otherwise(lit(0.0))
+    }
+    m.select(col("n"), explode(array(
+        struct(lit("quality_score").as("signal_a"),
+          lit("char_entropy").as("signal_b"),
+          r("sa", "sb", "sab", "saa", "sbb").as("r")),
+        struct(lit("quality_score").as("signal_a"),
+          lit("token_entropy").as("signal_b"),
+          r("sa", "sc", "sac", "saa", "scc").as("r")),
+        struct(lit("char_entropy").as("signal_a"),
+          lit("token_entropy").as("signal_b"),
+          r("sb", "sc", "sbc", "sbb", "scc").as("r")))).as("p"))
+      .select(col("p.signal_a").as("signal_a"),
+        col("p.signal_b").as("signal_b"), col("n"), col("p.r").as("r"))
+      .orderBy(col("signal_a"), col("signal_b"))
+  }
+
   def datasetCard(t: graft.sources.Tables): DataFrame =
     datasetCardFrom(t.documents)
 

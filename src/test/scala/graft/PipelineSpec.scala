@@ -481,6 +481,48 @@ class PipelineSpec extends SparkSuite {
     assert(got.size == 5)
   }
 
+  test("signalCorrelation: exact-moment r, zero-variance signals stay 0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "the the the the the the"),
+      (3L, "mixed bag of words and the filler tokens here now"),
+      (4L, "zz"),
+      (5L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val got = Pipeline.signalCorrelation(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // replay from the published per-doc grids with exact BigInt moments
+    val q = operators.TextAnalysis.qualityScores(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(6)).toMap
+    val e = operators.TextAnalysis.entropyScores(docs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(4)))
+      .toMap
+    def gi(x: Double) = BigInt(math.floor(x * 1e4 + 0.5).toLong)
+    val ids = q.keys.toSeq.sorted
+    val (a, b, c) = (ids.map(i => gi(q(i))),
+      ids.map(i => gi(e(i)._1)), ids.map(i => gi(e(i)._2)))
+    def pearson(xs: Seq[BigInt], ys: Seq[BigInt]): Double = {
+      val n = BigInt(xs.length)
+      val (sx, sy) = (xs.sum, ys.sum)
+      val cov = n * xs.zip(ys).map { case (x, y) => x * y }.sum - sx * sy
+      val vx = n * xs.map(x => x * x).sum - sx * sx
+      val vy = n * ys.map(y => y * y).sum - sy * sy
+      if (vx <= 0 || vy <= 0) 0.0
+      else math.floor(cov.toDouble /
+        math.sqrt(vx.toDouble * vy.toDouble) * 1e4) / 1e4
+    }
+    assert(got(("quality_score", "char_entropy")) == (5L, pearson(a, b)))
+    assert(got(("quality_score", "token_entropy")) == (5L, pearson(a, c)))
+    assert(got(("char_entropy", "token_entropy")) == (5L, pearson(b, c)))
+    got.values.foreach { case (_, r) => assert(r >= -1.0 && r <= 1.0) }
+    // a constant corpus has zero variance everywhere → r = 0 by contract
+    val const = (1L to 4L).map(i => (i, "same text every time")).toDF("doc_id", "text")
+    Pipeline.signalCorrelation(const).collect().foreach { r =>
+      assert(r.getLong(2) == 4L && r.getDouble(3) == 0.0)
+    }
+  }
+
   test("vocabOverlap: pairwise vocabulary jaccard, disjoint pairs absent") {
     val docs = Seq(
       (1L, "a b c", "s1"), (2L, "b a", "s1"),    // s1 vocab {a,b,c}
