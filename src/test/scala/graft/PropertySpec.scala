@@ -28,6 +28,22 @@ class PropertySpec extends SparkSuite {
     Gen.chooseNum(1, 40).flatMap(n =>
       Gen.listOfN(n, Gen.oneOf((1 to 25).map(i => s"tok$i"))))
 
+  test("sign search: hamming equals the sign-pattern disagreement count") {
+    import graft.operators.Search
+    forAll2(vecGen, vecGen, 12) { (a, b) =>
+      val n = math.min(a.length, b.length)
+      val (aa, bb) = (a.take(n), b.take(n))
+      val corpus = Seq((0L, aa), (1L, bb)).toDF("vec_id", "embedding")
+      val q = Seq((0L, aa)).toDF("query_id", "qv")
+      val got = Search.signTopK(q, corpus, k = 2).collect()
+        .map(r => r.getLong(2) -> r.getLong(3)).toMap
+      // replay: one disagreement per dimension where exactly one side > 0
+      val want = aa.zip(bb).count { case (x, y) => (x > 0f) != (y > 0f) }
+      assert(got(0L) == 0L, "self hamming must be 0")
+      assert(got(1L) == want.toLong, s"hamming: got ${got(1L)}, want $want")
+    }
+  }
+
   test("cosine similarity is symmetric and bounded") {
     forAll2(vecGen, vecGen, 15) { (a, b) =>
       val n = math.min(a.length, b.length)
