@@ -458,14 +458,14 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, m = 4, k = 16, topK = 5)),
-    // two-stage retrieval: the PQ shortlist (top-20 on compressed codes)
-    // exactly re-ranked against the full-precision store — the FAISS
-    // "refine" pattern; exact work ∝ queries × shortlist, never corpus
     // two-stage retrieval with a PAIRWISE reranker: hash-embed cosine
     // shortlist (one corpus scan) → cross-encoder seam (bounded
     // mapPartitions batches; deterministic overlap-F1 stand-in) → final
     // top-5; everything after stage 1 bounded by queries × shortlist
     "q_rerank" -> q(t => Rerank.rerankedSearch(t.documents)),
+    // two-stage retrieval: the PQ shortlist (top-20 on compressed codes)
+    // exactly re-ranked against the full-precision store — the FAISS
+    // "refine" pattern; exact work ∝ queries × shortlist, never corpus
     "q_pq_refine" -> q(t => ProductQuantizer.searchRefined(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -950,6 +950,48 @@ object SparkEntry {
   private def signedSql(u: String): String =
     s"CAST(CASE WHEN $u >= 9223372036854775808::HUGEINT " +
       s"THEN $u - 18446744073709551616::HUGEINT ELSE $u END AS BIGINT)"
+
+  /** The shared chunk-vector replay chain `n0 → tok → b0 → g → … → cvec`
+    * (64/48 token chunks, FNV-bucketed hash_embed, REAL-normalized) —
+    * one definition serving the q_rag_search / q_maxsim / q_context_pack
+    * oracles, the same factoring rule as `Oracles.minhashPairsCte` (an
+    * edit to the replay must not be able to diverge between them). `g`
+    * carries `n` for consumers that derive per-chunk token costs. */
+  private def chunkVecCtes: String =
+    s"""n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+       | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+       | b0 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
+       | g AS (SELECT doc_id, unnest(range(0, n, 48)) AS start, toks, n FROM b0),
+       | ctok AS (SELECT doc_id*4294967296 + start//48 AS vec_id,
+       |    unnest(list_slice(toks, start+1, start+64)) AS tk FROM g),
+       | chh AS (SELECT vec_id, ((${signedSql(
+          fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
+       |   FROM ctok WHERE tk <> ''),
+       | ccnt AS (SELECT vec_id, bucket, COUNT(*) AS c FROM chh GROUP BY 1,2),
+       | cnrm AS (SELECT vec_id, sqrt(SUM(c*c)) AS nr FROM ccnt GROUP BY 1),
+       | cvec AS (SELECT k.vec_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
+       |   FROM cnrm k CROSS JOIN range(0,64) r
+       |   LEFT JOIN ccnt c ON c.vec_id = k.vec_id AND c.bucket = r.range
+       |   GROUP BY k.vec_id)""".stripMargin
+
+  /** The companion whole-document query-vector chain `qtok → … → qvec`
+    * (docs `doc_id < 3` hash-embedded as queries), shared by
+    * q_rag_search and q_context_pack. Requires [[chunkVecCtes]]' `b0`. */
+  private def docQueryVecCtes: String =
+    s"""qtok AS (SELECT doc_id AS query_id, unnest(toks) AS tk FROM b0 WHERE doc_id < 3),
+       | qhh AS (SELECT query_id, ((${signedSql(
+          fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
+       |   FROM qtok WHERE tk <> ''),
+       | qcnt AS (SELECT query_id, bucket, COUNT(*) AS c FROM qhh GROUP BY 1,2),
+       | qnrm AS (SELECT query_id, sqrt(SUM(c*c)) AS nr FROM qcnt GROUP BY 1),
+       | qvec AS (SELECT k.query_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS qv
+       |   FROM qnrm k CROSS JOIN range(0,64) r
+       |   LEFT JOIN qcnt c ON c.query_id = k.query_id AND c.bucket = r.range
+       |   GROUP BY k.query_id),
+       | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim
+       |   FROM qvec CROSS JOIN cvec),
+       | rnk AS (SELECT query_id, vec_id, sim,
+       |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)""".stripMargin
 
   /** The shared iterated-BPE CTE chain, generated for `rounds` merge
     * rounds: the word-frequency table f1 (carrying the ORIGINAL word
@@ -2720,59 +2762,18 @@ $rounds
           | floor(ce*1e6)/1e6 AS ce_score, floor(sim*1e6)/1e6 AS ret_score
           |FROM rr WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
     "q_rag_search" ->
-      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
-          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
-          | b0 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
-          | g AS (SELECT doc_id, unnest(range(0, n, 48)) AS start, toks FROM b0),
-          | ctok AS (SELECT doc_id*4294967296 + start//48 AS vec_id,
-          |    unnest(list_slice(toks, start+1, start+64)) AS tk FROM g),
-          | chh AS (SELECT vec_id, ((${signedSql(
-                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
-          |   FROM ctok WHERE tk <> ''),
-          | ccnt AS (SELECT vec_id, bucket, COUNT(*) AS c FROM chh GROUP BY 1,2),
-          | cnrm AS (SELECT vec_id, sqrt(SUM(c*c)) AS nr FROM ccnt GROUP BY 1),
-          | cvec AS (SELECT k.vec_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
-          |   FROM cnrm k CROSS JOIN range(0,64) r
-          |   LEFT JOIN ccnt c ON c.vec_id = k.vec_id AND c.bucket = r.range
-          |   GROUP BY k.vec_id),
-          | qtok AS (SELECT doc_id AS query_id, unnest(toks) AS tk FROM b0 WHERE doc_id < 3),
-          | qhh AS (SELECT query_id, ((${signedSql(
-                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
-          |   FROM qtok WHERE tk <> ''),
-          | qcnt AS (SELECT query_id, bucket, COUNT(*) AS c FROM qhh GROUP BY 1,2),
-          | qnrm AS (SELECT query_id, sqrt(SUM(c*c)) AS nr FROM qcnt GROUP BY 1),
-          | qvec AS (SELECT k.query_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS qv
-          |   FROM qnrm k CROSS JOIN range(0,64) r
-          |   LEFT JOIN qcnt c ON c.query_id = k.query_id AND c.bucket = r.range
-          |   GROUP BY k.query_id),
-          | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim
-          |   FROM qvec CROSS JOIN cvec),
-          | r AS (SELECT query_id, vec_id, sim,
-          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+      (s"""WITH $chunkVecCtes,
+          | $docQueryVecCtes
           |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
           | floor(sim*1e6)/1e6 AS score
-          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
+          |FROM rnk WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
     // q_maxsim: the chunk-vector replay (cvec, shared shape with
     // q_rag_search) scored with late interaction — per-(query-chunk,
     // doc) MAX is order-free, each max floored to a 1e-6 BIGINT before
     // the cross-aspect SUM (exact integer addition), rank on the integer
     // msum with doc_id ties
     "q_maxsim" ->
-      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
-          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
-          | b0 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
-          | g AS (SELECT doc_id, unnest(range(0, n, 48)) AS start, toks FROM b0),
-          | ctok AS (SELECT doc_id*4294967296 + start//48 AS vec_id,
-          |    unnest(list_slice(toks, start+1, start+64)) AS tk FROM g),
-          | chh AS (SELECT vec_id, ((${signedSql(
-                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
-          |   FROM ctok WHERE tk <> ''),
-          | ccnt AS (SELECT vec_id, bucket, COUNT(*) AS c FROM chh GROUP BY 1,2),
-          | cnrm AS (SELECT vec_id, sqrt(SUM(c*c)) AS nr FROM ccnt GROUP BY 1),
-          | cvec AS (SELECT k.vec_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
-          |   FROM cnrm k CROSS JOIN range(0,64) r
-          |   LEFT JOIN ccnt c ON c.vec_id = k.vec_id AND c.bucket = r.range
-          |   GROUP BY k.vec_id),
+      (s"""WITH $chunkVecCtes,
           | cq AS (SELECT vec_id // 4294967296 AS query_id, vec_id AS qcid, ev AS qv
           |   FROM cvec WHERE vec_id < 12884901888),
           | asp AS (SELECT q.query_id, q.qcid, c.vec_id // 4294967296 AS ddoc,
@@ -2791,37 +2792,10 @@ $rounds
     // (least(64, n − start)) + the integer prefix window; kept is a pure
     // integer compare against the budget
     "q_context_pack" ->
-      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
-          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
-          | b0 AS (SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0),
-          | g AS (SELECT doc_id, unnest(range(0, n, 48)) AS start, toks, n FROM b0),
-          | ctok AS (SELECT doc_id*4294967296 + start//48 AS vec_id,
-          |    unnest(list_slice(toks, start+1, start+64)) AS tk FROM g),
-          | chh AS (SELECT vec_id, ((${signedSql(
-                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
-          |   FROM ctok WHERE tk <> ''),
-          | ccnt AS (SELECT vec_id, bucket, COUNT(*) AS c FROM chh GROUP BY 1,2),
-          | cnrm AS (SELECT vec_id, sqrt(SUM(c*c)) AS nr FROM ccnt GROUP BY 1),
-          | cvec AS (SELECT k.vec_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
-          |   FROM cnrm k CROSS JOIN range(0,64) r
-          |   LEFT JOIN ccnt c ON c.vec_id = k.vec_id AND c.bucket = r.range
-          |   GROUP BY k.vec_id),
-          | qtok AS (SELECT doc_id AS query_id, unnest(toks) AS tk FROM b0 WHERE doc_id < 3),
-          | qhh AS (SELECT query_id, ((${signedSql(
-                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
-          |   FROM qtok WHERE tk <> ''),
-          | qcnt AS (SELECT query_id, bucket, COUNT(*) AS c FROM qhh GROUP BY 1,2),
-          | qnrm AS (SELECT query_id, sqrt(SUM(c*c)) AS nr FROM qcnt GROUP BY 1),
-          | qvec AS (SELECT k.query_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS qv
-          |   FROM qnrm k CROSS JOIN range(0,64) r
-          |   LEFT JOIN qcnt c ON c.query_id = k.query_id AND c.bucket = r.range
-          |   GROUP BY k.query_id),
-          | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim
-          |   FROM qvec CROSS JOIN cvec),
-          | r AS (SELECT query_id, vec_id, sim,
-          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims),
+      (s"""WITH $chunkVecCtes,
+          | $docQueryVecCtes,
           | sl AS (SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
-          |   floor(sim*1e6)/1e6 AS score FROM r WHERE rn <= 5),
+          |   floor(sim*1e6)/1e6 AS score FROM rnk WHERE rn <= 5),
           | cln AS (SELECT doc_id*4294967296 + start//48 AS vec_id,
           |   CAST(least(64, n - start) AS BIGINT) AS n_tok FROM g),
           | pk AS (SELECT sl.query_id, sl.rank, sl.vec_id, sl.score, cln.n_tok,

@@ -180,7 +180,7 @@ object Dedup {
       .distinct()
       .barrier() // read 3×: sizes, both sides of the intersection join
     val sizes = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      .barrier() // read 4×: n_sample + two size attaches + two semi-joins
+      .barrier() // read 5×: n_sample + two size attaches + two semi-joins
     val inter = sets.as("a")
       .join(sets.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
@@ -1029,15 +1029,6 @@ object Dedup {
     }
   }
 
-  /** The APPLY step that ends the dedup funnel: per-doc keep/drop from
-    * the converged [[clusters]] assignment — each cluster keeps exactly
-    * its canonical member (the smallest doc_id, i.e. `cluster_id ==
-    * doc_id`), everyone else drops. This is the row a pipeline actually
-    * filters on after candidates → verification → components: `WHERE
-    * keep` yields the deduplicated corpus, `1 − keeps/total` is the
-    * measured dup rate, and `cluster_size` tells an auditor how big the
-    * group each survivor represents was. Costs nothing beyond
-    * [[clusters]] itself — the verdict is a projection of its output. */
   /** Duplicate-cluster size DISTRIBUTION — the one-glance release view
     * of the dedup funnel's structure ([[clusters]] says who is in which
     * cluster; this says how duplication mass is SHAPED): per cluster
@@ -1056,6 +1047,15 @@ object Dedup {
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
       .orderBy(col("cluster_size"))
 
+  /** The APPLY step that ends the dedup funnel: per-doc keep/drop from
+    * the converged [[clusters]] assignment — each cluster keeps exactly
+    * its canonical member (the smallest doc_id, i.e. `cluster_id ==
+    * doc_id`), everyone else drops. This is the row a pipeline actually
+    * filters on after candidates → verification → components: `WHERE
+    * keep` yields the deduplicated corpus, `1 − keeps/total` is the
+    * measured dup rate, and `cluster_size` tells an auditor how big the
+    * group each survivor represents was. Costs nothing beyond
+    * [[clusters]] itself — the verdict is a projection of its output. */
   def canonicalize(docs: DataFrame, maxIters: Int = 10,
                    maxBucket: Int = 1000): DataFrame =
     clusters(docs, maxIters, maxBucket)

@@ -16,19 +16,6 @@ import graft.operators.Barrier.BarrierOps
   */
 object Rag {
 
-  /** Token-budget context packing over the chunked-retrieval shortlist
-    * (`q_rag_search`'s composition): per query, the top-`shortlist`
-    * chunks in rank order annotated with their token cost, the running
-    * prefix total, and the `kept` verdict — a chunk is kept while the
-    * PREFIX fits (`cum_tokens ≤ budget`; truncate-at-overflow, the
-    * standard prompt-window rule — rank order is relevance order, so a
-    * later smaller chunk never jumps an overflowing better one).
-    *
-    * Scale shape: one chunk pass (barriered — embeddings and token
-    * costs share it), ONE corpus scan for the shortlist
-    * ([[Search.bruteForceTopK]]), then the bounded shortlist BROADCASTS
-    * into a hash-join probe of the chunk token table and the prefix
-    * window runs over ≤ `shortlist` rows per query. */
   /** Multi-vector LATE-INTERACTION retrieval (the ColBERT MaxSim family,
     * at chunk granularity — the long-document form): a document is its
     * SET of chunk vectors, a query is its set of chunk vectors, and
@@ -67,7 +54,7 @@ object Rag {
       .select(col("query_id"), col("doc_id"),
         floor(col("m") * 1e6).cast("long").as("im"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(sum(col("im")).as("msum"), count(lit(1)).as("n_qc"))
+      .agg(sum(col("im")).as("msum"))
     scored
       .groupBy(col("query_id"))
       .agg(top_k_by_score(col("msum").cast("double"), col("doc_id"), k)
@@ -79,6 +66,19 @@ object Rag {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Token-budget context packing over the chunked-retrieval shortlist
+    * (`q_rag_search`'s composition): per query, the top-`shortlist`
+    * chunks in rank order annotated with their token cost, the running
+    * prefix total, and the `kept` verdict — a chunk is kept while the
+    * PREFIX fits (`cum_tokens ≤ budget`; truncate-at-overflow, the
+    * standard prompt-window rule — rank order is relevance order, so a
+    * later smaller chunk never jumps an overflowing better one).
+    *
+    * Scale shape: one chunk pass (barriered — embeddings and token
+    * costs share it), ONE corpus scan for the shortlist
+    * ([[Search.bruteForceTopK]]), then the bounded shortlist BROADCASTS
+    * into a hash-join probe of the chunk token table and the prefix
+    * window runs over ≤ `shortlist` rows per query. */
   def contextPack(docs: DataFrame, budget: Long = 150, shortlist: Int = 5,
                   queryMaxId: Long = 3): DataFrame = {
     val ch = TextAnalysis.chunks(docs)

@@ -114,11 +114,13 @@ object Search {
     * word; dims under 64 leave high bits zero). Declarative — stays in
     * codegen'd HOF evaluation, no UDF. */
   private def signBits(vCol: String): org.apache.spark.sql.Column = expr(
-    s"""aggregate(
+    // the size guard dodges the descending-sequence trap (sequence(0, -1)
+    // is [0, -1] and element_at(v, 0) throws): empty vectors encode as 0L
+    s"""IF(size($vCol) <= 0, 0L, aggregate(
        |  transform(sequence(0, cast(least(size($vCol), 64) as int) - 1),
        |    i -> IF(element_at($vCol, i + 1) > cast(0 as float),
        |            shiftleft(1L, i), 0L)),
-       |  0L, (acc, x) -> acc | x)""".stripMargin)
+       |  0L, (acc, x) -> acc | x))""".stripMargin)
 
   /** 1-bit SIGN-quantized search — the compression extreme of the
     * quantization matrix (int8 = 4×, PQ = 16×, sign = 32×: a dim-64
