@@ -208,6 +208,9 @@ object SparkEntry {
     // one-step matrix): bounded maxLen per-session buffers, path-string
     // vocabulary groupBy, TakeOrdered ranking
     "q_paths"           -> q(t => Sessionize.paths(t.events)),
+    // per-journey conversion share (which paths convert, which stall);
+    // whole-session outcome flag, truncated path label, int÷int rate
+    "q_path_conversion" -> q(t => Sessionize.pathConversion(t.events)),
     "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
     "q_qa_context"      -> q(t => Sessionize.qaContext(t.events)),
     // text pipeline (reference: services/index_service.py)
@@ -1865,6 +1868,37 @@ $rounds
         |)
         |SELECT path, COUNT(*) AS n_sessions FROM p
         |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // q_path_conversion: the paths replay + a whole-session conversion
+    // flag (window over ALL session rows, so an outcome past the
+    // truncation still counts) and the int÷int rate
+    "q_path_conversion" ->
+      """WITH events_us AS (
+        | SELECT user_id, event_id, event_type, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events
+        |), x AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events_us WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        | SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx FROM x
+        |), r AS (
+        | SELECT user_id, session_idx, event_type,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, session_idx ORDER BY ts, event_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY user_id, session_idx) AS len,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id, session_idx) AS conv
+        | FROM y
+        |), p AS (
+        | SELECT user_id, session_idx,
+        |  string_agg(event_type, ' > ' ORDER BY rn) ||
+        |  CASE WHEN MAX(len) > 8 THEN ' > ...' ELSE '' END AS path,
+        |  MAX(conv) AS conv
+        | FROM r WHERE rn <= 8 GROUP BY 1, 2
+        |)
+        |SELECT path, COUNT(*) AS n_sessions,
+        | CAST(SUM(conv) AS BIGINT) AS n_converted,
+        | CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conversion
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
     "q_history_window" ->
       """WITH ev AS (SELECT user_id, event_id, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events)
         |SELECT user_id, event_id, ts,

@@ -83,6 +83,45 @@ object Sessionize {
       .limit(k)
   }
 
+  /** [[paths]] with per-journey CONVERSION: for each top path the share
+    * of its sessions containing a `convType` event — the number a
+    * growth team reads off the sankey (which journeys convert, which
+    * stall). The conversion flag is evaluated over the WHOLE session
+    * (a purchase past the `maxLen` truncation still counts — the path
+    * label is truncated, the outcome is not); the rate is one
+    * integer÷integer IEEE-exact division. Same bounded dataflow as
+    * [[paths]] plus one per-session max. */
+  def pathConversion(events: DataFrame, gap: String = "30 MINUTES",
+                     maxLen: Int = 8, k: Int = 20,
+                     convType: String = "purchase"): DataFrame = {
+    require(maxLen >= 1 && k >= 1, "maxLen and k must be ≥ 1")
+    val withIdx = withSessionIdx(
+      events, col("user_id"), col("ts"), col("event_id"), gap)
+    val w = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts"), col("event_id"))
+    val per = withIdx
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("len"),
+        max(when(col("event_type") === convType, 1L).otherwise(0L))
+          .as("conv"),
+        sort_array(collect_list(when(col("rn") <= maxLen,
+          struct(col("rn"), col("event_type"))))).as("evs"))
+      .select(concat(
+        array_join(transform(col("evs"), e => e.getField("event_type")),
+          " > "),
+        when(col("len") > maxLen, lit(" > ...")).otherwise(lit("")))
+        .as("path"),
+        col("conv"))
+    per.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converted"))
+      .select(col("path"), col("n_sessions"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_sessions").cast("double"))
+          .as("conversion"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Keep-last-N history per key (reference keeps the last 5 exchanges). */
   def lastN(events: DataFrame, n: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("user_id"))

@@ -52,6 +52,34 @@ class SessionizeSpec extends SparkSuite {
     assert(exact.contains("s1 > s2 > s3 > s4 > s5 > s6 > s7 > s8 > s9 > s10"))
   }
 
+  test("pathConversion: whole-session outcome, truncated label still counts") {
+    def ev(uid: Long, t: String, eid: Long, typ: String) =
+      (uid, ts(t), eid, typ)
+    // user 3's purchase sits at step 10 — PAST the maxLen-8 label cut —
+    // and must still mark the truncated journey as converted
+    val events = (Seq(
+      ev(1L, "2024-01-01 10:00:00", 1L, "view"),
+      ev(1L, "2024-01-01 10:01:00", 2L, "click"),
+      ev(1L, "2024-01-01 10:02:00", 3L, "purchase"),
+      ev(2L, "2024-01-01 09:00:00", 4L, "view"),
+      ev(2L, "2024-01-01 09:10:00", 5L, "click"),
+      ev(2L, "2024-01-01 09:20:00", 6L, "error"),
+      ev(4L, "2024-01-01 08:00:00", 7L, "view")) ++
+      ((1 to 9).map(i =>
+        ev(3L, f"2024-01-01 12:00:$i%02d", 100L + i, s"s$i")) :+
+        ev(3L, "2024-01-01 12:00:10", 110L, "purchase")))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val got = Sessionize.pathConversion(events, maxLen = 8, k = 20)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("view > click > purchase") == (1L, 1L, 1.0))
+    assert(got("view > click > error") == (1L, 0L, 0.0))
+    assert(got("view") == (1L, 0L, 0.0))
+    // the cut journey: label truncated at 8 steps, outcome from step 10
+    assert(got("s1 > s2 > s3 > s4 > s5 > s6 > s7 > s8 > ...") == (1L, 1L, 1.0),
+      s"got ${got.keySet}")
+  }
+
   test("lastN keeps exactly the most recent N per key") {
     val events = (1 to 12).map(i =>
       (1L, ts(f"2024-01-01 10:${i}%02d:00"), i.toLong, 1.0))
