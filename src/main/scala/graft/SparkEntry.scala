@@ -684,6 +684,17 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
       Search.rrfFuse(bm, kn)
     }),
+    // graded ranking-quality eval: MRR@10 / NDCG@10 of BM25 vs dense vs
+    // RRF hybrid on ONE more-like-this query set (leave-one-out),
+    // graded token-overlap relevance tiers (integer cross-multiplied,
+    // division-free), literal-grid discounts, exact BIGINT DCG folds;
+    // BM25 scores through the SAME frozen index as q_bm25_persisted
+    "q_retrieval_eval" -> ((s, dir) =>
+      RetrievalEval.perQuery(Tables(s, dir).documents, frozenBm25(s, dir))),
+    // the deployment-decision table: one row per system, exact integer
+    // metric sums with ONE division each at the boundary
+    "q_retrieval_eval_summary" -> ((s, dir) =>
+      RetrievalEval.summary(Tables(s, dir).documents, frozenBm25(s, dir))),
     // corpus curation (training-data pipeline)
     "text_gopher"    -> q(t => Pipeline.gopherStats(t.documents)),
     "text_boilerplate" -> q(t => Pipeline.boilerplate(t.documents)),
@@ -1222,11 +1233,16 @@ object SparkEntry {
     * inverted index from the normalized-token split, df over matched
     * postings only, per-term scores floored to the 1e-6 grid and summed
     * as DECIMAL(18,6) (addition-order invariant, like the engine). */
-  private def bm25RankSql(topK: Int): String = {
-    val vals = Bm25QueryTerms.map { case (id, t) => s"($id, '$t')" }
-      .mkString(", ")
-    s"""WITH qt(query_id, term) AS (VALUES $vals),
-       | tkn AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
+  /** The BM25 scoring chain (`tkn → dlt → st → tf → mt → dft → sc → ag
+    * → bmrk`) as CTE fragments. Requires a preceding `qt(query_id,
+    * term)` CTE supplied by the caller — VALUES literals for the fixed
+    * keyword queries, a doc-token derivation for [[RetrievalEval]]'s
+    * more-like-this queries. `excludeSelf` mirrors
+    * `Bm25.topKFrom(excludeSelfDoc = true)`: the filter sits AFTER the
+    * df computation, so corpus statistics are untouched. */
+  private def bm25Cte(excludeSelf: Boolean = false): String = {
+    val selfFilter = if (excludeSelf) " WHERE query_id <> doc_id" else ""
+    s""" tkn AS (SELECT doc_id, ${normSql("text")} AS nt FROM documents),
        | dlt AS (SELECT doc_id,
        |    CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS dl,
        |    string_split(nt, ' ') AS toks FROM tkn),
@@ -1241,12 +1257,105 @@ object SparkEntry {
        |      * ((CAST(tf AS DOUBLE) * (1.25 + 1.0)) /
        |         (CAST(tf AS DOUBLE) + 1.25 * ((1.0 - 0.75) + (0.75 * CAST(dl AS DOUBLE)) / avgdl)))
        |      * 1e6)/1e6 AS DECIMAL(18,6)) AS s
-       |   FROM mt JOIN dft USING (term) CROSS JOIN st),
+       |   FROM mt JOIN dft USING (term) CROSS JOIN st$selfFilter),
        | ag AS (SELECT query_id, doc_id, SUM(s) AS sdec FROM sc GROUP BY 1,2),
-       | bmrk AS (SELECT query_id, doc_id, sdec, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rn FROM ag)
+       | bmrk AS (SELECT query_id, doc_id, sdec, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rn FROM ag)""".stripMargin
+  }
+
+  private def bm25RankSql(topK: Int): String = {
+    val vals = Bm25QueryTerms.map { case (id, t) => s"($id, '$t')" }
+      .mkString(", ")
+    s"""WITH qt(query_id, term) AS (VALUES $vals),
+       |${bm25Cte()}
        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank,
        | doc_id, CAST(sdec AS DOUBLE) AS score
        |FROM bmrk WHERE rn <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** The ranked-retrieval-eval replay (q_retrieval_eval /
+    * q_retrieval_eval_summary): three system rankings on ONE query set
+    * (more-like-this doc queries, leave-one-out) — the [[bm25Cte]]
+    * chain with doc-token query terms, the q_rerank hash-embed cosine
+    * replay, their RRF fusion — against graded token-overlap tiers
+    * (integer cross-multiplied, division-free), with DCG/MRR folded
+    * over LITERAL discount grids shared verbatim with the Spark plan
+    * (`RetrievalEval.discGrid`/`rrGrid` — no runtime log2 can disagree
+    * at a floor boundary). Ends at `pqf(system, query_id, n_retrieved,
+    * n_rel, first_rel_rank, rr_i, dcg_i, idcg_i, ndcg_i)`. */
+  private def retrievalEvalCtes: String = {
+    val k = 10
+    val discVals = RetrievalEval.discGrid(k).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, ${d}::BIGINT)" }.mkString(", ")
+    val rrVals = RetrievalEval.rrGrid(k).zipWithIndex
+      .map { case (d, i) => s"(${i + 1}, ${d}::BIGINT)" }.mkString(", ")
+    val gainSql =
+      "CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END"
+    s"""n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+       | tokl AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+       | b0 AS (SELECT doc_id, toks FROM tokl WHERE len(toks) > 0),
+       | qt AS (SELECT DISTINCT doc_id AS query_id, term FROM (
+       |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM b0 WHERE doc_id < 5)),
+       |${bm25Cte(excludeSelf = true)},
+       | dtk AS (SELECT doc_id, unnest(toks) AS tk FROM b0),
+       | dhh AS (SELECT doc_id, ((${signedSql(
+             fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
+       |   FROM dtk WHERE tk <> ''),
+       | dcnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM dhh GROUP BY 1,2),
+       | dnrm AS (SELECT doc_id, sqrt(SUM(c*c)) AS nr FROM dcnt GROUP BY 1),
+       | dvec AS (SELECT kk.doc_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/kk.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
+       |   FROM dnrm kk CROSS JOIN range(0,64) r
+       |   LEFT JOIN dcnt c ON c.doc_id = kk.doc_id AND c.bucket = r.range
+       |   GROUP BY kk.doc_id),
+       | qvec AS (SELECT doc_id AS query_id, ev AS qv FROM dvec WHERE doc_id < 5),
+       | dsims AS (SELECT query_id, d.doc_id AS vec_id, list_cosine_similarity(qv, ev) AS sim
+       |   FROM qvec CROSS JOIN dvec d WHERE d.doc_id <> query_id),
+       | kn AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM dsims),
+       | u AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank FROM bmrk WHERE rn <= 20
+       |   UNION ALL SELECT query_id, vec_id AS doc_id, CAST(rn AS BIGINT) AS rank FROM kn WHERE rn <= 20),
+       | contrib AS (SELECT query_id, doc_id,
+       |    CAST(floor(1.0/(60.0 + CAST(rank AS DOUBLE))*1e9)/1e9 AS DECIMAL(18,9)) AS c FROM u),
+       | fus AS (SELECT query_id, doc_id, SUM(c) AS sdec FROM contrib GROUP BY 1,2),
+       | rk2 AS (SELECT query_id, doc_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rn FROM fus),
+       | dts AS (SELECT doc_id, list_distinct(toks) AS dt FROM b0),
+       | qts AS (SELECT doc_id AS query_id, list_distinct(toks) AS qtk FROM b0 WHERE doc_id < 5),
+       | lab AS (SELECT q.query_id, d.doc_id,
+       |    CASE WHEN 20*len(list_intersect(d.dt, q.qtk)) >= 9*(len(d.dt)+len(q.qtk)) THEN 3
+       |         WHEN 5*len(list_intersect(d.dt, q.qtk)) >= 2*(len(d.dt)+len(q.qtk)) THEN 2
+       |         WHEN 20*len(list_intersect(d.dt, q.qtk)) >= 7*(len(d.dt)+len(q.qtk)) THEN 1
+       |         ELSE 0 END AS rel
+       |   FROM qts q CROSS JOIN dts d WHERE d.doc_id <> q.query_id),
+       | disc AS (SELECT * FROM (VALUES $discVals) t(r, dv)),
+       | rrt AS (SELECT * FROM (VALUES $rrVals) t(r, rv)),
+       | irk AS (SELECT query_id, rel, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS rn FROM lab),
+       | idcg AS (SELECT query_id, SUM(($gainSql) * dv) AS idcg_i
+       |   FROM irk JOIN disc ON disc.r = irk.rn WHERE irk.rn <= $k GROUP BY 1),
+       | allr AS (SELECT 'bm25' AS system, query_id, doc_id, CAST(rn AS BIGINT) AS rank FROM bmrk WHERE rn <= $k
+       |   UNION ALL SELECT 'dense' AS system, query_id, vec_id AS doc_id, CAST(rn AS BIGINT) AS rank FROM kn WHERE rn <= $k
+       |   UNION ALL SELECT 'hybrid_rrf' AS system, query_id, doc_id, CAST(rn AS BIGINT) AS rank FROM rk2 WHERE rn <= $k),
+       | jj AS (SELECT a.system, a.query_id, a.doc_id, a.rank, COALESCE(l.rel, 0) AS rel
+       |   FROM allr a LEFT JOIN lab l ON l.query_id = a.query_id AND l.doc_id = a.doc_id),
+       | per AS (SELECT system, query_id, COUNT(*) AS n_retrieved,
+       |    SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS n_rel,
+       |    COALESCE(MIN(CASE WHEN rel >= 2 THEN rank END), 0) AS frr,
+       |    SUM(($gainSql) * dv) AS dcg_i
+       |   FROM jj JOIN disc ON disc.r = jj.rank GROUP BY 1, 2),
+       | qgrid AS (SELECT s.system, q.query_id
+       |   FROM (VALUES ('bm25'),('dense'),('hybrid_rrf')) s(system)
+       |   CROSS JOIN (SELECT doc_id AS query_id FROM b0 WHERE doc_id < 5) q),
+       | pq0 AS (SELECT g.system, g.query_id,
+       |    COALESCE(per.n_retrieved, 0) AS n_retrieved,
+       |    COALESCE(per.n_rel, 0) AS n_rel,
+       |    COALESCE(per.frr, 0) AS first_rel_rank,
+       |    COALESCE(rrt.rv, 0) AS rr_i,
+       |    COALESCE(per.dcg_i, 0) AS dcg_i,
+       |    COALESCE(idcg.idcg_i, 0) AS idcg_i
+       |   FROM qgrid g
+       |   LEFT JOIN per ON per.system = g.system AND per.query_id = g.query_id
+       |   LEFT JOIN idcg ON idcg.query_id = g.query_id
+       |   LEFT JOIN rrt ON rrt.r = per.frr),
+       | pqf AS (SELECT system, query_id, n_retrieved, n_rel, first_rel_rank, rr_i, dcg_i, idcg_i,
+       |    CASE WHEN idcg_i > 0 THEN CAST(floor(CAST(dcg_i AS DOUBLE)/CAST(idcg_i AS DOUBLE)*1e9) AS BIGINT) ELSE 0 END AS ndcg_i
+       |   FROM pq0)""".stripMargin
   }
 
   /** q_pq_recall replayed: the PQ encode CTEs (seed codebooks) + two
@@ -2179,6 +2288,27 @@ $rounds
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank, doc_id,
          | CAST(sdec AS DOUBLE) AS rrf_score, n_lists
          |FROM rk2 WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+    // graded ranking-quality eval: the shared CTE chain ends at the
+    // integer-cored pqf table; this row is its per-(system, query)
+    // projection onto the 1e-9 grid
+    "q_retrieval_eval" ->
+      (s"""WITH $retrievalEvalCtes
+          |SELECT system, CAST(query_id AS BIGINT) AS query_id,
+          | CAST(n_retrieved AS BIGINT) AS n_retrieved,
+          | CAST(n_rel AS BIGINT) AS n_rel,
+          | CAST(first_rel_rank AS BIGINT) AS first_rel_rank,
+          | CAST(rr_i AS DOUBLE)/1e9 AS rr,
+          | CAST(dcg_i AS DOUBLE)/1e9 AS dcg,
+          | CAST(ndcg_i AS DOUBLE)/1e9 AS ndcg
+          |FROM pqf ORDER BY system, query_id""").stripMargin,
+    // per-system means: exact integer sums, one division each
+    "q_retrieval_eval_summary" ->
+      (s"""WITH $retrievalEvalCtes
+          |SELECT system, COUNT(*) AS n_queries,
+          | CAST(SUM(n_rel) AS BIGINT) AS n_rel_total,
+          | CAST(SUM(rr_i) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1e9 AS mrr,
+          | CAST(SUM(ndcg_i) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1e9 AS mean_ndcg
+          |FROM pqf GROUP BY 1 ORDER BY system""").stripMargin,
     // KMV sketch replayed exactly: same FNV hashes (HUGEINT), same k-th
     // smallest distinct unsigned value, same integer-division estimator
     "q_distinct_sketch" ->

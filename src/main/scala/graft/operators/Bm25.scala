@@ -99,15 +99,23 @@ object Bm25 {
     * the documents corpus → (query_id, rank, doc_id, score). Ties break
     * by doc_id asc on the exact decimal score. */
   def topK(docs: DataFrame, queryTerms: DataFrame, k1: Double = 1.25,
-           b: Double = 0.75, topK: Int = 10): DataFrame =
+           b: Double = 0.75, topK: Int = 10,
+           excludeSelfDoc: Boolean = false): DataFrame =
     topKFrom(Bm25Index(invertedIndex(docs), stats(docs)), queryTerms,
-      k1, b, topK)
+      k1, b, topK, excludeSelfDoc)
 
   /** [[topK]] against a pre-built (frozen) index — the seam the
     * streaming serve path scores through, so there is exactly one
-    * implementation of the BM25 arithmetic. */
+    * implementation of the BM25 arithmetic.
+    *
+    * `excludeSelfDoc` is the leave-one-out evaluation convention
+    * ([[RetrievalEval]], "more-like-this" queries whose query_id IS a
+    * doc_id): the query's own document is dropped AFTER df/idf are
+    * fixed — corpus statistics stay intact, the self-match just never
+    * occupies a heap slot. */
   def topKFrom(index: Bm25Index, queryTerms: DataFrame, k1: Double = 1.25,
-               b: Double = 0.75, topK: Int = 10): DataFrame = {
+               b: Double = 0.75, topK: Int = 10,
+               excludeSelfDoc: Boolean = false): DataFrame = {
     // postings restricted to query terms FIRST: df/idf and scoring see
     // only matched rows. df per term is invariant under this restriction
     // (it counts docs per term, and the filter is on term).
@@ -115,7 +123,10 @@ object Bm25 {
       .join(broadcast(queryTerms.distinct()), Seq("term"))
     val dfTab = matched.select(col("term"), col("doc_id")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val scored = matched
+    val scoreBase =
+      if (excludeSelfDoc) matched.filter(col("doc_id") =!= col("query_id"))
+      else matched
+    val scored = scoreBase
       .join(broadcast(dfTab), Seq("term"))
       .crossJoin(broadcast(index.stats))
     val nd = col("n_docs").cast("double")

@@ -94,9 +94,13 @@ object IvfIndex {
     * distance is floored to a 1e-6-grid INTEGER `m` first, the per-cluster
     * moments (n, Σm, Σm²) are exact integer/DECIMAL sums over m — so the
     * unordered aggregate can never produce an order-dependent float — and
-    * z is derived in double from the exact components. z over m equals z
-    * over dist exactly (z-scores are invariant under the linear 1e-6
-    * rescale). Zero-variance clusters emit z = 0.
+    * z is derived in double from the exact components. Both engines
+    * z-score the FLOORED grid `m` (which is what makes the unordered
+    * aggregate exact); flooring is nonlinear, so z over m can differ
+    * from z over the raw distance by up to the grid quantum's share of
+    * the cluster spread, and a borderline `is_outlier` near z = 2 is a
+    * statement about m, not about raw dist. Zero-variance clusters emit
+    * z = 0.
     *
     * Scale shape: ONE broadcast-join assignment scan (map-side struct-min,
     * never a corpus shuffle), the assignment barriered and read twice

@@ -183,6 +183,14 @@ object TextAnalysis {
     * table a pipeline reads before trusting langid-gated filtering or
     * per-language mixing weights.
     *
+    * SCOPE: the report is TRUTH-side — one row per language that occurs
+    * as a truth label (truth LEFT JOIN prediction volumes). A language
+    * that is predicted but never appears as truth contributes to the
+    * mispredicting rows' recall but gets no row of its own, so a
+    * systematically over-predicted class outside the truth label set is
+    * invisible here; with this classifier's closed 4-language set and
+    * labeled corpora that cover it, the sets coincide.
+    *
     * Scale shape: the truth label rides the ONE scoring scan (the
     * `carry` seam — never a corpus-sized join-back on doc_id); the
     * scored table is barriered and feeds two bounded aggregates
