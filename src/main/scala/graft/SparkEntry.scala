@@ -796,6 +796,22 @@ object SparkEntry {
         col("thumb_w").cast("long").as("thumb_w"),
         col("thumb_h").cast("long").as("thumb_h"))
       .orderBy(col("doc_id"), col("frame_idx"))),
+    // cross-modal retrieval: TEXT queries → MEDIA top-k through the
+    // two-tower seam (hash-embed text tower, frozen projection-head
+    // media tower over the stub decoder's raw feature bytes); one media
+    // scan, queries broadcast, bounded per-query heaps
+    "mm_search" -> q(t => {
+      val media = t.documents.select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      val qs = t.documents
+        .filter(col("doc_id") < 3 &&
+          length(trim(graft.functions.TextFunctions.preprocess(col("text")))) > 0)
+        .select(col("doc_id").as("query_id"),
+          graft.functions.TextFunctions.preprocess(col("text")).as("qtext"))
+      graft.multimodal.Multimodal.crossModalSearch(qs, media,
+        graft.multimodal.Multimodal.ProjectionMediaEncoder.frozen(
+          t.documents.sparkSession))
+    }),
     "q7_corr_subquery" -> q(Relational.premiumParts),
     "q8_distribution"  -> q(Relational.orderCountDistribution),
     "q9_argmax"        -> q(Relational.topSupplierPerNation),
@@ -988,10 +1004,11 @@ object SparkEntry {
        |   LEFT JOIN ccnt c ON c.vec_id = k.vec_id AND c.bucket = r.range
        |   GROUP BY k.vec_id)""".stripMargin
 
-  /** The companion whole-document query-vector chain `qtok → … → qvec`
-    * (docs `doc_id < 3` hash-embedded as queries), shared by
-    * q_rag_search and q_context_pack. Requires [[chunkVecCtes]]' `b0`. */
-  private def docQueryVecCtes: String =
+  /** The whole-document query-vector chain `qtok → … → qvec` (docs
+    * `doc_id < 3` hash-embedded as queries). Requires a `b0(doc_id,
+    * toks)` CTE in scope; shared by [[docQueryVecCtes]] and the
+    * mm_search oracle's text tower. */
+  private def queryVecCtes: String =
     s"""qtok AS (SELECT doc_id AS query_id, unnest(toks) AS tk FROM b0 WHERE doc_id < 3),
        | qhh AS (SELECT query_id, ((${signedSql(
           fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
@@ -1001,7 +1018,12 @@ object SparkEntry {
        | qvec AS (SELECT k.query_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS qv
        |   FROM qnrm k CROSS JOIN range(0,64) r
        |   LEFT JOIN qcnt c ON c.query_id = k.query_id AND c.bucket = r.range
-       |   GROUP BY k.query_id),
+       |   GROUP BY k.query_id)""".stripMargin
+
+  /** [[queryVecCtes]] + the cosine ranking against [[chunkVecCtes]]'
+    * `cvec`, shared by q_rag_search and q_context_pack. */
+  private def docQueryVecCtes: String =
+    s"""$queryVecCtes,
        | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim
        |   FROM qvec CROSS JOIN cvec),
        | rnk AS (SELECT query_id, vec_id, sim,
@@ -2735,6 +2757,36 @@ $rounds
           | CAST(greatest(8, w // 2) AS BIGINT) AS thumb_w,
           | CAST(greatest(8, h // 2) AS BIGINT) AS thumb_h
           |FROM d ORDER BY doc_id, frame_idx""").stripMargin,
+    // cross-modal search replayed end to end: media tower = checksum
+    // feature bytes × the integer weight formula (exact HUGEINT sums)
+    // → REAL-normalized 64-dim vectors; text tower = the shared qvec
+    // hash-embed chain; cosine top-5 with vec_id ties
+    "mm_search" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | b0 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+          | $queryVecCtes,
+          | u0 AS (SELECT doc_id,
+          |   CASE WHEN length(text)=0 THEN 14695981039346656037::HUGEINT
+          |        ELSE ${fnvSql("list_transform(string_split(text,''), c -> unicode(c)::HUGEINT)")} END AS u
+          |  FROM documents),
+          | xb AS (SELECT doc_id, r.i,
+          |   CAST((u // ([1::HUGEINT, 256::HUGEINT, 65536::HUGEINT, 16777216::HUGEINT,
+          |     4294967296::HUGEINT, 1099511627776::HUGEINT,
+          |     281474976710656::HUGEINT, 72057594037927936::HUGEINT])[r.i+1]) % 256 AS BIGINT) AS x
+          |  FROM u0, range(0,8) r(i)),
+          | yj AS (SELECT xb.doc_id, w.j, SUM((((xb.i*31 + w.j*17) % 13) - 6) * xb.x) AS y
+          |   FROM xb, range(0,64) w(j) GROUP BY 1,2),
+          | mnrm AS (SELECT doc_id, sqrt(SUM(y*y)) AS nr FROM yj GROUP BY 1),
+          | mv AS (SELECT yj.doc_id, list(CAST(CAST(yj.y * (1.0/mnrm.nr) AS REAL) AS DOUBLE) ORDER BY yj.j) AS ev
+          |   FROM yj JOIN mnrm ON yj.doc_id = mnrm.doc_id GROUP BY yj.doc_id),
+          | msims AS (SELECT query_id, m.doc_id AS vec_id, list_cosine_similarity(qv, ev) AS sim
+          |   FROM qvec CROSS JOIN mv m),
+          | mrnk AS (SELECT query_id, vec_id, sim,
+          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM msims)
+          |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+          | floor(sim*1e6)/1e6 AS score
+          |FROM mrnk WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
     // int8 quantization replayed element-wise in REAL (float32) — every
     // intermediate cast to REAL so DuckDB rounds exactly where the JVM's
     // float ops do; Math.round(f) is floor(f + 0.5f)

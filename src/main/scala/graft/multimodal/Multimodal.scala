@@ -182,4 +182,109 @@ object Multimodal {
   def documentNearDup(docs: DataFrame): DataFrame =
     payloadNearDup(
       docs.select(col("doc_id"), col("text").cast("binary").as("payload")))
+
+  /** The media half of a TWO-TOWER cross-modal retrieval stack (CLIP
+    * shape: text tower and media tower project into one shared space,
+    * retrieval is cosine in that space) — the integration surface a
+    * real image/audio encoder implements, mirroring
+    * [[graft.operators.Inference.BatchEncoder]] for binary payloads:
+    * bounded batches via `mapPartitions` + `grouped`, one serialized
+    * encoder per task, no shuffle, output schema identical to the text
+    * path so every downstream consumer (KNN, IVF, PQ, dedup) is
+    * modality-agnostic. */
+  trait MediaEncoder extends Serializable {
+    def dim: Int
+
+    /** One call per bounded batch; must return exactly one vector (of
+      * `dim` floats) per payload, in input order. */
+    def encode(payloads: Seq[Array[Byte]]): Seq[Array[Float]]
+  }
+
+  /** Deterministic stand-in media tower: the stub decoder's 8 RAW
+    * feature bytes (integers 0..255 — quantized features, exactly what
+    * [[perceptualFingerprints]] packs) pushed through a frozen linear
+    * projection HEAD into the shared `outDim` space, then L2-normalized
+    * float32 — the projection-layer shape a real CLIP-style tower has
+    * on top of its backbone. The weight matrix ships via ONE Spark
+    * broadcast (the [[graft.operators.Inference.LinearEncoder]]
+    * model-weights pattern); integer-valued weights × integer features
+    * keep every product and double sum exact, so the DuckDB oracle
+    * replays the algebra bit-for-bit. A real deployment swaps the
+    * decode+matmul and keeps the plumbing. */
+  final case class ProjectionMediaEncoder(
+      weights: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]])
+      extends MediaEncoder {
+    def dim: Int = weights.value.length
+    def encode(payloads: Seq[Array[Byte]]): Seq[Array[Float]] = {
+      val w = weights.value // one fetch per executor (broadcast-cached)
+      payloads.map { p =>
+        val cs = checksum64(p)
+        val x = Array.tabulate(8)(i => ((cs >>> (8 * i)) & 0xffL).toDouble)
+        val y = new Array[Double](w.length)
+        var j = 0
+        while (j < w.length) {
+          var s = 0.0; var i = 0
+          val row = w(j)
+          while (i < row.length) { s += row(i) * x(i); i += 1 }
+          y(j) = s; j += 1
+        }
+        graft.operators.Inference.l2ToFloat(y)
+      }
+    }
+  }
+
+  object ProjectionMediaEncoder {
+    /** Frozen stand-in head: the same integer-valued weight formula as
+      * `Inference.LinearEncoder.frozen` (`w(j,i) = ((i·31 + j·17) mod
+      * 13) − 6`), shaped outDim × 8 for the stub feature width. */
+    def frozen(spark: org.apache.spark.sql.SparkSession,
+               outDim: Int = 64, inDim: Int = 8): ProjectionMediaEncoder =
+      ProjectionMediaEncoder(spark.sparkContext.broadcast(
+        Array.tabulate(outDim, inDim)((j, i) =>
+          (((i * 31 + j * 17) % 13) - 6).toFloat)))
+  }
+
+  /** Run a [[MediaEncoder]] over `(doc_id, payload)` in bounded batches
+    * → `(doc_id, embedding array<float>)` — the media twin of
+    * [[graft.operators.Inference.encode]]; results are independent of
+    * batchSize and partitioning (spec-pinned). */
+  def encodeMedia(media: DataFrame, encoder: MediaEncoder,
+                  batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val vs = encoder.encode(batch.map(_._2))
+          require(vs.length == batch.length,
+            s"encoder returned ${vs.length} vectors for ${batch.length} payloads")
+          batch.iterator.zip(vs.iterator).map { case ((id, _), v) => (id, v) }
+        }
+      }
+      .toDF("doc_id", "embedding")
+  }
+
+  /** Cross-modal retrieval: TEXT queries against a MEDIA corpus — the
+    * composition that makes multimodal columns first-class on the query
+    * side. Query tower = the `hash_embed` text encoder; media tower =
+    * `encoder`; retrieval = exact cosine top-k via the one-scan
+    * broadcast-queries shape of [[graft.operators.Search.bruteForceTopK]]
+    * (bounded per-partition heaps, shuffle ∝ queries × k — the media
+    * corpus is scanned ONCE and payloads never shuffle; at index-serve
+    * scale the encoded vectors drop into IVF/PQ/sign unchanged).
+    *
+    * @param queries `(query_id, qtext)` — pre-normalized query text
+    * @param media   `(doc_id, payload binary)`
+    */
+  def crossModalSearch(queries: DataFrame, media: DataFrame,
+                       encoder: MediaEncoder, k: Int = 5,
+                       batchSize: Int = 64): DataFrame = {
+    val corpus = encodeMedia(media, encoder, batchSize)
+      .select(col("doc_id").as("vec_id"), col("embedding"))
+    val qv = queries.select(col("query_id"),
+      graft.functions.hash_embed(col("qtext"), encoder.dim).as("qv"))
+    graft.operators.Search.bruteForceTopK(qv, corpus, k)
+  }
 }

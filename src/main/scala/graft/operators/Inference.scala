@@ -64,8 +64,10 @@ object Inference {
 
   /** Index-order L2 normalization to float32 — same double-accumulator
     * operation order as the `hash_embed` expression (inv FIRST, then one
-    * multiply per entry), so both encoders stay bit-replayable. */
-  private def l2ToFloat(y: Array[Double]): Array[Float] = {
+    * multiply per entry), so both encoders stay bit-replayable. Shared
+    * with the media tower ([[graft.multimodal.Multimodal]]) so every
+    * encoder seam normalizes identically. */
+  private[graft] def l2ToFloat(y: Array[Double]): Array[Float] = {
     var norm = 0.0; var i = 0
     while (i < y.length) { norm += y(i) * y(i); i += 1 }
     val inv = if (norm == 0.0) 0.0 else 1.0 / math.sqrt(norm)

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.ProjectionMediaEncoder
+
+/** The cross-modal retrieval composition: media-encoder seam contract,
+  * projection algebra, and the text-query → media top-k search. */
+class MultimodalSearchSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def mediaOf(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+
+  private val corpusRows: Seq[(Long, String)] = (0L until 40L).map(i =>
+    i -> s"payload body $i with some distinguishing tail ${"x" * (i % 7).toInt}")
+
+  test("encodeMedia: results invariant to batch size and partitioning") {
+    val enc = ProjectionMediaEncoder.frozen(spark)
+    val media = mediaOf(corpusRows)
+    def vecs(df: org.apache.spark.sql.DataFrame, bs: Int) =
+      Multimodal.encodeMedia(df, enc, batchSize = bs)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val base = vecs(media, 64)
+    assert(base.size == 40)
+    assert(vecs(media, 1) == base)
+    assert(vecs(media.repartition(7), 3) == base)
+  }
+
+  test("projection algebra: W·x over raw checksum bytes, L2 to float32") {
+    val enc = ProjectionMediaEncoder.frozen(spark)
+    val payload = "exact algebra probe".getBytes("UTF-8")
+    // in-test replay: FNV-1a 64 checksum → 8 LE bytes → frozen W → L2
+    var cs = 0xcbf29ce484222325L
+    payload.foreach(b => cs = (cs ^ (b & 0xffL)) * 0x100000001b3L)
+    val x = Array.tabulate(8)(i => ((cs >>> (8 * i)) & 0xffL).toDouble)
+    val y = Array.tabulate(64) { j =>
+      (0 until 8).map(i => (((i * 31 + j * 17) % 13) - 6).toDouble * x(i)).sum
+    }
+    var norm = 0.0
+    y.foreach(v => norm += v * v)
+    val inv = 1.0 / math.sqrt(norm)
+    val want = y.map(v => (v * inv).toFloat).toSeq
+    val got = enc.encode(Seq(payload)).head.toSeq
+    assert(got == want)
+    // and the same vector comes out of the DataFrame seam
+    val viaSeam = Multimodal.encodeMedia(
+      Seq((7L, payload)).toDF("doc_id", "payload"), enc)
+      .collect().head.getSeq[Float](1).toSeq
+    assert(viaSeam == want)
+  }
+
+  test("crossModalSearch: text queries → media top-k, ranked contract") {
+    val media = mediaOf(corpusRows)
+    val queries = Seq(
+      (100L, "payload body 3 with some distinguishing tail"),
+      (101L, "totally different wording here")).toDF("query_id", "qtext")
+    val got = Multimodal.crossModalSearch(queries, media,
+      ProjectionMediaEncoder.frozen(spark), k = 5).collect()
+    assert(got.length == 10) // 2 queries × k
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to 5L))
+      val scores = byRank.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      scores.foreach(s => assert(s == math.floor(s * 1e6) / 1e6))
+      assert(rows.map(_.getLong(2)).distinct.length == 5)
+    }
+  }
+
+  test("media vectors are unit-length in the shared space") {
+    val enc = ProjectionMediaEncoder.frozen(spark)
+    val vs = Multimodal.encodeMedia(mediaOf(corpusRows.take(10)), enc)
+      .collect().map(_.getSeq[Float](1))
+    vs.foreach { v =>
+      assert(v.length == 64)
+      val n = v.map(f => f.toDouble * f.toDouble).sum
+      assert(math.abs(n - 1.0) < 1e-6, s"norm $n")
+    }
+  }
+}
