@@ -94,19 +94,30 @@ object PlanDoctor {
       // domain; the `lmBuckets`/`keepCut`/`rfm` CDF-cut shape). A window
       // ordered by an aggregate OUTPUT (the old `rfm` ntile-over-users
       // shape) funnels a corpus-scaling table through one task: error.
-      // Known limit: an id-keyed domain (order key = the id grouping
-      // key) passes — the rule bounds rows by the ordered domain's
-      // cardinality, it cannot know which domains are small.
+      // An id-keyed domain — the grouping key traces UNCHANGED to a
+      // stored leaf column (`groupBy(doc_id)`) — is also an error: ids
+      // scale with the corpus, so "one row per distinct value" is no
+      // bound at all. A value-DERIVED domain (floor/cast/bucket of a
+      // column, or an aggregate output regrouped by value) stays
+      // admitted: deriving is the author's claim that the domain is
+      // value-bounded, and the claim is visible in the plan.
       case w: WindowExec if w.partitionSpec.isEmpty =>
         val needed = w.orderSpec.flatMap(_.child.references).map(_.exprId).toSet
-        if (!boundedByOrderedDomain(w.child, needed))
-          findings += Finding("error", "single-partition-window",
-            "unpartitioned window over an input not bounded by its " +
-              s"ordered value domain: ${w.simpleStringWithNodeId()}")
-        else
-          findings += Finding("info", "single-partition-window-bounded",
-            "unpartitioned window over a distinct-value table (bounded " +
-              "by the ordered domain, not the corpus)")
+        domainTrace(w.child, needed) match {
+          case Unbounded =>
+            findings += Finding("error", "single-partition-window",
+              "unpartitioned window over an input not bounded by its " +
+                s"ordered value domain: ${w.simpleStringWithNodeId()}")
+          case BoundedRaw =>
+            findings += Finding("error", "id-domain-window",
+              "unpartitioned window whose ordered domain is a RAW stored " +
+                "column (distinct ids scale with the corpus — derive a " +
+                s"value-bounded key instead): ${w.simpleStringWithNodeId()}")
+          case BoundedDerived =>
+            findings += Finding("info", "single-partition-window-bounded",
+              "unpartitioned window over a distinct-value table (bounded " +
+                "by the ordered domain, not the corpus)")
+        }
 
       // A final-mode aggregate whose exchange child feeds raw rows (no
       // partial below) ships the full input across the wire — the
@@ -127,14 +138,35 @@ object PlanDoctor {
     findings.result()
   }
 
-  /** True when every attribute in `needed` traces (through projects,
-    * sorts, filters, exchanges and codegen/AQE wrappers) to a GROUPING
-    * key of the first aggregate below — i.e. the window's input has one
-    * row per distinct ordered value, so its size is bounded by the value
-    * domain regardless of corpus size. Anything else (a scan, a join, an
-    * aggregate whose order key is an output) is corpus-sized: not
-    * bounded. */
-  private def boundedByOrderedDomain(p: SparkPlan, needed: Set[ExprId]): Boolean =
+  /** How an unpartitioned window's ordered domain bounds its input. */
+  private sealed trait DomainTrace
+  /** Not bounded by the ordered value domain — corpus-sized input. */
+  private case object Unbounded extends DomainTrace
+  /** One row per distinct ordered value, and the value is DERIVED
+    * (floored/cast/bucketed/aggregated) — the author's visible claim
+    * that the domain is value-bounded. */
+  private case object BoundedDerived extends DomainTrace
+  /** One row per distinct ordered value, but the value is a RAW stored
+    * column (an id/key straight off a leaf) — distinct count scales
+    * with the corpus, so the "bound" is no bound. */
+  private case object BoundedRaw extends DomainTrace
+
+  private def combine(a: DomainTrace, b: DomainTrace): DomainTrace =
+    (a, b) match {
+      case (Unbounded, _) | (_, Unbounded)     => Unbounded
+      case (BoundedRaw, _) | (_, BoundedRaw)   => BoundedRaw
+      case _                                   => BoundedDerived
+    }
+
+  /** Trace every attribute in `needed` (through projects, sorts,
+    * filters, exchanges and codegen/AQE wrappers) to a GROUPING key of
+    * the first aggregate below — i.e. the window's input has one row
+    * per distinct ordered value. Each traced key is then classified
+    * raw-vs-derived by [[isRawLeafColumn]]. Anything that fails the
+    * trace (a scan, a join with a corpus-sized side, an aggregate whose
+    * order key is an aggregate OUTPUT used as output) is corpus-sized:
+    * [[Unbounded]]. */
+  private def domainTrace(p: SparkPlan, needed: Set[ExprId]): DomainTrace =
     p match {
       case a: BaseAggregateExec =>
         // a grouping ALIAS (`groupBy(col(x).as("v"))`) keeps the raw
@@ -145,12 +177,19 @@ object PlanDoctor {
           case ne if ne.references.map(_.exprId).toSet.subsetOf(keys) =>
             ne.toAttribute.exprId
         }.toSet
-        needed.subsetOf(keys ++ keyOutputs)
+        if (!needed.subsetOf(keys ++ keyOutputs)) Unbounded
+        else if (needed.exists(id => domainKeyIsRaw(a, id))) BoundedRaw
+        else BoundedDerived
       // a LIMIT bounds its output by a literal row count — bounded by
       // contract whatever the order keys are (`zipfAudit`'s top-N rank)
       case _: GlobalLimitExec | _: LocalLimitExec |
-          _: TakeOrderedAndProjectExec => true
+          _: TakeOrderedAndProjectExec => BoundedDerived
       case pr: ProjectExec =>
+        // NOTE: a computed alias HERE (above the bounding aggregate)
+        // does NOT launder rawness — projection never changes the row
+        // count, so `groupBy(raw_id)` followed by `select(floor(id/N))`
+        // is still one row per raw id. The derivation that counts is the
+        // one BELOW the aggregate's grouping ([[domainKeyIsRaw]]).
         val remapped = needed.flatMap { id =>
           pr.projectList.find(_.toAttribute.exprId == id) match {
             case Some(al: Alias) => al.child.references.map(_.exprId).toSet
@@ -158,24 +197,25 @@ object PlanDoctor {
             case None            => Set(id)
           }
         }
-        boundedByOrderedDomain(pr.child, remapped)
-      case s: SortExec              => boundedByOrderedDomain(s.child, needed)
-      case f: FilterExec            => boundedByOrderedDomain(f.child, needed)
-      case e: ShuffleExchangeExec   => boundedByOrderedDomain(e.child, needed)
-      case w: WholeStageCodegenExec => boundedByOrderedDomain(w.child, needed)
-      case i: InputAdapter          => boundedByOrderedDomain(i.child, needed)
-      case a: AdaptiveSparkPlanExec => boundedByOrderedDomain(a.executedPlan, needed)
-      case q: QueryStageExec        => boundedByOrderedDomain(q.plan, needed)
-      case r: AQEShuffleReadExec    => boundedByOrderedDomain(r.child, needed)
+        domainTrace(pr.child, remapped)
+      case s: SortExec              => domainTrace(s.child, needed)
+      case f: FilterExec            => domainTrace(f.child, needed)
+      case e: ShuffleExchangeExec   => domainTrace(e.child, needed)
+      case w: WholeStageCodegenExec => domainTrace(w.child, needed)
+      case i: InputAdapter          => domainTrace(i.child, needed)
+      case a: AdaptiveSparkPlanExec => domainTrace(a.executedPlan, needed)
+      case q: QueryStageExec        => domainTrace(q.plan, needed)
+      case r: AQEShuffleReadExec    => domainTrace(r.child, needed)
       case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
-        boundedByOrderedDomain(b.child, needed)
+        domainTrace(b.child, needed)
       // a JOIN of two value-domain-bounded inputs is itself bounded (at
       // most the product of two value domains — never corpus-scaling):
       // each side must be bounded in (its needed attrs ∪ its equi-join
       // keys); a side contributing neither must be a 1-row global
       // aggregate (the broadcast-totals crossJoin shape). This admits the
       // bounded bucket-join-then-cumsum shape (`vocabGrowth`) while a
-      // join with any corpus-sized side still fails the trace.
+      // join with any corpus-sized side still fails the trace. Rawness
+      // propagates: a raw-id side taints the join.
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
         val (lk, rk) = j match {
           case h: org.apache.spark.sql.execution.joins.HashJoin =>
@@ -186,16 +226,115 @@ object PlanDoctor {
         }
         def side(child: SparkPlan,
                  keys: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-            : Boolean = {
+            : DomainTrace = {
           val out = child.outputSet.map(_.exprId).toSet
           val ids = needed.filter(out) ++
             keys.flatMap(_.references.map(_.exprId))
-          if (ids.nonEmpty) boundedByOrderedDomain(child, ids)
-          else isOneRow(child)
+          if (ids.nonEmpty) domainTrace(child, ids)
+          else if (isOneRow(child)) BoundedDerived
+          else Unbounded
         }
-        side(j.left, lk) && side(j.right, rk)
-      case _                        => false
+        combine(side(j.left, lk), side(j.right, rk))
+      case _                        => Unbounded
     }
+
+  /** For a needed ordered-domain attribute at a bounding aggregate:
+    * true iff the value it groups on is a RAW stored column — the
+    * grouping expression is a bare attribute (or alias of one) that
+    * traces UNCHANGED through the aggregate's child to a stored-table
+    * leaf. Any computation BELOW the grouping (floor, cast, bucket
+    * arithmetic, an aggregate output regrouped by value) makes it
+    * derived — that computation collapses the row count to the derived
+    * domain. A computed RESULT expression over the keys does NOT: the
+    * aggregate still has one row per raw key tuple, so such a keyOutput
+    * inherits rawness from every key it references (the
+    * `groupBy(id).agg(...).select(floor(id/N))` launder). */
+  private def domainKeyIsRaw(a: BaseAggregateExec, id: ExprId): Boolean = {
+    val ne = a.groupingExpressions.find(_.toAttribute.exprId == id)
+      .orElse(a.resultExpressions.find(_.toAttribute.exprId == id))
+    ne match {
+      case Some(al: Alias) => al.child match {
+        case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+          keyAttrIsRaw(a, att.exprId)
+        case other =>
+          other.references.exists(ref => keyAttrIsRaw(a, ref.exprId))
+      }
+      case Some(att: org.apache.spark.sql.catalyst.expressions.Attribute) =>
+        keyAttrIsRaw(a, att.exprId)
+      case _ => false
+    }
+  }
+
+  /** Rawness of one grouping-key attribute of `a`: resolve a grouping
+    * alias one level, then trace through the aggregate's child. */
+  private def keyAttrIsRaw(a: BaseAggregateExec, id: ExprId): Boolean =
+    a.groupingExpressions.find(_.toAttribute.exprId == id) match {
+      case Some(al: Alias) => al.child match {
+        case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+          isRawLeafColumn(a.child, att.exprId)
+        case _ => false // grouping on a computed expression → derived
+      }
+      case Some(_) => isRawLeafColumn(a.child, id)
+      case None    => isRawLeafColumn(a.child, id)
+    }
+
+  /** True iff `id` traces UNCHANGED (bare attribute renames only) to an
+    * output column of a leaf node — a stored column of a scan of any
+    * kind (parquet, cached, local). Any Alias of a computed expression
+    * breaks the chain: that's a derivation. A lower AGGREGATE output
+    * that is itself a bare grouping key keeps tracing (regrouping a raw
+    * id stays raw); an aggregate-function output is computed. */
+  private def isRawLeafColumn(p: SparkPlan, id: ExprId): Boolean = p match {
+    case pr: ProjectExec =>
+      pr.projectList.find(_.toAttribute.exprId == id) match {
+        case Some(al: Alias) => al.child match {
+          case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+            isRawLeafColumn(pr.child, att.exprId)
+          case _ => false
+        }
+        case Some(att) => isRawLeafColumn(pr.child, att.toAttribute.exprId)
+        case None      => isRawLeafColumn(pr.child, id)
+      }
+    case a: BaseAggregateExec =>
+      val ge = a.groupingExpressions.find(_.toAttribute.exprId == id)
+        .orElse(a.resultExpressions.find(_.toAttribute.exprId == id))
+      ge match {
+        case Some(al: Alias) => al.child match {
+          case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
+            isRawLeafColumn(a.child, att.exprId)
+          case _ => false
+        }
+        case Some(att: org.apache.spark.sql.catalyst.expressions.Attribute) =>
+          isRawLeafColumn(a.child, att.exprId)
+        case _ => false
+      }
+    case s: SortExec              => isRawLeafColumn(s.child, id)
+    case f: FilterExec            => isRawLeafColumn(f.child, id)
+    case e: ShuffleExchangeExec   => isRawLeafColumn(e.child, id)
+    case w: WholeStageCodegenExec => isRawLeafColumn(w.child, id)
+    case i: InputAdapter          => isRawLeafColumn(i.child, id)
+    case a: AdaptiveSparkPlanExec => isRawLeafColumn(a.executedPlan, id)
+    case q: QueryStageExec        => isRawLeafColumn(q.plan, id)
+    case r: AQEShuffleReadExec    => isRawLeafColumn(r.child, id)
+    case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+      isRawLeafColumn(b.child, id)
+    case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+      j.children.exists(c =>
+        c.outputSet.exists(_.exprId == id) && isRawLeafColumn(c, id))
+    // a BARRIER leaf (checkpoint/localCheckpoint → RDD scan) is an
+    // operator-internal materialization, not a stored table: its
+    // columns were computed by the operator above raw storage, so the
+    // raw-id verdict cannot be read off the plan. Treated as derived —
+    // the residual hole is an id-keyed domain hiding BEHIND a barrier,
+    // which the operator's own plan gates below the barrier must own.
+    case _: org.apache.spark.sql.execution.RDDScanExec => false
+    case _: org.apache.spark.sql.execution.ExternalRDDScanExec[_] => false
+    // every other leaf (parquet/file scan, local/cached table, DSv2) is
+    // stored data: an unchanged column off it is raw
+    case leaf if leaf.children.isEmpty =>
+      leaf.outputSet.exists(_.exprId == id)
+    case _ => false
+  }
 
   /** True when the plan provably yields at most one row (a global
     * aggregate — the broadcast corpus-totals shape). */

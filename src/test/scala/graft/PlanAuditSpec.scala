@@ -67,33 +67,64 @@ class PlanAuditSpec extends SparkSuite {
       .exists(f => f.severity == "error" &&
         f.rule == "single-partition-window"),
       PlanDoctor.audit(planted).mkString("\n"))
-    // the bounded CDF-cut shape (order key IS the grouping key below —
-    // one row per distinct value): info, never error
-    val cdf = t.events.groupBy(col("value").as("v"))
+    // the bounded CDF-cut shape (order key IS the grouping key below,
+    // and the key is VALUE-DERIVED — floored to a bounded grid): info,
+    // never error
+    val cdf = t.events.groupBy(floor(col("value") * 10).as("v"))
       .agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))))
     val bounded = PlanDoctor.audit(cdf)
-    assert(!bounded.exists(_.rule == "single-partition-window"),
-      bounded.mkString("\n"))
+    assert(!bounded.exists(_.severity == "error"), bounded.mkString("\n"))
     assert(bounded.exists(_.rule == "single-partition-window-bounded"),
       bounded.mkString("\n"))
+  }
+
+  test("PlanDoctor flags an id-keyed ordered domain (raw stored column)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val t = sources.Tables(spark, sfDir)
+    // grouping by a RAW id: one row per user is NOT a value bound — the
+    // distinct count scales with the corpus. The round-11 rule admitted
+    // exactly this shape; it must flag now.
+    val byId = t.events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("user_id"))))
+    assert(PlanDoctor.audit(byId)
+      .exists(f => f.severity == "error" && f.rule == "id-domain-window"),
+      PlanDoctor.audit(byId).mkString("\n"))
+    // deriving ABOVE the aggregate does not launder it: the row count is
+    // still one per raw id
+    val laundered = t.events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(floor(col("user_id") / 100).as("b"), col("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("b"))))
+    assert(PlanDoctor.audit(laundered)
+      .exists(f => f.severity == "error" && f.rule == "id-domain-window"),
+      PlanDoctor.audit(laundered).mkString("\n"))
+    // the same cumsum over a key derived BELOW the grouping (bucketed
+    // ids — the vocabGrowth shape) stays admitted
+    val derived = t.events.groupBy(floor(col("user_id") / 100).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("b"))))
+    val ok = PlanDoctor.audit(derived)
+    assert(!ok.exists(_.severity == "error"), ok.mkString("\n"))
   }
 
   test("window over a join: bounded×bounded admitted, corpus side flagged") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
     val t = sources.Tables(spark, sfDir)
-    // two bounded aggregates joined on their grouping key, then a cumsum
-    // ordered by that key (the vocabGrowth shape): bounded, never error
-    val a = t.events.groupBy(col("event_type").as("k"))
+    // two bounded aggregates joined on their DERIVED grouping key, then
+    // a cumsum ordered by that key (the vocabGrowth shape): bounded,
+    // never error (a raw-column key would flag id-domain-window)
+    val a = t.events.groupBy(substring(col("event_type"), 1, 16).as("k"))
       .agg(count(lit(1)).as("n"))
-    val b = t.events.groupBy(col("event_type").as("k"))
+    val b = t.events.groupBy(substring(col("event_type"), 1, 16).as("k"))
       .agg(sum(col("value")).as("v"))
     val joined = a.join(b, Seq("k"), "left")
       .withColumn("cum", sum(col("n")).over(Window.orderBy(col("k"))))
     val got = PlanDoctor.audit(joined)
-    assert(!got.exists(_.rule == "single-partition-window"),
-      got.mkString("\n"))
+    assert(!got.exists(_.severity == "error"), got.mkString("\n"))
     // the same window but one join side is the raw corpus: error
     val badJoin = a.join(
       t.events.select(col("event_type").as("k"), col("value")), Seq("k"))

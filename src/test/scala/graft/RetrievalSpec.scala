@@ -83,6 +83,26 @@ class RetrievalSpec extends SparkSuite {
     assert(got.map(_._3).toSeq == got.map(_._3).sorted.reverse.toSeq)
   }
 
+  test("lateInteraction plan gate: per-aspect max collapses MAP-SIDE") {
+    import graft.operators.Rag
+    // the scale contract: shuffle rows ∝ query_chunks × docs, NEVER raw
+    // corpus chunk pairs — which holds iff the per-aspect max has a
+    // PARTIAL aggregate below its exchange. A refactor that loses the
+    // partial (e.g. an expression the combiner can't split) would ship
+    // every (corpus_chunk × query_chunk) row across the wire; this gate
+    // makes that a test failure, not a prod incident.
+    val df = Rag.lateInteraction(t.documents)
+    val findings = PlanDoctor.audit(df)
+    assert(!findings.exists(_.rule == "missing-partial-aggregate"),
+      findings.mkString("\n"))
+    assert(!findings.exists(_.severity == "error"), findings.mkString("\n"))
+    // affirmative form: the plan really does contain map-side partials
+    // (the per-aspect partial_max and the cross-aspect partial_sum)
+    val plan = planOf(df)
+    assert(plan.contains("partial_max"), plan)
+    assert(plan.contains("partial_sum"), plan)
+  }
+
   test("contextPack: prefix-packed shortlist under the token budget") {
     import graft.operators.Rag
     val budget = 150L
