@@ -529,6 +529,105 @@ case class NearestSeed(left: Expression, right: Expression)
   override def prettyName: String = "nearest_seed"
 }
 
+/** Deterministic greedy farthest-first seed selection over a BOUNDED
+  * per-row candidate pool:
+  * `farthest_first_seeds(cands: array<array<float>>, k: int)` → the k
+  * chosen candidate vectors in pick order (k-means++-style spread, no
+  * RNG): seed 0 is candidate 0 (pools arrive lowest-id-first), each
+  * next seed maximizes min-cosine-distance to the seeds so far, ties →
+  * lowest index; `k ≥ pool` keeps the pool in order. Replaces the last
+  * Scala UDF in the library (`Dedup.coherentBlocks`' per-oversized-
+  * block seed choice): one call per OVERSIZED BLOCK, never per corpus
+  * row, so this is catalog hygiene (no closure serialization, no
+  * Row↔Catalyst conversion) more than a flops win. Generated code calls
+  * the static kernel — the [[TextEntropy]] pattern for bounded-loop
+  * kernels. Distance arithmetic is [[NearestSeed]]'s (double
+  * accumulation, left-to-right, zero-norm → sim 0 i.e. dist 1), and the
+  * kernel is spec-pinned element-equal to the `Dedup.farthestFirstPick`
+  * reference implementation. */
+case class FarthestFirstSeeds(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = left.dataType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val okL = left.dataType match {
+      case ArrayType(e, _) => VectorTypeCheck.isFloatVector(e)
+      case _ => false
+    }
+    if (okL && right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "farthest_first_seeds requires (array<array<float>>, int), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    FarthestFirstSeeds.pick(l.asInstanceOf[ArrayData],
+      r.asInstanceOf[Int])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cands, k) => {
+      s"""
+         |${ev.value} = graft.functions.FarthestFirstSeeds.pick($cands, $k);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "farthest_first_seeds"
+}
+
+object FarthestFirstSeeds {
+
+  /** The greedy kernel over Catalyst array data — identical selection
+    * to `Dedup.farthestFirstPick` (including the strict `>` tie rule:
+    * first index wins equal spreads). Chosen vectors are copied out as
+    * fresh primitive arrays, so the result never aliases the input
+    * buffer. */
+  def pick(cands: ArrayData, k: Int): ArrayData = {
+    val n = cands.numElements()
+    val kk = math.min(k, n)
+    if (kk <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val vecs = Array.tabulate(n)(i => cands.getArray(i).toFloatArray())
+      val order: Array[Int] =
+        if (kk == n) Array.range(0, n) // pool == seeds: keep id order
+        else {
+          val chosen = new Array[Int](kk)
+          val taken = new Array[Boolean](n)
+          val minDist = Array.fill(n)(Double.MaxValue)
+          chosen(0) = 0; taken(0) = true
+          var m = 1; var last = 0
+          while (m < kk) {
+            var best = -1; var bestD = -1.0; var i = 0
+            while (i < n) {
+              if (!taken(i)) {
+                val d = cosineDist(vecs(i), vecs(last))
+                if (d < minDist(i)) minDist(i) = d
+                if (minDist(i) > bestD) { bestD = minDist(i); best = i }
+              }
+              i += 1
+            }
+            chosen(m) = best; taken(best) = true; last = best; m += 1
+          }
+          chosen
+        }
+      new GenericArrayData(order.map(ci =>
+        org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(vecs(ci)): Any))
+    }
+  }
+
+  private def cosineDist(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 1.0
+    else 1.0 - dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
 /** Shannon entropy (nats) of a document's character or whitespace-token
   * distribution — the quality-filter signal pretraining curation uses to
   * drop low-information pages (gibberish → low char entropy; boilerplate

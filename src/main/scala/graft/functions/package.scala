@@ -64,6 +64,9 @@ package object functions {
   def nearest_seed(v: Column, seeds: Column): Column =
     bridge.column(NearestSeed(c(v), c(seeds)))
 
+  def farthest_first_seeds(cands: Column, k: Column): Column =
+    bridge.column(FarthestFirstSeeds(c(cands), c(k)))
+
   def pq_encode(v: Column, books: Array[Array[Array[Float]]]): Column =
     bridge.column(PqEncode(c(v), books))
 

@@ -1150,16 +1150,20 @@ object Dedup {
     * degenerate block to one task just to measure it. The size table is
     * one row per block (blocks ≈ coarse clusters, thousands at most) and
     * broadcasts. */
-  /** A chosen sub-block seed: assignment index + embedding (the UDF
-    * return row of [[farthestFirstSeeds]]). */
+  /** A chosen sub-block seed: assignment index + embedding (the
+    * [[farthestFirstPick]] reference-implementation return row). */
   final case class Seed(i: Long, emb: Seq[Float])
 
   /** Greedy farthest-first (k-means++-style, but deterministic — no
     * RNG) seed selection over a BOUNDED candidate pool: seed 0 is the
     * lowest-id candidate, each next seed is the candidate with the
     * largest min-distance to the seeds so far (ties → lowest id). One
-    * oversized block = one UDF call over its pooled candidate array —
-    * O(k·pool) cosines on one task, bounded by [[SeedPoolCap]]. */
+    * oversized block = one `farthest_first_seeds` expression call over
+    * its pooled candidate array — O(k·pool) cosines on one task,
+    * bounded by [[SeedPoolCap]]. [[farthestFirstPick]] is the plain-
+    * Scala REFERENCE implementation of the same selection, spec-pinned
+    * element-equal to the expression kernel
+    * ([[graft.functions.FarthestFirstSeeds.pick]]). */
   private val SeedPoolCap = 4096
 
   private def cosineDist(a: Seq[Float], b: Seq[Float]): Double = {
@@ -1204,11 +1208,9 @@ object Dedup {
     }
   }
 
-  // the seed's assignment index IS its array position (farthestFirstPick
-  // numbers seeds 0..k-1 in pick order), so the dataflow ships bare
+  // the seed's assignment index IS its array position (the expression
+  // emits seeds 0..k-1 in pick order), so the dataflow ships bare
   // embedding arrays and nearest_seed returns the position
-  private val farthestFirstSeeds =
-    udf((cands: Seq[Seq[Float]], k: Int) => farthestFirstPick(cands, k).map(_.emb))
 
   /** Similarity-COHERENT sub-blocking for oversized blocks — the
     * recall-preserving complement to [[blockedNeighbors]]' hash guard.
@@ -1282,7 +1284,7 @@ object Dedup {
           struct(col("__ci").cast("long").as("ci"), col("__ce").as("emb"))))
           .as("cs"))
         .select(col("block"),
-          farthestFirstSeeds(
+          graft.functions.farthest_first_seeds(
             transform(col("cs"), s => s.getField("emb")), col("__k"))
             .as("__seeds"))
       // assignment: ONE codegen'd fused argmin over the row's seed matrix

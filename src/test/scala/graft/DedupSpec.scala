@@ -338,6 +338,28 @@ class DedupSpec extends SparkSuite {
     assert(operators.Dedup.farthestFirstPick(Seq.empty, 3).isEmpty)
   }
 
+  test("farthest_first_seeds expression ≡ the reference implementation") {
+    import org.apache.spark.sql.functions.{col, lit, typedLit}
+    // randomized-ish pools (fixed values, no RNG) across the edge cases:
+    // spread picks, ties, pool == k, k > pool, empty pool, zero vectors
+    val pools: Seq[Seq[Seq[Float]]] = Seq(
+      Seq(Seq(1f, 0f, 0f), Seq(1f, 0f, 0f), Seq(0f, 1f, 0f),
+        Seq(0f, 0f, 1f), Seq(0.7f, 0.7f, 0f), Seq(0f, 0f, 0f)),
+      Seq(Seq(0.3f, 0.1f, 0.9f), Seq(0.2f, 0.8f, 0.1f)),
+      Seq(Seq(0f, 0f, 0f), Seq(0f, 0f, 0f), Seq(1f, 1f, 1f)),
+      Seq.empty)
+    for (pool <- pools; k <- Seq(0, 1, 2, 3, 5)) {
+      val want = operators.Dedup.farthestFirstPick(pool, k).map(_.emb)
+      val got = Seq(1)
+        .toDF("one")
+        .select(graft.functions.farthest_first_seeds(
+          typedLit(pool), lit(k)).as("s"))
+        .collect().head.getSeq[scala.collection.Seq[Float]](0)
+        .map(_.toSeq)
+      assert(got == want, s"pool=$pool k=$k")
+    }
+  }
+
   test("coherent sub-blocking bypasses blocks at/under the cap untouched") {
     val vecs = (0L until 10L).map(i => (i, Array(1f, 0f, 0f, i * 0.01f)))
       .toDF("vec_id", "embedding").withColumn("block", lit("b"))
