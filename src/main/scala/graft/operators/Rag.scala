@@ -81,20 +81,41 @@ object Rag {
     * window runs over ≤ `shortlist` rows per query. */
   def contextPack(docs: DataFrame, budget: Long = 150, shortlist: Int = 5,
                   queryMaxId: Long = 3): DataFrame = {
-    val ch = TextAnalysis.chunks(docs)
-      .barrier() // read 2×: chunk embeddings + chunk token costs
-    val key = (col("doc_id") * lit(4294967296L) + col("chunk_id")).as("vec_id")
-    val corpus = ch.select(key,
-      hash_embed(col("chunk_text"), 64).as("embedding"))
+    val store = buildChunkStore(docs)
     val qs = docs
       .filter(col("doc_id") < queryMaxId &&
         length(trim(preprocess(col("text")))) > 0)
       .select(col("doc_id").as("query_id"),
         hash_embed(preprocess(col("text")), 64).as("qv"))
-    val sl = Search.bruteForceTopK(qs, corpus, shortlist)
-    val costs = ch.select(key, col("n_tok"))
+    contextPackFrom(qs, store, budget, shortlist)
+  }
+
+  /** The frozen corpus side of the packing serve path: chunk vectors
+    * and chunk token costs derived from ONE barriered chunk pass —
+    * build once per corpus snapshot, re-freeze on the index-rebuild
+    * cadence (the [[graft.operators.Bm25.buildIndex]] convention). */
+  final case class ChunkStore(corpus: DataFrame, costs: DataFrame)
+
+  def buildChunkStore(docs: DataFrame): ChunkStore = {
+    val ch = TextAnalysis.chunks(docs)
+      .barrier() // read 2×: chunk embeddings + chunk token costs
+    val key = (col("doc_id") * lit(4294967296L) + col("chunk_id")).as("vec_id")
+    ChunkStore(
+      ch.select(key, hash_embed(col("chunk_text"), 64).as("embedding")),
+      ch.select(key, col("n_tok")))
+  }
+
+  /** [[contextPack]] for a PRE-EMBEDDED query table `(query_id, qv)`
+    * against a [[ChunkStore]] — the serve-path entry the streaming twin
+    * calls per micro-batch, so there is exactly one implementation of
+    * the shortlist + prefix-budget rule. Queries are stateless (a
+    * packing depends only on the query vector and the frozen store), so
+    * batch and streamed results are identical by construction. */
+  def contextPackFrom(queries: DataFrame, store: ChunkStore,
+                      budget: Long = 150, shortlist: Int = 5): DataFrame = {
+    val sl = Search.bruteForceTopK(queries, store.corpus, shortlist)
     val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
-    costs.join(broadcast(sl), Seq("vec_id"))
+    store.costs.join(broadcast(sl), Seq("vec_id"))
       .withColumn("cum_tokens", sum(col("n_tok")).over(w))
       .select(col("query_id"), col("rank"), col("vec_id"),
         col("score"), col("n_tok").as("n_tokens"), col("cum_tokens"),

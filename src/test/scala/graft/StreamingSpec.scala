@@ -651,6 +651,35 @@ class StreamingSpec extends SparkSuite {
       s"${streamed.length} streamed vs ${batch.length} batch rows")
   }
 
+  test("streamed context packing against the frozen store equals batch") {
+    import spark.implicits._
+    // freeze the chunk store once, stream the batch path's own query
+    // set (docs 0-2's raw text) in two micro-batches; streamed packings
+    // must equal batch contextPack bit for bit — the serve-path
+    // fidelity contract for the RAG prompt-assembly step
+    val store = graft.operators.Rag.buildChunkStore(t.documents)
+    val rawQ = t.documents.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    val dir = Files.createTempDirectory("graft-ctx-stream").toString
+    rawQ.filter($"query_id" < 1).coalesce(1).write.parquet(s"$dir/src/c=a")
+    Thread.sleep(1100)
+    rawQ.filter($"query_id" >= 1).coalesce(1).write.parquet(s"$dir/src/c=b")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("query_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/src/c=*")
+    ContextPackStream.start(spark, stream, store, s"$dir/out", s"$dir/_ckpt")
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val batch = graft.operators.Rag.contextPack(t.documents)
+      .collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"${streamed.length} streamed vs ${batch.length} batch rows")
+  }
+
   test("streaming dsir with a frozen model equals the batch scorer") {
     import spark.implicits._
     // train the importance model on the FULL corpus, stream the corpus
