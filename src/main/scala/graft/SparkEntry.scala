@@ -695,6 +695,16 @@ object SparkEntry {
     // metric sums with ONE division each at the boundary
     "q_retrieval_eval_summary" -> ((s, dir) =>
       RetrievalEval.summary(Tables(s, dir).documents, frozenBm25(s, dir))),
+    // cutoff sensitivity: MRR@c / NDCG@c for c in {1,3,5,10} per system
+    // — rankings computed once, each cutoff a prefix filter; the table
+    // that answers how deep the serving layer must rank
+    "q_retrieval_eval_cutoffs" -> ((s, dir) =>
+      RetrievalEval.cutoffSummary(Tables(s, dir).documents,
+        frozenBm25(s, dir))),
+    // contrastive pair mining with a teacher margin: retrieval-hardest
+    // shortlist docs the pairwise teacher scores strictly below the
+    // best — the distillation dataset for retrieval fine-tuning
+    "q_distill_pairs" -> q(t => Rerank.distillPairs(t.documents)),
     // corpus curation (training-data pipeline)
     "text_gopher"    -> q(t => Pipeline.gopherStats(t.documents)),
     "text_boilerplate" -> q(t => Pipeline.boilerplate(t.documents)),
@@ -1331,7 +1341,7 @@ object SparkEntry {
        | qvec AS (SELECT doc_id AS query_id, ev AS qv FROM dvec WHERE doc_id < 5),
        | dsims AS (SELECT query_id, d.doc_id AS vec_id, list_cosine_similarity(qv, ev) AS sim
        |   FROM qvec CROSS JOIN dvec d WHERE d.doc_id <> query_id),
-       | kn AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM dsims),
+       | kn AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM dsims),
        | u AS (SELECT query_id, doc_id, CAST(rn AS BIGINT) AS rank FROM bmrk WHERE rn <= 20
        |   UNION ALL SELECT query_id, vec_id AS doc_id, CAST(rn AS BIGINT) AS rank FROM kn WHERE rn <= 20),
        | contrib AS (SELECT query_id, doc_id,
@@ -2331,6 +2341,62 @@ $rounds
           | CAST(SUM(rr_i) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1e9 AS mrr,
           | CAST(SUM(ndcg_i) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1e9 AS mean_ndcg
           |FROM pqf GROUP BY 1 ORDER BY system""").stripMargin,
+    // cutoff sensitivity: the same jj/irk tables prefix-filtered per
+    // cutoff; metric folds identical to the @10 gate
+    "q_retrieval_eval_cutoffs" ->
+      (s"""WITH $retrievalEvalCtes,
+          | co AS (SELECT * FROM (VALUES (1),(3),(5),(10)) t(c)),
+          | perc AS (SELECT jj.system, jj.query_id, co.c,
+          |    SUM(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS n_rel,
+          |    COALESCE(MIN(CASE WHEN rel >= 2 THEN rank END), 0) AS frr,
+          |    SUM((CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) * dv) AS dcg_i
+          |   FROM jj JOIN disc ON disc.r = jj.rank CROSS JOIN co
+          |   WHERE jj.rank <= co.c GROUP BY 1, 2, 3),
+          | idcgc AS (SELECT irk.query_id, co.c,
+          |    SUM((CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) * dv) AS idcg_i
+          |   FROM irk JOIN disc ON disc.r = irk.rn CROSS JOIN co
+          |   WHERE irk.rn <= co.c GROUP BY 1, 2),
+          | gridc AS (SELECT g.system, g.query_id, co.c FROM qgrid g CROSS JOIN co),
+          | pqc AS (SELECT g.system, g.query_id, g.c,
+          |    COALESCE(perc.n_rel, 0) AS n_rel,
+          |    COALESCE(rrt.rv, 0) AS rr_i,
+          |    COALESCE(perc.dcg_i, 0) AS dcg_i,
+          |    COALESCE(idcgc.idcg_i, 0) AS idcg_i
+          |   FROM gridc g
+          |   LEFT JOIN perc ON perc.system = g.system AND perc.query_id = g.query_id AND perc.c = g.c
+          |   LEFT JOIN idcgc ON idcgc.query_id = g.query_id AND idcgc.c = g.c
+          |   LEFT JOIN rrt ON rrt.r = perc.frr),
+          | pqfc AS (SELECT system, query_id, c, n_rel, rr_i, dcg_i, idcg_i,
+          |    CASE WHEN idcg_i > 0 THEN CAST(floor(CAST(dcg_i AS DOUBLE)/CAST(idcg_i AS DOUBLE)*1e9) AS BIGINT) ELSE 0 END AS ndcg_i
+          |   FROM pqc)
+          |SELECT system, CAST(c AS BIGINT) AS cutoff, COUNT(*) AS n_queries,
+          | CAST(SUM(n_rel) AS BIGINT) AS n_rel_total,
+          | CAST(SUM(rr_i) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1e9 AS mrr,
+          | CAST(SUM(ndcg_i) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)/1e9 AS mean_ndcg
+          |FROM pqfc GROUP BY 1, 2 ORDER BY system, cutoff""").stripMargin,
+    // teacher-margin pair mining: dense shortlist (kn), declarative
+    // overlap-F1 teacher over the shared token sets, struct-max
+    // positive, retrieval-hardest strict-margin negatives
+    "q_distill_pairs" ->
+      (s"""WITH $retrievalEvalCtes,
+          | dce AS (SELECT k.query_id, k.vec_id, floor(k.sim*1e6)/1e6 AS score,
+          |    (2.0 * len(list_intersect(d.dt, q.qtk))) / (len(d.dt) + len(q.qtk)) AS ce
+          |   FROM kn k JOIN dts d ON d.doc_id = k.vec_id
+          |   JOIN qts q ON q.query_id = k.query_id
+          |   WHERE k.rn <= 20),
+          | dpos AS (SELECT query_id, vec_id AS pos_id, ce AS pos_ce FROM (
+          |    SELECT query_id, vec_id, ce,
+          |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ce DESC, vec_id) AS pr
+          |    FROM dce) WHERE pr = 1),
+          | dneg AS (SELECT c.query_id, p.pos_id, p.pos_ce, c.vec_id, c.ce, c.score,
+          |    ROW_NUMBER() OVER (PARTITION BY c.query_id ORDER BY c.score DESC, c.vec_id) AS nr
+          |   FROM dce c JOIN dpos p ON p.query_id = c.query_id
+          |   WHERE c.ce < p.pos_ce)
+          |SELECT query_id, pos_id, floor(pos_ce*1e6)/1e6 AS pos_ce,
+          | CAST(nr AS BIGINT) AS neg_rank, vec_id AS neg_id,
+          | floor(ce*1e6)/1e6 AS neg_ce, score AS neg_ret_score,
+          | floor((pos_ce - ce)*1e6)/1e6 AS margin
+          |FROM dneg WHERE nr <= 4 ORDER BY query_id, neg_rank""").stripMargin,
     // KMV sketch replayed exactly: same FNV hashes (HUGEINT), same k-th
     // smallest distinct unsigned value, same integer-division estimator
     "q_distinct_sketch" ->

@@ -125,6 +125,74 @@ object Rerank {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Contrastive-training pair mining with a TEACHER margin — the
+    * distillation recipe for retrieval fine-tuning (mine hard negatives
+    * with the serving retriever, label them with the stronger pairwise
+    * teacher, train the student on the margins): per query, the
+    * teacher-best shortlist doc is the POSITIVE, and the `nNeg`
+    * RETRIEVAL-hardest shortlist docs the teacher scores strictly below
+    * it are the negatives — high retrieval rank + low teacher score is
+    * exactly the confusable example a contrastive loss learns most
+    * from. Self-pairs are excluded (the trivial positive teaches
+    * nothing).
+    *
+    * Teacher = the [[OverlapScorer]] arithmetic computed DECLARATIVELY
+    * (distinct-token overlap F1: one integer intersection, one
+    * division), so the oracle replays every margin; a learned
+    * cross-encoder drops in through [[scorePairs]] without changing the
+    * mining dataflow. Scale shape: one corpus scan for the shortlist
+    * ([[Search.bruteForceTopK]]); the shortlist BROADCASTS into the
+    * token-set probe; the positive is a bounded struct-max; negative
+    * ranking windows over ≤ shortlist rows per query. Output is bounded
+    * by queries × nNeg. A query whose shortlist ties the teacher
+    * everywhere (pos_ce equal for all) yields no pairs — margin-0
+    * "negatives" would be label noise. */
+  def distillPairs(docs: DataFrame, queryMaxId: Long = 5,
+                   shortlist: Int = 20, nNeg: Int = 4): DataFrame = {
+    val base = frozenBase(docs)
+    val queries = base.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id").as("query_id"), col("ct").as("qt"))
+    val corpus = base.select(col("doc_id").as("vec_id"),
+      hash_embed(col("ct"), 64).as("embedding"))
+    val qv = queries.select(col("query_id"),
+      hash_embed(col("qt"), 64).as("qv"))
+    val sims = corpus.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
+    val sl = Search.explodeTopK(
+      sims.groupBy(col("query_id"))
+        .agg(top_k_by_score(col("sim"), col("vec_id"), shortlist)
+          .as("topk")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+    val dts = base.select(col("doc_id").as("vec_id"),
+      array_distinct(tokens(col("ct"))).as("dt"))
+    val qts = queries.select(col("query_id"),
+      array_distinct(tokens(col("qt"))).as("qtk"))
+    val scored = dts.join(broadcast(sl), Seq("vec_id"))
+      .join(broadcast(qts), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"), col("score"),
+        ((lit(2.0) * size(array_intersect(col("dt"), col("qtk")))) /
+          (size(col("dt")) + size(col("qtk")))).as("ce"))
+    val pos = scored.groupBy(col("query_id"))
+      .agg(max(struct(col("ce"), (-col("vec_id")).as("nid"))).as("p"))
+      .select(col("query_id"), (-col("p.nid")).as("pos_id"),
+        col("p.ce").as("pos_ce"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.join(broadcast(pos), Seq("query_id"))
+      .filter(col("ce") < col("pos_ce"))
+      .withColumn("neg_rank", row_number().over(w).cast("long"))
+      .filter(col("neg_rank") <= nNeg)
+      .select(col("query_id"), col("pos_id"),
+        (floor(col("pos_ce") * 1e6) / 1e6).as("pos_ce"),
+        col("neg_rank"), col("vec_id").as("neg_id"),
+        (floor(col("ce") * 1e6) / 1e6).as("neg_ce"),
+        col("score").as("neg_ret_score"),
+        (floor((col("pos_ce") - col("ce")) * 1e6) / 1e6).as("margin"))
+      .orderBy(col("query_id"), col("neg_rank"))
+  }
+
   /** Run `scorer` over the (q_text, d_text) pair columns in bounded
     * batches, appending a raw `ce` double — the same `mapPartitions` +
     * `grouped(batchSize)` seam shape as [[Inference.encode]]: bounded

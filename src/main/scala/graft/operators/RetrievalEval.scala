@@ -82,8 +82,14 @@ object RetrievalEval {
     * their rank ≤ k prefixes, so no scan runs twice. */
   def rankings(docs: DataFrame, index: Bm25.Bm25Index,
                queryMaxId: Long = 5, k: Int = 10,
-               fuseDepth: Int = 20): DataFrame = {
-    val base = Rerank.frozenBase(docs)
+               fuseDepth: Int = 20): DataFrame =
+    rankingsFrom(Rerank.frozenBase(docs), index, queryMaxId, k, fuseDepth)
+
+  /** [[rankings]] over a pre-built [[Rerank.frozenBase]], so callers
+    * that also label against the base pay its pass once. */
+  private def rankingsFrom(base: DataFrame, index: Bm25.Bm25Index,
+                           queryMaxId: Long, k: Int,
+                           fuseDepth: Int): DataFrame = {
     val queries = base.filter(col("doc_id") < queryMaxId)
       .select(col("doc_id").as("query_id"), col("ct"))
     // lexical: the query doc's distinct tokens as the term set
@@ -129,31 +135,52 @@ object RetrievalEval {
           (size(col("dt")) + size(col("qt"))).cast("long")).as("rel"))
   }
 
+  /** The shared eval core: labeled system rankings `ret(system,
+    * query_id, doc_id, rank, rel)`, the per-query ideal ranking
+    * positions `ideal(query_id, pos, rel)` (bounded per-query heap over
+    * the label scan), and the query-id grid — ONE [[Rerank.frozenBase]]
+    * pass feeds both the rankings and the labels. */
+  private final case class Core(ret: DataFrame, ideal: DataFrame,
+                                queryIds: DataFrame)
+
+  private def evalCore(docs: DataFrame, index: Bm25.Bm25Index,
+                       queryMaxId: Long, k: Int): Core = {
+    val base = Rerank.frozenBase(docs)
+    val lab = labels(base, queryMaxId)
+    val ideal = lab
+      .groupBy(col("query_id"))
+      .agg(top_k_by_score(col("rel").cast("double"), col("doc_id"), k)
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("pos"),
+        col("hit.score").cast("long").as("rel"))
+    val ret = rankingsFrom(base, index, queryMaxId, k, fuseDepth = 20)
+      .join(lab, Seq("query_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+    val queryIds = base.filter(col("doc_id") < queryMaxId)
+      .select(col("doc_id").as("query_id"))
+    Core(ret, ideal, queryIds)
+  }
+
+  private def systemsDF(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Seq("bm25", "dense", "hybrid_rrf").toDF("system")
+  }
+
   /** Integer-cored per-(system, query) metrics — the shared core of
     * [[perQuery]] and [[summary]]. Columns `rr_i`, `dcg_i`, `idcg_i`,
     * `ndcg_i` are exact BIGINTs on the 1e-9 grid. */
   private def perQueryRaw(docs: DataFrame, index: Bm25.Bm25Index,
                           queryMaxId: Long, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val base = Rerank.frozenBase(docs)
-    val lab = labels(base, queryMaxId)
+    val c = evalCore(docs, index, queryMaxId, k)
     val discArr = array(discGrid(k).map(lit): _*)
     val rrArr = array(rrGrid(k).map(lit): _*)
-    // ideal ranking: bounded per-query heap over the label scan
-    val idcg = lab
-      .groupBy(col("query_id"))
-      .agg(top_k_by_score(col("rel").cast("double"), col("doc_id"), k)
-        .as("topk"))
-      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "hit")))
+    val idcg = c.ideal
       .select(col("query_id"),
-        (gain(col("hit.score").cast("long")) *
-          element_at(discArr, (col("pos") + 1).cast("int"))).as("g"))
+        (gain(col("rel")) * element_at(discArr, col("pos"))).as("g"))
       .groupBy(col("query_id")).agg(sum(col("g")).as("idcg_i"))
-    val ret = rankings(docs, index, queryMaxId, k)
-      .join(lab, Seq("query_id", "doc_id"), "left")
-      .withColumn("rel", coalesce(col("rel"), lit(0L)))
-    val per = ret.groupBy(col("system"), col("query_id"))
+    val per = c.ret.groupBy(col("system"), col("query_id"))
       .agg(count(lit(1)).as("n_retrieved"),
         sum(when(col("rel") >= MrrRelThreshold, 1L).otherwise(0L))
           .as("n_rel"),
@@ -162,9 +189,7 @@ object RetrievalEval {
         sum(gain(col("rel")) * element_at(discArr, col("rank").cast("int")))
           .as("dcg_i"))
     // every (system, query) keeps a row even if a ranking came up empty
-    val grid = Seq("bm25", "dense", "hybrid_rrf").toDF("system")
-      .crossJoin(base.filter(col("doc_id") < queryMaxId)
-        .select(col("doc_id").as("query_id")))
+    val grid = systemsDF(docs).crossJoin(c.queryIds)
     grid.join(per, Seq("system", "query_id"), "left")
       .join(idcg, Seq("query_id"), "left")
       .select(col("system"), col("query_id"),
@@ -213,4 +238,69 @@ object RetrievalEval {
         (col("sndcg").cast("double") / col("n_queries").cast("double") / 1e9)
           .as("mean_ndcg"))
       .orderBy(col("system"))
+
+  /** Cutoff-sensitivity table: MRR@c and mean NDCG@c per system for
+    * each c in `cuts` — the table that answers "how deep must the
+    * serving layer rank before quality plateaus?" (a k=10 eval alone
+    * can hide a system that only wins in positions 6-10, which a
+    * 3-result UI never shows). Rankings are computed ONCE at depth k;
+    * each cutoff is a prefix filter of the same labeled rows, so the
+    * extra cost over [[summary]] is |cuts| bounded aggregates — no new
+    * scans. Same integer discipline: per-(system, query, cutoff) DCG
+    * and IDCG as exact BIGINT folds over the literal grids, means from
+    * integer sums with ONE division each. */
+  def cutoffSummary(docs: DataFrame, index: Bm25.Bm25Index,
+                    queryMaxId: Long = 5, k: Int = 10,
+                    cuts: Seq[Int] = Seq(1, 3, 5, 10)): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(c => c >= 1 && c <= k),
+      s"cutoffs must be within 1..$k")
+    val c = evalCore(docs, index, queryMaxId, k)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val co = cuts.toDF("cutoff")
+    val discArr = array(discGrid(k).map(lit): _*)
+    val rrArr = array(rrGrid(k).map(lit): _*)
+    val perC = c.ret.crossJoin(broadcast(co))
+      .filter(col("rank") <= col("cutoff"))
+      .groupBy(col("system"), col("query_id"), col("cutoff"))
+      .agg(
+        sum(when(col("rel") >= MrrRelThreshold, 1L).otherwise(0L))
+          .as("n_rel"),
+        coalesce(min(when(col("rel") >= MrrRelThreshold, col("rank"))),
+          lit(0L)).as("frr"),
+        sum(gain(col("rel")) * element_at(discArr, col("rank").cast("int")))
+          .as("dcg_i"))
+    val idcgC = c.ideal.crossJoin(broadcast(co))
+      .filter(col("pos") <= col("cutoff"))
+      .groupBy(col("query_id"), col("cutoff"))
+      .agg(sum(gain(col("rel")) * element_at(discArr, col("pos")))
+        .as("idcg_i"))
+    val grid = systemsDF(docs).crossJoin(c.queryIds).crossJoin(co)
+    val pq = grid.join(perC, Seq("system", "query_id", "cutoff"), "left")
+      .join(idcgC, Seq("query_id", "cutoff"), "left")
+      .select(col("system"), col("query_id"), col("cutoff"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        when(coalesce(col("frr"), lit(0L)) >= 1,
+          element_at(rrArr, col("frr").cast("int"))).otherwise(0L)
+          .as("rr_i"),
+        coalesce(col("dcg_i"), lit(0L)).as("dcg_i"),
+        coalesce(col("idcg_i"), lit(0L)).as("idcg_i"))
+      .withColumn("ndcg_i",
+        when(col("idcg_i") > 0,
+          floor(col("dcg_i").cast("double") / col("idcg_i").cast("double")
+            * 1e9).cast("long"))
+          .otherwise(0L))
+    pq.groupBy(col("system"), col("cutoff"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("n_rel")).as("n_rel_total"),
+        sum(col("rr_i")).as("srr"),
+        sum(col("ndcg_i")).as("sndcg"))
+      .select(col("system"), col("cutoff").cast("long").as("cutoff"),
+        col("n_queries"), col("n_rel_total"),
+        (col("srr").cast("double") / col("n_queries").cast("double") / 1e9)
+          .as("mrr"),
+        (col("sndcg").cast("double") / col("n_queries").cast("double") / 1e9)
+          .as("mean_ndcg"))
+      .orderBy(col("system"), col("cutoff"))
+  }
 }

@@ -133,6 +133,80 @@ class RetrievalEvalSpec extends SparkSuite {
     assert(per("bm25").getDouble(5) == RetrievalEval.rrGrid(10)(1).toDouble / 1e9)
   }
 
+  test("cutoff table: MRR monotone in depth, @10 row equals the summary") {
+    val t = sources.Tables(spark, sfDir)
+    val idx = Bm25.buildIndex(t.documents)
+    val cut = RetrievalEval.cutoffSummary(t.documents, idx).collect()
+    assert(cut.length == 12) // 3 systems × 4 cutoffs
+    // MRR@c can only grow with c (a first hit at rank r counts for all
+    // cutoffs ≥ r); n_rel likewise
+    cut.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val byC = rows.sortBy(_.getLong(1))
+      val mrrs = byC.map(_.getDouble(4))
+      assert(mrrs.zip(mrrs.tail).forall { case (a, b) => a <= b }, s"${byC.toSeq}")
+      val nrel = byC.map(_.getLong(3))
+      assert(nrel.zip(nrel.tail).forall { case (a, b) => a <= b })
+    }
+    // the deepest cutoff IS the @10 summary
+    val sum = RetrievalEval.summary(t.documents, idx)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cut.filter(_.getLong(1) == 10L).foreach { r =>
+      val s = sum(r.getString(0))
+      assert(r.getLong(3) == s.getLong(2), s"n_rel ${r.getString(0)}")
+      assert(r.getDouble(4) == s.getDouble(3), s"mrr ${r.getString(0)}")
+      assert(r.getDouble(5) == s.getDouble(4), s"ndcg ${r.getString(0)}")
+    }
+  }
+
+  test("planted corpus at cutoff 1: only the fused system has its " +
+    "relevant doc visible") {
+    val cut = RetrievalEval.cutoffSummary(plantedDocs, plantedIdx,
+      queryMaxId = 1).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // both singles put a false positive at rank 1 (frr = 2): a 1-result
+    // UI serves garbage from either — and the eval table SHOWS it
+    assert(cut(("bm25", 1L)) == 0.0)
+    assert(cut(("dense", 1L)) == 0.0)
+    assert(cut(("hybrid_rrf", 1L)) == 1.0)
+  }
+
+  test("distill pairs: teacher positive, strict-margin hard negatives") {
+    import graft.operators.Rerank
+    val got = Rerank.distillPairs(plantedDocs, queryMaxId = 1).collect()
+    assert(got.nonEmpty)
+    // positive = the teacher-best doc (D, id 1); the #1 hard negative =
+    // the hash-collision dense false positive (Y, id 3: retrieval score
+    // 1.0, teacher 0) — exactly the confusable the student must learn
+    val byRank = got.sortBy(_.getLong(3))
+    byRank.foreach(r => assert(r.getLong(1) == 1L, s"pos $r"))
+    assert(byRank.head.getLong(4) == 3L, s"neg1 ${byRank.head}")
+    assert(byRank.head.getDouble(7) ==
+      math.floor(8.0 / 9.0 * 1e6) / 1e6) // margin = pos_ce − 0
+    // margins strictly positive, negatives ranked by retrieval score
+    got.foreach { r =>
+      assert(r.getDouble(7) > 0.0, s"margin $r")
+      assert(r.getDouble(5) < r.getDouble(2), s"neg_ce < pos_ce $r")
+    }
+    val scores = byRank.map(_.getDouble(6))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(got.length <= 4)
+  }
+
+  test("distill pairs on the corpus tables: bounded, consistent") {
+    import graft.operators.Rerank
+    val t = sources.Tables(spark, sfDir)
+    val got = Rerank.distillPairs(t.documents).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.length <= 4, s"q$q ${rows.length} negatives")
+      val byRank = rows.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == (1L to rows.length).toSeq)
+      // one positive per query, margins positive
+      assert(rows.map(_.getLong(1)).distinct.length == 1)
+      rows.foreach(r => assert(r.getDouble(7) > 0.0))
+    }
+  }
+
   test("every (system, query) keeps a row; metrics bounded in [0, 1]") {
     val t = sources.Tables(spark, sfDir)
     val idx = Bm25.buildIndex(t.documents)

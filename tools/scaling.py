@@ -1,21 +1,45 @@
 #!/usr/bin/env python3
 """Per-query scaling-ratio table from two Bench JSON lines.
 
-Usage: python3 tools/scaling.py <bench_small.json> <bench_big.json> [data_ratio]
+Usage: python3 tools/scaling.py <bench_small.json> <bench_big.json> \
+           [data_ratio] [--gate [artifact.json]]
 
 Prints a markdown table (query, t_small, t_big, ratio) sorted by ratio
 descending, plus summary stats. `data_ratio` (default 10) is the nominal
 data scale-up; queries with ratio well above it deserve a look, queries
 below it are dominated by fixed per-query overhead (planning, codegen).
+
+--gate formalizes the SHUFFLE-ratio contract as a pass/fail check and
+(optionally) writes a machine-readable artifact: every query whose
+shuffle volume grew by more than `data_ratio * (1 + GATE_TOL)` fails
+the gate (exit 1). Shuffle bytes are a DETERMINISTIC function of the
+plan and the data — unlike wall-clock in a shared sandbox, two runs of
+the same binary agree on them almost exactly — so the gate artifact is
+the reproducible cross-round scaling record (the round-11 lesson:
+back-to-back full-suite sf1 wall times showed disjoint outlier sets
+across identical binaries; shuffle ratios did not move). Queries below
+SHUFFLE_FLOOR_MB on the SMALL side are exempt (their "ratio" is noise
+over a near-zero base: a broadcast-only plan's few KB of bookkeeping).
 """
 import json
 import sys
 
+GATE_TOL = 0.25        # shuffle may exceed the data ratio by 25%
+SHUFFLE_FLOOR_MB = 1.0 # small-side volumes under this are ratio-noise
+
 
 def main():
-    small = json.load(open(sys.argv[1]))
-    big = json.load(open(sys.argv[2]))
-    data_ratio = float(sys.argv[3]) if len(sys.argv) > 3 else 10.0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    gate = "--gate" in sys.argv
+    gate_out = None
+    if gate:
+        i = sys.argv.index("--gate")
+        if i + 1 < len(sys.argv) and sys.argv[i + 1].endswith(".json"):
+            gate_out = sys.argv[i + 1]
+            args = [a for a in args if a != gate_out]
+    small = json.load(open(args[0]))
+    big = json.load(open(args[1]))
+    data_ratio = float(args[2]) if len(args) > 2 else 10.0
     qs, qb = small["queries"], big["queries"]
     shs, shb = small.get("shuffle_mb", {}), big.get("shuffle_mb", {})
     rows = []
@@ -47,6 +71,43 @@ def main():
           f"({big['value'] / small['value']:.2f}x for {data_ratio:.0f}x data); "
           f"median ratio {sorted(ratios)[len(ratios) // 2]:.2f}x; "
           f"{n_super} queries above the data ratio")
+
+    if gate:
+        checked, exempt, failures = {}, [], []
+        for name in sorted(set(shs) | set(shb)):
+            s_mb, b_mb = shs.get(name), shb.get(name)
+            if s_mb is None or b_mb is None:
+                continue
+            if s_mb < SHUFFLE_FLOOR_MB:
+                exempt.append(name)
+                continue
+            r = b_mb / s_mb
+            checked[name] = round(r, 3)
+            if r > data_ratio * (1 + GATE_TOL):
+                failures.append((name, s_mb, b_mb, r))
+        verdict = "PASS" if not failures else "FAIL"
+        print()
+        print(f"shuffle-ratio gate [{verdict}]: {len(checked)} checked at "
+              f"data_ratio={data_ratio:.0f}x (tol +{GATE_TOL:.0%}), "
+              f"{len(exempt)} exempt under {SHUFFLE_FLOOR_MB} MB")
+        for name, s_mb, b_mb, r in failures:
+            print(f"  FAIL {name}: {s_mb} MB -> {b_mb} MB = {r:.2f}x "
+                  f"(> {data_ratio * (1 + GATE_TOL):.1f}x)")
+        if gate_out:
+            json.dump({
+                "gate": verdict,
+                "data_ratio": data_ratio,
+                "tolerance": GATE_TOL,
+                "shuffle_floor_mb": SHUFFLE_FLOOR_MB,
+                "small_sf": small.get("sf"), "big_sf": big.get("sf"),
+                "total_sec": {"small": small.get("value"),
+                              "big": big.get("value")},
+                "checked": checked,
+                "exempt": sorted(exempt),
+                "failures": [n for n, *_ in failures],
+            }, open(gate_out, "w"), indent=1, sort_keys=True)
+            print(f"gate artifact -> {gate_out}")
+        sys.exit(0 if not failures else 1)
 
 
 if __name__ == "__main__":
