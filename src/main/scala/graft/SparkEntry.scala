@@ -116,6 +116,31 @@ object SparkEntry {
     Bm25.load(s, p)
   }
 
+  /** The retrieval-eval CORE (labeled system rankings, ideal positions,
+    * query grid — all bounded by systems × queries × k), materialized
+    * ONCE per (JVM, corpus) and served to ALL THREE eval reports
+    * (`q_retrieval_eval`, `_summary`, `_cutoffs`) — the reports must
+    * never re-run the corpus-sized ranking+labeling they summarize
+    * (the `curatedVerdicts` rule). Same memo mechanics: parquet under
+    * the process-private tmp base, fingerprint-keyed; it IS the
+    * production shape — an eval run lands the labeled-ranking core
+    * next to the corpus and every report reads it. */
+  private def frozenRetrievalCore(s: SparkSession,
+                                  dir: String): RetrievalEval.Core = {
+    val memoKey = s"reteval:$dir@${corpusFingerprint(dir, "documents.parquet")}"
+    val p = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
+      val path = s"$ivfTmpBase/reteval-${memoTag(memoKey)}"
+      val core = RetrievalEval.buildCore(Tables(s, dir).documents,
+        frozenBm25(s, dir))
+      core.ret.write.mode("overwrite").parquet(s"$path/ret")
+      core.ideal.write.mode("overwrite").parquet(s"$path/ideal")
+      core.queryIds.write.mode("overwrite").parquet(s"$path/qids")
+      path
+    }
+    RetrievalEval.Core(s.read.parquet(s"$p/ret"),
+      s.read.parquet(s"$p/ideal"), s.read.parquet(s"$p/qids"))
+  }
+
   /** Cheap driver-side fingerprint of the corpus files backing one of
     * `dir`'s tables (names + sizes + mtimes): the memo key ingredient
     * that invalidates a per-JVM index build when the corpus changes
@@ -689,18 +714,19 @@ object SparkEntry {
     // graded token-overlap relevance tiers (integer cross-multiplied,
     // division-free), literal-grid discounts, exact BIGINT DCG folds;
     // BM25 scores through the SAME frozen index as q_bm25_persisted
+    // all three eval reports read the ONE persisted labeled-ranking
+    // core (frozenRetrievalCore) — reports never re-run the scans
     "q_retrieval_eval" -> ((s, dir) =>
-      RetrievalEval.perQuery(Tables(s, dir).documents, frozenBm25(s, dir))),
+      RetrievalEval.perQueryFrom(frozenRetrievalCore(s, dir))),
     // the deployment-decision table: one row per system, exact integer
     // metric sums with ONE division each at the boundary
     "q_retrieval_eval_summary" -> ((s, dir) =>
-      RetrievalEval.summary(Tables(s, dir).documents, frozenBm25(s, dir))),
+      RetrievalEval.summaryFrom(frozenRetrievalCore(s, dir))),
     // cutoff sensitivity: MRR@c / NDCG@c for c in {1,3,5,10} per system
     // — rankings computed once, each cutoff a prefix filter; the table
     // that answers how deep the serving layer must rank
     "q_retrieval_eval_cutoffs" -> ((s, dir) =>
-      RetrievalEval.cutoffSummary(Tables(s, dir).documents,
-        frozenBm25(s, dir))),
+      RetrievalEval.cutoffSummaryFrom(frozenRetrievalCore(s, dir))),
     // contrastive pair mining with a teacher margin: retrieval-hardest
     // shortlist docs the pairwise teacher scores strictly below the
     // best — the distillation dataset for retrieval fine-tuning
@@ -717,6 +743,13 @@ object SparkEntry {
     // overlap misses; the bench signature table broadcasts, training
     // never shuffles for candidates
     "decontaminate_fuzzy" -> q(t => Pipeline.decontaminateFuzzy(
+      t.documents.filter(col("doc_id") >= 100),
+      t.documents.filter(col("doc_id") < 100))),
+    // embedding-space decontamination: training docs within cosine
+    // threshold of ANY bench doc — the encoder-space member of the
+    // family (exact n-gram → MinHash fuzzy → semantic); bench vectors
+    // broadcast, one training scan, map-side struct-max best match
+    "decontaminate_semantic" -> q(t => Pipeline.decontaminateSemantic(
       t.documents.filter(col("doc_id") >= 100),
       t.documents.filter(col("doc_id") < 100))),
     "sample_mix"     -> q(t => Pipeline.mixingReport(t.events)),
@@ -754,6 +787,9 @@ object SparkEntry {
     // quality, keep rate, PII incidence)
     "q_dataset_card" -> q(t => Pipeline.datasetCard(t)),
     "pack_sequences" -> q(t => Pipeline.packSequences(t.documents)),
+    // pack-fill audit: per pack the assigned docs, token mass and fill
+    // vs budget — one bounded aggregate over the packing output
+    "q_pack_audit" -> q(t => Pipeline.packAudit(t.documents)),
     // padding-waste audit for power-of-two length-bucketed batching —
     // the table that says whether bucketing suffices or packing is worth
     // its shuffle; one corpus scan, everything after runs on the bounded
@@ -1013,6 +1049,27 @@ object SparkEntry {
        |   FROM cnrm k CROSS JOIN range(0,64) r
        |   LEFT JOIN ccnt c ON c.vec_id = k.vec_id AND c.bucket = r.range
        |   GROUP BY k.vec_id)""".stripMargin
+
+  /** The whole-document hash-embed replay chain `n0 → tok → b0 → dtk →
+    * dhh → dcnt → dnrm → dvec(doc_id, ev)` (64-bucket FNV hash_embed of
+    * preprocessed text, REAL-normalized; token-less docs excluded by
+    * `b0`) — ONE definition serving the q_rerank, retrieval-eval and
+    * decontaminate_semantic oracles (the `minhashPairsCte` factoring
+    * rule: an edit to the replay must not diverge between them). */
+  private def docVecCtes: String =
+    s"""n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+       | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+       | b0 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+       | dtk AS (SELECT doc_id, unnest(toks) AS tk FROM b0),
+       | dhh AS (SELECT doc_id, ((${signedSql(
+          fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
+       |   FROM dtk WHERE tk <> ''),
+       | dcnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM dhh GROUP BY 1,2),
+       | dnrm AS (SELECT doc_id, sqrt(SUM(c*c)) AS nr FROM dcnt GROUP BY 1),
+       | dvec AS (SELECT kk.doc_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/kk.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
+       |   FROM dnrm kk CROSS JOIN range(0,64) r
+       |   LEFT JOIN dcnt c ON c.doc_id = kk.doc_id AND c.bucket = r.range
+       |   GROUP BY kk.doc_id)""".stripMargin
 
   /** The whole-document query-vector chain `qtok → … → qvec` (docs
     * `doc_id < 3` hash-embedded as queries). Requires a `b0(doc_id,
@@ -1322,22 +1379,10 @@ object SparkEntry {
       .map { case (d, i) => s"(${i + 1}, ${d}::BIGINT)" }.mkString(", ")
     val gainSql =
       "CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END"
-    s"""n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
-       | tokl AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
-       | b0 AS (SELECT doc_id, toks FROM tokl WHERE len(toks) > 0),
+    s"""$docVecCtes,
        | qt AS (SELECT DISTINCT doc_id AS query_id, term FROM (
        |    SELECT doc_id, unnest(list_distinct(toks)) AS term FROM b0 WHERE doc_id < 5)),
        |${bm25Cte(excludeSelf = true)},
-       | dtk AS (SELECT doc_id, unnest(toks) AS tk FROM b0),
-       | dhh AS (SELECT doc_id, ((${signedSql(
-             fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
-       |   FROM dtk WHERE tk <> ''),
-       | dcnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM dhh GROUP BY 1,2),
-       | dnrm AS (SELECT doc_id, sqrt(SUM(c*c)) AS nr FROM dcnt GROUP BY 1),
-       | dvec AS (SELECT kk.doc_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/kk.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
-       |   FROM dnrm kk CROSS JOIN range(0,64) r
-       |   LEFT JOIN dcnt c ON c.doc_id = kk.doc_id AND c.bucket = r.range
-       |   GROUP BY kk.doc_id),
        | qvec AS (SELECT doc_id AS query_id, ev AS qv FROM dvec WHERE doc_id < 5),
        | dsims AS (SELECT query_id, d.doc_id AS vec_id, list_cosine_similarity(qv, ev) AS sim
        |   FROM qvec CROSS JOIN dvec d WHERE d.doc_id <> query_id),
@@ -3012,19 +3057,7 @@ $rounds
     // integers except one division, identical association order both
     // engines; rerank order (raw ce DESC, doc_id) re-derives the rank
     "q_rerank" ->
-      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
-          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
-          | b0 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
-          | dtk AS (SELECT doc_id, unnest(toks) AS tk FROM b0),
-          | dhh AS (SELECT doc_id, ((${signedSql(
-                fnvSql("list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} % 64)+64)%64 AS bucket
-          |   FROM dtk WHERE tk <> ''),
-          | dcnt AS (SELECT doc_id, bucket, COUNT(*) AS c FROM dhh GROUP BY 1,2),
-          | dnrm AS (SELECT doc_id, sqrt(SUM(c*c)) AS nr FROM dcnt GROUP BY 1),
-          | dvec AS (SELECT k.doc_id, list(CAST(CAST(COALESCE(c.c, 0) * (1.0/k.nr) AS REAL) AS DOUBLE) ORDER BY r.range) AS ev
-          |   FROM dnrm k CROSS JOIN range(0,64) r
-          |   LEFT JOIN dcnt c ON c.doc_id = k.doc_id AND c.bucket = r.range
-          |   GROUP BY k.doc_id),
+      (s"""WITH $docVecCtes,
           | qvec AS (SELECT doc_id AS query_id, ev AS qv FROM dvec WHERE doc_id < 5),
           | sims AS (SELECT query_id, d.doc_id AS vec_id, list_cosine_similarity(qv, ev) AS sim
           |   FROM qvec CROSS JOIN dvec d),
@@ -3126,6 +3159,19 @@ $rounds
         |  '\+?\d{3}[- .]?\d{3}[- .]?\d{4}', '[PHONE]', 'g') AS redacted_text
         |FROM documents ORDER BY doc_id""".stripMargin,
     "decontaminate_fuzzy" -> Oracles.decontaminateFuzzySql(),
+    // embedding-space decontamination: the shared doc-vector replay,
+    // bench side < 100, struct-max best replayed as (sim DESC, id) rn=1
+    "decontaminate_semantic" ->
+      (s"""WITH $docVecCtes,
+          | tr AS (SELECT doc_id, ev FROM dvec WHERE doc_id >= 100),
+          | bvv AS (SELECT doc_id AS bench_id, ev AS bev FROM dvec WHERE doc_id < 100),
+          | sims2 AS (SELECT tr.doc_id, bench_id, list_cosine_similarity(ev, bev) AS sim
+          |   FROM tr CROSS JOIN bvv),
+          | best AS (SELECT doc_id, bench_id, sim,
+          |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY sim DESC, bench_id) AS rn FROM sims2)
+          |SELECT doc_id, floor(sim*1e6)/1e6 AS max_bench_sim,
+          | bench_id AS nearest_bench_id, sim >= 0.95 AS contaminated
+          |FROM best WHERE rn = 1 ORDER BY doc_id""").stripMargin,
     "decontaminate" ->
       (s"""WITH tok AS (SELECT doc_id,
           |  CASE WHEN len(trim(${normSql("text")}))=0 THEN []::VARCHAR[]
@@ -3186,6 +3232,19 @@ $rounds
         | CAST(cum_tokens AS BIGINT) AS cum_tokens,
         | CAST(shard*1000000 + floor((cum_tokens - n_tokens)/2048.0) AS BIGINT) AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+    // pack-fill audit: the pack_sequences replay rolled up per pack
+    "q_pack_audit" ->
+      """WITH b AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        | FROM documents),
+        | c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens FROM b),
+        | p AS (SELECT doc_id, shard, n_tokens,
+        |   CAST(shard*1000000 + floor((cum_tokens - n_tokens)/2048.0) AS BIGINT) AS pack_id FROM c)
+        |SELECT CAST(shard AS BIGINT) AS shard, pack_id, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
+        | floor(CAST(SUM(n_tokens) AS DOUBLE)/2048*1e4)/1e4 AS fill
+        |FROM p GROUP BY 1, 2 ORDER BY pack_id""".stripMargin,
     "q7_corr_subquery" ->
       """WITH b AS (SELECT p_brand,
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS brand_avg

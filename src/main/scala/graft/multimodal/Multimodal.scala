@@ -280,11 +280,33 @@ object Multimodal {
     */
   def crossModalSearch(queries: DataFrame, media: DataFrame,
                        encoder: MediaEncoder, k: Int = 5,
+                       batchSize: Int = 64): DataFrame =
+    crossModalSearchFrom(queries,
+      encodeMedia(media, encoder, batchSize)
+        .select(col("doc_id").as("vec_id"), col("embedding")),
+      k, encoder.dim)
+
+  /** Encode and FREEZE the media index for the serve path — one media
+    * pass, barriered, re-frozen on the index-rebuild cadence (the
+    * [[graft.operators.Bm25.buildIndex]] convention). At index-serve
+    * scale the frozen vectors drop into IVF/PQ/sign layouts unchanged. */
+  def freezeMediaIndex(media: DataFrame, encoder: MediaEncoder,
                        batchSize: Int = 64): DataFrame = {
-    val corpus = encodeMedia(media, encoder, batchSize)
+    import graft.operators.Barrier.BarrierOps
+    encodeMedia(media, encoder, batchSize)
       .select(col("doc_id").as("vec_id"), col("embedding"))
+      .barrier()
+  }
+
+  /** [[crossModalSearch]] against a pre-encoded `(vec_id, embedding)`
+    * index — the serve-path entry the streaming twin calls per
+    * micro-batch, so there is exactly one implementation of the
+    * cross-modal ranking. `dim` is the shared-space width the text
+    * tower embeds into (= the media encoder's output dim). */
+  def crossModalSearchFrom(queries: DataFrame, index: DataFrame,
+                           k: Int = 5, dim: Int = 64): DataFrame = {
     val qv = queries.select(col("query_id"),
-      graft.functions.hash_embed(col("qtext"), encoder.dim).as("qv"))
-    graft.operators.Search.bruteForceTopK(qv, corpus, k)
+      graft.functions.hash_embed(col("qtext"), dim).as("qv"))
+    graft.operators.Search.bruteForceTopK(qv, index, k)
   }
 }

@@ -275,6 +275,71 @@ object Pipeline {
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
+  /** SEMANTIC decontamination — the embedding-space member of the
+    * decontamination family ([[decontaminate]] = exact n-gram overlap,
+    * [[decontaminateFuzzy]] = MinHash near-match, this = encoder-space
+    * cosine): flag training docs whose embedding lands within
+    * `threshold` cosine of ANY benchmark doc, catching the
+    * reworded/translated contamination that survives both token-level
+    * passes (under the stand-in hash encoder, "semantic" = bag-of-token
+    * profile; a learned encoder via the
+    * [[graft.operators.Inference.BatchEncoder]] seam upgrades it to
+    * true paraphrase detection with no dataflow change).
+    *
+    * Scale shape: the benchmark side is SMALL BY CONTRACT (an eval
+    * suite), so its vectors BROADCAST into the one training scan; the
+    * per-doc best match is a codegen'd struct-max whose partials
+    * collapse map-side (shuffle = one row per training doc, never the
+    * pair table). Token-less training docs are outside the comparable
+    * universe (zero vector, cosine undefined) and are excluded — the
+    * [[graft.operators.Rerank.frozenBase]] rule.
+    *
+    * Determinism: ties on the max cosine break to the LOWEST bench id
+    * (the (sim, −id) struct order); the reported sim floors to the
+    * 1e-6 grid; the `contaminated` verdict compares the RAW double
+    * against the threshold identically in both engines. */
+  def decontaminateSemantic(training: DataFrame, bench: DataFrame,
+                            threshold: Double = 0.95): DataFrame = {
+    def vecsOf(df: DataFrame, idCol: String): DataFrame = df
+      .select(col("doc_id").as(idCol), preprocess(col("text")).as("ct"))
+      .filter(size(tokens(col("ct"))) > 0)
+      .select(col(idCol), graft.functions.hash_embed(col("ct"), 64).as("v"))
+    val tv = vecsOf(training, "doc_id")
+    val bv = vecsOf(bench, "bench_id")
+      .select(col("bench_id"), col("v").as("bv"))
+    val best = tv.crossJoin(broadcast(bv))
+      .select(col("doc_id"),
+        graft.functions.cosine_similarity(col("v"), col("bv")).as("sim"),
+        col("bench_id"))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("sim"), (-col("bench_id")).as("nb"))).as("m"))
+    tv.select(col("doc_id")).join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (floor(coalesce(col("m.sim"), lit(0.0)) * 1e6) / 1e6)
+          .as("max_bench_sim"),
+        coalesce(-col("m.nb"), lit(-1L)).as("nearest_bench_id"),
+        coalesce(col("m.sim") >= threshold, lit(false)).as("contaminated"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
+  }
+
+  /** Pack-fill audit over [[packSequences]] — the quality table for the
+    * packing recipe: per pack, the docs assigned (first-chunk rule: an
+    * oversized or boundary-spanning doc attributes its full mass to the
+    * pack it STARTS in), the token mass, and the fill ratio vs the
+    * budget. fill ≪ 1 on many packs = stream fragmentation (too many
+    * shards for the corpus); fill > 1 = spanning docs (expected — the
+    * concat-and-chunk contract). One extra bounded aggregate over the
+    * packing window's output; no new corpus scan. */
+  def packAudit(docs: DataFrame, maxTokens: Int = 2048,
+                shards: Int = 8): DataFrame =
+    packSequences(docs, maxTokens, shards)
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("token_mass"))
+      .select(col("shard"), col("pack_id"), col("n_docs"), col("token_mass"),
+        (floor(col("token_mass").cast("double") / maxTokens * 1e4) / 1e4)
+          .as("fill"))
+      .orderBy(col("pack_id"))
+
   /** Deterministic multiplicative scramble of the row key into [0, 1000).
     * Public (Knuth) constant; inputs reduced mod 1000003 first so the
     * product stays far from Long overflow — DuckDB errors on BIGINT

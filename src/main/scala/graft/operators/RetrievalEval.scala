@@ -139,9 +139,21 @@ object RetrievalEval {
     * query_id, doc_id, rank, rel)`, the per-query ideal ranking
     * positions `ideal(query_id, pos, rel)` (bounded per-query heap over
     * the label scan), and the query-id grid — ONE [[Rerank.frozenBase]]
-    * pass feeds both the rankings and the labels. */
-  private final case class Core(ret: DataFrame, ideal: DataFrame,
-                                queryIds: DataFrame)
+    * pass feeds both the rankings and the labels. All three tables are
+    * BOUNDED by systems × queries × k (driver-scale at any corpus
+    * size), so the production shape is: land the core next to the
+    * corpus once per eval run, read it for every report —
+    * [[perQueryFrom]]/[[summaryFrom]]/[[cutoffSummaryFrom]] are those
+    * reports, and the `docs`-taking entry points are the build-and-
+    * report convenience form. */
+  final case class Core(ret: DataFrame, ideal: DataFrame,
+                        queryIds: DataFrame)
+
+  /** Build the eval [[Core]] — the expensive half (corpus scans); every
+    * report after it runs on bounded tables. */
+  def buildCore(docs: DataFrame, index: Bm25.Bm25Index,
+                queryMaxId: Long = 5, k: Int = 10): Core =
+    evalCore(docs, index, queryMaxId, k)
 
   private def evalCore(docs: DataFrame, index: Bm25.Bm25Index,
                        queryMaxId: Long, k: Int): Core = {
@@ -162,8 +174,8 @@ object RetrievalEval {
     Core(ret, ideal, queryIds)
   }
 
-  private def systemsDF(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
+  private def systemsDF(c: Core): DataFrame = {
+    val spark = c.ret.sparkSession
     import spark.implicits._
     Seq("bm25", "dense", "hybrid_rrf").toDF("system")
   }
@@ -171,9 +183,7 @@ object RetrievalEval {
   /** Integer-cored per-(system, query) metrics — the shared core of
     * [[perQuery]] and [[summary]]. Columns `rr_i`, `dcg_i`, `idcg_i`,
     * `ndcg_i` are exact BIGINTs on the 1e-9 grid. */
-  private def perQueryRaw(docs: DataFrame, index: Bm25.Bm25Index,
-                          queryMaxId: Long, k: Int): DataFrame = {
-    val c = evalCore(docs, index, queryMaxId, k)
+  private def perQueryRaw(c: Core, k: Int): DataFrame = {
     val discArr = array(discGrid(k).map(lit): _*)
     val rrArr = array(rrGrid(k).map(lit): _*)
     val idcg = c.ideal
@@ -189,7 +199,7 @@ object RetrievalEval {
         sum(gain(col("rel")) * element_at(discArr, col("rank").cast("int")))
           .as("dcg_i"))
     // every (system, query) keeps a row even if a ranking came up empty
-    val grid = systemsDF(docs).crossJoin(c.queryIds)
+    val grid = systemsDF(c).crossJoin(c.queryIds)
     grid.join(per, Seq("system", "query_id"), "left")
       .join(idcg, Seq("query_id"), "left")
       .select(col("system"), col("query_id"),
@@ -213,7 +223,11 @@ object RetrievalEval {
     * rr, dcg, ndcg). */
   def perQuery(docs: DataFrame, index: Bm25.Bm25Index,
                queryMaxId: Long = 5, k: Int = 10): DataFrame =
-    perQueryRaw(docs, index, queryMaxId, k)
+    perQueryFrom(buildCore(docs, index, queryMaxId, k), k)
+
+  /** [[perQuery]] from a pre-built (possibly persisted) [[Core]]. */
+  def perQueryFrom(core: Core, k: Int = 10): DataFrame =
+    perQueryRaw(core, k)
       .select(col("system"), col("query_id"), col("n_retrieved"),
         col("n_rel"), col("first_rel_rank"),
         (col("rr_i").cast("double") / 1e9).as("rr"),
@@ -226,7 +240,11 @@ object RetrievalEval {
     * division each at the boundary. */
   def summary(docs: DataFrame, index: Bm25.Bm25Index,
               queryMaxId: Long = 5, k: Int = 10): DataFrame =
-    perQueryRaw(docs, index, queryMaxId, k)
+    summaryFrom(buildCore(docs, index, queryMaxId, k), k)
+
+  /** [[summary]] from a pre-built (possibly persisted) [[Core]]. */
+  def summaryFrom(core: Core, k: Int = 10): DataFrame =
+    perQueryRaw(core, k)
       .groupBy(col("system"))
       .agg(count(lit(1)).as("n_queries"),
         sum(col("n_rel")).as("n_rel_total"),
@@ -251,11 +269,15 @@ object RetrievalEval {
     * integer sums with ONE division each. */
   def cutoffSummary(docs: DataFrame, index: Bm25.Bm25Index,
                     queryMaxId: Long = 5, k: Int = 10,
-                    cuts: Seq[Int] = Seq(1, 3, 5, 10)): DataFrame = {
-    require(cuts.nonEmpty && cuts.forall(c => c >= 1 && c <= k),
+                    cuts: Seq[Int] = Seq(1, 3, 5, 10)): DataFrame =
+    cutoffSummaryFrom(buildCore(docs, index, queryMaxId, k), k, cuts)
+
+  /** [[cutoffSummary]] from a pre-built (possibly persisted) [[Core]]. */
+  def cutoffSummaryFrom(c: Core, k: Int = 10,
+                        cuts: Seq[Int] = Seq(1, 3, 5, 10)): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(cc => cc >= 1 && cc <= k),
       s"cutoffs must be within 1..$k")
-    val c = evalCore(docs, index, queryMaxId, k)
-    val spark = docs.sparkSession
+    val spark = c.ret.sparkSession
     import spark.implicits._
     val co = cuts.toDF("cutoff")
     val discArr = array(discGrid(k).map(lit): _*)
@@ -275,7 +297,7 @@ object RetrievalEval {
       .groupBy(col("query_id"), col("cutoff"))
       .agg(sum(gain(col("rel")) * element_at(discArr, col("pos")))
         .as("idcg_i"))
-    val grid = systemsDF(docs).crossJoin(c.queryIds).crossJoin(co)
+    val grid = systemsDF(c).crossJoin(c.queryIds).crossJoin(co)
     val pq = grid.join(perC, Seq("system", "query_id", "cutoff"), "left")
       .join(idcgC, Seq("query_id", "cutoff"), "left")
       .select(col("system"), col("query_id"), col("cutoff"),

@@ -637,4 +637,50 @@ class PipelineSpec extends SparkSuite {
     val h = math.floor((math.log(7.0) - sm / 1e6 / 7.0) * 1e4) / 1e4
     assert(got(4L)._2 == h)
   }
+
+  test("decontaminateSemantic flags embedding-space matches only") {
+    val bench = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different benchmark question here")).toDF("doc_id", "text")
+    val training = Seq(
+      // verbatim copy of bench 0 → cosine 1.0, contaminated
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      // reordered copy (same bag of tokens) → still cosine 1.0: the
+      // paraphrase-shaped contamination n-gram overlap can miss
+      (101L, "lazy dog the quick brown fox jumps over the"),
+      // unrelated → low cosine, clean
+      (102L, "unrelated text about spark physical plans entirely"),
+      // token-less after preprocessing → outside the comparable universe
+      (103L, "!!! ???")).toDF("doc_id", "text")
+    val got = Pipeline.decontaminateSemantic(training, bench)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == Set(100L, 101L, 102L))
+    assert(got(100L)._3 && got(100L)._1 >= 0.999999 && got(100L)._2 == 0L)
+    assert(got(101L)._3 && got(101L)._1 >= 0.999999 && got(101L)._2 == 0L)
+    assert(!got(102L)._3, s"clean doc flagged: ${got(102L)}")
+    // and the exact n-gram pass misses the reorder — the reason this
+    // member of the family exists
+    val ngram = Pipeline.decontaminate(training, bench, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!ngram(101L), "8-gram overlap should miss the token reorder")
+  }
+
+  test("packAudit: per-pack mass and doc counts reconcile with packing") {
+    val docs = sources.Tables(spark, sfDir).documents
+    val packs = Pipeline.packSequences(docs).collect()
+    val audit = Pipeline.packAudit(docs).collect()
+    val wantMass = packs.groupBy(_.getLong(4))
+      .view.mapValues(rs => (rs.length.toLong, rs.map(_.getLong(2)).sum)).toMap
+    assert(audit.length == wantMass.size)
+    audit.foreach { r =>
+      val (nDocs, mass) = wantMass(r.getLong(1))
+      assert(r.getLong(2) == nDocs && r.getLong(3) == mass, s"$r")
+      assert(r.getDouble(4) ==
+        math.floor(mass.toDouble / 2048 * 1e4) / 1e4)
+      // pack_id embeds its shard
+      assert(r.getLong(1) / 1000000L == r.getLong(0))
+    }
+  }
 }

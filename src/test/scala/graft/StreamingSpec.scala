@@ -680,6 +680,42 @@ class StreamingSpec extends SparkSuite {
       s"${streamed.length} streamed vs ${batch.length} batch rows")
   }
 
+  test("streamed cross-modal search against the frozen index equals batch") {
+    import spark.implicits._
+    // freeze the media index once (one encoder pass), stream the batch
+    // path's own query set in two micro-batches; streamed rankings must
+    // equal batch crossModalSearch bit for bit
+    import graft.multimodal.Multimodal
+    val media = t.documents
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+    val enc = Multimodal.ProjectionMediaEncoder.frozen(spark)
+    val index = Multimodal.freezeMediaIndex(media, enc)
+    val rawQ = t.documents.filter($"doc_id" < 3)
+      .select($"doc_id".as("query_id"), $"text")
+    val dir = Files.createTempDirectory("graft-mm-stream").toString
+    rawQ.filter($"query_id" < 1).coalesce(1).write.parquet(s"$dir/src/c=a")
+    Thread.sleep(1100)
+    rawQ.filter($"query_id" >= 1).coalesce(1).write.parquet(s"$dir/src/c=b")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("query_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/src/c=*")
+    MmSearchStream.start(spark, stream, index, s"$dir/out", s"$dir/_ckpt")
+      .awaitTermination(180000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .orderBy($"query_id", $"rank").collect().toSeq
+    val qs = t.documents
+      .filter($"doc_id" < 3 &&
+        length(trim(graft.functions.TextFunctions.preprocess($"text"))) > 0)
+      .select($"doc_id".as("query_id"),
+        graft.functions.TextFunctions.preprocess($"text").as("qtext"))
+    val batch = Multimodal.crossModalSearch(qs, media, enc).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"${streamed.length} streamed vs ${batch.length} batch rows")
+  }
+
   test("streaming dsir with a frozen model equals the batch scorer") {
     import spark.implicits._
     // train the importance model on the FULL corpus, stream the corpus
