@@ -25,13 +25,23 @@ object Bench {
     // shuffle volume, so the bench reports it next to wall time (bytes
     // WRITTEN to shuffle per query, attributed via listener-bus drains
     // around each timed run)
+    // bytes AND records: bytes are what the wire carries (but they ride
+    // the compressor, whose ratio shifts with data entropy — vocabulary-
+    // heavy corpora compress worse as they grow, so byte ratios inflate
+    // past the row ratio); records are the compression-independent,
+    // exactly-row-linear signal the scaling gate checks
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
-            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           shuffleBytes.addAndGet(
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          shuffleRecords.addAndGet(
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          ()
+        }
       })
     val selected =
       if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
@@ -65,6 +75,7 @@ object Bench {
       System.gc() // stabilize: drop prior queries' broadcast/codegen garbage
       drain()
       val sh0 = shuffleBytes.get
+      val sr0 = shuffleRecords.get
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column —
       // count() lets the optimizer prune entire subtrees (outer-join
@@ -77,6 +88,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       drain()
       val shMb = (shuffleBytes.get - sh0) / 1e6
+      val shRec = shuffleRecords.get - sr0
       // isolation: drop this query's localCheckpoint blocks before the
       // next one runs — otherwise block-manager occupancy and GC pressure
       // grow monotonically across the suite and late queries read 2×
@@ -84,20 +96,22 @@ object Bench {
       // bench bookkeeping, not part of the query)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      (name, dt, ok, shMb)
+      (name, dt, ok, shMb, shRec)
     }
     // failed queries report -1 (never a fast-looking timing) and are listed
-    val qs = results.map { case (k, v, ok, _) =>
+    val qs = results.map { case (k, v, ok, _, _) =>
       "\"" + k + "\":" + (if (ok) v else -1.0) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
+    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val shuffle = results.map { case (k, _, _, mb) =>
+    val shuffle = results.map { case (k, _, _, mb, _) =>
       "\"" + k + "\":" + (math.floor(mb * 100) / 100) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val shuffleRec = results.map { case (k, _, _, _, rec) =>
+      "\"" + k + "\":" + rec }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _, _) => v }.sum
     // "sort":false is a methodology flag: timings EXCLUDE the trailing
     // oracle-determinism sorts (graft.sort=false above). Rounds ≤ 9
     // included them — cross-round comparisons must account for it.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sort":${Determinism.enabled},"queries":$qs,"failed":$failed,"shuffle_mb":$shuffle,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sort":${Determinism.enabled},"queries":$qs,"failed":$failed,"shuffle_mb":$shuffle,"shuffle_rec":$shuffleRec,"sf":"$sfDir"}"""
     println(full)
     // the driver records only the LAST 2000 stdout chars, which until
     // round 9 captured the (deterministic) shuffle map and truncated the
@@ -109,8 +123,9 @@ object Bench {
     //     queries' entries and keeps the slow ones + failed + total.
     try Files.writeString(Paths.get("tools/bench_last.json"), full + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
-    val timesAsc = results.sortBy { case (_, v, ok, _) => if (ok) v else -1.0 }
-      .map { case (k, v, ok, _) =>
+    val timesAsc = results
+      .sortBy { case (_, v, ok, _, _) => if (ok) v else -1.0 }
+      .map { case (k, v, ok, _, _) =>
         "\"" + k + "\":" + (if (ok) math.floor(v * 100) / 100 else -1.0) }
       .mkString("{", ",", "}")
     println(s"""{"times_asc":$timesAsc,"failed":$failed,"total_sec":${math.floor(total * 100) / 100},"sf":"$sfDir"}""")

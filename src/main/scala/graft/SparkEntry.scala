@@ -2940,14 +2940,19 @@ $rounds
           |FROM f ORDER BY doc_id""").stripMargin,
     // diversity replayed: integer Σc² for Simpson; entropy as the SAME
     // ordered (by token) list_reduce fold Spark's aggregate() runs
+    // tokens travel as their signed FNV-1a 64 hash (the engine's
+    // shuffle key); the ordered entropy fold sorts by that hash
     "text_diversity" ->
       (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
           | tokq AS (SELECT doc_id, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n0),
-          | cnt AS (SELECT doc_id, tk, COUNT(*) AS c FROM tokq WHERE tk <> '' GROUP BY 1,2),
+          | thq AS (SELECT doc_id, ${signedSql(fnvSql(
+            "list_transform(string_split(tk,''), c -> unicode(c)::HUGEINT)"))} AS th
+          |   FROM tokq WHERE tk <> ''),
+          | cnt AS (SELECT doc_id, th, COUNT(*) AS c FROM thq GROUP BY 1,2),
           | tot AS (SELECT doc_id, SUM(c) AS n_tok, COUNT(*) AS n_distinct, SUM(c*c) AS sum_c2 FROM cnt GROUP BY 1),
           | ent AS (SELECT cnt.doc_id,
           |    list_reduce(list_prepend(0.0, list(
-          |      -(CAST(c AS DOUBLE)/t.n_tok)*ln(CAST(c AS DOUBLE)/t.n_tok) ORDER BY tk)),
+          |      -(CAST(c AS DOUBLE)/t.n_tok)*ln(CAST(c AS DOUBLE)/t.n_tok) ORDER BY th)),
           |      (a, x) -> a + x) AS h
           |   FROM cnt JOIN tot t ON cnt.doc_id = t.doc_id GROUP BY cnt.doc_id)
           |SELECT d.doc_id,

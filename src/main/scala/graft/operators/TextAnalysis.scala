@@ -267,20 +267,32 @@ object TextAnalysis {
     * Simpson concentration Σp² (an exact rational — its core is the
     * integer Σc², so it is partition-proof by construction) and Shannon
     * entropy −Σ p·ln p. The entropy sum is an ORDERED fold over the
-    * tok-sorted per-doc counts: a plain SUM of doubles would depend on
+    * hash-sorted per-doc counts: a plain SUM of doubles would depend on
     * shuffle arrival order and break the hash oracle, the same
-    * determinism discipline as the vector digests. */
+    * determinism discipline as the vector digests.
+    *
+    * Tokens travel as their 64-bit FNV hash, never as strings: the
+    * scores need token IDENTITY (count, distinct-count, frequency
+    * profile), not token content, so the two shuffles carry fixed
+    * 8-byte keys instead of arbitrary-length text — the same
+    * bytes-on-the-wire discipline as the shingle/boilerplate passes
+    * (and what removed this query's token-length sensitivity in the
+    * sf0.1 → sf1 shuffle audit: string suffixes grew its volume 12.7×
+    * for 10× rows; hashes grow exactly with rows). A 64-bit in-doc
+    * collision would merge two token counts identically in both
+    * engines (the oracle replays the same hash). */
   def diversity(docs: DataFrame): DataFrame = {
     val cnt = docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
       .barrier() // barrier: see tokenCounts
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), graft.functions.fnv1a64(col("tok")).as("th"))
+      .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).as("c"))
     val per = cnt.groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tok"),
         count(lit(1)).as("n_distinct"),
         sum(col("c") * col("c")).as("sum_c2"),
-        sort_array(collect_list(struct(col("tok"), col("c")))).as("cs"))
+        sort_array(collect_list(struct(col("th"), col("c")))).as("cs"))
     val ent = aggregate(col("cs"), lit(0.0), (acc, e) => {
       val p = e.getField("c").cast("double") / col("n_tok").cast("double")
       acc - p * log(p)

@@ -11,21 +11,27 @@ below it are dominated by fixed per-query overhead (planning, codegen).
 
 --gate formalizes the SHUFFLE-ratio contract as a pass/fail check and
 (optionally) writes a machine-readable artifact: every query whose
-shuffle volume grew by more than `data_ratio * (1 + GATE_TOL)` fails
-the gate (exit 1). Shuffle bytes are a DETERMINISTIC function of the
-plan and the data — unlike wall-clock in a shared sandbox, two runs of
-the same binary agree on them almost exactly — so the gate artifact is
-the reproducible cross-round scaling record (the round-11 lesson:
-back-to-back full-suite sf1 wall times showed disjoint outlier sets
-across identical binaries; shuffle ratios did not move). Queries below
-SHUFFLE_FLOOR_MB on the SMALL side are exempt (their "ratio" is noise
-over a near-zero base: a broadcast-only plan's few KB of bookkeeping).
+shuffle grew by more than `data_ratio * (1 + GATE_TOL)` fails the gate
+(exit 1). The gate checks shuffle RECORDS when both bench files carry
+`shuffle_rec` (records are a deterministic, compression-independent,
+exactly-row-linear function of the plan and the data) and falls back
+to bytes for older files. Bytes ride the compressor: vocabulary-heavy
+corpora compress WORSE as they grow (more distinct tokens = higher
+entropy per block), so byte ratios inflate ~1.2-1.4x past the row
+ratio under the disjoint-vocabulary scale-up generator — measured on
+token-carrying queries even after their shuffle keys became fixed-width
+hashes. Records do not move: two runs of the same binary agree exactly
+(the round-11/12 lesson — back-to-back full-suite sf1 WALL times show
+disjoint outlier sets across identical binaries; shuffle metrics
+don't). Queries below the small-side floor are exempt (ratio over a
+near-zero base is bookkeeping noise).
 """
 import json
 import sys
 
-GATE_TOL = 0.25        # shuffle may exceed the data ratio by 25%
-SHUFFLE_FLOOR_MB = 1.0 # small-side volumes under this are ratio-noise
+GATE_TOL = 0.25          # shuffle may exceed the data ratio by 25%
+SHUFFLE_FLOOR_MB = 1.0   # byte mode: small-side floor
+SHUFFLE_FLOOR_REC = 20000  # record mode: small-side floor
 
 
 def main():
@@ -73,32 +79,39 @@ def main():
           f"{n_super} queries above the data ratio")
 
     if gate:
+        rec_mode = "shuffle_rec" in small and "shuffle_rec" in big
+        gs = small["shuffle_rec"] if rec_mode else shs
+        gb = big["shuffle_rec"] if rec_mode else shb
+        floor_v = SHUFFLE_FLOOR_REC if rec_mode else SHUFFLE_FLOOR_MB
+        unit = "records" if rec_mode else "MB"
         checked, exempt, failures = {}, [], []
-        for name in sorted(set(shs) | set(shb)):
-            s_mb, b_mb = shs.get(name), shb.get(name)
-            if s_mb is None or b_mb is None:
+        for name in sorted(set(gs) | set(gb)):
+            s_v, b_v = gs.get(name), gb.get(name)
+            if s_v is None or b_v is None:
                 continue
-            if s_mb < SHUFFLE_FLOOR_MB:
+            if s_v < floor_v:
                 exempt.append(name)
                 continue
-            r = b_mb / s_mb
+            r = b_v / s_v
             checked[name] = round(r, 3)
             if r > data_ratio * (1 + GATE_TOL):
-                failures.append((name, s_mb, b_mb, r))
+                failures.append((name, s_v, b_v, r))
         verdict = "PASS" if not failures else "FAIL"
         print()
-        print(f"shuffle-ratio gate [{verdict}]: {len(checked)} checked at "
-              f"data_ratio={data_ratio:.0f}x (tol +{GATE_TOL:.0%}), "
-              f"{len(exempt)} exempt under {SHUFFLE_FLOOR_MB} MB")
-        for name, s_mb, b_mb, r in failures:
-            print(f"  FAIL {name}: {s_mb} MB -> {b_mb} MB = {r:.2f}x "
+        print(f"shuffle-ratio gate [{verdict}] on {unit}: {len(checked)} "
+              f"checked at data_ratio={data_ratio:.0f}x "
+              f"(tol +{GATE_TOL:.0%}), {len(exempt)} exempt under "
+              f"{floor_v} {unit}")
+        for name, s_v, b_v, r in failures:
+            print(f"  FAIL {name}: {s_v} {unit} -> {b_v} {unit} = {r:.2f}x "
                   f"(> {data_ratio * (1 + GATE_TOL):.1f}x)")
         if gate_out:
             json.dump({
                 "gate": verdict,
+                "basis": unit,
                 "data_ratio": data_ratio,
                 "tolerance": GATE_TOL,
-                "shuffle_floor_mb": SHUFFLE_FLOOR_MB,
+                "small_side_floor": floor_v,
                 "small_sf": small.get("sf"), "big_sf": big.get("sf"),
                 "total_sec": {"small": small.get("value"),
                               "big": big.get("value")},
