@@ -39,7 +39,8 @@ object Plans {
     "q_active_users", "q_sign_search", "q_sign_refine", "dedup_hist",
     "q_signal_corr", "q_path_conversion", "q_retrieval_eval",
     "q_retrieval_eval_summary", "mm_search", "q_retrieval_eval_cutoffs",
-    "q_distill_pairs", "decontaminate_semantic", "q_pack_audit")
+    "q_distill_pairs", "decontaminate_semantic", "q_pack_audit",
+    "text_diversity")
 
   /** Hand-audited runtime observations rendered under a query's header —
     * facts the static sf0.01 explain below cannot show (AQE decisions are
@@ -57,6 +58,16 @@ object Plans {
         |(vocabulary joins SHUFFLE by rule; the broadcast is AQE's
         |small-scale adaptive win, exactly the right call at each
         |size).""".stripMargin,
+    "text_diversity" ->
+      """Zero-shuffle by design (round 12): per-doc token statistics are
+        |a map-side run-length fold over each row's SORTED 64-bit FNV
+        |token-hash array — no Exchange anywhere in the bench-mode plan
+        |(PipelineSpec pins it). The earlier two-shuffle formulation
+        |(groupBy (doc,th) then re-agg by doc) was the shuffle-records
+        |audit's worst offender: its doc-keyed partial agg read a shuffle
+        |hash-partitioned by BOTH keys, so every doc surfaced in every
+        |reduce task and partials grew ∝ reduce_tasks × docs (StageProbe
+        |measured 443 422 partials for 50 000 docs at sf1).""".stripMargin,
     "q_ppmi" ->
       """Same vocabulary-join contract as q_collocations: the sf0.01
         |static plan shows the center/context marginal attaches as

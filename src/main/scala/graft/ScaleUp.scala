@@ -59,11 +59,22 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def read(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    // Replicated tables keep the UNION's natural partitioning, so the
+    // file count grows ∝ reps × source splits — the way input splits
+    // grow on a real cluster (HDFS blocks ∝ data). The earlier
+    // `coalesce(4)` capped every SF at 4 files, growing PER-TASK scan
+    // cardinality 10× per decade. (StageProbe measured the layout's
+    // records effect as zero on the vocabulary family — their
+    // super-linear stage is a REDUCE-side partial aggregate whose task
+    // count AQE picks from shuffle size, not from input splits — but a
+    // split layout that grows with data is still the production shape,
+    // and per-task scan memory no longer grows with SF.)
     def write(df: DataFrame, t: String): Unit =
-      df.coalesce(4).write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
 
     // fixed dims — same five regions / 25 nations at every SF
-    Seq("region", "nation").foreach(t => write(read(t), t))
+    Seq("region", "nation").foreach(t =>
+      write(read(t).coalesce(1), t))
 
     // checked read: an empty table yields a NULL max (abrupt NPE via
     // getLong) and a non-integral key column a ClassCastException — both

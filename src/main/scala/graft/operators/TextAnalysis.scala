@@ -267,44 +267,69 @@ object TextAnalysis {
     * Simpson concentration Σp² (an exact rational — its core is the
     * integer Σc², so it is partition-proof by construction) and Shannon
     * entropy −Σ p·ln p. The entropy sum is an ORDERED fold over the
-    * hash-sorted per-doc counts: a plain SUM of doubles would depend on
-    * shuffle arrival order and break the hash oracle, the same
-    * determinism discipline as the vector digests.
+    * hash-sorted per-doc token runs: a plain SUM of doubles would depend
+    * on arrival order and break the hash oracle, the same determinism
+    * discipline as the vector digests.
     *
-    * Tokens travel as their 64-bit FNV hash, never as strings: the
-    * scores need token IDENTITY (count, distinct-count, frequency
-    * profile), not token content, so the two shuffles carry fixed
-    * 8-byte keys instead of arbitrary-length text — the same
-    * bytes-on-the-wire discipline as the shingle/boilerplate passes
-    * (and what removed this query's token-length sensitivity in the
-    * sf0.1 → sf1 shuffle audit: string suffixes grew its volume 12.7×
-    * for 10× rows; hashes grow exactly with rows). A 64-bit in-doc
-    * collision would merge two token counts identically in both
-    * engines (the oracle replays the same hash). */
+    * Scale shape: ZERO shuffle. Every output is a per-DOCUMENT statistic
+    * of that document's own token multiset, so the whole computation is
+    * one map-side fold over the row's sorted 64-bit FNV token-hash array
+    * (run-length over equal neighbors = the count table) — there is no
+    * reason to ship per-doc counts through an exchange at all. The
+    * earlier two-shuffle version (groupBy (doc,th), re-agg by doc) paid
+    * ~30 MB of wire at sf1 AND inflated super-linearly in the records
+    * audit (its doc-keyed partial agg read a shuffle hash-partitioned by
+    * BOTH keys, so every doc appeared in every reduce task); this one
+    * pays nothing and scales embarrassingly. A 64-bit in-doc hash
+    * collision would merge two token counts identically in both engines
+    * (the oracle replays the same hash). */
   def diversity(docs: DataFrame): DataFrame = {
-    val cnt = docs
-      .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
-      .barrier() // barrier: see tokenCounts
-      .select(col("doc_id"), explode(col("toks")).as("tok"))
-      .select(col("doc_id"), graft.functions.fnv1a64(col("tok")).as("th"))
-      .groupBy(col("doc_id"), col("th")).agg(count(lit(1)).as("c"))
-    val per = cnt.groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tok"),
-        count(lit(1)).as("n_distinct"),
-        sum(col("c") * col("c")).as("sum_c2"),
-        sort_array(collect_list(struct(col("th"), col("c")))).as("cs"))
-    val ent = aggregate(col("cs"), lit(0.0), (acc, e) => {
-      val p = e.getField("c").cast("double") / col("n_tok").cast("double")
-      acc - p * log(p)
-    })
-    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        (floor(coalesce(col("sum_c2").cast("double") /
-          (col("n_tok") * col("n_tok")), lit(0.0)) * 1e4) / 1e4)
+    // run-length fold over the ASCENDING hash array: close a run when
+    // the value changes, folding its entropy term in run order — the
+    // same sequence of double additions as a fold over the hash-sorted
+    // (th, c) count table, so the digest is bit-equal to the shuffled
+    // formulation it replaced
+    val sortedHashes = sort_array(transform(
+      tokens(preprocess(col("text"))), t => graft.functions.fnv1a64(t)))
+    val n = size(col("ths")).cast("long")
+    val zero = struct(lit(0L).as("prev"), lit(0L).as("run"),
+      lit(0L).as("nd"), lit(0L).as("sc2"), lit(0.0).as("ent"))
+    def close(acc: Column): (Column, Column, Column) = {
+      val p = acc.getField("run").cast("double") / n.cast("double")
+      (acc.getField("nd") + 1L,
+        acc.getField("sc2") + acc.getField("run") * acc.getField("run"),
+        acc.getField("ent") - p * log(p))
+    }
+    val folded = aggregate(col("ths"), zero,
+      (acc, x) => {
+        val (nd, sc2, ent) = close(acc)
+        when(acc.getField("run") === 0L,
+          struct(x.as("prev"), lit(1L).as("run"), lit(0L).as("nd"),
+            lit(0L).as("sc2"), lit(0.0).as("ent")))
+          .when(x === acc.getField("prev"),
+            struct(acc.getField("prev").as("prev"),
+              (acc.getField("run") + 1L).as("run"),
+              acc.getField("nd").as("nd"), acc.getField("sc2").as("sc2"),
+              acc.getField("ent").as("ent")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+            nd.as("nd"), sc2.as("sc2"), ent.as("ent")))
+      },
+      acc => {
+        val (nd, sc2, ent) = close(acc)
+        when(acc.getField("run") === 0L,
+          struct(lit(0L).as("nd"), lit(0L).as("sc2"), lit(0.0).as("ent")))
+          .otherwise(struct(nd.as("nd"), sc2.as("sc2"), ent.as("ent")))
+      })
+    docs
+      .select(col("doc_id"), sortedHashes.as("ths"))
+      .select(col("doc_id"), n.as("n_tok"), folded.as("f"))
+      .select(col("doc_id"), col("n_tok"),
+        col("f").getField("nd").as("n_distinct"),
+        (floor(when(col("n_tok") === 0L, lit(0.0))
+          .otherwise(col("f").getField("sc2").cast("double") /
+            (col("n_tok") * col("n_tok")).cast("double")) * 1e4) / 1e4)
           .as("simpson"),
-        (floor(coalesce(ent, lit(0.0)) * 1e4) / 1e4).as("entropy"))
+        (floor(col("f").getField("ent") * 1e4) / 1e4).as("entropy"))
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 

@@ -108,6 +108,17 @@ class PipelineSpec extends SparkSuite {
     assert(s2 == math.floor(1.0 / 64 * 1e4) / 1e4, s"uniform simpson $s2")
     assert(math.abs(e2 - math.log(64.0)) < 1e-3, s"uniform entropy $e2")
     assert(got(3L) == ((0L, 0L, 0.0, 0.0)), s"empty doc: ${got(3L)}")
+    // per-doc statistics never justify an exchange: the whole query is a
+    // map-side fold over each row's sorted token-hash array (the earlier
+    // two-shuffle formulation paid ~30 MB of wire at sf1 and inflated
+    // super-linearly in the shuffle-records audit)
+    sys.props("graft.sort") = "false"
+    try {
+      val plan = operators.TextAnalysis.diversity(docs)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"diversity must be zero-shuffle:\n$plan")
+    } finally sys.props("graft.sort") = "true"
   }
 
   test("lm score: repeated template reads predictable, unique text does not") {
