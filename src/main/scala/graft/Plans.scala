@@ -40,7 +40,8 @@ object Plans {
     "q_signal_corr", "q_path_conversion", "q_retrieval_eval",
     "q_retrieval_eval_summary", "mm_search", "q_retrieval_eval_cutoffs",
     "q_distill_pairs", "decontaminate_semantic", "q_pack_audit",
-    "text_diversity")
+    "text_diversity", "q_click_model", "q_position_bias", "q_mask_spans",
+    "q_bitext_mine")
 
   /** Hand-audited runtime observations rendered under a query's header —
     * facts the static sf0.01 explain below cannot show (AQE decisions are

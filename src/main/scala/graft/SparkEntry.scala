@@ -236,6 +236,10 @@ object SparkEntry {
     // per-journey conversion share (which paths convert, which stall);
     // whole-session outcome flag, truncated path label, int÷int rate
     "q_path_conversion" -> q(t => Sessionize.pathConversion(t.events)),
+    // implicit-feedback label mining: the raw examination curve and the
+    // position-bias-corrected (IPS) per-item relevance estimates
+    "q_position_bias" -> q(t => Feedback.positionBias(t.events)),
+    "q_click_model"   -> q(t => Feedback.clickModel(t.events)),
     "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
     "q_qa_context"      -> q(t => Sessionize.qaContext(t.events)),
     // text pipeline (reference: services/index_service.py)
@@ -335,6 +339,13 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings.filter(col("vec_id") >= 20), maxDistance = 0.4)),
+    // margin-based alignment mining (CCMatrix ratio margin): rank-1
+    // pairs scored by cosine over the mean of both endpoints' k-NN
+    // neighborhoods — the hub-resistant mined-pair criterion
+    "q_bitext_mine" -> q(t => Search.marginMine(
+      t.embeddings.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings.filter(col("vec_id") >= 20), k = 4, threshold = 1.05)),
     // contrastive-training negative mining: most-similar NON-near-dups
     // per anchor (the informative band below sim 0.95; self excluded)
     "q_hard_negatives" -> q(t => Search.hardNegatives(
@@ -787,6 +798,9 @@ object SparkEntry {
     // quality, keep rate, PII incidence)
     "q_dataset_card" -> q(t => Pipeline.datasetCard(t)),
     "pack_sequences" -> q(t => Pipeline.packSequences(t.documents)),
+    // T5-style span-corruption accounting (masked spans → sentinels,
+    // per-doc input/target budgets + corrupted-stream fingerprint)
+    "q_mask_spans" -> q(t => Pipeline.maskSpans(t.documents)),
     // pack-fill audit: per pack the assigned docs, token mass and fill
     // vs budget — one bounded aggregate over the packing output
     "q_pack_audit" -> q(t => Pipeline.packAudit(t.documents)),
@@ -997,6 +1011,30 @@ object SparkEntry {
     * [[graft.functions.TextFunctions.preprocess]]; shared with the
     * hash-replay oracles in [[Oracles]]). */
   private def normSql(in: String): String = Oracles.normSql(in)
+
+  /** Shared impressions replay for the implicit-feedback oracles
+    * (q_position_bias / q_click_model): the sessionize chain restricted
+    * to view/click rows carrying an item, the view-rank window, one
+    * impression per (user, session, item) at its FIRST view position
+    * (capped at 10) with a session-click flag — one definition so the
+    * two oracles cannot diverge (the minhashPairsCte factoring rule). */
+  private val feedbackImpCte: String =
+    """WITH ev AS (SELECT user_id, event_id, event_type,
+      |   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+      |   make_timestamp(epoch_ns(ts)//1000) AS ts
+      |  FROM events WHERE event_type IN ('view', 'click')
+      |    AND json_extract_string(props, '$.k') IS NOT NULL),
+      | x AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |        THEN 1 ELSE 0 END AS is_new
+      |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      | y AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx FROM x),
+      | z AS (SELECT *, SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id, session_idx ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vrn FROM y),
+      | v AS (SELECT user_id, session_idx, item, CAST(least(MIN(vrn), 10) AS BIGINT) AS pos
+      |  FROM z WHERE event_type = 'view' GROUP BY 1, 2, 3),
+      | c AS (SELECT DISTINCT user_id, session_idx, item FROM z WHERE event_type = 'click'),
+      | imp AS (SELECT v.item, v.pos, (c.item IS NOT NULL) AS clicked
+      |  FROM v LEFT JOIN c ON v.user_id = c.user_id AND v.session_idx = c.session_idx AND v.item = c.item)
+      |""".stripMargin
 
   private def indexStats(t: Tables): DataFrame = {
     val withNorm = t.embeddings.select(
@@ -2085,6 +2123,32 @@ $rounds
         | CAST(SUM(conv) AS BIGINT) AS n_converted,
         | CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS conversion
         |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    // q_position_bias: the sessionize replay restricted to view/click
+    // rows with an item, view-rank window, first-view impressions with
+    // a session-click flag, per-position CTR on the integer grid
+    "q_position_bias" ->
+      (feedbackImpCte +
+        """SELECT pos, COUNT(*) AS n_views,
+          | CAST(SUM(CASE WHEN clicked THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+          | CAST((SUM(CASE WHEN clicked THEN 1 ELSE 0 END) * 10000) // COUNT(*) AS DOUBLE) / 1e4 AS ctr
+          |FROM imp GROUP BY 1 ORDER BY 1""".stripMargin),
+    // q_click_model: the same impressions + integer IPS weights
+    // w_r = (views_r * 1e6) // clicks_r and the per-item debiased
+    // relevance — every division an integer //, as in the plan
+    "q_click_model" ->
+      (feedbackImpCte +
+        """, prop AS (SELECT pos, COUNT(*) AS v_r,
+          |   SUM(CASE WHEN clicked THEN 1 ELSE 0 END) AS c_r FROM imp GROUP BY 1),
+          | w AS (SELECT pos, CASE WHEN c_r > 0 THEN (v_r * 1000000) // c_r ELSE 0 END AS w_r FROM prop),
+          | bip AS (SELECT item, pos, COUNT(*) AS n_imp,
+          |   SUM(CASE WHEN clicked THEN 1 ELSE 0 END) AS n_clk FROM imp GROUP BY 1, 2),
+          | a AS (SELECT item, CAST(SUM(n_imp) AS BIGINT) AS n_imp,
+          |   CAST(SUM(n_clk) AS BIGINT) AS n_clicks,
+          |   SUM(n_clk * w_r) AS rel_grid FROM bip JOIN w USING (pos) GROUP BY 1)
+          |SELECT item, n_imp, n_clicks,
+          | CAST((n_clicks * 10000) // n_imp AS DOUBLE) / 1e4 AS ctr,
+          | CAST(rel_grid // (100 * n_imp) AS DOUBLE) / 1e4 AS rel_ips
+          |FROM a ORDER BY item""".stripMargin),
     "q_history_window" ->
       """WITH ev AS (SELECT user_id, event_id, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events)
         |SELECT user_id, event_id, ts,
@@ -2189,6 +2253,27 @@ $rounds
         | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
         |SELECT query_id, vec_id AS best_id, floor(sim*1e6)/1e6 AS best_score, (1.0 - sim) < 0.4 AS accepted
         |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // q_bitext_mine: the ratio-margin replay — cosines on the 1e-6
+    // BIGINT grid, k-NN penalties as integer sums over the ranked CTE,
+    // margin as one integer // onto the 1e-4 grid (m_xy·2k·1e4 //
+    // (fwd+bwd)); backward neighborhoods only for rank-1 candidates
+    "q_bitext_mine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id >= 20),
+        | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN c),
+        | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims),
+        | fwd AS (SELECT query_id, CAST(SUM(CAST(floor(sim * 1e6) AS BIGINT)) AS BIGINT) AS fwd_pen FROM r WHERE rn <= 4 GROUP BY 1),
+        | best AS (SELECT query_id, vec_id, CAST(floor(sim * 1e6) AS BIGINT) AS m_xy FROM r WHERE rn = 1),
+        | br AS (SELECT s.vec_id, s.query_id, s.sim,
+        |   ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.sim DESC, s.query_id) AS rn
+        |  FROM sims s JOIN (SELECT DISTINCT vec_id FROM best) b ON s.vec_id = b.vec_id),
+        | bwd AS (SELECT vec_id, CAST(SUM(CAST(floor(sim * 1e6) AS BIGINT)) AS BIGINT) AS bwd_pen FROM br WHERE rn <= 4 GROUP BY 1)
+        |SELECT best.query_id, best.vec_id, CAST(m_xy AS DOUBLE) / 1e6 AS cos,
+        | CAST((m_xy * 80000) // (fwd_pen + bwd_pen) AS DOUBLE) / 1e4 AS margin,
+        | (m_xy * 80000) // (fwd_pen + bwd_pen) >= 10500 AS accepted
+        |FROM best JOIN fwd USING (query_id) JOIN bwd USING (vec_id)
+        |WHERE m_xy > 0 AND fwd_pen + bwd_pen > 0
+        |ORDER BY query_id""".stripMargin,
     "q_hard_negatives" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
         | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
@@ -3250,6 +3335,34 @@ $rounds
         | CAST(SUM(n_tokens) AS BIGINT) AS token_mass,
         | floor(CAST(SUM(n_tokens) AS DOUBLE)/2048*1e4)/1e4 AS fill
         |FROM p GROUP BY 1, 2 ORDER BY pack_id""".stripMargin,
+    // q_mask_spans: span selection replayed as pure BIGINT hash math
+    // (every intermediate < 2^63), kept spans via 1-based inclusive
+    // clamped list slices, the remainder-span size via least(), the
+    // corrupted-stream FNV through the shared char replay; empty docs
+    // pin the FNV offset basis (FNV-1a of "" = the basis)
+    "q_mask_spans" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tokq AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | b AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok,
+          |   CAST(ceil(len(toks) / 3.0) AS BIGINT) AS span_cnt FROM tokq),
+          | sp AS (SELECT doc_id, toks, n_tok, range(0, span_cnt) AS spans,
+          |   list_filter(range(0, span_cnt), s ->
+          |     ((doc_id * 1000003 + s) % 2147483647) * 2654435761 % 4294967296 % 100 < 15) AS masked
+          |  FROM b),
+          | m AS (SELECT doc_id, n_tok,
+          |   CAST(coalesce(list_sum(list_transform(masked, s -> least(3, n_tok - s * 3))), 0) AS BIGINT) AS n_masked,
+          |   CAST(len(masked) AS BIGINT) AS n_spans,
+          |   array_to_string(flatten(list_transform(spans, s ->
+          |     CASE WHEN ((doc_id * 1000003 + s) % 2147483647) * 2654435761 % 4294967296 % 100 < 15
+          |          THEN ['<x>'] ELSE toks[s*3+1 : s*3+3] END)), ' ') AS corrupted
+          |  FROM sp)
+          |SELECT doc_id, n_tok, n_masked, n_spans,
+          | CASE WHEN n_tok = 0 THEN 0.0
+          |      ELSE CAST((n_masked * 10000) // n_tok AS DOUBLE) / 1e4 END AS mask_ratio,
+          | CASE WHEN corrupted = '' THEN -3750763034362895579
+          |      ELSE ${signedSql(fnvSql(
+             "list_transform(string_split(corrupted,''), ch -> unicode(ch)::HUGEINT)"))} END AS fp
+          |FROM m ORDER BY doc_id""").stripMargin,
     "q7_corr_subquery" ->
       """WITH b AS (SELECT p_brand,
         |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS brand_avg

@@ -776,4 +776,73 @@ object Pipeline {
           / padded.cast("double") * 1e4) / 1e4).as("waste_frac"))
       .orderBy(col("bucket_max"))
   }
+
+  /** T5-style span-corruption accounting: deterministically select
+    * ~15% of each document's token spans (span = 3 consecutive tokens),
+    * collapse every selected span to ONE sentinel, and report the
+    * numbers a seq2seq data builder budgets with — input length after
+    * corruption is `n_tok - n_masked + n_spans`, target length is
+    * `n_masked + n_spans` — plus a fingerprint of the corrupted stream
+    * so two engines (or two runs) can assert they built the SAME
+    * examples.
+    *
+    * Span selection is a pure integer hash of (doc_id, span index):
+    * `h = ((doc_id·1000003 + s) mod 2^31-1) · 2654435761 mod 2^32`,
+    * masked iff `h mod 100 < 15` — stateless, reproducible, and exactly
+    * replayable in ANSI SQL (every intermediate fits a signed 64-bit
+    * integer: the multiplicand is < 2^31, the multiplier < 2^32, the
+    * product < 2^63). The fingerprint is the FNV-1a of the corrupted
+    * token stream joined by single spaces, the [[TextAnalysis]]
+    * fingerprint convention.
+    *
+    * Scale shape: ZERO shuffle — like `text_diversity`, every output is
+    * a per-document statistic, one narrow map-side projection over the
+    * corpus scan (HOFs over the in-row token array, no explode). */
+  def maskSpans(docs: DataFrame, spanLen: Int = 3,
+                pctMasked: Int = 15): DataFrame = {
+    require(spanLen >= 1 && pctMasked >= 0 && pctMasked <= 100,
+      "spanLen ≥ 1, pctMasked in [0,100]")
+    val L = lit(spanLen.toLong)
+    val toks = tokens(preprocess(col("text")))
+    val n = size(col("toks")).cast("long")
+    val spanCnt = ceil(n.cast("double") / spanLen.toDouble).cast("long")
+    // span indices 0..spanCnt-1; sequence(0,-1) would DESCEND, so empty
+    // docs take the explicit empty array
+    val spanIdx = when(col("n_tok") === 0L,
+      array().cast("array<bigint>"))
+      .otherwise(sequence(lit(0L), col("span_cnt") - 1L))
+    def maskPred(s: Column): Column =
+      (((col("doc_id") * 1000003L + s) % 2147483647L) * 2654435761L
+        % 4294967296L % 100L) < lit(pctMasked.toLong)
+    // per-span length: full spanLen except a short final remainder
+    def spanSz(s: Column): Column = least(L, col("n_tok") - s * L)
+    val nMasked = aggregate(col("masked"), lit(0L),
+      (acc, s) => acc + spanSz(s))
+    // corrupted stream: masked span → one sentinel, kept span → its
+    // tokens (slice is 1-based and clamps at the array end)
+    val corrupted = array_join(flatten(transform(col("spans"), s =>
+      when(maskPred(s), array(lit("<x>")))
+        .otherwise(slice(col("toks"), (s * L + 1L).cast("int"),
+          lit(spanLen))))), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"), n.as("n_tok"))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        spanCnt.as("span_cnt"))
+      .select(col("doc_id"), col("toks"), col("n_tok"),
+        spanIdx.as("spans"))
+      .select(col("doc_id"), col("toks"), col("n_tok"), col("spans"),
+        filter(col("spans"), maskPred(_)).as("masked"))
+      .select(col("doc_id"), col("n_tok"),
+        nMasked.as("n_masked"),
+        size(col("masked")).cast("long").as("n_spans"),
+        fnv1a64(corrupted).as("fp"))
+      .select(col("doc_id"), col("n_tok"), col("n_masked"),
+        col("n_spans"),
+        when(col("n_tok") === 0L, lit(0.0))
+          .otherwise(expr("(n_masked * 10000) DIV n_tok")
+            .cast("double") / 1e4).as("mask_ratio"),
+        col("fp"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
+  }
 }

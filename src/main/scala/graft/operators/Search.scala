@@ -320,4 +320,70 @@ object Search {
           cosine_similarity(col("prev"), col("embedding")) < threshold,
           lit(true)).as("topic_change"))
   }
+
+  /** Margin-based alignment mining (the CCMatrix/LASER ratio-margin
+    * criterion, arXiv:1811.01136): for each query vector x of a NEW
+    * shard, its best corpus match y scored not by raw cosine — which
+    * over-accepts in dense hubs — but by the cosine NORMALIZED by the
+    * average similarity of both endpoints' k-nearest neighborhoods:
+    * `margin(x,y) = cos(x,y) / ((avg_k cos(x,·) + avg_k cos(y,·)) / 2)`.
+    * A pair is mined when its rank-1 margin clears `threshold` (the
+    * published operating point is ≈1.05-1.06).
+    *
+    * Determinism: cosines land on the 1e-6 integer grid; neighborhood
+    * penalties are INTEGER sums of grid values (order-free); the margin
+    * is one integer `DIV` onto a 1e-4 grid — the DuckDB oracle replays
+    * every step exactly.
+    *
+    * Scale shape: the forward pass is [[bruteForceTopK]]'s — ONE corpus
+    * scan, queries broadcast, per-partition bounded heaps (shuffle ∝
+    * partitions × queries, corpus-independent). The backward
+    * neighborhoods are needed only for the ≤ |queries| rank-1
+    * candidates, fetched by a broadcast hash-join probe (the
+    * [[signQuantizedRefine]] pattern — never a second unfiltered pass)
+    * and scored against the broadcast query set in-row. At 100 TB the
+    * cost is exactly one brute-force (or [[IvfIndex]]-pruned) scan plus
+    * a candidate-sized probe. */
+  def marginMine(queries: DataFrame, corpus: DataFrame, k: Int = 4,
+                 threshold: Double = 1.05): DataFrame = {
+    require(k >= 1, "k must be ≥ 1")
+    val thresholdGrid = math.floor(threshold * 1e4).toLong
+    def grid(c: Column): Column = floor(c * 1e6).cast("long")
+    val fwdSims = corpus.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
+    val fwd = fwdSims.groupBy(col("query_id"))
+      .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk"))
+      .select(col("query_id"),
+        col("topk").getItem(0).getField("id").as("vec_id"),
+        grid(col("topk").getItem(0).getField("score")).as("m_xy"),
+        aggregate(col("topk"), lit(0L),
+          (acc, e) => acc + grid(e.getField("score"))).as("fwd_pen"))
+    // backward neighborhoods: only the rank-1 candidates need them —
+    // broadcast-probe the corpus for those ids, score vs the broadcast
+    // query set, per-candidate bounded heap. cosine_similarity keeps
+    // the (qv, embedding) operand order of the forward pass, so equal
+    // pairs produce bit-equal doubles in both directions.
+    val candIds = fwd.select(col("vec_id")).distinct()
+    val bwd = corpus.join(broadcast(candIds), Seq("vec_id"))
+      .crossJoin(broadcast(queries))
+      .select(col("vec_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"),
+        col("query_id"))
+      .groupBy(col("vec_id"))
+      .agg(top_k_by_score(col("sim"), col("query_id"), k).as("btopk"))
+      .select(col("vec_id"),
+        aggregate(col("btopk"), lit(0L),
+          (acc, e) => acc + grid(e.getField("score"))).as("bwd_pen"))
+    fwd.join(broadcast(bwd), Seq("vec_id"))
+      .filter(col("m_xy") > 0L && col("fwd_pen") + col("bwd_pen") > 0L)
+      .select(col("query_id"), col("vec_id"),
+        (col("m_xy").cast("double") / 1e6).as("cos"),
+        expr(s"(m_xy * ${2L * k * 10000L}) DIV (fwd_pen + bwd_pen)")
+          .as("margin_grid"))
+      .select(col("query_id"), col("vec_id"), col("cos"),
+        (col("margin_grid").cast("double") / 1e4).as("margin"),
+        (col("margin_grid") >= thresholdGrid).as("accepted"))
+      .transform(graft.Determinism.sorted(_)(col("query_id")))
+  }
 }

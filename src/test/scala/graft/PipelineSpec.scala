@@ -121,6 +121,60 @@ class PipelineSpec extends SparkSuite {
     } finally sys.props("graft.sort") = "true"
   }
 
+  test("maskSpans: selection, budgets and fingerprint match a plain-Scala replay") {
+    // independent reference implementation of the span-corruption
+    // contract (hash selection, remainder spans, sentinel collapse)
+    def ref(docId: Long, toks: Seq[String]) = {
+      val n = toks.length.toLong
+      val spanCnt = math.ceil(n / 3.0).toLong
+      def masked(s: Long) =
+        ((docId * 1000003L + s) % 2147483647L) * 2654435761L %
+          4294967296L % 100L < 15L
+      val spans = 0L until spanCnt
+      val nMasked = spans.filter(masked)
+        .map(s => math.min(3L, n - s * 3L)).sum
+      val corrupted = spans.flatMap(s =>
+        if (masked(s)) Seq("<x>")
+        else toks.slice(s.toInt * 3, math.min(n, s * 3 + 3).toInt))
+        .mkString(" ")
+      (n, nMasked, spans.count(masked).toLong,
+        if (n == 0) 0.0 else (nMasked * 10000L / n).toDouble / 1e4,
+        graft.functions.GraftHash.fnv1a64(
+          org.apache.spark.unsafe.types.UTF8String.fromString(corrupted)))
+    }
+    // 40 docs × 0..12 all-alpha tokens: plenty of masked and unmasked
+    // spans, remainder spans of size 1 and 2, and the empty doc
+    val docs = (1L to 40L).map { id =>
+      val toks = (0 until (id % 13).toInt)
+        .map(i => ("a" + ('a' + i).toChar.toString) * 2)
+      (id, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Pipeline.maskSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))).toMap
+    var sawMasked = 0; var sawRemainder = false
+    (1L to 40L).foreach { id =>
+      val toks = (0 until (id % 13).toInt)
+        .map(i => ("a" + ('a' + i).toChar.toString) * 2)
+      val (n, m, s, ratio, fp) = ref(id, toks)
+      assert(got(id) == ((n, m, s, ratio, fp)),
+        s"doc $id: ${got(id)} vs ${(n, m, s, ratio, fp)}")
+      if (s > 0) { sawMasked += 1; if (m < s * 3) sawRemainder = true }
+    }
+    assert(sawMasked > 3, s"degenerate fixture: $sawMasked masked docs")
+    // empty doc pins the FNV offset basis (hash of the empty stream)
+    assert(got(39L)._1 == 0L && got(39L)._5 == -3750763034362895579L)
+    // per-doc statistics never justify an exchange (the text_diversity
+    // rule): the whole operator is one map-side projection
+    sys.props("graft.sort") = "false"
+    try {
+      val plan = Pipeline.maskSpans(docs)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"maskSpans must be zero-shuffle:\n$plan")
+    } finally sys.props("graft.sort") = "true"
+  }
+
   test("lm score: repeated template reads predictable, unique text does not") {
     import spark.implicits._
     // docs 1-3 are the SAME sentence: every bigram has corpus count 3 →
