@@ -41,7 +41,7 @@ object Plans {
     "q_retrieval_eval_summary", "mm_search", "q_retrieval_eval_cutoffs",
     "q_distill_pairs", "decontaminate_semantic", "q_pack_audit",
     "text_diversity", "q_click_model", "q_position_bias", "q_mask_spans",
-    "q_bitext_mine")
+    "q_bitext_mine", "q_emb_drift")
 
   /** Hand-audited runtime observations rendered under a query's header —
     * facts the static sf0.01 explain below cannot show (AQE decisions are
@@ -59,6 +59,23 @@ object Plans {
         |(vocabulary joins SHUFFLE by rule; the broadcast is AQE's
         |small-scale adaptive win, exactly the right call at each
         |size).""".stripMargin,
+    "q_click_model" ->
+      """One corpus-scale shuffle (round 12): the session window's
+        |user-keyed exchange. The (user, session, item) impression
+        |collapse folds BOTH branches (first-view MIN, any-click MAX)
+        |in one aggregate directly under that window —
+        |HashPartitioning(user) already clusters the finer key, so no
+        |second exchange exists (an earlier draft split views/clicks
+        |into two grouped branches and re-joined: the barrier between
+        |window and aggregates erased the partitioning metadata and
+        |BOTH branches re-shuffled — StageProbe showed 3988+2006+1982
+        |records; the fold shows 3988 then vocabulary-sized: 2
+        |positions, 114 item×pos, 100 items).""".stripMargin,
+    "q_mask_spans" ->
+      """Zero-shuffle (round 12): the span-corruption accounting is one
+        |map-side HOF projection per row — the text_diversity rule
+        |(per-document statistics never justify an exchange), pinned in
+        |PipelineSpec.""".stripMargin,
     "text_diversity" ->
       """Zero-shuffle by design (round 12): per-doc token statistics are
         |a map-side run-length fold over each row's SORTED 64-bit FNV

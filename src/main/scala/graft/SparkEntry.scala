@@ -282,6 +282,12 @@ object SparkEntry {
     "dedup_exact"    -> q(Dedup.exactGroups),
     // vector index health (reference: controllers/health_controller.py)
     "q_index_stats"  -> q(indexStats),
+    // snapshot drift: per label, count growth and centroid L2 shift
+    // between the even-id (base) and odd-id (current) shards — the
+    // monitoring table that decides an index rebuild
+    "q_emb_drift" -> q(t => Embeddings.snapshotDrift(
+      t.embeddings.filter(col("vec_id") % 2 === 0),
+      t.embeddings.filter(col("vec_id") % 2 === 1))),
     // vector search surface (reference: index/search/qa services)
     // Vector outputs are projected to hashable scalar digests (dim,
     // floored norm, nonzero count, index-weighted moment) — the driver's
@@ -2232,6 +2238,30 @@ $rounds
         | floor(MIN(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')))*1e6)/1e6 AS norm_min,
         | floor(MAX(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')))*1e6)/1e6 AS norm_max
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q_emb_drift: the offset-grid replay — components floored to 1e-6
+    // and shifted +2e6 so all integer divisions are floor in BOTH
+    // engines (Spark DIV truncates, // floors; they agree on ≥ 0);
+    // the offset cancels in the base−current mean difference
+    "q_emb_drift" ->
+      """WITH e AS (SELECT label, vec_id, embedding FROM embeddings),
+        | d AS (SELECT label, CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS side, i AS dim,
+        |   CAST(floor(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) + 2000000 AS g
+        |  FROM e, unnest(range(1, len(embedding)+1)) AS t(i)),
+        | s AS (SELECT label, dim,
+        |   COUNT(*) FILTER (side = 0) AS n_base, COALESCE(SUM(g) FILTER (side = 0), 0) AS s_base,
+        |   COUNT(*) FILTER (side = 1) AS n_cur, COALESCE(SUM(g) FILTER (side = 1), 0) AS s_cur
+        |  FROM d GROUP BY 1, 2),
+        | m AS (SELECT label, n_base, n_cur,
+        |   (CASE WHEN n_base > 0 THEN s_base // n_base ELSE 2000000 END -
+        |    CASE WHEN n_cur > 0 THEN s_cur // n_cur ELSE 2000000 END) AS dd
+        |  FROM s)
+        |SELECT label, CAST(MAX(n_base) AS BIGINT) AS n_base,
+        | CAST(MAX(n_cur) AS BIGINT) AS n_cur,
+        | CASE WHEN MAX(n_base) > 0
+        |      THEN CAST((MAX(n_cur) * 10000) // MAX(n_base) AS DOUBLE) / 1e4
+        |      ELSE -1.0 END AS growth,
+        | floor(sqrt(CAST(SUM(dd * dd) AS DOUBLE))) / 1e6 AS centroid_shift
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_fused" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
         | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

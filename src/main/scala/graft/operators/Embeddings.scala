@@ -51,6 +51,16 @@ object Embeddings {
       .select(col("doc_id"),
         pmod(graft.functions.fnv1a64(col("tok")), lit(dim.toLong)).as("bucket"),
         (col("tf") * log(lit(1.0) + lit(n.toDouble) / col("df"))).as("w"))
+      // ONE explicit doc-keyed exchange of the joined pairs: both
+      // aggregates below then run complete within partitions
+      // (HashPartitioning(doc) clusters (doc, bucket) by the subset
+      // rule) — without it each one partial-aggregates over the
+      // TOK-keyed join stream, where every doc surfaces in every
+      // reduce task and partial records grow ∝ tasks × docs instead of
+      // ∝ pairs (the sf1→sf10 decade measured that shape at 15.3× for
+      // 10× data; with the explicit exchange every shuffle in this
+      // operator is exactly ∝ pairs at every decade)
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("w")).as("w"))
     weighted.groupBy(col("doc_id"))
@@ -58,5 +68,73 @@ object Embeddings {
       .select(col("doc_id"),
         scatter_vector(col("entries"), dim).as("embedding"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Embedding snapshot drift — the monitoring table an index owner
+    * reads before deciding to re-train centroids / rebuild codebooks
+    * (the operational companion to `q_index_stats` and the refresh
+    * path): per label, how far did TODAY's shard move from YESTERDAY's?
+    *
+    * Per label: both snapshot counts, the count growth ratio, and the
+    * CENTROID SHIFT — the L2 distance between the two snapshots' mean
+    * vectors. A shift near 0 says the region is stationary (skip the
+    * rebuild); a large shift or a count explosion says the cluster
+    * migrated and IVF/PQ partitions trained on the old geometry now
+    * mis-route queries.
+    *
+    * Determinism: components land on the 1e-6 integer grid BEFORE
+    * summation (the q_prototypes moment discipline), so the per-dim
+    * sums are order-free BIGINTs; means are integer DIVs; only the
+    * final sqrt runs in doubles, identically in both engines.
+    *
+    * Scale shape: ONE corpus scan; posexplode fans each vector to dim
+    * rows but the (label, side, dim) partial aggregate collapses
+    * map-side, so the shuffle carries ≤ partitions × labels × 2 × dim
+    * rows — corpus-independent. The per-label fold after is
+    * (labels × dim)-sized. */
+  def snapshotDrift(base: DataFrame, current: DataFrame): DataFrame = {
+    // components ride the grid OFFSET by +2e6 (they live in [-1e6, 1e6]
+    // after flooring) so every sum and integer division operates on
+    // NON-NEGATIVE values: Spark's DIV truncates toward zero while
+    // ANSI // floors, and the two disagree exactly on negatives — with
+    // the offset both are floor, and the constant cancels in the
+    // base−current difference ((Σg+nC) div n = (Σg div n) + C when the
+    // total is non-negative). Floor-means lose < 1e-6 per dim — the
+    // grid's stated resolution.
+    val Offset = 2000000L
+    def sums(df: DataFrame, side: String) = df
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim"),
+        (floor(col("v").cast("double") * 1e6).cast("long") + Offset).as("g"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as(s"n_$side"), sum(col("g")).as(s"s_$side"))
+    val j = sums(base, "base")
+      .join(sums(current, "cur"), Seq("label", "dim"), "full_outer")
+      .select(col("label"), col("dim"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("s_base"), lit(0L)).as("s_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        coalesce(col("s_cur"), lit(0L)).as("s_cur"))
+      // per-dim offset-mean delta; a side with no vectors contributes
+      // the offset itself (= the origin), so the drift of a new or
+      // vanished label reads as the other side's centroid norm
+      .select(col("label"), col("n_base"), col("n_cur"),
+        (when(col("n_base") > 0L, expr("s_base DIV n_base"))
+          .otherwise(Offset) -
+          when(col("n_cur") > 0L, expr("s_cur DIV n_cur"))
+            .otherwise(Offset)).as("d"))
+    j.groupBy(col("label"))
+      .agg(max(col("n_base")).as("n_base"), max(col("n_cur")).as("n_cur"),
+        sum((col("d").cast("decimal(38,0)") * col("d"))
+          .cast("decimal(38,0)")).as("dd"))
+      .select(col("label"), col("n_base"), col("n_cur"),
+        when(col("n_base") > 0L,
+          expr("(n_cur * 10000) DIV n_base").cast("double") / 1e4)
+          .otherwise(lit(-1.0)).as("growth"),
+        // dd is Σ of 1e-6-grid deltas squared, so the true L2 shift is
+        // sqrt(dd)/1e6 — floor the sqrt ITSELF (already in 1e-6 units)
+        // rather than round-tripping through /1e6*1e6 double wobble
+        (floor(sqrt(col("dd").cast("double"))) / 1e6).as("centroid_shift"))
+      .transform(graft.Determinism.sorted(_)(col("label")))
   }
 }

@@ -77,7 +77,7 @@ object Feedback {
       // an item clicked but never viewed in its session has no examined
       // impression to credit — the log-anomaly drop
       .filter(col("first_vrn").isNotNull)
-      .select(col("item"),
+      .select(col("user_id"), col("item"),
         least(col("first_vrn"), lit(maxPos.toLong)).as("pos"),
         (col("any_click") === 1).as("clicked"))
   }
@@ -87,7 +87,14 @@ object Feedback {
     * the first chart any ranking team draws from its log. */
   def positionBias(events: DataFrame, gap: String = "30 MINUTES",
                    maxPos: Int = 10): DataFrame =
-    impressions(events, gap, maxPos)
+    positionBiasFrom(impressions(events, gap, maxPos))
+
+  /** [[positionBias]] from an already-built `(item, pos, clicked)`
+    * impression table — the shared fold the streaming twin
+    * ([[graft.streaming.ClickModelStream]]) feeds with its accumulated
+    * marks, so batch and serve paths cannot diverge. */
+  def positionBiasFrom(imp: DataFrame): DataFrame =
+    imp
       .groupBy(col("pos"))
       .agg(count(lit(1)).as("n_views"),
         sum(col("clicked").cast("long")).as("n_clicks"))
@@ -102,9 +109,14 @@ object Feedback {
     * IPS estimate on the shared integer grid (see object doc). Items the
     * log never exposed do not appear — there is nothing to debias. */
   def clickModel(events: DataFrame, gap: String = "30 MINUTES",
-                 maxPos: Int = 10): DataFrame = {
+                 maxPos: Int = 10): DataFrame =
+    clickModelFrom(impressions(events, gap, maxPos))
+
+  /** [[clickModel]] from an `(item, pos, clicked)` impression table —
+    * see [[positionBiasFrom]]. */
+  def clickModelFrom(impressions: DataFrame): DataFrame = {
     // one impression table, two consumers (propensities + item rollup)
-    val imp = Barrier(impressions(events, gap, maxPos))
+    val imp = Barrier(impressions)
     // w_r = ⌊1e6 · views_r / clicks_r⌋ — the integer IPS weight; a
     // position with zero clicks contributes nothing anywhere (no item
     // has a click there), so its weight is an inert 0

@@ -696,6 +696,12 @@ object TextAnalysis {
     val grouped = docBg
       .join(cbTab, Seq("bg"), "left")
       .join(cuTab, split(col("bg"), " ").getItem(0) === col("w1"), "left")
+      // explicit doc-keyed exchange of the scored pairs — the per-doc
+      // collect below then completes within partitions instead of
+      // partial-aggregating over the bg-keyed join stream (where every
+      // doc appears in every reduce task: partials ∝ tasks × docs, the
+      // tfidfVectors finding from the sf1→sf10 shuffle-records audit)
+      .repartition(col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_bigrams"),
         sort_array(collect_list(

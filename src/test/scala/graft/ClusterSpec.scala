@@ -120,4 +120,30 @@ class ClusterSpec extends SparkSuite {
     val refined = meanDist(IvfIndex.kmeansCentroids(t.embeddings, 16, iters = 3))
     assert(refined <= seeded + 1e-9, s"refined=$refined seeded=$seeded")
   }
+
+  test("snapshotDrift: stationary labels read ~0, a moved label reads its shift") {
+    def vecs(rows: (Long, Int, Array[Float])*) =
+      rows.toSeq.toDF("vec_id", "label", "embedding")
+    // label 0: identical clouds in both snapshots → shift 0, growth 1.
+    // label 1: current shard translated +0.5 along dim 0 → shift 0.5.
+    // label 2: present only in current → growth -1 (no base), shift =
+    // its centroid norm (the "new label" maximal-drift convention).
+    val base = vecs(
+      (0L, 0, Array(1f, 0f, 0f, 0f)), (2L, 0, Array(0f, 1f, 0f, 0f)),
+      (4L, 1, Array(0f, 0f, 1f, 0f)), (6L, 1, Array(0f, 0f, 1f, 0f)))
+    val cur = vecs(
+      (1L, 0, Array(1f, 0f, 0f, 0f)), (3L, 0, Array(0f, 1f, 0f, 0f)),
+      (5L, 1, Array(0.5f, 0f, 1f, 0f)), (7L, 1, Array(0.5f, 0f, 1f, 0f)),
+      (9L, 2, Array(0f, 0f, 0f, 2f)))
+    val got = operators.Embeddings.snapshotDrift(base, cur).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(0) == ((2L, 2L, 1.0, 0.0)), s"stationary: ${got(0)}")
+    val (nb1, nc1, g1, s1) = got(1)
+    assert(nb1 == 2L && nc1 == 2L && g1 == 1.0)
+    assert(math.abs(s1 - 0.5) < 2e-6, s"translated shift: $s1")
+    val (nb2, nc2, g2, s2) = got(2)
+    assert(nb2 == 0L && nc2 == 1L && g2 == -1.0)
+    assert(math.abs(s2 - 2.0) < 2e-6, s"new-label shift: $s2")
+  }
 }

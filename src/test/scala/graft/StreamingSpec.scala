@@ -812,6 +812,89 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  private val cmSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Time-split event chunks WITH props, plus a terminal flush row one
+    * day past the log: its event_type matches nothing and its props
+    * carry no item, so it contributes no mark in either engine — it
+    * exists purely to advance the watermark past every open session's
+    * timeout (which is also why ClickModelStream filters inside the
+    * fold: a DataFrame filter would be pushed below the watermark node
+    * and ignored event types would stop advancing time). */
+  private lazy val cmStreamDir: String = {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("graft-cm-stream").toString
+    val ev = t.events.select(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val cut = ev.agg(expr("percentile_approx(cast(ts as long), 0.5)"))
+      .head().getLong(0)
+    ev.filter(col("ts").cast("long") <= cut).coalesce(1)
+      .write.parquet(s"$dir/chunk=a")
+    Thread.sleep(1100)
+    ev.filter(col("ts").cast("long") > cut).coalesce(1)
+      .write.parquet(s"$dir/chunk=b")
+    Thread.sleep(1100)
+    val flushTs = new java.sql.Timestamp(
+      ev.agg(max(col("ts"))).head().getTimestamp(0).getTime + 86400000L)
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(999999L, flushTs, 999999L, "flush", 0.0, "{}")),
+      cmSchema).coalesce(1).write.parquet(s"$dir/chunk=c")
+    dir
+  }
+
+  private def cmStream =
+    spark.readStream.schema(cmSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$cmStreamDir/chunk=*")
+
+  test("streamed click-model marks rebuild both batch feedback tables exactly") {
+    val q = ClickModelStream.marks(cmStream)
+      .writeStream.format("memory").queryName("cm_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val marksDf = spark.table("cm_out")
+      val streamedPb = ClickModelStream.positionBias(marksDf)
+        .collect().map(_.toSeq).toSeq
+      val batchPb = operators.Feedback.positionBias(t.events)
+        .collect().map(_.toSeq).toSeq
+      assert(streamedPb.nonEmpty)
+      assert(streamedPb === batchPb,
+        s"position bias: ${streamedPb.length} vs ${batchPb.length} rows")
+      val streamedCm = ClickModelStream.clickModel(marksDf)
+        .collect().map(_.toSeq).toSeq
+      val batchCm = operators.Feedback.clickModel(t.events)
+        .collect().map(_.toSeq).toSeq
+      assert(streamedCm === batchCm,
+        s"click model: ${streamedCm.length} vs ${batchCm.length} rows")
+    } finally q.stop()
+  }
+
+  test("RocksDB state backend: click-model twin identical to heap run") {
+    // the feedback family's session-item state must be provider-
+    // invisible too: the same chunked stream under RocksDB folds to
+    // the exact batch IPS table
+    val rocks = StateBackend.withRocksDB(spark) {
+      val q = ClickModelStream.marks(cmStream)
+        .writeStream.format("memory").queryName("cm_rocks")
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(StateBackend.usesRocksDB(q),
+          "provider switch did not engage")
+        ClickModelStream.clickModel(spark.table("cm_rocks"))
+          .collect().map(_.toSeq).toSeq
+      } finally q.stop()
+    }
+    val batch = operators.Feedback.clickModel(t.events)
+      .collect().map(_.toSeq).toSeq
+    assert(rocks.nonEmpty && rocks === batch,
+      s"${rocks.length} rocks vs ${batch.length} batch rows")
+  }
+
   test("streamed attribution credits rebuild the batch report exactly") {
     // time-split chunks preserve per-user event-time order across
     // triggers; folded credits must match the batch window operator —
