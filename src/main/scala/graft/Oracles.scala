@@ -57,6 +57,16 @@ object Oracles {
   def fnvChars(strExpr: String): String =
     fnv(s"list_transform(string_split($strExpr,''), c -> unicode(c)::HUGEINT)")
 
+  /** Rolling polynomial 64-bit fingerprint of a string expr (the
+    * `poly_fingerprint` replay: acc·31 + codepoint mod 2^64, signed out;
+    * empty string → 0 — the `text_fingerprint` oracle chain, factored
+    * for the governance family so the replays cannot diverge). */
+  def polyFp(strExpr: String): String =
+    signed(s"(CASE WHEN length($strExpr)=0 THEN 0::HUGEINT " +
+      s"ELSE list_reduce(list_prepend(0::HUGEINT, " +
+      s"list_transform(string_split($strExpr,''), c -> unicode(c)::HUGEINT)), " +
+      s"(acc, x) -> (acc*31 + x) % $MOD) END)")
+
   /** (a * c) mod 2^64 where a < 2^64 and c is a full 64-bit constant:
     * a*c can exceed int128, so split c = hi·2^32 + lo. */
   private def mulMod(a: String, hi: Long, lo: Long): String =

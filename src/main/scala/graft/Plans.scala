@@ -41,7 +41,8 @@ object Plans {
     "q_retrieval_eval_summary", "mm_search", "q_retrieval_eval_cutoffs",
     "q_distill_pairs", "decontaminate_semantic", "q_pack_audit",
     "text_diversity", "q_click_model", "q_position_bias", "q_mask_spans",
-    "q_bitext_mine", "q_emb_drift")
+    "q_bitext_mine", "q_emb_drift", "q_snapshot_diff", "q_split_leakage",
+    "q_ngram_novelty", "q_profile")
 
   /** Hand-audited runtime observations rendered under a query's header —
     * facts the static sf0.01 explain below cannot show (AQE decisions are

@@ -1010,8 +1010,61 @@ object SparkEntry {
         SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
                floor(sim*1e6)/1e6 AS score
         FROM r WHERE rn <= 3 ORDER BY query_id, rank""")
-    })
+    }),
+    // ---- dataset versioning & governance ----
+    // snapshot churn per source: base = 4/5 of the corpus, current drops
+    // the doc_id%5==0 fifth, re-adds the %5==4 fifth and edits the %7==0
+    // stripe — the re-crawl diff that decides rebuild vs incremental
+    "q_snapshot_diff" -> q(t => {
+      val (base, cur) = snapshotPair(t)
+      Governance.snapshotDiff(base, cur)
+    }),
+    // per-source MEAN-SIGNAL drift (ws token count) over the same pair:
+    // content churn's monitoring companion — a source whose docs
+    // truncate or bloat moves here even when doc_ids are stable
+    "q_signal_drift" -> q(t => {
+      val (base, cur) = snapshotPair(t)
+      Governance.signalDrift(base, cur,
+        graft.functions.TextFunctions.wsTokenCount(col("text")))
+    }),
+    // leakage-safe content-hash split: per (split, source) doc/char volume
+    "q_split_assign" -> q(t => Governance.splitAssign(
+      t.documents.select(col("doc_id"), col("source"), col("text")))),
+    // split-leakage audit over a two-crawl union (25% verbatim re-crawl
+    // under fresh ids): by_id leaks those duplicate groups, by_content
+    // provably cannot — and the audit measures both through one code path
+    "q_split_leakage" -> q(t => {
+      val d = t.documents.select(col("doc_id"), col("text"))
+      val recrawl = d.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 1000003L).as("doc_id"), col("text"))
+      Governance.leakageAudit(d.unionByName(recrawl))
+    }),
+    // train→test 5-gram novelty under the content split
+    "q_ngram_novelty" -> q(t => Governance.ngramNovelty(
+      t.documents.select(col("doc_id"), col("text")))),
+    // per-column table profile (canonical forms; exact distinct)
+    "q_profile" -> q(Profile.ordersProfile),
+    // distribution drift between two event time-slices (deploy cut);
+    // the ts column's range_expanded is the planted positive
+    "q_profile_diff" -> q(t => Profile.eventsProfileDiff(t)),
+    // declarative data-contract gate over the orders profile
+    "q_expectations" -> q(t => Profile.ordersExpectations(t, t.spark))
   )
+
+  /** The governance rows' shared snapshot construction: base = the
+    * doc_id%5≠4 four-fifths; current drops the %5==0 fifth, re-adds the
+    * %5==4 fifth and appends an edit marker to the %7==0 stripe. */
+  private def snapshotPair(t: Tables): (DataFrame, DataFrame) = {
+    val d = t.documents
+    val base = d.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), col("source"), col("text"))
+    val cur = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" refreshed content v2")))
+          .otherwise(col("text")).as("text"))
+    (base, cur)
+  }
 
   /** The reference text-normalization chain as DuckDB SQL (mirrors
     * [[graft.functions.TextFunctions.preprocess]]; shared with the
@@ -1773,7 +1826,220 @@ $rounds
            | UNION ALL SELECT 3, 'boilerplate', s2, s3 FROM a
            | UNION ALL SELECT 4, 'window_dup', s3, s4 FROM a
            | UNION ALL SELECT 5, 'decontaminate', s4, s5 FROM a)
-           |ORDER BY stage""".stripMargin)
+           |ORDER BY stage""".stripMargin,
+      // ---- dataset versioning & governance ----
+      // q_snapshot_diff: both snapshot constructions replayed, the
+      // polynomial content fingerprint per side, one full-outer join on
+      // doc_id, per-source status counts (division order mirrors Spark:
+      // ratio first, then the 1e6 floor grid)
+      "q_snapshot_diff" ->
+        s"""WITH b0 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 4),
+           | c0 AS (SELECT doc_id, source,
+           |   CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 5 <> 0),
+           | bf AS (SELECT doc_id, source, ${Oracles.polyFp("s")} AS fp
+           |  FROM (SELECT doc_id, source, ${normSql("text")} AS s FROM b0)),
+           | cf AS (SELECT doc_id, source, ${Oracles.polyFp("s")} AS fp
+           |  FROM (SELECT doc_id, source, ${normSql("text")} AS s FROM c0)),
+           | j AS (SELECT coalesce(cf.source, bf.source) AS source,
+           |   CASE WHEN bf.fp IS NULL THEN 'added'
+           |        WHEN cf.fp IS NULL THEN 'removed'
+           |        WHEN bf.fp = cf.fp THEN 'unchanged' ELSE 'changed' END AS st
+           |  FROM bf FULL OUTER JOIN cf ON bf.doc_id = cf.doc_id),
+           | a AS (SELECT source,
+           |   COUNT(*) FILTER (WHERE st <> 'added') AS n_base,
+           |   COUNT(*) FILTER (WHERE st <> 'removed') AS n_current,
+           |   COUNT(*) FILTER (WHERE st = 'added') AS n_added,
+           |   COUNT(*) FILTER (WHERE st = 'removed') AS n_removed,
+           |   COUNT(*) FILTER (WHERE st = 'changed') AS n_changed,
+           |   COUNT(*) FILTER (WHERE st = 'unchanged') AS n_unchanged
+           |  FROM j GROUP BY 1)
+           |SELECT source, n_base, n_current, n_added, n_removed, n_changed, n_unchanged,
+           | floor(CAST(n_added + n_removed + n_changed AS DOUBLE)
+           |   / CAST(greatest(n_base, 1) AS DOUBLE) * 1e6) / 1e6 AS churn_frac
+           |FROM a ORDER BY source""".stripMargin,
+      // q_split_assign: content-fingerprint bucket → split, per
+      // (split, source) doc count + RAW character volume
+      "q_split_assign" ->
+        s"""WITH f AS (SELECT doc_id, source, text, ${Oracles.polyFp("s")} AS fp
+           |  FROM (SELECT doc_id, source, text, ${normSql("text")} AS s FROM documents)),
+           | sp AS (SELECT source, length(text) AS len,
+           |   CASE WHEN ((fp % 10) + 10) % 10 <= 7 THEN 'train'
+           |        WHEN ((fp % 10) + 10) % 10 <= 8 THEN 'val'
+           |        ELSE 'test' END AS split
+           |  FROM f)
+           |SELECT split, source, COUNT(*) AS n_docs,
+           | CAST(SUM(len) AS BIGINT) AS n_chars
+           |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // q_split_leakage: the two-crawl union, exact-dup groups by
+      // fingerprint, per-policy bucket spread, one aggregate exploded to
+      // the two policy rows
+      "q_split_leakage" ->
+        s"""WITH u AS (SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000003 AS doc_id, text FROM documents WHERE doc_id % 4 = 0),
+           | f AS (SELECT doc_id, ${Oracles.polyFp("s")} AS fp
+           |  FROM (SELECT doc_id, ${normSql("text")} AS s FROM u)),
+           | g AS (SELECT fp, COUNT(*) AS n,
+           |   COUNT(DISTINCT ((doc_id % 10) + 10) % 10) AS k_id,
+           |   COUNT(DISTINCT ((fp % 10) + 10) % 10) AS k_content
+           |  FROM f GROUP BY 1),
+           | tot AS (SELECT COUNT(*) AS n_groups,
+           |   COUNT(*) FILTER (WHERE n > 1) AS n_dup_groups,
+           |   COUNT(*) FILTER (WHERE k_id > 1) AS gi,
+           |   CAST(coalesce(SUM(n) FILTER (WHERE k_id > 1), 0) AS BIGINT) AS di,
+           |   COUNT(*) FILTER (WHERE k_content > 1) AS gc,
+           |   CAST(coalesce(SUM(n) FILTER (WHERE k_content > 1), 0) AS BIGINT) AS dc
+           |  FROM g)
+           |SELECT 'by_content' AS policy, n_groups, n_dup_groups,
+           |  gc AS n_leaking_groups, dc AS n_leaked_docs FROM tot
+           |UNION ALL
+           |SELECT 'by_id', n_groups, n_dup_groups, gi, di FROM tot
+           |ORDER BY 1""".stripMargin,
+      // q_ngram_novelty: the content split + the text_boilerplate gram
+      // chain (distinct word-5-grams as FNV hashes); train distinct-gram
+      // set probed by the test side, per-test-doc novelty
+      "q_ngram_novelty" ->
+        s"""WITH f AS (SELECT doc_id, s, ${Oracles.polyFp("s")} AS fp
+           |  FROM (SELECT doc_id, ${normSql("text")} AS s FROM documents)),
+           | sp AS (SELECT doc_id, s,
+           |   CASE WHEN ((fp % 10) + 10) % 10 <= 7 THEN 'train'
+           |        WHEN ((fp % 10) + 10) % 10 <= 8 THEN 'val'
+           |        ELSE 'test' END AS split
+           |  FROM f),
+           | tok AS (SELECT doc_id, split,
+           |   CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks
+           |  FROM sp WHERE split <> 'val'),
+           | g AS (SELECT doc_id, split, unnest(list_distinct(
+           |   CASE WHEN len(toks) < 5 THEN []::VARCHAR[]
+           |        ELSE list_transform(range(1, len(toks)-3), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4]) END)) AS gram
+           |  FROM tok),
+           | gh AS (SELECT doc_id, split, ${Oracles.signed(Oracles.fnvChars("gram"))} AS gh FROM g),
+           | tr AS (SELECT DISTINCT gh FROM gh WHERE split = 'train'),
+           | per AS (SELECT t2.doc_id, COUNT(*) AS n_grams,
+           |    COUNT(*) FILTER (WHERE tr.gh IS NULL) AS n_novel
+           |   FROM gh t2 LEFT JOIN tr ON t2.gh = tr.gh
+           |   WHERE t2.split = 'test' GROUP BY 1)
+           |SELECT sp.doc_id, coalesce(n_grams, 0) AS n_grams,
+           | coalesce(n_novel, 0) AS n_novel,
+           | floor(CASE WHEN coalesce(n_grams, 0) > 0
+           |   THEN CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           |   ELSE 0.0 END * 10000.0) / 10000.0 AS novelty_frac
+           |FROM sp LEFT JOIN per ON sp.doc_id = per.doc_id
+           |WHERE sp.split = 'test' ORDER BY sp.doc_id""".stripMargin,
+      // q_profile: one aggregate per column over the SAME canonical
+      // forms (cent-grid money, second-precision dates), unioned
+      "q_profile" -> (ordersProfileSql + "\nORDER BY 1"),
+      // q_signal_drift: the snapshot pair replayed, ws token counts
+      // (the text_tokens expression) summed exactly per source, one
+      // |sources|-row full-outer join, grid means + raw-difference delta
+      "q_signal_drift" -> {
+        def ws(src: String) =
+          s"""SELECT source, CAST(CASE WHEN len(trim(text))=0 THEN 0
+             |  ELSE len(string_split_regex(trim(text),'\\s+')) END AS BIGINT) AS v
+             |FROM $src""".stripMargin
+        def mean(n: String, s: String) =
+          s"CASE WHEN coalesce($n, 0) > 0 THEN CAST($s AS DOUBLE) / CAST($n AS DOUBLE) ELSE 0.0 END"
+        s"""WITH b0 AS (SELECT source, text FROM documents WHERE doc_id % 5 <> 4),
+           | c0 AS (SELECT source,
+           |   CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 5 <> 0),
+           | bt AS (${ws("b0")}), ct AS (${ws("c0")}),
+           | ba AS (SELECT source, COUNT(*) AS n_b, CAST(SUM(v) AS BIGINT) AS s_b FROM bt GROUP BY 1),
+           | ca AS (SELECT source, COUNT(*) AS n_c, CAST(SUM(v) AS BIGINT) AS s_c FROM ct GROUP BY 1),
+           | j AS (SELECT coalesce(ba.source, ca.source) AS source, n_b, s_b, n_c, s_c
+           |  FROM ba FULL OUTER JOIN ca ON ba.source = ca.source)
+           |SELECT source, coalesce(n_b, 0) AS n_base, coalesce(n_c, 0) AS n_current,
+           | floor(${mean("n_b", "s_b")} * 1e4) / 1e4 AS mean_base,
+           | floor(${mean("n_c", "s_c")} * 1e4) / 1e4 AS mean_current,
+           | floor((${mean("n_c", "s_c")} - ${mean("n_b", "s_b")}) * 1e4) / 1e4 AS delta
+           |FROM j ORDER BY source""".stripMargin
+      },
+      // q_profile_diff: both event slices profiled per column with typed
+      // min/max, joined; null fractions on the 1e-6 grid; range escape
+      // null-safe per typed pair
+      "q_profile_diff" -> {
+        def num(nm: String, ex: String, src: String) =
+          s"""SELECT '$nm' AS col_name, COUNT(*) AS n, COUNT(*) - COUNT($ex) AS n_null,
+             |  COUNT(DISTINCT $ex) AS n_distinct, MIN($ex) AS mn, MAX($ex) AS mx,
+             |  CAST(NULL AS VARCHAR) AS ms, CAST(NULL AS VARCHAR) AS xs FROM $src""".stripMargin
+        def str(nm: String, ex: String, src: String) =
+          s"""SELECT '$nm', COUNT(*), COUNT(*) - COUNT($ex),
+             |  COUNT(DISTINCT $ex), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+             |  MIN($ex), MAX($ex) FROM $src""".stripMargin
+        def side(src: String) = Seq(
+          num("user_id", "user_id", src),
+          num("value", "value_c", src),
+          str("event_type", "event_type", src),
+          str("ts", "ts_s", src)).mkString("\nUNION ALL\n")
+        s"""WITH ev AS (SELECT user_id, CAST(floor(value * 100) AS BIGINT) AS value_c,
+           |   event_type, strftime(make_timestamp(epoch_ns(ts)//1000), '%Y-%m-%d %H:%M:%S') AS ts_s,
+           |   make_timestamp(epoch_ns(ts)//1000) AS tsn FROM events),
+           | bs AS (SELECT * FROM ev WHERE tsn < TIMESTAMP '2024-01-16 00:00:00'),
+           | cs AS (SELECT * FROM ev WHERE tsn >= TIMESTAMP '2024-01-16 00:00:00'),
+           | pb AS (${side("bs")}),
+           | pc AS (${side("cs")})
+           |SELECT pb.col_name,
+           | pb.n AS n_base, pc.n AS n_current,
+           | pb.n_distinct AS n_distinct_base, pc.n_distinct AS n_distinct_current,
+           | floor(CAST(pb.n_null AS DOUBLE) / CAST(pb.n AS DOUBLE) * 1e6) / 1e6 AS null_frac_base,
+           | floor(CAST(pc.n_null AS DOUBLE) / CAST(pc.n AS DOUBLE) * 1e6) / 1e6 AS null_frac_current,
+           | (coalesce(pc.mn < pb.mn, false) OR coalesce(pc.mx > pb.mx, false)
+           |  OR coalesce(pc.ms < pb.ms, false) OR coalesce(pc.xs > pb.xs, false)) AS range_expanded
+           |FROM pb JOIN pc ON pb.col_name = pc.col_name
+           |ORDER BY pb.col_name""".stripMargin
+      },
+      // q_expectations: the orders profile as a CTE + a VALUES rule
+      // table, observed/pass via the same direction-by-suffix rule
+      "q_expectations" ->
+        s"""WITH p AS ($ordersProfileSql),
+           | r(col_name, rule, threshold) AS (VALUES
+           |  ('o_orderkey', 'null_frac_max', 0.0),
+           |  ('o_orderkey', 'distinct_frac_min', 1.0),
+           |  ('o_custkey', 'null_frac_max', 0.0),
+           |  ('o_totalprice', 'min_num_min', 0.0),
+           |  ('o_orderstatus', 'distinct_min', 2.0),
+           |  ('o_orderstatus', 'distinct_max', 5.0),
+           |  ('o_orderdate', 'null_frac_max', 0.0)),
+           | e AS (SELECT p.col_name, r.rule, r.threshold,
+           |   CASE r.rule
+           |    WHEN 'null_frac_max' THEN floor(CAST(n_null AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6
+           |    WHEN 'distinct_min' THEN CAST(n_distinct AS DOUBLE)
+           |    WHEN 'distinct_max' THEN CAST(n_distinct AS DOUBLE)
+           |    WHEN 'distinct_frac_min' THEN floor(CAST(n_distinct AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6
+           |    WHEN 'min_num_min' THEN CAST(min_num AS DOUBLE) END AS observed
+           |  FROM p JOIN r USING (col_name))
+           |SELECT col_name, rule, threshold, observed,
+           | CASE WHEN rule LIKE '%_max' THEN observed <= threshold
+           |      ELSE observed >= threshold END AS pass
+           |FROM e ORDER BY col_name, rule""".stripMargin)
+  }
+
+  /** The `orders` per-column profile replay (no ORDER BY — consumed
+    * standalone by `q_profile` and as `q_expectations`' CTE). */
+  private def ordersProfileSql: String = {
+    def num(nm: String, expr: String) =
+      s"""SELECT '$nm' AS col_name, COUNT(*) AS n,
+         | COUNT(*) - COUNT($expr) AS n_null,
+         | COUNT(DISTINCT $expr) AS n_distinct,
+         | MIN($expr) AS min_num, MAX($expr) AS max_num,
+         | CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+         |FROM orders""".stripMargin
+    def str(nm: String, expr: String) =
+      s"""SELECT '$nm' AS col_name, COUNT(*) AS n,
+         | COUNT(*) - COUNT($expr) AS n_null,
+         | COUNT(DISTINCT $expr) AS n_distinct,
+         | CAST(NULL AS BIGINT) AS min_num, CAST(NULL AS BIGINT) AS max_num,
+         | MIN($expr) AS min_str, MAX($expr) AS max_str
+         |FROM orders""".stripMargin
+    Seq(
+      num("o_orderkey", "o_orderkey"),
+      num("o_custkey", "o_custkey"),
+      num("o_totalprice", "CAST(floor(o_totalprice * 100) AS BIGINT)"),
+      str("o_orderstatus", "o_orderstatus"),
+      str("o_orderpriority", "o_orderpriority"),
+      str("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"))
+      .mkString("\nUNION ALL\n")
   }
 
   private def oracleSqlBase: Map[String, String] = Map(
