@@ -32,8 +32,11 @@ object Profile {
   /** Generic core: profile `df` over canonicalized numeric columns
     * (`numSpecs`: name → long-valued canonical expression) and string
     * columns (`strSpecs`: name → string-valued canonical expression). */
-  def profile(df: DataFrame, numSpecs: Seq[(String, Column)],
-              strSpecs: Seq[(String, Column)]): DataFrame = {
+  /** The |columns|-struct unpivot both the batch profile and
+    * [[graft.streaming.ProfileStream]] fold over: one
+    * `(col_name, val_num, val_str)` row per (input row, column). */
+  private[graft] def unpivot(df: DataFrame, numSpecs: Seq[(String, Column)],
+                             strSpecs: Seq[(String, Column)]): DataFrame = {
     val entries =
       numSpecs.map { case (nm, c) =>
         struct(lit(nm).as("col_name"), c.cast("long").as("val_num"),
@@ -42,10 +45,14 @@ object Profile {
         struct(lit(nm).as("col_name"), lit(null).cast("long").as("val_num"),
           c.cast("string").as("val_str"))
       }
-    val collapsed = df
-      .select(explode(array(entries: _*)).as("e"))
+    df.select(explode(array(entries: _*)).as("e"))
       .select(col("e.col_name").as("col_name"), col("e.val_num").as("val_num"),
         col("e.val_str").as("val_str"))
+  }
+
+  def profile(df: DataFrame, numSpecs: Seq[(String, Column)],
+              strSpecs: Seq[(String, Column)]): DataFrame = {
+    val collapsed = unpivot(df, numSpecs, strSpecs)
       .groupBy(col("col_name"), col("val_num"), col("val_str"))
       .agg(count(lit(1)).as("c"))
     val isNull = col("val_num").isNull && col("val_str").isNull

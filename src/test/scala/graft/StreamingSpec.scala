@@ -950,4 +950,96 @@ class StreamingSpec extends SparkSuite {
     assert(got.length == 1)
     assert(got.head.getDouble(3) == 0.0 && !got.head.getBoolean(4))
   }
+
+  private lazy val profileStreamDir: String = {
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("graft-profile-stream").toString
+    val sch = StructType(Seq(
+      StructField("num", LongType), StructField("str", StringType)))
+    def write(path: String, rows: Seq[(java.lang.Long, String)]): Unit =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.map { case (n, s) => Row(n, s) }: _*),
+        sch).coalesce(1).write.parquet(path)
+    write(s"$dir/chunk=a", Seq(
+      (10L: java.lang.Long, "b"), (20L: java.lang.Long, "a"),
+      (null: java.lang.Long, "a")))
+    Thread.sleep(1100)
+    write(s"$dir/chunk=b", Seq(
+      (10L: java.lang.Long, null), (30L: java.lang.Long, "c")))
+    dir
+  }
+
+  private val profileSchema = StructType(Seq(
+    StructField("num", LongType), StructField("str", StringType)))
+
+  private def runProfileStream(queryName: String, k: Int): Seq[Seq[Any]] = {
+    val stream = spark.readStream.schema(profileSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$profileStreamDir/chunk=*")
+    val q = ProfileStream.profile(stream,
+      Seq("num" -> col("num")), Seq("str" -> col("str")), k = k)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // final state per column = the row with the most records folded
+      spark.table(queryName).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.toSeq))
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)._3).toMap
+        .toSeq.sortBy(_._1.toString).map(_._2)
+    } finally q.stop()
+  }
+
+  test("streaming profile twin equals the batch profile, heap and RocksDB") {
+    // k=64 > distinct count → the KMV sketch is in its exact regime, so
+    // est_distinct must equal the batch operator's EXACT n_distinct;
+    // counts/nulls/typed min-max fold exactly by construction
+    val got = runProfileStream("profile_out_heap", k = 64)
+    val all = spark.read.schema(profileSchema)
+      .parquet(s"$profileStreamDir/chunk=*")
+    val batch = operators.Profile.profile(all,
+      Seq("num" -> col("num")), Seq("str" -> col("str"))).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.size == 2)
+    got.foreach { s =>
+      val b = batch(s.head.asInstanceOf[String])
+      assert(s(1) == b.getLong(1), "n")            // rows
+      assert(s(2) == b.getLong(2), "n_null")
+      assert(s(3) == b.getLong(3), "est == exact distinct under k")
+      val (mnN, mxN) =
+        (if (b.isNullAt(4)) null else b.getLong(4),
+         if (b.isNullAt(5)) null else b.getLong(5))
+      assert(s(5) == mnN && s(6) == mxN, "typed num min/max")
+      val (mnS, mxS) =
+        (if (b.isNullAt(6)) null else b.getString(6),
+         if (b.isNullAt(7)) null else b.getString(7))
+      assert(s(7) == mnS && s(8) == mxS, "typed str min/max")
+    }
+    val rocks = StateBackend.withRocksDB(spark) {
+      runProfileStream("profile_out_rocks", k = 64)
+    }
+    assert(rocks === got, "provider-invisible state fold")
+  }
+
+  test("streaming profile sketch path equals the batch kmv aggregate") {
+    import graft.functions.{fnv1a64, kmv_distinct}
+    // k=2 < distinct count → estimator path; the stream's running KMV
+    // must equal the batch bottom-k aggregate over the SAME canonical
+    // value hashes (minima of a distinct set are order-independent)
+    val got = runProfileStream("profile_out_k2", k = 2)
+    val all = spark.read.schema(profileSchema)
+      .parquet(s"$profileStreamDir/chunk=*")
+    val want = operators.Profile.unpivot(all,
+      Seq("num" -> col("num")), Seq("str" -> col("str")))
+      .filter(col("val_num").isNotNull || col("val_str").isNotNull)
+      .select(col("col_name"),
+        fnv1a64(coalesce(col("val_num").cast("string"), col("val_str")))
+          .as("h"))
+      .groupBy(col("col_name")).agg(kmv_distinct(col("h"), 2).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getStruct(1).getLong(0)).toMap
+    got.foreach { s =>
+      assert(s(3) == want(s.head.asInstanceOf[String]),
+        s"sketch estimate for ${s.head}")
+    }
+  }
 }
