@@ -411,6 +411,32 @@ object Oracles {
        | COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** q_graph_rank: the 5-round integer PageRank replayed as a generated
+    * iteration chain (the bpe_train_multi pattern) over the SAME
+    * symmetric capped candidate pairs. `//` on non-negative BIGINTs
+    * equals Spark's DIV; SUM runs in HUGEINT and the damped update's
+    * `85·s` with it, so no intermediate can overflow in the oracle —
+    * values stay in long range by the Spark side's mass argument. */
+  def graphRankSql(iters: Int = 5, maxBucket: Int = 1000): String = {
+    val scale = 1000000L
+    val teleport = scale * 15L / 100L
+    val rounds = (1 to iters).map { k =>
+      s""" r$k AS (SELECT d.doc_id, d.deg,
+         |   $teleport + CAST((85 * coalesce(s.c, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN (
+         |    SELECT e.dst AS doc_id, SUM(r.r // r.deg) AS c
+         |    FROM e JOIN r${k - 1} r ON e.src = r.doc_id GROUP BY 1) s
+         |  USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairsCte(maxBucket)},
+       | e AS (SELECT id1 AS src, id2 AS dst FROM pairs),
+       | deg AS (SELECT src AS doc_id, COUNT(*) AS deg FROM e GROUP BY 1),
+       | r0 AS (SELECT doc_id, deg, CAST($scale AS BIGINT) AS r FROM deg),
+       |$rounds
+       |SELECT doc_id, CAST(deg AS BIGINT) AS degree, r AS pagerank
+       |FROM r$iters ORDER BY doc_id""".stripMargin
+  }
+
   /** dedup_canonical: the funnel's apply step — keep verdicts projected
     * from the clusters oracle (canonical member = smallest doc_id). */
   def dedupCanonicalSql(maxBucket: Int = 1000): String =

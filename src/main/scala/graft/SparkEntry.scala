@@ -262,6 +262,13 @@ object SparkEntry {
     // signal-redundancy meta-audit: exact-moment Pearson r between the
     // curation signals (grid ints, one all-pairs-moments aggregate)
     "q_signal_corr"  -> q(t => Pipeline.signalCorrelation(t.documents)),
+    // Cohen's-kappa agreement matrix between the five curation gates —
+    // the categorical twin of q_signal_corr, read from the SAME
+    // persisted verdict table the funnel materialized (zero extra
+    // corpus passes; 16 exact moments in one aggregate, 10 pairs
+    // exploded from the single moment row)
+    "q_gate_agreement" -> ((s, dir) =>
+      Pipeline.gateAgreementFrom(curatedVerdicts(s, dir))),
     // per-doc char/token Shannon entropy (low-information filter signal);
     // narrow native kernels, order-free integer-sum formulation
     "text_entropy"   -> q(TextAnalysis.entropyScores),
@@ -573,6 +580,10 @@ object SparkEntry {
     "dedup_edit"      -> q(t => Dedup.editVerified(t.documents)),
     "dedup_embedding" -> q(t => Dedup.embeddingNeighbors(t)),
     "dedup_clusters"  -> q(t => Dedup.clusters(t.documents)),
+    // 5-round integer-grid PageRank over the SAME capped candidate
+    // graph: template-hub centrality (exact integer arithmetic, one
+    // edge join + one map-side-combined sum per round)
+    "q_graph_rank"    -> q(t => Graph.nearDupRank(t.documents)),
     // cluster-size histogram (how duplication mass is SHAPED: giant
     // clusters = boilerplate/mirroring); two bounded aggregates over
     // the converged cluster table, no extra corpus/pair pass
@@ -1030,6 +1041,13 @@ object SparkEntry {
     // leakage-safe content-hash split: per (split, source) doc/char volume
     "q_split_assign" -> q(t => Governance.splitAssign(
       t.documents.select(col("doc_id"), col("source"), col("text")))),
+    // token-weighted training-shard balance: hash sharding by doc id,
+    // one token-count pass into nShards rows + broadcast totals
+    "q_shard_balance" -> q(t => Governance.shardBalance(
+      t.documents.select(col("doc_id"), col("text")))),
+    // k-anonymity generalization ladder over customer quasi-identifiers
+    // (one ROLLUP pass over the value-domain-bounded QI group table)
+    "q_k_anon" -> q(t => Governance.kAnonymity(t.customer)),
     // split-leakage audit over a two-crawl union (25% verbatim re-crawl
     // under fresh ids): by_id leaks those duplicate groups, by_content
     // provably cannot — and the audit measures both through one code path
@@ -1613,6 +1631,20 @@ $rounds
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
+    // q_curate's composition, factored: the five per-gate oracles joined
+    // on doc_id — reused verbatim by q_gate_agreement (one definition,
+    // the `ordersProfileSql` rule)
+    lazy val curateSql: String =
+      s"""SELECT g.doc_id, g.keep AS keep_gopher, l.keep AS keep_lm,
+         | b.keep AS keep_boiler, w.keep AS keep_windows,
+         | NOT d.contaminated AS keep_decontam,
+         | (g.keep AND l.keep AND b.keep AND w.keep AND NOT d.contaminated) AS keep
+         |FROM (${base("text_gopher")}) g
+         |JOIN (${base("text_lm_score")}) l USING (doc_id)
+         |JOIN (${base("text_boilerplate")}) b USING (doc_id)
+         |JOIN (${base("dedup_windows")}) w USING (doc_id)
+         |JOIN (${base("decontaminate")}) d USING (doc_id)
+         |ORDER BY g.doc_id""".stripMargin
     base ++ Map(
       // the batched seam must produce EXACTLY the expression path's
       // vectors — same digest oracle, verbatim
@@ -1672,17 +1704,7 @@ $rounds
       // Spark funnel — each subquery IS the gate's own hash oracle, the
       // composition is a doc_id join + conjunction (the inner join to the
       // decontamination verdicts restricts to the training split)
-      "q_curate" ->
-        s"""SELECT g.doc_id, g.keep AS keep_gopher, l.keep AS keep_lm,
-           | b.keep AS keep_boiler, w.keep AS keep_windows,
-           | NOT d.contaminated AS keep_decontam,
-           | (g.keep AND l.keep AND b.keep AND w.keep AND NOT d.contaminated) AS keep
-           |FROM (${base("text_gopher")}) g
-           |JOIN (${base("text_lm_score")}) l USING (doc_id)
-           |JOIN (${base("text_boilerplate")}) b USING (doc_id)
-           |JOIN (${base("dedup_windows")}) w USING (doc_id)
-           |JOIN (${base("decontaminate")}) d USING (doc_id)
-           |ORDER BY g.doc_id""".stripMargin,
+      "q_curate" -> curateSql,
       // dedup_canonical_quality: the clusters oracle joined to the
       // text_quality base; keep = rank-1 by (quality DESC, doc_id) per
       // cluster — both orderings on exact grids, so the verdict is
@@ -1871,6 +1893,78 @@ $rounds
            |SELECT split, source, COUNT(*) AS n_docs,
            | CAST(SUM(len) AS BIGINT) AS n_chars
            |FROM sp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      // q_gate_agreement: the curate oracle's five verdict columns,
+      // 16 exact HUGEINT moments in one aggregate, kappa per pair in
+      // double from exact components (same operation order as Spark)
+      "q_gate_agreement" -> {
+        val gates = Seq("gopher", "lm", "boiler", "windows", "decontam")
+        val pairs = for {
+          i <- gates.indices; j <- gates.indices if i < j
+        } yield (gates(i), gates(j))
+        val sums = gates.map(g =>
+          s"SUM(CAST(keep_$g AS BIGINT))::HUGEINT AS s_$g") ++
+          pairs.map { case (a, b) =>
+            s"SUM(CAST(keep_$a AS BIGINT) * CAST(keep_$b AS BIGINT))::HUGEINT AS s_${a}_$b" }
+        val rows = pairs.map { case (a, b) =>
+          val agree = s"2*s_${a}_$b + nh - s_$a - s_$b"
+          val poD = s"CAST($agree AS DOUBLE) / CAST(n AS DOUBLE)"
+          val peD = s"CAST(s_$a*s_$b + (nh - s_$a)*(nh - s_$b) AS DOUBLE)" +
+            " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+          s"""SELECT '$a' AS gate_a, '$b' AS gate_b, n,
+             | CAST($agree AS BIGINT) AS n_agree,
+             | floor($poD * 1e6) / 1e6 AS po,
+             | CASE WHEN $peD < 1.0
+             |   THEN floor(($poD - $peD) / (1.0 - $peD) * 1e4) / 1e4
+             |   ELSE 0.0 END AS kappa FROM m""".stripMargin
+        }
+        s"""WITH cur AS ($curateSql),
+           | m AS (SELECT COUNT(*) AS n, CAST(COUNT(*) AS HUGEINT) AS nh,
+           |   ${sums.mkString(",\n   ")}
+           |  FROM cur)
+           |${rows.mkString("\nUNION ALL\n")}
+           |ORDER BY gate_a, gate_b""".stripMargin
+      },
+      // q_shard_balance: FNV-of-doc-id sharding (the q_weighted_sample
+      // keying), whitespace token counts on normalized text, nShards
+      // rows + 1-row totals
+      "q_shard_balance" -> {
+        val u = fnvSql("list_transform(string_split(CAST(doc_id AS VARCHAR),''), c -> unicode(c)::HUGEINT)")
+        s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+           | t AS (SELECT doc_id,
+           |   CASE WHEN len(trim(s))=0 THEN 0 ELSE len(string_split(s,' ')) END AS ntok
+           |  FROM n0),
+           | sh AS (SELECT ((${signedSql(u)} % 16) + 16) % 16 AS shard_id, ntok FROM t),
+           | per AS (SELECT shard_id, COUNT(*) AS n_docs,
+           |   CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM sh GROUP BY 1),
+           | tot AS (SELECT SUM(n_tokens) AS tt FROM per)
+           |SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs, n_tokens,
+           | floor(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) * 1e6) / 1e6 AS token_share,
+           | floor(CAST(n_tokens AS DOUBLE) * 16.0 / CAST(tt AS DOUBLE) * 1e4) / 1e4 AS load_factor
+           |FROM per, tot ORDER BY shard_id""".stripMargin
+      },
+      // q_k_anon: the three generalization levels as three exact
+      // group-count CTEs over one QI projection, unioned and rolled to
+      // the 3-row ladder
+      "q_k_anon" ->
+        s"""WITH q AS (SELECT c_mktsegment AS segment,
+           |   CAST(c_nationkey AS BIGINT) AS nk,
+           |   CAST(floor(c_acctbal / 100.0) AS BIGINT) AS bb FROM customer),
+           | g0 AS (SELECT COUNT(*) AS n FROM q GROUP BY segment, nk, bb),
+           | g1 AS (SELECT COUNT(*) AS n FROM q GROUP BY segment, nk),
+           | g2 AS (SELECT COUNT(*) AS n FROM q GROUP BY segment),
+           | lv AS (SELECT 0 AS level, n FROM g0
+           |   UNION ALL SELECT 1, n FROM g1
+           |   UNION ALL SELECT 2, n FROM g2)
+           |SELECT CAST(level AS BIGINT) AS level,
+           | CASE WHEN level = 0 THEN 'segment,nation,bal_bucket'
+           |      WHEN level = 1 THEN 'segment,nation'
+           |      ELSE 'segment' END AS qi,
+           | COUNT(*) AS n_groups, CAST(SUM(n) AS BIGINT) AS n_rows,
+           | CAST(MIN(n) AS BIGINT) AS min_group,
+           | CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS n_at_risk,
+           | floor(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
+           |   / CAST(SUM(n) AS DOUBLE) * 1e6) / 1e6 AS risk_frac
+           |FROM lv GROUP BY 1, 2 ORDER BY level""".stripMargin,
       // q_split_leakage: the two-crawl union, exact-dup groups by
       // fingerprint, per-policy bucket spread, one aggregate exploded to
       // the two policy rows
@@ -3128,6 +3222,7 @@ $rounds
     "q_dsir"         -> Oracles.dsirSql(),
     "dedup_simhash"  -> Oracles.dedupSimhashSql(),
     "dedup_clusters" -> Oracles.dedupClustersSql(),
+    "q_graph_rank" -> Oracles.graphRankSql(),
     // dedup_hist: cluster sizes re-derived from the clusters replay,
     // then the size-domain rollup — all integer counts
     "dedup_hist" ->

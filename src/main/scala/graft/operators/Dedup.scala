@@ -89,6 +89,18 @@ object Dedup {
       .distinct()
   }
 
+  /** SYMMETRIC capped LSH candidate edges (both directions) — the
+    * near-dup candidate graph that [[clusters]] propagates labels over
+    * and [[Graph.nearDupRank]] ranks. The one-direction pair table is
+    * barriered BEFORE the symmetric union so the signature/join subtree
+    * executes once, not once per direction. */
+  private[operators] def candidateEdges(docs: DataFrame,
+                                        maxBucket: Int = 1000): DataFrame = {
+    val pairs = bandedPairs(minhashBuckets(docs, 128, 16, 3), maxBucket)
+      .barrier()
+    pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+  }
+
   /** Banded minhash signatures: (doc_id, band, h), materialized.
     *
     * [[Barrier]] = materialization barrier: Generate re-evaluates

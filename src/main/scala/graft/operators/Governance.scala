@@ -222,4 +222,90 @@ object Governance {
         (floor((mean("c") - mean("b")) * 1e4) / 1e4).as("delta"))
       .orderBy(col("source"))
   }
+
+  /** Training-shard balance audit — the WRITE-side twin of
+    * [[splitAssign]]: when the curated corpus is written as `nShards`
+    * output files (the WebDataset/TFRecord sharding step), each doc's
+    * shard is `pmod(fnv1a64(doc_id), nShards)` — stable under corpus
+    * growth, no coordination — and this table reports how the TOKEN
+    * mass (the number that sets writer and data-loader time, not doc
+    * count) landed: per shard docs, tokens, token share, and the load
+    * factor vs the ideal 1/nShards (max load_factor predicts the
+    * straggler writer; hash sharding concentrates near 1.0 by the law
+    * of large numbers, and a skewed table here means doc_id structure
+    * leaked into the hash — the audit exists to catch exactly that).
+    *
+    * Determinism: shard from the FNV-1a hash of the decimal doc_id
+    * string (the `q_weighted_sample` keying); token counts on the
+    * normalized-text whitespace grid; shares floored to 1e-6, load
+    * factor = share·nShards floored to 1e-4 (multiply by the exact
+    * small integer BEFORE flooring — flooring first would compound
+    * grid error).
+    *
+    * Scale shape: shard assignment is a narrow projection inside the
+    * one token-count scan; ONE map-side-combined groupBy to `nShards`
+    * rows; totals attach via a broadcast 1-row cross join. */
+  def shardBalance(docs: DataFrame, nShards: Int = 16): DataFrame = {
+    val perShard = docs
+      .select(
+        pmod(fnv1a64(col("doc_id").cast("string")), lit(nShards.toLong))
+          .as("shard_id"),
+        size(tokens(preprocess(col("text")))).cast("long").as("ntok"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val totals = perShard.agg(sum(col("n_tokens")).as("tot_tokens"))
+    perShard.crossJoin(broadcast(totals))
+      .select(col("shard_id"), col("n_docs"), col("n_tokens"),
+        r6(col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+          .as("token_share"),
+        r4(col("n_tokens").cast("double") * lit(nShards.toDouble) /
+          col("tot_tokens").cast("double")).as("load_factor"))
+      .orderBy(col("shard_id"))
+  }
+
+  /** K-anonymity generalization ladder over a quasi-identifier tuple —
+    * the re-identification-risk audit next to `text_pii` (PII redaction
+    * scrubs direct identifiers; this measures whether the STRUCTURED
+    * columns still single people out): at each generalization level
+    * (full QI → drop the finest column → …) the number of QI groups,
+    * the smallest group, and the row mass in groups below `k` — the
+    * ladder a release review walks down until risk_frac is acceptable.
+    *
+    * Levels over `(segment, nation, bal_bucket)` (bucket =
+    * floor(acctbal/100), double floor — floor-toward(−∞) in both
+    * engines, so negative balances bucket identically): level 0 keeps
+    * all three, 1 drops the bucket, 2 keeps segment only.
+    *
+    * Scale shape: ONE pass with ROLLUP (the Expand is a bounded ×4
+    * fan-out, map-side combined) to the group-count table — whose size
+    * is bounded by the QI VALUE DOMAIN (|segments|·|nations|·|buckets|),
+    * not the row count — then a 3-row aggregate over it. Exact integer
+    * counts; risk_frac floors an integer÷integer double to 1e-6. */
+  def kAnonymity(customer: DataFrame, k: Int = 5): DataFrame = {
+    val grouped = customer
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").cast("long").as("nation_key"),
+        floor(col("c_acctbal") / 100.0).cast("long").as("bal_bucket"))
+      .rollup(col("segment"), col("nation_key"), col("bal_bucket"))
+      .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+      // rollup emits (0) full, (1) −bucket, (3) segment-only, (7) grand
+      .filter(col("gid") =!= 7)
+      .withColumn("level",
+        when(col("gid") === 0, 0L).when(col("gid") === 1, 1L)
+          .otherwise(2L))
+    grouped
+      .groupBy(col("level"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_rows"),
+        min(col("n")).as("min_group"),
+        sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
+          .as("n_at_risk"))
+      .select(col("level"),
+        when(col("level") === 0, "segment,nation,bal_bucket")
+          .when(col("level") === 1, "segment,nation")
+          .otherwise("segment").as("qi"),
+        col("n_groups"), col("n_rows"), col("min_group"), col("n_at_risk"),
+        r6(col("n_at_risk").cast("double") / col("n_rows").cast("double"))
+          .as("risk_frac"))
+      .orderBy(col("level"))
+  }
 }

@@ -845,4 +845,72 @@ object Pipeline {
         col("fp"))
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
+
+  /** Cohen's-kappa agreement matrix between the [[curate]] funnel's five
+    * binary gates — the CATEGORICAL twin of [[signalCorrelation]] (Pearson
+    * sees redundancy between continuous signals; this sees it between the
+    * keep/drop VERDICTS, chance-corrected — two gates with raw agreement
+    * 0.95 but kappa near 0 agree only because both pass almost
+    * everything, and the second gate buys nothing). The table a curation
+    * team reads before paying for a gate the funnel already has.
+    *
+    * Determinism: all 16 moments (n, five verdict sums, ten pairwise
+    * both-keep sums of 0/1 products) accumulate as exact LONG counts in
+    * ONE aggregate; the marginal products go through DECIMAL(38,0) (n²
+    * overflows long past ~3e9 rows); po, pe and kappa derive in double
+    * from exact components with identical operation order in both
+    * engines, po floored to 1e-6 and kappa to 1e-4. Degenerate
+    * marginals (pe = 1: both gates constant and equal) emit kappa 0.
+    *
+    * Scale shape: one pass over the verdict table (1-bit columns — at
+    * 100 TB this reads bytes per doc, not text), 16 map-side-combined
+    * sums to a single row, the 10-pair matrix exploded from that row.
+    * Never a per-pair re-scan. */
+  def gateAgreement(docs: DataFrame, benchSplit: Long = 100): DataFrame =
+    gateAgreementFrom(curate(docs, benchSplit))
+
+  /** [[gateAgreement]] over an already-materialized [[curate]] verdict
+    * table (the `curationReportFrom` seam: the funnel runs once for all
+    * its consumers). */
+  def gateAgreementFrom(verdicts: DataFrame): DataFrame = {
+    val gates = Seq("gopher" -> "keep_gopher", "lm" -> "keep_lm",
+      "boiler" -> "keep_boiler", "windows" -> "keep_windows",
+      "decontam" -> "keep_decontam")
+    val bits = verdicts.select(gates.map { case (short, c) =>
+      col(c).cast("long").as(short) }: _*)
+    val pairs = for {
+      i <- gates.indices; j <- gates.indices if i < j
+    } yield (gates(i)._1, gates(j)._1)
+    val moments = bits.agg(
+      count(lit(1)).as("n"),
+      gates.map { case (s, _) => sum(col(s)).as(s"s_$s") } ++
+        pairs.map { case (a, b) =>
+          sum(col(a) * col(b)).as(s"s_${a}_$b") }: _*)
+    def kappaStruct(a: String, b: String): Column = {
+      val n = col("n")
+      val nD = n.cast("decimal(38,0)")
+      val sx = col(s"s_$a")
+      val sy = col(s"s_$b")
+      val sxy = col(s"s_${a}_$b")
+      // n_agree = n11 + n00 = 2·sxy + n − sx − sy (exact longs)
+      val agree = lit(2L) * sxy + n - sx - sy
+      val poD = agree.cast("double") / n.cast("double")
+      // pe·n² = sx·sy + (n−sx)(n−sy) — DECIMAL: n² overflows long
+      val peNum = (sx.cast("decimal(38,0)") * sy.cast("decimal(38,0)") +
+        (nD - sx.cast("decimal(38,0)")) * (nD - sy.cast("decimal(38,0)")))
+      val peD = peNum.cast("double") / (n.cast("double") * n.cast("double"))
+      struct(lit(a).as("gate_a"), lit(b).as("gate_b"),
+        agree.as("n_agree"),
+        (floor(poD * 1e6) / 1e6).as("po"),
+        when(peD < 1.0, floor((poD - peD) / (lit(1.0) - peD) * 1e4) / 1e4)
+          .otherwise(lit(0.0)).as("kappa"))
+    }
+    moments
+      .select(col("n"), explode(array(pairs.map {
+        case (a, b) => kappaStruct(a, b) }: _*)).as("p"))
+      .select(col("p.gate_a").as("gate_a"), col("p.gate_b").as("gate_b"),
+        col("n"), col("p.n_agree").as("n_agree"), col("p.po").as("po"),
+        col("p.kappa").as("kappa"))
+      .orderBy(col("gate_a"), col("gate_b"))
+  }
 }

@@ -199,4 +199,60 @@ class GovernanceSpec extends SparkSuite {
     assert(plan.contains("HashAggregate"))
     assert(!plan.toLowerCase.contains("cartesianproduct"))
   }
+
+  test("shardBalance conserves doc and token mass and is layout-invariant") {
+    val d = docs((1 to 40).map(i =>
+      (i.toLong, "s", (1 to (i % 7) + 1).map(j => s"w$j").mkString(" "))): _*)
+      .select(col("doc_id"), col("text"))
+    val rows = Governance.shardBalance(d, nShards = 4).collect()
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+    assert(rows.map(_.getLong(1)).sum == 40L)
+    val totTok = (1 to 40).map(i => (i % 7) + 1).sum.toLong
+    assert(rows.map(_.getLong(2)).sum == totTok)
+    rows.foreach { r =>
+      assert(r.getDouble(3) ==
+        math.floor(r.getLong(2).toDouble / totTok * 1e6) / 1e6)
+      assert(r.getDouble(4) ==
+        math.floor(r.getLong(2).toDouble * 4.0 / totTok * 1e4) / 1e4)
+    }
+    // the assignment hashes the doc id, so partitioning cannot move docs
+    val re = Governance.shardBalance(d.repartition(7), nShards = 4).collect()
+    assert(re.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq)
+  }
+
+  test("kAnonymity: generalizing up the ladder can only shrink risk") {
+    // five clones + one unique: the unique row is below k at the full
+    // QI and at (segment, nation); collapsing to segment alone merges
+    // it into a group of six — risk monotonically falls to zero
+    val rows = Seq.fill(5)(("A", 1, 150.0)) :+ (("A", 2, 250.0))
+    val cust = rows.zipWithIndex.map { case ((seg, nk, bal), i) =>
+      (i.toLong, s"c$i", nk, bal, seg) }
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val got = Governance.kAnonymity(cust, k = 5).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    // level 0 and 1: groups {5, 1} — one row at risk
+    Seq(0L, 1L).foreach { lvl =>
+      val r = got(lvl)
+      assert(r.getLong(2) == 2L && r.getLong(3) == 6L)
+      assert(r.getLong(4) == 1L && r.getLong(5) == 1L)
+      assert(r.getDouble(6) == math.floor(1.0 / 6.0 * 1e6) / 1e6)
+    }
+    // level 2: one group of six — fully k-anonymous
+    val r2 = got(2L)
+    assert(r2.getLong(2) == 1L && r2.getLong(4) == 6L &&
+      r2.getLong(5) == 0L && r2.getDouble(6) == 0.0)
+    assert(got(0L).getString(1) == "segment,nation,bal_bucket" &&
+      got(2L).getString(1) == "segment")
+  }
+
+  test("kAnonymity buckets negative balances toward -inf like the oracle") {
+    val cust = Seq((1L, "c1", 1, -50.0, "A"), (2L, "c2", 1, 50.0, "A"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // -50/100 floors to -1, 50/100 floors to 0: two DISTINCT buckets
+    val lvl0 = Governance.kAnonymity(cust, k = 2).collect()
+      .find(_.getLong(0) == 0L).get
+    assert(lvl0.getLong(2) == 2L)
+  }
 }

@@ -748,4 +748,43 @@ class PipelineSpec extends SparkSuite {
       assert(r.getLong(1) / 1000000L == r.getLong(0))
     }
   }
+
+  test("gateAgreement: hand-computed kappa — identical, independent and degenerate pairs") {
+    // gopher == lm (kappa 1), boiler independent of gopher (kappa 0),
+    // windows/decontam constant-true (kappa 0 by guard or marginals)
+    val verdicts = Seq(
+      (1L, true, true, true, true, true),
+      (2L, true, true, false, true, true),
+      (3L, false, false, true, true, true),
+      (4L, false, false, false, true, true))
+      .toDF("doc_id", "keep_gopher", "keep_lm", "keep_boiler",
+        "keep_windows", "keep_decontam")
+    val got = Pipeline.gateAgreementFrom(verdicts).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(got.size == 10)
+    val gl = got(("gopher", "lm"))
+    assert(gl.getLong(2) == 4L && gl.getLong(3) == 4L)
+    assert(gl.getDouble(4) == 1.0 && gl.getDouble(5) == 1.0)
+    val gb = got(("gopher", "boiler"))
+    // n11=1, agree = 2·1 + 4 − 2 − 2 = 2, po = 0.5, pe = (4+4)/16 = 0.5
+    assert(gb.getLong(3) == 2L && gb.getDouble(4) == 0.5 &&
+      gb.getDouble(5) == 0.0)
+    // constant gate vs varying gate: po = pe — chance-level, kappa 0
+    val gw = got(("gopher", "windows"))
+    assert(gw.getDouble(5) == 0.0)
+    // both constant and equal: pe = 1 — degenerate guard emits 0
+    val wd = got(("windows", "decontam"))
+    assert(wd.getLong(3) == 4L && wd.getDouble(4) == 1.0 &&
+      wd.getDouble(5) == 0.0)
+  }
+
+  test("gateAgreement is layout-invariant (one exact-moment aggregate)") {
+    val verdicts = (1 to 50).map(i =>
+      (i.toLong, i % 2 == 0, i % 3 == 0, i % 5 != 0, i % 7 != 0, true))
+      .toDF("doc_id", "keep_gopher", "keep_lm", "keep_boiler",
+        "keep_windows", "keep_decontam")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.gateAgreementFrom(df).collect().toSeq
+    assert(run(verdicts) == run(verdicts.repartition(13)))
+  }
 }
