@@ -31,7 +31,7 @@ object Scratch {
           // df's own queryExecution (collect, not a writer — the writer
           // wraps a separate command plan) and print what actually ran
           val df = fn(spark, sfDir)
-          df.collect()
+          df.collect() // BOUNDED: local profiling harness, gate-row result
           println(df.queryExecution.executedPlan.toString.linesIterator
             .take(60).mkString("\n"))
         } else {

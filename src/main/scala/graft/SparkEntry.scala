@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{cosine_similarity, dequantize8, quantize8}
 import graft.operators._
+import graft.operators.Barrier.BarrierOps
 import graft.sources.Tables
 
 /** Driver contract — SURVEY.md §2 is the inventory this map implements.
@@ -953,13 +954,15 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
     // corpus vocabulary stats: exact top-k frequent tokens.
-    // repartition() between the token-array projection and the explode is
-    // a materialization barrier: Generate re-evaluates a codegen'd child
-    // per OUTPUT row, which would re-run the regex chain per token.
+    // barrier() between the token-array projection and the explode:
+    // Generate re-evaluates a codegen'd child per OUTPUT row, which would
+    // re-run the regex chain per token. The barrier keeps the scan's own
+    // parallelism (no fixed partition count — a literal width would
+    // coalesce a 100 TB tokenize to that many tasks).
     "q_token_topk" -> q(t => t.documents
       .select(graft.functions.TextFunctions.tokens(
         graft.functions.TextFunctions.preprocess(col("text"))).as("toks"))
-      .repartition(32)
+      .barrier()
       .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("tok")).limit(20)),
@@ -972,7 +975,7 @@ object SparkEntry {
       val base = t.documents
         .select(pmod(col("doc_id"), lit(4L)).as("shard"),
           tokens(preprocess(col("text"))).as("toks"))
-        .repartition(32) // barrier: see q_token_topk
+        .barrier() // materialization cut: see q_token_topk
         .select(col("shard"), explode(col("toks")).as("tok"))
         .select(col("shard"), graft.functions.fnv1a64(col("tok")).as("h"))
       // two-level exact distinct (the Pipeline.cardAssemble discipline):

@@ -1410,7 +1410,7 @@ object Dedup {
     val blocked =
       if (k <= 32) {
         val cents: Array[(Long, Seq[Float])] =
-          IvfIndex.centroids(embeddings, k)
+          IvfIndex.centroids(embeddings, k) // BOUNDED: k <= 32 centroids
             .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
         // argmin by (dist, centroid_id): struct least() == the struct-min
         // aggregate below, row-at-a-time (least() requires ≥ 2 args, so a

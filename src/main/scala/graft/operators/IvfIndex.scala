@@ -159,7 +159,7 @@ object IvfIndex {
         .mapValues(_._2)
         .agg(graft.functions.VectorAvg.toColumn.name("cv"))
         .toDF("centroid_id", "cv")
-      // materialize: k × dim is tiny; keeps the lineage from nesting
+      // BOUNDED: k × dim is tiny; materializing keeps lineage flat
       cents = spark.createDataFrame(
         java.util.Arrays.asList(newCents.collect(): _*), newCents.schema)
     }
@@ -238,7 +238,7 @@ object IvfIndex {
     // the probe subtree would execute twice
     val probes = probeCentroids(cents, queries, nprobe).barrier()
     val probedIds = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0)) // bounded: <= queries x nprobe
+      .collect().map(_.getLong(0)) // BOUNDED: <= queries x nprobe
     val scored = postings
       .filter(col("centroid_id").isin(probedIds.toSeq.map(x => x: Any): _*))
       .join(broadcast(probes), Seq("centroid_id"))
@@ -259,7 +259,7 @@ object IvfIndex {
     // materialized once: ids for partition pruning + the broadcast side
     val probes = probeCentroids(cents, queries, nprobe).barrier()
     val probedIds = probes.select(col("centroid_id")).distinct()
-      .collect().map(_.getLong(0)) // bounded: <= queries x nprobe
+      .collect().map(_.getLong(0)) // BOUNDED: <= queries x nprobe
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("centroid_id").isin(probedIds.toSeq.map(x => x: Any): _*))
     val scored = postings

@@ -27,6 +27,7 @@ object ProductQuantizer {
     * the seeds' `j`-th `dim/m`-slices. */
   def codebooks(corpus: DataFrame, m: Int, k: Int): Array[Array[Array[Float]]] = {
     val seeds = corpus.filter(col("vec_id") < k).orderBy(col("vec_id"))
+      // BOUNDED: exactly k seed vectors
       .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
     require(seeds.nonEmpty, "PQ needs at least one seed vector")
     val sub = seeds.head.length / m
@@ -68,7 +69,7 @@ object ProductQuantizer {
         .groupByKey { case (j, c, _) => (j, c) }
         .mapValues(_._3)
         .agg(graft.functions.VectorAvg.toColumn.name("cw"))
-        .collect()
+        .collect() // BOUNDED: <= m x k codebook cells
       val next = cbs.map(_.clone())
       means.foreach { case ((j, c), cw) => next(j)(c) = cw }
       cbs = next
@@ -207,6 +208,7 @@ object ProductQuantizer {
   def searchPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
                       queries: DataFrame, topK: Int = 5): DataFrame = {
     val cbRows = spark.read.parquet(s"$path/codebooks")
+      // BOUNDED: m x k codebook rows
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2)))
     val m = cbRows.map(_._1).max + 1
     val cbs: Array[Seq[Seq[Float]]] = Array.tabulate(m)(j =>

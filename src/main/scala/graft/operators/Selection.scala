@@ -153,7 +153,7 @@ object Selection {
       .barrier() // ≤ `buckets` rows, re-read on every serve batch
     val t = docB.agg(
       sum(when(col("lang") === targetLang, col("m")).otherwise(0L)).as("nt"),
-      sum(col("m")).as("nr")).collect()(0)
+      sum(col("m")).as("nr")).collect()(0) // BOUNDED: one stats row
     val (nt, nr) = (if (t.isNullAt(0)) 0L else t.getLong(0),
       if (t.isNullAt(1)) 0L else t.getLong(1))
     val scored = docB
@@ -166,7 +166,7 @@ object Selection {
         scoreOf(col("cs"), col("n_tokens"), lit(nt), lit(nr), buckets)
           .as("score"))
     DsirModel(grid, nt, nr,
-      keepCut(scored).collect()(0).getDouble(0), buckets)
+      keepCut(scored).collect()(0).getDouble(0), buckets) // BOUNDED: 1 row
   }
 
   /** Score a (micro-)batch against a FROZEN model — no corpus access.

@@ -43,10 +43,11 @@ object Sketches {
     val toks = docs
       .select(tokens(preprocess(col("text"))).as("toks"))
       // barrier: Generate re-evaluates a codegen'd child per OUTPUT row
-      // (see SparkEntry q_token_topk); checkpoint because the stream is
-      // read twice (grid + exact audit)
-      .repartition(32)
+      // (see SparkEntry q_token_topk); keeps the scan's parallelism — a
+      // literal repartition width would coalesce a 100 TB tokenize
+      .barrier()
       .select(explode(col("toks")).as("tok"))
+      // second barrier: the token stream is read twice (grid + exact audit)
       .barrier()
     // the sketch: one pass, partial-aggregated into ≤ depth×width cells
     val grid = toks.select(gridCoords(col("tok"), depth, width).as("db"))

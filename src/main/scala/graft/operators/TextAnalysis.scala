@@ -548,7 +548,7 @@ object TextAnalysis {
       outs = outs :+ (pr, merges)
       if (r <= rounds) {
         val winner = pr.orderBy(col("score").desc, col("pair")).limit(1)
-          .collect().headOption // ONE row: this round's merge
+          .collect().headOption // BOUNDED: one row — this round's merge
         winner match {
           case None => dry = true // no adjacent pairs left: converged
           case Some(row) =>
