@@ -1664,13 +1664,16 @@ $rounds
            |  FROM lbl GROUP BY 1),
            | p AS (SELECT predicted_lang AS lang, COUNT(*) AS n_pred
            |  FROM lbl GROUP BY 1)
-           |SELECT t.lang, n, n_correct,
-           | floor(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6 AS recall,
+           |SELECT lang,
+           | coalesce(n, 0) AS n, coalesce(n_correct, 0) AS n_correct,
+           | CASE WHEN coalesce(n, 0) > 0
+           |   THEN floor(CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE) * 1e6) / 1e6
+           |   ELSE 0.0 END AS recall,
            | coalesce(n_pred, 0) AS n_pred,
            | CASE WHEN coalesce(n_pred, 0) > 0
-           |   THEN floor(CAST(n_correct AS DOUBLE) / CAST(n_pred AS DOUBLE) * 1e6) / 1e6
+           |   THEN floor(CAST(coalesce(n_correct, 0) AS DOUBLE) / CAST(n_pred AS DOUBLE) * 1e6) / 1e6
            |   ELSE 0.0 END AS "precision"
-           |FROM t LEFT JOIN p USING (lang) ORDER BY lang""".stripMargin,
+           |FROM t FULL OUTER JOIN p USING (lang) ORDER BY lang""".stripMargin,
       // q_signal_corr: the two gate oracles joined, grid ints recovered
       // with the +0.5 floor, HUGEINT moments, double r per pair
       "q_signal_corr" -> {
@@ -1941,8 +1944,8 @@ $rounds
            |   CAST(SUM(ntok) AS BIGINT) AS n_tokens FROM sh GROUP BY 1),
            | tot AS (SELECT SUM(n_tokens) AS tt FROM per)
            |SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs, n_tokens,
-           | floor(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) * 1e6) / 1e6 AS token_share,
-           | floor(CAST(n_tokens AS DOUBLE) * 16.0 / CAST(tt AS DOUBLE) * 1e4) / 1e4 AS load_factor
+           | CASE WHEN tt > 0 THEN floor(CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) * 1e6) / 1e6 ELSE 0.0 END AS token_share,
+           | CASE WHEN tt > 0 THEN floor(CAST(n_tokens AS DOUBLE) * 16.0 / CAST(tt AS DOUBLE) * 1e4) / 1e4 ELSE 0.0 END AS load_factor
            |FROM per, tot ORDER BY shard_id""".stripMargin
       },
       // q_k_anon: the three generalization levels as three exact

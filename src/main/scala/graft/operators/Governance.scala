@@ -256,10 +256,16 @@ object Governance {
     val totals = perShard.agg(sum(col("n_tokens")).as("tot_tokens"))
     perShard.crossJoin(broadcast(totals))
       .select(col("shard_id"), col("n_docs"), col("n_tokens"),
-        r6(col("n_tokens").cast("double") / col("tot_tokens").cast("double"))
+        // zero guard (the signalDrift/ngramNovelty convention): an
+        // all-empty corpus yields share/load 0.0, not null/NaN
+        when(col("tot_tokens") > 0L,
+          r6(col("n_tokens").cast("double") /
+            col("tot_tokens").cast("double"))).otherwise(0.0)
           .as("token_share"),
-        r4(col("n_tokens").cast("double") * lit(nShards.toDouble) /
-          col("tot_tokens").cast("double")).as("load_factor"))
+        when(col("tot_tokens") > 0L,
+          r4(col("n_tokens").cast("double") * lit(nShards.toDouble) /
+            col("tot_tokens").cast("double"))).otherwise(0.0)
+          .as("load_factor"))
       .orderBy(col("shard_id"))
   }
 

@@ -183,13 +183,12 @@ object TextAnalysis {
     * table a pipeline reads before trusting langid-gated filtering or
     * per-language mixing weights.
     *
-    * SCOPE: the report is TRUTH-side — one row per language that occurs
-    * as a truth label (truth LEFT JOIN prediction volumes). A language
-    * that is predicted but never appears as truth contributes to the
-    * mispredicting rows' recall but gets no row of its own, so a
-    * systematically over-predicted class outside the truth label set is
-    * invisible here; with this classifier's closed 4-language set and
-    * labeled corpora that cover it, the sets coincide.
+    * SCOPE: one row per language on EITHER side (truth FULL OUTER JOIN
+    * prediction volumes) — a language the model systematically
+    * over-predicts but that never occurs as a truth label still gets a
+    * row (n = 0, recall = 0) carrying its false-positive volume, so
+    * over-prediction outside the truth label set is visible, not
+    * silently folded into other rows' recall.
     *
     * Scale shape: the truth label rides the ONE scoring scan (the
     * `carry` seam — never a corpus-sized join-back on doc_id); the
@@ -210,13 +209,19 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"), sum(col("hit")).as("n_correct"))
     val pred = scored.groupBy(col("predicted_lang").as("lang"))
       .agg(count(lit(1)).as("n_pred"))
-    truth.join(pred, Seq("lang"), "left")
-      .select(col("lang"), col("n"), col("n_correct"),
-        (floor(col("n_correct").cast("double") / col("n").cast("double")
-          * 1e6) / 1e6).as("recall"),
+    // FULL outer: predicted-only languages surface as (n=0, recall=0)
+    // rows instead of hiding their false-positive volume (ADVICE r11)
+    truth.join(pred, Seq("lang"), "full")
+      .select(col("lang"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"),
+        when(coalesce(col("n"), lit(0L)) > 0L,
+          floor(col("n_correct").cast("double") / col("n").cast("double")
+            * 1e6) / 1e6).otherwise(lit(0.0)).as("recall"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),
         when(coalesce(col("n_pred"), lit(0L)) > 0L,
-          floor(col("n_correct").cast("double") / col("n_pred").cast("double")
+          floor(coalesce(col("n_correct"), lit(0L)).cast("double") /
+            col("n_pred").cast("double")
             * 1e6) / 1e6).otherwise(lit(0.0)).as("precision"))
       .orderBy(col("lang"))
   }

@@ -30,6 +30,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * fold sorts by (ts, event_id). */
 object ClickModelStream {
 
+  /** Null-item sentinel, deliberately outside any plausible id domain:
+    * batch [[graft.operators.Feedback.impressions]] keeps every non-null
+    * item (including negative ids), so the stream must too — encoding
+    * missing as -1 would silently drop a legitimate negative id and
+    * break batch/stream fidelity. */
+  val MissingItem: Long = Long.MinValue
+
   case class FeedbackEvent(user_id: Long, ts: Instant, event_id: Long,
                            event_type: String, item: Long)
 
@@ -98,7 +105,7 @@ object ClickModelStream {
       var cur = state.getOption
       evts.toSeq
         .filter(e => (e.event_type == "view" || e.event_type == "click") &&
-          e.item >= 0L)
+          e.item != MissingItem)
         .sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
         val t = micros(e.ts)
         cur match {
@@ -127,10 +134,12 @@ object ClickModelStream {
       .withWatermark("ts", s"$gapMinutes minutes")
       .select(col("user_id").cast("long"), col("ts"),
         col("event_id").cast("long"), col("event_type"),
-        // a missing item encodes as -1, filtered inside the fold — a
-        // DataFrame-level filter would be pushed below the watermark
+        // a missing item encodes as the MissingItem sentinel (outside
+        // the id domain — negative item ids stay valid, matching batch
+        // Feedback's item-IS-NOT-NULL scope), filtered inside the fold —
+        // a DataFrame-level filter would be pushed below the watermark
         // node (see the method doc)
-        coalesce(propsK, lit(-1L)).as("item"))
+        coalesce(propsK, lit(MissingItem)).as("item"))
       .as[FeedbackEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,

@@ -47,6 +47,17 @@ object ProfileStream {
     valNum.map(v => GraftHash.fnv1a64(v.toString.getBytes("UTF-8")))
       .orElse(valStr.map(s => GraftHash.fnv1a64(s.getBytes("UTF-8"))))
 
+  /** `a < b` in UTF-8 BYTE order — the order Spark's min/max on StringType
+    * uses (UTF8String.compareTo is an unsigned byte compare). Scala's
+    * String `<` compares UTF-16 code units, which disagrees with UTF-8
+    * byte order for strings mixing supplementary (surrogate-pair) and
+    * high-BMP characters; folding with this keeps the stream's min_str /
+    * max_str bit-equal to the batch profile on ANY input, not just
+    * ASCII. */
+  def utf8Lt(a: String, b: String): Boolean =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+
   /** `records` stream + the SAME canonicalization specs as the batch
     * operator → running per-column profile. */
   def profile(records: DataFrame, numSpecs: Seq[(String, Column)],
@@ -82,8 +93,8 @@ object ProfileStream {
               maxNum = Some(maxNum.fold(v)(math.max(_, v)))
             }
             r.val_str.foreach { s =>
-              minStr = Some(minStr.fold(s)(m => if (s < m) s else m))
-              maxStr = Some(maxStr.fold(s)(m => if (s > m) s else m))
+              minStr = Some(minStr.fold(s)(m => if (utf8Lt(s, m)) s else m))
+              maxStr = Some(maxStr.fold(s)(m => if (utf8Lt(m, s)) s else m))
             }
           }
           val minima = new Array[Long](buf.set.size)

@@ -546,6 +546,24 @@ class PipelineSpec extends SparkSuite {
     assert(got.size == 5)
   }
 
+  test("langidEval: a predicted-only language gets its own row") {
+    // no truth label is "fr", but doc 2 predicts fr — the full-outer
+    // join must surface its false-positive volume as an (n=0, recall=0)
+    // row rather than hide it (ADVICE r11: over-predicted classes
+    // outside the truth label set were invisible under the left join)
+    val docs = Seq(
+      (1L, "the cat is here", "en"),  // → en (hit)
+      (2L, "le chien et la", "en"))   // → fr: an en miss, fr false pos
+      .toDF("doc_id", "text", "lang")
+    val got = operators.TextAnalysis.langidEval(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(got("en") == (2L, 1L, 0.5, 1L, 1.0))
+    assert(got("fr") == (0L, 0L, 0.0, 1L, 0.0))
+    assert(got.size == 2)
+  }
+
   test("signalCorrelation: exact-moment r, zero-variance signals stay 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),

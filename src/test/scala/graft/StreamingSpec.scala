@@ -1042,4 +1042,55 @@ class StreamingSpec extends SparkSuite {
         s"sketch estimate for ${s.head}")
     }
   }
+
+  test("ProfileStream.utf8Lt matches Spark's StringType min/max order") {
+    // U+10000 is one UTF-16 surrogate pair (leading 0xD800) but four
+    // UTF-8 bytes (F0 90 80 80); U+FFFD is one code unit (0xFFFD) and
+    // three bytes (EF BF BD). Scala's String < ranks the supplementary
+    // char FIRST (0xD800 < 0xFFFD); Spark's binary UTF8String order
+    // ranks it LAST (F0 > EF) — the fold must agree with Spark.
+    val supp = new String(Character.toChars(0x10000))
+    val bmp = "�"
+    assert(supp < bmp, "sanity: UTF-16 order disagrees on this pair")
+    assert(ProfileStream.utf8Lt(bmp, supp) &&
+      !ProfileStream.utf8Lt(supp, bmp))
+    // and Spark's own min/max picks the same order
+    import org.apache.spark.sql.Row
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(supp), Row(bmp)),
+      StructType(Seq(StructField("s", StringType))))
+    val r = df.agg(min(col("s")), max(col("s"))).head()
+    assert(r.getString(0) == bmp && r.getString(1) == supp)
+  }
+
+  test("click-model stream keeps a legitimate negative item id") {
+    // batch Feedback.impressions keeps every non-null item; the stream's
+    // missing-item sentinel must therefore live OUTSIDE the id domain
+    // (Long.MinValue), not at -1 — a -1 sentinel silently dropped real
+    // negative ids (ADVICE r12)
+    import org.apache.spark.sql.Row
+    val dir = Files.createTempDirectory("graft-cm-neg").toString
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val flushTs = java.sql.Timestamp.valueOf("2024-01-03 10:00:00")
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(1L, t0, 7L, "view", 0.0, """{"k":-5}"""),
+        Row(2L, new java.sql.Timestamp(t0.getTime + 1000L), 7L, "click",
+          0.0, """{"k":-5}"""),
+        Row(99L, flushTs, 99L, "flush", 0.0, "{}")),
+      cmSchema).coalesce(1).write.parquet(s"$dir/chunk=a")
+    val stream = spark.readStream.schema(cmSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
+    val q = ClickModelStream.marks(stream)
+      .writeStream.format("memory").queryName("cm_neg_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cm_neg_out")
+        .select(col("item"), col("pos"), col("clicked"))
+        .collect().map(_.toSeq).toSeq
+      assert(got == Seq(Seq(-5L, 1L, true)),
+        s"negative item id must fold like batch, got $got")
+    } finally q.stop()
+  }
 }

@@ -2,7 +2,7 @@
 """Per-query scaling-ratio table from two Bench JSON lines.
 
 Usage: python3 tools/scaling.py <bench_small.json> <bench_big.json> \
-           [data_ratio] [--gate [artifact.json]]
+           [data_ratio] [--gate [--gate-out artifact.json]]
 
 Prints a markdown table (query, t_small, t_big, ratio) sorted by ratio
 descending, plus summary stats. `data_ratio` (default 10) is the nominal
@@ -35,17 +35,25 @@ SHUFFLE_FLOOR_REC = 20000  # record mode: small-side floor
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    gate = "--gate" in sys.argv
-    gate_out = None
-    if gate:
-        i = sys.argv.index("--gate")
-        if i + 1 < len(sys.argv) and sys.argv[i + 1].endswith(".json"):
-            gate_out = sys.argv[i + 1]
-            args = [a for a in args if a != gate_out]
-    small = json.load(open(args[0]))
-    big = json.load(open(args[1]))
-    data_ratio = float(args[2]) if len(args) > 2 else 10.0
+    # argparse so a positional bench file can never be misparsed as the
+    # gate artifact (the old hand-rolled scan grabbed the next argv token
+    # whenever it ended in .json)
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("bench_small")
+    ap.add_argument("bench_big")
+    ap.add_argument("data_ratio", nargs="?", type=float, default=10.0)
+    ap.add_argument("--gate", action="store_true",
+                    help="enforce the shuffle-ratio contract (exit 1 on fail)")
+    ap.add_argument("--gate-out", metavar="ARTIFACT.json", default=None,
+                    help="write the machine-readable gate artifact here")
+    ns = ap.parse_args()
+    gate = ns.gate or ns.gate_out is not None
+    gate_out = ns.gate_out
+    small = json.load(open(ns.bench_small))
+    big = json.load(open(ns.bench_big))
+    data_ratio = ns.data_ratio
     qs, qb = small["queries"], big["queries"]
     shs, shb = small.get("shuffle_mb", {}), big.get("shuffle_mb", {})
     rows = []
