@@ -38,6 +38,29 @@ object SparkEntry {
     Bm25QueryTerms.toDF("query_id", "term")
   }
 
+  /** The frozen media index the mm_{ivf,sign}_search / mm_recall rows
+    * serve from: one encode pass over the documents-as-payload corpus,
+    * barriered (the [[graft.multimodal.Multimodal.freezeMediaIndex]]
+    * serve-path contract) — `(vec_id, embedding)`, schema-identical to
+    * the text embeddings table. */
+  private def mmFrozenIndex(t: Tables): DataFrame =
+    graft.multimodal.Multimodal.freezeMediaIndex(
+      t.documents.select(col("doc_id"),
+        col("text").cast("binary").as("payload")),
+      graft.multimodal.Multimodal.ProjectionMediaEncoder.frozen(
+        t.documents.sparkSession))
+
+  /** The text-tower query vectors for the media index rows — the same
+    * query set and hash_embed tower mm_search uses (so the recall audit
+    * compares like against like). */
+  private def mmQueryVecs(t: Tables): DataFrame =
+    t.documents
+      .filter(col("doc_id") < 3 &&
+        length(trim(graft.functions.TextFunctions.preprocess(col("text")))) > 0)
+      .select(col("doc_id").as("query_id"),
+        graft.functions.hash_embed(
+          graft.functions.TextFunctions.preprocess(col("text")), 64).as("qv"))
+
   /** Process-private base dir + per-corpus memo for the build-once index
     * queries: reused within a JVM, never shared across processes (no
     * /tmp path races), and keyed on (dir, corpus file fingerprint) so a
@@ -890,6 +913,21 @@ object SparkEntry {
         graft.multimodal.Multimodal.ProjectionMediaEncoder.frozen(
           t.documents.sparkSession))
     }),
+    // the media vectors PROVEN through the index layouts (not just
+    // claimed schema-compatible): freezeMediaIndex's (vec_id, embedding)
+    // output drops into IvfIndex.search / recallAudit / Search.signTopK
+    // verbatim — the same operators the text embeddings gate, zero
+    // media-specific search code
+    "mm_ivf_search" -> q(t => IvfIndex.search(
+      mmQueryVecs(t), mmFrozenIndex(t), nCentroids = 16, nprobe = 4, k = 5)),
+    // recall@5 of the media-IVF probe vs mm_search's exact ranking —
+    // the audit that turns "vectors drop into IVF unchanged" into a
+    // measured number (the q_recall contract on the media tower)
+    "mm_recall" -> q(t => IvfIndex.recallAudit(
+      mmQueryVecs(t), mmFrozenIndex(t), nCentroids = 16, nprobe = 4, k = 5)),
+    // and the 32×-compressed sign-bit layout over the same frozen index
+    "mm_sign_search" -> q(t =>
+      Search.signTopK(mmQueryVecs(t), mmFrozenIndex(t), k = 5)),
     "q7_corr_subquery" -> q(Relational.premiumParts),
     "q8_distribution"  -> q(Relational.orderCountDistribution),
     "q9_argmax"        -> q(Relational.topSupplierPerNation),
@@ -1204,6 +1242,29 @@ object SparkEntry {
        |   FROM qnrm k CROSS JOIN range(0,64) r
        |   LEFT JOIN qcnt c ON c.query_id = k.query_id AND c.bucket = r.range
        |   GROUP BY k.query_id)""".stripMargin
+
+  /** The MEDIA-tower replay chain `u0 → xb → yj → mnrm → mv(doc_id, ev)`:
+    * payload checksum (the stub decoder's FNV fold over the text bytes —
+    * normalized text is ASCII so UTF-16 units == bytes), 8 raw feature
+    * bytes, the frozen integer projection head, REAL L2-normalize — ONE
+    * definition serving the mm_search / mm_ivf_search / mm_recall /
+    * mm_sign_search oracles (the `minhashPairsCte` factoring rule: an
+    * edit to the tower replay must not diverge between them). */
+  private def mediaVecCtes: String =
+    s""" u0 AS (SELECT doc_id,
+       |   CASE WHEN length(text)=0 THEN 14695981039346656037::HUGEINT
+       |        ELSE ${fnvSql("list_transform(string_split(text,''), c -> unicode(c)::HUGEINT)")} END AS u
+       |  FROM documents),
+       | xb AS (SELECT doc_id, r.i,
+       |   CAST((u // ([1::HUGEINT, 256::HUGEINT, 65536::HUGEINT, 16777216::HUGEINT,
+       |     4294967296::HUGEINT, 1099511627776::HUGEINT,
+       |     281474976710656::HUGEINT, 72057594037927936::HUGEINT])[r.i+1]) % 256 AS BIGINT) AS x
+       |  FROM u0, range(0,8) r(i)),
+       | yj AS (SELECT xb.doc_id, w.j, SUM((((xb.i*31 + w.j*17) % 13) - 6) * xb.x) AS y
+       |   FROM xb, range(0,64) w(j) GROUP BY 1,2),
+       | mnrm AS (SELECT doc_id, sqrt(SUM(y*y)) AS nr FROM yj GROUP BY 1),
+       | mv AS (SELECT yj.doc_id, list(CAST(CAST(yj.y * (1.0/mnrm.nr) AS REAL) AS DOUBLE) ORDER BY yj.j) AS ev
+       |   FROM yj JOIN mnrm ON yj.doc_id = mnrm.doc_id GROUP BY yj.doc_id)""".stripMargin
 
   /** [[queryVecCtes]] + the cosine ranking against [[chunkVecCtes]]'
     * `cvec`, shared by q_rag_search and q_context_pack. */
@@ -3359,20 +3420,7 @@ $rounds
           | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
           | b0 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
           | $queryVecCtes,
-          | u0 AS (SELECT doc_id,
-          |   CASE WHEN length(text)=0 THEN 14695981039346656037::HUGEINT
-          |        ELSE ${fnvSql("list_transform(string_split(text,''), c -> unicode(c)::HUGEINT)")} END AS u
-          |  FROM documents),
-          | xb AS (SELECT doc_id, r.i,
-          |   CAST((u // ([1::HUGEINT, 256::HUGEINT, 65536::HUGEINT, 16777216::HUGEINT,
-          |     4294967296::HUGEINT, 1099511627776::HUGEINT,
-          |     281474976710656::HUGEINT, 72057594037927936::HUGEINT])[r.i+1]) % 256 AS BIGINT) AS x
-          |  FROM u0, range(0,8) r(i)),
-          | yj AS (SELECT xb.doc_id, w.j, SUM((((xb.i*31 + w.j*17) % 13) - 6) * xb.x) AS y
-          |   FROM xb, range(0,64) w(j) GROUP BY 1,2),
-          | mnrm AS (SELECT doc_id, sqrt(SUM(y*y)) AS nr FROM yj GROUP BY 1),
-          | mv AS (SELECT yj.doc_id, list(CAST(CAST(yj.y * (1.0/mnrm.nr) AS REAL) AS DOUBLE) ORDER BY yj.j) AS ev
-          |   FROM yj JOIN mnrm ON yj.doc_id = mnrm.doc_id GROUP BY yj.doc_id),
+          |$mediaVecCtes,
           | msims AS (SELECT query_id, m.doc_id AS vec_id, list_cosine_similarity(qv, ev) AS sim
           |   FROM qvec CROSS JOIN mv m),
           | mrnk AS (SELECT query_id, vec_id, sim,
@@ -3380,6 +3428,80 @@ $rounds
           |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
           | floor(sim*1e6)/1e6 AS score
           |FROM mrnk WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
+    // mm_ivf_search: the media tower composed with the IVF layout — the
+    // SAME assignment/probe replay as q_ivf_search, over mv instead of
+    // embeddings, queried by the text tower
+    "mm_ivf_search" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | b0 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+          | $queryVecCtes,
+          |$mediaVecCtes,
+          | c AS (SELECT doc_id AS centroid_id, ev AS cv FROM mv WHERE doc_id < 16),
+          | assign AS (SELECT doc_id AS vec_id, centroid_id FROM (
+          |   SELECT m.doc_id, c.centroid_id,
+          |    ROW_NUMBER() OVER (PARTITION BY m.doc_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+          |   FROM mv m CROSS JOIN c) WHERE rn = 1),
+          | probes AS (SELECT query_id, centroid_id FROM (
+          |   SELECT query_id, centroid_id,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+          |   FROM qvec CROSS JOIN c) WHERE rn <= 4),
+          | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+          | scored AS (SELECT cand.query_id, cand.vec_id, list_cosine_similarity(q.qv, m.ev) AS sim
+          |   FROM cand JOIN qvec q ON cand.query_id = q.query_id JOIN mv m ON cand.vec_id = m.doc_id),
+          | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
+          |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+          |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
+    // mm_recall: mm_ivf_search's candidate recovery audited against
+    // mm_search's exact ranking (the q_recall contract on the media
+    // tower) — the row that turns "encoded vectors drop into IVF
+    // unchanged" into evidence
+    "mm_recall" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | b0 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+          | $queryVecCtes,
+          |$mediaVecCtes,
+          | exact AS (SELECT query_id, vec_id FROM (
+          |   SELECT query_id, m.doc_id AS vec_id,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, ev) DESC, m.doc_id) AS rn
+          |   FROM qvec CROSS JOIN mv m) WHERE rn <= 5),
+          | c AS (SELECT doc_id AS centroid_id, ev AS cv FROM mv WHERE doc_id < 16),
+          | assign AS (SELECT doc_id AS vec_id, centroid_id FROM (
+          |   SELECT m.doc_id, c.centroid_id,
+          |    ROW_NUMBER() OVER (PARTITION BY m.doc_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+          |   FROM mv m CROSS JOIN c) WHERE rn = 1),
+          | probes AS (SELECT query_id, centroid_id FROM (
+          |   SELECT query_id, centroid_id,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+          |   FROM qvec CROSS JOIN c) WHERE rn <= 4),
+          | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+          | scored AS (SELECT cand.query_id, cand.vec_id, list_cosine_similarity(q.qv, m.ev) AS sim
+          |   FROM cand JOIN qvec q ON cand.query_id = q.query_id JOIN mv m ON cand.vec_id = m.doc_id),
+          | approx AS (SELECT query_id, vec_id FROM (
+          |   SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+          |   FROM scored) WHERE rn <= 5)
+          |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+          | floor(COUNT(a.vec_id)/5.0*1e6)/1e6 AS recall
+          |FROM exact x LEFT JOIN approx a
+          | ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+          |GROUP BY x.query_id ORDER BY x.query_id""").stripMargin,
+    // mm_sign_search: the media vectors through the sign-bit layout —
+    // HUGEINT bit packing of mv, text-tower query bits, Hamming ranking
+    "mm_sign_search" ->
+      (s"""WITH n0 AS (SELECT doc_id, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks FROM n0),
+          | b0 AS (SELECT doc_id, toks FROM tok WHERE len(toks) > 0),
+          | $queryVecCtes,
+          |$mediaVecCtes,
+          | sb AS (SELECT doc_id AS vec_id, ${Oracles.signBitsSql("ev")} AS bits FROM mv),
+          | qb AS (SELECT query_id, ${Oracles.signBitsSql("qv")} AS qbits FROM qvec),
+          | hd AS (SELECT query_id, s.vec_id, bit_count(xor(s.bits, qbits)) AS hamming
+          |   FROM qb CROSS JOIN sb s),
+          | r AS (SELECT query_id, vec_id, hamming,
+          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn FROM hd)
+          |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, CAST(hamming AS BIGINT) AS hamming
+          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""").stripMargin,
     // int8 quantization replayed element-wise in REAL (float32) — every
     // intermediate cast to REAL so DuckDB rounds exactly where the JVM's
     // float ops do; Math.round(f) is floor(f + 0.5f)

@@ -79,4 +79,48 @@ class MultimodalSearchSpec extends SparkSuite {
       assert(math.abs(n - 1.0) < 1e-6, s"norm $n")
     }
   }
+
+  test("frozen media index drops into IVF: full probe == exact ranking") {
+    // the composition gate behind mm_ivf_search/mm_recall: the SAME
+    // frozen (vec_id, embedding) table served to IvfIndex.search must,
+    // when every posting list is probed (nprobe = nCentroids), return
+    // exactly bruteForceTopK's ranking — proving the media vectors ride
+    // the index layout with no media-specific code and no value drift
+    val enc = ProjectionMediaEncoder.frozen(spark)
+    val idx = Multimodal.freezeMediaIndex(mediaOf(corpusRows), enc)
+    val queries = Seq(
+      (100L, "payload body 3 with some distinguishing tail"),
+      (101L, "totally different wording here")).toDF("query_id", "qtext")
+      .select(col("query_id"),
+        graft.functions.hash_embed(col("qtext"), 64).as("qv"))
+    val exact = operators.Search.bruteForceTopK(queries, idx, 5)
+      .collect().map(_.toSeq).toSeq
+    val fullProbe = operators.IvfIndex.search(queries, idx,
+      nCentroids = 8, nprobe = 8, k = 5).collect().map(_.toSeq).toSeq
+    assert(exact.nonEmpty && fullProbe == exact)
+    // and the pruned probe's recall audit is well-formed: hits ≤ k,
+    // recall on the 1e-6 grid
+    val audit = operators.IvfIndex.recallAudit(queries, idx,
+      nCentroids = 8, nprobe = 2, k = 5).collect()
+    assert(audit.length == 2)
+    audit.foreach { r =>
+      val (hits, rec) = (r.getLong(1), r.getDouble(2))
+      assert(hits >= 0L && hits <= 5L)
+      assert(rec == math.floor(hits / 5.0 * 1e6) / 1e6)
+    }
+  }
+
+  test("sign-bit layout over the frozen media index: Hamming contract") {
+    val enc = ProjectionMediaEncoder.frozen(spark)
+    val idx = Multimodal.freezeMediaIndex(mediaOf(corpusRows), enc)
+    val queries = Seq((100L, "payload body 3 with some distinguishing tail"))
+      .toDF("query_id", "qtext")
+      .select(col("query_id"),
+        graft.functions.hash_embed(col("qtext"), 64).as("qv"))
+    val got = operators.Search.signTopK(queries, idx, k = 5).collect()
+    assert(got.length == 5)
+    val hams = got.sortBy(_.getLong(1)).map(_.getLong(3))
+    assert(hams.zip(hams.tail).forall { case (a, b) => a <= b })
+    hams.foreach(h => assert(h >= 0L && h <= 64L))
+  }
 }
