@@ -1103,6 +1103,11 @@ object SparkEntry {
       t.documents.select(col("doc_id"), col("text")))),
     // per-column table profile (canonical forms; exact distinct)
     "q_profile" -> q(Profile.ordersProfile),
+    // the 100 TB profile path: KMV-sketched distinct, corpus-independent
+    // shuffle (|columns| × (sketch + 6 scalars) per map partition); k=8
+    // exercises BOTH regimes — exact for the small-domain columns,
+    // integer bottom-k estimator for keys/dates
+    "q_profile_sketch" -> q(t => Profile.ordersProfileSketch(t)),
     // distribution drift between two event time-slices (deploy cut);
     // the ts column's range_expanded is the planted positive
     "q_profile_diff" -> q(t => Profile.eventsProfileDiff(t)),
@@ -2091,6 +2096,7 @@ $rounds
       // q_profile: one aggregate per column over the SAME canonical
       // forms (cent-grid money, second-precision dates), unioned
       "q_profile" -> (ordersProfileSql + "\nORDER BY 1"),
+      "q_profile_sketch" -> (ordersProfileSketchSql(8) + "\nORDER BY 1"),
       // q_signal_drift: the snapshot pair replayed, ws token counts
       // (the text_tokens expression) summed exactly per source, one
       // |sources|-row full-outer join, grid means + raw-difference delta
@@ -2200,6 +2206,50 @@ $rounds
       str("o_orderstatus", "o_orderstatus"),
       str("o_orderpriority", "o_orderpriority"),
       str("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')"))
+      .mkString("\nUNION ALL\n")
+  }
+
+  /** [[ordersProfileSql]]'s sketch twin: per column the KMV bottom-k
+    * replay over the SAME canonical values — FNV-1a of the value's
+    * decimal/string form (ProfileStream.valueHash's domain), the k-th
+    * smallest distinct hash on the unsigned 2⁶⁴ circle, integer
+    * estimator `(k-1)·2⁶⁴ // h₍ₖ₎` in HUGEINT (the q_distinct_sketch
+    * discipline). Under k distinct values est = exact count, kth = 0. */
+  private def ordersProfileSketchSql(k: Int): String = {
+    def hashOf(strExpr: String): String =
+      s"CASE WHEN length($strExpr)=0 THEN 14695981039346656037::HUGEINT ELSE " +
+        fnvSql(s"list_transform(string_split($strExpr,''), c -> unicode(c)::HUGEINT)") +
+        " END"
+    def one(nm: String, expr: String, isNum: Boolean): String = {
+      val sExpr = if (isNum) s"CAST($expr AS VARCHAR)" else expr
+      val mins =
+        if (isNum)
+          s"""MIN($expr) AS min_num, MAX($expr) AS max_num,
+             |   CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str""".stripMargin
+        else
+          s"""CAST(NULL AS BIGINT) AS min_num, CAST(NULL AS BIGINT) AS max_num,
+             |   MIN($expr) AS min_str, MAX($expr) AS max_str""".stripMargin
+      s"""SELECT '$nm' AS col_name, COUNT(*) AS n,
+         |  COUNT(*) - COUNT($expr) AS n_null,
+         |  (WITH d AS (SELECT DISTINCT ${hashOf(sExpr)} AS u FROM orders WHERE $expr IS NOT NULL),
+         |    kk AS (SELECT u AS kv FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn FROM d) WHERE rn = $k)
+         |   SELECT CAST(CASE WHEN (SELECT kv FROM kk) IS NULL THEN (SELECT COUNT(*) FROM d)::HUGEINT
+         |     ELSE ${k - 1}::HUGEINT * 18446744073709551616::HUGEINT // (SELECT kv FROM kk) END AS BIGINT)) AS est_distinct,
+         |  (WITH d AS (SELECT DISTINCT ${hashOf(sExpr)} AS u FROM orders WHERE $expr IS NOT NULL),
+         |    kk AS (SELECT u AS kv FROM (SELECT u, ROW_NUMBER() OVER (ORDER BY u) AS rn FROM d) WHERE rn = $k)
+         |   SELECT coalesce(${signedSql("(SELECT kv FROM kk)")}, 0)) AS kth_min,
+         |  $mins
+         |FROM orders""".stripMargin
+    }
+    Seq(
+      one("o_orderkey", "o_orderkey", isNum = true),
+      one("o_custkey", "o_custkey", isNum = true),
+      one("o_totalprice", "CAST(floor(o_totalprice * 100) AS BIGINT)",
+        isNum = true),
+      one("o_orderstatus", "o_orderstatus", isNum = false),
+      one("o_orderpriority", "o_orderpriority", isNum = false),
+      one("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+        isNum = false))
       .mkString("\nUNION ALL\n")
   }
 

@@ -23,10 +23,11 @@ import graft.sources.Tables
   * feeds a (col, value)-keyed groupBy that collapses map-side to
   * per-partition distinct values, so the shuffle is Σ_col |distinct
   * values| — the exact-distinct lower bound — and the second aggregate
-  * reduces to |columns| rows. At 100 TB swap the exact distinct for the
-  * KMV sketch ([[graft.functions.KmvSketch]], the `q_distinct_sketch`
-  * path) and the shuffle drops to |columns| × sketch size; the exact
-  * form is kept here because the correctness oracle replays it. */
+  * reduces to |columns| rows. At 100 TB select [[profileSketch]]
+  * instead: the KMV sketch replaces the exact distinct and the shuffle
+  * drops to |columns| × (sketch + 6 scalars) per map partition —
+  * corpus-independent. Both are gate rows; [[profile]] stays the
+  * default because its distinct counts are exact. */
 object Profile {
 
   /** Generic core: profile `df` over canonicalized numeric columns
@@ -64,6 +65,63 @@ object Profile {
         min(col("val_str")).as("min_str"), max(col("val_str")).as("max_str"))
       .orderBy(col("col_name"))
   }
+
+  /** The 100 TB form of [[profile]] — the sketch-backed path the object
+    * doc promises, selectable exactly like the exact form (same specs,
+    * same output shape, `est_distinct`+`kth_min` in place of
+    * `n_distinct`): ONE aggregate straight off the unpivot, no
+    * (col, value) distinct shuffle at all. Each map partition ships
+    * |columns| partials of six scalars + ≤ k hash minima, so the
+    * shuffle is corpus-INDEPENDENT (the exact form's is Σ distinct
+    * values — fine until a high-cardinality key column at 10¹¹ rows).
+    *
+    * Value hashing is [[graft.streaming.ProfileStream.valueHash]]'s
+    * domain verbatim — `fnv1a64(coalesce(cast(val_num as string),
+    * val_str))` — so batch sketch, streaming twin and the DuckDB
+    * replay fold the same 64-bit points; under k distinct values the
+    * KMV set IS the distinct set and `est_distinct` equals the exact
+    * count (kth_min = 0), above it the bottom-k estimator is pure
+    * integer arithmetic (BigInt / HUGEINT) and replays bit-for-bit. */
+  def profileSketch(df: DataFrame, numSpecs: Seq[(String, Column)],
+                    strSpecs: Seq[(String, Column)],
+                    k: Int = 256): DataFrame = {
+    val isNull = col("val_num").isNull && col("val_str").isNull
+    unpivot(df, numSpecs, strSpecs)
+      .select(col("col_name"), col("val_num"), col("val_str"),
+        graft.functions.fnv1a64(
+          coalesce(col("val_num").cast("string"), col("val_str"))).as("h"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(isNull, 1L).otherwise(0L)).as("n_null"),
+        // null hashes are skipped by the aggregate (null-value rows
+        // must not contribute a distinct point)
+        graft.functions.kmv_distinct(col("h"), k).as("sk"),
+        min(col("val_num")).as("min_num"), max(col("val_num")).as("max_num"),
+        min(col("val_str")).as("min_str"), max(col("val_str")).as("max_str"))
+      .select(col("col_name"), col("n"), col("n_null"),
+        col("sk.est_distinct").as("est_distinct"),
+        col("sk.kth_min").as("kth_min"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+      .orderBy(col("col_name"))
+  }
+
+  /** The gate instance of [[profileSketch]]: the same orders
+    * canonicalization as [[ordersProfile]]. `k = 8` forces BOTH
+    * regimes at any SF: the 2-to-5-distinct status/priority columns
+    * take the exact path (kth_min = 0), the key/date columns exercise
+    * the integer estimator. */
+  def ordersProfileSketch(t: Tables, k: Int = 8): DataFrame =
+    profileSketch(t.orders,
+      numSpecs = Seq(
+        "o_orderkey" -> col("o_orderkey"),
+        "o_custkey" -> col("o_custkey"),
+        "o_totalprice" -> floor(col("o_totalprice") * 100)),
+      strSpecs = Seq(
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_orderdate" -> date_format(col("o_orderdate"),
+          "yyyy-MM-dd HH:mm:ss")),
+      k = k)
 
   /** The gate instance: profile of the `orders` table. Money floors to
     * the cent grid; the order date renders at second precision (the

@@ -143,6 +143,61 @@ class GovernanceSpec extends SparkSuite {
     assert(s.getString(6) == "a" && s.getString(7) == "b")
   }
 
+  test("profileSketch: under-k est equals exact distinct; estimator equals KmvBuffer replay") {
+    val df = Seq(
+      (Some(10L), Some("b")),
+      (Some(20L), Some("a")),
+      (Some(10L), None),
+      (None, Some("a"))).toDF("num", "str")
+    val specsN = Seq("num" -> col("num")); val specsS = Seq("str" -> col("str"))
+    // under-k regime: the KMV set IS the distinct set → est == exact,
+    // kth_min == 0, and every other column matches the exact profile
+    val exact = Profile.profile(df, specsN, specsS).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sk = Profile.profileSketch(df, specsN, specsS, k = 64).collect()
+      .map(r => r.getString(0) -> r).toMap
+    Seq("num", "str").foreach { c =>
+      val (e, s) = (exact(c), sk(c))
+      assert(s.getLong(1) == e.getLong(1) && s.getLong(2) == e.getLong(2))
+      assert(s.getLong(3) == e.getLong(3), s"$c: under-k est must be exact")
+      assert(s.getLong(4) == 0L, s"$c: kth_min is 0 on the exact path")
+      (5 to 8).foreach(i => assert(s.get(i) == e.get(i - 1),
+        s"$c min/max slot $i"))
+    }
+    // estimator regime (k=2 < 3 distinct nums): bit-equal to a local
+    // KmvBuffer fold over the same ProfileStream.valueHash domain
+    val many = Seq(Some(10L), Some(20L), Some(30L), None)
+      .map(v => (v, None: Option[String])).toDF("num", "str")
+    val got = Profile.profileSketch(many, specsN, Nil, k = 2).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val buf = new graft.functions.KmvBuffer(2)
+    Seq(10L, 20L, 30L).foreach(v =>
+      buf.add(graft.streaming.ProfileStream.valueHash(Some(v), None).get))
+    val (wantEst, wantKth) = buf.estimate
+    assert(got("num").getLong(3) == wantEst && got("num").getLong(4) == wantKth)
+    assert(wantKth != 0L, "sanity: k=2 over 3 distincts is the estimator path")
+    // and the sketch path is partitioning-invariant (set-union merge)
+    val re = Profile.profileSketch(many.repartition(7), specsN, Nil, k = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(re("num") == wantEst)
+  }
+
+  test("profileSketch shuffle ships column partials, not distinct values") {
+    // plan shape: ONE aggregate straight off the unpivot — no
+    // (col, value) pre-collapse exchange; the only shuffle key is
+    // col_name, so each map partition ships |columns| sketch partials
+    val t = graft.sources.Tables(spark, sfDir)
+    val plan = planOf(Profile.ordersProfileSketch(t))
+    assert(plan.contains("kmv_distinct"))
+    // exactly two exchanges: the col_name-keyed aggregate and the
+    // presentation sort — NO (col, value) pre-collapse exchange (the
+    // exact profile's third), so the shuffle is corpus-independent
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected agg+sort exchanges only, plan:\n$plan")
+    assert(plan.contains("hashpartitioning(col_name"),
+      s"aggregate must shuffle on col_name only:\n$plan")
+  }
+
   test("signalDrift: exact per-source means, negative deltas floor, one-sided sources") {
     val base = docs(
       (1L, "a", "w1 w2"),           // 2 tokens
