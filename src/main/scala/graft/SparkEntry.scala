@@ -264,6 +264,13 @@ object SparkEntry {
     // position-bias-corrected (IPS) per-item relevance estimates
     "q_position_bias" -> q(t => Feedback.positionBias(t.events)),
     "q_click_model"   -> q(t => Feedback.clickModel(t.events)),
+    // pairwise preference mining: per-session skip-above (winner, loser)
+    // candidates gated by the IPS-grid margin, with the raw-CTR flip
+    // flag. The demo log's timestamps spread over months, so it
+    // sessionizes at a 3-day gap (30-minute sessions are singletons
+    // with nothing to pair); margin 0.1 on the 1e-4 rel grid
+    "q_pref_pairs"    -> q(t => Feedback.prefPairs(t.events,
+      gap = "3 DAYS", marginGrid = 1000L)),
     "q_history_window"  -> q(t => Sessionize.lastN(t.events)),
     "q_qa_context"      -> q(t => Sessionize.qaContext(t.events)),
     // text pipeline (reference: services/index_service.py)
@@ -1141,13 +1148,20 @@ object SparkEntry {
     * impression per (user, session, item) at its FIRST view position
     * (capped at 10) with a session-click flag — one definition so the
     * two oracles cannot diverge (the minhashPairsCte factoring rule). */
-  private val feedbackImpCte: String =
-    """WITH ev AS (SELECT user_id, event_id, event_type,
-      |   CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+  private val feedbackImpCte: String = feedbackImpCteGap("30 MINUTE")
+
+  /** [[feedbackImpCte]] with a selectable session gap — q_pref_pairs
+    * sessionizes the demo log at a 3-day gap (its synthetic timestamps
+    * are spread over months, so 30-minute sessions are singletons and
+    * carry no pairable co-examinations; a real click log would use the
+    * 30-minute default). */
+  private def feedbackImpCteGap(gap: String): String =
+    s"""WITH ev AS (SELECT user_id, event_id, event_type,
+      |   CAST(json_extract_string(props, '$$.k') AS BIGINT) AS item,
       |   make_timestamp(epoch_ns(ts)//1000) AS ts
       |  FROM events WHERE event_type IN ('view', 'click')
-      |    AND json_extract_string(props, '$.k') IS NOT NULL),
-      | x AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+      |    AND json_extract_string(props, '$$.k') IS NOT NULL),
+      | x AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL $gap
       |        THEN 1 ELSE 0 END AS is_new
       |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       | y AS (SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx FROM x),
@@ -1155,8 +1169,24 @@ object SparkEntry {
       | v AS (SELECT user_id, session_idx, item, CAST(least(MIN(vrn), 10) AS BIGINT) AS pos
       |  FROM z WHERE event_type = 'view' GROUP BY 1, 2, 3),
       | c AS (SELECT DISTINCT user_id, session_idx, item FROM z WHERE event_type = 'click'),
-      | imp AS (SELECT v.item, v.pos, (c.item IS NOT NULL) AS clicked
+      | imp AS (SELECT v.user_id, v.session_idx, v.item, v.pos, (c.item IS NOT NULL) AS clicked
       |  FROM v LEFT JOIN c ON v.user_id = c.user_id AND v.session_idx = c.session_idx AND v.item = c.item)
+      |""".stripMargin
+
+  /** The click-model INTEGER grids as a CTE (`model(item, ctr_u,
+    * rel_u)`) — the q_click_model replay stopped one step before its
+    * double rendering; requires `imp` in scope. Shared by the
+    * q_pref_pairs oracle. */
+  private val feedbackModelCte: String =
+    """, prop AS (SELECT pos, COUNT(*) AS v_r,
+      |   SUM(CASE WHEN clicked THEN 1 ELSE 0 END) AS c_r FROM imp GROUP BY 1),
+      | w AS (SELECT pos, CASE WHEN c_r > 0 THEN (v_r * 1000000) // c_r ELSE 0 END AS w_r FROM prop),
+      | bip AS (SELECT item, pos, COUNT(*) AS n_imp,
+      |   SUM(CASE WHEN clicked THEN 1 ELSE 0 END) AS n_clk FROM imp GROUP BY 1, 2),
+      | model AS (SELECT item,
+      |   (SUM(n_clk) * 10000) // SUM(n_imp) AS ctr_u,
+      |   SUM(n_clk * w_r) // (100 * SUM(n_imp)) AS rel_u
+      |  FROM bip JOIN w USING (pos) GROUP BY 1)
       |""".stripMargin
 
   private def indexStats(t: Tables): DataFrame = {
@@ -2632,6 +2662,27 @@ $rounds
           | CAST((n_clicks * 10000) // n_imp AS DOUBLE) / 1e4 AS ctr,
           | CAST(rel_grid // (100 * n_imp) AS DOUBLE) / 1e4 AS rel_ips
           |FROM a ORDER BY item""".stripMargin),
+    // q_pref_pairs: per-session skip-above candidate pairs, the model
+    // grids' margin gate and raw-CTR flip flag — every comparison on
+    // the shared integer grids
+    "q_pref_pairs" ->
+      (feedbackImpCteGap("'3' DAY") + feedbackModelCte +
+        """, sp AS (SELECT wi.item AS winner, lo.item AS loser
+          |  FROM imp wi JOIN imp lo
+          |    ON wi.user_id = lo.user_id AND wi.session_idx = lo.session_idx
+          |  WHERE wi.clicked AND NOT lo.clicked AND lo.pos < wi.pos),
+          | pairs AS (SELECT winner, loser, COUNT(*) AS n_sessions FROM sp GROUP BY 1, 2)
+          |SELECT p.winner, p.loser, p.n_sessions,
+          | CAST(mw.rel_u AS DOUBLE) / 1e4 AS rel_winner,
+          | CAST(ml.rel_u AS DOUBLE) / 1e4 AS rel_loser,
+          | CAST(mw.ctr_u AS DOUBLE) / 1e4 AS ctr_winner,
+          | CAST(ml.ctr_u AS DOUBLE) / 1e4 AS ctr_loser,
+          | mw.ctr_u <= ml.ctr_u AS ctr_flipped
+          |FROM pairs p
+          | JOIN model mw ON p.winner = mw.item
+          | JOIN model ml ON p.loser = ml.item
+          |WHERE mw.rel_u - ml.rel_u >= 1000
+          |ORDER BY p.winner, p.loser""".stripMargin),
     "q_history_window" ->
       """WITH ev AS (SELECT user_id, event_id, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events)
         |SELECT user_id, event_id, ts,

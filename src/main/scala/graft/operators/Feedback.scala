@@ -48,7 +48,14 @@ object Feedback {
     * session is a log anomaly (attribution has nothing examined to
     * credit) and drops out by the join direction. */
   private[graft] def impressions(events: DataFrame, gap: String,
-                                 maxPos: Int): DataFrame = {
+                                 maxPos: Int): DataFrame =
+    impressionsWithSession(events, gap, maxPos)
+      .select(col("user_id"), col("item"), col("pos"), col("clicked"))
+
+  /** [[impressions]] keeping the session key — the per-context form
+    * [[prefPairs]] pairs within. */
+  private[graft] def impressionsWithSession(events: DataFrame, gap: String,
+                                            maxPos: Int): DataFrame = {
     val typed = events
       .select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), propsK.as("item"))
@@ -77,7 +84,7 @@ object Feedback {
       // an item clicked but never viewed in its session has no examined
       // impression to credit — the log-anomaly drop
       .filter(col("first_vrn").isNotNull)
-      .select(col("user_id"), col("item"),
+      .select(col("user_id"), col("session_idx"), col("item"),
         least(col("first_vrn"), lit(maxPos.toLong)).as("pos"),
         (col("any_click") === 1).as("clicked"))
   }
@@ -114,7 +121,20 @@ object Feedback {
 
   /** [[clickModel]] from an `(item, pos, clicked)` impression table —
     * see [[positionBiasFrom]]. */
-  def clickModelFrom(impressions: DataFrame): DataFrame = {
+  def clickModelFrom(impressions: DataFrame): DataFrame =
+    modelGrid(impressions)
+      .select(col("item"), col("n_imp"), col("n_clicks"),
+        (col("ctr_u").cast("double") / 1e4).as("ctr"),
+        (col("rel_u").cast("double") / 1e4).as("rel_ips"))
+      .transform(graft.Determinism.sorted(_)(col("item")))
+
+  /** The click model on its INTEGER grids — `(item, n_imp, n_clicks,
+    * ctr_u, rel_u)` with `ctr_u = (clicks·1e4) DIV imps` and `rel_u` the
+    * 1e-4-grid IPS relevance — the one implementation [[clickModelFrom]]
+    * presents as doubles and [[prefPairs]] compares exactly (comparing
+    * the grid longs, not their double renderings, is what lets the
+    * oracle replay the pair verdicts bit-for-bit). */
+  private def modelGrid(impressions: DataFrame): DataFrame = {
     // one impression table, two consumers (propensities + item rollup)
     val imp = Barrier(impressions)
     // w_r = ⌊1e6 · views_r / clicks_r⌋ — the integer IPS weight; a
@@ -135,10 +155,63 @@ object Feedback {
         sum(col("n_clk")).as("n_clicks"),
         sum(col("n_clk") * col("w_r")).as("rel_grid"))
       .select(col("item"), col("n_imp"), col("n_clicks"),
-        (expr("(n_clicks * 10000) DIV n_imp").cast("double") / 1e4)
-          .as("ctr"),
-        (expr("rel_grid DIV (100 * n_imp)").cast("double") / 1e4)
-          .as("rel_ips"))
-      .transform(graft.Determinism.sorted(_)(col("item")))
+        expr("(n_clicks * 10000) DIV n_imp").as("ctr_u"),
+        expr("rel_grid DIV (100 * n_imp)").as("rel_u"))
+  }
+
+  /** Preference-pair mining — the PAIRWISE training-data product of the
+    * feedback family (the pointwise product is [[clickModel]]'s IPS
+    * label): per-context (winner, loser) pairs from the click log,
+    * debiased by the model.
+    *
+    * Candidate generation is per SESSION (the context): winner = an item
+    * the session clicked, loser = an item the session viewed ABOVE the
+    * winner (first-view position strictly smaller) and did not click —
+    * the classic skip-above pair, where the examination confound is
+    * controlled by construction (the user provably examined the loser
+    * before reaching the winner). Pairs aggregate to (winner, loser)
+    * with their session support, then the model renders the verdict:
+    * only pairs whose IPS-grid relevance margin `rel_u(w) − rel_u(l)`
+    * meets `marginGrid` survive, and `ctr_flipped` marks the pairs raw
+    * position-confounded CTR orders BACKWARDS (`ctr_u(w) ≤ ctr_u(l)`) —
+    * exactly the pairs a raw-CTR pairer would get wrong, and the most
+    * valuable ones to train on.
+    *
+    * Scale shape: the session self-join reuses sessionize's user-keyed
+    * clustering and its output is Σ_sessions clicked×skipped — bounded
+    * by session size, linear in the log (never |items|²); the model
+    * grids ride a broadcast (the item catalog is vocabulary-profile);
+    * every comparison is on the shared integer grids so the oracle
+    * replays each verdict bit-for-bit. */
+  def prefPairs(events: DataFrame, gap: String = "30 MINUTES",
+                maxPos: Int = 10, marginGrid: Long = 100L): DataFrame = {
+    val simp = Barrier(impressionsWithSession(events, gap, maxPos))
+    val winners = simp.filter(col("clicked"))
+      .select(col("user_id"), col("session_idx"),
+        col("item").as("winner"), col("pos").as("wpos"))
+    val losers = simp.filter(!col("clicked"))
+      .select(col("user_id"), col("session_idx"),
+        col("item").as("loser"), col("pos").as("lpos"))
+    val pairs = winners.join(losers, Seq("user_id", "session_idx"))
+      .filter(col("lpos") < col("wpos"))
+      .groupBy(col("winner"), col("loser"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val model = modelGrid(
+      simp.select(col("item"), col("pos"), col("clicked")))
+    val mw = model.select(col("item").as("winner"),
+      col("rel_u").as("rel_u_w"), col("ctr_u").as("ctr_u_w"))
+    val ml = model.select(col("item").as("loser"),
+      col("rel_u").as("rel_u_l"), col("ctr_u").as("ctr_u_l"))
+    pairs
+      .join(broadcast(mw), Seq("winner"))
+      .join(broadcast(ml), Seq("loser"))
+      .filter(col("rel_u_w") - col("rel_u_l") >= marginGrid)
+      .select(col("winner"), col("loser"), col("n_sessions"),
+        (col("rel_u_w").cast("double") / 1e4).as("rel_winner"),
+        (col("rel_u_l").cast("double") / 1e4).as("rel_loser"),
+        (col("ctr_u_w").cast("double") / 1e4).as("ctr_winner"),
+        (col("ctr_u_l").cast("double") / 1e4).as("ctr_loser"),
+        (col("ctr_u_w") <= col("ctr_u_l")).as("ctr_flipped"))
+      .transform(graft.Determinism.sorted(_)(col("winner"), col("loser")))
   }
 }

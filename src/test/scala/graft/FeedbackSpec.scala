@@ -72,4 +72,45 @@ class FeedbackSpec extends SparkSuite {
     // user 6's deep singleton views: zero clicks, zero estimates
     assert(got(301L) == ((1L, 0L, 0.0, 0.0)))
   }
+
+  test("prefPairs: mines the pair a raw-CTR pairer gets backwards") {
+    // the planted confound: item 100 sits at slot 1 with raw CTR 0.5,
+    // item 200 at slot 2 with raw CTR 0.25 — raw CTR prefers 100. But
+    // slot 1's log-wide examination rate is dragged high by item 300
+    // (4/4 clicks at slot 1) while slot 2's is dragged low by item 400
+    // (0/4 at slot 2): w1 = 8e6 DIV 6 = 1333333, w2 = 8e6 DIV 1 = 8e6,
+    // so IPS rel(100) = 2·1333333 DIV 400 / 1e4 = 0.6666 and
+    // rel(200) = 1·8e6 DIV 400 / 1e4 = 2.0 — the debiased order FLIPS.
+    var eid = 0L
+    def ev(uid: Long, t: String, typ: String, item: Long) = {
+      eid += 1
+      (uid, ts(t), eid, typ, s"""{"k": $item}""")
+    }
+    def page(uid: Long, a: Long, b: Long, click: Option[Long]) = Seq(
+      ev(uid, "2024-01-01 10:00:00", "view", a),
+      ev(uid, "2024-01-01 10:01:00", "view", b)) ++
+      click.map(c => ev(uid, "2024-01-01 10:02:00", "click", c))
+    val events = (
+      page(1L, 100, 200, Some(100)) ++ page(2L, 100, 200, Some(100)) ++
+        page(3L, 100, 200, Some(200)) ++ page(4L, 100, 200, None) ++
+        (5L to 8L).flatMap(u => page(u, 300, 400, Some(300))))
+      .toDF("user_id", "ts", "event_id", "event_type", "props")
+    val got = Feedback.prefPairs(events).collect()
+    // exactly ONE pair: user 3 clicked 200 with 100 skipped above it.
+    // Users 1/2 clicked the TOP slot (nothing skipped above), the
+    // 300-click sessions skip nothing above slot 1.
+    assert(got.length == 1, got.mkString("; "))
+    val r = got.head
+    assert(r.getLong(0) == 200L && r.getLong(1) == 100L) // winner, loser
+    assert(r.getLong(2) == 1L)                           // session support
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 0.6666,
+      s"IPS rel: ${r.getDouble(3)} vs ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 0.25 && r.getDouble(6) == 0.5)
+    // the flag: raw position-confounded CTR orders this pair BACKWARDS
+    assert(r.getBoolean(7), "ctr_flipped must mark the confounded pair")
+    assert(r.getDouble(6) > r.getDouble(5),
+      "sanity: a raw-CTR pairer would have emitted (100, 200)")
+    // the margin gate: demand more than the planted 1.3334 rel gap
+    assert(Feedback.prefPairs(events, marginGrid = 14000L).isEmpty)
+  }
 }
