@@ -1078,6 +1078,14 @@ object SparkEntry {
       val (base, cur) = snapshotPair(t)
       Governance.snapshotDiff(base, cur)
     }),
+    // release-to-release card diff: the two snapshot releases' dataset
+    // cards (each its own one-pass chain) diffed in one 1×1 cross join —
+    // growth ratios zero-guarded on the 1e-4 grid, rate deltas exact
+    "q_card_diff" -> q(t => {
+      val (base, cur) = snapshotPair(t)
+      Pipeline.cardDiff(Pipeline.datasetCardFrom(base),
+        Pipeline.datasetCardFrom(cur))
+    }),
     // per-source MEAN-SIGNAL drift (ws token count) over the same pair:
     // content churn's monitoring companion — a source whose docs
     // truncate or bloat moves here even when doc_ids are stable
@@ -1728,6 +1736,28 @@ $rounds
   private val DISC = "CAST(l_discount AS DECIMAL(18,2))"
   private val REV = s"$DEC * (1 - $DISC)"
 
+  /** The one-row dataset-card replay — a def of the constituent-oracle
+    * lookup so q_dataset_card and q_card_diff (which rebinds every
+    * `documents` reference to a snapshot CTE) share one definition. */
+  private def datasetCardSql(base: String => String): String =
+    (s"""WITH tokq AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks
+       |  FROM (SELECT doc_id, ${Oracles.normSql("text")} AS s FROM documents)),
+       | basic AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM tokq),
+       | voc AS (SELECT COUNT(DISTINCT tk) AS vocab_size FROM (SELECT unnest(toks) AS tk FROM tokq)),
+       | dup AS (SELECT floor((1.0 - COUNT(*)/CAST(SUM(dup_count) AS DOUBLE))*1e4)/1e4 AS exact_dup_rate
+       |   FROM (${base("dedup_exact")})),
+       | lang AS (SELECT floor(SUM(CASE WHEN predicted_lang='en' THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS frac_en
+       |   FROM (${base("text_langid")})),
+       | qual AS (SELECT floor(CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS mean_quality
+       |   FROM (${base("text_quality")})),
+       | keepr AS (SELECT floor(SUM(CASE WHEN keep THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS gopher_keep_rate
+       |   FROM (${base("text_gopher")})),
+       | pii AS (SELECT floor(SUM(CASE WHEN n_emails+n_ips+n_phones > 0 THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS pii_doc_frac
+       |   FROM (${base("text_pii")}))
+       |SELECT n_docs, n_tokens, vocab_size, exact_dup_rate, frac_en,
+       | mean_quality, gopher_keep_rate, pii_doc_frac
+       |FROM basic, voc, dup, lang, qual, keepr, pii""").stripMargin
+
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase
     // q_curate's composition, factored: the five per-gate oracles joined
@@ -1884,24 +1914,34 @@ $rounds
       // q_dataset_card: each constituent aggregate replays over its own
       // gate's base oracle; the one double mean rides the same
       // DECIMAL(18,4) discipline as the Spark side
-      "q_dataset_card" ->
-        (s"""WITH tokq AS (SELECT doc_id, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END AS toks
-           |  FROM (SELECT doc_id, ${Oracles.normSql("text")} AS s FROM documents)),
-           | basic AS (SELECT COUNT(*) AS n_docs, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens FROM tokq),
-           | voc AS (SELECT COUNT(DISTINCT tk) AS vocab_size FROM (SELECT unnest(toks) AS tk FROM tokq)),
-           | dup AS (SELECT floor((1.0 - COUNT(*)/CAST(SUM(dup_count) AS DOUBLE))*1e4)/1e4 AS exact_dup_rate
-           |   FROM (${base("dedup_exact")})),
-           | lang AS (SELECT floor(SUM(CASE WHEN predicted_lang='en' THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS frac_en
-           |   FROM (${base("text_langid")})),
-           | qual AS (SELECT floor(CAST(SUM(CAST(quality_score AS DECIMAL(18,4))) AS DOUBLE)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS mean_quality
-           |   FROM (${base("text_quality")})),
-           | keepr AS (SELECT floor(SUM(CASE WHEN keep THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS gopher_keep_rate
-           |   FROM (${base("text_gopher")})),
-           | pii AS (SELECT floor(SUM(CASE WHEN n_emails+n_ips+n_phones > 0 THEN 1 ELSE 0 END)/CAST(COUNT(*) AS DOUBLE)*1e4)/1e4 AS pii_doc_frac
-           |   FROM (${base("text_pii")}))
-           |SELECT n_docs, n_tokens, vocab_size, exact_dup_rate, frac_en,
-           | mean_quality, gopher_keep_rate, pii_doc_frac
-           |FROM basic, voc, dup, lang, qual, keepr, pii""").stripMargin,
+      "q_dataset_card" -> datasetCardSql(base),
+      // q_card_diff: the card replayed over BOTH snapshot constructions
+      // (the q_snapshot_diff split, every `documents` reference rebound
+      // to the snapshot CTE), then the one-row growth/delta diff
+      "q_card_diff" -> {
+        def over(snap: String): String =
+          datasetCardSql(base).replaceAll("\\bdocuments\\b", snap)
+            .replaceFirst("^WITH ", "")
+        s"""WITH snap_b AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 4),
+           | snap_c AS (SELECT doc_id, source,
+           |   CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
+           |  FROM documents WHERE doc_id % 5 <> 0),
+           | cb AS (WITH ${over("snap_b")}),
+           | cc AS (WITH ${over("snap_c")})
+           |SELECT
+           | cb.n_docs AS n_docs_base, cc.n_docs AS n_docs_current,
+           | CASE WHEN cb.n_docs > 0 THEN floor(CAST(cc.n_docs AS DOUBLE)/CAST(cb.n_docs AS DOUBLE)*1e4)/1e4 ELSE 0.0 END AS doc_growth,
+           | cb.n_tokens AS n_tokens_base, cc.n_tokens AS n_tokens_current,
+           | CASE WHEN cb.n_tokens > 0 THEN floor(CAST(cc.n_tokens AS DOUBLE)/CAST(cb.n_tokens AS DOUBLE)*1e4)/1e4 ELSE 0.0 END AS token_growth,
+           | cb.vocab_size AS vocab_size_base, cc.vocab_size AS vocab_size_current,
+           | CASE WHEN cb.vocab_size > 0 THEN floor(CAST(cc.vocab_size AS DOUBLE)/CAST(cb.vocab_size AS DOUBLE)*1e4)/1e4 ELSE 0.0 END AS vocab_growth,
+           | cc.exact_dup_rate - cb.exact_dup_rate AS dup_rate_delta,
+           | cc.frac_en - cb.frac_en AS frac_en_delta,
+           | cc.mean_quality - cb.mean_quality AS mean_quality_delta,
+           | cc.gopher_keep_rate - cb.gopher_keep_rate AS gopher_keep_delta,
+           | cc.pii_doc_frac - cb.pii_doc_frac AS pii_frac_delta
+           |FROM cb, cc""".stripMargin
+      },
       // q_lm_buckets: order-statistic tercile cuts over the lm-score
       // oracle — the cumulative window runs over DISTINCT floored NLL
       // values, cuts are observed values (no interpolation), ties share

@@ -703,6 +703,41 @@ object Pipeline {
     basic.crossJoin(vocab).crossJoin(dup).crossJoin(rates)
   }
 
+  /** Release-to-release dataset-card diff — the governance family's
+    * release summary: ONE row diffing two [[datasetCardFrom]] cards
+    * (doc/token/vocabulary growth on the 1e-4 grid, zero-guarded; dup
+    * rate, language mix, quality, gopher keep and PII fraction as raw
+    * deltas of the cards' already-1e-4-floored rates, so both engines
+    * subtract identical doubles). Served from the two 1-row cards via a
+    * broadcast-trivial cross join — ZERO corpus passes beyond the cards
+    * themselves, which each release computes once anyway. */
+  def cardDiff(baseCard: DataFrame, currentCard: DataFrame): DataFrame = {
+    def growth(cur: Column, base: Column): Column =
+      when(base > 0L,
+        floor(cur.cast("double") / base.cast("double") * 1e4) / 1e4)
+        .otherwise(0.0)
+    val b = baseCard.select(
+      baseCard.columns.map(c => col(c).as(s"${c}_b")).toSeq: _*)
+    val c = currentCard.select(
+      currentCard.columns.map(c => col(c).as(s"${c}_c")).toSeq: _*)
+    b.crossJoin(c).select(
+      col("n_docs_b").as("n_docs_base"),
+      col("n_docs_c").as("n_docs_current"),
+      growth(col("n_docs_c"), col("n_docs_b")).as("doc_growth"),
+      col("n_tokens_b").as("n_tokens_base"),
+      col("n_tokens_c").as("n_tokens_current"),
+      growth(col("n_tokens_c"), col("n_tokens_b")).as("token_growth"),
+      col("vocab_size_b").as("vocab_size_base"),
+      col("vocab_size_c").as("vocab_size_current"),
+      growth(col("vocab_size_c"), col("vocab_size_b")).as("vocab_growth"),
+      (col("exact_dup_rate_c") - col("exact_dup_rate_b")).as("dup_rate_delta"),
+      (col("frac_en_c") - col("frac_en_b")).as("frac_en_delta"),
+      (col("mean_quality_c") - col("mean_quality_b")).as("mean_quality_delta"),
+      (col("gopher_keep_rate_c") - col("gopher_keep_rate_b"))
+        .as("gopher_keep_delta"),
+      (col("pii_doc_frac_c") - col("pii_doc_frac_b")).as("pii_frac_delta"))
+  }
+
   /** Sequence packing: assign documents to fixed-token-budget packs by
     * cumulative token offset, sharded so the running sum is a per-shard
     * window (one shuffle on the shard key, each shard packs

@@ -272,6 +272,45 @@ class PipelineSpec extends SparkSuite {
       assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0, s"col $i: $r"))
   }
 
+  test("cardDiff: one-row release diff replays from the two cards") {
+    // two releases with known moves: the current release doubles the doc
+    // count and plants an exact duplicate
+    val base = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val cur = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "alpha beta gamma"), // exact dup of 1
+      (4L, "delta epsilon zeta eta")).toDF("doc_id", "text")
+    val cb = operators.Pipeline.datasetCardFrom(base).collect().head
+    val cc = operators.Pipeline.datasetCardFrom(cur).collect().head
+    val d = operators.Pipeline.cardDiff(
+      operators.Pipeline.datasetCardFrom(base),
+      operators.Pipeline.datasetCardFrom(cur)).collect()
+    assert(d.length == 1)
+    val r = d.head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 2.0, "doc growth 4/2")
+    def g4(x: Double) = math.floor(x * 1e4) / 1e4
+    assert(r.getDouble(5) ==
+      g4(cc.getLong(1).toDouble / cb.getLong(1).toDouble), "token growth")
+    assert(r.getDouble(8) ==
+      g4(cc.getLong(2).toDouble / cb.getLong(2).toDouble), "vocab growth")
+    // deltas replay exactly from the two card rows
+    assert(r.getDouble(9) == cc.getDouble(3) - cb.getDouble(3))
+    assert(r.getDouble(9) > 0.0, "the planted dup must raise the dup rate")
+    assert(r.getDouble(11) == cc.getDouble(5) - cb.getDouble(5))
+    // zero-guard: a zero base card yields 0.0 growth, not null/inf
+    val zeroCard = Seq((0L, 0L, 0L, 0.0, 0.0, 0.0, 0.0, 0.0))
+      .toDF("n_docs", "n_tokens", "vocab_size", "exact_dup_rate",
+        "frac_en", "mean_quality", "gopher_keep_rate", "pii_doc_frac")
+    val z = operators.Pipeline.cardDiff(zeroCard,
+      operators.Pipeline.datasetCardFrom(cur)).collect().head
+    assert(z.getDouble(2) == 0.0 && z.getDouble(5) == 0.0 &&
+      z.getDouble(8) == 0.0)
+  }
+
   test("lm buckets: order-statistic terciles, ties share a bucket") {
     val t = sources.Tables(spark, sfDir)
     val rows = operators.TextAnalysis.lmBuckets(t.documents).collect()
