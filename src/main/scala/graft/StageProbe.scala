@@ -14,13 +14,19 @@ object StageProbe {
     val Array(sfDir, qname) = args.take(2)
     sys.props("graft.sort") = "false"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_SATURATED=1: the Bench linearity-gate mode (broadcast
+    // promotion off) — probe the SAME fixed plan shape the gate measured
+    if (sys.env.get("SPARK_GRAFT_SATURATED").contains("1")) {
+      builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      builder.config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {

@@ -29,13 +29,24 @@ import org.apache.spark.sql.functions._
 object Bloom {
 
   /** Inner-join `big ⋈ small` on `bigKey = smallKey` (both BIGINT), with
-    * the big side bloom-pruned first. `expectedItems`/`fpp` size the
-    * filter (n=4M @ 1% ≈ 4.6 MiB — closure-shippable). */
+    * the big side bloom-pruned first.
+    *
+    * `expectedItems ≤ 0` (the default) sizes the filter from the small
+    * side's ACTUAL count — one cheap count job of the side the ANALYZE
+    * scan reads anyway. This is the scale-critical choice: a fixed
+    * capacity is a time bomb — the r13 sf1→sf10 sweep measured a filter
+    * sized for 2^20 keys loaded with 3M keys running at 40% false-
+    * positive rate ((1−e^(−kn/m))^k with n ≈ 3× capacity), which turned
+    * the pruned big-side shuffle from matches + ~0.5% into 2.6× matches
+    * (25.8×/decade growth). Auto-sizing keeps fpp at the requested 1%
+    * at EVERY corpus size (n=4M @ 1% ≈ 4.6 MiB — closure-shippable).
+    * Pass explicit `expectedItems` only with a known key-count bound. */
   def prunedJoin(big: DataFrame, small: DataFrame,
                  bigKey: String, smallKey: String,
-                 expectedItems: Long = 4000000L,
+                 expectedItems: Long = 0L,
                  fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
+    val bf = small.stat.bloomFilter(smallKey, sizeFor(small, expectedItems),
+      fpp)
     big.filter(graft.functions.bloom_might_contain(col(bigKey), bf))
       .join(small, col(bigKey) === col(smallKey))
   }
@@ -43,8 +54,12 @@ object Bloom {
   /** The pruning predicate alone (for composing with other join shapes or
     * asserting plans in tests). */
   def pruneAgainst(small: DataFrame, smallKey: String, key: Column,
-                   expectedItems: Long = 4000000L,
+                   expectedItems: Long = 0L,
                    fpp: Double = 0.01): Column =
     graft.functions.bloom_might_contain(key,
-      small.stat.bloomFilter(smallKey, expectedItems, fpp))
+      small.stat.bloomFilter(smallKey, sizeFor(small, expectedItems), fpp))
+
+  private def sizeFor(small: DataFrame, expectedItems: Long): Long =
+    if (expectedItems > 0L) expectedItems
+    else math.max(small.count(), 64L) // BOUNDED: one count job, no collect
 }

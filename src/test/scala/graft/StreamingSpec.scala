@@ -1063,6 +1063,59 @@ class StreamingSpec extends SparkSuite {
     assert(r.getString(0) == bmp && r.getString(1) == supp)
   }
 
+  test("streamed session marks rebuild the batch preference pairs exactly") {
+    // the FeedbackSpec confound log (flipped pair and all) driven as two
+    // time-split chunks + a flush row: the stream's session_start key
+    // must yield the SAME (winner, loser) rollup as batch's ordinal
+    // session_idx — the per-session-unique-key argument, proved
+    import org.apache.spark.sql.Row
+    var eid = 0L
+    def ev(uid: Long, t: String, typ: String, item: Long) = {
+      eid += 1
+      Row(eid, java.sql.Timestamp.valueOf(t), uid, typ, 0.0,
+        s"""{"k": $item}""")
+    }
+    def page(uid: Long, a: Long, b: Long, click: Option[Long]) = Seq(
+      ev(uid, "2024-01-01 10:00:00", "view", a),
+      ev(uid, "2024-01-01 10:01:00", "view", b)) ++
+      click.map(c => ev(uid, "2024-01-01 10:02:00", "click", c))
+    val rows = (
+      page(1L, 100, 200, Some(100)) ++ page(2L, 100, 200, Some(100)) ++
+        page(3L, 100, 200, Some(200)) ++ page(4L, 100, 200, None) ++
+        (5L to 8L).flatMap(u => page(u, 300, 400, Some(300))))
+    val dir = Files.createTempDirectory("graft-cm-pref").toString
+    val (a, b) = rows.splitAt(rows.length / 2)
+    spark.createDataFrame(java.util.Arrays.asList(a: _*), cmSchema)
+      .coalesce(1).write.parquet(s"$dir/chunk=a")
+    Thread.sleep(1100)
+    spark.createDataFrame(java.util.Arrays.asList(b: _*), cmSchema)
+      .coalesce(1).write.parquet(s"$dir/chunk=b")
+    Thread.sleep(1100)
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(999L, java.sql.Timestamp.valueOf("2024-01-03 10:00:00"),
+        999L, "flush", 0.0, "{}")), cmSchema)
+      .coalesce(1).write.parquet(s"$dir/chunk=c")
+    val stream = spark.readStream.schema(cmSchema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
+    val q = ClickModelStream.marks(stream)
+      .writeStream.format("memory").queryName("cm_pref_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = ClickModelStream.prefPairs(spark.table("cm_pref_out"))
+        .collect().map(_.toSeq).toSeq
+      val batchEvents = spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), cmSchema)
+      val batch = operators.Feedback.prefPairs(batchEvents)
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty && streamed === batch,
+        s"streamed $streamed vs batch $batch")
+      // and the confounded pair is in there, flagged
+      assert(streamed.exists(r => r.head == 200L && r(1) == 100L &&
+        r.last == true))
+    } finally q.stop()
+  }
+
   test("click-model stream keeps a legitimate negative item id") {
     // batch Feedback.impressions keeps every non-null item; the stream's
     // missing-item sentinel must therefore live OUTSIDE the id domain
