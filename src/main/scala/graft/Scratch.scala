@@ -31,7 +31,10 @@ object Scratch {
           // df's own queryExecution (collect, not a writer — the writer
           // wraps a separate command plan) and print what actually ran
           val df = fn(spark, sfDir)
-          df.collect() // BOUNDED: local profiling harness, gate-row result
+          // execute the df's OWN plan (not a writer's command wrapper) so
+          // the adaptive plan finalizes, without collecting a potentially
+          // corpus-sized result to the driver
+          df.foreach(_ => ())
           println(df.queryExecution.executedPlan.toString.linesIterator
             .take(60).mkString("\n"))
         } else {

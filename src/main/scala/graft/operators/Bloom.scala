@@ -45,14 +45,25 @@ object Bloom {
                  bigKey: String, smallKey: String,
                  expectedItems: Long = 0L,
                  fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, sizeFor(small, expectedItems),
-      fpp)
+    // The small side is evaluated up to three times (auto-size count,
+    // bloom build, join probe). Snapshot it once so a non-deterministic
+    // or unstable input cannot diverge between the filter's build set and
+    // the join's probe set — the no-false-negatives contract requires the
+    // probe rows to be a subset of the build rows. localCheckpoint keeps
+    // the ANALYZE-side data executor-local (small by contract: this
+    // operator exists because `small` is too big to broadcast but still
+    // ≪ big) and makes the count job a cached-block read.
+    val s = small.localCheckpoint()
+    val bf = s.stat.bloomFilter(smallKey, sizeFor(s, expectedItems), fpp)
     big.filter(graft.functions.bloom_might_contain(col(bigKey), bf))
-      .join(small, col(bigKey) === col(smallKey))
+      .join(s, col(bigKey) === col(smallKey))
   }
 
   /** The pruning predicate alone (for composing with other join shapes or
-    * asserting plans in tests). */
+    * asserting plans in tests). Unlike [[prunedJoin]] this cannot snapshot
+    * the caller's probe side, so the no-false-negatives contract requires
+    * `small` to be DETERMINISTIC between this build scan and the caller's
+    * own join — pass a checkpointed/persisted frame if it isn't. */
   def pruneAgainst(small: DataFrame, smallKey: String, key: Column,
                    expectedItems: Long = 0L,
                    fpp: Double = 0.01): Column =

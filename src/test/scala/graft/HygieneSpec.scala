@@ -31,8 +31,10 @@ class HygieneSpec extends AnyFunSuite {
     // .repartition(32) coalesces a 100 TB stage to 32 tasks — parallelism
     // must follow config/input splits (repartition by column, or Barrier
     // for a materialization cut). coalesce(1) for tiny bounded results is
-    // allowed; repartition with a leading column arg is allowed.
-    val hits = offending("""\.repartition\(\s*\d+\s*\)""".r)
+    // allowed; repartition with a leading column arg is allowed. A
+    // leading INT literal is flagged even with trailing column args —
+    // repartition(32, col("x")) still pins the stage width.
+    val hits = offending("""\.repartition\(\s*\d+\s*[,)]""".r)
     assert(hits.isEmpty,
       "fixed-width repartition (a scale-killer at 100 TB):\n" +
         hits.mkString("\n"))
