@@ -1129,7 +1129,39 @@ object SparkEntry {
     // the ts column's range_expanded is the planted positive
     "q_profile_diff" -> q(t => Profile.eventsProfileDiff(t)),
     // declarative data-contract gate over the orders profile
-    "q_expectations" -> q(t => Profile.ordersExpectations(t, t.spark))
+    "q_expectations" -> q(t => Profile.ordersExpectations(t, t.spark)),
+    // exact tie-aware one-vs-rest ROC-AUC from score histograms (the
+    // Mann-Whitney fold over bounded grid cells — no per-class corpus sort)
+    "q_auc" -> q(t => MlEval.auc(t.embeddings)),
+    // reliability bins over the same one-vs-rest scores: can the
+    // classifier's cosine be thresholded like a probability?
+    "q_calibration" -> q(t => MlEval.calibration(t.embeddings)),
+    // hashed-assignment A/B experiment readout: per-arm conversion plus
+    // the pooled two-proportion z, one user-keyed shuffle
+    "q_ab_test" -> q(t => MlEval.abTest(t.events)),
+    // pairwise two-sample KS drift test between sources' doc-length
+    // distributions (binning-free companion to q_source_kl)
+    "q_ks_test" -> q(t => MlEval.ksTest(t.documents)),
+    // SCD type-2 dimension build: per-user state change rows with
+    // versioned validity intervals, one user-keyed exchange
+    "q_scd2" -> q(t => Warehouse.scd2(t.events)),
+    // the inverse of q_pivot: melt the per-user wide totals back to long
+    // (user_id, event_type, total_value) via Dataset.unpivot
+    "q_unpivot" -> q(t => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val aggs = types.map(ty =>
+        sum(when(col("event_type") === ty, col("value").cast("decimal(18,2)")))
+          .cast("double").as(s"${ty}_value"))
+      t.events.groupBy(col("user_id")).agg(aggs.head, aggs.tail: _*)
+        .unpivot(Array(col("user_id")),
+          types.map(ty => col(s"${ty}_value")).toArray,
+          "event_type", "total_value")
+        .filter(col("total_value").isNotNull)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+    // supervised feature selection: token↔lang mutual information over
+    // binary presence (present AND absent cells), nano-grid integer sums
+    "q_feature_mi" -> q(t => FeatureSelect.tokenLangMi(t.documents))
   )
 
   /** The governance rows' shared snapshot construction: base = the
@@ -1540,6 +1572,24 @@ object SparkEntry {
       | floor(greatest(dist, 0.0)*1e6)/1e6 AS dist,
       | label = pred_label AS correct
       |FROM a WHERE rn = 1 ORDER BY vec_id""".stripMargin
+
+  /** The one-vs-rest scored table behind q_auc / q_calibration: the
+    * q_classify centroid replay (same double-avg → REAL → DOUBLE
+    * ulp-swallowing image) WITHOUT the argmin — every class scores every
+    * held-out vector, scores floored to the 1e-6 integer grid BEFORE any
+    * ranking so tie groups are identical engine-to-engine. Ends at
+    * `sc(vec_id, class, s_grid, pos)`. */
+  private val ovrScoredCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
+      | tr AS (SELECT * FROM e WHERE vec_id % 5 <> 0),
+      | te AS (SELECT * FROM e WHERE vec_id % 5 = 0),
+      | m AS (SELECT label, idx, avg(val) AS mval FROM (
+      |   SELECT label, unnest(ev) AS val, unnest(range(len(ev))) AS idx FROM tr) GROUP BY 1,2),
+      | c AS (SELECT label AS class, list(CAST(CAST(mval AS REAL) AS DOUBLE) ORDER BY idx) AS cv FROM m GROUP BY 1),
+      | sc AS (SELECT te.vec_id, c.class,
+      |   CAST(floor(list_cosine_similarity(ev, cv) * 1e6) AS BIGINT) AS s_grid,
+      |   CASE WHEN te.label = c.class THEN 1 ELSE 0 END AS pos
+      |  FROM te CROSS JOIN c)""".stripMargin
 
   /** Okapi BM25 ranking replay (k1=1.25, b=0.75 — dyadic doubles, so
     * every literal fold — k1+1, 1−b — is exact in both engines):
@@ -4299,6 +4349,153 @@ $rounds
         | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim FROM c CROSS JOIN q),
         | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
-        |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin
+        |FROM r WHERE rn <= 3 ORDER BY query_id, rank""".stripMargin,
+    // q_auc: the classifier's centroid replay kept one-vs-rest (every
+    // class scores every held-out vector), scores floored to the 1e-6
+    // grid BEFORE ranking, then the Mann-Whitney fold over the
+    // (class, grid) histogram — 2U stays integral (the n_g term is the
+    // tie credit), AUC = U2/(2PN) on the DIV grid
+    "q_auc" ->
+      s"""WITH $ovrScoredCtes,
+         | h AS (SELECT class, s_grid, CAST(SUM(pos) AS BIGINT) AS p_g,
+         |    CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_g
+         |   FROM sc GROUP BY 1, 2),
+         | u AS (SELECT class, p_g, n_g,
+         |   COALESCE(SUM(n_g) OVER (PARTITION BY class ORDER BY s_grid
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_below
+         |  FROM h)
+         |SELECT CAST(class AS BIGINT) AS label,
+         | CAST(SUM(p_g) AS BIGINT) AS n_pos, CAST(SUM(n_g) AS BIGINT) AS n_neg,
+         | CASE WHEN SUM(p_g) > 0 AND SUM(n_g) > 0 THEN
+         |   CAST((CAST(SUM(p_g * (2 * n_below + n_g)) AS HUGEINT) * 1000000) //
+         |        (2 * CAST(SUM(p_g) AS HUGEINT) * SUM(n_g)) AS DOUBLE) / 1e6
+         | END AS auc
+         |FROM u GROUP BY class ORDER BY label""".stripMargin,
+    // q_calibration: same scored table cut into 10 bins over [-1,1];
+    // the mean goes through the +1e6 OFFSET grid (DIV never sees a
+    // negative numerator — the engines disagree on negative int division)
+    "q_calibration" ->
+      s"""WITH $ovrScoredCtes,
+         | b AS (SELECT class, pos,
+         |    least((s_grid + 1000000) // 200000, 9) AS bin,
+         |    s_grid + 1000000 AS s_off FROM sc)
+         |SELECT CAST(class AS BIGINT) AS label, CAST(bin AS BIGINT) AS bin,
+         | COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
+         | (CAST(CAST(SUM(s_off) AS HUGEINT) // COUNT(*) AS DOUBLE) - 1e6) / 1e6 AS mean_score,
+         | CAST((CAST(SUM(pos) AS HUGEINT) * 1000000) // COUNT(*) AS DOUBLE) / 1e6 AS pos_rate
+         |FROM b GROUP BY 1, 2 ORDER BY label, bin""".stripMargin,
+    // q_ab_test: FNV variant hash replayed char-by-char, per-arm user
+    // conversion collapse, pooled two-proportion z with the EXACT ieee
+    // op order of the engine expression (integer-valued doubles only)
+    "q_ab_test" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS conv
+         |   FROM events GROUP BY 1),
+         | v AS (SELECT ((${Oracles.signed(Oracles.fnvChars("CAST(user_id AS VARCHAR)"))} % 2) + 2) % 2 AS variant,
+         |    conv FROM pu),
+         | agg AS (SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+         |   FROM v GROUP BY 1),
+         | s AS (SELECT
+         |   CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+         |   CAST(SUM(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS conv_a,
+         |   CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+         |   CAST(SUM(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS conv_b
+         |  FROM agg),
+         | p AS (SELECT *,
+         |   CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+         |   CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+         |   CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+         |  FROM s)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         | CAST((CAST(conv_a AS HUGEINT) * 1000000) // n_a AS DOUBLE) / 1e6 AS rate_a,
+         | CAST((CAST(conv_b AS HUGEINT) * 1000000) // n_b AS DOUBLE) / 1e6 AS rate_b,
+         | CASE WHEN pp > 0 AND pp < 1 THEN
+         |   floor((pb - pa) / sqrt(pp * (1.0 - pp) *
+         |     (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) * 1e6) / 1e6
+         | END AS z
+         |FROM p""".stripMargin,
+    // q_ks_test: two-sample KS over (source, length) histograms,
+    // division-free cross-multiplied gap, one DIV at the end
+    "q_ks_test" ->
+      """WITH h AS (SELECT source, n_chars, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+        | tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        | pairs AS (SELECT a.source AS source_a, a.n AS n_a,
+        |    b.source AS source_b, b.n AS n_b
+        |   FROM tot a CROSS JOIN tot b WHERE a.source < b.source),
+        | cells AS (SELECT source_a, source_b, n_a, n_b, h.n_chars,
+        |    CAST(SUM(CASE WHEN h.source = source_a THEN c ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(SUM(CASE WHEN h.source = source_b THEN c ELSE 0 END) AS BIGINT) AS cb
+        |   FROM pairs JOIN h ON h.source = source_a OR h.source = source_b
+        |   GROUP BY 1, 2, 3, 4, 5),
+        | cum AS (SELECT source_a, source_b, n_a, n_b,
+        |    SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+        |   FROM cells WINDOW w AS (PARTITION BY source_a, source_b ORDER BY n_chars
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT source_a, source_b, n_a, n_b,
+        | CAST((MAX(ABS(cum_a * n_b - cum_b * n_a)) * 1000000) //
+        |      (CAST(n_a AS HUGEINT) * n_b) AS DOUBLE) / 1e6 AS ks
+        |FROM cum GROUP BY 1, 2, 3, 4 ORDER BY 1, 2""".stripMargin,
+    // q_scd2: change rows under the sessionizer's (ts, event_id) total
+    // order, versions + validity intervals from one window family
+    "q_scd2" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+        |    make_timestamp(epoch_ns(ts)//1000) AS ts FROM events),
+        | x AS (SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |   FROM ev),
+        | chg AS (SELECT * FROM x WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id,
+        | CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+        | event_type AS state,
+        | ts AS valid_from,
+        | lead(ts) OVER w AS valid_to,
+        | lead(ts) OVER w IS NULL AS is_current
+        |FROM chg WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+    // q_unpivot: the q_pivot wide totals melted back (standard UNPIVOT
+    // excludes the NULL cells; the engine filters them explicitly)
+    "q_unpivot" ->
+      """WITH wide AS (SELECT user_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type='click') AS DOUBLE) AS click_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type='view') AS DOUBLE) AS view_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type='purchase') AS DOUBLE) AS purchase_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type='signup') AS DOUBLE) AS signup_value,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type='error') AS DOUBLE) AS error_value
+        |FROM events GROUP BY 1)
+        |SELECT user_id, event_type, total_value
+        |FROM wide UNPIVOT (total_value FOR event_type IN
+        | (click_value, view_value, purchase_value, signup_value, error_value))
+        |ORDER BY user_id, event_type""".stripMargin,
+    // q_feature_mi: presence MI over (token, lang) doc counts — both the
+    // present and absent cells, each floored to 1e-9 nano-units so the
+    // cross-lang fold is an order-free integer sum; ranked on the exact
+    // nano sum with the token tie-break
+    "q_feature_mi" ->
+      (s"""WITH n0 AS (SELECT doc_id, lang, ${normSql("text")} AS s FROM documents),
+          | tokq AS (SELECT doc_id, lang, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[]
+          |    ELSE list_distinct(string_split(s,' ')) END AS toks FROM n0),
+          | tl AS (SELECT tok, lang, COUNT(*) AS n_tl FROM (
+          |    SELECT lang, unnest(toks) AS tok FROM tokq) GROUP BY 1, 2),
+          | dft AS (SELECT tok, CAST(SUM(n_tl) AS BIGINT) AS df FROM tl GROUP BY 1
+          |   HAVING CAST(SUM(n_tl) AS BIGINT) >= 20),
+          | lt AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+          | nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+          | cells AS (SELECT dft.tok, dft.df, lt.lang, lt.n_l, nd.n_docs,
+          |    COALESCE(tl.n_tl, 0) AS n_tl
+          |   FROM dft CROSS JOIN lt CROSS JOIN nd
+          |   LEFT JOIN tl ON tl.tok = dft.tok AND tl.lang = lt.lang),
+          | mi AS (SELECT tok, df, CAST(SUM(CAST(floor((
+          |     CASE WHEN n_tl > 0 THEN
+          |       (CAST(n_tl AS DOUBLE) / CAST(n_docs AS DOUBLE)) *
+          |       ln((CAST(n_tl AS DOUBLE) * CAST(n_docs AS DOUBLE)) /
+          |          (CAST(df AS DOUBLE) * CAST(n_l AS DOUBLE))) ELSE 0.0 END
+          |   + CASE WHEN n_l - n_tl > 0 THEN
+          |       (CAST(n_l - n_tl AS DOUBLE) / CAST(n_docs AS DOUBLE)) *
+          |       ln((CAST(n_l - n_tl AS DOUBLE) * CAST(n_docs AS DOUBLE)) /
+          |          ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) * CAST(n_l AS DOUBLE))) ELSE 0.0 END
+          |   ) * 1e9) AS BIGINT)) AS BIGINT) AS mi_nano
+          |  FROM cells GROUP BY 1, 2)
+          |SELECT tok, df, CAST(mi_nano AS DOUBLE) / 1e9 AS mi
+          |FROM mi ORDER BY mi_nano DESC, tok LIMIT 50""").stripMargin
   )
 }

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.cosine_similarity
+
+/** Model-evaluation statistics a training-data pipeline gates on before
+  * shipping a classifier's keep/drop verdicts or an experiment's winner:
+  * exact tie-aware ROC-AUC, score calibration (reliability bins), the
+  * hashed-assignment A/B two-proportion z-test, and the two-sample
+  * Kolmogorov–Smirnov drift test. The reference's eval surface stops at
+  * accuracy-style reports (its index serves labels next to vectors,
+  * `services/index_service.py`); these are the ranking/statistical
+  * counterparts every large-scale labeler run needs.
+  *
+  * Scale design, shared across all four: NO corpus-sized sort anywhere.
+  * Each statistic is computed from a domain-bounded HISTOGRAM — the only
+  * corpus-wide operation is one groupBy onto that bounded key space
+  * (score grid / bin / variant / length), which partial-aggregates
+  * map-side; the windows and cumulative sums that a textbook
+  * implementation would run over the corpus run here over the histogram
+  * (≤ |grid| × |class| rows). That is the difference between "sort 100 TB
+  * per class to rank scores" and "shuffle a few million counter cells".
+  *
+  * Determinism across engines: scores land on the 1e-6 integer grid
+  * BEFORE any ranking (identical tie groups both sides); every ratio is
+  * an integer `DIV` on a scaled grid; z only composes IEEE-exact ops
+  * (integer-valued doubles, division, sqrt) so its floor is stable.
+  */
+object MlEval {
+
+  /** One-vs-rest scored table behind [[auc]] and [[calibration]]:
+    * held-out vectors (`vec_id % heldoutMod == 0`) scored against EVERY
+    * class centroid trained on the rest — `(vec_id, class, s_grid, pos)`
+    * with `s_grid = floor(cosine·1e6)` (long) and `pos = 1` iff the true
+    * label is `class`. The n_classes×dim centroid table broadcasts
+    * (kilobytes); scoring is a narrow map-side pass — same shape as
+    * [[Classifier.classify]] before its argmin. */
+  def scoredOneVsRest(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame = {
+    val train = embeddings.filter(pmod(col("vec_id"), lit(heldoutMod)) =!= 0)
+    val test = embeddings.filter(pmod(col("vec_id"), lit(heldoutMod)) === 0)
+    test.crossJoin(broadcast(Classifier.centroids(train)))
+      .select(col("vec_id"),
+        col("pred_label").as("class"),
+        floor(cosine_similarity(col("embedding"), col("cv")) * 1e6)
+          .cast("long").as("s_grid"),
+        (col("label").cast("long") === col("pred_label"))
+          .cast("long").as("pos"))
+  }
+
+  /** Exact tie-aware one-vs-rest ROC-AUC per class, from score
+    * HISTOGRAMS instead of a per-class rank: group the scored table by
+    * (class, grid score) into (positives, negatives) cells, then fold the
+    * Mann–Whitney U over the cells — for each cell,
+    * `U2 += p_g · (2·negatives_below + n_g)` (the `n_g` term is the ½
+    * tie credit, kept integral by working with 2U). AUC = U2 / (2·P·N)
+    * on the 1e-6 DIV grid. The cumulative window runs over the bounded
+    * histogram (≤ 2e6 grid values × classes), not the corpus; the
+    * integer algebra goes through DECIMAL(38,0) so 2·P·N·1e6 cannot
+    * overflow at corpus scale. Classes with no positives or no negatives
+    * report NULL (AUC undefined). */
+  def auc(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame = {
+    val h = scoredOneVsRest(embeddings, heldoutMod)
+      .groupBy(col("class"), col("s_grid"))
+      .agg(sum(col("pos")).as("p_g"),
+        (count(lit(1)) - sum(col("pos"))).as("n_g"))
+    val below = Window.partitionBy(col("class")).orderBy(col("s_grid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("n_below", coalesce(sum(col("n_g")).over(below), lit(0L)))
+      .groupBy(col("class"))
+      .agg(sum(col("p_g").cast("decimal(38,0)") *
+          (lit(2L) * col("n_below") + col("n_g"))).as("u2"),
+        sum(col("p_g")).as("n_pos"), sum(col("n_g")).as("n_neg"))
+      .select(col("class").as("label"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("cast(cast(u2 as decimal(38,0)) * 1000000 div " +
+            "(2 * cast(n_pos as decimal(38,0)) * n_neg) as double)") / 1e6)
+          .as("auc"))
+      .transform(graft.Determinism.sorted(_)(col("label")))
+  }
+
+  /** Reliability diagram over the same one-vs-rest scores: cosine in
+    * [-1, 1] cut into 10 equal bins, per (class, bin) the count, the mean
+    * score and the empirical positive rate — the table a pipeline reads
+    * to decide whether the classifier's scores can be thresholded as
+    * probabilities. One groupBy onto the bounded (class, bin) key; the
+    * mean goes through the +1e6 OFFSET grid so the integer `DIV` never
+    * sees a negative numerator. */
+  def calibration(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame =
+    scoredOneVsRest(embeddings, heldoutMod)
+      .select(col("class"), col("pos"),
+        least(expr("(s_grid + 1000000) div 200000"), lit(9L)).as("bin"),
+        (col("s_grid") + lit(1000000L)).as("s_off"))
+      .groupBy(col("class"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        sum(col("s_off")).as("s_sum"))
+      .select(col("class").as("label"), col("bin"), col("n"), col("n_pos"),
+        (expr("cast(s_sum as decimal(38,0)) div n").cast("double") - 1e6) /
+          1e6 as "mean_score",
+        expr("cast(n_pos as decimal(38,0)) * 1000000 div n")
+          .cast("double") / 1e6 as "pos_rate")
+      .transform(graft.Determinism.sorted(_)(col("label"), col("bin")))
+
+  /** Hashed-assignment A/B test over the event log: every user lands in
+    * variant `fnv1a64(user_id) mod 2` (the stable, coordination-free
+    * assignment a 1000-executor experiment uses — no assignment table,
+    * no join), converts if they ever fire a high-value `purchase`
+    * (value > minValue), and the summary row carries both arms' counts,
+    * DIV-grid rates, and the pooled two-proportion z-score. One
+    * user-keyed shuffle (the conversion collapse), then a 2-row → 1-row
+    * fold; z composes only integer-valued doubles, IEEE division and
+    * sqrt, so its 1e-6 floor is engine-stable. Degenerate pools (0% or
+    * 100%) report NULL z. */
+  def abTest(events: DataFrame, minValue: Double = 150.0): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(max((col("event_type") === "purchase" &&
+        col("value") > minValue).cast("long")).as("conv"))
+      .select(pmod(graft.functions.fnv1a64(col("user_id").cast("string")),
+        lit(2L)).as("variant"), col("conv"))
+    perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      .agg(sum(when(col("variant") === 0, col("n"))).as("n_a"),
+        sum(when(col("variant") === 0, col("c"))).as("conv_a"),
+        sum(when(col("variant") === 1, col("n"))).as("n_b"),
+        sum(when(col("variant") === 1, col("c"))).as("conv_b"))
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        expr("conv_a * 1000000 div n_a").cast("double") / 1e6 as "rate_a",
+        expr("conv_b * 1000000 div n_b").cast("double") / 1e6 as "rate_b",
+        floor(zScore * 1e6) / 1e6 as "z")
+  }
+
+  /** The two-proportion z composed exactly as the oracle writes it —
+    * shared structure keeps every IEEE op in the same order. */
+  private def zScore = {
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    when(pp > 0 && pp < 1,
+      (pb - pa) / sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double"))))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between every pair of
+    * sources' document-length distributions — the distribution-drift
+    * test behind "did this crawl's length profile shift?" (complements
+    * `q_source_kl`, which needs binned densities; KS is binning-free).
+    * KS = max |F_a − F_b| over the merged support, computed
+    * division-free as max |cum_a·n_b − cum_b·n_a| then one DIV at the
+    * end. The corpus collapses to a (source, length) histogram first —
+    * the only wide shuffle; the pair table is |sources|² (broadcast) and
+    * the cumulative window runs over histogram cells. */
+  def ksTest(docs: DataFrame): DataFrame = {
+    val h = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+    val tot = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val pairs = tot.select(col("source").as("source_a"), col("n").as("n_a"))
+      .crossJoin(tot.select(col("source").as("source_b"), col("n").as("n_b")))
+      .filter(col("source_a") < col("source_b"))
+    val cells = h.join(broadcast(pairs),
+        h("source") === col("source_a") || h("source") === col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_chars"))
+      .agg(sum(when(col("source") === col("source_a"), col("c"))
+          .otherwise(lit(0L))).as("ca"),
+        sum(when(col("source") === col("source_b"), col("c"))
+          .otherwise(lit(0L))).as("cb"))
+    val cum = Window.partitionBy(col("source_a"), col("source_b"))
+      .orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_a", sum(col("ca")).over(cum))
+      .withColumn("cum_b", sum(col("cb")).over(cum))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a").cast("decimal(38,0)") * col("n_b") -
+        col("cum_b").cast("decimal(38,0)") * col("n_a"))).as("d2"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        expr("cast(d2 as decimal(38,0)) * 1000000 div " +
+          "(cast(n_a as decimal(38,0)) * n_b)").cast("double") / 1e6 as "ks")
+      .transform(graft.Determinism.sorted(_)(col("source_a"), col("source_b")))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dimension-maintenance operators for the warehouse layer under the
+  * pipeline — the reference persists its id→document maps as flat
+  * current-state stores (`services/index_service.py`); at corpus scale
+  * the curation metadata around them (a user's state, a document's
+  * latest gate verdict) needs HISTORY, and SCD type 2 is the standard
+  * shape: one row per (key, version) with a validity interval.
+  */
+object Warehouse {
+
+  /** Build the type-2 slowly-changing dimension from an event stream:
+    * collapse each user's event history to its CHANGE rows (state ≠
+    * previous state), stamp versions, and derive `[valid_from,
+    * valid_to)` intervals with `lead`; the open interval (`valid_to`
+    * NULL) is the current row.
+    *
+    * Scale shape: ONE user-keyed exchange feeds all three window passes
+    * — `lag` (change detection), `row_number` (version) and `lead`
+    * (interval close) all share `HashPartitioning(user_id)`, so the
+    * filter between them re-sorts within partitions but never
+    * re-shuffles. Order inside a user is total ((ts, event_id) — same
+    * tie-break as the sessionizer), so versions are deterministic under
+    * any partitioning. */
+  def scd2(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .select(col("user_id"),
+        row_number().over(byUser).cast("long").as("version"),
+        col("event_type").as("state"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(byUser).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .transform(graft.Determinism.sorted(_)(col("user_id"), col("version")))
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators.{FeatureSelect, Warehouse}
+import graft.sources.Tables
+
+class WarehouseSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val t = Tables(spark, sfDir)
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("scd2 builds contiguous versioned intervals per key") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L, "view"),
+      (1L, ts("2024-01-01 00:05:00"), 11L, "view"),   // no change
+      (1L, ts("2024-01-01 00:10:00"), 12L, "click"),  // v2
+      (1L, ts("2024-01-01 00:20:00"), 13L, "view"),   // v3 (back is a change)
+      (2L, ts("2024-01-01 01:00:00"), 20L, "signup")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Warehouse.scd2(ev).collect()
+    val u1 = got.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    assert(u1.map(_.getAs[String]("state")).toSeq ==
+      Seq("view", "click", "view"))
+    // intervals chain: each version's valid_to is the next valid_from
+    assert(u1.init.zip(u1.tail).forall { case (a, b) =>
+      a.getAs[Timestamp]("valid_to") == b.getAs[Timestamp]("valid_from")
+    })
+    // exactly one open (current) row per user
+    assert(got.groupBy(_.getLong(0)).forall(_._2.count(_.getAs[Boolean]("is_current")) == 1))
+    assert(u1.last.getAs[Timestamp]("valid_to") == null)
+  }
+
+  test("scd2 on the event log: versions are dense and states alternate") {
+    val got = Warehouse.scd2(t.events)
+    val byUser = got.groupBy($"user_id")
+      .agg(max($"version").as("vmax"), count(lit(1)).as("n"))
+    // row_number makes versions dense 1..n
+    assert(byUser.filter($"vmax" =!= $"n").count() == 0)
+    // no two consecutive versions share a state (they'd have been merged)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"version")
+    val repeats = got.withColumn("prev", lag($"state", 1).over(w))
+      .filter($"prev" === $"state").count()
+    assert(repeats == 0)
+  }
+
+  test("scd2 shares one user exchange across all three windows") {
+    val plan = planOf(Warehouse.scd2(t.events))
+    // lag + filter + row_number/lead: ONE hashpartitioning(user_id)
+    // exchange feeds both window nodes (the formatted dump carries the
+    // partitioning in the Exchange's Arguments detail line)
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("hashpartitioning(user_id"))
+    assert(exchanges == 1, s"expected 1 user exchange, plan:\n$plan")
+  }
+
+  test("token-lang MI ranks a perfectly separating token at the top") {
+    // synthetic corpus: token 'aaa' appears in ALL lang-x docs and NO
+    // lang-y docs (perfect predictor); 'zzz' appears everywhere
+    // (uninformative). 30 docs each, minDf low enough for both.
+    val docs = ((1 to 30).map(i => (i.toLong, s"aaa zzz filler$i", "x")) ++
+      (31 to 60).map(i => (i.toLong, s"bbb zzz filler$i", "y")))
+      .toDF("doc_id", "text", "lang")
+    val got = FeatureSelect.tokenLangMi(docs, minDf = 25, topK = 10).collect()
+    val miOf = got.map(r => r.getString(0) -> r.getAs[Double]("mi")).toMap
+    assert(miOf.contains("aaa") && miOf.contains("zzz"))
+    // perfect separator carries ln(2) of information; shared token none
+    assert(miOf("aaa") > 0.65 && miOf("aaa") < 0.70, miOf("aaa"))
+    assert(math.abs(miOf("zzz")) < 1e-6, miOf("zzz"))
+    assert(got.head.getString(0) == "aaa" || got.head.getString(0) == "bbb")
+  }
+
+  test("token-lang MI counts presence, not frequency") {
+    val docs = Seq(
+      (1L, "dup dup dup dup", "x"),
+      (2L, "dup", "x"),
+      (3L, "other words here", "y"),
+      (4L, "other words here", "y")).toDF("doc_id", "text", "lang")
+    val got = FeatureSelect.tokenLangMi(docs, minDf = 1, topK = 100)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("df")).toMap
+    assert(got("dup") == 2L) // 2 documents, not 5 occurrences
+  }
+}
