@@ -1161,7 +1161,19 @@ object SparkEntry {
     }),
     // supervised feature selection: token↔lang mutual information over
     // binary presence (present AND absent cells), nano-grid integer sums
-    "q_feature_mi" -> q(t => FeatureSelect.tokenLangMi(t.documents))
+    "q_feature_mi" -> q(t => FeatureSelect.tokenLangMi(t.documents)),
+    // JL ±1 random-projection search: cosine top-k in the 4×-compressed
+    // space (dimension cut, not component width — the missing leg next
+    // to int8/sign/PQ); matrix is plan-literal, nothing ships
+    "q_random_proj" -> q(t => RandomProjection.searchProjected(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, k = 5)),
+    // recall@5 of the projected ranking vs exact full-dim top-k
+    "q_rp_recall" -> q(t => RandomProjection.recallAudit(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, k = 5))
   )
 
   /** The governance rows' shared snapshot construction: base = the
@@ -1590,6 +1602,21 @@ object SparkEntry {
       |   CAST(floor(list_cosine_similarity(ev, cv) * 1e6) AS BIGINT) AS s_grid,
       |   CASE WHEN te.label = c.class THEN 1 ELSE 0 END AS pos
       |  FROM te CROSS JOIN c)""".stripMargin
+
+  /** The JL ±1 projection replay behind q_random_proj / q_rp_recall:
+    * sign grid from the integer formula, per-dim ordered dot products,
+    * REAL image, cosine ranking in the projected space. Ends at
+    * `rk(query_id, vec_id, sim, rn)` with `e(vec_id, ev)` still bound. */
+  private val rpProjectedCtes: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+      | wg AS (SELECT j, list_transform(range(64), i ->
+      |    CASE WHEN ((i*31 + j*73) % 13) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS wv
+      |  FROM range(16) t(j)),
+      | p AS (SELECT vec_id, list(CAST(CAST(list_dot_product(ev, wv) AS REAL) AS DOUBLE) ORDER BY j) AS pv
+      |  FROM e CROSS JOIN wg GROUP BY 1),
+      | q AS (SELECT vec_id AS query_id, pv AS qv FROM p WHERE vec_id < 5),
+      | sims AS (SELECT query_id, p.vec_id, list_cosine_similarity(qv, pv) AS sim FROM p CROSS JOIN q),
+      | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)""".stripMargin
 
   /** Okapi BM25 ranking replay (k1=1.25, b=0.75 — dyadic doubles, so
     * every literal fold — k1+1, 1−b — is exact in both engines):
@@ -4496,6 +4523,28 @@ $rounds
           |   ) * 1e9) AS BIGINT)) AS BIGINT) AS mi_nano
           |  FROM cells GROUP BY 1, 2)
           |SELECT tok, df, CAST(mi_nano AS DOUBLE) / 1e9 AS mi
-          |FROM mi ORDER BY mi_nano DESC, tok LIMIT 50""").stripMargin
+          |FROM mi ORDER BY mi_nano DESC, tok LIMIT 50""").stripMargin,
+    // q_random_proj: the ±1 sign grid regenerated from its integer
+    // formula (the q_embed_linear frozen-grid discipline), projection =
+    // ordered list_dot_product per output dim (sign flips exact, dot
+    // accumulation order-pinned both engines), REAL image, then the
+    // q_knn ranking replay in the projected space
+    "q_random_proj" ->
+      s"""WITH $rpProjectedCtes
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+         |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q_rp_recall: projected top-5 vs exact full-dim top-5 overlap
+    "q_rp_recall" ->
+      s"""WITH $rpProjectedCtes,
+         | approx AS (SELECT query_id, vec_id FROM rk WHERE rn <= 5),
+         | exact AS (SELECT query_id, vec_id FROM (
+         |   SELECT q0.query_id, e.vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY q0.query_id ORDER BY list_cosine_similarity(q0.qv0, e.ev) DESC, e.vec_id) AS rn
+         |   FROM (SELECT vec_id AS query_id, ev AS qv0 FROM e WHERE vec_id < 5) q0 CROSS JOIN e) WHERE rn <= 5)
+         |SELECT x.query_id, COUNT(a.vec_id) AS n_hits,
+         | floor(COUNT(a.vec_id)/5.0*1e6)/1e6 AS recall
+         |FROM exact x LEFT JOIN approx a
+         | ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+         |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
   )
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Johnson–Lindenstrauss ±1 random projection — the dimensionality-
+  * reduction leg of the compression family (int8 = `q_knn_quantized`,
+  * sign-bit = `q_sign_search`, PQ = `q_pq_search`; THIS one shrinks the
+  * dimension instead of the component width). A ±1 (Achlioptas-style)
+  * matrix needs no multiplies conceptually and preserves angles within
+  * JL distortion, so cosine ranking in the projected space is a cheap
+  * first-pass retrieval whose recall is audited against exact search.
+  *
+  * Scale shape: projection is a NARROW map-side pass — the matrix folds
+  * into the plan as literals (nothing ships, nothing broadcasts), each
+  * output component one codegen'd dot_product; the projected corpus is
+  * outDim/inDim the scan width of the original, which is the whole
+  * point at 100 TB (a 4× narrower scan per candidate).
+  *
+  * Determinism: the sign grid is an integer formula both engines
+  * generate independently (the `q_embed_linear` frozen-grid
+  * discipline) — sign flips are EXACT in float/double, the sequential
+  * dot accumulation is order-pinned in both engines, and the projected
+  * components pass through REAL for the established ulp-swallowing
+  * cross-engine image.
+  */
+object RandomProjection {
+
+  /** +1 iff ((i·31 + j·73) mod 13) is even: pseudo-random enough to be
+    * full-rank (no checkerboard degeneracy), trivial to replay in SQL. */
+  private def sign(j: Int, i: Int): Float =
+    if (((i * 31 + j * 73) % 13) % 2 == 0) 1.0f else -1.0f
+
+  /** dim-`inDim` float vector → dim-`outDim` float vector; one literal
+    * ±1 row per output component. */
+  def projectCol(vec: Column, outDim: Int = 16, inDim: Int = 64): Column =
+    array((0 until outDim).map { j =>
+      val w = array((0 until inDim).map(i => lit(sign(j, i))): _*)
+      graft.functions.dot_product(vec, w).cast("float")
+    }: _*)
+
+  /** Brute-force cosine top-k in the projected space — same contract and
+    * output shape as [[Search.bruteForceTopK]], 4× less arithmetic per
+    * (query, candidate). */
+  def searchProjected(queries: DataFrame, corpus: DataFrame, k: Int,
+                      outDim: Int = 16): DataFrame =
+    Search.bruteForceTopK(
+      queries.select(col("query_id"),
+        projectCol(col("qv"), outDim).as("qv")),
+      corpus.select(col("vec_id"),
+        projectCol(col("embedding"), outDim).as("embedding")),
+      k)
+
+  /** recall@k of the projected ranking against exact full-dimension
+    * top-k — the number that decides whether the 4× cheaper scan is
+    * usable as a shortlist stage (the `q_recall` audit shape). */
+  def recallAudit(queries: DataFrame, corpus: DataFrame, k: Int,
+                  outDim: Int = 16): DataFrame = {
+    val exact = Search.bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = searchProjected(queries, corpus, k, outDim)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        (floor(count(col("hit")) / lit(k.toDouble) * 1e6) / 1e6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+}

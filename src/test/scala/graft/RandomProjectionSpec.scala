@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{RandomProjection, Search}
+import graft.sources.Tables
+
+class RandomProjectionSpec extends SparkSuite {
+  import spark.implicits._
+
+  lazy val t = Tables(spark, sfDir)
+  private def queries = t.embeddings.filter($"vec_id" < 5)
+    .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+
+  test("projection preserves identity: every query's self is rank 1") {
+    // proj is a pure function of the vector, so cos(proj(q), proj(q)) = 1
+    // and the self row must win every ranking despite JL distortion
+    val top1 = RandomProjection.searchProjected(queries, t.embeddings, k = 5)
+      .filter($"rank" === 1).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().toMap
+    assert((0L until 5L).forall(q => top1(q) == q), top1)
+  }
+
+  test("projected vectors have the declared dimension and are full-rank-ish") {
+    val dims = t.embeddings
+      .select(size(RandomProjection.projectCol($"embedding")).as("d"))
+      .distinct().as[Int].collect().toSeq
+    assert(dims == Seq(16))
+    // degenerate (e.g. checkerboard) sign grids collapse all output dims
+    // to one line; distinct projected vectors must not be collinear —
+    // cheap proxy: per-dimension values across the corpus are not all
+    // proportional to dim 0 (compare two dims' sign patterns)
+    val proj = t.embeddings
+      .select(RandomProjection.projectCol($"embedding").as("p"))
+      .select($"p".getItem(0).as("a"), $"p".getItem(1).as("b"))
+      .as[(Float, Float)].collect()
+    val ratios = proj.filter(_._1 != 0f).map(x => x._2 / x._1).distinct
+    assert(ratios.length > 1, "projection collapsed to rank 1")
+  }
+
+  test("recall audit: self-hit guarantees recall >= 1/k and audit is exact") {
+    val r = RandomProjection.recallAudit(queries, t.embeddings, k = 5)
+      .collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getAs[Long]("n_hits") >= 1L))
+    // audit agrees with a direct overlap computation
+    val exact = Search.bruteForceTopK(queries, t.embeddings, 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = RandomProjection.searchProjected(queries, t.embeddings, 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    r.foreach { row =>
+      val q = row.getAs[Long]("query_id")
+      assert(row.getAs[Long]("n_hits") == (exact(q) & approx(q)).size)
+    }
+  }
+
+  test("projection is partitioning-invariant") {
+    val a = RandomProjection.searchProjected(queries, t.embeddings, 5)
+      .collect().toSeq
+    val b = RandomProjection.searchProjected(queries,
+      t.embeddings.repartition(col("label")), 5).collect().toSeq
+    assert(a.sortBy(r => (r.getLong(0), r.getLong(1))) ==
+      b.sortBy(r => (r.getLong(0), r.getLong(1))))
+  }
+
+  test("the sign matrix folds into the plan: no extra exchange, no broadcast of weights") {
+    val plan = planOf(t.embeddings
+      .select(RandomProjection.projectCol($"embedding").as("p")))
+    assert(!plan.contains("Exchange"), plan) // narrow map-side pass
+    assert(plan.contains("dot_product"), plan)
+  }
+}
