@@ -46,7 +46,8 @@ object Plans {
     "q_k_anon", "q_graph_rank", "mm_ivf_search", "mm_recall",
     "mm_sign_search", "q_profile_sketch", "q_pref_pairs", "q_card_diff",
     "q_auc", "q_calibration", "q_ab_test", "q_ks_test", "q_scd2",
-    "q_unpivot", "q_feature_mi", "q_random_proj", "q_rp_recall")
+    "q_unpivot", "q_feature_mi", "q_random_proj", "q_rp_recall",
+    "q_lang_confusion", "q_trending_terms")
 
   /** Hand-audited runtime observations rendered under a query's header —
     * facts the static sf0.01 explain below cannot show (AQE decisions are

@@ -1173,7 +1173,16 @@ object SparkEntry {
     "q_rp_recall" -> q(t => RandomProjection.recallAudit(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
-      t.embeddings, k = 5))
+      t.embeddings, k = 5)),
+    // full langid confusion matrix: which language is mistaken for which
+    // (cell-level view of q_langid_eval's summary rows)
+    "q_lang_confusion" -> q(t => TextAnalysis.langConfusion(t.documents)),
+    // snapshot-to-snapshot trending terms: smoothed log-odds movers over
+    // the same release pair q_snapshot_diff / q_signal_drift monitor
+    "q_trending_terms" -> q(t => {
+      val (base, cur) = snapshotPair(t)
+      TextAnalysis.trendingTerms(base, cur)
+    })
   )
 
   /** The governance rows' shared snapshot construction: base = the
@@ -1857,6 +1866,20 @@ $rounds
       // the batched seam must produce EXACTLY the expression path's
       // vectors — same digest oracle, verbatim
       "q_embed_batch" -> base("q_embed"),
+      // q_lang_confusion: the langid replay joined back to truth, full
+      // (truth, predicted) cell counts with DIV-grid row shares
+      "q_lang_confusion" ->
+        s"""WITH cls AS (${base("text_langid")}),
+           | lbl AS (SELECT d.lang AS lang_true, c.predicted_lang AS lang_pred
+           |  FROM cls c JOIN documents d USING (doc_id)),
+           | cells AS (SELECT lang_true, lang_pred, COUNT(*) AS n
+           |  FROM lbl GROUP BY 1, 2),
+           | rt AS (SELECT lang_true, CAST(SUM(n) AS BIGINT) AS n_row
+           |  FROM cells GROUP BY 1)
+           |SELECT lang_true, lang_pred, CAST(n AS BIGINT) AS n,
+           | CAST((CAST(n AS HUGEINT) * 1000000) // n_row AS DOUBLE) / 1e6 AS frac
+           |FROM cells JOIN rt USING (lang_true)
+           |ORDER BY lang_true, lang_pred""".stripMargin,
       // q_langid_eval: the langid replay joined back to the labeled lang,
       // then two |languages|-row aggregates; hits grouped by truth serve
       // both recall and precision (truth = prediction on a hit)
@@ -4545,6 +4568,32 @@ $rounds
          | floor(COUNT(a.vec_id)/5.0*1e6)/1e6 AS recall
          |FROM exact x LEFT JOIN approx a
          | ON x.query_id = a.query_id AND x.vec_id = a.vec_id
-         |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin
+         |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+    // q_trending_terms: both snapshots' token counts, full-outer joined,
+    // Haldane-smoothed log-odds per token (every ln argument a product
+    // of exact integers — no cross-row float sum), ranked on the floored
+    // 1e-6 integer grid by |log-odds| with the token tie-break
+    "q_trending_terms" ->
+      (s"""WITH b0 AS (SELECT ${normSql("text")} AS s FROM documents WHERE doc_id % 5 <> 4),
+          | c0raw AS (SELECT CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
+          |   FROM documents WHERE doc_id % 5 <> 0),
+          | c0 AS (SELECT ${normSql("text")} AS s FROM c0raw),
+          | bt AS (SELECT tok, COUNT(*) AS c1 FROM (
+          |   SELECT unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tok FROM b0) GROUP BY 1),
+          | ct AS (SELECT tok, COUNT(*) AS c2 FROM (
+          |   SELECT unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tok FROM c0) GROUP BY 1),
+          | n1t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1 FROM bt),
+          | n2t AS (SELECT CAST(SUM(c2) AS BIGINT) AS n2 FROM ct),
+          | j AS (SELECT COALESCE(bt.tok, ct.tok) AS tok,
+          |    CAST(COALESCE(c1, 0) AS BIGINT) AS c1, CAST(COALESCE(c2, 0) AS BIGINT) AS c2
+          |   FROM bt FULL OUTER JOIN ct ON bt.tok = ct.tok),
+          | f AS (SELECT tok, c1, c2 FROM j WHERE c1 + c2 >= 10),
+          | s AS (SELECT tok, c1, c2,
+          |   CAST(floor(ln((CAST(c2 + 1 AS DOUBLE) * CAST(n1 - c1 + 1 AS DOUBLE)) /
+          |     (CAST(c1 + 1 AS DOUBLE) * CAST(n2 - c2 + 1 AS DOUBLE))) * 1e6) AS BIGINT) AS lm
+          |  FROM f CROSS JOIN n1t CROSS JOIN n2t)
+          |SELECT tok, c1 AS n_base, c2 AS n_cur,
+          | CAST(lm AS DOUBLE) / 1e6 AS log_odds, lm > 0 AS rising
+          |FROM s ORDER BY abs(lm) DESC, tok LIMIT 30""").stripMargin
   )
 }

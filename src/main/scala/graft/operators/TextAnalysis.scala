@@ -226,6 +226,77 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** Full langid CONFUSION MATRIX — what `langidEval`'s per-language
+    * recall/precision rows summarize, cell by cell: (truth, predicted,
+    * count, row share). The off-diagonal heat names WHICH language each
+    * language is mistaken for — the number that decides whether a langid
+    * gate needs a better model or just a threshold.
+    *
+    * Scale shape: the truth label rides the ONE scoring scan (same
+    * `carry` seam as [[langidEval]]); everything after is a bounded
+    * |L|² aggregate plus a broadcast-small row-total attach. Row share
+    * on the integer DIV grid. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val cells = languageIdFrom(
+      docs.select(col("doc_id"), col("lang"),
+        tokens(preprocess(col("text"))).as("toks")),
+      carry = Seq("lang"))
+      .groupBy(col("lang").as("lang_true"),
+        col("predicted_lang").as("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy(col("lang_true")).agg(sum(col("n")).as("n_row"))
+    cells.join(broadcast(rowTot), Seq("lang_true"))
+      .select(col("lang_true"), col("lang_pred"), col("n"),
+        expr("cast(n as decimal(38,0)) * 1000000 div n_row")
+          .cast("double") / 1e6 as "frac")
+      .transform(graft.Determinism.sorted(_)(col("lang_true"),
+        col("lang_pred")))
+  }
+
+  /** Snapshot-to-snapshot TRENDING TERMS: per-token smoothed log-odds
+    * ratio between two corpus snapshots' token frequencies —
+    * `ln(((c₂+1)/(N₂−c₂+1)) / ((c₁+1)/(N₁−c₁+1)))` (Haldane +1 so
+    * appeared/vanished tokens stay finite) — the release-review list of
+    * what moved, both directions, ranked by |log-odds|. The monitoring
+    * companion to `q_vocab_growth` (which counts NEW vocabulary but not
+    * shifting mass) and `q_signal_drift` (which sees lengths, not words).
+    *
+    * Scale shape: two tokenize passes collapse map-side to token counts;
+    * the snapshot join is token-keyed FULL OUTER (co-partitioned — both
+    * sides hash on tok); totals broadcast as 1-row frames; the final
+    * ranking is a bounded TakeOrdered. Nothing corpus-sized survives the
+    * first aggregate.
+    *
+    * Determinism: every ln argument is a product of exact integer-valued
+    * doubles, one value per token (no cross-row float sum anywhere);
+    * ranking on the floored 1e-6 integer grid with the token tie-break. */
+  def trendingTerms(base: DataFrame, cur: DataFrame,
+                    minCount: Long = 10, topK: Int = 30): DataFrame = {
+    def counts(docs: DataFrame, cname: String) = docs
+      .select(tokens(preprocess(col("text"))).as("toks"))
+      .barrier() // explode re-evaluates its child per output row
+      .select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as(cname))
+    val b = counts(base, "c1")
+    val c = counts(cur, "c2")
+    val n1 = b.agg(sum(col("c1")).as("n1"))
+    val n2 = c.agg(sum(col("c2")).as("n2"))
+    val num = (col("c2") + lit(1L)).cast("double") *
+      (col("n1") - col("c1") + lit(1L)).cast("double")
+    val den = (col("c1") + lit(1L)).cast("double") *
+      (col("n2") - col("c2") + lit(1L)).cast("double")
+    b.join(c, Seq("tok"), "full")
+      .na.fill(0L, Seq("c1", "c2"))
+      .filter(col("c1") + col("c2") >= minCount)
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .withColumn("lm", floor(log(num / den) * 1e6).cast("long"))
+      .orderBy(abs(col("lm")).desc, col("tok"))
+      .limit(topK)
+      .select(col("tok"), col("c1").as("n_base"), col("c2").as("n_cur"),
+        (col("lm").cast("double") / 1e6).as("log_odds"),
+        (col("lm") > 0L).as("rising"))
+  }
+
   /** Cross-source VOCABULARY overlap matrix — the companion diagnostic
     * to `q_source_kl` (KL sees distribution shift over the shared
     * vocabulary; this sees how much vocabulary is shared at all): for

@@ -603,6 +603,66 @@ class PipelineSpec extends SparkSuite {
     assert(got.size == 2)
   }
 
+  test("langConfusion: cells aggregate to langidEval's truth rows") {
+    val docs = Seq(
+      (1L, "the cat is here", "en"),
+      (2L, "der hund ist da", "de"),
+      (3L, "el perro que ladra", "es"),
+      (4L, "xyz abc", "en"),
+      (5L, "le chien et la", "fr"),
+      (6L, "der und mit", "en"),       // → de: off-diagonal cell
+      (7L, "the of and", "pt"))        // → en: off-diagonal cell
+      .toDF("doc_id", "text", "lang")
+    val cells = operators.TextAnalysis.langConfusion(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // the off-diagonal confusions langidEval can only report as misses
+    assert(cells(("en", "de"))._1 == 1L)
+    assert(cells(("pt", "en"))._1 == 1L)
+    assert(cells(("pt", "en"))._2 == 1.0) // pt's whole row is the en cell
+    // row sums = langidEval's per-truth n; diagonal = its n_correct
+    val eval = operators.TextAnalysis.langidEval(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val rowSums = cells.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2._1).sum).toMap
+    for ((lang, (n, nCorrect)) <- eval if n > 0) {
+      assert(rowSums(lang) == n, s"row sum $lang")
+      assert(cells.getOrElse((lang, lang), (0L, 0.0))._1 == nCorrect,
+        s"diagonal $lang")
+    }
+    // row shares sum to ~1 on the DIV grid (each cell floors, so the
+    // sum can undershoot by < cells·1e-6 but never overshoot)
+    rowSums.keys.foreach { lang =>
+      val s = cells.toSeq.filter(_._1._1 == lang).map(_._2._2).sum
+      assert(s <= 1.0 + 1e-9 && s > 1.0 - 1e-4, s"$lang shares: $s")
+    }
+  }
+
+  test("trendingTerms: a planted new term tops the movers, both directions rank") {
+    val base = (1 to 30).map(i => (i.toLong, "alpha beta common filler"))
+      .toDF("doc_id", "text")
+    val cur = (1 to 30).map(i =>
+      (i.toLong, "gamma beta common filler")) // alpha→gamma swap
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.trendingTerms(base, cur, minCount = 5)
+      .collect()
+    val byTok = got.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).toMap
+    // the vanished and appeared terms are the extreme movers, symmetric
+    // log-odds by construction (same counts, opposite direction)
+    assert(byTok("gamma") == (0L, 30L,
+      math.floor(math.log(31.0 * 121.0 / (1.0 * 91.0)) * 1e6) / 1e6, true))
+    assert(byTok("alpha")._4 == false)
+    assert(math.abs(byTok("alpha")._3) == math.abs(byTok("gamma")._3) ||
+      math.abs(math.abs(byTok("alpha")._3) - math.abs(byTok("gamma")._3)) < 2e-6)
+    // unchanged terms sit at ~0
+    assert(math.abs(byTok("common")._3) < 0.01)
+    // ranking: the two movers come first
+    assert(got.take(2).map(_.getString(0)).toSet == Set("alpha", "gamma"))
+  }
+
   test("signalCorrelation: exact-moment r, zero-variance signals stay 0") {
     val docs = Seq(
       (1L, "alpha beta gamma delta epsilon"),
