@@ -1182,7 +1182,11 @@ object SparkEntry {
     "q_trending_terms" -> q(t => {
       val (base, cur) = snapshotPair(t)
       TextAnalysis.trendingTerms(base, cur)
-    })
+    }),
+    // precision/recall operating points at the calibration thresholds,
+    // folded from the q_auc score histogram (one histogram × 10 join,
+    // not 10 corpus passes)
+    "q_pr_curve" -> q(t => MlEval.prCurve(t.embeddings))
   )
 
   /** The governance rows' shared snapshot construction: base = the
@@ -4421,6 +4425,26 @@ $rounds
          |        (2 * CAST(SUM(p_g) AS HUGEINT) * SUM(n_g)) AS DOUBLE) / 1e6
          | END AS auc
          |FROM u GROUP BY class ORDER BY label""".stripMargin,
+    // q_pr_curve: the same histogram folded at the 10 bin thresholds —
+    // tp / predicted-positive masses from cells at or above each
+    // threshold; empty thresholds emit no row in both engines
+    "q_pr_curve" ->
+      s"""WITH $ovrScoredCtes,
+         | h AS (SELECT class, s_grid, CAST(SUM(pos) AS BIGINT) AS p_g,
+         |    CAST(COUNT(*) - SUM(pos) AS BIGINT) AS n_g
+         |   FROM sc GROUP BY 1, 2),
+         | thr AS (SELECT j AS bin, -1000000 + j*200000 AS thr FROM range(10) t(j)),
+         | tot AS (SELECT class, CAST(SUM(p_g) AS BIGINT) AS n_pos FROM h GROUP BY 1),
+         | cpr AS (SELECT class, bin, thr, CAST(SUM(p_g) AS BIGINT) AS tp,
+         |    CAST(SUM(p_g + n_g) AS BIGINT) AS n_pred
+         |   FROM h JOIN thr ON s_grid >= thr GROUP BY 1, 2, 3)
+         |SELECT CAST(class AS BIGINT) AS label, CAST(bin AS BIGINT) AS bin,
+         | CAST(thr AS DOUBLE) / 1e6 AS threshold, n_pred, tp,
+         | CASE WHEN n_pred > 0 THEN
+         |   CAST((CAST(tp AS HUGEINT) * 1000000) // n_pred AS DOUBLE) / 1e6 END AS prec,
+         | CASE WHEN n_pos > 0 THEN
+         |   CAST((CAST(tp AS HUGEINT) * 1000000) // n_pos AS DOUBLE) / 1e6 END AS recall
+         |FROM cpr JOIN tot USING (class) ORDER BY label, bin""".stripMargin,
     // q_calibration: same scored table cut into 10 bins over [-1,1];
     // the mean goes through the +1e6 OFFSET grid (DIV never sees a
     // negative numerator — the engines disagree on negative int division)

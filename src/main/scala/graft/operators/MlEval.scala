@@ -102,6 +102,40 @@ object MlEval {
           .cast("double") / 1e6 as "pos_rate")
       .transform(graft.Determinism.sorted(_)(col("label"), col("bin")))
 
+  /** Precision/recall operating points at the 10 calibration-bin
+    * thresholds, folded from the SAME (class, grid-score) histogram as
+    * [[auc]] — predicted-positive and true-positive masses are sums over
+    * the cells at or above each threshold, so the whole curve costs one
+    * histogram × 10 join instead of 10 corpus passes (and no corpus
+    * sort). Thresholds with no scores at or above them emit no row
+    * (nothing is predicted positive there — both engines agree by
+    * construction). `prec`/`recall` on the DIV grid, NULL-guarded. */
+  def prCurve(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame = {
+    val spark = embeddings.sparkSession
+    val h = scoredOneVsRest(embeddings, heldoutMod)
+      .groupBy(col("class"), col("s_grid"))
+      .agg(sum(col("pos")).as("p_g"),
+        (count(lit(1)) - sum(col("pos"))).as("n_g"))
+    val thr = spark.range(10).select(col("id").as("bin"),
+      (lit(-1000000L) + col("id") * 200000L).as("thr"))
+    val tot = h.groupBy(col("class")).agg(sum(col("p_g")).as("n_pos"))
+    h.join(broadcast(thr), col("s_grid") >= col("thr"))
+      .groupBy(col("class"), col("bin"), col("thr"))
+      .agg(sum(col("p_g")).as("tp"),
+        sum(col("p_g") + col("n_g")).as("n_pred"))
+      .join(broadcast(tot), Seq("class"))
+      .select(col("class").as("label"), col("bin"),
+        (col("thr").cast("double") / 1e6).as("threshold"),
+        col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          expr("cast(tp as decimal(38,0)) * 1000000 div n_pred")
+            .cast("double") / 1e6).as("prec"),
+        when(col("n_pos") > 0,
+          expr("cast(tp as decimal(38,0)) * 1000000 div n_pos")
+            .cast("double") / 1e6).as("recall"))
+      .transform(graft.Determinism.sorted(_)(col("label"), col("bin")))
+  }
+
   /** Hashed-assignment A/B test over the event log: every user lands in
     * variant `fnv1a64(user_id) mod 2` (the stable, coordination-free
     * assignment a 1000-executor experiment uses — no assignment table,

@@ -84,6 +84,29 @@ class MlEvalSpec extends SparkSuite {
     })
   }
 
+  test("pr curve: monotone recall, cross-checked against the scored table") {
+    val scored = MlEval.scoredOneVsRest(t.embeddings)
+      .select($"class", $"s_grid", $"pos").as[(Long, Long, Long)]
+      .collect().toSeq
+    val rows = MlEval.prCurve(t.embeddings).collect()
+    rows.foreach { r =>
+      val cls = r.getAs[Long]("label")
+      val thr = math.round(r.getAs[Double]("threshold") * 1e6)
+      val sel = scored.filter(s => s._1 == cls && s._2 >= thr)
+      assert(r.getAs[Long]("n_pred") == sel.size.toLong)
+      assert(r.getAs[Long]("tp") == sel.count(_._3 == 1L).toLong)
+    }
+    // recall is non-increasing as the threshold rises within a class
+    rows.groupBy(_.getAs[Long]("label")).foreach { case (_, rs) =>
+      val byBin = rs.sortBy(_.getAs[Long]("bin"))
+        .flatMap(r => Option(r.get(r.fieldIndex("recall")))
+          .map(_.asInstanceOf[Double]))
+      assert(byBin.zip(byBin.tail).forall { case (a, b) => b <= a + 1e-9 })
+    }
+    // thresholds with nothing predicted positive emit no row
+    assert(rows.forall(_.getAs[Long]("n_pred") > 0L))
+  }
+
   // -- A/B test ---------------------------------------------------------
 
   test("ab test arms partition users and z matches a direct computation") {

@@ -375,6 +375,31 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming scd2 emits exactly the batch operator's closed versions") {
+    import spark.implicits._
+    val q = Scd2Stream.closedVersions(streamEvents)
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val emitted = spark.table("scd2_out")
+        .select($"user_id", $"version", $"state",
+          $"valid_from_us", $"valid_to_us")
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      assert(emitted.nonEmpty, "no closed versions emitted")
+      // in-order input (the chunks split on ts): the emitted set IS the
+      // batch history's closed rows — same versions, same intervals
+      val batch = operators.Warehouse.scd2(t.events)
+        .filter($"valid_to".isNotNull)
+        .select($"user_id", $"version", $"state",
+          unix_micros($"valid_from"), unix_micros($"valid_to"))
+        .as[(Long, Long, String, Long, Long)].collect().toSet
+      assert(emitted == batch,
+        s"stream/batch divergence: ${(emitted -- batch).size} extra, " +
+          s"${(batch -- emitted).size} missing")
+    } finally q.stop()
+  }
+
   test("streaming curation with frozen stats equals the batch funnel") {
     import spark.implicits._
     // freeze the corpus statistics from the FULL corpus (the batch
