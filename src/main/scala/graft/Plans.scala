@@ -47,7 +47,8 @@ object Plans {
     "mm_sign_search", "q_profile_sketch", "q_pref_pairs", "q_card_diff",
     "q_auc", "q_calibration", "q_ab_test", "q_ks_test", "q_scd2",
     "q_unpivot", "q_feature_mi", "q_random_proj", "q_rp_recall",
-    "q_lang_confusion", "q_trending_terms", "q_pr_curve")
+    "q_lang_confusion", "q_trending_terms", "q_pr_curve",
+    "q_classify_f1", "q_cdc")
 
   /** Hand-audited runtime observations rendered under a query's header —
     * facts the static sf0.01 explain below cannot show (AQE decisions are

@@ -1186,7 +1186,17 @@ object SparkEntry {
     // precision/recall operating points at the calibration thresholds,
     // folded from the q_auc score histogram (one histogram × 10 join,
     // not 10 corpus passes)
-    "q_pr_curve" -> q(t => MlEval.prCurve(t.embeddings))
+    "q_pr_curve" -> q(t => MlEval.prCurve(t.embeddings)),
+    // per-class precision/recall/F1 confusion summary (prediction side
+    // added to q_classify_eval's truth side; integer F1, one DIV)
+    "q_classify_f1" -> q(t => Classifier.f1Report(t.embeddings)),
+    // row-level CDC feed between the release snapshots: which doc_ids
+    // inserted/deleted/updated (q_snapshot_diff tells how much; this
+    // tells which), output ∝ churn
+    "q_cdc" -> q(t => {
+      val (base, cur) = snapshotPair(t)
+      Warehouse.cdc(base, cur)
+    })
   )
 
   /** The governance rows' shared snapshot construction: base = the
@@ -3353,6 +3363,43 @@ $rounds
          | floor(SUM(CASE WHEN correct THEN 1 ELSE 0 END)
          |   / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6 AS recall
          |FROM cls GROUP BY label ORDER BY label""".stripMargin,
+    // q_classify_f1: the classify replay's confusion cells folded from
+    // BOTH sides (truth full-outer prediction); F1 = 2tp/(n_true+n_pred)
+    // stays integer to one DIV — no float p/r composition
+    "q_classify_f1" ->
+      s"""WITH cls AS ($oracleSqlClassify),
+         | tr AS (SELECT label, COUNT(*) AS n_true,
+         |    CAST(SUM(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |   FROM cls GROUP BY 1),
+         | pr AS (SELECT predicted AS label, COUNT(*) AS n_pred FROM cls GROUP BY 1),
+         | j AS (SELECT COALESCE(tr.label, pr.label) AS label,
+         |    CAST(COALESCE(n_true, 0) AS BIGINT) AS n_true,
+         |    CAST(COALESCE(tp, 0) AS BIGINT) AS tp,
+         |    CAST(COALESCE(n_pred, 0) AS BIGINT) AS n_pred
+         |   FROM tr FULL OUTER JOIN pr ON tr.label = pr.label)
+         |SELECT label, n_true, n_pred, tp,
+         | n_pred - tp AS fp, n_true - tp AS fn,
+         | CASE WHEN n_pred > 0 THEN CAST((tp * 1000000) // n_pred AS DOUBLE) / 1e6 END AS prec,
+         | CASE WHEN n_true > 0 THEN CAST((tp * 1000000) // n_true AS DOUBLE) / 1e6 END AS recall,
+         | CASE WHEN n_true + n_pred > 0 THEN
+         |   CAST((2 * tp * 1000000) // (n_true + n_pred) AS DOUBLE) / 1e6 END AS f1
+         |FROM j ORDER BY label""".stripMargin,
+    // q_cdc: the snapshot pair full-outer joined on doc_id, unchanged
+    // rows dropped — the row-level feed behind q_snapshot_diff's rollup
+    "q_cdc" ->
+      """WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
+        | c0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
+        |   FROM documents WHERE doc_id % 5 <> 0),
+        | j AS (SELECT COALESCE(b0.doc_id, c0.doc_id) AS doc_id,
+        |    b0.text AS tb, c0.text AS tc
+        |   FROM b0 FULL OUTER JOIN c0 ON b0.doc_id = c0.doc_id)
+        |SELECT doc_id,
+        | CASE WHEN tb IS NULL THEN 'insert' WHEN tc IS NULL THEN 'delete'
+        |      ELSE 'update' END AS op,
+        | CAST(COALESCE(len(tb), 0) AS BIGINT) AS n_chars_base,
+        | CAST(COALESCE(len(tc), 0) AS BIGINT) AS n_chars_cur
+        |FROM j WHERE tb IS NULL OR tc IS NULL OR tb <> tc
+        |ORDER BY doc_id""".stripMargin,
     "q_recall" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
         | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.cosine_similarity
+import graft.operators.Barrier.BarrierOps
 
 /** Nearest-centroid (Rocchio) classification over the embedding column —
   * the shape of a FastText/FineWeb-Edu-style quality or domain
@@ -82,4 +83,37 @@ object Classifier {
         (floor(col("n_correct").cast("double") / col("n").cast("double")
           * 1e6) / 1e6).as("recall"))
       .orderBy(col("label"))
+
+  /** Per-class precision/recall/F1 from the one-vs-rest confusion cells
+    * — [[evalReport]] sees only the truth side (recall); this adds the
+    * prediction side, so an over-predicted class shows its false-
+    * positive cost. Classes appearing only as predictions still get a
+    * row (full-outer, the langidEval discipline). F1 stays INTEGER all
+    * the way: F1 = 2·tp/(2·tp+fp+fn) = 2·tp/(n_true+n_pred), one DIV on
+    * the 1e-6 grid — no float precision/recall composition to disagree
+    * at a floor boundary. Costs two bounded |labels|-row aggregates
+    * over one barriered classification pass. */
+  def f1Report(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame = {
+    val scored = classify(embeddings, heldoutMod)
+      .select(col("label"), col("predicted"),
+        col("correct").cast("long").as("hit"))
+      .barrier() // read twice: truth-side and prediction-side aggregates
+    val truth = scored.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_true"), sum(col("hit")).as("tp"))
+    val pred = scored.groupBy(col("predicted").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    truth.join(pred, Seq("label"), "full")
+      .na.fill(0L, Seq("n_true", "tp", "n_pred"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
+        (col("n_pred") - col("tp")).as("fp"),
+        (col("n_true") - col("tp")).as("fn"),
+        when(col("n_pred") > 0,
+          expr("tp * 1000000 div n_pred").cast("double") / 1e6).as("prec"),
+        when(col("n_true") > 0,
+          expr("tp * 1000000 div n_true").cast("double") / 1e6).as("recall"),
+        when(col("n_true") + col("n_pred") > 0,
+          expr("2 * tp * 1000000 div (n_true + n_pred)")
+            .cast("double") / 1e6).as("f1"))
+      .transform(graft.Determinism.sorted(_)(col("label")))
+  }
 }

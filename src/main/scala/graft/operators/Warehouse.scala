@@ -41,4 +41,30 @@ object Warehouse {
       .withColumn("is_current", col("valid_to").isNull)
       .transform(graft.Determinism.sorted(_)(col("user_id"), col("version")))
   }
+
+  /** Row-level change-data-capture feed between two corpus snapshots:
+    * (doc_id, op ∈ insert/delete/update) with both sides' lengths as the
+    * change evidence — the feed `q_upsert`-style merges consume, and the
+    * row-level companion to `q_snapshot_diff`'s per-source churn rollup
+    * (which tells you HOW MUCH moved; this tells you WHICH rows).
+    *
+    * Scale shape: ONE doc_id-keyed full-outer join (both sides hash on
+    * the key — co-partitioned, no second exchange); unchanged rows are
+    * dropped before anything downstream, so the feed is proportional to
+    * CHURN, not corpus size. */
+  def cdc(base: DataFrame, cur: DataFrame): DataFrame =
+    base.select(col("doc_id"), col("text").as("text_base"))
+      .join(cur.select(col("doc_id"), col("text").as("text_cur")),
+        Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        when(col("text_base").isNull, lit("insert"))
+          .when(col("text_cur").isNull, lit("delete"))
+          .when(col("text_base") =!= col("text_cur"), lit("update"))
+          .as("op"),
+        coalesce(length(col("text_base")), lit(0)).cast("long")
+          .as("n_chars_base"),
+        coalesce(length(col("text_cur")), lit(0)).cast("long")
+          .as("n_chars_cur"))
+      .filter(col("op").isNotNull)
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
 }

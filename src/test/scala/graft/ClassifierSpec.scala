@@ -57,6 +57,30 @@ class ClassifierSpec extends SparkSuite {
     }
   }
 
+  test("f1 report: cells reconcile with a driver-side confusion matrix") {
+    val cls = Classifier.classify(t.embeddings)
+      .select($"label", $"predicted").as[(Long, Long)].collect().toSeq
+    val rep = Classifier.f1Report(t.embeddings).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val classes = (cls.map(_._1) ++ cls.map(_._2)).distinct
+    assert(rep.keySet == classes.toSet)
+    classes.foreach { c =>
+      val tp = cls.count(x => x._1 == c && x._2 == c).toLong
+      val nTrue = cls.count(_._1 == c).toLong
+      val nPred = cls.count(_._2 == c).toLong
+      val r = rep(c)
+      assert(r.getAs[Long]("tp") == tp, s"class $c tp")
+      assert(r.getAs[Long]("fp") == nPred - tp, s"class $c fp")
+      assert(r.getAs[Long]("fn") == nTrue - tp, s"class $c fn")
+      if (nTrue + nPred > 0)
+        assert(r.getAs[Double]("f1") ==
+          (2 * tp * 1000000L / (nTrue + nPred)).toDouble / 1e6, s"class $c f1")
+    }
+    // micro-consistency: Σtp over classes = total correct
+    assert(rep.values.map(_.getAs[Long]("tp")).sum ==
+      cls.count(x => x._1 == x._2).toLong)
+  }
+
   test("plan: inference is broadcast-only — no shuffle of the corpus side pre-argmin") {
     val plan = planOf(Classifier.classify(t.embeddings))
     assert(plan.contains("BroadcastNestedLoopJoin") ||

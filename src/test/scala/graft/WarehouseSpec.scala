@@ -58,6 +58,30 @@ class WarehouseSpec extends SparkSuite {
     assert(exchanges == 1, s"expected 1 user exchange, plan:\n$plan")
   }
 
+  test("cdc feed classifies inserts, deletes, and updates; unchanged rows absent") {
+    val base = Seq((1L, "kept the same"), (2L, "will be deleted"),
+      (3L, "will change")).toDF("doc_id", "text")
+    val cur = Seq((1L, "kept the same"), (3L, "changed now"),
+      (4L, "brand new")).toDF("doc_id", "text")
+    val got = Warehouse.cdc(base, cur).collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        r.getAs[Long]("n_chars_base"), r.getAs[Long]("n_chars_cur"))).toMap
+    assert(got.keySet == Set(2L, 3L, 4L)) // doc 1 unchanged → absent
+    assert(got(2L) == (("delete", 15L, 0L)))
+    assert(got(3L) == (("update", 11L, 11L)))
+    assert(got(4L) == (("insert", 0L, 9L)))
+  }
+
+  test("cdc join is co-partitioned: one exchange per side, no re-shuffle") {
+    val (base, cur) = (t.documents.select($"doc_id", $"text"),
+      t.documents.select($"doc_id", concat($"text", lit("x")).as("text")))
+    val plan = planOf(Warehouse.cdc(base, cur))
+    // a doc_id full-outer SMJ: exactly two hashpartitioning(doc_id)
+    // exchanges (one per input), nothing downstream re-partitions
+    val ex = plan.linesIterator.count(_.contains("hashpartitioning(doc_id"))
+    assert(ex == 2, s"expected 2 input exchanges, got $ex:\n$plan")
+  }
+
   test("token-lang MI ranks a perfectly separating token at the top") {
     // synthetic corpus: token 'aaa' appears in ALL lang-x docs and NO
     // lang-y docs (perfect predictor); 'zzz' appears everywhere
