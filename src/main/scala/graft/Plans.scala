@@ -54,6 +54,25 @@ object Plans {
     * facts the static sf0.01 explain below cannot show (AQE decisions are
     * runtime-only and scale-dependent). Survives regeneration. */
   val notes: Map[String, String] = Map(
+    "q_auc" ->
+      """Executed at sf1 (GRAFT_SHOW_EXECUTED, round 14, isFinalPlan=true):
+        |centroid training collapses to ONE label-keyed
+        |ObjectHashAggregate(VectorAvg) exchange and ships to the held-out
+        |side as a single IdentityBroadcastMode BroadcastExchange feeding
+        |the Cross BNLJ (n_labels × dim — kilobytes at any corpus size);
+        |the corpus pass partial-aggregates (class, s_grid) map-side below
+        |its exchange, and the Mann-Whitney window runs over the
+        |AQE-COALESCED histogram read — never the corpus. The final
+        |rangepartitioning sort is the oracle-determinism orderBy (absent
+        |in bench mode).""".stripMargin,
+    "q_trending_terms" ->
+      """Executed at sf1 (GRAFT_SHOW_EXECUTED, round 14): the corpus
+        |totals n1/n2 REUSE the token-count exchanges (`ReusedExchange`
+        |on both snapshot sides — the 1-row sums cost no second tokenize
+        |pass) and attach via IdentityBroadcastMode BNLJs; the snapshot
+        |join runs as a co-partitioned full-outer SortMergeJoin over the
+        |two AQE-coalesced token exchanges. Warm 14.6 s at sf1,
+        |tokenize-dominated (the documented linear cost).""".stripMargin,
     "q_collocations" ->
       """AQE at sf1 (executed plan read via `GRAFT_SHOW_EXECUTED=1
         |graft.Scratch`, round 11): the two vocabulary attach joins run as

@@ -31,10 +31,11 @@ object Scratch {
           // df's own queryExecution (collect, not a writer — the writer
           // wraps a separate command plan) and print what actually ran
           val df = fn(spark, sfDir)
-          // execute the df's OWN plan (not a writer's command wrapper) so
-          // the adaptive plan finalizes, without collecting a potentially
-          // corpus-sized result to the driver
-          df.foreach(_ => ())
+          // execute THIS queryExecution (Dataset.foreach would run a
+          // separate rddQueryExecution and leave the printed adaptive
+          // plan non-final): toRdd drives the same adaptive root the
+          // print reads, and no row moves to the driver
+          df.queryExecution.toRdd.foreach(_ => ())
           println(df.queryExecution.executedPlan.toString.linesIterator
             .take(60).mkString("\n"))
         } else {
