@@ -60,8 +60,13 @@ object MlEval {
     * integer algebra goes through DECIMAL(38,0) so 2·P·N·1e6 cannot
     * overflow at corpus scale. Classes with no positives or no negatives
     * report NULL (AUC undefined). */
-  def auc(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame = {
-    val h = scoredOneVsRest(embeddings, heldoutMod)
+  def auc(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame =
+    aucFromScored(scoredOneVsRest(embeddings, heldoutMod))
+
+  /** [[auc]] over ANY `(class, s_grid, pos)` scored table — the seam the
+    * property suite drives with synthetic score distributions. */
+  def aucFromScored(scored: DataFrame): DataFrame = {
+    val h = scored
       .groupBy(col("class"), col("s_grid"))
       .agg(sum(col("pos")).as("p_g"),
         (count(lit(1)) - sum(col("pos"))).as("n_g"))

@@ -295,6 +295,56 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  private val scoredGen: Gen[Seq[(Long, Long, Long)]] =
+    Gen.chooseNum(2, 60).flatMap(n =>
+      Gen.listOfN(n, for {
+        cls <- Gen.chooseNum(0L, 2L)
+        // small grid domain forces heavy ties — the tie-credit path
+        s <- Gen.chooseNum(-5L, 5L)
+        pos <- Gen.oneOf(0L, 1L)
+      } yield (cls, s, pos)))
+
+  test("histogram AUC equals the tie-aware average-rank statistic on random data") {
+    import graft.operators.MlEval
+    forAll(scoredGen, 10) { rows =>
+      val df = rows.toDF("class", "s_grid", "pos")
+      val got = MlEval.aucFromScored(df).collect()
+        .map(r => r.getLong(0) ->
+          Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+      rows.groupBy(_._1).foreach { case (cls, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sortBy(_._1)
+        val p = sorted.count(_._2 == 1L); val n = sorted.length - p
+        val want =
+          if (p == 0 || n == 0) None
+          else {
+            // average rank per tie group, 1-based
+            val rank = sorted.map(_._1).zipWithIndex
+              .groupBy(_._1).map { case (v, xs) =>
+                v -> (xs.map(_._2 + 1).sum.toDouble / xs.length) }
+            val u = sorted.filter(_._2 == 1L).map(r => rank(r._1)).sum -
+              p * (p + 1) / 2.0
+            Some(math.floor(u / (p.toDouble * n) * 1e6) / 1e6)
+          }
+        assert(got(cls) == want, s"class $cls: got ${got(cls)}, want $want")
+      }
+    }
+  }
+
+  test("AUC extremes: perfect separation 1.0, inverted 0.0, one tie group 0.5") {
+    import graft.operators.MlEval
+    def auc(rows: Seq[(Long, Long, Long)]): Option[Double] =
+      Option(MlEval.aucFromScored(rows.toDF("class", "s_grid", "pos"))
+        .collect().head.get(3)).map(_.asInstanceOf[Double])
+    val pos = (1 to 10).map(i => (0L, 100L + i, 1L))
+    val neg = (1 to 10).map(i => (0L, i.toLong, 0L))
+    assert(auc(pos ++ neg).contains(1.0))
+    assert(auc(pos.map(p => p.copy(_3 = 0L)) ++
+      neg.map(_.copy(_3 = 1L))).contains(0.0))
+    // every score identical: one tie group, AUC exactly 1/2
+    assert(auc(Seq((0L, 7L, 1L), (0L, 7L, 1L), (0L, 7L, 0L), (0L, 7L, 0L)))
+      .contains(0.5))
+  }
+
   test("skipgram pair conservation: 2·Σ_d max(len−d, 0) directed pairs") {
     forAll(tokensGen, 8) { toks =>
       val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
