@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Catalog-wide PlanDoctor sweep (not part of the driver contract):
+  * prints every finding at or above the requested severity for every
+  * `SparkEntry` query — the command-line form of PlanAuditSpec's gate,
+  * for iterating on a rule before pinning its allowlist in the spec.
+  * Usage: `sbt "runMain graft.Doctor warn [queryName...]"`.
+  */
+object Doctor {
+  def main(args: Array[String]): Unit = {
+    val rank = Map("info" -> 0, "warn" -> 1, "error" -> 2)
+    val min = rank(args.headOption.filter(rank.contains).getOrElse("warn"))
+    val only = args.drop(1).toSet
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1))
+      .foreach { case (name, fn) =>
+        try PlanDoctor.audit(fn(spark, sfDir))
+          .filter(f => rank(f.severity) >= min)
+          .foreach(f => println(s"DOCTOR $name -> $f"))
+        catch {
+          case e: Exception =>
+            println(s"DOCTOR $name -> AUDIT-FAIL ${e.getMessage}")
+        }
+      }
+    println("DOCTOR done")
+    spark.stop()
+  }
+}

@@ -67,11 +67,38 @@ object PlanDoctor {
       // task — by design for k-rows-per-query merges, a serialization
       // point for anything corpus-sized.
       // covers SinglePartition AND numPartitions=1 hash/round-robin forms
-      case e: ShuffleExchangeExec
-          if e.outputPartitioning == SinglePartition ||
-            e.outputPartitioning.numPartitions == 1 =>
-        findings += Finding("info", "single-partition-exchange",
-          "all rows funnel through one task; verify the child is bounded")
+      case e: ShuffleExchangeExec =>
+        if (e.outputPartitioning == SinglePartition ||
+            e.outputPartitioning.numPartitions == 1)
+          findings += Finding("info", "single-partition-exchange",
+            "all rows funnel through one task; verify the child is bounded")
+        // A hash exchange (join/agg shuffle) whose input schema carries a
+        // corpus BODY column — a stored `text` string or any stored
+        // binary payload, traced UNCHANGED to the scan — ships the corpus
+        // bytes across the wire even when its RECORD count is linear
+        // (records gates are width-blind; this is the bytes gate). The
+        // discipline is Governance.snapshotDiff's: project an 8-byte
+        // fingerprint + length at the scan and join on that. Legitimate
+        // only when the operator's OUTPUT is the body itself and the
+        // shuffle is how it gets there (window reassembly, pair-bounded
+        // rebuilds) — a spec must vouch for those sites by name.
+        // Presentation-sort (range) exchanges are exempt: output-sized
+        // by definition, and the test harness's determinism orderBy.
+        if (e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]) {
+          val wide = e.child.output.filter { a =>
+            rawLeafAttr(e.child, a.exprId).exists { leaf =>
+              (leaf.dataType == org.apache.spark.sql.types.StringType &&
+                leaf.name == "text") ||
+              leaf.dataType == org.apache.spark.sql.types.BinaryType
+            }
+          }
+          if (wide.nonEmpty)
+            findings += Finding("warn", "body-width-exchange",
+              "hash exchange input carries corpus body column(s) " +
+                s"[${wide.map(_.name).mkString(", ")}] — ship a " +
+                "fingerprint + length instead (snapshotDiff discipline)")
+        }
 
       // A Filter sitting directly on a parquet scan that pushed NOTHING
       // re-reads every row group: either the predicate is genuinely
@@ -284,16 +311,25 @@ object PlanDoctor {
     * breaks the chain: that's a derivation. A lower AGGREGATE output
     * that is itself a bare grouping key keeps tracing (regrouping a raw
     * id stays raw); an aggregate-function output is computed. */
-  private def isRawLeafColumn(p: SparkPlan, id: ExprId): Boolean = p match {
+  private def isRawLeafColumn(p: SparkPlan, id: ExprId): Boolean =
+    rawLeafAttr(p, id).isDefined
+
+  /** The stored-leaf attribute `id` traces UNCHANGED to (bare attribute
+    * renames only), or None when any computation breaks the chain —
+    * [[isRawLeafColumn]] with the leaf identity surfaced so rules can
+    * read the STORED column's name/type (a rename at the top cannot
+    * launder a body column past the width gate). */
+  private def rawLeafAttr(p: SparkPlan, id: ExprId)
+      : Option[org.apache.spark.sql.catalyst.expressions.Attribute] = p match {
     case pr: ProjectExec =>
       pr.projectList.find(_.toAttribute.exprId == id) match {
         case Some(al: Alias) => al.child match {
           case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
-            isRawLeafColumn(pr.child, att.exprId)
-          case _ => false
+            rawLeafAttr(pr.child, att.exprId)
+          case _ => None
         }
-        case Some(att) => isRawLeafColumn(pr.child, att.toAttribute.exprId)
-        case None      => isRawLeafColumn(pr.child, id)
+        case Some(att) => rawLeafAttr(pr.child, att.toAttribute.exprId)
+        case None      => rawLeafAttr(pr.child, id)
       }
     case a: BaseAggregateExec =>
       val ge = a.groupingExpressions.find(_.toAttribute.exprId == id)
@@ -301,39 +337,40 @@ object PlanDoctor {
       ge match {
         case Some(al: Alias) => al.child match {
           case att: org.apache.spark.sql.catalyst.expressions.Attribute =>
-            isRawLeafColumn(a.child, att.exprId)
-          case _ => false
+            rawLeafAttr(a.child, att.exprId)
+          case _ => None
         }
         case Some(att: org.apache.spark.sql.catalyst.expressions.Attribute) =>
-          isRawLeafColumn(a.child, att.exprId)
-        case _ => false
+          rawLeafAttr(a.child, att.exprId)
+        case _ => None
       }
-    case s: SortExec              => isRawLeafColumn(s.child, id)
-    case f: FilterExec            => isRawLeafColumn(f.child, id)
-    case e: ShuffleExchangeExec   => isRawLeafColumn(e.child, id)
-    case w: WholeStageCodegenExec => isRawLeafColumn(w.child, id)
-    case i: InputAdapter          => isRawLeafColumn(i.child, id)
-    case a: AdaptiveSparkPlanExec => isRawLeafColumn(a.executedPlan, id)
-    case q: QueryStageExec        => isRawLeafColumn(q.plan, id)
-    case r: AQEShuffleReadExec    => isRawLeafColumn(r.child, id)
+    case s: SortExec              => rawLeafAttr(s.child, id)
+    case f: FilterExec            => rawLeafAttr(f.child, id)
+    case e: ShuffleExchangeExec   => rawLeafAttr(e.child, id)
+    case w: WholeStageCodegenExec => rawLeafAttr(w.child, id)
+    case i: InputAdapter          => rawLeafAttr(i.child, id)
+    case a: AdaptiveSparkPlanExec => rawLeafAttr(a.executedPlan, id)
+    case q: QueryStageExec        => rawLeafAttr(q.plan, id)
+    case r: AQEShuffleReadExec    => rawLeafAttr(r.child, id)
     case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
-      isRawLeafColumn(b.child, id)
+      rawLeafAttr(b.child, id)
     case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
-      j.children.exists(c =>
-        c.outputSet.exists(_.exprId == id) && isRawLeafColumn(c, id))
+      j.children.collectFirst {
+        case c if c.outputSet.exists(_.exprId == id) => rawLeafAttr(c, id)
+      }.flatten
     // a BARRIER leaf (checkpoint/localCheckpoint → RDD scan) is an
     // operator-internal materialization, not a stored table: its
     // columns were computed by the operator above raw storage, so the
     // raw-id verdict cannot be read off the plan. Treated as derived —
     // the residual hole is an id-keyed domain hiding BEHIND a barrier,
     // which the operator's own plan gates below the barrier must own.
-    case _: org.apache.spark.sql.execution.RDDScanExec => false
-    case _: org.apache.spark.sql.execution.ExternalRDDScanExec[_] => false
+    case _: org.apache.spark.sql.execution.RDDScanExec => None
+    case _: org.apache.spark.sql.execution.ExternalRDDScanExec[_] => None
     // every other leaf (parquet/file scan, local/cached table, DSv2) is
     // stored data: an unchanged column off it is raw
     case leaf if leaf.children.isEmpty =>
-      leaf.outputSet.exists(_.exprId == id)
-    case _ => false
+      leaf.output.find(_.exprId == id)
+    case _ => None
   }
 
   /** True when the plan provably yields at most one row (a global

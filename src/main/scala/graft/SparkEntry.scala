@@ -3379,26 +3379,33 @@ $rounds
          |   FROM tr FULL OUTER JOIN pr ON tr.label = pr.label)
          |SELECT label, n_true, n_pred, tp,
          | n_pred - tp AS fp, n_true - tp AS fn,
-         | CASE WHEN n_pred > 0 THEN CAST((tp * 1000000) // n_pred AS DOUBLE) / 1e6 END AS prec,
-         | CASE WHEN n_true > 0 THEN CAST((tp * 1000000) // n_true AS DOUBLE) / 1e6 END AS recall,
+         | CASE WHEN n_pred > 0 THEN CAST((CAST(tp AS HUGEINT) * 1000000) // n_pred AS DOUBLE) / 1e6 END AS prec,
+         | CASE WHEN n_true > 0 THEN CAST((CAST(tp AS HUGEINT) * 1000000) // n_true AS DOUBLE) / 1e6 END AS recall,
          | CASE WHEN n_true + n_pred > 0 THEN
-         |   CAST((2 * tp * 1000000) // (n_true + n_pred) AS DOUBLE) / 1e6 END AS f1
+         |   CAST((2 * CAST(tp AS HUGEINT) * 1000000) // (n_true + n_pred) AS DOUBLE) / 1e6 END AS f1
          |FROM j ORDER BY label""".stripMargin,
     // q_cdc: the snapshot pair full-outer joined on doc_id, unchanged
-    // rows dropped — the row-level feed behind q_snapshot_diff's rollup
+    // rows dropped — the row-level feed behind q_snapshot_diff's rollup.
+    // Bodies never enter the join: each side carries the RAW-text poly
+    // fingerprint + length (raw text is ASCII, so the char replay holds);
+    // update = fingerprint mismatch, the snapshotDiff identity contract
     "q_cdc" ->
-      """WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 4),
-        | c0 AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
+      s"""WITH b0 AS (SELECT doc_id, ${Oracles.polyFp("text")} AS fpb,
+        |    CAST(len(text) AS BIGINT) AS ncb
+        |   FROM documents WHERE doc_id % 5 <> 4),
+        | c0raw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
         |   FROM documents WHERE doc_id % 5 <> 0),
+        | c0 AS (SELECT doc_id, ${Oracles.polyFp("text")} AS fpc,
+        |    CAST(len(text) AS BIGINT) AS ncc FROM c0raw),
         | j AS (SELECT COALESCE(b0.doc_id, c0.doc_id) AS doc_id,
-        |    b0.text AS tb, c0.text AS tc
+        |    fpb, fpc, ncb, ncc
         |   FROM b0 FULL OUTER JOIN c0 ON b0.doc_id = c0.doc_id)
         |SELECT doc_id,
-        | CASE WHEN tb IS NULL THEN 'insert' WHEN tc IS NULL THEN 'delete'
+        | CASE WHEN fpb IS NULL THEN 'insert' WHEN fpc IS NULL THEN 'delete'
         |      ELSE 'update' END AS op,
-        | CAST(COALESCE(len(tb), 0) AS BIGINT) AS n_chars_base,
-        | CAST(COALESCE(len(tc), 0) AS BIGINT) AS n_chars_cur
-        |FROM j WHERE tb IS NULL OR tc IS NULL OR tb <> tc
+        | COALESCE(ncb, 0) AS n_chars_base,
+        | COALESCE(ncc, 0) AS n_chars_cur
+        |FROM j WHERE fpb IS NULL OR fpc IS NULL OR fpb <> fpc
         |ORDER BY doc_id""".stripMargin,
     "q_recall" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
@@ -4498,8 +4505,8 @@ $rounds
     "q_calibration" ->
       s"""WITH $ovrScoredCtes,
          | b AS (SELECT class, pos,
-         |    least((s_grid + 1000000) // 200000, 9) AS bin,
-         |    s_grid + 1000000 AS s_off FROM sc)
+         |    least((greatest(s_grid, -1000000) + 1000000) // 200000, 9) AS bin,
+         |    greatest(s_grid, -1000000) + 1000000 AS s_off FROM sc)
          |SELECT CAST(class AS BIGINT) AS label, CAST(bin AS BIGINT) AS bin,
          | COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS n_pos,
          | (CAST(CAST(SUM(s_off) AS HUGEINT) // COUNT(*) AS DOUBLE) - 1e6) / 1e6 AS mean_score,

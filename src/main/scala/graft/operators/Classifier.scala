@@ -107,12 +107,17 @@ object Classifier {
       .select(col("label"), col("n_true"), col("n_pred"), col("tp"),
         (col("n_pred") - col("tp")).as("fp"),
         (col("n_true") - col("tp")).as("fn"),
+        // decimal(38,0) like aucFromScored/prCurve: 2·tp·1e6 past
+        // ~4.6e12 rows would silently wrap Long in non-ANSI Spark while
+        // the oracle's HUGEINT path widens — same arithmetic both engines
         when(col("n_pred") > 0,
-          expr("tp * 1000000 div n_pred").cast("double") / 1e6).as("prec"),
+          expr("cast(tp as decimal(38,0)) * 1000000 div n_pred")
+            .cast("double") / 1e6).as("prec"),
         when(col("n_true") > 0,
-          expr("tp * 1000000 div n_true").cast("double") / 1e6).as("recall"),
+          expr("cast(tp as decimal(38,0)) * 1000000 div n_true")
+            .cast("double") / 1e6).as("recall"),
         when(col("n_true") + col("n_pred") > 0,
-          expr("2 * tp * 1000000 div (n_true + n_pred)")
+          expr("2 * cast(tp as decimal(38,0)) * 1000000 div (n_true + n_pred)")
             .cast("double") / 1e6).as("f1"))
       .transform(graft.Determinism.sorted(_)(col("label")))
   }

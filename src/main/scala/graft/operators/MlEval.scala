@@ -94,9 +94,14 @@ object MlEval {
     * sees a negative numerator. */
   def calibration(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame =
     scoredOneVsRest(embeddings, heldoutMod)
+      // clamp at the grid floor: float cosine can undershoot -1.0 by an
+      // ulp, making s_grid = -1000001 — without the clamp the offset
+      // numerator goes negative and Spark's truncating `div` and
+      // DuckDB's flooring `//` would bin that row differently
       .select(col("class"), col("pos"),
-        least(expr("(s_grid + 1000000) div 200000"), lit(9L)).as("bin"),
-        (col("s_grid") + lit(1000000L)).as("s_off"))
+        least(expr("(greatest(s_grid, -1000000) + 1000000) div 200000"),
+          lit(9L)).as("bin"),
+        (greatest(col("s_grid"), lit(-1000000L)) + lit(1000000L)).as("s_off"))
       .groupBy(col("class"), col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
         sum(col("s_off")).as("s_sum"))
@@ -165,8 +170,13 @@ object MlEval {
         sum(when(col("variant") === 1, col("n"))).as("n_b"),
         sum(when(col("variant") === 1, col("c"))).as("conv_b"))
       .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        expr("conv_a * 1000000 div n_a").cast("double") / 1e6 as "rate_a",
-        expr("conv_b * 1000000 div n_b").cast("double") / 1e6 as "rate_b",
+        // decimal(38,0) like aucFromScored: conv * 1e6 past ~9.2e12
+        // users would silently wrap Long in non-ANSI Spark while the
+        // oracle's HUGEINT path widens — same arithmetic both engines
+        expr("cast(conv_a as decimal(38,0)) * 1000000 div n_a")
+          .cast("double") / 1e6 as "rate_a",
+        expr("cast(conv_b as decimal(38,0)) * 1000000 div n_b")
+          .cast("double") / 1e6 as "rate_b",
         floor(zScore * 1e6) / 1e6 as "z")
   }
 

@@ -51,20 +51,26 @@ object Warehouse {
     * Scale shape: ONE doc_id-keyed full-outer join (both sides hash on
     * the key — co-partitioned, no second exchange); unchanged rows are
     * dropped before anything downstream, so the feed is proportional to
-    * CHURN, not corpus size. */
-  def cdc(base: DataFrame, cur: DataFrame): DataFrame =
-    base.select(col("doc_id"), col("text").as("text_base"))
-      .join(cur.select(col("doc_id"), col("text").as("text_cur")),
-        Seq("doc_id"), "full")
+    * CHURN, not corpus size. Document BODIES never enter the join: each
+    * side projects `(doc_id, poly_fingerprint(text), length(text))` AT
+    * THE SCAN — the same 64-bit content-identity contract
+    * [[Governance.snapshotDiff]] documents — so the two Exchanges carry
+    * ~16 bytes/row instead of the corpus. `update` = fingerprint
+    * mismatch (raw text, not normalized: CDC reports byte-level edits,
+    * where the governance rollup keys on normalized content). */
+  def cdc(base: DataFrame, cur: DataFrame): DataFrame = {
+    def fp(df: DataFrame, tag: String) = df.select(col("doc_id"),
+      graft.functions.poly_fingerprint(col("text")).as(s"fp_$tag"),
+      length(col("text")).cast("long").as(s"n_chars_$tag"))
+    fp(base, "base").join(fp(cur, "cur"), Seq("doc_id"), "full")
       .select(col("doc_id"),
-        when(col("text_base").isNull, lit("insert"))
-          .when(col("text_cur").isNull, lit("delete"))
-          .when(col("text_base") =!= col("text_cur"), lit("update"))
+        when(col("fp_base").isNull, lit("insert"))
+          .when(col("fp_cur").isNull, lit("delete"))
+          .when(col("fp_base") =!= col("fp_cur"), lit("update"))
           .as("op"),
-        coalesce(length(col("text_base")), lit(0)).cast("long")
-          .as("n_chars_base"),
-        coalesce(length(col("text_cur")), lit(0)).cast("long")
-          .as("n_chars_cur"))
+        coalesce(col("n_chars_base"), lit(0L)).as("n_chars_base"),
+        coalesce(col("n_chars_cur"), lit(0L)).as("n_chars_cur"))
       .filter(col("op").isNotNull)
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
+  }
 }

@@ -31,6 +31,41 @@ class PlanAuditSpec extends SparkSuite {
     assert(errors.isEmpty, errors.mkString("\n"))
   }
 
+  test("no hash exchange ships corpus bodies (body-width gate)") {
+    // the records-scaling gate is width-blind — a join that shuffles
+    // linear RECORDS of raw `text` still moves 2× the corpus BYTES at
+    // 100 TB (the r14 q_cdc finding). Catalog-wide: zero hits; operators
+    // whose output IS the body (window reassembly, pair-bounded
+    // rebuilds) materialize behind barriers, which the rule treats as
+    // derived — their internal shapes are gated in their own specs.
+    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        PlanDoctor.audit(fn(spark, sfDir))
+          .filter(_.rule == "body-width-exchange").map(f => s"$name -> $f")
+    }
+    assert(hits.isEmpty, hits.mkString("\n"))
+  }
+
+  test("PlanDoctor flags a hash exchange carrying raw document bodies") {
+    import org.apache.spark.sql.functions._
+    val t = sources.Tables(spark, sfDir)
+    // the PRE-r15 q_cdc shape: full-outer join with raw `text` on both
+    // sides — bodies cross the wire. Must flag (renames don't launder).
+    val planted = t.documents.select(col("doc_id"), col("text").as("tb"))
+      .join(t.documents.select(col("doc_id"), col("text").as("tc")),
+        Seq("doc_id"), "full")
+      .filter(col("tb").isNull || col("tc").isNull || col("tb") =!= col("tc"))
+    val got = PlanDoctor.audit(planted)
+    assert(got.exists(_.rule == "body-width-exchange"), got.mkString("\n"))
+    // the fingerprint discipline: same join on (fp, length) — clean
+    def fp(tag: String) = t.documents.select(col("doc_id"),
+      graft.functions.poly_fingerprint(col("text")).as(s"fp_$tag"),
+      length(col("text")).as(s"n_$tag"))
+    val clean = PlanDoctor.audit(fp("b").join(fp("c"), Seq("doc_id"), "full"))
+    assert(!clean.exists(_.rule == "body-width-exchange"),
+      clean.mkString("\n"))
+  }
+
   test("PlanDoctor flags planted anti-patterns") {
     import org.apache.spark.sql.functions._
     val t = sources.Tables(spark, sfDir)

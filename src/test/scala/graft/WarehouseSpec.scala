@@ -82,6 +82,19 @@ class WarehouseSpec extends SparkSuite {
     assert(ex == 2, s"expected 2 input exchanges, got $ex:\n$plan")
   }
 
+  test("cdc exchanges carry fingerprints and lengths, never bodies") {
+    // the r14 weak mark: both input exchanges carried the raw `text`
+    // column — 2× corpus BYTES through the shuffle for a feed whose
+    // output needs (doc_id, op, lengths). The fingerprint projection
+    // must sit BELOW the exchange (PlanDoctor's width gate sees the
+    // exchange input schema; the poly_fingerprint is scan-side).
+    val (base, cur) = (t.documents.select($"doc_id", $"text"),
+      t.documents.select($"doc_id", concat($"text", lit("x")).as("text")))
+    val findings = PlanDoctor.audit(Warehouse.cdc(base, cur))
+    assert(!findings.exists(_.rule == "body-width-exchange"),
+      findings.mkString("\n"))
+  }
+
   test("token-lang MI ranks a perfectly separating token at the top") {
     // synthetic corpus: token 'aaa' appears in ALL lang-x docs and NO
     // lang-y docs (perfect predictor); 'zzz' appears everywhere
