@@ -124,6 +124,38 @@ object SparkEntry {
     s.read.parquet(path).orderBy(col("doc_id"))
   }
 
+  /** The one-vs-rest scored table `(vec_id, class, s_grid, pos)` behind
+    * the ML-eval trio (`q_auc` / `q_calibration` / `q_pr_curve`),
+    * materialized ONCE per (JVM, corpus) — the `curatedVerdicts` rule:
+    * three reports over one scoring pass must never re-run the pass.
+    * Every column is integral, so the parquet round-trip is exact and
+    * the reports stay bit-identical to the unmemoized composition. */
+  private def ovrScored(s: SparkSession, dir: String): DataFrame = {
+    val memoKey = s"ovr:$dir@${corpusFingerprint(dir, "embeddings.parquet")}"
+    val path = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
+      val p = s"$ivfTmpBase/ovr-${memoTag(memoKey)}"
+      MlEval.scoredOneVsRest(Tables(s, dir).embeddings)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path)
+  }
+
+  /** The held-out classification table behind the classify trio
+    * (`q_classify` / `q_classify_eval` / `q_classify_f1`) — same memo
+    * mechanics as [[ovrScored]]; `dist` is floored to the 1e-6 grid
+    * BEFORE the write, so the double round-trips exactly. */
+  private def classifiedTable(s: SparkSession, dir: String): DataFrame = {
+    val memoKey = s"cls:$dir@${corpusFingerprint(dir, "embeddings.parquet")}"
+    val path = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
+      val p = s"$ivfTmpBase/cls-${memoTag(memoKey)}"
+      Classifier.classify(Tables(s, dir).embeddings)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path).orderBy(col("vec_id"))
+  }
+
   /** The frozen BM25 index (postings term-clustered + one-row stats),
     * persisted ONCE per (JVM, corpus) and loaded on every use — the
     * lexical build-once/search-many seam shared by `q_bm25_persisted`
@@ -420,10 +452,11 @@ object SparkEntry {
     // nearest-centroid classification: per-label prototypes trained on
     // the 80% split (one VectorAvg pass), held-out 20% assigned against
     // the broadcast prototype table — train one wide pass, infer narrow
-    "q_classify" -> q(t => Classifier.classify(t.embeddings)),
+    "q_classify" -> ((s, dir) => classifiedTable(s, dir)),
     // the classifier audit: per-true-label support/hits/recall over the
     // same held-out assignment — the gate before trusting its verdicts
-    "q_classify_eval" -> q(t => Classifier.evalReport(t.embeddings)),
+    "q_classify_eval" ->
+      ((s, dir) => Classifier.evalReportFrom(classifiedTable(s, dir))),
     "q_ivf_search" -> q(t => IvfIndex.search(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -1132,10 +1165,11 @@ object SparkEntry {
     "q_expectations" -> q(t => Profile.ordersExpectations(t, t.spark)),
     // exact tie-aware one-vs-rest ROC-AUC from score histograms (the
     // Mann-Whitney fold over bounded grid cells — no per-class corpus sort)
-    "q_auc" -> q(t => MlEval.auc(t.embeddings)),
+    "q_auc" -> ((s, dir) => MlEval.aucFromScored(ovrScored(s, dir))),
     // reliability bins over the same one-vs-rest scores: can the
     // classifier's cosine be thresholded like a probability?
-    "q_calibration" -> q(t => MlEval.calibration(t.embeddings)),
+    "q_calibration" ->
+      ((s, dir) => MlEval.calibrationFromScored(ovrScored(s, dir))),
     // hashed-assignment A/B experiment readout: per-arm conversion plus
     // the pooled two-proportion z, one user-keyed shuffle
     "q_ab_test" -> q(t => MlEval.abTest(t.events)),
@@ -1174,6 +1208,14 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, k = 5)),
+    // two-stage JL: projected-space shortlist exactly re-ranked by
+    // full-dim cosine via a broadcast probe of the full-precision store
+    // (the q_sign_refine composition — what makes the 0.2-0.4-recall
+    // standalone projection a deployable retrieval stage)
+    "q_rp_refine" -> q(t => RandomProjection.searchRefined(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, k = 5)),
     // full langid confusion matrix: which language is mistaken for which
     // (cell-level view of q_langid_eval's summary rows)
     "q_lang_confusion" -> q(t => TextAnalysis.langConfusion(t.documents)),
@@ -1186,10 +1228,12 @@ object SparkEntry {
     // precision/recall operating points at the calibration thresholds,
     // folded from the q_auc score histogram (one histogram × 10 join,
     // not 10 corpus passes)
-    "q_pr_curve" -> q(t => MlEval.prCurve(t.embeddings)),
+    "q_pr_curve" ->
+      ((s, dir) => MlEval.prCurveFromScored(ovrScored(s, dir))),
     // per-class precision/recall/F1 confusion summary (prediction side
     // added to q_classify_eval's truth side; integer F1, one DIV)
-    "q_classify_f1" -> q(t => Classifier.f1Report(t.embeddings)),
+    "q_classify_f1" ->
+      ((s, dir) => Classifier.f1ReportFrom(classifiedTable(s, dir))),
     // row-level CDC feed between the release snapshots: which doc_ids
     // inserted/deleted/updated (q_snapshot_diff tells how much; this
     // tells which), output ∝ churn
@@ -4634,6 +4678,22 @@ $rounds
       s"""WITH $rpProjectedCtes
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
          |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q_rp_refine: the projected shortlist (rn ≤ 20 in JL space, vec_id
+    // ties) exactly re-scored by full-dim cosine — the q_sign_refine
+    // replay with the JL CTEs supplying the shortlist
+    "q_rp_refine" ->
+      s"""WITH $rpProjectedCtes,
+         | sl AS (SELECT query_id, vec_id FROM rk WHERE rn <= 20),
+         | q2 AS (SELECT vec_id AS query_id, ev AS qv0 FROM e WHERE vec_id < 5),
+         | sims2 AS (SELECT sl.query_id, sl.vec_id,
+         |    list_cosine_similarity(qv0, ev) AS sim
+         |   FROM sl JOIN e ON e.vec_id = sl.vec_id
+         |   JOIN q2 ON q2.query_id = sl.query_id),
+         | r2 AS (SELECT query_id, vec_id, sim,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims2)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id,
+         | floor(sim*1e6)/1e6 AS score
+         |FROM r2 WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     // q_rp_recall: projected top-5 vs exact full-dim top-5 overlap
     "q_rp_recall" ->
       s"""WITH $rpProjectedCtes,

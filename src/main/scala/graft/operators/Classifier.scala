@@ -75,7 +75,13 @@ object Classifier {
     * classifier's keep/drop verdicts. Costs one n_labels-row aggregate
     * over the classification table. */
   def evalReport(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame =
-    classify(embeddings, heldoutMod)
+    evalReportFrom(classify(embeddings, heldoutMod))
+
+  /** [[evalReport]] over an ALREADY-classified table — the seam
+    * `SparkEntry` serves from the memoized classification pass so the
+    * classify trio costs one scoring scan between them. */
+  def evalReportFrom(classified: DataFrame): DataFrame =
+    classified
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n"),
         sum(col("correct").cast("long")).as("n_correct"))
@@ -93,8 +99,13 @@ object Classifier {
     * the 1e-6 grid — no float precision/recall composition to disagree
     * at a floor boundary. Costs two bounded |labels|-row aggregates
     * over one barriered classification pass. */
-  def f1Report(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame = {
-    val scored = classify(embeddings, heldoutMod)
+  def f1Report(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame =
+    f1ReportFrom(classify(embeddings, heldoutMod))
+
+  /** [[f1Report]] over an ALREADY-classified table (the memoized-pass
+    * seam, like [[evalReportFrom]]). */
+  def f1ReportFrom(classified: DataFrame): DataFrame = {
+    val scored = classified
       .select(col("label"), col("predicted"),
         col("correct").cast("long").as("hit"))
       .barrier() // read twice: truth-side and prediction-side aggregates

@@ -93,7 +93,13 @@ object MlEval {
     * mean goes through the +1e6 OFFSET grid so the integer `DIV` never
     * sees a negative numerator. */
   def calibration(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame =
-    scoredOneVsRest(embeddings, heldoutMod)
+    calibrationFromScored(scoredOneVsRest(embeddings, heldoutMod))
+
+  /** [[calibration]] over ANY `(class, s_grid, pos)` scored table — the
+    * seam `SparkEntry` serves from the memoized one-vs-rest scoring pass
+    * so the three ML-eval gate rows cost ONE corpus scan between them. */
+  def calibrationFromScored(scored: DataFrame): DataFrame =
+    scored
       // clamp at the grid floor: float cosine can undershoot -1.0 by an
       // ulp, making s_grid = -1000001 — without the clamp the offset
       // numerator goes negative and Spark's truncating `div` and
@@ -120,9 +126,14 @@ object MlEval {
     * sort). Thresholds with no scores at or above them emit no row
     * (nothing is predicted positive there — both engines agree by
     * construction). `prec`/`recall` on the DIV grid, NULL-guarded. */
-  def prCurve(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame = {
-    val spark = embeddings.sparkSession
-    val h = scoredOneVsRest(embeddings, heldoutMod)
+  def prCurve(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame =
+    prCurveFromScored(scoredOneVsRest(embeddings, heldoutMod))
+
+  /** [[prCurve]] over ANY `(class, s_grid, pos)` scored table — the
+    * memoized-pass seam, like [[aucFromScored]]. */
+  def prCurveFromScored(scored: DataFrame): DataFrame = {
+    val spark = scored.sparkSession
+    val h = scored
       .groupBy(col("class"), col("s_grid"))
       .agg(sum(col("pos")).as("p_g"),
         (count(lit(1)) - sum(col("pos"))).as("n_g"))

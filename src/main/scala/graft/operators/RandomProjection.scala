@@ -51,6 +51,32 @@ object RandomProjection {
         projectCol(col("embedding"), outDim).as("embedding")),
       k)
 
+  /** Two-stage JL search — [[searchProjected]]'s shortlist exactly
+    * re-ranked by full-dimension cosine (the [[Search.signRefined]]
+    * pattern applied to the dimension cut): the 4×-narrower projected
+    * scan pays for candidate generation, the exact work is ∝ queries ×
+    * shortlist (the shortlist BROADCASTS into a hash-join probe of the
+    * full-precision store — never a second scan-and-score), and final
+    * scores carry NO projection distortion. This is what makes the
+    * 0.2–0.4-recall standalone projection deployable: same output
+    * contract as [[Search.bruteForceTopK]], equal to it whenever the
+    * true top-k survives the projected shortlist (spec-pinned at full
+    * shortlist). */
+  def searchRefined(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                    shortlist: Int = 20, outDim: Int = 16): DataFrame = {
+    val sl = searchProjected(queries, corpus, shortlist, outDim)
+      .select(col("query_id"), col("vec_id"))
+    val sims = corpus.join(broadcast(sl), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.cosine_similarity(col("qv"), col("embedding"))
+          .as("sim"))
+    Search.explodeTopK(
+      sims.groupBy(col("query_id"))
+        .agg(graft.functions.top_k_by_score(col("sim"), col("vec_id"), k)
+          .as("topk")))
+  }
+
   /** recall@k of the projected ranking against exact full-dimension
     * top-k — the number that decides whether the 4× cheaper scan is
     * usable as a shortlist stage (the `q_recall` audit shape). */

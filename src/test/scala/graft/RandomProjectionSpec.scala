@@ -55,6 +55,34 @@ class RandomProjectionSpec extends SparkSuite {
     }
   }
 
+  test("searchRefined: full shortlist recovers the exact brute-force ranking") {
+    val n = t.embeddings.count().toInt
+    val refined = RandomProjection
+      .searchRefined(queries, t.embeddings, k = 5, shortlist = n)
+      .collect().toSeq
+    val exact = Search.bruteForceTopK(queries, t.embeddings, 5)
+      .collect().toSeq
+    assert(refined == exact, "exact rerank over the full shortlist must " +
+      "equal brute force bit for bit")
+  }
+
+  test("searchRefined scores carry no projection distortion") {
+    // every refined score must equal the TRUE cosine for that pair —
+    // the whole point of the second stage (the projected-space score
+    // would differ by JL distortion)
+    val refined = RandomProjection.searchRefined(queries, t.embeddings, 5)
+      .select($"query_id", $"vec_id", $"score").as[(Long, Long, Double)]
+      .collect().toMap2
+    val truth = Search.bruteForceTopK(queries, t.embeddings, n)
+      .select($"query_id", $"vec_id", $"score").as[(Long, Long, Double)]
+      .collect().toMap2
+    refined.foreach { case (k, s) => assert(truth(k) == s, s"$k: $s") }
+  }
+  private lazy val n = t.embeddings.count().toInt
+  implicit private class Map2[A, B, C](rows: Array[(A, B, C)]) {
+    def toMap2: Map[(A, B), C] = rows.map(r => (r._1, r._2) -> r._3).toMap
+  }
+
   test("projection is partitioning-invariant") {
     val a = RandomProjection.searchProjected(queries, t.embeddings, 5)
       .collect().toSeq
