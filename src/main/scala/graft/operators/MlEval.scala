@@ -63,13 +63,27 @@ object MlEval {
   def auc(embeddings: DataFrame, heldoutMod: Int = 5): DataFrame =
     aucFromScored(scoredOneVsRest(embeddings, heldoutMod))
 
-  /** [[auc]] over ANY `(class, s_grid, pos)` scored table — the seam the
-    * property suite drives with synthetic score distributions. */
-  def aucFromScored(scored: DataFrame): DataFrame = {
-    val h = scored
+  /** The bounded (class, grid-score) HISTOGRAM every ML-eval statistic
+    * folds over — `(class, s_grid, p_g, n_g)` with p_g/n_g the positive/
+    * negative counts at that cell. ≤ grid × classes rows however large
+    * the corpus; the one corpus-wide shuffle in the family. The
+    * streaming twin ([[graft.streaming.MlEvalStream]]) maintains exactly
+    * this table as its state, so batch and stream serve the same folds. */
+  def scoreHistogram(scored: DataFrame): DataFrame =
+    scored
       .groupBy(col("class"), col("s_grid"))
       .agg(sum(col("pos")).as("p_g"),
         (count(lit(1)) - sum(col("pos"))).as("n_g"))
+
+  /** [[auc]] over ANY `(class, s_grid, pos)` scored table — the seam the
+    * property suite drives with synthetic score distributions. */
+  def aucFromScored(scored: DataFrame): DataFrame =
+    aucFromCells(scoreHistogram(scored))
+
+  /** [[auc]] folded from histogram CELLS — the batch/stream-shared fold:
+    * the streaming twin's state store holds these cells and serves the
+    * statistic on demand through this exact plan. */
+  def aucFromCells(h: DataFrame): DataFrame = {
     val below = Window.partitionBy(col("class")).orderBy(col("s_grid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     h.withColumn("n_below", coalesce(sum(col("n_g")).over(below), lit(0L)))
@@ -99,18 +113,24 @@ object MlEval {
     * seam `SparkEntry` serves from the memoized one-vs-rest scoring pass
     * so the three ML-eval gate rows cost ONE corpus scan between them. */
   def calibrationFromScored(scored: DataFrame): DataFrame =
-    scored
+    calibrationFromCells(scoreHistogram(scored))
+
+  /** [[calibration]] folded from histogram cells: n / n_pos / s_sum are
+    * integer sums of per-cell products, so the fold is EXACTLY the
+    * per-row aggregate (same integers, same one DIV at the end). */
+  def calibrationFromCells(h: DataFrame): DataFrame =
+    h
       // clamp at the grid floor: float cosine can undershoot -1.0 by an
       // ulp, making s_grid = -1000001 — without the clamp the offset
       // numerator goes negative and Spark's truncating `div` and
-      // DuckDB's flooring `//` would bin that row differently
-      .select(col("class"), col("pos"),
+      // DuckDB's flooring `//` would bin that cell differently
+      .select(col("class"), col("p_g"), (col("p_g") + col("n_g")).as("c_g"),
         least(expr("(greatest(s_grid, -1000000) + 1000000) div 200000"),
           lit(9L)).as("bin"),
         (greatest(col("s_grid"), lit(-1000000L)) + lit(1000000L)).as("s_off"))
       .groupBy(col("class"), col("bin"))
-      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
-        sum(col("s_off")).as("s_sum"))
+      .agg(sum(col("c_g")).as("n"), sum(col("p_g")).as("n_pos"),
+        sum(col("s_off") * col("c_g")).as("s_sum"))
       .select(col("class").as("label"), col("bin"), col("n"), col("n_pos"),
         (expr("cast(s_sum as decimal(38,0)) div n").cast("double") - 1e6) /
           1e6 as "mean_score",
@@ -131,12 +151,12 @@ object MlEval {
 
   /** [[prCurve]] over ANY `(class, s_grid, pos)` scored table — the
     * memoized-pass seam, like [[aucFromScored]]. */
-  def prCurveFromScored(scored: DataFrame): DataFrame = {
-    val spark = scored.sparkSession
-    val h = scored
-      .groupBy(col("class"), col("s_grid"))
-      .agg(sum(col("pos")).as("p_g"),
-        (count(lit(1)) - sum(col("pos"))).as("n_g"))
+  def prCurveFromScored(scored: DataFrame): DataFrame =
+    prCurveFromCells(scoreHistogram(scored))
+
+  /** [[prCurve]] folded from histogram cells — batch/stream-shared. */
+  def prCurveFromCells(h: DataFrame): DataFrame = {
+    val spark = h.sparkSession
     val thr = spark.range(10).select(col("id").as("bin"),
       (lit(-1000000L) + col("id") * 200000L).as("thr"))
     val tot = h.groupBy(col("class")).agg(sum(col("p_g")).as("n_pos"))

@@ -599,6 +599,75 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming ML-eval histogram equals the batch fold, heap and RocksDB") {
+    import spark.implicits._
+    import graft.operators.MlEval
+    // frozen centroids (the batch training pass), held-out vectors
+    // streamed in two micro-batches: the running (class, s_grid)
+    // histogram must equal the batch scoreHistogram over the same rows,
+    // and AUC / calibration / PR served FROM the store must equal the
+    // batch operators bit for bit — under both state backends
+    val emb = t.embeddings
+    val cents = MlEvalStream.freezeCentroids(emb).localCheckpoint()
+    val heldout = emb.filter(pmod(col("vec_id"), lit(5)) === 0)
+      .select($"vec_id", $"label", $"embedding")
+    val cut = heldout.agg(expr("percentile_approx(vec_id, 0.5)"))
+      .head().getLong(0)
+    val dir = Files.createTempDirectory("graft-mleval-stream").toString
+    heldout.filter($"vec_id" <= cut).coalesce(1)
+      .write.parquet(s"$dir/chunk=a")
+    Thread.sleep(1100)
+    heldout.filter($"vec_id" > cut).coalesce(1)
+      .write.parquet(s"$dir/chunk=b")
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    def run(name: String): Map[(Long, Long), (Long, Long)] = {
+      val stream = spark.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
+      val q = MlEvalStream.histogram(MlEvalStream.score(stream, cents))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        if (name.endsWith("rocks"))
+          assert(StateBackend.usesRocksDB(q), "provider switch not engaged")
+        // update mode re-emits a cell each time it grows: counters are
+        // monotone, so the final value per key is the componentwise max
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(2), r.getLong(3)))
+          .groupBy(_._1).view
+          .mapValues(v => (v.map(_._2._1).max, v.map(_._2._2).max))
+          .toMap
+      } finally q.stop()
+    }
+    val cells = run("mleval_out_heap")
+    val batchCells = MlEval.scoreHistogram(MlEval.scoredOneVsRest(emb))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(cells == batchCells,
+      s"stream histogram diverged: ${cells.size} vs ${batchCells.size} cells")
+    // serve the three statistics FROM the store through the shared folds
+    val cellsDf = cells.toSeq
+      .map { case ((c, s), (p, n)) => (c, s, p, n) }
+      .toDF("class", "s_grid", "p_g", "n_g")
+    assert(MlEval.aucFromCells(cellsDf).collect().map(_.toSeq).toSeq ==
+      MlEval.auc(emb).collect().map(_.toSeq).toSeq, "served AUC != batch")
+    assert(MlEval.calibrationFromCells(cellsDf).collect().map(_.toSeq).toSeq
+      == MlEval.calibration(emb).collect().map(_.toSeq).toSeq,
+      "served calibration != batch")
+    assert(MlEval.prCurveFromCells(cellsDf).collect().map(_.toSeq).toSeq ==
+      MlEval.prCurve(emb).collect().map(_.toSeq).toSeq,
+      "served PR curve != batch")
+    // bounded state: never more cells than the grid x class domain
+    assert(cells.size <= 2000001L * 10)
+    // provider-invisible: RocksDB folds to the exact same cells
+    val rocks = StateBackend.withRocksDB(spark) { run("mleval_out_rocks") }
+    assert(rocks == cells, "providers disagree on the histogram")
+  }
+
   test("streamed BM25 against the frozen index equals batch retrieval") {
     import spark.implicits._
     // freeze the index once, then stream the query set in two
