@@ -1240,8 +1240,61 @@ object SparkEntry {
     "q_cdc" -> q(t => {
       val (base, cur) = snapshotPair(t)
       Warehouse.cdc(base, cur)
+    }),
+    // the same CDC feed served from the BUCKETED snapshot-pair layout:
+    // both releases stored bucketed by doc_id (the q_bucketed_join lever
+    // applied to governance — at 100 TB each release lands bucketed once
+    // at publish time), so the full-outer join runs with ZERO input
+    // exchanges; layout never changes the answer — same oracle as q_cdc
+    "q_cdc_bucketed" -> ((s, dir) => {
+      val (baseTbl, curTbl) = snapshotPairBucketed(s, dir)
+      Warehouse.cdcBucketed(s, baseTbl, curTbl)
     })
   )
+
+  /** The bucketed snapshot-pair layout behind `q_cdc_bucketed`: both
+    * releases of [[snapshotPair]] persisted bucketed by `doc_id`,
+    * memoized per (JVM, corpus) like the index layouts; the tableExists
+    * re-check self-heals if a test drops either table. */
+  private def snapshotPairBucketed(s: SparkSession,
+                                   dir: String): (String, String) = {
+    val memoKey = s"snap:$dir@${corpusFingerprint(dir, "documents.parquet")}"
+    val tag = memoTag(memoKey)
+    val curOf = (b: String) => b.replace("_base_", "_cur_")
+    val baseTbl = memoized(builtBucketed, memoKey)(b =>
+      s.catalog.tableExists(b) && s.catalog.tableExists(curOf(b))) {
+      val b = s"graft_q_snap_base_$tag"
+      val (base, cur) = snapshotPair(Tables(s, dir))
+      Warehouse.persistSnapshotPair(base, cur, b, curOf(b),
+        s"$ivfTmpBase/snap-$tag")
+      b
+    }
+    (baseTbl, curOf(baseTbl))
+  }
+
+  /** The q_cdc / q_cdc_bucketed oracle: the snapshot pair full-outer
+    * joined on doc_id with RAW-text poly fingerprints + lengths per side
+    * (bodies never enter the join; raw text is ASCII so the char replay
+    * holds), unchanged rows dropped. Shared verbatim by both gate rows —
+    * the bucketed LAYOUT must never change the answer. */
+  private lazy val cdcOracleSql: String =
+    s"""WITH b0 AS (SELECT doc_id, ${Oracles.polyFp("text")} AS fpb,
+       |    CAST(len(text) AS BIGINT) AS ncb
+       |   FROM documents WHERE doc_id % 5 <> 4),
+       | c0raw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
+       |   FROM documents WHERE doc_id % 5 <> 0),
+       | c0 AS (SELECT doc_id, ${Oracles.polyFp("text")} AS fpc,
+       |    CAST(len(text) AS BIGINT) AS ncc FROM c0raw),
+       | j AS (SELECT COALESCE(b0.doc_id, c0.doc_id) AS doc_id,
+       |    fpb, fpc, ncb, ncc
+       |   FROM b0 FULL OUTER JOIN c0 ON b0.doc_id = c0.doc_id)
+       |SELECT doc_id,
+       | CASE WHEN fpb IS NULL THEN 'insert' WHEN fpc IS NULL THEN 'delete'
+       |      ELSE 'update' END AS op,
+       | COALESCE(ncb, 0) AS n_chars_base,
+       | COALESCE(ncc, 0) AS n_chars_cur
+       |FROM j WHERE fpb IS NULL OR fpc IS NULL OR fpb <> fpc
+       |ORDER BY doc_id""".stripMargin
 
   /** The governance rows' shared snapshot construction: base = the
     * doc_id%5≠4 four-fifths; current drops the %5==0 fifth, re-adds the
@@ -3433,24 +3486,10 @@ $rounds
     // Bodies never enter the join: each side carries the RAW-text poly
     // fingerprint + length (raw text is ASCII, so the char replay holds);
     // update = fingerprint mismatch, the snapshotDiff identity contract
-    "q_cdc" ->
-      s"""WITH b0 AS (SELECT doc_id, ${Oracles.polyFp("text")} AS fpb,
-        |    CAST(len(text) AS BIGINT) AS ncb
-        |   FROM documents WHERE doc_id % 5 <> 4),
-        | c0raw AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
-        |   FROM documents WHERE doc_id % 5 <> 0),
-        | c0 AS (SELECT doc_id, ${Oracles.polyFp("text")} AS fpc,
-        |    CAST(len(text) AS BIGINT) AS ncc FROM c0raw),
-        | j AS (SELECT COALESCE(b0.doc_id, c0.doc_id) AS doc_id,
-        |    fpb, fpc, ncb, ncc
-        |   FROM b0 FULL OUTER JOIN c0 ON b0.doc_id = c0.doc_id)
-        |SELECT doc_id,
-        | CASE WHEN fpb IS NULL THEN 'insert' WHEN fpc IS NULL THEN 'delete'
-        |      ELSE 'update' END AS op,
-        | COALESCE(ncb, 0) AS n_chars_base,
-        | COALESCE(ncc, 0) AS n_chars_cur
-        |FROM j WHERE fpb IS NULL OR fpc IS NULL OR fpb <> fpc
-        |ORDER BY doc_id""".stripMargin,
+    "q_cdc" -> cdcOracleSql,
+    // q_cdc_bucketed: the LAYOUT never changes the answer — the oracle
+    // is the identical query over the raw parquet pair
+    "q_cdc_bucketed" -> cdcOracleSql,
     "q_recall" ->
       """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
         | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

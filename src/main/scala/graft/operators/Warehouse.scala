@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -73,4 +73,28 @@ object Warehouse {
       .filter(col("op").isNotNull)
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
+
+  /** Persist a release snapshot PAIR bucketed by `doc_id` — the layout
+    * that makes every snapshot-pair operator Exchange-free: both
+    * releases arrive hash-bucketed on the join key, so [[cdc]]'s
+    * full-outer SMJ (and [[Governance.snapshotDiff]]'s) reads co-located
+    * buckets with ZERO input exchanges — the
+    * `Relational.persistBucketedFacts` lever applied to governance. At
+    * 100 TB each release lands bucketed ONCE at publish time and every
+    * diff/CDC run against it is shuffle-free on the corpus. */
+  def persistSnapshotPair(base: DataFrame, cur: DataFrame,
+                          baseTable: String, curTable: String,
+                          path: String, nBuckets: Int = 8): Unit = {
+    base.write.mode("overwrite").bucketBy(nBuckets, "doc_id")
+      .sortBy("doc_id").option("path", s"$path/base").saveAsTable(baseTable)
+    cur.write.mode("overwrite").bucketBy(nBuckets, "doc_id")
+      .sortBy("doc_id").option("path", s"$path/cur").saveAsTable(curTable)
+  }
+
+  /** [[cdc]] served from the [[persistSnapshotPair]] layout. The LAYOUT
+    * must never change the answer — same output and oracle as the raw
+    * pair; the plan is gated (zero doc_id exchanges) in the spec. */
+  def cdcBucketed(spark: SparkSession, baseTable: String,
+                  curTable: String): DataFrame =
+    cdc(spark.table(baseTable), spark.table(curTable))
 }

@@ -95,6 +95,37 @@ class WarehouseSpec extends SparkSuite {
       findings.mkString("\n"))
   }
 
+  test("bucketed snapshot pair: CDC joins with ZERO input exchanges") {
+    // the publish-time layout: both releases bucketed by doc_id, so the
+    // full-outer join reads co-located buckets — no hashpartitioning
+    // exchange anywhere (the only exchange left is the presentation
+    // rangepartitioning sort). Layout must not change the answer.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-snap-bucketed").toString
+    val base = t.documents.filter($"doc_id" % 5 =!= 4)
+      .select($"doc_id", $"source", $"text")
+    val cur = t.documents.filter($"doc_id" % 5 =!= 0)
+      .select($"doc_id", $"source",
+        when($"doc_id" % 7 === 0,
+          concat($"text", lit(" refreshed content v2")))
+          .otherwise($"text").as("text"))
+    Warehouse.persistSnapshotPair(base, cur,
+      "graft_test_snap_base", "graft_test_snap_cur", dir)
+    try {
+      val bucketed = Warehouse.cdcBucketed(spark,
+        "graft_test_snap_base", "graft_test_snap_cur")
+      val plan = planOf(bucketed)
+      assert(!plan.contains("hashpartitioning(doc_id"),
+        s"bucketed CDC still exchanges on doc_id:\n$plan")
+      assert(bucketed.collect().toSeq ==
+        Warehouse.cdc(base, cur).collect().toSeq,
+        "layout changed the answer")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_snap_base")
+      spark.sql("DROP TABLE IF EXISTS graft_test_snap_cur")
+    }
+  }
+
   test("token-lang MI ranks a perfectly separating token at the top") {
     // synthetic corpus: token 'aaa' appears in ALL lang-x docs and NO
     // lang-y docs (perfect predictor); 'zzz' appears everywhere
