@@ -279,6 +279,14 @@ object SparkEntry {
     // per-type z-score anomaly flags: DECIMAL-exact moments broadcast
     // back, z derived in double from exact components (layout-proof)
     "q_anomaly"     -> q(t => EventAnalytics.anomalies(t.events)),
+    // hour-of-week traffic profile: one map-side agg onto the bounded
+    // 7x24 grid (epoch arithmetic, no calendar functions) — the
+    // capacity/anomaly baseline next to q_anomaly's z-scores
+    "q_seasonality" -> q(t => EventAnalytics.seasonality(t.events)),
+    // time-to-conversion distribution: first view -> first purchase lag
+    // per user, hour-bucketed with a fixed overflow cap — one user-keyed
+    // agg (O(1) state), bounded bucket fold (funnel tells IF, this HOW FAST)
+    "q_conversion_lag" -> q(t => EventAnalytics.conversionLag(t.events)),
     // DAU / rolling-7-day WAU / stickiness: events collapse to the
     // distinct (user, day) table once; the rolling window is a bounded
     // 7-fan-out of that collapsed table, never a re-count over events
@@ -341,6 +349,10 @@ object SparkEntry {
     // per-source token-distribution KL vs the corpus (mixing diagnostic);
     // one token pass, vocabulary shuffle join, integer-sum determinism
     "q_source_kl"    -> q(TextAnalysis.sourceKl),
+    // per-source token-concentration audit: exact-integer Herfindahl
+    // (Σc² / (Σc)² in DECIMAL(38,0), one DIV) + total/vocab sizes —
+    // the boilerplate-mass signal next to q_source_kl's drift
+    "q_source_hhi"   -> q(t => TextAnalysis.sourceConcentration(t.documents)),
     // Heaps'-law vocabulary growth over doc_id-prefix tenths (vocab/BPE
     // sizing diagnostic); value-cut buckets (no global row window), one
     // token pass, min-bucket first-seen, 10-row cumulative
@@ -1196,6 +1208,9 @@ object SparkEntry {
     // supervised feature selection: token↔lang mutual information over
     // binary presence (present AND absent cells), nano-grid integer sums
     "q_feature_mi" -> q(t => FeatureSelect.tokenLangMi(t.documents)),
+    // the chi-squared feature-selection twin over the SAME presence
+    // cells (χ² weights rare-but-exclusive tokens harder than MI)
+    "q_chi2" -> q(t => FeatureSelect.tokenLangChi2(t.documents)),
     // JL ±1 random-projection search: cosine top-k in the 4×-compressed
     // space (dimension cut, not component width — the missing leg next
     // to int8/sign/PQ); matrix is plan-literal, nothing ships
@@ -2803,6 +2818,37 @@ $rounds
         |SELECT event_id, event_type, value,
         | floor(z * 1e4) / 1e4 AS z, abs(z) > 3.0 AS is_anomaly
         |FROM zt ORDER BY event_id""".stripMargin,
+    // q_seasonality: the hour-of-week grid replayed from the SAME
+    // integer second (cast-to-long truncation == epoch_ns floor-div for
+    // positive epochs); share = one HUGEINT DIV on the 1e-6 grid
+    "q_seasonality" ->
+      """WITH ev AS (SELECT CAST(epoch_ns(ts)//1000000000 AS BIGINT) AS sec,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+        | c AS (SELECT (sec // 86400 + 4) % 7 AS dow, (sec // 3600) % 24 AS hour,
+        |    COUNT(*) AS n, CAST(SUM(v) AS DOUBLE) AS value_sum
+        |   FROM ev GROUP BY 1, 2),
+        | t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+        |SELECT CAST(dow AS BIGINT) AS dow, CAST(hour AS BIGINT) AS hour,
+        | n, value_sum,
+        | CAST((CAST(n AS HUGEINT) * 1000000) // total AS DOUBLE) / 1e6 AS share
+        |FROM c CROSS JOIN t ORDER BY dow, hour""".stripMargin,
+    // q_conversion_lag: same integer-second replay; first-view/-purchase
+    // via conditional MIN, hour buckets capped at 48, HUGEINT DIV share
+    "q_conversion_lag" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |    CAST(epoch_ns(ts)//1000000000 AS BIGINT) AS sec FROM events),
+        | pu AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN sec END) AS t_from,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN sec END) AS t_to
+        |   FROM ev GROUP BY 1),
+        | conv AS (SELECT least((t_to - t_from) // 3600, 48) AS lag_hours
+        |   FROM pu WHERE t_from IS NOT NULL AND t_to IS NOT NULL
+        |    AND t_to >= t_from),
+        | b AS (SELECT lag_hours, COUNT(*) AS n_users FROM conv GROUP BY 1),
+        | t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS total FROM b)
+        |SELECT CAST(lag_hours AS BIGINT) AS lag_hours, n_users,
+        | CAST((CAST(n_users AS HUGEINT) * 1000000) // total AS DOUBLE) / 1e6 AS share
+        |FROM b CROSS JOIN t ORDER BY lag_hours""".stripMargin,
     // q_grouping_sets: same two-level shape — decimal partials at the
     // finest grain, GROUPING SETS over the collapsed base, gid from the
     // same bit order (grouping(returnflag)*2 + grouping(linestatus))
@@ -4461,6 +4507,20 @@ $rounds
     // of four exact counts), summed as exact integer addition — the same
     // order-free trick as text_entropy, so the unordered vocabulary
     // aggregate cannot produce an order-dependent float sum
+    // q_source_hhi: same token split; Σc² and (Σc)² as exact HUGEINT
+    // integers, one floor-division onto the 1e-6 grid
+    "q_source_hhi" ->
+      (s"""WITH n0 AS (SELECT source, ${normSql("text")} AS s FROM documents),
+          | tok AS (SELECT source, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n0),
+          | tc AS (SELECT source, tk, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+          | f AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |    COUNT(*) AS n_vocab,
+          |    SUM(CAST(c AS HUGEINT) * c) AS ssq
+          |   FROM tc GROUP BY 1)
+          |SELECT source, n_tokens, n_vocab,
+          | CAST((CAST(ssq AS HUGEINT) * 1000000) //
+          |   (CAST(n_tokens AS HUGEINT) * n_tokens) AS DOUBLE) / 1e6 AS hhi
+          |FROM f ORDER BY source""").stripMargin,
     "q_source_kl" ->
       (s"""WITH n0 AS (SELECT source, ${normSql("text")} AS s FROM documents),
           | tok AS (SELECT source, unnest(CASE WHEN len(trim(s))=0 THEN []::VARCHAR[] ELSE string_split(s,' ') END) AS tk FROM n0),
@@ -4708,6 +4768,36 @@ $rounds
           |  FROM cells GROUP BY 1, 2)
           |SELECT tok, df, CAST(mi_nano AS DOUBLE) / 1e9 AS mi
           |FROM mi ORDER BY mi_nano DESC, tok LIMIT 50""").stripMargin,
+    // q_chi2: the same presence-cell grid, Pearson chi-squared fold —
+    // expected counts are doubles of exact BIGINT products, per-lang
+    // terms nano-floored and summed as longs (order-free), identical
+    // IEEE op order to the engine expression
+    "q_chi2" ->
+      (s"""WITH n0 AS (SELECT doc_id, lang, ${normSql("text")} AS s FROM documents),
+          | tokq AS (SELECT doc_id, lang, CASE WHEN len(trim(s))=0 THEN []::VARCHAR[]
+          |    ELSE list_distinct(string_split(s,' ')) END AS toks FROM n0),
+          | tl AS (SELECT tok, lang, COUNT(*) AS n_tl FROM (
+          |    SELECT lang, unnest(toks) AS tok FROM tokq) GROUP BY 1, 2),
+          | dft AS (SELECT tok, CAST(SUM(n_tl) AS BIGINT) AS df FROM tl GROUP BY 1
+          |   HAVING CAST(SUM(n_tl) AS BIGINT) >= 20),
+          | lt AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY 1),
+          | nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+          | cells AS (SELECT dft.tok, dft.df, lt.lang, lt.n_l, nd.n_docs,
+          |    COALESCE(tl.n_tl, 0) AS n_tl
+          |   FROM dft CROSS JOIN lt CROSS JOIN nd
+          |   LEFT JOIN tl ON tl.tok = dft.tok AND tl.lang = lt.lang),
+          | chi AS (SELECT tok, df, CAST(SUM(CAST(floor((
+          |     (CAST(n_tl AS DOUBLE) - CAST(df AS DOUBLE) * CAST(n_l AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          |       * (CAST(n_tl AS DOUBLE) - CAST(df AS DOUBLE) * CAST(n_l AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          |       / (CAST(df AS DOUBLE) * CAST(n_l AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          |   + CASE WHEN n_docs > df THEN
+          |       (CAST(n_l - n_tl AS DOUBLE) - (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) * CAST(n_l AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          |       * (CAST(n_l - n_tl AS DOUBLE) - (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) * CAST(n_l AS DOUBLE) / CAST(n_docs AS DOUBLE))
+          |       / ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE)) * CAST(n_l AS DOUBLE) / CAST(n_docs AS DOUBLE)) ELSE 0.0 END
+          |   ) * 1e9) AS BIGINT)) AS BIGINT) AS chi2_nano
+          |  FROM cells GROUP BY 1, 2)
+          |SELECT tok, df, CAST(chi2_nano AS DOUBLE) / 1e9 AS chi2
+          |FROM chi ORDER BY chi2_nano DESC, tok LIMIT 50""").stripMargin,
     // q_random_proj: the ±1 sign grid regenerated from its integer
     // formula (the q_embed_linear frozen-grid discipline), projection =
     // ordered list_dot_product per output dim (sign flips exact, dot

@@ -459,4 +459,75 @@ object EventAnalytics {
           .otherwise(lit(0.0)).as("attribution"))
       .orderBy(col("channel"))
   }
+
+  /** Hour-of-week traffic seasonality: per (day-of-week, hour-of-day)
+    * cell the event count, exact decimal value sum, and share of total
+    * traffic — the capacity/anomaly-baseline profile every telemetry
+    * pipeline keeps (a spike detector compares against the matching
+    * hour-of-week cell, not a global mean; `q_anomaly` is the per-day
+    * z-score companion).
+    *
+    * Scale shape: ONE map-side-combined aggregate onto the bounded
+    * 7×24-cell key — epoch arithmetic, no calendar functions, so the
+    * grouping key is a pure codegen'd projection at the scan; the total
+    * is a 1-row broadcast back onto 168 rows. dow 0 = Sunday (epoch
+    * day 0 is a Thursday: (day + 4) mod 7).
+    *
+    * Determinism: both engines derive the cell from the SAME integer
+    * second (Spark's `cast(ts as long)` truncation ≡ the oracle's
+    * `epoch_ns // 1e9` floor — event epochs are positive); the share is
+    * an integer DIV on the 1e-6 grid; value sums ride DECIMAL(18,2). */
+  def seasonality(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("ts").cast("long").as("sec"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .select(expr("pmod(sec div 86400 + 4, 7)").as("dow"),
+        expr("pmod(sec div 3600, 24)").as("hour"), col("v"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v")).cast("double").as("value_sum"))
+    val total = cells.agg(sum(col("n")).as("total"))
+    cells.crossJoin(broadcast(total))
+      .select(col("dow"), col("hour"), col("n"), col("value_sum"),
+        expr("cast(n as decimal(38,0)) * 1000000 div total")
+          .cast("double") / 1e6 as "share")
+      .transform(graft.Determinism.sorted(_)(col("dow"), col("hour")))
+  }
+
+  /** Time-to-conversion distribution: for every user whose first
+    * `to` event follows their first `from` event, the lag in hours,
+    * bucketed (capped at `capHours` — the overflow bucket absorbs the
+    * long tail so the output domain is fixed) with converter counts and
+    * shares. The latency profile behind funnel SLAs ([[funnel]] reports
+    * IF users convert; this reports HOW FAST).
+    *
+    * Scale shape: ONE user-keyed aggregate (two conditional `min`s —
+    * O(1) state per user, never an event buffer), then a
+    * map-side-combined fold onto the ≤ capHours+1 bucket domain with a
+    * 1-row total broadcast back. Ratios are integer DIVs on the 1e-6
+    * grid; lags are integer-second subtraction (both engines derive the
+    * SAME integer second). */
+  def conversionLag(events: DataFrame, from: String = "view",
+                    to: String = "purchase",
+                    capHours: Int = 48): DataFrame = {
+    val perUser = events
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === from, col("ts").cast("long")))
+          .as("t_from"),
+        min(when(col("event_type") === to, col("ts").cast("long")))
+          .as("t_to"))
+      .filter(col("t_from").isNotNull && col("t_to").isNotNull &&
+        col("t_to") >= col("t_from"))
+    val buckets = perUser
+      .select(least(expr("(t_to - t_from) div 3600"),
+        lit(capHours.toLong)).as("lag_hours"))
+      .groupBy(col("lag_hours"))
+      .agg(count(lit(1)).as("n_users"))
+    val total = buckets.agg(sum(col("n_users")).as("total"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("lag_hours"), col("n_users"),
+        expr("cast(n_users as decimal(38,0)) * 1000000 div total")
+          .cast("double") / 1e6 as "share")
+      .transform(graft.Determinism.sorted(_)(col("lag_hours")))
+  }
 }

@@ -31,8 +31,13 @@ import graft.operators.Barrier.BarrierOps
   * depend on partition order; ranking uses the exact nano sum. */
 object FeatureSelect {
 
-  def tokenLangMi(docs: DataFrame, minDf: Long = 20,
-                  topK: Int = 50): DataFrame = {
+  /** The shared (kept token × lang) presence-cell grid behind
+    * [[tokenLangMi]] and [[tokenLangChi2]]: `(tok, lang, df, n_l,
+    * n_docs, n_tl)` with a row for EVERY kept-token × lang pair (the
+    * absent cell of a pair the token never occurs in must exist before
+    * either fold). One tokenize+explode corpus pass, map-side combined;
+    * marginals broadcast. */
+  private def presenceCells(docs: DataFrame, minDf: Long): DataFrame = {
     // distinct-per-document tokens: presence, not frequency. barrier():
     // explode (Generate) re-evaluates its child per output row.
     val tl = docs
@@ -45,15 +50,16 @@ object FeatureSelect {
       .filter(col("df") >= minDf)
     val langTot = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-
-    // full (kept token × lang) grid: the ABSENT cell of a (t, l) pair the
-    // token never occurs in still contributes, so zero-count cells must
-    // exist before the fold
-    val cells = dfT
+    dfT
       .crossJoin(broadcast(langTot))
       .crossJoin(broadcast(nDocs))
       .join(tl, Seq("tok", "lang"), "left")
       .na.fill(0L, Seq("n_tl"))
+  }
+
+  def tokenLangMi(docs: DataFrame, minDf: Long = 20,
+                  topK: Int = 50): DataFrame = {
+    val cells = presenceCells(docs, minDf)
 
     val a = col("n_tl").cast("double")
     val b = (col("n_l") - col("n_tl")).cast("double")
@@ -73,5 +79,45 @@ object FeatureSelect {
       .limit(topK)
       .select(col("tok"), col("df"),
         (col("mi_nano").cast("double") / 1e9).as("mi"))
+  }
+
+  /** Pearson chi-squared token↔lang association over the SAME presence
+    * cells as [[tokenLangMi]] — the classic feature-selection twin
+    * (χ² weights rare-but-exclusive tokens harder than MI, which is why
+    * pipelines rank by both before picking a vocabulary):
+    *
+    * χ²(t) = Σ_l [ (n_tl − E_pl)²/E_pl + ((n_l−n_tl) − E_al)²/E_al ],
+    * E_pl = df·n_l/N, E_al = (N−df)·n_l/N.
+    *
+    * Same scale shape (one corpus tokenize pass, bounded grid fold) and
+    * the same cross-engine discipline: every expected value is a double
+    * of exact BIGINT products, each lang's (present + absent) term is
+    * floored to 1e-9 nano-units and SUMMED AS LONGS — order-free —
+    * with ranking on the exact nano sum. */
+  def tokenLangChi2(docs: DataFrame, minDf: Long = 20,
+                    topK: Int = 50): DataFrame = {
+    val cells = presenceCells(docs, minDf)
+
+    val nTl = col("n_tl").cast("double")
+    val nAl = (col("n_l") - col("n_tl")).cast("double")
+    val nl = col("n_l").cast("double")
+    val nd = col("n_docs").cast("double")
+    val dft = col("df").cast("double")
+    val ePl = dft * nl / nd
+    val eAl = (nd - dft) * nl / nd
+    val present = (nTl - ePl) * (nTl - ePl) / ePl
+    // a token present in EVERY document has E_al = 0 and O_al = 0: the
+    // absent cell contributes nothing (and the division would NaN)
+    val absent = when(col("n_docs") > col("df"),
+      (nAl - eAl) * (nAl - eAl) / eAl).otherwise(lit(0.0))
+
+    cells
+      .withColumn("cell", floor((present + absent) * 1e9).cast("long"))
+      .groupBy(col("tok"), col("df"))
+      .agg(sum(col("cell")).as("chi2_nano"))
+      .orderBy(col("chi2_nano").desc, col("tok"))
+      .limit(topK)
+      .select(col("tok"), col("df"),
+        (col("chi2_nano").cast("double") / 1e9).as("chi2"))
   }
 }

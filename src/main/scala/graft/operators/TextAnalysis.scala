@@ -1073,4 +1073,33 @@ object TextAnalysis {
         wsTokenCount(col("s")).cast("long").as("n_tokens"),
         graft.functions.token_entropy(col("s")).as("token_entropy"))
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
+
+  /** Per-SOURCE token concentration: the Herfindahl index
+    * HHI = Σ_t c_t² / (Σ_t c_t)² over each source's token counts, with
+    * total-token and vocabulary sizes — the corpus-level concentration
+    * audit next to the per-document Simpson index ([[diversity]]): a
+    * source whose probability mass sits on a handful of boilerplate
+    * tokens (HHI → 1) contributes templated text no dedup pass will
+    * catch, and mixing weights (`sample_mix`) should see that.
+    *
+    * Scale shape: one tokenize+explode pass collapsed to (source, token)
+    * counts — the only corpus-sized shuffle, map-side combined — then a
+    * per-source fold to |sources| rows. Determinism: Σc² and (Σc)² are
+    * EXACT integer sums in DECIMAL(38,0) (the [[diversity]] Simpson
+    * discipline lifted from per-doc to per-source), finished by one DIV
+    * on the 1e-6 grid — no float accumulation anywhere. */
+  def sourceConcentration(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), explode(tokens(preprocess(col("text"))))
+        .as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_vocab"),
+        sum(col("c").cast("decimal(38,0)") * col("c")).as("ssq"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        expr("cast(ssq as decimal(38,0)) * 1000000 div " +
+          "(cast(n_tokens as decimal(38,0)) * n_tokens)")
+          .cast("double") / 1e6 as "hhi")
+      .transform(graft.Determinism.sorted(_)(col("source")))
 }

@@ -278,6 +278,46 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("seasonality buckets by hour-of-week with exact shares") {
+    // 2024-01-01 is a MONDAY (dow 1 under the Sunday=0 epoch formula);
+    // 10:00 UTC events land in cell (1, 10), a Sunday event in (0, 9)
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 2.0),
+      (2L, "view", "2024-01-01 10:59:59", 2L, 3.0),
+      (3L, "view", "2024-01-07 09:30:00", 3L, 5.0)) // Sunday
+    val got = EventAnalytics.seasonality(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set((1L, 10L), (0L, 9L)), got.keySet)
+    assert(got((1L, 10L)) == ((2L, 5.0, 0.666666)))
+    assert(got((0L, 9L)) == ((1L, 5.0, 0.333333)))
+  }
+
+  test("conversionLag buckets first-view to first-purchase, capped") {
+    val ev = events(
+      // user 1: converts in 30 min -> bucket 0
+      (1L, "view", "2024-01-01 10:00:00", 1L, 1.0),
+      (1L, "purchase", "2024-01-01 10:30:00", 2L, 9.0),
+      // user 2: converts in 5h -> bucket 5; later events irrelevant
+      (2L, "view", "2024-01-01 00:00:00", 3L, 1.0),
+      (2L, "purchase", "2024-01-01 05:00:01", 4L, 9.0),
+      (2L, "purchase", "2024-01-02 00:00:00", 5L, 9.0),
+      // user 3: converts after 3 days -> overflow bucket 48
+      (3L, "view", "2024-01-01 00:00:00", 6L, 1.0),
+      (3L, "purchase", "2024-01-04 00:00:00", 7L, 9.0),
+      // user 4: purchase BEFORE any view -> not a conversion
+      (4L, "purchase", "2024-01-01 00:00:00", 8L, 9.0),
+      (4L, "view", "2024-01-02 00:00:00", 9L, 1.0),
+      // user 5: never purchases
+      (5L, "view", "2024-01-01 00:00:00", 10L, 1.0))
+    val got = EventAnalytics.conversionLag(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(0L, 5L, 48L), got.keySet)
+    assert(got(0L) == ((1L, 0.333333)))
+    assert(got(5L) == ((1L, 0.333333)))
+    assert(got(48L) == ((1L, 0.333333)))
+  }
+
   // --- grouping sets ---
 
   test("revenueGroupingSets matches a recomputed lattice at sf0.001") {

@@ -121,6 +121,25 @@ class PipelineSpec extends SparkSuite {
     } finally sys.props("graft.sort") = "true"
   }
 
+  test("sourceConcentration: degenerate source HHI=1, uniform HHI=1/vocab") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 40).map(_ => "spam").mkString(" "), "boiler"),
+      (2L, (1 to 40).map(_ => "spam").mkString(" "), "boiler"),
+      (3L, (1 to 40).map(i => s"tok$i").mkString(" "), "rich"),
+      (4L, (41 to 80).map(i => s"tok$i").mkString(" "), "rich"))
+      .toDF("doc_id", "text", "source")
+    val got = operators.TextAnalysis.sourceConcentration(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // one token repeated: HHI = 1 exactly (80²/80²)
+    assert(got("boiler") == ((80L, 1L, 1.0)), got("boiler"))
+    // 80 distinct singletons: HHI = floor(1e6/80)/1e6
+    val (n, v, h) = got("rich")
+    assert(n == 80L && v == 80L)
+    assert(h == math.floor(1e6 / 80) / 1e6, s"uniform hhi $h")
+  }
+
   test("maskSpans: selection, budgets and fingerprint match a plain-Scala replay") {
     // independent reference implementation of the span-corruption
     // contract (hash selection, remainder spans, sentinel collapse)

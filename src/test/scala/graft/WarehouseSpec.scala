@@ -142,6 +142,21 @@ class WarehouseSpec extends SparkSuite {
     assert(got.head.getString(0) == "aaa" || got.head.getString(0) == "bbb")
   }
 
+  test("token-lang chi2: perfect separator scores N, shared token zero") {
+    // 2x2 perfect association gives χ² = N exactly; a token present in
+    // every document has expected == observed everywhere → 0
+    val docs = ((1 to 30).map(i => (i.toLong, s"aaa zzz filler$i", "x")) ++
+      (31 to 60).map(i => (i.toLong, s"bbb zzz filler$i", "y")))
+      .toDF("doc_id", "text", "lang")
+    val got = FeatureSelect.tokenLangChi2(docs, minDf = 25, topK = 10)
+      .collect()
+    val of = got.map(r => r.getString(0) -> r.getAs[Double]("chi2")).toMap
+    assert(math.abs(of("aaa") - 60.0) < 1e-6, of("aaa"))
+    assert(math.abs(of("bbb") - 60.0) < 1e-6, of("bbb"))
+    assert(math.abs(of("zzz")) < 1e-6, of("zzz"))
+    assert(Set("aaa", "bbb")(got.head.getString(0)))
+  }
+
   test("token-lang MI counts presence, not frequency") {
     val docs = Seq(
       (1L, "dup dup dup dup", "x"),
