@@ -287,6 +287,14 @@ object SparkEntry {
     // per user, hour-bucketed with a fixed overflow cap — one user-keyed
     // agg (O(1) state), bounded bucket fold (funnel tells IF, this HOW FAST)
     "q_conversion_lag" -> q(t => EventAnalytics.conversionLag(t.events)),
+    // inter-event gap distribution (the evidence behind the sessionizer's
+    // 30-min threshold): one user-keyed lag window, minute buckets with
+    // overflow cap, shares + cumulative share over the bounded domain
+    "q_gap_stats" -> q(t => EventAnalytics.gapStats(t.events)),
+    // cohort LTV: first-event-week cohorts x age-week purchase revenue
+    // with running cumulative — two co-partitioned user-keyed aggs, then
+    // a bounded-grid fold; DECIMAL revenue end to end
+    "q_cohort_ltv" -> q(t => EventAnalytics.cohortLtv(t.events)),
     // DAU / rolling-7-day WAU / stickiness: events collapse to the
     // distinct (user, day) table once; the rolling window is a bounded
     // 7-fan-out of that collapsed table, never a re-count over events
@@ -370,6 +378,10 @@ object SparkEntry {
     "q_emb_drift" -> q(t => Embeddings.snapshotDrift(
       t.embeddings.filter(col("vec_id") % 2 === 0),
       t.embeddings.filter(col("vec_id") % 2 === 1))),
+    // per-label L2-norm audit: narrow codegen'd norm floored to the 1e-6
+    // LONG grid at the scan, map-side fold to |labels| rows — the
+    // encoder-batch quality gate before any cosine index build
+    "q_norm_audit" -> q(t => Embeddings.normAudit(t.embeddings)),
     // vector search surface (reference: index/search/qa services)
     // Vector outputs are projected to hashable scalar digests (dim,
     // floored norm, nonzero count, index-weighted moment) — the driver's
@@ -2849,6 +2861,53 @@ $rounds
         |SELECT CAST(lag_hours AS BIGINT) AS lag_hours, n_users,
         | CAST((CAST(n_users AS HUGEINT) * 1000000) // total AS DOUBLE) / 1e6 AS share
         |FROM b CROSS JOIN t ORDER BY lag_hours""".stripMargin,
+    // q_gap_stats: same integer-second replay; per-user lag under the
+    // (sec, event_id) total order, minute buckets capped at 120,
+    // HUGEINT DIV shares, exact-long cumulative over the bounded domain
+    "q_gap_stats" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(epoch_ns(ts)//1000000000 AS BIGINT) AS sec FROM events),
+        | d AS (SELECT sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS delta FROM ev),
+        | b AS (SELECT least(delta // 60, 120) AS gap_minutes, COUNT(*) AS n
+        |   FROM d WHERE delta IS NOT NULL GROUP BY 1),
+        | t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM b),
+        | c AS (SELECT gap_minutes, n,
+        |    CAST(SUM(n) OVER (ORDER BY gap_minutes ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n
+        |   FROM b)
+        |SELECT CAST(gap_minutes AS BIGINT) AS gap_minutes, n,
+        | CAST((CAST(n AS HUGEINT) * 1000000) // total AS DOUBLE) / 1e6 AS share,
+        | CAST((CAST(cum_n AS HUGEINT) * 1000000) // total AS DOUBLE) / 1e6 AS cum_share
+        |FROM c CROSS JOIN t ORDER BY gap_minutes""".stripMargin,
+    // q_cohort_ltv: first-event-day cohorts from the same integer day,
+    // purchase revenue in DECIMAL(18,2), exact decimal cumulative window
+    "q_cohort_ltv" ->
+      """WITH ev AS (SELECT user_id, event_type, value,
+        |    CAST(epoch_ns(ts)//1000000000 AS BIGINT) // 86400 AS day FROM events),
+        | fd AS (SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY 1),
+        | p AS (SELECT ev.user_id, day, CAST(value AS DECIMAL(18,2)) AS v, cohort_day
+        |   FROM ev JOIN fd ON ev.user_id = fd.user_id WHERE event_type = 'purchase'),
+        | cells AS (SELECT cohort_day // 7 AS cohort_week,
+        |    (day - cohort_day) // 7 AS age_week,
+        |    COUNT(*) AS n_purchases, SUM(v) AS rev FROM p GROUP BY 1, 2)
+        |SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+        | CAST(age_week AS BIGINT) AS age_week, n_purchases,
+        | CAST(rev AS DOUBLE) AS revenue,
+        | CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
+        |FROM cells ORDER BY cohort_week, age_week""".stripMargin,
+    // q_norm_audit: the l2_norm replay (sequential Σx² then sqrt — the
+    // vectorDigest image) floored to the 1e-6 LONG grid; min/max/mean
+    // over exact longs, mean = one HUGEINT floor-division
+    "q_norm_audit" ->
+      """WITH e AS (SELECT label,
+        |    CAST(floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * 1e6) AS BIGINT) AS ng
+        |   FROM embeddings),
+        | g AS (SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+        |    MIN(ng) AS mn, MAX(ng) AS mx, CAST(SUM(ng) AS BIGINT) AS s
+        |   FROM e GROUP BY 1)
+        |SELECT label, n, CAST(mn AS DOUBLE)/1e6 AS min_norm,
+        | CAST(mx AS DOUBLE)/1e6 AS max_norm,
+        | CAST(CAST(s AS HUGEINT) // n AS DOUBLE) / 1e6 AS mean_norm
+        |FROM g ORDER BY label""".stripMargin,
     // q_grouping_sets: same two-level shape — decimal partials at the
     // finest grain, GROUPING SETS over the collapsed base, gid from the
     // same bit order (grouping(returnflag)*2 + grouping(linestatus))

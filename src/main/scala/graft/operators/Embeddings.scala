@@ -137,4 +137,31 @@ object Embeddings {
         (floor(sqrt(col("dd").cast("double"))) / 1e6).as("centroid_shift"))
       .transform(graft.Determinism.sorted(_)(col("label")))
   }
+
+  /** Per-label embedding L2-NORM audit: count, min/max/mean of the norm
+    * on the 1e-6 grid — the vector-quality gate run before any cosine
+    * index build (a zero or wildly-scaled norm means a broken encoder
+    * batch; cosine silently "works" on garbage magnitudes, so the norm
+    * table is where that's caught — `q_index_stats` audits ONE frozen
+    * index, this audits the labeled corpus by segment).
+    *
+    * Scale shape: one NARROW codegen'd pass ([[graft.functions.l2_norm]]
+    * — sequential Σx² then sqrt, same fold both engines) floored to the
+    * 1e-6 LONG grid AT THE SCAN, then a map-side-combined fold to
+    * |labels| rows. min/max of floored longs are order-free by
+    * definition; the mean is an exact long sum finished by one DIV —
+    * no float accumulation anywhere. */
+  def normAudit(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label").cast("long").as("label"),
+        floor(l2_norm(col("embedding")) * 1e6).cast("long").as("ng"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), min(col("ng")).as("mn"),
+        max(col("ng")).as("mx"), sum(col("ng")).as("s"))
+      .select(col("label"), col("n"),
+        (col("mn").cast("double") / 1e6).as("min_norm"),
+        (col("mx").cast("double") / 1e6).as("max_norm"),
+        expr("cast(s as decimal(38,0)) div n").cast("double") / 1e6
+          as "mean_norm")
+      .transform(graft.Determinism.sorted(_)(col("label")))
 }

@@ -530,4 +530,78 @@ object EventAnalytics {
           .cast("double") / 1e6 as "share")
       .transform(graft.Determinism.sorted(_)(col("lag_hours")))
   }
+
+  /** Inter-event gap distribution: per user the deltas between
+    * consecutive events (same (ts, event_id) total order as the
+    * sessionizer), minute-bucketed with a fixed overflow cap, with
+    * shares and the cumulative share — the evidence table behind
+    * [[Sessionize]]'s 30-minute gap threshold (the session cut should
+    * sit in the valley of this distribution, not be folklore).
+    *
+    * Scale shape: ONE user-keyed window (`lag` — the `q_scd2` exchange,
+    * O(1) state per row), then a map-side fold onto the ≤ capMinutes+1
+    * bucket domain; the cumulative window runs over the BOUNDED bucket
+    * table (value-derived domain — the `lmBuckets` CDF-cut shape, which
+    * PlanDoctor admits). Shares are integer DIVs on the 1e-6 grid;
+    * cumulative counts are exact long sums. */
+  def gapStats(events: DataFrame, capMinutes: Int = 120): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val buckets = events
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+      .withColumn("delta", col("sec") - lag(col("sec"), 1).over(byUser))
+      .filter(col("delta").isNotNull)
+      .select(least(expr("delta div 60"), lit(capMinutes.toLong))
+        .as("gap_minutes"))
+      .groupBy(col("gap_minutes"))
+      .agg(count(lit(1)).as("n"))
+    val total = buckets.agg(sum(col("n")).as("total"))
+    val cum = Window.orderBy(col("gap_minutes"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.crossJoin(broadcast(total))
+      .withColumn("cum_n", sum(col("n")).over(cum))
+      .select(col("gap_minutes"), col("n"),
+        expr("cast(n as decimal(38,0)) * 1000000 div total")
+          .cast("double") / 1e6 as "share",
+        expr("cast(cum_n as decimal(38,0)) * 1000000 div total")
+          .cast("double") / 1e6 as "cum_share")
+      .transform(graft.Determinism.sorted(_)(col("gap_minutes")))
+  }
+
+  /** Cohort lifetime value: users cohorted by FIRST-EVENT week, their
+    * purchase revenue folded per (cohort_week, age_week) with the
+    * running cumulative — the LTV curve a growth team reads next to
+    * [[retention]]'s activity marks (retention counts users back;
+    * this weighs what they spend).
+    *
+    * Scale shape: two user-keyed aggregates (first-event day; the
+    * purchase rows join the 1-row-per-user cohort table on the SAME
+    * user key — co-partitioned), then a map-side fold onto the bounded
+    * (cohort_week × age_week) grid; the cumulative window is
+    * PARTITIONED by cohort over that bounded grid. Revenue rides
+    * DECIMAL(18,2) end to end (order-free), weeks are pure epoch
+    * arithmetic. */
+  def cohortLtv(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .groupBy(col("user_id"))
+      .agg(min(expr("cast(ts as long) div 86400")).as("cohort_day"))
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("cast(ts as long) div 86400").as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+    val cells = purchases.join(firstDay, Seq("user_id"))
+      .select(expr("cohort_day div 7").as("cohort_week"),
+        expr("(day - cohort_day) div 7").as("age_week"), col("v"))
+      .groupBy(col("cohort_week"), col("age_week"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("v")).as("rev"))
+    val cum = Window.partitionBy(col("cohort_week")).orderBy(col("age_week"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_rev", sum(col("rev")).over(cum))
+      .select(col("cohort_week"), col("age_week"), col("n_purchases"),
+        col("rev").cast("double").as("revenue"),
+        col("cum_rev").cast("double").as("cum_revenue"))
+      .transform(graft.Determinism.sorted(_)(col("cohort_week"),
+        col("age_week")))
+  }
 }

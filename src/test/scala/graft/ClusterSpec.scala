@@ -146,4 +146,21 @@ class ClusterSpec extends SparkSuite {
     assert(nb2 == 0L && nc2 == 1L && g2 == -1.0)
     assert(math.abs(s2 - 2.0) < 2e-6, s"new-label shift: $s2")
   }
+
+  test("normAudit reads exact grid norms per label") {
+    // label 0: 3-4-5 vectors (norm exactly 5.0 on the grid) plus a unit
+    // vector; label 1: a zero vector (the broken-encoder signal)
+    val emb = Seq(
+      (0L, 0, Array(3f, 4f, 0f, 0f)),
+      (1L, 0, Array(0f, 3f, 4f, 0f)),
+      (2L, 0, Array(1f, 0f, 0f, 0f)),
+      (3L, 1, Array(0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = operators.Embeddings.normAudit(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // mean = floor((5e6 + 5e6 + 1e6) / 3) / 1e6 = 3.666666
+    assert(got(0L) == ((3L, 1.0, 5.0, 3.666666)), got(0L))
+    assert(got(1L) == ((1L, 0.0, 0.0, 0.0)), got(1L))
+  }
 }

@@ -318,6 +318,47 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got(48L) == ((1L, 0.333333)))
   }
 
+  test("gapStats buckets per-user consecutive deltas with exact cum share") {
+    val ev = events(
+      // user 1: gaps of 90s (bucket 1) and 3600s (bucket 60)
+      (1L, "view", "2024-01-01 10:00:00", 1L, 1.0),
+      (1L, "view", "2024-01-01 10:01:30", 2L, 1.0),
+      (1L, "view", "2024-01-01 11:01:30", 3L, 1.0),
+      // user 2: one 10-day gap -> overflow bucket 120
+      (2L, "view", "2024-01-01 00:00:00", 4L, 1.0),
+      (2L, "view", "2024-01-11 00:00:00", 5L, 1.0),
+      // user 3: single event -> contributes NO gap
+      (3L, "view", "2024-01-01 00:00:00", 6L, 1.0))
+    val got = EventAnalytics.gapStats(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toMap
+    assert(got.keySet == Set(1L, 60L, 120L), got.keySet)
+    assert(got(1L) == ((1L, 0.333333, 0.333333)))
+    assert(got(60L) == ((1L, 0.333333, 0.666666)))
+    assert(got(120L) == ((1L, 0.333333, 1.0)))
+  }
+
+  test("cohortLtv folds purchase revenue onto (cohort_week, age_week)") {
+    // 2024-01-01 = epoch day 19723 -> cohort_week 2817 (19723 div 7);
+    // user 1 cohorts on day 19723, buys same day and 8 days later
+    // (age weeks 0 and 1); user 2 cohorts a week later, buys once
+    val ev = events(
+      (1L, "view", "2024-01-01 09:00:00", 1L, 1.0),
+      (1L, "purchase", "2024-01-01 10:00:00", 2L, 10.0),
+      (1L, "purchase", "2024-01-09 10:00:00", 3L, 5.5),
+      (2L, "signup", "2024-01-08 09:00:00", 4L, 1.0),
+      (2L, "purchase", "2024-01-08 10:00:00", 5L, 2.25))
+    val got = EventAnalytics.cohortLtv(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val w1 = 19723L / 7  // user 1's cohort week
+    val w2 = 19730L / 7  // user 2's
+    assert(got.keySet == Set((w1, 0L), (w1, 1L), (w2, 0L)), got.keySet)
+    assert(got((w1, 0L)) == ((1L, 10.0, 10.0)))
+    assert(got((w1, 1L)) == ((1L, 5.5, 15.5)))   // cumulative 10 + 5.5
+    assert(got((w2, 0L)) == ((1L, 2.25, 2.25)))
+  }
+
   // --- grouping sets ---
 
   test("revenueGroupingSets matches a recomputed lattice at sf0.001") {
