@@ -291,6 +291,10 @@ object SparkEntry {
     // 30-min threshold): one user-keyed lag window, minute buckets with
     // overflow cap, shares + cumulative share over the bounded domain
     "q_gap_stats" -> q(t => EventAnalytics.gapStats(t.events)),
+    // robust median/MAD outlier gate (heavy-tail-proof twin of
+    // q_anomaly): one corpus histogram pass, every other step a fold
+    // over bounded cells; lower-median integer rule both engines
+    "q_mad_outliers" -> q(t => EventAnalytics.madOutliers(t.events)),
     // cohort LTV: first-event-week cohorts x age-week purchase revenue
     // with running cumulative — two co-partitioned user-keyed aggs, then
     // a bounded-grid fold; DECIMAL revenue end to end
@@ -2861,6 +2865,39 @@ $rounds
         |SELECT CAST(lag_hours AS BIGINT) AS lag_hours, n_users,
         | CAST((CAST(n_users AS HUGEINT) * 1000000) // total AS DOUBLE) / 1e6 AS share
         |FROM b CROSS JOIN t ORDER BY lag_hours""".stripMargin,
+    // q_mad_outliers: the (type, value-grid) histogram replay; lower
+    // medians via the doubled-cumulative integer rule, outlier mass
+    // folded from deviation cells, one HUGEINT DIV fraction
+    "q_mad_outliers" ->
+      """WITH h AS (SELECT event_type, CAST(floor(value * 1e4) AS BIGINT) AS vg,
+        |    COUNT(*) AS c FROM events GROUP BY 1, 2),
+        | tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        | cm AS (SELECT event_type, vg,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY vg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |   FROM h),
+        | med AS (SELECT cm.event_type, MIN(vg) AS med_g
+        |   FROM cm JOIN tot ON cm.event_type = tot.event_type
+        |   WHERE cum * 2 >= n GROUP BY 1),
+        | dev AS (SELECT h.event_type, abs(vg - med_g) AS dg,
+        |    CAST(SUM(c) AS BIGINT) AS c
+        |   FROM h JOIN med ON h.event_type = med.event_type GROUP BY 1, 2),
+        | dcm AS (SELECT event_type, dg,
+        |    SUM(c) OVER (PARTITION BY event_type ORDER BY dg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |   FROM dev),
+        | mad AS (SELECT dcm.event_type, MIN(dg) AS mad_g
+        |   FROM dcm JOIN tot ON dcm.event_type = tot.event_type
+        |   WHERE cum * 2 >= n GROUP BY 1),
+        | outl AS (SELECT dev.event_type, CAST(SUM(c) AS BIGINT) AS n_out
+        |   FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |   WHERE dg > 3 * mad_g GROUP BY 1)
+        |SELECT t.event_type, n,
+        | CAST(med_g AS DOUBLE) / 1e4 AS median,
+        | CAST(mad_g AS DOUBLE) / 1e4 AS mad,
+        | CAST(COALESCE(n_out, 0) AS BIGINT) AS n_outliers,
+        | CAST((CAST(COALESCE(n_out, 0) AS HUGEINT) * 1000000) // n AS DOUBLE) / 1e6 AS outlier_frac
+        |FROM tot t JOIN med USING (event_type) JOIN mad USING (event_type)
+        | LEFT JOIN outl USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     // q_gap_stats: same integer-second replay; per-user lag under the
     // (sec, event_id) total order, minute buckets capped at 120,
     // HUGEINT DIV shares, exact-long cumulative over the bounded domain

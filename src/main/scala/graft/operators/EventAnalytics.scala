@@ -604,4 +604,58 @@ object EventAnalytics {
       .transform(graft.Determinism.sorted(_)(col("cohort_week"),
         col("age_week")))
   }
+
+  /** Robust per-type outlier gate: median and MAD (median absolute
+    * deviation) of `value` on the 1e-4 grid, with the count and fraction
+    * beyond `k`·MAD — the heavy-tail-proof twin of [[anomalies]] (one
+    * 1000× spike drags a mean/σ z-score's own baseline; the median and
+    * MAD don't move, which is why data-quality gates prefer them).
+    *
+    * Scale shape: ONE corpus pass builds the (type, value-grid)
+    * HISTOGRAM — the only corpus-sized shuffle, map-side combined;
+    * median, the deviation histogram, MAD, and the outlier mass are all
+    * folds over histogram CELLS (≤ types × distinct grid values — the
+    * `MlEval.scoreHistogram` discipline), with every cumulative window
+    * PARTITIONED by type over the bounded value domain.
+    *
+    * Determinism: medians are an integer rule (the smallest grid value
+    * whose doubled cumulative count reaches n — the lower median), so
+    * ties and even counts resolve identically in both engines; the
+    * outlier fraction is one integer DIV on the 1e-6 grid. */
+  def madOutliers(events: DataFrame, k: Int = 3): DataFrame = {
+    val h = events
+      .select(col("event_type"),
+        floor(col("value") * 1e4).cast("long").as("vg"))
+      .groupBy(col("event_type"), col("vg"))
+      .agg(count(lit(1)).as("c"))
+    val tot = h.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    def lowerMedian(hist: DataFrame, key: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col(key))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("cum", sum(col("c")).over(w))
+        .join(tot, Seq("event_type"))
+        .filter(col("cum") * 2 >= col("n"))
+        .groupBy(col("event_type")).agg(min(col(key)).as(out))
+    }
+    val med = lowerMedian(h, "vg", "med_g")
+    val dev = h.join(med, Seq("event_type"))
+      .select(col("event_type"), abs(col("vg") - col("med_g")).as("dg"),
+        col("c"))
+      .groupBy(col("event_type"), col("dg"))
+      .agg(sum(col("c")).as("c"))
+    val mad = lowerMedian(dev, "dg", "mad_g")
+    val outl = dev.join(mad, Seq("event_type"))
+      .filter(col("dg") > lit(k.toLong) * col("mad_g"))
+      .groupBy(col("event_type")).agg(sum(col("c")).as("n_out"))
+    tot.join(med, Seq("event_type")).join(mad, Seq("event_type"))
+      .join(outl, Seq("event_type"), "left")
+      .na.fill(0L, Seq("n_out"))
+      .select(col("event_type"), col("n"),
+        (col("med_g").cast("double") / 1e4).as("median"),
+        (col("mad_g").cast("double") / 1e4).as("mad"),
+        col("n_out").as("n_outliers"),
+        expr("cast(n_out as decimal(38,0)) * 1000000 div n")
+          .cast("double") / 1e6 as "outlier_frac")
+      .transform(graft.Determinism.sorted(_)(col("event_type")))
+  }
 }

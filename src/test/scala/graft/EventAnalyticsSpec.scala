@@ -359,6 +359,32 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got((w2, 0L)) == ((1L, 2.25, 2.25)))
   }
 
+  test("madOutliers: the spike can't drag its own baseline") {
+    // 1..10 plus a 1000.0 spike: median = 6 (lower median of 11),
+    // deviations 0,1,1,2,2,3,3,4,4,5,994 -> MAD = 3; only the spike
+    // exceeds 3*MAD. A mean/sd z-score would have its baseline dragged
+    // to ~96 by the same spike — the robustness this operator exists for.
+    val ev = events(((1 to 10).map(i =>
+      (i.toLong, "view", f"2024-01-01 10:${i}%02d:00", i.toLong, i.toDouble))
+      :+ (11L, "view", "2024-01-01 10:11:00", 11L, 1000.0)): _*)
+    val got = EventAnalytics.madOutliers(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("view") == ((11L, 6.0, 3.0, 1L, 0.090909)), got("view"))
+  }
+
+  test("madOutliers: constant values read zero MAD, zero outliers") {
+    val ev = events(
+      (1L, "click", "2024-01-01 10:00:00", 1L, 7.0),
+      (2L, "click", "2024-01-01 10:01:00", 2L, 7.0),
+      (3L, "click", "2024-01-01 10:02:00", 3L, 7.0))
+    val got = EventAnalytics.madOutliers(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    // every deviation is 0 and 0 > 3*0 is false: nothing flags
+    assert(got("click") == ((3L, 7.0, 0.0, 0L, 0.0)), got("click"))
+  }
+
   // --- grouping sets ---
 
   test("revenueGroupingSets matches a recomputed lattice at sf0.001") {
