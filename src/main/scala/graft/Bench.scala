@@ -89,6 +89,10 @@ object Bench {
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       System.gc() // stabilize: drop prior queries' broadcast/codegen garbage
       drain()
+      // progress marker on stderr: when a big-SF sweep dies mid-suite
+      // (GC spiral, heartbeat timeout) this is how the culprit query is
+      // identified — stdout stays reserved for the one JSON line
+      System.err.println(s"[bench] running $name")
       val sh0 = shuffleBytes.get
       val sr0 = shuffleRecords.get
       val t0 = System.nanoTime()
