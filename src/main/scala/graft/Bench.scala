@@ -30,6 +30,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // single-JVM bench: the executor "heartbeat" is an in-process RPC,
+      // so a timeout can only misfire — under allocation pressure the
+      // dispatcher stalls long enough (observed 236 s during the sf10
+      // saturated sweep) that the default 120 s timeout declares the
+      // driver's own executor lost and kills an otherwise-healthy run
+      .config("spark.network.timeout", "800s")
+      .config("spark.executor.heartbeatInterval", "30s")
     if (saturated) {
       builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
       builder.config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
