@@ -11,8 +11,12 @@ import org.apache.spark.sql.SparkSession
 object Doctor {
   def main(args: Array[String]): Unit = {
     val rank = Map("info" -> 0, "warn" -> 1, "error" -> 2)
-    val min = rank(args.headOption.filter(rank.contains).getOrElse("warn"))
-    val only = args.drop(1).toSet
+    // the head is consumed as a severity ONLY when it parsed as one —
+    // `runMain graft.Doctor q_cdc` sweeps just q_cdc at the default
+    // severity instead of silently sweeping the whole catalog
+    val sevGiven = args.headOption.exists(rank.contains)
+    val min = rank(if (sevGiven) args.head else "warn")
+    val only = (if (sevGiven) args.drop(1) else args).toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

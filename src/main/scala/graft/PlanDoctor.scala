@@ -29,6 +29,18 @@ object PlanDoctor {
     override def toString = s"[$severity] $rule: $detail"
   }
 
+  /** Stored STRING columns treated as corpus BODIES by the body-width
+    * gate — the names wide free-text lands under across the catalog's
+    * tables and the common warehouse conventions. A stored wide string
+    * under a name NOT listed here still passes silently (the r15 gap,
+    * narrowed rather than closed: Spark plans carry no stored-width
+    * statistics to classify on, so the gate matches the naming contract
+    * and the contract is: corpus bodies are named one of these). Binary
+    * payloads are flagged regardless of name. */
+  private val bodyColumnNames: Set[String] =
+    Set("text", "body", "content", "html", "raw", "raw_text", "payload",
+      "document", "markdown")
+
   /** Audit the query's FINAL physical plan (AQE-resolved when executed). */
   def audit(df: DataFrame): Seq[Finding] = auditPlan(df.queryExecution.executedPlan)
 
@@ -63,6 +75,37 @@ object PlanDoctor {
           "BroadcastNestedLoopJoin: acceptable ONLY if the broadcast side " +
             s"is bounded by contract (${j.joinType})")
 
+      // ShuffledHashJoin holds its ENTIRE per-task build-side partition
+      // as a live hash relation — no spill path. Fine when the build
+      // side is bounded by a VALUE domain (a grid/bucket aggregate);
+      // an executor OOM when it scales with the corpus (the r15
+      // saturated-sf10 profile: AQE picked SHJ over the shingle
+      // self-join and held ~40 GB live). The bound is read off the plan
+      // with the same domain trace the window rule uses: the build
+      // side's JOIN KEYS must trace to the grouping keys of a
+      // value-derived aggregate below. Raw-id-keyed aggregates (one row
+      // per corpus id) and plain scans are unbounded → error: force
+      // sort-merge (`hint("merge")`), which spills both sides.
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec =>
+        val (build, keys) = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft =>
+            (j.left, j.leftKeys)
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight =>
+            (j.right, j.rightKeys)
+        }
+        domainTrace(build,
+          keys.flatMap(_.references.map(_.exprId)).toSet) match {
+          case BoundedDerived =>
+            findings += Finding("info", "shuffled-hash-join-bounded",
+              "shuffled-hash build side is bounded by its value domain")
+          case _ =>
+            findings += Finding("error", "shuffled-hash-join-unbounded-build",
+              "ShuffledHashJoin build side is not bounded by contract — " +
+                "the whole per-task build relation sits live with no " +
+                "spill path (executor OOM at corpus scale); force " +
+                s"sort-merge instead: ${j.simpleStringWithNodeId()}")
+        }
+
       // A shuffle INTO one partition funnels the child through a single
       // task — by design for k-rows-per-query merges, a serialization
       // point for anything corpus-sized.
@@ -89,7 +132,7 @@ object PlanDoctor {
           val wide = e.child.output.filter { a =>
             rawLeafAttr(e.child, a.exprId).exists { leaf =>
               (leaf.dataType == org.apache.spark.sql.types.StringType &&
-                leaf.name == "text") ||
+                bodyColumnNames(leaf.name)) ||
               leaf.dataType == org.apache.spark.sql.types.BinaryType
             }
           }

@@ -1306,8 +1306,10 @@ object SparkEntry {
   /** The q_cdc / q_cdc_bucketed oracle: the snapshot pair full-outer
     * joined on doc_id with RAW-text poly fingerprints + lengths per side
     * (bodies never enter the join; raw text is ASCII so the char replay
-    * holds), unchanged rows dropped. Shared verbatim by both gate rows —
-    * the bucketed LAYOUT must never change the answer. */
+    * holds), unchanged rows dropped — `update` = (fingerprint, length)
+    * pair mismatch, the collision-narrowing contract [[Warehouse.cdc]]
+    * documents. Shared verbatim by both gate rows — the bucketed LAYOUT
+    * must never change the answer. */
   private lazy val cdcOracleSql: String =
     s"""WITH b0 AS (SELECT doc_id, ${Oracles.polyFp("text")} AS fpb,
        |    CAST(len(text) AS BIGINT) AS ncb
@@ -1324,7 +1326,7 @@ object SparkEntry {
        |      ELSE 'update' END AS op,
        | COALESCE(ncb, 0) AS n_chars_base,
        | COALESCE(ncc, 0) AS n_chars_cur
-       |FROM j WHERE fpb IS NULL OR fpc IS NULL OR fpb <> fpc
+       |FROM j WHERE fpb IS NULL OR fpc IS NULL OR fpb <> fpc OR ncb <> ncc
        |ORDER BY doc_id""".stripMargin
 
   /** The governance rows' shared snapshot construction: base = the
@@ -2865,11 +2867,14 @@ $rounds
         |SELECT CAST(lag_hours AS BIGINT) AS lag_hours, n_users,
         | CAST((CAST(n_users AS HUGEINT) * 1000000) // total AS DOUBLE) / 1e6 AS share
         |FROM b CROSS JOIN t ORDER BY lag_hours""".stripMargin,
-    // q_mad_outliers: the (type, value-grid) histogram replay; lower
-    // medians via the doubled-cumulative integer rule, outlier mass
-    // folded from deviation cells, one HUGEINT DIV fraction
+    // q_mad_outliers: the (type, value-grid) histogram replay; grid
+    // clamped to [0, 1e7] (the conversion-lag overflow discipline, so
+    // cells are capped by construction); lower medians via the
+    // doubled-cumulative integer rule, outlier mass folded from
+    // deviation cells, one HUGEINT DIV fraction
     "q_mad_outliers" ->
-      """WITH h AS (SELECT event_type, CAST(floor(value * 1e4) AS BIGINT) AS vg,
+      """WITH h AS (SELECT event_type,
+        |    CAST(least(greatest(floor(value * 1e4), 0), 10000000) AS BIGINT) AS vg,
         |    COUNT(*) AS c FROM events GROUP BY 1, 2),
         | tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
         | cm AS (SELECT event_type, vg,

@@ -80,8 +80,14 @@ object Dedup {
                           verify: Option[org.apache.spark.sql.Column] = None)
       : DataFrame = {
     val capped = capBuckets(bucketed, maxBucket)
-    val joined = capped.as("a")
-      .join(capped.as("b"),
+    // merge hint: BOTH sides are the corpus-sized signature table, so
+    // neither is broadcast- or hash-BUILD-safe at scale — AQE left to
+    // itself picks ShuffledHashJoin at saturation and holds the entire
+    // build side live per task (the r15 ~40 GB GC stall; an executor
+    // OOM at 100 TB). Sort-merge spills both sides; PlanDoctor's
+    // `shuffled-hash-join-unbounded-build` rule enforces the discipline
+    val joined = capped.hint("merge").as("a")
+      .join(capped.hint("merge").as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.doc_id") < col("b.doc_id"))
     verify.fold(joined)(joined.filter)
@@ -692,8 +698,10 @@ object Dedup {
     // than the shingle table
     val slim = sh.select(col("doc_id"), col("sh"))
     val sizes = sh.select(col("doc_id"), col("n_sh")).distinct()
-    val jac = slim.as("a")
-      .join(slim.as("b"), col("a.sh") === col("b.sh") &&
+    // merge hint: corpus-sized on both sides — never hash-build
+    // (see bandedPairs; the saturated-SHJ OOM profile)
+    val jac = slim.hint("merge").as("a")
+      .join(slim.hint("merge").as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"))
       .agg(count(lit(1)).as("inter"))
@@ -737,8 +745,10 @@ object Dedup {
     val sh = cappedShingleTable(docs, shingleLen, maxShingleDf)
     val slim = sh.select(col("doc_id"), col("sh"))
     val sizes = sh.select(col("doc_id"), col("n_sh")).distinct()
-    val cont = slim.as("a")
-      .join(slim.as("b"), col("a.sh") === col("b.sh") &&
+    // merge hint: corpus-sized on both sides — never hash-build
+    // (see bandedPairs; the saturated-SHJ OOM profile)
+    val cont = slim.hint("merge").as("a")
+      .join(slim.hint("merge").as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_id"),
         col("b.doc_id").as("container_id"))

@@ -614,18 +614,32 @@ object EventAnalytics {
     * Scale shape: ONE corpus pass builds the (type, value-grid)
     * HISTOGRAM — the only corpus-sized shuffle, map-side combined;
     * median, the deviation histogram, MAD, and the outlier mass are all
-    * folds over histogram CELLS (≤ types × distinct grid values — the
-    * `MlEval.scoreHistogram` discipline), with every cumulative window
-    * PARTITIONED by type over the bounded value domain.
+    * folds over histogram CELLS, with every cumulative window
+    * PARTITIONED by type over the bounded value domain. The grid is
+    * CLAMPED to `[0, 1000.0]` (1e-4 resolution → ≤ 1e7 + 1 cells per
+    * type) with the out-of-range mass landing in the boundary buckets —
+    * the `conversionLag` 48 h / `gapStats` 120 min overflow discipline —
+    * so the cell count is capped by CONSTRUCTION, not by the data: a
+    * high-cardinality value column (unique floats over an unbounded
+    * range) can no longer make cells ∝ corpus or turn the per-type
+    * cumulative into a corpus sort. Median and MAD stay exact whenever
+    * they fall strictly inside the range (clamping only moves tail mass
+    * onto the boundary, which preserves every order statistic below it);
+    * tail values keep counting toward the outlier mass as long as the
+    * boundary bucket clears the k·MAD fence.
     *
     * Determinism: medians are an integer rule (the smallest grid value
     * whose doubled cumulative count reaches n — the lower median), so
     * ties and even counts resolve identically in both engines; the
     * outlier fraction is one integer DIV on the 1e-6 grid. */
+  /** Grid cap: values clamp into `[0, madGridMax]` (1e-4 units). */
+  private val madGridMax = 10000000L
+
   def madOutliers(events: DataFrame, k: Int = 3): DataFrame = {
     val h = events
       .select(col("event_type"),
-        floor(col("value") * 1e4).cast("long").as("vg"))
+        least(greatest(floor(col("value") * 1e4).cast("long"), lit(0L)),
+          lit(madGridMax)).as("vg"))
       .groupBy(col("event_type"), col("vg"))
       .agg(count(lit(1)).as("c"))
     val tot = h.groupBy(col("event_type")).agg(sum(col("c")).as("n"))

@@ -129,8 +129,12 @@ object MlEval {
           lit(9L)).as("bin"),
         (greatest(col("s_grid"), lit(-1000000L)) + lit(1000000L)).as("s_off"))
       .groupBy(col("class"), col("bin"))
+      // the per-cell product rides decimal(38,0) from the first multiply
+      // — a plain LONG s_sum (s_off ≤ 2e6 per scored row) would wrap
+      // silently past ~4.6e12 rows in non-ANSI Spark while the DuckDB
+      // oracle widens to HUGEINT (the f1Report/abTest discipline)
       .agg(sum(col("c_g")).as("n"), sum(col("p_g")).as("n_pos"),
-        sum(col("s_off") * col("c_g")).as("s_sum"))
+        sum(col("s_off").cast("decimal(38,0)") * col("c_g")).as("s_sum"))
       .select(col("class").as("label"), col("bin"), col("n"), col("n_pos"),
         (expr("cast(s_sum as decimal(38,0)) div n").cast("double") - 1e6) /
           1e6 as "mean_score",

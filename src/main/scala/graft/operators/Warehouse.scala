@@ -55,9 +55,14 @@ object Warehouse {
     * side projects `(doc_id, poly_fingerprint(text), length(text))` AT
     * THE SCAN — the same 64-bit content-identity contract
     * [[Governance.snapshotDiff]] documents — so the two Exchanges carry
-    * ~16 bytes/row instead of the corpus. `update` = fingerprint
-    * mismatch (raw text, not normalized: CDC reports byte-level edits,
-    * where the governance rollup keys on normalized content). */
+    * ~16 bytes/row instead of the corpus. `update` = (fingerprint,
+    * length) mismatch (raw text, not normalized: CDC reports byte-level
+    * edits, where the governance rollup keys on normalized content).
+    * Comparing the PAIR eliminates every different-length fingerprint
+    * collision for free; the residual false-negative is a same-length
+    * 64-bit collision on the same doc_id — P ≈ churn·2⁻⁶⁴ for organic
+    * edits (the polynomial hash is NOT adversarially collision-proof;
+    * a hostile corpus needs a cryptographic digest here). */
   def cdc(base: DataFrame, cur: DataFrame): DataFrame = {
     def fp(df: DataFrame, tag: String) = df.select(col("doc_id"),
       graft.functions.poly_fingerprint(col("text")).as(s"fp_$tag"),
@@ -66,7 +71,8 @@ object Warehouse {
       .select(col("doc_id"),
         when(col("fp_base").isNull, lit("insert"))
           .when(col("fp_cur").isNull, lit("delete"))
-          .when(col("fp_base") =!= col("fp_cur"), lit("update"))
+          .when(col("fp_base") =!= col("fp_cur") ||
+            col("n_chars_base") =!= col("n_chars_cur"), lit("update"))
           .as("op"),
         coalesce(col("n_chars_base"), lit(0L)).as("n_chars_base"),
         coalesce(col("n_chars_cur"), lit(0L)).as("n_chars_cur"))

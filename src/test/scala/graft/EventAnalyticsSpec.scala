@@ -385,6 +385,28 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got("click") == ((3L, 7.0, 0.0, 0L, 0.0)), got("click"))
   }
 
+  test("madOutliers: the grid is capped by construction, not by the data") {
+    // a high-cardinality value column — unique floats far beyond the
+    // documented [0, 1000] range (the shape that made cells ∝ corpus
+    // before the clamp: think timestamps-as-values). Every row lands in
+    // the overflow bucket, so the histogram holds ONE cell, the median
+    // reads the cap, and MAD/outliers are zero — bounded state instead
+    // of an unbounded grid plus a corpus-sized per-type sort.
+    val ev = events((1 to 50).map(i => (i.toLong, "view",
+      f"2024-01-01 10:${i % 60}%02d:00", i.toLong, 1e9 + i * 1.7)): _*)
+    val got = EventAnalytics.madOutliers(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got("view") == ((50L, 1000.0, 0.0, 0L, 0.0)), got("view"))
+    // negatives clamp into the 0 floor bucket the same way
+    val neg = events((1 to 9).map(i => (i.toLong, "err",
+      f"2024-01-01 11:0${i % 10}%1d:00", 100L + i, -1e6 - i)): _*)
+    val gotNeg = EventAnalytics.madOutliers(neg).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(gotNeg("err") == ((9L, 0.0, 0.0, 0L, 0.0)), gotNeg("err"))
+  }
+
   // --- grouping sets ---
 
   test("revenueGroupingSets matches a recomputed lattice at sf0.001") {

@@ -66,6 +66,54 @@ class PlanAuditSpec extends SparkSuite {
       clean.mkString("\n"))
   }
 
+  test("PlanDoctor flags a ShuffledHashJoin with an unbounded build side") {
+    import org.apache.spark.sql.functions._
+    val t = sources.Tables(spark, sfDir)
+    // planted positive: the saturated-r15 profile — a corpus-sized
+    // build side hash-built per task with no spill path. The hint
+    // stands in for AQE's runtime pick (which only appears at
+    // saturation, where no sf0.01 plan gate can see it).
+    val planted = t.lineitem.select(col("l_orderkey"), col("l_quantity"))
+      .join(t.orders.select(col("o_orderkey"), col("o_totalprice"))
+        .hint("shuffle_hash"),
+        col("l_orderkey") === col("o_orderkey"))
+    val got = PlanDoctor.audit(planted)
+    assert(got.exists(f => f.severity == "error" &&
+      f.rule == "shuffled-hash-join-unbounded-build"), got.mkString("\n"))
+    // negative control: a build side bounded by its VALUE domain (the
+    // derived-grid aggregate the window rule also admits) — info, never
+    // error: the per-task relation is capped by the grid, not the corpus
+    val bounded = t.events.groupBy(floor(col("value") * 10).as("v"))
+      .agg(count(lit(1)).as("c"))
+    val probe = t.events.select(floor(col("value") * 10).as("v"),
+      col("user_id"))
+    val clean = PlanDoctor.audit(
+      probe.join(bounded.hint("shuffle_hash"), Seq("v")))
+    assert(!clean.exists(_.severity == "error"), clean.mkString("\n"))
+    assert(clean.exists(_.rule == "shuffled-hash-join-bounded"),
+      clean.mkString("\n"))
+    // and the catalog never plans one: the dedup self-joins carry
+    // explicit merge hints precisely so AQE cannot re-pick SHJ
+  }
+
+  test("body-width gate catches bodies stored under non-`text` names") {
+    import org.apache.spark.sql.functions._
+    val t = sources.Tables(spark, sfDir)
+    // a wide stored string renamed `content` at rest (here: simulated by
+    // writing a copy) must still flag — the rule matches the STORED
+    // column name against the body-name contract, not just `text`
+    val dir = java.nio.file.Files.createTempDirectory("graft-body").toString
+    t.documents.select(col("doc_id"), col("text").as("content"))
+      .write.mode("overwrite").parquet(dir)
+    val docs2 = spark.read.parquet(dir)
+    // merge hints so the tiny test corpus can't broadcast the shuffle away
+    val planted = docs2.hint("merge").join(
+      docs2.select(col("doc_id"), col("content").as("c2")).hint("merge"),
+      Seq("doc_id"))
+    val got = PlanDoctor.audit(planted)
+    assert(got.exists(_.rule == "body-width-exchange"), got.mkString("\n"))
+  }
+
   test("PlanDoctor flags planted anti-patterns") {
     import org.apache.spark.sql.functions._
     val t = sources.Tables(spark, sfDir)
