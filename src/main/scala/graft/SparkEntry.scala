@@ -1280,6 +1280,15 @@ object SparkEntry {
     "q_cdc_bucketed" -> ((s, dir) => {
       val (baseTbl, curTbl) = snapshotPairBucketed(s, dir)
       Warehouse.cdcBucketed(s, baseTbl, curTbl)
+    }),
+    // the per-source churn rollup served from the SAME bucketed pair:
+    // publish-time layout, so snapshotDiff's full-outer SMJ reads
+    // co-located buckets with zero input exchanges (q_cdc_bucketed's
+    // lever applied to the governance rollup; same oracle as the raw
+    // pair — layout never changes the answer)
+    "q_snapshot_diff_bucketed" -> ((s, dir) => {
+      val (baseTbl, curTbl) = snapshotPairBucketed(s, dir)
+      Governance.snapshotDiff(s.table(baseTbl), s.table(curTbl))
     })
   )
 
@@ -1328,6 +1337,39 @@ object SparkEntry {
        | COALESCE(ncc, 0) AS n_chars_cur
        |FROM j WHERE fpb IS NULL OR fpc IS NULL OR fpb <> fpc OR ncb <> ncc
        |ORDER BY doc_id""".stripMargin
+
+  /** The q_snapshot_diff / q_snapshot_diff_bucketed oracle: both
+    * snapshot constructions replayed, the polynomial content fingerprint
+    * per side, one full-outer join on doc_id, per-source status counts
+    * (division order mirrors Spark: ratio first, then the 1e6 floor
+    * grid). Shared verbatim by both gate rows — the bucketed LAYOUT must
+    * never change the answer. */
+  private lazy val snapshotDiffOracleSql: String =
+    s"""WITH b0 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 4),
+       | c0 AS (SELECT doc_id, source,
+       |   CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 5 <> 0),
+       | bf AS (SELECT doc_id, source, ${Oracles.polyFp("s")} AS fp
+       |  FROM (SELECT doc_id, source, ${normSql("text")} AS s FROM b0)),
+       | cf AS (SELECT doc_id, source, ${Oracles.polyFp("s")} AS fp
+       |  FROM (SELECT doc_id, source, ${normSql("text")} AS s FROM c0)),
+       | j AS (SELECT coalesce(cf.source, bf.source) AS source,
+       |   CASE WHEN bf.fp IS NULL THEN 'added'
+       |        WHEN cf.fp IS NULL THEN 'removed'
+       |        WHEN bf.fp = cf.fp THEN 'unchanged' ELSE 'changed' END AS st
+       |  FROM bf FULL OUTER JOIN cf ON bf.doc_id = cf.doc_id),
+       | a AS (SELECT source,
+       |   COUNT(*) FILTER (WHERE st <> 'added') AS n_base,
+       |   COUNT(*) FILTER (WHERE st <> 'removed') AS n_current,
+       |   COUNT(*) FILTER (WHERE st = 'added') AS n_added,
+       |   COUNT(*) FILTER (WHERE st = 'removed') AS n_removed,
+       |   COUNT(*) FILTER (WHERE st = 'changed') AS n_changed,
+       |   COUNT(*) FILTER (WHERE st = 'unchanged') AS n_unchanged
+       |  FROM j GROUP BY 1)
+       |SELECT source, n_base, n_current, n_added, n_removed, n_changed, n_unchanged,
+       | floor(CAST(n_added + n_removed + n_changed AS DOUBLE)
+       |   / CAST(greatest(n_base, 1) AS DOUBLE) * 1e6) / 1e6 AS churn_frac
+       |FROM a ORDER BY source""".stripMargin
 
   /** The governance rows' shared snapshot construction: base = the
     * doc_id%5≠4 four-fifths; current drops the %5==0 fifth, re-adds the
@@ -2242,32 +2284,10 @@ $rounds
       // polynomial content fingerprint per side, one full-outer join on
       // doc_id, per-source status counts (division order mirrors Spark:
       // ratio first, then the 1e6 floor grid)
-      "q_snapshot_diff" ->
-        s"""WITH b0 AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 4),
-           | c0 AS (SELECT doc_id, source,
-           |   CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed content v2' ELSE text END AS text
-           |  FROM documents WHERE doc_id % 5 <> 0),
-           | bf AS (SELECT doc_id, source, ${Oracles.polyFp("s")} AS fp
-           |  FROM (SELECT doc_id, source, ${normSql("text")} AS s FROM b0)),
-           | cf AS (SELECT doc_id, source, ${Oracles.polyFp("s")} AS fp
-           |  FROM (SELECT doc_id, source, ${normSql("text")} AS s FROM c0)),
-           | j AS (SELECT coalesce(cf.source, bf.source) AS source,
-           |   CASE WHEN bf.fp IS NULL THEN 'added'
-           |        WHEN cf.fp IS NULL THEN 'removed'
-           |        WHEN bf.fp = cf.fp THEN 'unchanged' ELSE 'changed' END AS st
-           |  FROM bf FULL OUTER JOIN cf ON bf.doc_id = cf.doc_id),
-           | a AS (SELECT source,
-           |   COUNT(*) FILTER (WHERE st <> 'added') AS n_base,
-           |   COUNT(*) FILTER (WHERE st <> 'removed') AS n_current,
-           |   COUNT(*) FILTER (WHERE st = 'added') AS n_added,
-           |   COUNT(*) FILTER (WHERE st = 'removed') AS n_removed,
-           |   COUNT(*) FILTER (WHERE st = 'changed') AS n_changed,
-           |   COUNT(*) FILTER (WHERE st = 'unchanged') AS n_unchanged
-           |  FROM j GROUP BY 1)
-           |SELECT source, n_base, n_current, n_added, n_removed, n_changed, n_unchanged,
-           | floor(CAST(n_added + n_removed + n_changed AS DOUBLE)
-           |   / CAST(greatest(n_base, 1) AS DOUBLE) * 1e6) / 1e6 AS churn_frac
-           |FROM a ORDER BY source""".stripMargin,
+      "q_snapshot_diff" -> snapshotDiffOracleSql,
+      // q_snapshot_diff_bucketed: the LAYOUT never changes the answer —
+      // same oracle verbatim (the q_cdc_bucketed contract)
+      "q_snapshot_diff_bucketed" -> snapshotDiffOracleSql,
       // q_split_assign: content-fingerprint bucket → split, per
       // (split, source) doc count + RAW character volume
       "q_split_assign" ->

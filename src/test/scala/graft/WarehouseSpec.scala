@@ -120,6 +120,18 @@ class WarehouseSpec extends SparkSuite {
       assert(bucketed.collect().toSeq ==
         Warehouse.cdc(base, cur).collect().toSeq,
         "layout changed the answer")
+      // the per-source churn rollup reads the SAME pair exchange-free
+      // on doc_id (the only exchanges left: the per-source aggregate
+      // and the presentation sort — both output-sized)
+      val diffB = operators.Governance.snapshotDiff(
+        spark.table("graft_test_snap_base"),
+        spark.table("graft_test_snap_cur"))
+      val diffPlan = planOf(diffB)
+      assert(!diffPlan.contains("hashpartitioning(doc_id"),
+        s"bucketed snapshotDiff still exchanges on doc_id:\n$diffPlan")
+      assert(diffB.collect().toSeq ==
+        operators.Governance.snapshotDiff(base, cur).collect().toSeq,
+        "layout changed the snapshotDiff answer")
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_test_snap_base")
       spark.sql("DROP TABLE IF EXISTS graft_test_snap_cur")
