@@ -1247,6 +1247,13 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, k = 5)),
+    // the outDim/recall trade as one table (the q_recall_sweep shape on
+    // the dimension axis): recall@5 + scan-cost share for outDim ∈
+    // {8,16,32}, all three points PREFIX slices of ONE 32-dim projection
+    "q_rp_sweep" -> q(t => RandomProjection.recallSweep(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, k = 5)),
     // full langid confusion matrix: which language is mistaken for which
     // (cell-level view of q_langid_eval's summary rows)
     "q_lang_confusion" -> q(t => TextAnalysis.langConfusion(t.documents)),
@@ -4957,6 +4964,38 @@ $rounds
          |FROM exact x LEFT JOIN approx a
          | ON x.query_id = a.query_id AND x.vec_id = a.vec_id
          |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
+    // q_rp_sweep: the outDim trade replay — ONE 32-dim projection (the
+    // same integer sign grid; component j is identical at every outDim
+    // ≥ j), each sweep point a list_slice PREFIX, recall vs the exact
+    // full-dim top-5 and the exact dyadic scan-cost share d/64
+    "q_rp_sweep" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | wg AS (SELECT j, list_transform(range(64), i ->
+        |    CASE WHEN ((i*31 + j*73) % 13) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS wv
+        |  FROM range(32) t(j)),
+        | p AS (SELECT vec_id, list(CAST(CAST(list_dot_product(ev, wv) AS REAL) AS DOUBLE) ORDER BY j) AS pv
+        |  FROM e CROSS JOIN wg GROUP BY 1),
+        | q AS (SELECT vec_id AS query_id, pv AS qv FROM p WHERE vec_id < 5),
+        | nqt AS (SELECT COUNT(*) AS nq FROM q),
+        | exact AS (SELECT query_id, vec_id FROM (
+        |   SELECT q0.query_id, e.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q0.query_id ORDER BY list_cosine_similarity(q0.qv0, e.ev) DESC, e.vec_id) AS rn
+        |   FROM (SELECT vec_id AS query_id, ev AS qv0 FROM e WHERE vec_id < 5) q0 CROSS JOIN e) WHERE rn <= 5),
+        | dims(d) AS (VALUES (8), (16), (32)),
+        | sims AS (SELECT d, query_id, p.vec_id,
+        |    list_cosine_similarity(list_slice(qv, 1, d), list_slice(pv, 1, d)) AS sim
+        |   FROM dims CROSS JOIN p CROSS JOIN q),
+        | rk AS (SELECT d, query_id, vec_id,
+        |   ROW_NUMBER() OVER (PARTITION BY d, query_id ORDER BY sim DESC, vec_id) AS rn FROM sims),
+        | approx AS (SELECT d, query_id, vec_id FROM rk WHERE rn <= 5),
+        | hits AS (SELECT dims.d, COUNT(a.vec_id) AS n_hits
+        |   FROM dims CROSS JOIN exact x LEFT JOIN approx a
+        |    ON a.d = dims.d AND x.query_id = a.query_id AND x.vec_id = a.vec_id
+        |   GROUP BY 1)
+        |SELECT CAST(d AS BIGINT) AS out_dim, n_hits,
+        | floor(n_hits/(nq*5.0)*1e6)/1e6 AS recall,
+        | floor((CAST(d AS DOUBLE)/64)*1e6)/1e6 AS scan_frac
+        |FROM hits CROSS JOIN nqt ORDER BY out_dim""".stripMargin,
     // q_trending_terms: both snapshots' token counts, full-outer joined,
     // Haldane-smoothed log-odds per token (every ln argument a product
     // of exact integers — no cross-row float sum), ranked on the floored

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Barrier.BarrierOps
 
 /** Johnson–Lindenstrauss ±1 random projection — the dimensionality-
   * reduction leg of the compression family (int8 = `q_knn_quantized`,
@@ -90,6 +91,52 @@ object RandomProjection {
       .groupBy(col("query_id"))
       .agg(count(col("hit")).as("n_hits"),
         (floor(count(col("hit")) / lit(k.toDouble) * 1e6) / 1e6).as("recall"))
-      .orderBy(col("query_id"))
+      .transform(graft.Determinism.sorted(_)(col("query_id")))
+  }
+
+  /** The outDim/recall trade as ONE table — the JL leg's operating-point
+    * curve, the [[IvfIndex.recallSweep]] shape applied to the dimension
+    * axis: per sweep dimension, aggregate recall@k against exact
+    * full-dimension search AND the scan-cost share the recall is traded
+    * against (for a projection, cost is exactly `outDim/inDim`: the
+    * fraction of the original scan width each candidate pays).
+    * [[recallAudit]] measures one fixed dimension; this measures the
+    * curve a deployment picks its operating point from.
+    *
+    * Shape: the corpus is projected ONCE to `max(outDims)` and
+    * [[graft.operators.Barrier]]-materialized — a LOWER-dimension sweep
+    * point is a PREFIX slice of that one projection (the ±1 sign grid
+    * depends only on (j, i), so component j is identical at every
+    * outDim ≥ j; no second projection pass, and each point's cosine
+    * runs over the already-narrow projected table, never the full-width
+    * corpus). The exact baseline is computed once and re-read per
+    * point. `queries.count` feeds the recall denominator — one cheap
+    * count job, not a data collect. */
+  def recallSweep(queries: DataFrame, corpus: DataFrame, k: Int = 5,
+                  outDims: Seq[Int] = Seq(8, 16, 32), inDim: Int = 64)
+      : DataFrame = {
+    val maxD = outDims.max
+    val projC = corpus.select(col("vec_id"),
+      projectCol(col("embedding"), maxD, inDim).as("embedding"))
+      .barrier() // read once per sweep point — never re-projected
+    val projQ = queries.select(col("query_id"),
+      projectCol(col("qv"), maxD, inDim).as("qv"))
+      .barrier()
+    val exact = Search.bruteForceTopK(queries, corpus, k)
+      .select(col("query_id"), col("vec_id")).barrier()
+    val nq = queries.count()
+    outDims.map { d =>
+      val approx = Search.bruteForceTopK(
+        projQ.select(col("query_id"), slice(col("qv"), 1, d).as("qv")),
+        projC.select(col("vec_id"),
+          slice(col("embedding"), 1, d).as("embedding")), k)
+        .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+      exact.join(approx, Seq("query_id", "vec_id"), "left")
+        .agg(count(col("hit")).as("n_hits"))
+        .select(lit(d.toLong).as("out_dim"), col("n_hits"),
+          (floor(col("n_hits") / lit((nq * k).toDouble) * 1e6) / 1e6)
+            .as("recall"),
+          (floor(lit(d.toDouble / inDim) * 1e6) / 1e6).as("scan_frac"))
+    }.reduce(_ unionByName _).orderBy(col("out_dim"))
   }
 }

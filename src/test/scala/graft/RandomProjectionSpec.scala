@@ -92,6 +92,25 @@ class RandomProjectionSpec extends SparkSuite {
       b.sortBy(r => (r.getLong(0), r.getLong(1))))
   }
 
+  test("recallSweep: prefix slices equal standalone projections, curve is monotone") {
+    val sweep = RandomProjection.recallSweep(queries, t.embeddings, 5)
+      .collect().sortBy(_.getLong(0))
+    assert(sweep.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L))
+    // scan cost is exact-by-construction: outDim/inDim on the 1e6 grid
+    assert(sweep.map(_.getDouble(3)).toSeq == Seq(0.125, 0.25, 0.5), sweep.toSeq)
+    // each sweep point must equal the STANDALONE audit at that dim —
+    // the prefix-slice claim (sign(j, i) is outDim-independent)
+    val standalone = Seq(8, 16, 32).map { d =>
+      RandomProjection.recallAudit(queries, t.embeddings, 5, outDim = d)
+        .agg(org.apache.spark.sql.functions.sum($"n_hits")).head.getLong(0)
+    }
+    assert(sweep.map(_.getLong(1)).toSeq == standalone, standalone)
+    // empirical monotonicity on the pinned corpus: more dimensions,
+    // never less recall (JL distortion shrinks with outDim)
+    val rec = sweep.map(_.getDouble(2)).toSeq
+    assert(rec == rec.sorted, s"recall not monotone in outDim: $rec")
+  }
+
   test("the sign matrix folds into the plan: no extra exchange, no broadcast of weights") {
     val plan = planOf(t.embeddings
       .select(RandomProjection.projectCol($"embedding").as("p")))
