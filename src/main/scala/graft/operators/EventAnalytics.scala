@@ -477,18 +477,32 @@ object EventAnalytics {
     * second (Spark's `cast(ts as long)` truncation ≡ the oracle's
     * `epoch_ns // 1e9` floor — event epochs are positive); the share is
     * an integer DIV on the 1e-6 grid; value sums ride DECIMAL(18,2). */
-  def seasonality(events: DataFrame): DataFrame = {
-    val cells = events
+  def seasonality(events: DataFrame): DataFrame =
+    seasonalityFromCells(seasonalityCells(events))
+
+  /** The 7×24 `(dow, hour, n, value_sum)` cells — batch/stream-shared
+    * (a plain aggregation on a FIXED 168-cell key, so as a streaming
+    * aggregation the state store holds ≤ 168 counter rows forever —
+    * the [[graft.streaming.SketchStream]] fixed-state discipline;
+    * [[graft.streaming.SeasonalityStream]] is this over `readStream`).
+    * Sums stay exact DECIMAL here; [[seasonalityFromCells]] casts at
+    * the fold. */
+  def seasonalityCells(events: DataFrame): DataFrame =
+    events
       .select(col("ts").cast("long").as("sec"),
         col("value").cast("decimal(18,2)").as("v"))
       .select(expr("pmod(sec div 86400 + 4, 7)").as("dow"),
         expr("pmod(sec div 3600, 24)").as("hour"), col("v"))
       .groupBy(col("dow"), col("hour"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("v")).cast("double").as("value_sum"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("value_sum"))
+
+  /** [[seasonality]] folded from cells — exactly the per-event
+    * aggregate (same integers, same decimal sum, one DIV per cell). */
+  def seasonalityFromCells(cells: DataFrame): DataFrame = {
     val total = cells.agg(sum(col("n")).as("total"))
     cells.crossJoin(broadcast(total))
-      .select(col("dow"), col("hour"), col("n"), col("value_sum"),
+      .select(col("dow"), col("hour"), col("n"),
+        col("value_sum").cast("double").as("value_sum"),
         expr("cast(n as decimal(38,0)) * 1000000 div total")
           .cast("double") / 1e6 as "share")
       .transform(graft.Determinism.sorted(_)(col("dow"), col("hour")))
@@ -544,10 +558,18 @@ object EventAnalytics {
     * table (value-derived domain — the `lmBuckets` CDF-cut shape, which
     * PlanDoctor admits). Shares are integer DIVs on the 1e-6 grid;
     * cumulative counts are exact long sums. */
-  def gapStats(events: DataFrame, capMinutes: Int = 120): DataFrame = {
+  def gapStats(events: DataFrame, capMinutes: Int = 120): DataFrame =
+    gapStatsFromCells(gapBuckets(events, capMinutes))
+
+  /** The capped `(gap_minutes, n)` bucket cells — the batch half of the
+    * seam. Per-user lags come from one user-keyed window pass here; the
+    * streaming twin ([[graft.streaming.GapStatsStream]]) derives the
+    * SAME deltas from O(1) last-event-per-user state and feeds this
+    * fold's input shape. Bucket domain ≤ capMinutes+1 by construction. */
+  def gapBuckets(events: DataFrame, capMinutes: Int = 120): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("sec"), col("event_id"))
-    val buckets = events
+    events
       .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
       .withColumn("delta", col("sec") - lag(col("sec"), 1).over(byUser))
       .filter(col("delta").isNotNull)
@@ -555,6 +577,11 @@ object EventAnalytics {
         .as("gap_minutes"))
       .groupBy(col("gap_minutes"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** [[gapStats]] folded from bucket cells — total, share and the
+    * cumulative over the bounded bucket domain (batch/stream-shared). */
+  def gapStatsFromCells(buckets: DataFrame): DataFrame = {
     val total = buckets.agg(sum(col("n")).as("total"))
     val cum = Window.orderBy(col("gap_minutes"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -635,13 +662,26 @@ object EventAnalytics {
   /** Grid cap: values clamp into `[0, madGridMax]` (1e-4 units). */
   private val madGridMax = 10000000L
 
-  def madOutliers(events: DataFrame, k: Int = 3): DataFrame = {
-    val h = events
+  def madOutliers(events: DataFrame, k: Int = 3): DataFrame =
+    madFromCells(madHistogram(events), k)
+
+  /** The capped `(event_type, vg, c)` value histogram — batch/stream-
+    * shared. As a streaming aggregation the state is bounded by the
+    * CLAMPED grid (≤ madGridMax+1 cells per type by construction —
+    * which is exactly why the clamp exists;
+    * [[graft.streaming.MadOutliersStream]] is this over `readStream`). */
+  def madHistogram(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         least(greatest(floor(col("value") * 1e4).cast("long"), lit(0L)),
           lit(madGridMax)).as("vg"))
       .groupBy(col("event_type"), col("vg"))
       .agg(count(lit(1)).as("c"))
+
+  /** [[madOutliers]] folded from histogram cells — medians, MAD and the
+    * outlier mass are all integer folds over cells, so the fold equals
+    * the per-event operator exactly (the `MlEval.aucFromCells` seam). */
+  def madFromCells(h: DataFrame, k: Int = 3): DataFrame = {
     val tot = h.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
     def lowerMedian(hist: DataFrame, key: String, out: String): DataFrame = {
       val w = Window.partitionBy(col("event_type")).orderBy(col(key))

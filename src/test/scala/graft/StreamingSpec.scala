@@ -668,6 +668,112 @@ class StreamingSpec extends SparkSuite {
     assert(rocks == cells, "providers disagree on the histogram")
   }
 
+  test("streaming seasonality cells equal the batch fold, heap and RocksDB") {
+    import spark.implicits._
+    def run(name: String): Map[(Long, Long), (Long, java.math.BigDecimal)] = {
+      val q = SeasonalityStream.cells(streamEvents)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        if (name.endsWith("rocks"))
+          assert(StateBackend.usesRocksDB(q), "provider switch not engaged")
+        // update mode re-emits a growing cell; n is monotone, so the
+        // final state is the emission with the max n per key
+        spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1)) ->
+            (r.getLong(2), r.getDecimal(3)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      } finally q.stop()
+    }
+    val cells = run("season_out_heap")
+    // fixed state: never more cells than the 7x24 grid
+    assert(cells.size <= 168, s"${cells.size} cells")
+    val batchCells = operators.EventAnalytics.seasonalityCells(t.events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDecimal(3)))
+      .toMap
+    assert(cells == batchCells, "stream cells diverged from batch")
+    // served THROUGH the shared fold == the batch operator bit for bit
+    val cellsDf = cells.toSeq
+      .map { case ((d, h), (n, v)) => (d, h, n, v) }
+      .toDF("dow", "hour", "n", "value_sum")
+    assert(operators.EventAnalytics.seasonalityFromCells(cellsDf)
+      .collect().map(_.toSeq).toSeq ==
+      operators.EventAnalytics.seasonality(t.events)
+        .collect().map(_.toSeq).toSeq, "served seasonality != batch")
+    val rocks = StateBackend.withRocksDB(spark) { run("season_out_rocks") }
+    assert(rocks == cells, "providers disagree on the cells")
+  }
+
+  test("streaming gap stats equal the batch window pass, heap and RocksDB") {
+    import spark.implicits._
+    // the O(1)-state delta walk feeds a bounded bucket aggregation; the
+    // time-split chunks deliver each user's events in event-time order
+    // (the operator's documented source contract), so the delta
+    // sequence equals the batch window pass
+    def run(name: String): Map[Long, Long] = {
+      val evs = streamEvents.select($"user_id", $"ts", $"event_id")
+        .as[GapStatsStream.Ev]
+      val q = GapStatsStream.buckets(GapStatsStream.deltas(evs))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        if (name.endsWith("rocks"))
+          assert(StateBackend.usesRocksDB(q), "provider switch not engaged")
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> r.getLong(1))
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      } finally q.stop()
+    }
+    val cells = run("gap_out_heap")
+    // bounded buckets: the 120-minute cap + the overflow cell
+    assert(cells.size <= 121, s"${cells.size} buckets")
+    val batchCells = operators.EventAnalytics.gapBuckets(t.events)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells == batchCells, "stream buckets diverged from batch")
+    val cellsDf = cells.toSeq.toDF("gap_minutes", "n")
+    assert(operators.EventAnalytics.gapStatsFromCells(cellsDf)
+      .collect().map(_.toSeq).toSeq ==
+      operators.EventAnalytics.gapStats(t.events)
+        .collect().map(_.toSeq).toSeq, "served gap stats != batch")
+    val rocks = StateBackend.withRocksDB(spark) { run("gap_out_rocks") }
+    assert(rocks == cells, "providers disagree on the buckets")
+  }
+
+  test("streaming MAD histogram equals the batch fold, heap and RocksDB") {
+    import spark.implicits._
+    def run(name: String): Map[(String, Long), Long] = {
+      val q = MadOutliersStream.histogram(streamEvents)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        if (name.endsWith("rocks"))
+          assert(StateBackend.usesRocksDB(q), "provider switch not engaged")
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      } finally q.stop()
+    }
+    val cells = run("mad_out_heap")
+    val batchCells = operators.EventAnalytics.madHistogram(t.events)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cells == batchCells, "stream histogram diverged from batch")
+    // median/MAD/outliers served FROM the store == the batch operator
+    val cellsDf = cells.toSeq
+      .map { case ((ty, vg), c) => (ty, vg, c) }
+      .toDF("event_type", "vg", "c")
+    assert(operators.EventAnalytics.madFromCells(cellsDf)
+      .collect().map(_.toSeq).toSeq ==
+      operators.EventAnalytics.madOutliers(t.events)
+        .collect().map(_.toSeq).toSeq, "served MAD != batch")
+    val rocks = StateBackend.withRocksDB(spark) { run("mad_out_rocks") }
+    assert(rocks == cells, "providers disagree on the histogram")
+  }
+
   test("streamed BM25 against the frozen index equals batch retrieval") {
     import spark.implicits._
     // freeze the index once, then stream the query set in two
