@@ -30,13 +30,19 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // single-JVM bench: the executor "heartbeat" is an in-process RPC,
-      // so a timeout can only misfire — under allocation pressure the
-      // dispatcher stalls long enough (observed 236 s during the sf10
-      // saturated sweep) that the default 120 s timeout declares the
-      // driver's own executor lost and kills an otherwise-healthy run
-      .config("spark.network.timeout", "800s")
-      .config("spark.executor.heartbeatInterval", "30s")
+    // OPT-IN network-timeout bump (e.g. SPARK_GRAFT_NET_TIMEOUT=800s).
+    // Round 15 set 800s unconditionally after a saturated sf10 run
+    // GC-stalled past the in-process 120 s heartbeat — but the stall's
+    // CAUSE was AQE picking ShuffledHashJoin over corpus-sized build
+    // sides (~40 GB live, no spill path). That is fixed at the source
+    // (merge hints + PlanDoctor's shuffled-hash-join-unbounded-build
+    // rule), so the bench now runs on stock timeouts by default and the
+    // crutch must be asked for explicitly — a run that needs it is
+    // evidence of a plan regression, not a config problem.
+    sys.env.get("SPARK_GRAFT_NET_TIMEOUT").foreach { t =>
+      builder.config("spark.network.timeout", t)
+      builder.config("spark.executor.heartbeatInterval", "30s")
+    }
     if (saturated) {
       builder.config("spark.sql.autoBroadcastJoinThreshold", "-1")
       builder.config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")

@@ -299,12 +299,21 @@ object SparkEntry {
     // with running cumulative — two co-partitioned user-keyed aggs, then
     // a bounded-grid fold; DECIMAL revenue end to end
     "q_cohort_ltv" -> q(t => EventAnalytics.cohortLtv(t.events)),
+    // revenue concentration (the Pareto answer next to q_rfm): per-user
+    // revenue onto capped log2 dollar buckets — one user-keyed agg, a
+    // bounded-grid fold, cents-exact integer revenue shares
+    "q_revenue_concentration" ->
+      q(t => EventAnalytics.revenueConcentration(t.events)),
     // DAU / rolling-7-day WAU / stickiness: events collapse to the
     // distinct (user, day) table once; the rolling window is a bounded
     // 7-fan-out of that collapsed table, never a re-count over events
     "q_active_users" -> q(t => EventAnalytics.activeUsers(t.events)),
     // sessions (reference: utils/session_manager.py)
     "q_sessionize"      -> q(t => Sessionize.sessions(t.events)),
+    // session-length distribution (the engagement shape the 30-min gap
+    // is tuned against): capped bucket fold over 1-row-per-session
+    // aggregates on sessionization's own user key
+    "q_session_stats"   -> q(t => Sessionize.sessionStats(t.events)),
     // top session journeys (whole-path mining next to q_transition's
     // one-step matrix): bounded maxLen per-session buffers, path-string
     // vocabulary groupBy, TakeOrdered ranking
@@ -342,6 +351,11 @@ object SparkEntry {
     // smoothed mass, floored-grid ranking
     "q_ppmi"         -> q(t => TextAnalysis.ppmi(t)),
     "text_quality"   -> q(TextAnalysis.qualityScores),
+    // per-source readability (sentence length, vowel-group syllable
+    // density, Flesch-style score): one narrow regex+tokenize scan,
+    // |sources|-row fold, integer-DIV grids (quality catches FORM;
+    // this catches grammar-shaped gibberish)
+    "q_readability"  -> q(t => TextAnalysis.readability(t.documents)),
     // signal-redundancy meta-audit: exact-moment Pearson r between the
     // curation signals (grid ints, one all-pairs-moments aggregate)
     "q_signal_corr"  -> q(t => Pipeline.signalCorrelation(t.documents)),
@@ -485,6 +499,11 @@ object SparkEntry {
     // same held-out assignment — the gate before trusting its verdicts
     "q_classify_eval" ->
       ((s, dir) => Classifier.evalReportFrom(classifiedTable(s, dir))),
+    // label-cohesion audit: per class the mean and worst member-to-own-
+    // centroid cosine — the label-noise gate (audits the LABELS, not a
+    // model: centroids over all rows, each vector scored against its
+    // own class only — an equi-join, not the one-vs-rest crossJoin)
+    "q_class_cohesion" -> q(t => Classifier.classCohesion(t.embeddings)),
     "q_ivf_search" -> q(t => IvfIndex.search(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
@@ -657,6 +676,10 @@ object SparkEntry {
     "dedup_minhash_est" -> q(t => Dedup.minhashEstimates(t.documents)),
     "dedup_simhash"   -> q(t => Dedup.simhashCandidates(t.documents)),
     "dedup_jaccard"   -> q(t => Dedup.jaccardNeighbors(t.documents)),
+    // the df-cap operating curve: shingle document-frequency histogram
+    // in log2 buckets with per-bucket PAIR mass (the quadratic join
+    // work each df decade would generate — what maxShingleDf prunes)
+    "dedup_df_profile" -> q(t => Dedup.dfProfile(t.documents)),
     // asymmetric containment |A∩B|/|A|: the doc-inside-a-bigger-doc class
     // that jaccard (and jaccard-tuned LSH banding) structurally misses
     "dedup_containment" -> q(t => Dedup.containmentNeighbors(t.documents)),
@@ -2963,6 +2986,23 @@ $rounds
         | CAST(rev AS DOUBLE) AS revenue,
         | CAST(SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_week ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_revenue
         |FROM cells ORDER BY cohort_week, age_week""".stripMargin,
+    // q_revenue_concentration: per-user DECIMAL revenue onto log2
+    // dollar buckets via binary-string length (no float log), cents-
+    // exact HUGEINT revenue shares, exact decimal cumulative
+    "q_revenue_concentration" ->
+      """WITH pu AS (SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS rev
+        |   FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        | b AS (SELECT least(CAST(len(bin(greatest(CAST(floor(rev) AS BIGINT), 0) + 1)) AS BIGINT) - 1, 20) AS rev_bucket,
+        |    COUNT(*) AS n_users, SUM(rev) AS rev_sum FROM pu GROUP BY 1),
+        | t AS (SELECT CAST(SUM(n_users) AS BIGINT) AS tu, SUM(rev_sum) AS tr FROM b),
+        | c AS (SELECT rev_bucket, n_users, rev_sum,
+        |   SUM(rev_sum) OVER (ORDER BY rev_bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev FROM b)
+        |SELECT CAST(rev_bucket AS BIGINT) AS rev_bucket, n_users,
+        | CAST(rev_sum AS DOUBLE) AS revenue,
+        | CAST((CAST(n_users AS HUGEINT) * 1000000) // tu AS DOUBLE) / 1e6 AS user_share,
+        | CAST((CAST(rev_sum * 100 AS HUGEINT) * 1000000) // CAST(tr * 100 AS HUGEINT) AS DOUBLE) / 1e6 AS rev_share,
+        | CAST((CAST(cum_rev * 100 AS HUGEINT) * 1000000) // CAST(tr * 100 AS HUGEINT) AS DOUBLE) / 1e6 AS cum_rev_share
+        |FROM c CROSS JOIN t ORDER BY rev_bucket""".stripMargin,
     // q_norm_audit: the l2_norm replay (sequential Σx² then sqrt — the
     // vectorDigest image) floored to the 1e-6 LONG grid; min/max/mean
     // over exact longs, mean = one HUGEINT floor-division
@@ -3007,6 +3047,28 @@ $rounds
         | MAX(ts) AS session_end, COUNT(*) AS n_events,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM y GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    // q_session_stats: the sessionize replay collapsed to 1 row per
+    // session, event counts onto the capped 20-bucket grid, HUGEINT DIV
+    // shares + exact cumulative over the bounded domain
+    "q_session_stats" ->
+      """WITH events_us AS (
+        | SELECT user_id, event_id, make_timestamp(epoch_ns(ts)//1000) AS ts FROM events
+        |), x AS (
+        | SELECT user_id, ts, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS is_new
+        | FROM events_us WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        | SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx FROM x
+        |), se AS (SELECT user_id, session_idx, COUNT(*) AS n_events FROM y GROUP BY 1, 2),
+        | b AS (SELECT least(n_events, 20) AS session_len, COUNT(*) AS n_sessions FROM se GROUP BY 1),
+        | t AS (SELECT CAST(SUM(n_sessions) AS BIGINT) AS total FROM b),
+        | c AS (SELECT session_len, n_sessions,
+        |   CAST(SUM(n_sessions) OVER (ORDER BY session_len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n FROM b)
+        |SELECT CAST(session_len AS BIGINT) AS session_len, n_sessions,
+        | CAST((CAST(n_sessions AS HUGEINT) * 1000000) // total AS DOUBLE) / 1e6 AS share,
+        | CAST((CAST(cum_n AS HUGEINT) * 1000000) // total AS DOUBLE) / 1e6 AS cum_share
+        |FROM c CROSS JOIN t ORDER BY session_len""".stripMargin,
     // q_paths: the sessionize replay + per-session ordered path strings
     // (first 8 steps, ' > ...' marker when cut) counted and ranked
     "q_paths" ->
@@ -3145,6 +3207,28 @@ $rounds
          | CAST(CASE WHEN len(trim(text))=0 THEN 0 ELSE len(string_split_regex(trim(text),'\\s+')) END AS BIGINT) AS ws_tokens,
          | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // q_readability: normalized-token word counts (the bm25 dl
+    // convention), raw-text sentence marks and vowel-group syllables
+    // via regexp_extract_all, integer-DIV grids, the Flesch composition
+    // on identical grid doubles floored to 1e-4
+    "q_readability" ->
+      s"""WITH d AS (SELECT source,
+         |   CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS w,
+         |   greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS s,
+         |   len(regexp_extract_all(lower(text), '[aeiou]+')) AS y
+         |  FROM (SELECT source, text, ${normSql("text")} AS nt FROM documents)),
+         | a AS (SELECT source, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS w_sum,
+         |    CAST(SUM(s) AS BIGINT) AS s_sum, CAST(SUM(y) AS BIGINT) AS y_sum
+         |   FROM d GROUP BY 1),
+         | g AS (SELECT source, n_docs,
+         |    CAST((CAST(w_sum AS HUGEINT) * 1000000) // s_sum AS DOUBLE) / 1e6 AS wps,
+         |    CASE WHEN w_sum > 0 THEN CAST((CAST(y_sum AS HUGEINT) * 1000000) // w_sum AS DOUBLE) / 1e6
+         |         ELSE 0.0 END AS spw
+         |   FROM a)
+         |SELECT source, n_docs, wps AS words_per_sentence,
+         | spw AS syllables_per_word,
+         | floor((206.835 - 1.015 * wps - 84.6 * spw) * 1e4) / 1e4 AS flesch
+         |FROM g ORDER BY source""".stripMargin,
     "text_quality" ->
       ("""WITH d AS (
         | SELECT doc_id, text,
@@ -3655,6 +3739,22 @@ $rounds
          | CASE WHEN n_true + n_pred > 0 THEN
          |   CAST((2 * CAST(tp AS HUGEINT) * 1000000) // (n_true + n_pred) AS DOUBLE) / 1e6 END AS f1
          |FROM j ORDER BY label""".stripMargin,
+    // q_class_cohesion: the whole-corpus centroid replay (same
+    // double-avg -> REAL -> DOUBLE image as q_classify, no split), each
+    // vector scored against its OWN class centroid, 1e-6 grid at the
+    // scan, mean via the +1e6 offset integer DIV, exact grid MIN
+    "q_class_cohesion" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
+        | m AS (SELECT label, idx, avg(val) AS mval FROM (
+        |   SELECT label, unnest(ev) AS val, unnest(range(len(ev))) AS idx FROM e) GROUP BY 1,2),
+        | c AS (SELECT label, list(CAST(CAST(mval AS REAL) AS DOUBLE) ORDER BY idx) AS cv FROM m GROUP BY 1),
+        | s AS (SELECT e.label,
+        |    CAST(floor(list_cosine_similarity(ev, cv) * 1e6) AS BIGINT) + 1000000 AS s_off
+        |   FROM e JOIN c ON e.label = c.label)
+        |SELECT CAST(label AS BIGINT) AS label, COUNT(*) AS n,
+        | (CAST(CAST(SUM(s_off) AS HUGEINT) // COUNT(*) AS DOUBLE) - 1e6) / 1e6 AS mean_cos,
+        | CAST(MIN(s_off) - 1000000 AS DOUBLE) / 1e6 AS min_cos
+        |FROM s GROUP BY 1 ORDER BY label""".stripMargin,
     // q_cdc: the snapshot pair full-outer joined on doc_id, unchanged
     // rows dropped — the row-level feed behind q_snapshot_diff's rollup.
     // Bodies never enter the join: each side carries the RAW-text poly
@@ -3748,6 +3848,26 @@ $rounds
          |SELECT doc_id, neighbor_id, floor(jaccard*1e6)/1e6 AS jaccard
          |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id) AS rn FROM jac)
          |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // dedup_df_profile: the shingle replay (strings — the engine's FNV
+    // grouping must agree or the gate trips), df per shingle, log2
+    // buckets via binary-string length, HUGEINT pair mass + one DIV
+    "dedup_df_profile" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+         | sh AS (SELECT doc_id, unnest(list_distinct(
+         |   CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |        ELSE list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) END)) AS sh
+         |  FROM tok),
+         | dfs AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+         | b AS (SELECT least(CAST(len(bin(df)) AS BIGINT) - 1, 20) AS df_bucket,
+         |    COUNT(*) AS n_shingles, CAST(SUM(df) AS BIGINT) AS n_postings,
+         |    SUM(CAST(df AS HUGEINT) * (df - 1) // 2) AS pairs
+         |   FROM dfs GROUP BY 1),
+         | t AS (SELECT SUM(pairs) AS tot FROM b)
+         |SELECT df_bucket, n_shingles, n_postings,
+         | CAST(pairs AS BIGINT) AS n_pairs,
+         | CASE WHEN tot > 0 THEN CAST((pairs * 1000000) // tot AS DOUBLE) / 1e6
+         |      ELSE 0.0 END AS pair_share
+         |FROM b CROSS JOIN t ORDER BY df_bucket""".stripMargin,
     "dedup_containment" ->
       s"""WITH tok AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
          | sh AS (SELECT doc_id, unnest(list_distinct(

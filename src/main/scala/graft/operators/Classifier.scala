@@ -132,4 +132,37 @@ object Classifier {
             .cast("double") / 1e6).as("f1"))
       .transform(graft.Determinism.sorted(_)(col("label")))
   }
+
+  /** Label-cohesion audit: per class, member count, MEAN and MIN cosine
+    * of members to their own class centroid — the label-noise signal a
+    * training-data pipeline reads before trusting labels (a low-cohesion
+    * class is mislabeled, multi-modal, or polluted; the MIN points at
+    * the single worst member). Centroids here are over ALL rows of the
+    * class (no held-out split — this audits the LABELS, not a model).
+    *
+    * Scale shape: one [[centroids]] pass (|labels| rows, broadcast),
+    * then ONE corpus scan scoring each vector against ITS OWN centroid
+    * only (an equi-join on the label, not the one-vs-rest crossJoin),
+    * folded map-side onto |labels| rows.
+    *
+    * Determinism: per-row cosine floors to the 1e-6 LONG grid at the
+    * scan; mean = integer DIV over the +1e6 OFFSET sums (cosine can be
+    * negative; truncating `div` and flooring `//` agree only at
+    * non-negative numerators); MIN is exact on the grid. */
+  def classCohesion(embeddings: DataFrame): DataFrame = {
+    val cents = centroids(embeddings)
+    embeddings
+      .select(col("label").cast("long").as("label"), col("embedding"))
+      .join(broadcast(cents), col("label") === col("pred_label"))
+      .select(col("label"),
+        (floor(cosine_similarity(col("embedding"), col("cv")) * 1e6)
+          .cast("long") + lit(1000000L)).as("s_off"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(col("s_off")).as("sum_off"),
+        min(col("s_off")).as("min_off"))
+      .select(col("label"), col("n"),
+        (expr("sum_off div n").cast("double") - 1e6) / 1e6 as "mean_cos",
+        ((col("min_off") - lit(1000000L)).cast("double") / 1e6).as("min_cos"))
+      .transform(graft.Determinism.sorted(_)(col("label")))
+  }
 }

@@ -684,6 +684,51 @@ object Dedup {
       // both sides of the self-join read the materialized shingle table
       .barrier()
 
+  /** Shingle document-frequency profile: the df distribution in log2
+    * buckets, each bucket carrying its shingle count, posting mass, and
+    * — the number that matters — its PAIR mass Σ df·(df−1)/2, the
+    * quadratic join work shingles of that df would generate. This is
+    * the operating-curve data behind `maxShingleDf`: the cap is a
+    * recall/cost trade ([[cappedShingleTable]]), and this table shows
+    * exactly how much of the corpus' pair work each df decade carries
+    * (on web corpora the top decades are boilerplate: huge pair mass,
+    * near-zero dedup signal).
+    *
+    * Scale shape: one shingle pass (the [[cappedShingleTable]] chain
+    * without the cap), one map-side-combined df aggregate keyed on the
+    * 64-bit shingle FNV (8 bytes/row through the only corpus-sized
+    * shuffle — the strings never leave the scan; a collision would
+    * merge two shingles' df rows, P ≈ shingles²·2⁻⁶⁵, and the oracle
+    * counts strings so the gate would catch it), then a fold onto the
+    * ≤ capBucket+1 log2 grid. Pair mass rides DECIMAL(38,0) — df² at
+    * corpus scale overflows a LONG. */
+  def dfProfile(docs: DataFrame, shingleLen: Int = 3,
+                capBucket: Int = 20): DataFrame = {
+    val dfs = docs
+      .select(col("doc_id"),
+        array_distinct(
+          shingles(tokens(preprocess(col("text"))), shingleLen)).as("shs"))
+      .barrier() // see minhashCandidates: Generate re-evaluation cut
+      .select(explode(col("shs")).as("s"))
+      .select(graft.functions.fnv1a64(col("s")).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val buckets = dfs
+      .select(least(length(bin(col("df"))).cast("long") - 1,
+        lit(capBucket.toLong)).as("df_bucket"), col("df"))
+      .groupBy(col("df_bucket"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("n_postings"),
+        sum(expr("cast(df as decimal(38,0)) * (df - 1) div 2")).as("pairs"))
+    val total = buckets.agg(sum(col("pairs")).as("tot"))
+    buckets.crossJoin(broadcast(total))
+      .select(col("df_bucket"), col("n_shingles"), col("n_postings"),
+        col("pairs").cast("long").as("n_pairs"),
+        when(col("tot") > 0,
+          expr("cast(pairs * 1000000 as decimal(38,0)) div tot")
+            .cast("double") / 1e6).otherwise(lit(0.0)).as("pair_share"))
+      .transform(graft.Determinism.sorted(_)(col("df_bucket")))
+  }
+
   /** Word-n-gram Jaccard nearest neighbor per doc (docs sharing no shingle
     * have no neighbor and drop out — same on the oracle side). Built on
     * [[cappedShingleTable]]; at local sf0.1 the wall time is

@@ -659,6 +659,53 @@ object EventAnalytics {
     * whose doubled cumulative count reaches n — the lower median), so
     * ties and even counts resolve identically in both engines; the
     * outlier fraction is one integer DIV on the 1e-6 grid. */
+  /** Revenue concentration: per-user purchase revenue folded onto log2
+    * dollar buckets (capped — the overflow bucket absorbs whales, so
+    * the output domain is fixed), each bucket with its user count, user
+    * share, revenue share and the cumulative revenue share — the Pareto
+    * answer ("what fraction of revenue rides on which spend tier") a
+    * monetization team reads next to [[rfm]]'s per-user labels.
+    *
+    * Scale shape: ONE user-keyed aggregate (O(1) decimal state per
+    * user), then a map-side fold onto the ≤ capBucket+1 grid; the
+    * cumulative window runs over that bounded DERIVED domain
+    * (PlanDoctor-admitted). Revenue rides DECIMAL(18,2) end to end;
+    * shares are integer DIVs — revenue shares on exact integer CENTS
+    * (·100 before the cast to the integer grid). Buckets come from
+    * binary-string length (`length(bin(⌊rev⌋+1))−1` = ⌊log2⌋), never a
+    * float log that could land a power of two on the wrong side. */
+  def revenueConcentration(events: DataFrame, capBucket: Int = 20)
+      : DataFrame = {
+    val perUser = events
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("rev"))
+    val buckets = perUser
+      .select(least(
+        length(bin(greatest(floor(col("rev")).cast("long"), lit(0L)) + 1))
+          .cast("long") - 1,
+        lit(capBucket.toLong)).as("rev_bucket"), col("rev"))
+      .groupBy(col("rev_bucket"))
+      .agg(count(lit(1)).as("n_users"), sum(col("rev")).as("rev_sum"))
+    val totals = buckets.agg(sum(col("n_users")).as("tu"),
+      sum(col("rev_sum")).as("tr"))
+    val cum = Window.orderBy(col("rev_bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.crossJoin(broadcast(totals))
+      .withColumn("cum_rev", sum(col("rev_sum")).over(cum))
+      .select(col("rev_bucket"), col("n_users"),
+        col("rev_sum").cast("double").as("revenue"),
+        expr("cast(n_users as decimal(38,0)) * 1000000 div tu")
+          .cast("double") / 1e6 as "user_share",
+        expr("cast(rev_sum * 100 as decimal(38,0)) * 1000000" +
+          " div cast(tr * 100 as decimal(38,0))")
+          .cast("double") / 1e6 as "rev_share",
+        expr("cast(cum_rev * 100 as decimal(38,0)) * 1000000" +
+          " div cast(tr * 100 as decimal(38,0))")
+          .cast("double") / 1e6 as "cum_rev_share")
+      .transform(graft.Determinism.sorted(_)(col("rev_bucket")))
+  }
+
   /** Grid cap: values clamp into `[0, madGridMax]` (1e-4 units). */
   private val madGridMax = 10000000L
 

@@ -43,6 +43,42 @@ object Sessionize {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Session-length distribution: sessions bucketed by event count
+    * (capped — the overflow bucket absorbs marathon sessions so the
+    * output domain is fixed at ≤ capLen cells) with counts, shares and
+    * the cumulative share — the engagement-shape profile read next to
+    * [[sessions]] (that lists sessions; this says whether the corpus is
+    * drive-by singletons or long journeys, the number a sessionization
+    * gap is tuned against).
+    *
+    * Scale shape: sessionization's one user-keyed shuffle, a 1-row-per-
+    * session aggregate on the SAME key (co-partitioned), then a
+    * map-side fold onto the ≤ capLen bucket domain; the cumulative
+    * window runs over that bounded derived grid (PlanDoctor-admitted).
+    * Shares are integer DIVs on the 1e-6 grid. */
+  def sessionStats(events: DataFrame, gap: String = "30 MINUTES",
+                   capLen: Int = 20): DataFrame = {
+    val perSession = withSessionIdx(
+      events, col("user_id"), col("ts"), col("event_id"), gap)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"))
+    val buckets = perSession
+      .select(least(col("n_events"), lit(capLen.toLong)).as("session_len"))
+      .groupBy(col("session_len"))
+      .agg(count(lit(1)).as("n_sessions"))
+    val total = buckets.agg(sum(col("n_sessions")).as("total"))
+    val cum = Window.orderBy(col("session_len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets.crossJoin(broadcast(total))
+      .withColumn("cum_n", sum(col("n_sessions")).over(cum))
+      .select(col("session_len"), col("n_sessions"),
+        expr("cast(n_sessions as decimal(38,0)) * 1000000 div total")
+          .cast("double") / 1e6 as "share",
+        expr("cast(cum_n as decimal(38,0)) * 1000000 div total")
+          .cast("double") / 1e6 as "cum_share")
+      .transform(graft.Determinism.sorted(_)(col("session_len")))
+  }
+
   /** Top user-journey paths — the session-path (sankey) mining companion
     * to [[graft.operators.EventAnalytics.transitions]] (the Markov
     * matrix sees one step; this sees whole journeys): each session's

@@ -82,6 +82,44 @@ object TextAnalysis {
   /** Quality scoring: length, alpha ratio, stopword ratio, avg word
     * length, composite score — deterministic double math, rounded at the
     * boundary so the DuckDB oracle hash-matches. */
+  /** Per-source readability profile: average sentence length (words per
+    * sentence), syllable density (syllables per word, approximated by
+    * vowel-group counting — the classic no-dictionary heuristic), and a
+    * Flesch-reading-ease-style score composed from the two. A pre-train
+    * corpus gate next to [[qualityScores]]: a source whose score
+    * collapses is OCR noise, template spam, or machine text (quality
+    * ratios catch FORM; readability catches grammar-shaped gibberish).
+    *
+    * Scale shape: one narrow regex/tokenize projection per doc (the
+    * scan pays 2 regex passes + the shared normalize chain), folded
+    * map-side onto |sources| rows. Ratios are integer DIVs on the 1e-6
+    * grid from exact long sums; the Flesch composition combines those
+    * two grid doubles with literal coefficients — identical IEEE ops in
+    * both engines — and floors to the 1e-4 grid. Sentences clamp to
+    * ≥ 1 per doc (headline-only docs would zero the denominator). */
+  def readability(docs: DataFrame): DataFrame = {
+    val per = docs.select(col("source"),
+      size(tokens(preprocess(col("text")))).cast("long").as("w"),
+      greatest(regexp_count(col("text"), lit("[.!?]")), lit(1))
+        .cast("long").as("s"),
+      regexp_count(lower(col("text")), lit("[aeiou]+")).cast("long").as("y"))
+    per.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("w_sum"),
+        sum(col("s")).as("s_sum"), sum(col("y")).as("y_sum"))
+      .select(col("source"), col("n_docs"),
+        (expr("cast(w_sum as decimal(38,0)) * 1000000 div s_sum")
+          .cast("double") / 1e6).as("wps"),
+        when(col("w_sum") > 0,
+          expr("cast(y_sum as decimal(38,0)) * 1000000 div w_sum")
+            .cast("double") / 1e6).otherwise(lit(0.0)).as("spw"))
+      .select(col("source"), col("n_docs"),
+        col("wps").as("words_per_sentence"),
+        col("spw").as("syllables_per_word"),
+        (floor((lit(206.835) - lit(1.015) * col("wps") -
+          lit(84.6) * col("spw")) * 1e4) / 1e4).as("flesch"))
+      .transform(graft.Determinism.sorted(_)(col("source")))
+  }
+
   def qualityScores(t: Tables): DataFrame = qualityScores(t.documents)
 
   /** [[qualityScores]] over any `(doc_id, text)` table. `carry` names

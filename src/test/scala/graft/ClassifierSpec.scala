@@ -81,6 +81,29 @@ class ClassifierSpec extends SparkSuite {
       cls.count(x => x._1 == x._2).toLong)
   }
 
+  test("classCohesion: tight class reads 1.0, polluted class reads lower") {
+    // class 7: three identical vectors -> centroid == member, mean and
+    // min cosine exactly 1.0. class 8: two orthogonal vectors -> each
+    // member sits at 45 degrees from the centroid (cos = 1/sqrt(2)).
+    def v(axis: Int): Array[Float] = {
+      val a = new Array[Float](4); a(axis) = 1.0f; a
+    }
+    val df = Seq(
+      (0L, v(0), 7), (1L, v(0), 7), (2L, v(0), 7),
+      (3L, v(1), 8), (4L, v(2), 8))
+      .toDF("vec_id", "embedding", "label")
+    val got = Classifier.classCohesion(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(got(7L) == ((3L, 1.0, 1.0)), got(7L))
+    val (n8, mean8, min8) = got(8L)
+    assert(n8 == 2L)
+    val c45 = math.floor(1.0 / math.sqrt(2.0) * 1e6) / 1e6
+    assert(math.abs(mean8 - c45) < 2e-6, s"mean8=$mean8")
+    assert(math.abs(min8 - c45) < 2e-6, s"min8=$min8")
+    assert(mean8 < 1.0 && min8 <= mean8)
+  }
+
   test("plan: inference is broadcast-only — no shuffle of the corpus side pre-argmin") {
     val plan = planOf(Classifier.classify(t.embeddings))
     assert(plan.contains("BroadcastNestedLoopJoin") ||

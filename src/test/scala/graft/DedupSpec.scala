@@ -666,4 +666,21 @@ class DedupSpec extends SparkSuite {
     assert(got(4L) == (20L, 16L, 0L, 0.0, true), s"doc4: ${got(4L)}")
     assert(got(5L) == (3L, 0L, 0L, 0.0, true), s"doc5: ${got(5L)}")
   }
+
+  test("dfProfile: pair mass lands on the hot shingle's log2 bucket") {
+    // one boilerplate trigram shared by 4 docs (df=4 -> bucket 2,
+    // pairs = 4*3/2 = 6) next to two df=1 shingles (bucket 0, zero
+    // pairs): the profile shows ALL the quadratic work on the hot
+    // bucket — the evidence the maxShingleDf cap acts on
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"), (4L, "alpha beta gamma"),
+      (5L, "p1 p2 p3 p4")).toDF("doc_id", "text")
+    val got = operators.Dedup.dfProfile(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      0L -> ((2L, 2L, 0L, 0.0)),      // two unique trigrams of doc 5
+      2L -> ((1L, 4L, 6L, 1.0))),     // the df=4 boilerplate trigram
+      s"got $got")
+  }
 }

@@ -359,6 +359,27 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got((w2, 0L)) == ((1L, 2.25, 2.25)))
   }
 
+  test("revenueConcentration: whales dominate the revenue share, not the user share") {
+    // three buyers: 0.40 (bucket 0), 1.50 (bucket 1), 100.00 (bucket 6)
+    // — one view row must not count; total = 101.90 = 10190 cents
+    val ev = events(
+      (1L, "purchase", "2024-01-01 10:00:00", 1L, 0.40),
+      (2L, "purchase", "2024-01-01 10:01:00", 2L, 1.50),
+      (3L, "purchase", "2024-01-01 10:02:00", 3L, 60.0),
+      (3L, "purchase", "2024-01-01 10:03:00", 4L, 40.0),
+      (4L, "view", "2024-01-01 10:04:00", 5L, 999.0))
+    val got = EventAnalytics.revenueConcentration(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def g(n: Long, d: Long) = (n * 1000000L / d).toDouble / 1e6
+    val u = g(1, 3) // each bucket holds one user
+    assert(got == Map(
+      0L -> ((1L, 0.40, u, g(40, 10190), g(40, 10190))),
+      1L -> ((1L, 1.50, u, g(150, 10190), g(190, 10190))),
+      6L -> ((1L, 100.0, u, g(10000, 10190), g(10190, 10190)))),
+      s"got $got")
+  }
+
   test("madOutliers: the spike can't drag its own baseline") {
     // 1..10 plus a 1000.0 spike: median = 6 (lower median of 11),
     // deviations 0,1,1,2,2,3,3,4,4,5,994 -> MAD = 3; only the spike

@@ -121,6 +121,27 @@ class PipelineSpec extends SparkSuite {
     } finally sys.props("graft.sort") = "true"
   }
 
+  test("readability: sentence/syllable ratios and the Flesch composition") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words, 2 sentence marks, vowel groups: o,e|o|ee|ou|i,e|i = 8
+      (1L, "One two three. Four five six!", "prose"),
+      // no sentence mark -> clamps to 1; no vowels -> 0 syllables
+      (2L, "xyz zzz", "glyphs")).toDF("doc_id", "text", "source")
+    val got = operators.TextAnalysis.readability(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    def grid(num: Long, den: Long) = (num * 1000000L / den).toDouble / 1e6
+    def flesch(wps: Double, spw: Double) =
+      math.floor((206.835 - 1.015 * wps - 84.6 * spw) * 1e4) / 1e4
+    val (wpsP, spwP) = (grid(6, 2), grid(8, 6))
+    assert(got("prose") == ((1L, wpsP, spwP, flesch(wpsP, spwP))),
+      got("prose"))
+    // glyphs: 2 words / clamped 1 sentence, 0 syllables
+    assert(got("glyphs") == ((1L, 2.0, 0.0, flesch(2.0, 0.0))),
+      got("glyphs"))
+  }
+
   test("sourceConcentration: degenerate source HHI=1, uniform HHI=1/vocab") {
     import spark.implicits._
     val docs = Seq(

@@ -23,6 +23,27 @@ class SessionizeSpec extends SparkSuite {
     assert(u1.map(_.getLong(4)).toSeq == Seq(2L, 1L)) // n_events per session
   }
 
+  test("sessionStats: capped length buckets with shares and cumulative") {
+    // user 1: a 3-event session, then (31-min gap) a 1-event session;
+    // user 2: a 25-event marathon -> the capped 20 bucket
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, 1.0),
+      (1L, ts("2024-01-01 10:05:00"), 2L, 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 3L, 1.0),
+      (1L, ts("2024-01-01 11:00:00"), 4L, 1.0)) ++
+      (1 to 25).map(i =>
+        (2L, ts(f"2024-01-01 10:${i % 60}%02d:00"), 100L + i, 1.0))
+    val events = rows.toDF("user_id", "ts", "event_id", "value")
+    val got = Sessionize.sessionStats(events).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    def g(n: Long, d: Long) = (n * 1000000L / d).toDouble / 1e6
+    assert(got == Map(
+      1L -> ((1L, g(1, 3), g(1, 3))),
+      3L -> ((1L, g(1, 3), g(2, 3))),
+      20L -> ((1L, g(1, 3), g(3, 3)))), s"got $got")
+  }
+
   test("paths: ordered session journeys, shared across users, truncated at maxLen") {
     // users 1 and 2 walk the same 3-step journey; user 1 opens a SECOND
     // session (31-min gap) of one step; user 3 walks 10 steps → cut at 8
