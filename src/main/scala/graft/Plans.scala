@@ -50,7 +50,10 @@ object Plans {
     "q_lang_confusion", "q_trending_terms", "q_pr_curve",
     "q_classify_f1", "q_cdc", "q_rp_refine", "q_cdc_bucketed",
     "q_chi2", "q_seasonality", "q_conversion_lag", "q_source_hhi",
-    "q_gap_stats", "q_cohort_ltv", "q_norm_audit", "q_mad_outliers")
+    "q_gap_stats", "q_cohort_ltv", "q_norm_audit", "q_mad_outliers",
+    "q_snapshot_diff_bucketed", "q_rp_sweep", "q_class_cohesion",
+    "dedup_df_profile", "q_readability", "q_session_stats",
+    "q_revenue_concentration")
 
   /** Hand-audited runtime observations rendered under a query's header —
     * facts the static sf0.01 explain below cannot show (AQE decisions are
