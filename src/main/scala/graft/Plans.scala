@@ -53,7 +53,8 @@ object Plans {
     "q_gap_stats", "q_cohort_ltv", "q_norm_audit", "q_mad_outliers",
     "q_snapshot_diff_bucketed", "q_rp_sweep", "q_class_cohesion",
     "dedup_df_profile", "q_readability", "q_session_stats",
-    "q_revenue_concentration")
+    "q_revenue_concentration", "q_robust_stats", "q_emb_dim_profile",
+    "q_emb_anisotropy")
 
   /** Hand-audited runtime observations rendered under a query's header —
     * facts the static sf0.01 explain below cannot show (AQE decisions are

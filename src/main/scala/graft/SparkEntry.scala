@@ -295,6 +295,11 @@ object SparkEntry {
     // q_anomaly): one corpus histogram pass, every other step a fold
     // over bounded cells; lower-median integer rule both engines
     "q_mad_outliers" -> q(t => EventAnalytics.madOutliers(t.events)),
+    // trimmed + winsorized means off the SAME capped value histogram as
+    // q_mad_outliers (MAD says which rows are extreme; this reports the
+    // headline mean with the tails removed vs pinned) — all rank algebra
+    // over bounded cells, exact DECIMAL sums, integer-DIV means
+    "q_robust_stats" -> q(t => EventAnalytics.robustStats(t.events)),
     // cohort LTV: first-event-week cohorts x age-week purchase revenue
     // with running cumulative — two co-partitioned user-keyed aggs, then
     // a bounded-grid fold; DECIMAL revenue end to end
@@ -400,6 +405,18 @@ object SparkEntry {
     // LONG grid at the scan, map-side fold to |labels| rows — the
     // encoder-batch quality gate before any cosine index build
     "q_norm_audit" -> q(t => Embeddings.normAudit(t.embeddings)),
+    // per-DIMENSION profile (mean/var/energy share): the dead-axis /
+    // dominant-axis audit next to q_norm_audit's magnitude gate — one
+    // scan, posexplode into a map-side fold onto the d-cell domain,
+    // exact grid-long/DECIMAL algebra (grid the square, never square
+    // the grid; offset DIV for the signed means)
+    "q_emb_dim_profile" -> q(t => Embeddings.dimProfile(t.embeddings)),
+    // corpus anisotropy: expected random-pair cosine from ONE pass via
+    // sum-identity algebra (for unit vectors pairwise-cos mass =
+    // |sum u|^2 - n) — the representation-degeneration gate; no pair
+    // sampling, no quadratic work, exact DECIMAL + offset DIV on the
+    // 1e-12 grid-squared lattice
+    "q_emb_anisotropy" -> q(t => Embeddings.anisotropy(t.embeddings)),
     // vector search surface (reference: index/search/qa services)
     // Vector outputs are projected to hashable scalar digests (dim,
     // floored norm, nonzero count, index-weighted moment) — the driver's
@@ -2953,6 +2970,34 @@ $rounds
         |FROM tot t JOIN med USING (event_type) JOIN mad USING (event_type)
         | LEFT JOIN outl USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // q_robust_stats: the same clamped histogram; trim bound lo = n*5//100,
+    // kept mass per cell via cum clamps against [lo, n-lo], trim quantiles
+    // as rank lo+1 / n-lo cell values, winsorized sum adds lo copies back;
+    // HUGEINT sums, integer DIV means (all numerators non-negative)
+    "q_robust_stats" ->
+      """WITH h AS (SELECT event_type,
+        |    CAST(least(greatest(floor(value * 1e4), 0), 10000000) AS BIGINT) AS vg,
+        |    COUNT(*) AS c FROM events GROUP BY 1, 2),
+        | tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        | cm AS (SELECT h.event_type, vg, c, n,
+        |    CAST(SUM(c) OVER (PARTITION BY h.event_type ORDER BY vg ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_end,
+        |    n * 5 // 100 AS lo
+        |   FROM h JOIN tot USING (event_type)),
+        | k AS (SELECT *, cum_end - c AS cum_start FROM cm),
+        | s AS (SELECT event_type, n, lo,
+        |    SUM(CAST(vg AS HUGEINT) * c) AS s_all,
+        |    SUM(CAST(vg AS HUGEINT) *
+        |      (greatest(least(cum_end, n - lo), lo) - greatest(least(cum_start, n - lo), lo))) AS s_trim,
+        |    MIN(CASE WHEN cum_end >= lo + 1 THEN vg END) AS qlo_g,
+        |    MIN(CASE WHEN cum_end >= n - lo THEN vg END) AS qhi_g
+        |   FROM k GROUP BY 1, 2, 3)
+        |SELECT event_type, n,
+        | CAST(s_all // n AS DOUBLE) / 1e4 AS mean,
+        | CAST(s_trim // (n - 2 * lo) AS DOUBLE) / 1e4 AS trimmed_mean,
+        | CAST((s_trim + CAST(lo AS HUGEINT) * (qlo_g + qhi_g)) // n AS DOUBLE) / 1e4 AS winsor_mean,
+        | CAST(qlo_g AS DOUBLE) / 1e4 AS p_trim_lo,
+        | CAST(qhi_g AS DOUBLE) / 1e4 AS p_trim_hi
+        |FROM s ORDER BY event_type""".stripMargin,
     // q_gap_stats: same integer-second replay; per-user lag under the
     // (sec, event_id) total order, minute buckets capped at 120,
     // HUGEINT DIV shares, exact-long cumulative over the bounded domain
@@ -3017,6 +3062,48 @@ $rounds
         | CAST(mx AS DOUBLE)/1e6 AS max_norm,
         | CAST(CAST(s AS HUGEINT) // n AS DOUBLE) / 1e6 AS mean_norm
         |FROM g ORDER BY label""".stripMargin,
+    // q_emb_dim_profile: per-coordinate replay — elements and their
+    // squares floored to 1e-6 LONG grids at the scan (grid the square,
+    // never square the grid), +1e12-offset DIV for the signed means,
+    // variance and energy share as pure integer algebra over exact sums
+    "q_emb_dim_profile" ->
+      """WITH x AS (SELECT unnest(embedding::DOUBLE[]) AS v,
+        |    unnest(range(len(embedding))) AS dim FROM embeddings),
+        | g AS (SELECT CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(floor(v * 1e6) AS BIGINT)) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(floor(v * v * 1e6) AS BIGINT)) AS BIGINT) AS sxx,
+        |    MIN(CAST(floor(v * 1e6) AS BIGINT)) AS mn,
+        |    MAX(CAST(floor(v * 1e6) AS BIGINT)) AS mx
+        |   FROM x GROUP BY 1),
+        | m AS (SELECT *,
+        |    (CAST(sx AS HUGEINT) + CAST(n AS HUGEINT) * 1000000000000) // n
+        |      - 1000000000000 AS mg FROM g),
+        | t AS (SELECT SUM(CAST(sxx AS HUGEINT)) AS te FROM g)
+        |SELECT dim, n, CAST(mg AS DOUBLE) / 1e6 AS mean,
+        | CAST(CAST(sxx AS HUGEINT) // n - (mg * mg) // 1000000 AS DOUBLE) / 1e6 AS variance,
+        | CAST(mn AS DOUBLE) / 1e6 AS min_x,
+        | CAST(mx AS DOUBLE) / 1e6 AS max_x,
+        | CAST(CAST(sxx AS HUGEINT) * 1000000 // te AS DOUBLE) / 1e6 AS energy_share
+        |FROM m CROSS JOIN t ORDER BY dim""".stripMargin,
+    // q_emb_anisotropy: unit-normalize (sqrt of the sequential dot —
+    // the l2_norm image), floor per-coordinate to the 1e-6 grid, then
+    // the sum identity: pairwise-cos mass = sum_d S_d^2 minus the self
+    // mass; E[cos] is one +2e12-offset DIV on the grid-squared lattice
+    "q_emb_anisotropy" ->
+      """WITH e AS (SELECT embedding::DOUBLE[] AS ev FROM embeddings),
+        | u AS (SELECT list_transform(ev,
+        |     x -> CAST(floor(x / sqrt(list_dot_product(ev, ev)) * 1e6) AS BIGINT)) AS ug
+        |   FROM e WHERE sqrt(list_dot_product(ev, ev)) > 0),
+        | x AS (SELECT unnest(ug) AS g, unnest(range(len(ug))) AS dim FROM u),
+        | c AS (SELECT dim, COUNT(*) AS cnt, CAST(SUM(g) AS BIGINT) AS sd,
+        |    SUM(CAST(g AS HUGEINT) * g) AS self_d FROM x GROUP BY 1),
+        | a AS (SELECT CAST(MAX(cnt) AS BIGINT) AS n,
+        |    SUM(CAST(sd AS HUGEINT) * sd) AS sum_sq,
+        |    SUM(self_d) AS self FROM c)
+        |SELECT n, floor(sqrt(CAST(sum_sq AS DOUBLE))) / 1e6 AS resultant_norm,
+        | (CAST((sum_sq - self + CAST(n AS HUGEINT) * (n - 1) * 2000000000000)
+        |    // (CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE) - 2000000000000) / 1e12 AS exp_cos
+        |FROM a""".stripMargin,
     // q_grouping_sets: same two-level shape — decimal partials at the
     // finest grain, GROUPING SETS over the collapsed base, gid from the
     // same bit order (grouping(returnflag)*2 + grouping(linestatus))

@@ -164,4 +164,106 @@ object Embeddings {
         expr("cast(s as decimal(38,0)) div n").cast("double") / 1e6
           as "mean_norm")
       .transform(graft.Determinism.sorted(_)(col("label")))
+
+  /** Per-DIMENSION embedding profile: count, mean, variance, min/max and
+    * energy share for every coordinate — the dead-dimension / dominant-
+    * dimension audit ([[normAudit]] catches broken MAGNITUDES; this
+    * catches broken AXES: a constant coordinate, a runaway scale on one
+    * dim, the anisotropic collapse that makes cosine ranking degenerate).
+    *
+    * Exactness: each element is floored to the 1e-6 LONG grid at the
+    * scan (`xg`), its SQUARE to its own 1e-6 grid (`sg` — grid the
+    * square, never square the grid, so the second moment keeps full
+    * element precision); every downstream stat is integer algebra over
+    * exact sums: mean via the +1e12-offset DIV (means can be negative;
+    * the offset keeps the numerator non-negative so truncating `div`
+    * and flooring `//` agree), variance as `E[x²]g - (mg·mg div 1e6)`
+    * — all LONG/DECIMAL, no float accumulation anywhere.
+    *
+    * Scale shape: ONE corpus scan; the posexplode fans out d× but lands
+    * in a map-side-combined groupBy onto the d-cell dimension domain,
+    * so the only shuffle carries ≤ d rows per map partition. */
+  def dimProfile(embeddings: DataFrame): DataFrame =
+    dimProfileFromCells(dimCells(embeddings))
+
+  /** The per-dimension moment cells behind [[dimProfile]] — batch/stream-
+    * shared (as a streaming aggregation the state is bounded by the d-cell
+    * dimension domain; [[graft.streaming.DimProfileStream]] is this over
+    * `readStream`, served through [[dimProfileFromCells]]). */
+  private[graft] def dimCells(embeddings: DataFrame): DataFrame = {
+    val x = col("col").cast("double")
+    embeddings
+      .select(posexplode(col("embedding")))
+      .select(col("pos").cast("long").as("dim"),
+        floor(x * 1e6).cast("long").as("xg"),
+        floor(x * x * 1e6).cast("long").as("sg"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("xg")).as("sx"),
+        sum(expr("cast(sg as decimal(38,0))")).as("sxx"),
+        min(col("xg")).as("mn"), max(col("xg")).as("mx"))
+  }
+
+  /** [[dimProfile]] finished from moment cells — all integer algebra.
+    *
+    * The d-cell table is barriered before fan-out: the energy-total side
+    * prunes everything but `sxx`, which makes its partial aggregate (and
+    * so its exchange) differ from the main side's — exchange reuse can't
+    * fire and the CORPUS would be scanned+exploded twice (measured in
+    * the executed plan). One materialized d-row table = one scan. */
+  private[graft] def dimProfileFromCells(dimCells: DataFrame): DataFrame = {
+    val off = 1000000000000L // 1e12 grid units = 1e6 in value: |mean| bound
+    val cells = dimCells.barrier().withColumn("mg", expr(
+      s"(cast(sx as decimal(38,0)) + cast(n as decimal(38,0)) * $off)" +
+        s" div n - $off"))
+    val tot = cells.agg(sum(col("sxx")).as("te"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("dim"), col("n"),
+        (col("mg").cast("double") / 1e6).as("mean"),
+        expr("sxx div n - (mg * mg) div 1000000").cast("double") / 1e6
+          as "variance",
+        (col("mn").cast("double") / 1e6).as("min_x"),
+        (col("mx").cast("double") / 1e6).as("max_x"),
+        expr("(sxx * 1000000) div te").cast("double") / 1e6
+          as "energy_share")
+      .transform(graft.Determinism.sorted(_)(col("dim")))
+  }
+
+  /** Corpus anisotropy audit — the embedding-degeneration gate: the
+    * expected cosine between two RANDOM corpus vectors, computed exactly
+    * from one pass (for unit vectors, Σ_pairs cos(u,v) =
+    * ‖Σû‖² − Σ‖û‖², so E[cos] needs only the per-dimension sums — no
+    * pair sampling, no quadratic work). A healthy isotropic embedding
+    * space sits near 0; a collapsed encoder (all outputs in a narrow
+    * cone — the classic representation-degeneration failure) pushes it
+    * toward 1, silently inflating every downstream cosine score.
+    *
+    * Exactness: vectors are unit-normalized then floored per-coordinate
+    * to the 1e-6 LONG grid; `sum_sq = Σ_d S_d²` and `self = Σ ûg·ûg`
+    * are exact DECIMAL sums, E[cos] is one offset integer DIV on the
+    * 1e-12 (grid²) lattice. Zero-norm vectors are excluded (they have
+    * no direction). Requires ≥ 2 surviving vectors. */
+  def anisotropy(embeddings: DataFrame): DataFrame = {
+    val off = 2000000000000L // 2e12 grid² units = cos 2.0: safe |E[cos]| bound
+    val unit = embeddings
+      .select(col("embedding"), l2_norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+      .select(transform(col("embedding"),
+        e => floor(e.cast("double") / col("nrm") * 1e6).cast("long")).as("ug"))
+    val cells = unit
+      .select(posexplode(col("ug")))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("cnt"), sum(col("col")).as("sd"),
+        sum(expr("cast(col as decimal(38,0)) * col")).as("self_d"))
+    cells
+      .agg(max(col("cnt")).as("n"),
+        sum(expr("cast(sd as decimal(38,0)) * sd")).as("sum_sq"),
+        sum(col("self_d")).as("self"))
+      .select(col("n"),
+        (floor(sqrt(col("sum_sq").cast("double"))) / 1e6)
+          .as("resultant_norm"),
+        (expr(s"(sum_sq - self + cast(n as decimal(38,0)) * (n - 1) * $off)" +
+          s" div (cast(n as decimal(38,0)) * (n - 1))").cast("double") - off)
+          / 1e12 as "exp_cos")
+      .transform(graft.Determinism.sorted(_)(col("n")))
+  }
 }

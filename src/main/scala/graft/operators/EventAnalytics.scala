@@ -497,8 +497,16 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"), sum(col("v")).as("value_sum"))
 
   /** [[seasonality]] folded from cells — exactly the per-event
-    * aggregate (same integers, same decimal sum, one DIV per cell). */
-  def seasonalityFromCells(cells: DataFrame): DataFrame = {
+    * aggregate (same integers, same decimal sum, one DIV per cell).
+    *
+    * The ≤168-cell table is barriered before fan-out: the totals side
+    * prunes `value_sum`, which makes its partial aggregate (and so its
+    * exchange) differ from the main side's — exchange reuse can't fire
+    * and the CORPUS would be scanned twice (measured in the executed
+    * plan; `gapStatsFromCells`' cells are total-width so reuse saves it
+    * there). One materialized 168-row table = one corpus scan. */
+  def seasonalityFromCells(rawCells: DataFrame): DataFrame = {
+    val cells = rawCells.barrier()
     val total = cells.agg(sum(col("n")).as("total"))
     cells.crossJoin(broadcast(total))
       .select(col("dow"), col("hour"), col("n"),
@@ -757,6 +765,62 @@ object EventAnalytics {
         col("n_out").as("n_outliers"),
         expr("cast(n_out as decimal(38,0)) * 1000000 div n")
           .cast("double") / 1e6 as "outlier_frac")
+      .transform(graft.Determinism.sorted(_)(col("event_type")))
+  }
+
+  /** Trimmed + winsorized means per event type — the "how much do the
+    * tails move the mean" audit next to [[madOutliers]]'s outlier gate
+    * (MAD says WHICH rows are extreme; this says what the headline mean
+    * looks like with the extremes removed vs pinned to the trim
+    * quantiles — the robust pair a metrics pipeline reports side by
+    * side with the plain mean).
+    *
+    * Rides [[madHistogram]]'s capped `(event_type, vg, c)` cells, so
+    * values are the CLAMPED 1e-4 grid (the madOutliers contract). All
+    * rank algebra runs over histogram cells: with `lo = n·trimPct/100`
+    * rows trimmed at each tail, a cell's kept mass is
+    * `clamp(cum_end) - clamp(cum_start)` against `[lo, n-lo]`, the trim
+    * quantiles are the rank-`lo+1` / rank-`n-lo` cell values, and the
+    * winsorized sum adds `lo` copies of each back. Exact DECIMAL sums,
+    * means via integer DIV (all numerators non-negative, so Spark's
+    * truncating `div` and DuckDB's flooring `//` agree).
+    *
+    * Scale shape: the histogram pass is the ONLY corpus-sized work; the
+    * cumulative window runs per type over the value-domain-bounded grid
+    * (≤ madGridMax+1 cells — the PlanDoctor-admitted pattern shared
+    * with [[madFromCells]]'s lowerMedian). */
+  def robustStats(events: DataFrame, trimPct: Int = 5): DataFrame = {
+    require(trimPct >= 0 && trimPct < 50, s"trimPct out of range: $trimPct")
+    robustFromCells(madHistogram(events), trimPct)
+  }
+
+  /** [[robustStats]] folded from histogram cells — batch/stream-shared
+    * (a streaming twin holds the same bounded cells). */
+  private[graft] def robustFromCells(h: DataFrame, trimPct: Int): DataFrame = {
+    val tot = h.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("vg"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = h.withColumn("cum_end", sum(col("c")).over(w))
+      .withColumn("cum_start", col("cum_end") - col("c"))
+      .join(tot, Seq("event_type"))
+      .withColumn("lo", expr(s"n * $trimPct div 100"))
+      .withColumn("kept",
+        greatest(least(col("cum_end"), col("n") - col("lo")), col("lo")) -
+          greatest(least(col("cum_start"), col("n") - col("lo")), col("lo")))
+    cells.groupBy(col("event_type"), col("n"), col("lo"))
+      .agg(
+        sum(expr("cast(vg as decimal(38,0)) * c")).as("s_all"),
+        sum(expr("cast(vg as decimal(38,0)) * kept")).as("s_trim"),
+        min(when(col("cum_end") >= col("lo") + 1, col("vg"))).as("qlo_g"),
+        min(when(col("cum_end") >= col("n") - col("lo"), col("vg"))).as("qhi_g"))
+      .select(col("event_type"), col("n"),
+        expr("s_all div n").cast("double") / 1e4 as "mean",
+        expr("s_trim div (n - 2 * lo)").cast("double") / 1e4
+          as "trimmed_mean",
+        expr("(s_trim + cast(lo as decimal(38,0)) * (qlo_g + qhi_g)) div n")
+          .cast("double") / 1e4 as "winsor_mean",
+        (col("qlo_g").cast("double") / 1e4).as("p_trim_lo"),
+        (col("qhi_g").cast("double") / 1e4).as("p_trim_hi"))
       .transform(graft.Determinism.sorted(_)(col("event_type")))
   }
 }

@@ -163,4 +163,49 @@ class ClusterSpec extends SparkSuite {
     assert(got(0L) == ((3L, 1.0, 5.0, 3.666666)), got(0L))
     assert(got(1L) == ((1L, 0.0, 0.0, 0.0)), got(1L))
   }
+
+  test("dimProfile: exact per-axis moments, signed means, energy shares") {
+    // dim0 carries {1,3,2}: mean 2, var 2/3; dim1 is {0,0,6}: mean 2,
+    // var 8 — the "one hot axis" shape the audit exists to catch
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(3f, 0f)), (2L, Array(2f, 6f)))
+      .toDF("vec_id", "embedding")
+    val got = operators.Embeddings.dimProfile(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // var on the grid: E[x^2]g - mg^2 div 1e6 = 4666666 - 4000000
+    assert(got(0L) == ((3L, 2.0, 0.666666, 1.0, 3.0, 0.28)), got(0L))
+    assert(got(1L) == ((3L, 2.0, 8.0, 0.0, 6.0, 0.72)), got(1L))
+  }
+
+  test("dimProfile: negative means ride the offset DIV exactly") {
+    val emb = Seq((0L, Array(-1f)), (1L, Array(-2f)))
+      .toDF("vec_id", "embedding")
+    val Array(r) = operators.Embeddings.dimProfile(emb).collect()
+    assert(r.getDouble(2) == -1.5, s"mean ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.25, s"var ${r.getDouble(3)}")
+    assert(r.getDouble(4) == -2.0 && r.getDouble(5) == -1.0)
+  }
+
+  test("anisotropy: identical, orthogonal and opposed corpora read 1/0/-1") {
+    def run(vs: Array[Float]*) = {
+      val emb = vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val Array(r) = operators.Embeddings.anisotropy(emb).collect()
+      (r.getLong(0), r.getDouble(1), r.getDouble(2))
+    }
+    // three copies of one direction (non-unit input: normalization is
+    // part of the contract; scales chosen so x/||x|| is grid-exact):
+    // every pair cosine is 1
+    assert(run(Array(1f, 0f), Array(2f, 0f), Array(0.5f, 0f)) ==
+      ((3L, 3.0, 1.0)))
+    // orthogonal pair: E[cos] = 0, resultant = floor(sqrt(2)*1e6)/1e6
+    assert(run(Array(1f, 0f), Array(0f, 1f)) == ((2L, 1.414213, 0.0)))
+    // opposed pair: E[cos] = -1 (the offset DIV handles the sign)
+    assert(run(Array(1f, 0f), Array(-1f, 0f)) == ((2L, 0.0, -1.0)))
+    // a zero vector has no direction: excluded, not poisoning the stats
+    assert(run(Array(1f, 0f), Array(0f, 1f), Array(0f, 0f)) ==
+      ((2L, 1.414213, 0.0)))
+  }
 }

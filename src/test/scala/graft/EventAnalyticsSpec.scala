@@ -428,6 +428,46 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(gotNeg("err") == ((9L, 0.0, 0.0, 0L, 0.0)), gotNeg("err"))
   }
 
+  test("robustStats: one spike moves the mean, not the robust pair") {
+    // 19 ones and a 1000.0 spike: n=20, lo=1 — the plain mean reads
+    // 50.95, the 5% trimmed and winsorized means both read 1.0 (the
+    // spike is trimmed away / pinned to the rank-19 value)
+    val ev = events(((1 to 19).map(i =>
+      (i.toLong, "view", f"2024-01-01 10:${i}%02d:00", i.toLong, 1.0))
+      :+ (20L, "view", "2024-01-01 10:20:00", 20L, 1000.0)): _*)
+    val got = EventAnalytics.robustStats(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got("view") == ((20L, 50.95, 1.0, 1.0, 1.0, 1.0)), got("view"))
+  }
+
+  test("robustStats: below the trim floor the three means coincide") {
+    // n=10 -> lo = 10*5 div 100 = 0: nothing trims, the quantile
+    // columns read the min and max
+    val ev = events((1 to 10).map(i => (i.toLong, "click",
+      f"2024-01-01 10:${i}%02d:00", i.toLong, i.toDouble)): _*)
+    val got = EventAnalytics.robustStats(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got("click") == ((10L, 5.5, 5.5, 5.5, 1.0, 10.0)), got("click"))
+  }
+
+  test("robustStats: trims count rows, and interior mass stays exact") {
+    // 40 rows: 1.0 x10, 2.0 x10, 3.0 x10, 4.0 x10; lo = 2 trims two
+    // rows from each tail INSIDE the boundary cells: trimmed sum =
+    // (10-2)*1 + 10*2 + 10*3 + (10-2)*4 = 90 over 36 rows = 2.5;
+    // winsorized adds 2 copies of each trim quantile (1.0 and 4.0)
+    val ev = events((1 to 40).map(i => (i.toLong, "buy",
+      f"2024-01-01 10:${i % 60}%02d:00", i.toLong, ((i - 1) / 10 + 1).toDouble)): _*)
+    val got = EventAnalytics.robustStats(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    assert(got("buy") == ((40L, 2.5, 2.5, 2.5, 1.0, 4.0)), got("buy"))
+  }
+
   // --- grouping sets ---
 
   test("revenueGroupingSets matches a recomputed lattice at sf0.001") {

@@ -770,8 +770,66 @@ class StreamingSpec extends SparkSuite {
       .collect().map(_.toSeq).toSeq ==
       operators.EventAnalytics.madOutliers(t.events)
         .collect().map(_.toSeq).toSeq, "served MAD != batch")
+    // the SAME store serves the robust trimmed/winsorized means too —
+    // one histogram state, two batch-identical folds
+    assert(operators.EventAnalytics.robustFromCells(cellsDf, 5)
+      .collect().map(_.toSeq).toSeq ==
+      operators.EventAnalytics.robustStats(t.events)
+        .collect().map(_.toSeq).toSeq, "served robust stats != batch")
     val rocks = StateBackend.withRocksDB(spark) { run("mad_out_rocks") }
     assert(rocks == cells, "providers disagree on the histogram")
+  }
+
+  test("streaming dim-profile cells equal the batch fold, heap and RocksDB") {
+    import spark.implicits._
+    val emb = t.embeddings
+    val cut = emb.agg(max($"vec_id")).head().getLong(0) / 2
+    val dir = Files.createTempDirectory("graft-dimprofile-stream").toString
+    emb.filter($"vec_id" <= cut).coalesce(1).write.parquet(s"$dir/chunk=a")
+    Thread.sleep(1100)
+    emb.filter($"vec_id" > cut).coalesce(1).write.parquet(s"$dir/chunk=b")
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    def run(name: String)
+      : Map[Long, (Long, Long, java.math.BigDecimal, Long, Long)] = {
+      val stream = spark.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
+      val q = DimProfileStream.cells(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        if (name.endsWith("rocks"))
+          assert(StateBackend.usesRocksDB(q), "provider switch not engaged")
+        // update mode re-emits a cell each time it changes; any change
+        // to a dim's moments grows its count, so the row with the max n
+        // per dim is the final state (sx is signed — a max over emitted
+        // values would be wrong; the count is the monotone cursor)
+        spark.table(name).collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+            r.getDecimal(3), r.getLong(4), r.getLong(5))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      } finally q.stop()
+    }
+    val cells = run("dimprofile_out_heap")
+    val batchCells = operators.Embeddings.dimCells(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDecimal(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(cells == batchCells, "stream cells diverged from batch")
+    // bounded state: never more cells than the dimensionality
+    assert(cells.size <= 64, s"${cells.size} cells")
+    // serve the profile FROM the store through the shared fold
+    val cellsDf = cells.toSeq.map { case (d, (n, sx, sxx, mn, mx)) =>
+      (d, n, sx, BigDecimal(sxx), mn, mx) }
+      .toDF("dim", "n", "sx", "sxx", "mn", "mx")
+      .withColumn("sxx", $"sxx".cast("decimal(38,0)"))
+    assert(operators.Embeddings.dimProfileFromCells(cellsDf)
+      .collect().map(_.toSeq).toSeq ==
+      operators.Embeddings.dimProfile(emb).collect().map(_.toSeq).toSeq,
+      "served profile != batch")
+    val rocks = StateBackend.withRocksDB(spark) { run("dimprofile_out_rocks") }
+    assert(rocks == cells, "providers disagree on the cells")
   }
 
   test("streamed BM25 against the frozen index equals batch retrieval") {
