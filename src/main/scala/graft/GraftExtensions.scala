@@ -29,6 +29,7 @@ object GraftSql {
     "top_k_by_score"    -> (es =>
       TopKByScore(es(0), es(1), foldInt(es(2))).toAggregateExpression()),
     "fnv1a64"           -> (es => Fnv1a64(es(0))),
+    "byte_hist256"      -> (es => ByteHist256(es(0))),
     "kmv_distinct"      -> (es =>
       KmvDistinct(es(0), foldInt(es(1))).toAggregateExpression()),
     "quantize8"         -> (es => Quantize8(es(0))),

@@ -313,6 +313,10 @@ object SparkEntry {
     // distinct (user, day) table once; the rolling window is a bounded
     // 7-fan-out of that collapsed table, never a re-count over events
     "q_active_users" -> q(t => EventAnalytics.activeUsers(t.events)),
+    // event-type co-occurrence (lift + audience Jaccard per unordered
+    // pair): ONE user-keyed set-collapse barriered and folded onto the
+    // bounded pair domain — the set-based companion to q_transition
+    "q_event_cooccur" -> q(t => EventAnalytics.cooccurrence(t.events)),
     // sessions (reference: utils/session_manager.py)
     "q_sessionize"      -> q(t => Sessionize.sessions(t.events)),
     // session-length distribution (the engagement shape the 30-min gap
@@ -989,6 +993,11 @@ object SparkEntry {
     // a re-encode pushes off byte-identity (exact under the stub decoder)
     "mm_neardup" -> q(t =>
       graft.multimodal.Multimodal.documentNearDup(t.documents)),
+    // decode-free byte forensics per source: ONE codegen'd byte_hist256
+    // pass (never a per-byte explode), bounded (source, code) cells,
+    // probability-grid entropy terms that cannot overflow at any scale
+    "mm_byte_profile" -> q(t =>
+      graft.multimodal.Multimodal.documentByteProfile(t.documents)),
     "mm_features" -> q(t => graft.multimodal.Multimodal.documentFeatures(t.documents)
       .select(col("doc_id"), col("n_bytes"), col("checksum"),
         col("width").cast("long").as("width"),
@@ -2970,6 +2979,25 @@ $rounds
         |FROM tot t JOIN med USING (event_type) JOIN mad USING (event_type)
         | LEFT JOIN outl USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // q_event_cooccur: DISTINCT (user, type) replay — the self-join on
+    // user with a < b counts exactly the per-user unordered pairs the
+    // set-collapse emits; lift and Jaccard are HUGEINT DIVs
+    "q_event_cooccur" ->
+      """WITH pu AS (SELECT DISTINCT user_id, event_type FROM events),
+        | p AS (SELECT l.event_type AS a, r.event_type AS b, COUNT(*) AS n_both
+        |   FROM pu l JOIN pu r ON l.user_id = r.user_id AND l.event_type < r.event_type
+        |   GROUP BY 1, 2),
+        | s AS (SELECT event_type, COUNT(*) AS n FROM pu GROUP BY 1),
+        | u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM pu)
+        |SELECT a AS type_a, b AS type_b, CAST(n_both AS BIGINT) AS n_both,
+        | CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+        | CAST(n_users AS BIGINT) AS n_users,
+        | CAST(CAST(n_both AS HUGEINT) * n_users * 1000000
+        |   // (CAST(sa.n AS HUGEINT) * sb.n) AS DOUBLE) / 1e6 AS lift,
+        | CAST(CAST(n_both AS HUGEINT) * 1000000
+        |   // (sa.n + sb.n - n_both) AS DOUBLE) / 1e6 AS jaccard
+        |FROM p JOIN s sa ON a = sa.event_type JOIN s sb ON b = sb.event_type
+        | CROSS JOIN u ORDER BY type_a, type_b""".stripMargin,
     // q_robust_stats: the same clamped histogram; trim bound lo = n*5//100,
     // kept mass per cell via cum clamps against [lo, n-lo], trim quantiles
     // as rank lo+1 / n-lo cell values, winsorized sum adds lo copies back;
@@ -4134,6 +4162,35 @@ $rounds
         | MIN(doc_id) AS canonical_id, COUNT(*) AS dup_count,
         | CAST(MIN(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // mm_byte_profile: the RAW (ASCII) payload replayed as char codes —
+    // per-(source, code) counts, byte-class shares as HUGEINT DIVs,
+    // entropy terms p·ln p on the exact 1e-6 probability grid floored
+    // to the 1e-8 LONG grid (identical double composition both engines)
+    "mm_byte_profile" ->
+      """WITH ch AS (SELECT source, unicode(text[i]) AS code
+        |   FROM documents, unnest(range(1, len(text) + 1)) AS u(i)),
+        | c AS (SELECT source, code, CAST(COUNT(*) AS BIGINT) AS cnt
+        |   FROM ch GROUP BY 1, 2),
+        | t AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(text)) AS BIGINT) AS n_bytes
+        |   FROM documents GROUP BY 1),
+        | m AS (SELECT c.source, code, cnt, n_docs, n_bytes,
+        |    CAST(CAST(cnt AS HUGEINT) * 1000000 // n_bytes AS BIGINT) AS pg
+        |   FROM c JOIN t USING (source)),
+        | e AS (SELECT source, n_docs, n_bytes,
+        |    SUM(CASE WHEN code BETWEEN 32 AND 126 THEN cnt ELSE 0 END) AS printable,
+        |    SUM(CASE WHEN code < 32 OR code = 127 THEN cnt ELSE 0 END) AS control,
+        |    SUM(CASE WHEN code >= 128 THEN cnt ELSE 0 END) AS highbit,
+        |    SUM(CASE WHEN pg > 0
+        |      THEN CAST(floor((CAST(pg AS DOUBLE) / 1e6) * ln(CAST(pg AS DOUBLE) / 1e6) * 1e8) AS BIGINT)
+        |      ELSE 0 END) AS sm
+        |   FROM m GROUP BY 1, 2, 3)
+        |SELECT source, n_docs, n_bytes,
+        | CAST(CAST(printable AS HUGEINT) * 1000000 // n_bytes AS DOUBLE) / 1e6 AS printable_share,
+        | CAST(CAST(control AS HUGEINT) * 1000000 // n_bytes AS DOUBLE) / 1e6 AS control_share,
+        | CAST(CAST(highbit AS HUGEINT) * 1000000 // n_bytes AS DOUBLE) / 1e6 AS highbit_share,
+        | -CAST(sm AS DOUBLE) / 1e8 AS byte_entropy
+        |FROM e ORDER BY source""".stripMargin,
     // multimodal stub replayed: FNV checksum over the raw (ASCII) payload
     // bytes, stub width/height from truncated-mod arithmetic (integer
     // floor-division stands in for the JVM's arithmetic shift), features

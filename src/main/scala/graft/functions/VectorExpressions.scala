@@ -361,6 +361,43 @@ case class MinHashSignature(child: Expression, k: Int)
   override def prettyName: String = "minhash_signature"
 }
 
+/** 256-cell byte histogram of a BINARY payload — ONE codegen'd pass per
+  * row. The bounded array is how byte-level media forensics (corrupt /
+  * truncated / mislabeled payload detection) stays tractable at 100 TB:
+  * a per-byte explode would fan the payload column out row-per-byte, and
+  * `substring(payload, i, 1)` indexing is O(n²) per row; this keeps the
+  * scan narrow and the downstream fold bounded at 256 cells. Counts are
+  * plain per-value tallies, so a SQL oracle can replay them exactly from
+  * the same bytes (ASCII payloads: `ord` per char). */
+case class ByteHist256(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs a binary payload, got ${child.dataType.sql}")
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val cnt = new Array[Long](256)
+    var i = 0
+    while (i < b.length) { cnt(b(i) & 0xff) += 1L; i += 1 }
+    new GenericArrayData(cnt)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val cnt = ctx.freshName("cnt"); val i = ctx.freshName("i")
+      s"""
+         |long[] $cnt = new long[256];
+         |for (int $i = 0; $i < $b.length; $i++) {
+         |  $cnt[$b[$i] & 0xff] += 1L;
+         |}
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($cnt);
+       """.stripMargin
+    })
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "byte_hist256"
+}
+
 /** 64-bit SimHash over a token array. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {

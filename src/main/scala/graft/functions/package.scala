@@ -32,6 +32,9 @@ package object functions {
 
   def fnv1a64(text: Column): Column = bridge.column(Fnv1a64(c(text)))
 
+  def byte_hist256(payload: Column): Column =
+    bridge.column(ByteHist256(c(payload)))
+
   def band_hashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
     bridge.column(BandHashes(c(sig), bands, rowsPerBand))
 

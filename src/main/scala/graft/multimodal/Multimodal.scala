@@ -309,4 +309,74 @@ object Multimodal {
       graft.functions.hash_embed(col("qtext"), dim).as("qv"))
     graft.operators.Search.bruteForceTopK(qv, index, k)
   }
+
+  /** Per-source BYTE-LEVEL payload forensics: document count, byte count,
+    * printable / control / high-bit byte shares and byte entropy — the
+    * media-corruption gate run before any decode (a truncated file reads
+    * as a control/high-bit spike, a mislabeled text-as-image source as
+    * all-printable, an encrypted or random blob as entropy ≈ ln 256;
+    * none of these need a codec, so the gate is decode-free and cheap).
+    *
+    * Scale shape: ONE corpus scan — [[graft.functions.ByteHist256]]
+    * tallies each payload into a 256-cell array in a single codegen'd
+    * pass (never a per-byte explode of the payload column, never O(n²)
+    * `substring` indexing); a doc-marker cell (code 256) rides the same
+    * array so the doc count needs no second scan. The explode lands in
+    * a map-side-combined fold onto the bounded `(source, code)` domain
+    * (≤ 257·|sources| cells), barriered once for the totals join.
+    *
+    * Exactness: byte-class shares are DECIMAL DIVs on the 1e-6 grid;
+    * entropy folds per-cell `p·ln p` terms with p on the exact 1e-6
+    * probability grid, each term floored to the 1e-8 grid LONG (|term|
+    * ≤ 0.37e8, 256 cells — the sum can never overflow at ANY corpus
+    * size, unlike count-based `n·ln n` terms), cells whose probability
+    * rounds to zero contribute nothing in both engines. */
+  def byteProfile(media: DataFrame): DataFrame = {
+    import graft.functions.byte_hist256
+    import graft.operators.Barrier.BarrierOps
+    val cells = media
+      .select(col("source"),
+        posexplode(concat(byte_hist256(col("payload")), array(lit(1L)))))
+      .filter(col("col") > 0)
+      .select(col("source"), col("pos").cast("long").as("code"),
+        col("col").as("cnt"))
+      .groupBy(col("source"), col("code"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .barrier()
+    val tot = cells.groupBy(col("source")).agg(
+      sum(when(col("code") === 256, col("cnt")).otherwise(0L)).as("n_docs"),
+      sum(when(col("code") < 256, col("cnt")).otherwise(0L)).as("n_bytes"))
+    val pd = col("pg").cast("double") / 1e6
+    cells
+      .filter(col("code") < 256)
+      .join(tot, Seq("source"))
+      .withColumn("pg",
+        expr("cast(cnt as decimal(38,0)) * 1000000 div n_bytes")
+          .cast("long"))
+      .groupBy(col("source"), col("n_docs"), col("n_bytes"))
+      .agg(
+        sum(when(col("code").between(32, 126), col("cnt")).otherwise(0L))
+          .as("printable"),
+        sum(when(col("code") < 32 || col("code") === 127, col("cnt"))
+          .otherwise(0L)).as("control"),
+        sum(when(col("code") >= 128, col("cnt")).otherwise(0L)).as("highbit"),
+        sum(when(col("pg") > 0, floor(pd * log(pd) * 1e8).cast("long"))
+          .otherwise(0L)).as("sm"))
+      .select(col("source"), col("n_docs"), col("n_bytes"),
+        expr("cast(printable as decimal(38,0)) * 1000000 div n_bytes")
+          .cast("double") / 1e6 as "printable_share",
+        expr("cast(control as decimal(38,0)) * 1000000 div n_bytes")
+          .cast("double") / 1e6 as "control_share",
+        expr("cast(highbit as decimal(38,0)) * 1000000 div n_bytes")
+          .cast("double") / 1e6 as "highbit_share",
+        (-col("sm").cast("double") / 1e8).as("byte_entropy"))
+      .transform(graft.Determinism.sorted(_)(col("source")))
+  }
+
+  /** Demo byte-profile pipeline over `documents` (text bytes stand in
+    * for media payloads, same convention as [[documentFeatures]]; the
+    * corpus is ASCII, so a SQL oracle replays bytes as char codes). */
+  def documentByteProfile(docs: DataFrame): DataFrame =
+    byteProfile(docs.select(col("source"),
+      col("text").cast("binary").as("payload")))
 }

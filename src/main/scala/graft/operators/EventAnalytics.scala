@@ -823,4 +823,49 @@ object EventAnalytics {
         (col("qhi_g").cast("double") / 1e4).as("p_trim_hi"))
       .transform(graft.Determinism.sorted(_)(col("event_type")))
   }
+
+  /** Event-type CO-OCCURRENCE matrix: for every unordered type pair, how
+    * many users did BOTH, with lift (observed / independence-expected
+    * co-users) and audience Jaccard — the set-based companion to
+    * [[transitions]]' consecutive-step matrix (transitions ask "what
+    * happens NEXT"; this asks "which behaviors live in the same users" —
+    * the audience-overlap table behind feature bundling and
+    * cross-feature funnels).
+    *
+    * Scale shape: ONE user-keyed aggregate collapses each user to their
+    * distinct type SET (O(1) state — the type vocabulary is bounded by
+    * contract, never an event buffer), barriered and fanned out ≤
+    * |types|² per user into a map-side-combined fold onto the bounded
+    * pair domain; marginals and the user total fold from the SAME
+    * materialized table (one corpus pass total). Lift and Jaccard are
+    * exact-integer DECIMAL DIVs on the 1e-6 grid. */
+  def cooccurrence(events: DataFrame): DataFrame = {
+    val sets = events
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .barrier()
+    val pairs = sets
+      .select(explode(col("ts")).as("a"), col("ts"))
+      .select(col("a"),
+        explode(filter(col("ts"), b => b > col("a"))).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_both"))
+    val singles = sets
+      .select(explode(col("ts")).as("event_type"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val total = sets.agg(count(lit(1)).as("n_users"))
+    pairs
+      .join(broadcast(singles.select(col("event_type").as("a"),
+        col("n").as("n_a"))), Seq("a"))
+      .join(broadcast(singles.select(col("event_type").as("b"),
+        col("n").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a").as("type_a"), col("b").as("type_b"), col("n_both"),
+        col("n_a"), col("n_b"), col("n_users"),
+        expr("cast(n_both as decimal(38,0)) * n_users * 1000000" +
+          " div (cast(n_a as decimal(38,0)) * n_b)")
+          .cast("double") / 1e6 as "lift",
+        expr("cast(n_both as decimal(38,0)) * 1000000" +
+          " div (n_a + n_b - n_both)").cast("double") / 1e6 as "jaccard")
+      .transform(graft.Determinism.sorted(_)(col("type_a"), col("type_b")))
+  }
 }

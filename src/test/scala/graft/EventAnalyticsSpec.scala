@@ -468,6 +468,32 @@ class EventAnalyticsSpec extends SparkSuite {
     assert(got("buy") == ((40L, 2.5, 2.5, 2.5, 1.0, 4.0)), got("buy"))
   }
 
+  test("cooccurrence: distinct sets, exact lift and audience jaccard") {
+    // u1 {view, click} (view twice — sets, not bags), u2 {view},
+    // u3 {view, click, purchase}
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "view", "2024-01-01 10:05:00", 2L, 0.0),
+      (1L, "click", "2024-01-01 10:01:00", 3L, 0.0),
+      (2L, "view", "2024-01-01 10:02:00", 4L, 0.0),
+      (3L, "view", "2024-01-01 10:03:00", 5L, 0.0),
+      (3L, "click", "2024-01-01 10:04:00", 6L, 0.0),
+      (3L, "purchase", "2024-01-01 10:06:00", 7L, 0.0))
+    val got = EventAnalytics.cooccurrence(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7)))).toMap
+    // lift(click,view) = 2·3/(2·3) = 1; jaccard = 2/(2+3-2)
+    assert(got(("click", "view")) == ((2L, 2L, 3L, 3L, 1.0, 0.666666)),
+      got(("click", "view")))
+    // lift(click,purchase) = 1·3/(2·1) = 1.5 — purchasers over-index
+    assert(got(("click", "purchase")) == ((1L, 2L, 1L, 3L, 1.5, 0.5)),
+      got(("click", "purchase")))
+    assert(got(("purchase", "view")) == ((1L, 1L, 3L, 3L, 1.0, 0.333333)),
+      got(("purchase", "view")))
+    assert(got.size == 3, s"${got.size} pairs")
+  }
+
   // --- grouping sets ---
 
   test("revenueGroupingSets matches a recomputed lattice at sf0.001") {

@@ -390,4 +390,27 @@ class ExpressionSpec extends SparkSuite {
       .flatMap { case (c, j) => books(j)(c) }.toSeq)
     assert(rec.toSeq.map(_.toSeq) == wantRec, s"rec: ${rec.toSeq}")
   }
+
+  test("byte_hist256: exact per-value tallies, full byte range, empty") {
+    val payloads = Seq(
+      "aab".getBytes("UTF-8"),
+      Array[Byte](0, 10, 127, -1, -128), // control + high-bit bytes
+      Array.empty[Byte])
+    val got = payloads.toDF("p")
+      .select(byte_hist256($"p")).as[Seq[Long]].collect()
+    assert(got.forall(_.length == 256))
+    assert(got(0)('a'.toInt) == 2L && got(0)('b'.toInt) == 1L)
+    assert(got(0).sum == 3L)
+    // signed bytes land in their unsigned cells: -1 -> 255, -128 -> 128
+    assert(got(1)(0) == 1L && got(1)(10) == 1L && got(1)(127) == 1L &&
+      got(1)(255) == 1L && got(1)(128) == 1L && got(1).sum == 5L)
+    assert(got(2).sum == 0L)
+    // interpreted eval agrees with the codegen path
+    val interp = graft.functions.ByteHist256(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        payloads(1), org.apache.spark.sql.types.BinaryType))
+      .eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    assert(interp.toSeq == got(1).toSeq)
+  }
 }

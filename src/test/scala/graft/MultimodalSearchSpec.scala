@@ -123,4 +123,39 @@ class MultimodalSearchSpec extends SparkSuite {
     assert(hams.zip(hams.tail).forall { case (a, b) => a <= b })
     hams.foreach(h => assert(h >= 0L && h <= 64L))
   }
+
+  test("byteProfile: exact class shares and grid entropy per source") {
+    val media = Seq(
+      // source a: "aa b" twice = bytes {a:4, ' ':2, b:2}, n=8 — the
+      // probability grid reads p(a)=0.5, p(' ')=p(b)=0.25
+      ("a", "aa b"), ("a", "aa b"),
+      // source b: half printable, half control (newlines)
+      ("b", "x\n"), ("b", "y\n"))
+      .toDF("source", "text")
+      .select(col("source"), col("text").cast("binary").as("payload"))
+    val got = Multimodal.byteProfile(media).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
+      .toMap
+    // entropy(1/2,1/4,1/4): each term floors to -34657360 on the 1e-8
+    // grid (0.5·ln 0.5 = 0.25·ln 0.25 = -0.3465735903), sum of three
+    assert(got("a") == ((2L, 8L, 1.0, 0.0, 0.0, 1.0397208)), got("a"))
+    val (nb, bytesB, prB, ctB, hbB, entB) = got("b")
+    assert((nb, bytesB, prB, ctB, hbB) == ((2L, 4L, 0.5, 0.5, 0.0)),
+      got("b"))
+    // two equiprobable classes (x|y vs \n): entropy near ln 2... for the
+    // exact grid: p(x)=p(y)=0.25, p(\n)=0.5 — same cell values as "a"
+    assert(entB == 1.0397208, s"entropy $entB")
+  }
+
+  test("byteProfile: high-bit payload bytes land in the high-bit class") {
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Seq(("bin", Array[Byte](-1, -2, 65, 66)))
+      .toDF("source", "payload")
+    val Array(r) = Multimodal.byteProfile(media).collect()
+    assert(r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 0.5 && r.getDouble(4) == 0.0 &&
+      r.getDouble(5) == 0.5, r.toSeq)
+  }
 }
