@@ -453,6 +453,23 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, k = 5)),
+    // FILTERED exact top-k (the filtered-ANN surface: tenant/language/
+    // license scoping): PRE-filter semantics — the predicate cuts the
+    // corpus before ranking and pushes into the scan, so selectivity
+    // makes the search cheaper, never under-k/post-filter-lossy
+    "q_knn_filtered" -> q(t => Search.filteredTopK(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, col("label") % 2 === 0, k = 5)),
+    // the same scoping over the IVF index: index built on the FULL
+    // corpus (build-once, filter-many — a new filter never rebuilds),
+    // predicate applied at the candidate scoring join (pushed to the
+    // posting scan); recall-vs-correlated-filter caveat in the scaladoc
+    "q_ivf_filtered" -> q(t => IvfIndex.searchFiltered(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, col("label") % 2 === 0,
+      nCentroids = 16, nprobe = 4, k = 5)),
     // exact top-k over the int8-quantized corpus (the memory-lean 100 TB
     // search configuration): scores carry only the quantization error
     "q_knn_quantized" -> q(t => Search.quantizedTopK(
@@ -3430,6 +3447,39 @@ $rounds
         | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q_knn_filtered: the q_knn replay over the eligible subset only —
+    // pre-filter semantics mean the oracle just adds the predicate to
+    // the corpus CTE (queries stay unfiltered: scoping restricts what
+    // can be RETRIEVED, not who may ask)
+    "q_knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+        | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE label % 2 = 0),
+        | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN c),
+        | r AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q_ivf_filtered: the ivfSearch replay with the FULL-corpus index
+    // (centroids + assignments unchanged) and the predicate applied at
+    // candidate scoring — exactly the build-once/filter-many contract
+    "q_ivf_filtered" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+        | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
+        | assign AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT e.vec_id, c.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM e CROSS JOIN c) WHERE rn = 1),
+        | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+        | probes AS (SELECT query_id, centroid_id FROM (
+        |   SELECT query_id, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+        |   FROM q CROSS JOIN c) WHERE rn <= 4),
+        | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+        | scored AS (SELECT cand.query_id, cand.vec_id, list_cosine_similarity(q.qv, e.ev) AS sim
+        |   FROM cand JOIN q ON cand.query_id = q.query_id
+        |   JOIN e ON cand.vec_id = e.vec_id AND e.label % 2 = 0),
+        | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+        |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     "q_knn_threshold" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
         | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id >= 20),

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.operators.Barrier.BarrierOps
@@ -290,6 +290,39 @@ object IvfIndex {
       .select(col("query_id"), col("vec_id"),
         cosine_similarity(col("qv"), col("embedding")).as("sim"))
 
+    Search.explodeTopK(
+      scored.groupBy(col("query_id"))
+        .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))
+  }
+
+  /** FILTERED IVF search: [[search]] under a metadata predicate on the
+    * corpus rows — the filtered-ANN serve path (tenant / language /
+    * license scoping) over the SAME index as the unfiltered searches.
+    * The index (centroids + assignments) is built on the FULL corpus —
+    * build-once, filter-many: a new filter never triggers a rebuild —
+    * and the predicate cuts the CANDIDATE scoring join, where Catalyst
+    * pushes it into the corpus scan (`PushedFilters` on stored
+    * columns). Pre-filter semantics within the probed cells: the top-k
+    * ranks only eligible candidates, so a selective filter makes the
+    * probe cheaper rather than returning filtered-out neighbors.
+    *
+    * The honest caveat every filtered-IVF deployment carries: recall is
+    * measured against the probed cells, so a filter CORRELATED with the
+    * clustering (e.g. one tenant concentrated in few cells) wants a
+    * higher `nprobe` — the `q_recall_sweep` trade-off read with the
+    * filter applied. */
+  def searchFiltered(queries: DataFrame, corpus: DataFrame, pred: Column,
+                     nCentroids: Int, nprobe: Int, k: Int): DataFrame = {
+    val cents = centroids(corpus, nCentroids)
+    val assign = nearestCentroid(corpus, cents)
+    val probes = probeCentroids(cents, queries, nprobe)
+    val candidates = assign.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("query_id"), col("vec_id"))
+    val scored = candidates
+      .join(corpus.filter(pred), Seq("vec_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine_similarity(col("qv"), col("embedding")).as("sim"))
     Search.explodeTopK(
       scored.groupBy(col("query_id"))
         .agg(top_k_by_score(col("sim"), col("vec_id"), k).as("topk")))

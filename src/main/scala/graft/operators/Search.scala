@@ -45,6 +45,20 @@ object Search {
       k))
   }
 
+  /** FILTERED exact top-k: [[fusedTopK]] under a metadata predicate on
+    * the corpus — the "filtered ANN" surface every production vector
+    * store exposes (tenant / language / license scoping). PRE-filter
+    * semantics: the predicate cuts the corpus BEFORE ranking, so the
+    * result is exactly the top-k of the eligible subset — never the
+    * post-filter trap (rank first, filter second, return < k rows when
+    * the filter is selective). The predicate composes into the corpus
+    * scan (Catalyst pushes it to the parquet reader — `PushedFilters`
+    * on stored columns), so a selective filter makes the search
+    * CHEAPER, not recall-lossy. */
+  def filteredTopK(queries: DataFrame, corpus: DataFrame, pred: Column,
+                   k: Int): DataFrame =
+    fusedTopK(queries, corpus.filter(pred), k)
+
   /** Install the auto-fusion rule: after this, the DECLARATIVE
     * [[bruteForceTopK]] pattern (aggregate over cross join) is planned as
     * the fused operator automatically — users keep the DataFrame form,

@@ -202,6 +202,52 @@ class ExpressionSpec extends SparkSuite {
     assert(plan.contains("VectorTopKJoin"), plan)
   }
 
+  test("filteredTopK: pre-filter semantics — eligible-only, still k rows") {
+    // the globally-nearest neighbor (vec 1, identical direction) is
+    // ODD-labeled: a post-filter would either return it (wrong) or come
+    // back under k; pre-filter returns the k best EVEN-labeled rows
+    val corpus = Seq(
+      (1L, 1, Array(1.0f, 0.0f)),        // best overall, filtered out
+      (2L, 0, Array(0.9f, 0.1f)),
+      (3L, 0, Array(0.5f, 0.5f)),
+      (4L, 2, Array(0.1f, 0.9f)),
+      (5L, 3, Array(0.99f, 0.01f)))      // second best, filtered out
+      .toDF("vec_id", "label", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f))).toDF("query_id", "qv")
+    val got = operators.Search
+      .filteredTopK(queries, corpus, $"label" % 2 === 0, k = 3)
+      .orderBy($"rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(2L, 3L, 4L), got.toSeq)
+    // equals brute force over the pre-filtered corpus (the contract)
+    val want = operators.Search.bruteForceTopK(
+      queries, corpus.filter($"label" % 2 === 0), 3).collect().toSeq
+    assert(got.toSeq == want)
+  }
+
+  test("searchFiltered: full-corpus index, predicate cuts candidates only") {
+    val e = sources.Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val got = operators.IvfIndex.searchFiltered(
+      queries, e, $"label" % 2 === 0, nCentroids = 16, nprobe = 4, k = 5)
+      .collect()
+    // every hit is eligible, and ranks are dense per query
+    val even = e.filter($"label" % 2 === 0)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => even(r.getLong(2))), "ineligible hit returned")
+    got.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq ==
+        (1L to rows.length).toSeq)
+    }
+    // with nprobe = all cells, filtered IVF equals filtered exact search
+    val all = operators.IvfIndex.searchFiltered(
+      queries, e, $"label" % 2 === 0, nCentroids = 16, nprobe = 16, k = 5)
+      .collect().toSeq
+    val exact = operators.Search.bruteForceTopK(
+      queries, e.filter($"label" % 2 === 0), 5).collect().toSeq
+    assert(all == exact, "nprobe=all filtered IVF != filtered exact")
+  }
+
   test("threshold filter is pushed into the fused operator and stays exact") {
     val e = sources.Tables(spark, sfDir).embeddings
     val queries = e.filter($"vec_id" < 7)
