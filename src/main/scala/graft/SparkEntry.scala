@@ -683,6 +683,14 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, nCentroids = 16, nprobe = 4, k = 5)),
+    // the filtered-IVF caveat quantified: recall of the scoped search
+    // against exact search over the pre-filtered corpus — the number
+    // that says "raise nprobe for this filter" before production does
+    "q_ivf_filtered_recall" -> q(t => IvfIndex.recallAuditFiltered(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, col("label") % 2 === 0,
+      nCentroids = 16, nprobe = 4, k = 5)),
     // the nprobe/recall TRADE: recall@5 + scanned-posting share for
     // nprobe in {1,2,4,8} — the tuning table a deployment reads to pick
     // its operating point (one scoring pass serves all sweep values)
@@ -1264,6 +1272,10 @@ object SparkEntry {
     // classifier's cosine be thresholded like a probability?
     "q_calibration" ->
       ((s, dir) => MlEval.calibrationFromScored(ovrScored(s, dir))),
+    // expected calibration error: the one-number model-card summary of
+    // q_calibration's reliability table, folded on the integer grids
+    // (offsets cancel inside the |diff|) from the SAME memoized scores
+    "q_ece" -> ((s, dir) => MlEval.eceFromScored(ovrScored(s, dir))),
     // hashed-assignment A/B experiment readout: per-arm conversion plus
     // the pooled two-proportion z, one user-keyed shuffle
     "q_ab_test" -> q(t => MlEval.abTest(t.events)),
@@ -3480,6 +3492,37 @@ $rounds
         | ranked AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored)
         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
         |FROM ranked WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q_ivf_filtered_recall: filtered exact (the eligible-subset knn)
+    // LEFT JOIN the filtered-IVF replay, per-query hit count + floored
+    // recall — the q_recall contract under the predicate
+    "q_ivf_filtered_recall" ->
+      """WITH c AS (SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 16),
+        | e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
+        | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
+        | ef AS (SELECT vec_id, ev FROM e WHERE label % 2 = 0),
+        | exact AS (SELECT query_id, vec_id FROM (
+        |   SELECT query_id, ef.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, ev) DESC, vec_id) AS rn
+        |   FROM q CROSS JOIN ef) WHERE rn <= 5),
+        | assign AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT e.vec_id, c.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM e CROSS JOIN c) WHERE rn = 1),
+        | probes AS (SELECT query_id, centroid_id FROM (
+        |   SELECT query_id, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, cv) DESC, centroid_id) AS rn
+        |   FROM q CROSS JOIN c) WHERE rn <= 4),
+        | cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN assign a USING (centroid_id)),
+        | scored AS (SELECT cand.query_id, cand.vec_id, list_cosine_similarity(q.qv, ef.ev) AS sim
+        |   FROM cand JOIN q ON cand.query_id = q.query_id
+        |   JOIN ef ON cand.vec_id = ef.vec_id),
+        | approx AS (SELECT query_id, vec_id FROM (
+        |   SELECT query_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored) WHERE rn <= 5)
+        |SELECT x.query_id AS query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+        | floor(COUNT(a.vec_id) / 5.0 * 1e6) / 1e6 AS recall
+        |FROM exact x LEFT JOIN approx a ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        |GROUP BY 1 ORDER BY x.query_id""".stripMargin,
     "q_knn_threshold" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
         | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings WHERE vec_id >= 20),
@@ -5097,6 +5140,22 @@ $rounds
          | (CAST(CAST(SUM(s_off) AS HUGEINT) // COUNT(*) AS DOUBLE) - 1e6) / 1e6 AS mean_score,
          | CAST((CAST(SUM(pos) AS HUGEINT) * 1000000) // COUNT(*) AS DOUBLE) / 1e6 AS pos_rate
          |FROM b GROUP BY 1, 2 ORDER BY label, bin""".stripMargin,
+    // q_ece: the calibration bins folded to Σ (n_b/N)·|pos_rate − mean|
+    // with both rates on the same +1e6-offset integer grid (offsets
+    // cancel in the abs), mass-weighted sum in HUGEINT, one DIV
+    "q_ece" ->
+      s"""WITH $ovrScoredCtes,
+         | b AS (SELECT class, pos,
+         |    least((greatest(s_grid, -1000000) + 1000000) // 200000, 9) AS bin,
+         |    greatest(s_grid, -1000000) + 1000000 AS s_off FROM sc),
+         | g AS (SELECT class, bin, COUNT(*) AS n,
+         |    abs(CAST(SUM(pos) AS HUGEINT) * 1000000 // COUNT(*) + 1000000
+         |      - CAST(SUM(s_off) AS HUGEINT) // COUNT(*)) AS diff_g
+         |   FROM b GROUP BY 1, 2)
+         |SELECT CAST(class AS BIGINT) AS label, COUNT(*) AS n_bins,
+         | CAST(SUM(n) AS BIGINT) AS n,
+         | CAST(CAST(SUM(diff_g * n) AS HUGEINT) // SUM(n) AS DOUBLE) / 1e6 AS ece
+         |FROM g GROUP BY 1 ORDER BY label""".stripMargin,
     // q_ab_test: FNV variant hash replayed char-by-char, per-arm user
     // conversion collapse, pooled two-proportion z with the EXACT ieee
     // op order of the engine expression (integer-valued doubles only)

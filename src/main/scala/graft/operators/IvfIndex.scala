@@ -408,6 +408,28 @@ object IvfIndex {
       .orderBy(col("query_id"))
   }
 
+  /** [[recallAudit]] under a metadata predicate — the filtered-IVF
+    * caveat QUANTIFIED: recall of [[searchFiltered]] against exact
+    * search over the pre-filtered corpus. A filter uncorrelated with
+    * the clustering reads ≈ the unfiltered `q_recall` figure; a
+    * correlated one (a tenant concentrated in few cells) reads lower —
+    * the number that tells a deployment to raise `nprobe` for that
+    * filter rather than discover the loss in production. Same
+    * query-sample contract and fold as [[recallAudit]]. */
+  def recallAuditFiltered(queries: DataFrame, corpus: DataFrame,
+                          pred: Column, nCentroids: Int, nprobe: Int,
+                          k: Int): DataFrame = {
+    val exact = Search.bruteForceTopK(queries, corpus.filter(pred), k)
+      .select(col("query_id"), col("vec_id"))
+    val approx = searchFiltered(queries, corpus, pred, nCentroids, nprobe, k)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        (floor(count(col("hit")) / lit(k.toDouble) * 1e6) / 1e6).as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** The nprobe/recall trade as ONE table — what a deployment actually
     * reads to pick its operating point: per sweep value, aggregate
     * recall@k against brute force AND the share of postings scanned (the

@@ -142,6 +142,43 @@ object MlEval {
           .cast("double") / 1e6 as "pos_rate")
       .transform(graft.Determinism.sorted(_)(col("label"), col("bin")))
 
+  /** Expected calibration error per class — the one-number summary of
+    * [[calibration]]'s reliability table (the metric a model card
+    * publishes; the per-bin table says WHERE scores lie, ECE says HOW
+    * MUCH, weighted by bin mass): ECE = Σ_bins (n_b/N)·|pos_rate_b −
+    * mean_score_b| over the same 10 bins.
+    *
+    * Exactness: both rates stay on their integer 1e-6 grids with the
+    * SAME +1e6 offset (so the offsets cancel inside the absolute
+    * difference and no DIV ever sees a negative numerator); the
+    * mass-weighted sum rides DECIMAL — the fold is exactly the
+    * calibration table's algebra, never a float re-composition of its
+    * output doubles. Served from the same memoized scoring pass as the
+    * other ML-eval rows (one corpus scan between them). */
+  def eceFromScored(scored: DataFrame): DataFrame =
+    eceFromCells(scoreHistogram(scored))
+
+  /** [[eceFromScored]] folded from histogram cells (batch/stream-shared
+    * — the `MlEvalStream` store serves this fold too). */
+  private[graft] def eceFromCells(h: DataFrame): DataFrame =
+    h
+      .select(col("class"), col("p_g"), (col("p_g") + col("n_g")).as("c_g"),
+        least(expr("(greatest(s_grid, -1000000) + 1000000) div 200000"),
+          lit(9L)).as("bin"),
+        (greatest(col("s_grid"), lit(-1000000L)) + lit(1000000L)).as("s_off"))
+      .groupBy(col("class"), col("bin"))
+      .agg(sum(col("c_g")).as("n"), sum(col("p_g")).as("n_pos"),
+        sum(col("s_off").cast("decimal(38,0)") * col("c_g")).as("s_sum"))
+      .select(col("class"), col("n"),
+        abs(expr("cast(n_pos as decimal(38,0)) * 1000000 div n + 1000000" +
+          " - cast(s_sum as decimal(38,0)) div n")).as("diff_g"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n")).as("n"),
+        sum(expr("cast(diff_g as decimal(38,0)) * n")).as("werr"))
+      .select(col("class").as("label"), col("n_bins"), col("n"),
+        expr("werr div n").cast("double") / 1e6 as "ece")
+      .transform(graft.Determinism.sorted(_)(col("label")))
+
   /** Precision/recall operating points at the 10 calibration-bin
     * thresholds, folded from the SAME (class, grid-score) histogram as
     * [[auc]] — predicted-positive and true-positive masses are sums over

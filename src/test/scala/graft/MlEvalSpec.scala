@@ -84,6 +84,39 @@ class MlEvalSpec extends SparkSuite {
     })
   }
 
+  test("ece: exact mass-weighted fold of the calibration bins") {
+    // bin 0 holds two rows at score -1.0 with one positive: |pos_rate -
+    // mean| = |0.5 - (-1.0)| = 1.5; bin 9 holds two perfectly-calibrated
+    // positives at score 1.0: diff 0. ECE = (2*1.5 + 2*0)/4 = 0.75
+    val scored = Seq(
+      (0L, -1000000L, 0L), (0L, -1000000L, 1L),
+      (0L, 1000000L, 1L), (0L, 1000000L, 1L))
+      .toDF("class", "s_grid", "pos")
+    val Array(r) = MlEval.eceFromScored(scored).collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((0L, 2L, 4L, 0.75)), r.toSeq)
+    // a perfectly-calibrated table reads 0 in every mass assignment
+    val perfect = Seq(
+      (1L, 500000L, 1L), (1L, 500000L, 0L),   // bin 7, pos_rate 0.5...
+      (1L, 500000L, 1L), (1L, 500000L, 0L))
+      .toDF("class", "s_grid", "pos")
+    // pos_rate 0.5 vs mean_score 0.5: diff exactly 0 on the grid
+    val Array(p) = MlEval.eceFromScored(perfect).collect()
+    assert(p.getDouble(3) == 0.0, p.toSeq)
+    // consistency on the real corpus: ECE per label lies in [0, 2] and
+    // bins/masses agree with the calibration table
+    val cal = MlEval.calibration(t.embeddings).collect()
+      .groupBy(_.getLong(0))
+    val ece = MlEval.eceFromScored(MlEval.scoredOneVsRest(t.embeddings))
+      .collect()
+    assert(ece.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 2.0))
+    ece.foreach { r =>
+      val bins = cal(r.getLong(0))
+      assert(r.getLong(1) == bins.length.toLong, "bin count mismatch")
+      assert(r.getLong(2) == bins.map(_.getAs[Long]("n")).sum, "mass")
+    }
+  }
+
   test("pr curve: monotone recall, cross-checked against the scored table") {
     val scored = MlEval.scoredOneVsRest(t.embeddings)
       .select($"class", $"s_grid", $"pos").as[(Long, Long, Long)]

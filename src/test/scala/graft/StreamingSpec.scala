@@ -661,6 +661,9 @@ class StreamingSpec extends SparkSuite {
     assert(MlEval.prCurveFromCells(cellsDf).collect().map(_.toSeq).toSeq ==
       MlEval.prCurve(emb).collect().map(_.toSeq).toSeq,
       "served PR curve != batch")
+    assert(MlEval.eceFromCells(cellsDf).collect().map(_.toSeq).toSeq ==
+      MlEval.eceFromScored(MlEval.scoredOneVsRest(emb))
+        .collect().map(_.toSeq).toSeq, "served ECE != batch")
     // bounded state: never more cells than the grid x class domain
     assert(cells.size <= 2000001L * 10)
     // provider-invisible: RocksDB folds to the exact same cells
