@@ -90,7 +90,8 @@ object Bench {
     (Seq("q1_agg", "text_tokens") ++
       Seq("q_ivf_persisted", "q_ivf_bucketed", "q_pq_persisted",
           "q_bm25_persisted", "q_hybrid_rrf", "q_bucketed_join",
-          "q_partition_prune", "q_retrieval_eval")
+          "q_partition_prune", "q_retrieval_eval",
+          "q_cdc_bucketed", "q_snapshot_diff_bucketed")
         .filter(selected.contains))
       .foreach(n =>
         SparkEntry.queries.get(n).foreach(f => f(spark, sfDir).count()))

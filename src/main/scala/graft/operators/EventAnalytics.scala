@@ -853,6 +853,14 @@ object EventAnalytics {
       .select(explode(col("ts")).as("event_type"))
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val total = sets.agg(count(lit(1)).as("n_users"))
+    cooccurrenceFromCells(pairs, singles, total)
+  }
+
+  /** [[cooccurrence]] finished from its three bounded cell tables —
+    * batch/stream-shared ([[graft.streaming.CooccurStream]] holds the
+    * same cells as streaming aggregations over set-growth marks). */
+  private[graft] def cooccurrenceFromCells(pairs: DataFrame,
+      singles: DataFrame, total: DataFrame): DataFrame =
     pairs
       .join(broadcast(singles.select(col("event_type").as("a"),
         col("n").as("n_a"))), Seq("a"))
@@ -867,5 +875,4 @@ object EventAnalytics {
         expr("cast(n_both as decimal(38,0)) * 1000000" +
           " div (n_a + n_b - n_both)").cast("double") / 1e6 as "jaccard")
       .transform(graft.Determinism.sorted(_)(col("type_a"), col("type_b")))
-  }
 }

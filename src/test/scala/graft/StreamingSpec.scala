@@ -783,6 +783,44 @@ class StreamingSpec extends SparkSuite {
     assert(rocks == cells, "providers disagree on the histogram")
   }
 
+  test("streaming co-occurrence marks serve the batch matrix, heap + RocksDB") {
+    import spark.implicits._
+    def run(name: String): Map[(String, String, String), Long] = {
+      val evs = streamEvents.select($"user_id", $"event_type")
+        .as[CooccurStream.TEv]
+      val q = CooccurStream.cells(CooccurStream.marks(evs))
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        if (name.endsWith("rocks"))
+          assert(StateBackend.usesRocksDB(q), "provider switch not engaged")
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+            r.getLong(3))
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      } finally q.stop()
+    }
+    val cells = run("cooccur_out_heap")
+    // bounded state: ≤ 1 + |types| + |types|² cells (5 event types)
+    assert(cells.size <= 31, s"${cells.size} cells")
+    // no ordering contract needed — sets are order-free: whichever of
+    // two types arrives first, the same sorted pair is emitted once
+    val pairs = cells.collect { case (("pair", a, b), n) => (a, b, n) }
+      .toSeq.toDF("a", "b", "n_both")
+    val singles = cells.collect { case (("single", a, _), n) => (a, n) }
+      .toSeq.toDF("event_type", "n")
+    val total = cells.collect { case (("user", _, _), n) => Tuple1(n) }
+      .toSeq.toDF("n_users")
+    assert(operators.EventAnalytics
+      .cooccurrenceFromCells(pairs, singles, total)
+      .collect().map(_.toSeq).toSeq ==
+      operators.EventAnalytics.cooccurrence(t.events)
+        .collect().map(_.toSeq).toSeq, "served co-occurrence != batch")
+    val rocks = StateBackend.withRocksDB(spark) { run("cooccur_out_rocks") }
+    assert(rocks == cells, "providers disagree on the cells")
+  }
+
   test("streaming dim-profile cells equal the batch fold, heap and RocksDB") {
     import spark.implicits._
     val emb = t.embeddings
