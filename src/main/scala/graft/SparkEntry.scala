@@ -291,6 +291,10 @@ object SparkEntry {
     // 30-min threshold): one user-keyed lag window, minute buckets with
     // overflow cap, shares + cumulative share over the bounded domain
     "q_gap_stats" -> q(t => EventAnalytics.gapStats(t.events)),
+    // the threshold DECISION table next to that evidence: session count
+    // + mean length per candidate gap cut, every point one conditional
+    // sum over the same single lag pass (the sweep-family discipline)
+    "q_session_gap_sweep" -> q(t => EventAnalytics.sessionGapSweep(t.events)),
     // robust median/MAD outlier gate (heavy-tail-proof twin of
     // q_anomaly): one corpus histogram pass, every other step a fold
     // over bounded cells; lower-median integer rule both engines
@@ -3008,6 +3012,28 @@ $rounds
         |FROM tot t JOIN med USING (event_type) JOIN mad USING (event_type)
         | LEFT JOIN outl USING (event_type)
         |ORDER BY event_type""".stripMargin,
+    // q_session_gap_sweep: the same lag pass; NULL deltas count users,
+    // n_sessions(T) = n_users + strict-exceed count, 4-point UNION,
+    // mean events/session one HUGEINT DIV
+    "q_session_gap_sweep" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(epoch_ns(ts)//1000000000 AS BIGINT) AS sec FROM events),
+        | d AS (SELECT sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) AS delta FROM ev),
+        | a AS (SELECT COUNT(*) AS n_events,
+        |    SUM(CASE WHEN delta IS NULL THEN 1 ELSE 0 END) AS n_users,
+        |    SUM(CASE WHEN delta > 300 THEN 1 ELSE 0 END) AS x5,
+        |    SUM(CASE WHEN delta > 900 THEN 1 ELSE 0 END) AS x15,
+        |    SUM(CASE WHEN delta > 1800 THEN 1 ELSE 0 END) AS x30,
+        |    SUM(CASE WHEN delta > 3600 THEN 1 ELSE 0 END) AS x60
+        |   FROM d),
+        | r AS (SELECT 5 AS gap_minutes, n_users + x5 AS n_sessions, n_events FROM a
+        |   UNION ALL SELECT 15, n_users + x15, n_events FROM a
+        |   UNION ALL SELECT 30, n_users + x30, n_events FROM a
+        |   UNION ALL SELECT 60, n_users + x60, n_events FROM a)
+        |SELECT CAST(gap_minutes AS BIGINT) AS gap_minutes,
+        | CAST(n_sessions AS BIGINT) AS n_sessions,
+        | CAST(CAST(n_events AS HUGEINT) * 1000000 // n_sessions AS DOUBLE) / 1e6 AS mean_events
+        |FROM r ORDER BY gap_minutes""".stripMargin,
     // q_event_cooccur: DISTINCT (user, type) replay — the self-join on
     // user with a < b counts exactly the per-user unordered pairs the
     // set-collapse emits; lift and Jaccard are HUGEINT DIVs

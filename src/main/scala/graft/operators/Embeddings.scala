@@ -242,18 +242,29 @@ object Embeddings {
     * are exact DECIMAL sums, E[cos] is one offset integer DIV on the
     * 1e-12 (grid²) lattice. Zero-norm vectors are excluded (they have
     * no direction). Requires ≥ 2 surviving vectors. */
-  def anisotropy(embeddings: DataFrame): DataFrame = {
-    val off = 2000000000000L // 2e12 grid² units = cos 2.0: safe |E[cos]| bound
+  def anisotropy(embeddings: DataFrame): DataFrame =
+    anisotropyFromCells(anisotropyCells(embeddings))
+
+  /** The per-dimension resultant/self-mass cells behind [[anisotropy]] —
+    * batch/stream-shared (d bounded cells of long/DECIMAL sums;
+    * [[graft.streaming.AnisotropyStream]] is this over `readStream`,
+    * served through [[anisotropyFromCells]]). */
+  private[graft] def anisotropyCells(embeddings: DataFrame): DataFrame = {
     val unit = embeddings
       .select(col("embedding"), l2_norm(col("embedding")).as("nrm"))
       .filter(col("nrm") > 0)
       .select(transform(col("embedding"),
         e => floor(e.cast("double") / col("nrm") * 1e6).cast("long")).as("ug"))
-    val cells = unit
+    unit
       .select(posexplode(col("ug")))
       .groupBy(col("pos"))
       .agg(count(lit(1)).as("cnt"), sum(col("col")).as("sd"),
         sum(expr("cast(col as decimal(38,0)) * col")).as("self_d"))
+  }
+
+  /** [[anisotropy]] finished from cells — exact DECIMAL + offset DIV. */
+  private[graft] def anisotropyFromCells(cells: DataFrame): DataFrame = {
+    val off = 2000000000000L // 2e12 grid² units = cos 2.0: safe |E[cos]| bound
     cells
       .agg(max(col("cnt")).as("n"),
         sum(expr("cast(sd as decimal(38,0)) * sd")).as("sum_sq"),

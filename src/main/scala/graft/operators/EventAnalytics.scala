@@ -824,6 +824,44 @@ object EventAnalytics {
       .transform(graft.Determinism.sorted(_)(col("event_type")))
   }
 
+  /** The session-gap THRESHOLD sweep: session count and mean session
+    * length for gap ∈ {5, 15, 30, 60} minutes — the tuning table the
+    * 30-minute sessionizer threshold is chosen from ([[gapStats]] shows
+    * the raw inter-event gap distribution; this shows what each
+    * candidate cut DOES to the session model — the `q_recall_sweep` /
+    * `dedup_lsh_sweep` operating-curve discipline on the session axis).
+    *
+    * Exactly [[Sessionize.sessions]]' boundary rule per point: a new
+    * session starts when the gap strictly exceeds the threshold, so
+    * n_sessions(T) = n_users + |{deltas > T·60}| — and every sweep
+    * point folds from ONE user-keyed window pass (the same lag pass as
+    * [[gapBuckets]]; a NULL delta marks each user's first event, so the
+    * user count rides the same aggregate). No histogram needed: the
+    * thresholds are compile-time constants, so each point is one
+    * conditional sum. Mean events/session is one DECIMAL DIV. */
+  def sessionGapSweep(events: DataFrame,
+                      minuteCuts: Seq[Int] = Seq(5, 15, 30, 60)): DataFrame = {
+    require(minuteCuts.nonEmpty, "empty sweep")
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    val deltas = events
+      .select(col("user_id"), col("event_id"), col("ts").cast("long").as("sec"))
+      .withColumn("delta", col("sec") - lag(col("sec"), 1).over(byUser))
+    val aggs = Seq(count(lit(1)).as("n_events"),
+      sum(when(col("delta").isNull, 1L).otherwise(0L)).as("n_users")) ++
+      minuteCuts.map(t =>
+        sum(when(col("delta") > t * 60L, 1L).otherwise(0L)).as(s"x$t"))
+    val stackArgs = minuteCuts
+      .map(t => s"${t}L, n_users + x$t").mkString(", ")
+    deltas.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${minuteCuts.length}, $stackArgs)" +
+        " as (gap_minutes, n_sessions)"), col("n_events"))
+      .select(col("gap_minutes"), col("n_sessions"),
+        expr("cast(n_events as decimal(38,0)) * 1000000 div n_sessions")
+          .cast("double") / 1e6 as "mean_events")
+      .transform(graft.Determinism.sorted(_)(col("gap_minutes")))
+  }
+
   /** Event-type CO-OCCURRENCE matrix: for every unordered type pair, how
     * many users did BOTH, with lift (observed / independence-expected
     * co-users) and audience Jaccard — the set-based companion to

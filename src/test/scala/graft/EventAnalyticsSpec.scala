@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.EventAnalytics
+import graft.operators.{EventAnalytics, Sessionize}
 import graft.sources.Tables
 
 /** Pins the subtle window/join semantics of the event-analytics family:
@@ -466,6 +466,38 @@ class EventAnalyticsSpec extends SparkSuite {
         r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))))
       .toMap
     assert(got("buy") == ((40L, 2.5, 2.5, 2.5, 1.0, 4.0)), got("buy"))
+  }
+
+  test("sessionGapSweep: each cut replays the sessionizer's boundary rule") {
+    // user 1: gaps of 10 and 45 min; user 2: one event.
+    // T=5  -> both gaps split: 3 + 1 sessions
+    // T=15 -> only the 45-min gap splits: 2 + 1
+    // T=30 -> same (45 > 30): 2 + 1
+    // T=60 -> nothing splits: 1 + 1
+    val ev = events(
+      (1L, "view", "2024-01-01 10:00:00", 1L, 0.0),
+      (1L, "view", "2024-01-01 10:10:00", 2L, 0.0),
+      (1L, "view", "2024-01-01 10:55:00", 3L, 0.0),
+      (2L, "view", "2024-01-01 10:00:00", 4L, 0.0))
+    val got = EventAnalytics.sessionGapSweep(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(5L) == ((4L, 1.0)), got(5L))
+    assert(got(15L) == ((3L, 1.333333)), got(15L))
+    assert(got(30L) == ((3L, 1.333333)), got(30L))
+    assert(got(60L) == ((2L, 2.0)), got(60L))
+    // the T=30 point IS the sessionizer: session counts must agree
+    val sessions = Sessionize.sessions(ev).count()
+    assert(got(30L)._1 == sessions, s"sweep ${got(30L)._1} vs $sessions")
+  }
+
+  test("sessionGapSweep: the 30-minute point equals q_sessionize at SF") {
+    val ev = Tables(spark, sfDir).events
+    val got = EventAnalytics.sessionGapSweep(ev).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(30L) == Sessionize.sessions(ev).count())
+    // monotone: a larger gap threshold never creates more sessions
+    val cuts = Seq(5L, 15L, 30L, 60L).map(got)
+    assert(cuts.zip(cuts.tail).forall { case (a, b) => a >= b }, cuts)
   }
 
   test("cooccurrence: distinct sets, exact lift and audience jaccard") {

@@ -873,6 +873,54 @@ class StreamingSpec extends SparkSuite {
     assert(rocks == cells, "providers disagree on the cells")
   }
 
+  test("streaming anisotropy cells equal the batch fold, heap and RocksDB") {
+    import spark.implicits._
+    val emb = t.embeddings
+    val cut = emb.agg(max($"vec_id")).head().getLong(0) / 2
+    val dir = Files.createTempDirectory("graft-anisotropy-stream").toString
+    emb.filter($"vec_id" <= cut).coalesce(1).write.parquet(s"$dir/chunk=a")
+    Thread.sleep(1100)
+    emb.filter($"vec_id" > cut).coalesce(1).write.parquet(s"$dir/chunk=b")
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    def run(name: String): Map[Int, (Long, Long, java.math.BigDecimal)] = {
+      val stream = spark.readStream.schema(embSchema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
+      val q = AnisotropyStream.cells(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        q.processAllAvailable()
+        if (name.endsWith("rocks"))
+          assert(StateBackend.usesRocksDB(q), "provider switch not engaged")
+        // cnt is the monotone cursor (sd is signed — max-of-emitted
+        // would be wrong); the max-cnt row per dim is the final state
+        spark.table(name).collect()
+          .map(r => r.getInt(0) ->
+            ((r.getLong(1), r.getLong(2), r.getDecimal(3))))
+          .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
+      } finally q.stop()
+    }
+    val cells = run("anisotropy_out_heap")
+    val batchCells = operators.Embeddings.anisotropyCells(emb).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+    assert(cells == batchCells, "stream cells diverged from batch")
+    assert(cells.size <= 64, s"${cells.size} cells")
+    // serve E[cos] FROM the store through the shared fold
+    val cellsDf = cells.toSeq.map { case (p, (cnt, sd, self)) =>
+      (p, cnt, sd, BigDecimal(self)) }
+      .toDF("pos", "cnt", "sd", "self_d")
+      .withColumn("self_d", $"self_d".cast("decimal(38,0)"))
+    assert(operators.Embeddings.anisotropyFromCells(cellsDf)
+      .collect().map(_.toSeq).toSeq ==
+      operators.Embeddings.anisotropy(emb).collect().map(_.toSeq).toSeq,
+      "served anisotropy != batch")
+    val rocks = StateBackend.withRocksDB(spark) { run("anisotropy_out_rocks") }
+    assert(rocks == cells, "providers disagree on the cells")
+  }
+
   test("streamed BM25 against the frozen index equals batch retrieval") {
     import spark.implicits._
     // freeze the index once, then stream the query set in two
