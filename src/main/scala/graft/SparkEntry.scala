@@ -1283,6 +1283,10 @@ object SparkEntry {
     // hashed-assignment A/B experiment readout: per-arm conversion plus
     // the pooled two-proportion z, one user-keyed shuffle
     "q_ab_test" -> q(t => MlEval.abTest(t.events)),
+    // the power question BEFORE reading z: minimum detectable effect at
+    // 80% power / 5% alpha for the current arms, and whether the
+    // observed lift clears it — same one-pass arm totals as q_ab_test
+    "q_ab_power" -> q(t => MlEval.abPower(t.events)),
     // pairwise two-sample KS drift test between sources' doc-length
     // distributions (binning-free companion to q_source_kl)
     "q_ks_test" -> q(t => MlEval.ksTest(t.documents)),
@@ -5212,6 +5216,38 @@ $rounds
          |     (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) * 1e6) / 1e6
          | END AS z
          |FROM p""".stripMargin,
+    // q_ab_power: same arm-totals replay; MDE with the z-sum as ONE
+    // literal (2.801585 — summing the two z literals could differ in
+    // the last ulp between engines), floored 1e-6, powered via the grid
+    // rates (NULL-MDE degenerate pools coalesce to false)
+    "q_ab_power" ->
+      s"""WITH pu AS (SELECT user_id,
+         |    MAX(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS conv
+         |   FROM events GROUP BY 1),
+         | v AS (SELECT ((${Oracles.signed(Oracles.fnvChars("CAST(user_id AS VARCHAR)"))} % 2) + 2) % 2 AS variant,
+         |    conv FROM pu),
+         | agg AS (SELECT variant, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS c
+         |   FROM v GROUP BY 1),
+         | s AS (SELECT
+         |   CAST(SUM(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a,
+         |   CAST(SUM(CASE WHEN variant = 0 THEN c END) AS BIGINT) AS conv_a,
+         |   CAST(SUM(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b,
+         |   CAST(SUM(CASE WHEN variant = 1 THEN c END) AS BIGINT) AS conv_b
+         |  FROM agg),
+         | p AS (SELECT *,
+         |   CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS pp
+         |  FROM s),
+         | m AS (SELECT *,
+         |   CAST((CAST(conv_a AS HUGEINT) * 1000000) // n_a AS DOUBLE) / 1e6 AS rate_a,
+         |   CAST((CAST(conv_b AS HUGEINT) * 1000000) // n_b AS DOUBLE) / 1e6 AS rate_b,
+         |   CASE WHEN pp > 0 AND pp < 1 THEN
+         |     floor(2.801585 * sqrt(pp * (1.0 - pp) *
+         |       (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))) * 1e6) / 1e6
+         |   END AS mde_abs
+         |  FROM p)
+         |SELECT n_a, conv_a, n_b, conv_b, rate_a, rate_b, mde_abs,
+         | COALESCE(abs(rate_b - rate_a) > mde_abs, FALSE) AS powered
+         |FROM m""".stripMargin,
     // q_ks_test: two-sample KS over (source, length) histograms,
     // division-free cross-multiplied gap, one DIV at the end
     "q_ks_test" ->

@@ -228,7 +228,22 @@ object MlEval {
     * fold; z composes only integer-valued doubles, IEEE division and
     * sqrt, so its 1e-6 floor is engine-stable. Degenerate pools (0% or
     * 100%) report NULL z. */
-  def abTest(events: DataFrame, minValue: Double = 150.0): DataFrame = {
+  def abTest(events: DataFrame, minValue: Double = 150.0): DataFrame =
+    armTotals(events, minValue)
+      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+        // decimal(38,0) like aucFromScored: conv * 1e6 past ~9.2e12
+        // users would silently wrap Long in non-ANSI Spark while the
+        // oracle's HUGEINT path widens — same arithmetic both engines
+        expr("cast(conv_a as decimal(38,0)) * 1000000 div n_a")
+          .cast("double") / 1e6 as "rate_a",
+        expr("cast(conv_b as decimal(38,0)) * 1000000 div n_b")
+          .cast("double") / 1e6 as "rate_b",
+        floor(zScore * 1e6) / 1e6 as "z")
+
+  /** The one-row `(n_a, conv_a, n_b, conv_b)` arm-totals table behind
+    * [[abTest]] and [[abPower]] — one user-keyed conversion collapse,
+    * FNV-hashed 50/50 assignment, 2-row → 1-row fold. */
+  private def armTotals(events: DataFrame, minValue: Double): DataFrame = {
     val perUser = events
       .groupBy(col("user_id"))
       .agg(max((col("event_type") === "purchase" &&
@@ -241,15 +256,40 @@ object MlEval {
         sum(when(col("variant") === 0, col("c"))).as("conv_a"),
         sum(when(col("variant") === 1, col("n"))).as("n_b"),
         sum(when(col("variant") === 1, col("c"))).as("conv_b"))
-      .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
-        // decimal(38,0) like aucFromScored: conv * 1e6 past ~9.2e12
-        // users would silently wrap Long in non-ANSI Spark while the
-        // oracle's HUGEINT path widens — same arithmetic both engines
+  }
+
+  /** Experiment POWER readout next to [[abTest]]'s significance test:
+    * the minimum detectable effect (absolute rate difference) at 80%
+    * power / two-sided α = 0.05 for the experiment's CURRENT sample
+    * sizes and pooled rate — MDE = (z₀.₉₇₅ + z₀.₈)·√(p̂(1−p̂)(1/n_a +
+    * 1/n_b)) with the z-sum as ONE literal (2.801585; summing two
+    * literals could differ in the last ulp between engines) — plus
+    * whether the observed difference clears it. The question a team
+    * asks BEFORE reading z: "could this experiment even see the effect
+    * size we care about?"
+    *
+    * Same one-pass arm-totals table as [[abTest]]; MDE composes only
+    * integer-valued doubles, IEEE division and sqrt, floored at 1e-6 —
+    * the z-score discipline. Degenerate pools (0% / 100%) report NULL
+    * MDE and powered = false. */
+  def abPower(events: DataFrame, minValue: Double = 150.0): DataFrame = {
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val mde = when(pp > 0 && pp < 1,
+      floor(lit(2.801585) * sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n_a").cast("double") +
+          lit(1.0) / col("n_b").cast("double"))) * 1e6) / 1e6)
+    armTotals(events, minValue)
+      .withColumn("rate_a",
         expr("cast(conv_a as decimal(38,0)) * 1000000 div n_a")
-          .cast("double") / 1e6 as "rate_a",
+          .cast("double") / 1e6)
+      .withColumn("rate_b",
         expr("cast(conv_b as decimal(38,0)) * 1000000 div n_b")
-          .cast("double") / 1e6 as "rate_b",
-        floor(zScore * 1e6) / 1e6 as "z")
+          .cast("double") / 1e6)
+      .withColumn("mde_abs", mde)
+      .withColumn("powered",
+        coalesce(abs(col("rate_b") - col("rate_a")) > col("mde_abs"),
+          lit(false)))
   }
 
   /** The two-proportion z composed exactly as the oracle writes it —

@@ -169,6 +169,23 @@ class MlEvalSpec extends SparkSuite {
 
   // -- KS test ----------------------------------------------------------
 
+  test("ab power: MDE matches a direct computation, powers consistently") {
+    val Array(r) = MlEval.abPower(t.events).collect()
+    val (na, ca) = (r.getLong(0), r.getLong(1))
+    val (nb, cb) = (r.getLong(2), r.getLong(3))
+    val pp = (ca + cb).toDouble / (na + nb).toDouble
+    val want = math.floor(2.801585 * math.sqrt(pp * (1.0 - pp) *
+      (1.0 / na + 1.0 / nb)) * 1e6) / 1e6
+    assert(r.getDouble(6) == want, s"mde ${r.getDouble(6)} vs $want")
+    assert(r.getBoolean(7) ==
+      (math.abs(r.getDouble(5) - r.getDouble(4)) > r.getDouble(6)))
+    // halving the sample raises the detectable floor
+    val Array(half) = MlEval.abPower(
+      t.events.filter($"user_id" % 2 === 0)).collect()
+    assert(half.getDouble(6) > r.getDouble(6),
+      s"${half.getDouble(6)} vs ${r.getDouble(6)}")
+  }
+
   test("ks statistic matches a driver-side ECDF computation") {
     val docs = t.documents.select($"source", $"n_chars")
       .as[(String, Long)].collect().toSeq
