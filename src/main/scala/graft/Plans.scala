@@ -56,7 +56,7 @@ object Plans {
     "q_revenue_concentration", "q_robust_stats", "q_emb_dim_profile",
     "q_emb_anisotropy", "q_event_cooccur", "mm_byte_profile",
     "q_knn_filtered", "q_ivf_filtered", "q_ivf_filtered_recall", "q_ece",
-    "q_session_gap_sweep", "q_ab_power")
+    "q_session_gap_sweep", "q_ab_power", "q_rrf_sweep")
 
   /** Hand-audited runtime observations rendered under a query's header —
     * facts the static sf0.01 explain below cannot show (AQE decisions are

@@ -904,6 +904,21 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
       Search.rrfFuse(bm, kn)
     }),
+    // the RRF k sweep over the SAME two frozen rankings: consensus
+    // share + per-source overlap for k in {10,60,240} — the fusion
+    // operating curve (ranks computed once, barriered; each point a
+    // bounded fuse + fold; the sweep-family discipline)
+    "q_rrf_sweep" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val bm = Bm25.topKFrom(frozenBm25(s, dir), bm25Terms(s), topK = 20)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      val kn = Search.bruteForceTopK(
+        t.embeddings.filter(col("vec_id") < 3)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        t.embeddings, k = 20)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      Search.rrfSweep(bm, kn)
+    }),
     // graded ranking-quality eval: MRR@10 / NDCG@10 of BM25 vs dense vs
     // RRF hybrid on ONE more-like-this query set (leave-one-out),
     // graded token-overlap relevance tiers (integer cross-multiplied,
@@ -3757,6 +3772,46 @@ $rounds
          |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS BIGINT) AS rank, doc_id,
          | CAST(sdec AS DOUBLE) AS rrf_score, n_lists
          |FROM rk2 WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+    // q_rrf_sweep: the same two rankings fused at k in {10,60,240};
+    // per point the fused top-10's consensus share and per-source
+    // overlap — same floor-1e-9 DECIMAL(18,9) contribution grid as
+    // q_hybrid_rrf, shares as HUGEINT DIVs
+    "q_rrf_sweep" ->
+      (s"""WITH bm AS (${bm25RankSql(20)}),
+         | q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+         | c AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+         | sims AS (SELECT query_id, vec_id, list_cosine_similarity(qv, ev) AS sim FROM q CROSS JOIN c),
+         | kn AS (SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims),
+         | u AS (SELECT query_id, doc_id, rank FROM bm
+         |   UNION ALL SELECT query_id, vec_id AS doc_id, CAST(rn AS BIGINT) AS rank FROM kn WHERE rn <= 20),
+         | a10 AS (SELECT query_id, doc_id FROM bm WHERE rank <= 10),
+         | b10 AS (SELECT query_id, vec_id AS doc_id FROM kn WHERE rn <= 10),""".stripMargin +
+        Seq(10, 60, 240).map { k =>
+          s"""
+             | f$k AS (SELECT query_id, doc_id,
+             |    SUM(CAST(floor(1.0/($k.0 + CAST(rank AS DOUBLE))*1e9)/1e9 AS DECIMAL(18,9))) AS sdec,
+             |    COUNT(*) AS n_lists FROM u GROUP BY 1, 2),
+             | t$k AS (SELECT query_id, doc_id, n_lists FROM (
+             |   SELECT query_id, doc_id, n_lists,
+             |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sdec DESC, doc_id) AS rn
+             |   FROM f$k) WHERE rn <= 10),
+             | s$k AS (SELECT $k AS rrf_k,
+             |    COUNT(DISTINCT t.query_id) AS n_queries, COUNT(*) AS n_fused,
+             |    SUM(CASE WHEN t.n_lists = 2 THEN 1 ELSE 0 END) AS consensus,
+             |    SUM(CASE WHEN a.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hit_a,
+             |    SUM(CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS hit_b
+             |   FROM t$k t
+             |   LEFT JOIN a10 a ON t.query_id = a.query_id AND t.doc_id = a.doc_id
+             |   LEFT JOIN b10 b ON t.query_id = b.query_id AND t.doc_id = b.doc_id),""".stripMargin
+        }.mkString +
+        s"""
+           | allk AS (SELECT * FROM s10 UNION ALL SELECT * FROM s60 UNION ALL SELECT * FROM s240)
+           |SELECT CAST(rrf_k AS BIGINT) AS rrf_k,
+           | CAST(n_queries AS BIGINT) AS n_queries, CAST(n_fused AS BIGINT) AS n_fused,
+           | CAST(CAST(consensus AS HUGEINT) * 1000000 // n_fused AS DOUBLE) / 1e6 AS consensus_share,
+           | CAST(CAST(hit_a AS HUGEINT) * 1000000 // n_fused AS DOUBLE) / 1e6 AS overlap_lexical,
+           | CAST(CAST(hit_b AS HUGEINT) * 1000000 // n_fused AS DOUBLE) / 1e6 AS overlap_vector
+           |FROM allk ORDER BY rrf_k""".stripMargin),
     // graded ranking-quality eval: the shared CTE chain ends at the
     // integer-cored pqf table; this row is its per-(system, query)
     // projection onto the 1e-9 grid

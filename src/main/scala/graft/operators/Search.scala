@@ -300,6 +300,62 @@ object Search {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The RRF `k`-constant sweep — the hybrid-fusion operating curve (the
+    * `q_recall_sweep`/`dedup_lsh_sweep` discipline on the fusion axis):
+    * per k ∈ `ks`, how the fused top-`topK` behaves — the consensus
+    * share (fused docs present in BOTH lists; k is exactly the dial
+    * between "follow whichever list ranks a doc high" at low k and
+    * "promote consensus docs" at high k) and the overlap with each
+    * source's own top-`topK`. The table a deployment reads to pick its
+    * k instead of cargo-culting 60.
+    *
+    * Scale shape: the EXPENSIVE work (both rankings) happens once —
+    * the rank tables are barriered and every sweep point re-reads them
+    * (queries × 2·topK rows each); per point one bounded fuse +
+    * flag-join + fold. Shares are exact-integer DECIMAL DIVs; the RRF
+    * contribution rides the same floor-1e-9 DECIMAL(18,9) grid as
+    * [[rrfFuse]]. */
+  def rrfSweep(a: DataFrame, b: DataFrame, ks: Seq[Int] = Seq(10, 60, 240),
+               topK: Int = 10): DataFrame = {
+    require(ks.nonEmpty, "empty sweep")
+    val cols = Seq("query_id", "doc_id", "rank")
+    val aa = Barrier(a.select(cols.map(col): _*))
+    val bb = Barrier(b.select(cols.map(col): _*))
+    val union = aa.unionByName(bb)
+    val aTop = aa.filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("in_a"))
+    val bTop = bb.filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), lit(1L).as("in_b"))
+    val perK = ks.map { k =>
+      val contrib = union.select(col("query_id"), col("doc_id"),
+        (floor(lit(1.0) / (lit(k).cast("double") +
+          col("rank").cast("double")) * 1e9) / 1e9)
+          .cast("decimal(18,9)").as("c"))
+      val fused = contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("c")).as("sdec"), count(lit(1)).as("n_lists"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sdec").desc, col("doc_id"))
+      fused.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= topK)
+        .join(broadcast(aTop), Seq("query_id", "doc_id"), "left")
+        .join(broadcast(bTop), Seq("query_id", "doc_id"), "left")
+        .agg(count(lit(1)).as("n_fused"),
+          countDistinct(col("query_id")).as("n_queries"),
+          sum(when(col("n_lists") === 2, 1L).otherwise(0L)).as("consensus"),
+          sum(coalesce(col("in_a"), lit(0L))).as("hit_a"),
+          sum(coalesce(col("in_b"), lit(0L))).as("hit_b"))
+        .select(lit(k.toLong).as("rrf_k"), col("n_queries"), col("n_fused"),
+          expr("cast(consensus as decimal(38,0)) * 1000000 div n_fused")
+            .cast("double") / 1e6 as "consensus_share",
+          expr("cast(hit_a as decimal(38,0)) * 1000000 div n_fused")
+            .cast("double") / 1e6 as "overlap_lexical",
+          expr("cast(hit_b as decimal(38,0)) * 1000000 div n_fused")
+            .cast("double") / 1e6 as "overlap_vector")
+    }
+    perK.reduce(_.unionByName(_))
+      .transform(graft.Determinism.sorted(_)(col("rrf_k")))
+  }
+
   /** Top-1 with acceptance gate: the reference keeps the best match only if
     * cosine distance < `maxDistance` (qa_service.py:150-168, threshold 0.4).
     * Every query keeps its row; `accepted` carries the gate. */

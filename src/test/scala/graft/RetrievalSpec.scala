@@ -222,6 +222,23 @@ class RetrievalSpec extends SparkSuite {
     assert(rows(12L)._1 == 2L && rows(10L)._1 > 2L)
   }
 
+  test("rrfSweep: k dials single-list winners toward consensus docs") {
+    // doc 200 sits mid-list in BOTH rankings; 100/300 each lead one
+    // list. Low k rewards the leaders (consensus share 0); high k
+    // rewards membership count (200 rises to rank 1)
+    val a = Seq((1L, 100L, 1L), (1L, 200L, 5L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 300L, 1L), (1L, 200L, 6L)).toDF("query_id", "doc_id", "rank")
+    val got = Search.rrfSweep(a, b, ks = Seq(1, 1000), topK = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // k=1: top-2 = {100, 300} (the two leaders; 200's 1/6+1/7 loses)
+    assert(got(1L) == ((1L, 2L, 0.0, 0.5, 0.5)), got(1L))
+    // k=1000: 200 ≈ 2/k beats 1/k leaders; 100 wins the leader tie on
+    // doc_id -> top-2 = {200, 100}: consensus 1/2, lexical overlap 1/2
+    // (100 only; 200 is OUTSIDE a's top-2), vector overlap 0
+    assert(got(1000L) == ((1L, 2L, 0.5, 0.5, 0.0)), got(1000L))
+  }
+
   test("mix budget: weights sum to ~1, oversubscribed sources cap at 1, yields consistent") {
     val plan = Pipeline.mixBudget(t.documents).collect()
     assert(plan.length > 1)
