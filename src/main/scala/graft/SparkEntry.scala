@@ -459,7 +459,7 @@ object SparkEntry {
       t.embeddings, k = 5)),
     // FILTERED exact top-k (the filtered-ANN surface: tenant/language/
     // license scoping): PRE-filter semantics — the predicate cuts the
-    // corpus before ranking and pushes into the scan, so selectivity
+    // corpus at the scan stage, before any ranking work, so selectivity
     // makes the search cheaper, never under-k/post-filter-lossy
     "q_knn_filtered" -> q(t => Search.filteredTopK(
       t.embeddings.filter(col("vec_id") < 5)
@@ -467,8 +467,8 @@ object SparkEntry {
       t.embeddings, col("label") % 2 === 0, k = 5)),
     // the same scoping over the IVF index: index built on the FULL
     // corpus (build-once, filter-many — a new filter never rebuilds),
-    // predicate applied at the candidate scoring join (pushed to the
-    // posting scan); recall-vs-correlated-filter caveat in the scaladoc
+    // predicate applied at the candidate scoring join's scan stage,
+    // before the join moves any row; recall caveat in the scaladoc
     "q_ivf_filtered" -> q(t => IvfIndex.searchFiltered(
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),

@@ -300,9 +300,11 @@ object IvfIndex {
     * license scoping) over the SAME index as the unfiltered searches.
     * The index (centroids + assignments) is built on the FULL corpus —
     * build-once, filter-many: a new filter never triggers a rebuild —
-    * and the predicate cuts the CANDIDATE scoring join, where Catalyst
-    * pushes it into the corpus scan (`PushedFilters` on stored
-    * columns). Pre-filter semantics within the probed cells: the top-k
+    * and the predicate cuts the CANDIDATE scoring join at the corpus
+    * scan stage (plain stored-column predicates reach the parquet
+    * reader as `PushedFilters`; derived ones run in the codegen pass
+    * directly above it — either way before the join moves any row).
+    * Pre-filter semantics within the probed cells: the top-k
     * ranks only eligible candidates, so a selective filter makes the
     * probe cheaper rather than returning filtered-out neighbors.
     *

@@ -52,9 +52,12 @@ object Search {
     * result is exactly the top-k of the eligible subset — never the
     * post-filter trap (rank first, filter second, return < k rows when
     * the filter is selective). The predicate composes into the corpus
-    * scan (Catalyst pushes it to the parquet reader — `PushedFilters`
-    * on stored columns), so a selective filter makes the search
-    * CHEAPER, not recall-lossy. */
+    * scan STAGE: a plain stored-column predicate reaches the parquet
+    * reader as `PushedFilters`; a derived one (the gate row's
+    * `label % 2 = 0`) runs in the whole-stage-codegen pass directly
+    * above the scan (verified in PLANS.md) — either way the corpus is
+    * cut before any ranking work, so a selective filter makes the
+    * search CHEAPER, not recall-lossy. */
   def filteredTopK(queries: DataFrame, corpus: DataFrame, pred: Column,
                    k: Int): DataFrame =
     fusedTopK(queries, corpus.filter(pred), k)
