@@ -62,6 +62,33 @@ object Plans {
     * facts the static sf0.01 explain below cannot show (AQE decisions are
     * runtime-only and scale-dependent). Survives regeneration. */
   val notes: Map[String, String] = Map(
+    "q_emb_dim_profile" ->
+      """Executed at sf0.1 (GRAFT_SHOW_EXECUTED, round 16): BEFORE the
+        |barrier the corpus was scanned+exploded TWICE — the energy-total
+        |side prunes everything but sxx, so its partial aggregate (and
+        |exchange) differed from the main side's and ReuseExchange could
+        |not fire (gapStats/sessionStats/revenueConcentration DO reuse:
+        |their cells are total-width). With the d-row cells barriered the
+        |executed plan reads the checkpointed RDD on both sides — one
+        |corpus scan, results bit-identical. Same fix applied to
+        |q_seasonality.""".stripMargin,
+    "q_event_cooccur" ->
+      """Executed at sf0.1 (round 16): the per-user set table is
+        |barriered, so the final plan's pair/single/total branches all
+        |read the checkpointed RDD — ONE corpus scan (one user-keyed
+        |exchange inside the barrier job). The pair explode fans out of
+        |the materialized sets into a map-side-combined fold onto the
+        |bounded (a, b) domain; both marginal joins broadcast
+        ||types|-row tables.""".stripMargin,
+    "mm_byte_profile" ->
+      """One Generate over the 257-cell hist array per payload (the
+        |codegen'd byte_hist256 tally; the doc-marker cell rides the same
+        |array, so no second scan for doc counts), filtered to nonzero
+        |cells before the map-side-combined (source, code) fold; the
+        |totals join reads the BARRIERED bounded cell table. Entropy
+        |terms are per-cell p·ln p on the 1e-6 probability grid —
+        |bounded magnitude, so the LONG sum cannot overflow at any
+        |corpus size (a count-based n·ln n grid would).""".stripMargin,
     "q_auc" ->
       """Executed at sf1 (GRAFT_SHOW_EXECUTED, round 14, isFinalPlan=true):
         |centroid training collapses to ONE label-keyed
