@@ -345,6 +345,88 @@ class PropertySpec extends SparkSuite {
       .contains(0.5))
   }
 
+  test("robust stats: cell algebra equals a direct sorted-trim replay") {
+    import graft.operators.EventAnalytics
+    val valsGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50.0, 2000.0)))
+    forAll(valsGen, 8) { vs =>
+      val ev = vs.zipWithIndex.map { case (v, i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L),
+          (i % 7).toLong, "x", v) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val Array(r) = EventAnalytics.robustStats(ev).collect()
+      val g = vs.map(v => math.min(math.max(math.floor(v * 1e4).toLong, 0L),
+        10000000L)).sorted
+      val n = g.length; val lo = n * 5 / 100
+      def div(a: BigInt, b: Long): Long = (a / b).toLong
+      val trim = g.slice(lo, n - lo)
+      val want = (
+        div(g.map(BigInt(_)).sum, n) / 1e4,
+        div(trim.map(BigInt(_)).sum, n - 2 * lo) / 1e4,
+        div(trim.map(BigInt(_)).sum + BigInt(lo) * (g(lo) + g(n - lo - 1)),
+          n) / 1e4,
+        g(lo) / 1e4, g(n - lo - 1) / 1e4)
+      val got = (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6))
+      assert(got == want, s"n=$n got=$got want=$want")
+    }
+  }
+
+  test("co-occurrence: lift and jaccard equal brute-force set counting") {
+    import graft.operators.EventAnalytics
+    val evGen = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 6L), Gen.oneOf("a", "b", "c", "d"))))
+    forAll(evGen, 8) { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+          u, t, 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = EventAnalytics.cooccurrence(ev).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getDouble(6), r.getDouble(7)))).toMap
+      val sets = rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val u = sets.size.toLong
+      val singles = sets.values.toSeq.flatten.groupBy(identity)
+        .view.mapValues(_.size.toLong).toMap
+      val pairs = sets.values.toSeq.flatMap(s =>
+        s.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      assert(got.keySet == pairs.keySet, s"${got.keySet} vs ${pairs.keySet}")
+      pairs.foreach { case ((a, b), nb) =>
+        val (na, nbb) = (singles(a), singles(b))
+        val lift = (BigInt(nb) * u * 1000000 / (BigInt(na) * nbb)).toLong / 1e6
+        val jac = (BigInt(nb) * 1000000 / (na + nbb - nb)).toLong / 1e6
+        assert(got((a, b)) == ((nb, na, nbb, u, lift, jac)),
+          s"($a,$b): ${got((a, b))}")
+      }
+    }
+  }
+
+  test("session gap sweep: counts equal per-user sorted-delta counting") {
+    import graft.operators.EventAnalytics
+    val evGen = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 7200L))))
+    forAll(evGen, 8) { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, sec), i) =>
+        (i.toLong, new java.sql.Timestamp((1700000000L + sec) * 1000L),
+          u, "view", 0.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val got = EventAnalytics.sessionGapSweep(ev).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val byUser = rows.zipWithIndex
+        .map { case ((u, sec), i) => (u, 1700000000L + sec, i.toLong) }
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(e => (e._2, e._3)).map(_._2)).toMap
+      val deltas = byUser.values.toSeq.flatMap(secs =>
+        secs.zip(secs.tail).map { case (a, b) => b - a })
+      Seq(5, 15, 30, 60).foreach { t =>
+        val want = byUser.size.toLong + deltas.count(_ > t * 60L)
+        assert(got(t.toLong) == want, s"T=$t: ${got(t.toLong)} vs $want")
+      }
+    }
+  }
+
   test("skipgram pair conservation: 2·Σ_d max(len−d, 0) directed pairs") {
     forAll(tokensGen, 8) { toks =>
       val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
