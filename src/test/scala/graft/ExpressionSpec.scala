@@ -278,6 +278,28 @@ class ExpressionSpec extends SparkSuite {
     } finally operators.Search.uninstallAutoFusion(spark) // shared session
   }
 
+  test("AutoFuseTopK also rewrites the FILTERED declarative KNN") {
+    // a metadata predicate below the cross join is just part of the
+    // corpus child plan — the rule must still fuse, and the fused result
+    // must equal declarative brute force over the pre-filtered corpus
+    val e = sources.Tables(spark, sfDir).embeddings
+    val queries = e.filter($"vec_id" < 6)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val filtered = e.filter($"label" % 2 === 0)
+    val expected = operators.Search.bruteForceTopK(queries, filtered, 4)
+      .collect().toSeq
+    operators.Search.installAutoFusion(spark)
+    try {
+      val rewritten = operators.Search.bruteForceTopK(queries, filtered, 4)
+      val plan = planOf(rewritten)
+      assert(plan.contains("VectorTopKAgg"), plan)
+      assert(rewritten.collect().toSeq == expected)
+      // and it agrees with the explicit filtered entry point
+      assert(operators.Search.filteredTopK(queries, e, $"label" % 2 === 0, 4)
+        .collect().toSeq == expected)
+    } finally operators.Search.uninstallAutoFusion(spark)
+  }
+
   test("fused merge distributes for large query batches and stays exact") {
     // 1000 queries: merge must fan out (never partitions × queries × k
     // tuples through one task); result must still equal the declarative
