@@ -488,6 +488,14 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings)),
+    // filtered retrieval on the 32× code — the sign leg of the
+    // filtered-search matrix: pre-filter semantics (eligible subset's
+    // Hamming top-k, never under-k); the fingerprint is
+    // corpus-independent so no build-once artifact to hold fixed
+    "q_sign_filtered" -> q(t => Search.signFiltered(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, col("label") % 2 === 0)),
     // two-stage sign retrieval: Hamming shortlist exactly re-ranked by
     // true cosine (exact work ∝ queries × shortlist; the q_pq_refine
     // pattern on the 32× code)
@@ -663,6 +671,15 @@ object SparkEntry {
       t.embeddings.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, m = 4, k = 16, topK = 5)),
+    // filtered retrieval on the 16× compressed layout — the PQ leg of
+    // the filtered-search matrix: codebooks from the FULL corpus
+    // (build-once/filter-many, a new filter never retrains the index),
+    // predicate cuts which encoded rows are scored (pre-filter
+    // semantics: exactly the eligible subset's top-k, never under-k)
+    "q_pq_filtered" -> q(t => ProductQuantizer.searchFiltered(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, col("label") % 2 === 0, m = 4, k = 16, topK = 5)),
     // two-stage retrieval with a PAIRWISE reranker: hash-embed cosine
     // shortlist (one corpus scan) → cross-encoder seam (bounded
     // mapPartitions batches; deterministic overlap-F1 stand-in) → final
@@ -695,6 +712,15 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
       t.embeddings, col("label") % 2 === 0,
       nCentroids = 16, nprobe = 4, k = 5)),
+    // the PQ face of the filtered-recall audit: scoped PQ vs scoped
+    // exact — here the loss is pure quantization error (PQ scores every
+    // eligible row, no probe misses), so a low figure says "raise m/k
+    // or refine", never "raise nprobe"; denominator = per-query
+    // exact-result count (min(k, eligible)), the scoped-audit contract
+    "q_pq_filtered_recall" -> q(t => ProductQuantizer.recallAuditFiltered(
+      t.embeddings.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+      t.embeddings, col("label") % 2 === 0, m = 4, k = 16, topK = 5)),
     // the nprobe/recall TRADE: recall@5 + scanned-posting share for
     // nprobe in {1,2,4,8} — the tuning table a deployment reads to pick
     // its operating point (one scoring pass serves all sweep values)
@@ -1833,8 +1859,8 @@ object SparkEntry {
     * ending at `rk` — the full ranking. Shared by the flat-PQ search
     * oracles and the refine oracle, which reads its shortlist from the
     * SAME ranking the search oracle truncates. */
-  private val pqRankCtes: String =
-    """e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+  private def pqRankCtesScoped(corpusScope: String): String =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
       | cb AS (SELECT e.vec_id AS c, r.j, list_slice(ev, j*16+1, j*16+16) AS cw
       |   FROM e, range(4) r(j) WHERE e.vec_id < 16),
       | cbn AS (SELECT c, j, cw, list_inner_product(cw, cw) AS cnorm FROM cb),
@@ -1847,8 +1873,16 @@ object SparkEntry {
       |    SELECT vec_id, j, cw, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dist, c) AS rn FROM d) WHERE rn = 1),
       | rec AS (SELECT vec_id, flatten(list(cw ORDER BY j)) AS rv FROM a GROUP BY 1),
       | q AS (SELECT vec_id AS query_id, ev AS qv FROM e WHERE vec_id < 5),
-      | sims AS (SELECT query_id, rec.vec_id, list_cosine_similarity(qv, rv) AS sim FROM q CROSS JOIN rec),
+      | sims AS (SELECT query_id, rec.vec_id, list_cosine_similarity(qv, rv) AS sim FROM q CROSS JOIN rec$corpusScope),
       | rk AS (SELECT query_id, vec_id, sim, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM sims)""".stripMargin
+
+  private val pqRankCtes: String = pqRankCtesScoped("")
+
+  /** The same ranking with the metadata predicate applied at candidate
+    * scoring — codebooks/encodings CTEs untouched (the engine side's
+    * build-once/filter-many contract, replayed). */
+  private val pqRankFilteredCtes: String = pqRankCtesScoped(
+    " JOIN e el ON rec.vec_id = el.vec_id AND el.label % 2 = 0")
 
   private val oracleSqlPqSearch: String =
     s"""WITH $pqRankCtes
@@ -3565,7 +3599,7 @@ $rounds
         |   SELECT query_id, vec_id,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM scored) WHERE rn <= 5)
         |SELECT x.query_id AS query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
-        | floor(COUNT(a.vec_id) / 5.0 * 1e6) / 1e6 AS recall
+        | floor(COUNT(a.vec_id) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6 AS recall
         |FROM exact x LEFT JOIN approx a ON x.query_id = a.query_id AND x.vec_id = a.vec_id
         |GROUP BY 1 ORDER BY x.query_id""".stripMargin,
     "q_knn_threshold" ->
@@ -3660,6 +3694,19 @@ $rounds
          |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn FROM hd)
          |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, CAST(hamming AS BIGINT) AS hamming
          |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q_sign_filtered: the q_sign_search replay with the label predicate
+    // on the corpus side only (queries stay unfiltered — scoping
+    // restricts what can be RETRIEVED, not who may ask)
+    "q_sign_filtered" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev, label FROM embeddings),
+         | sb AS (SELECT vec_id, label, ${Oracles.signBitsSql("ev")} AS bits FROM e),
+         | qb AS (SELECT vec_id AS query_id, bits AS qbits FROM sb WHERE vec_id < 5),
+         | hd AS (SELECT query_id, s.vec_id, bit_count(xor(s.bits, qbits)) AS hamming
+         |   FROM qb CROSS JOIN sb s WHERE s.label % 2 = 0),
+         | r AS (SELECT query_id, vec_id, hamming,
+         |   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS rn FROM hd)
+         |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, CAST(hamming AS BIGINT) AS hamming
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
     // q_sign_refine: the sign shortlist (rn ≤ 20 on hamming, vec_id
     // ties) exactly re-scored by true cosine, q_knn's ranking contract
     "q_sign_refine" ->
@@ -3746,6 +3793,27 @@ $rounds
     // codebooks (‖s‖² − 2·s·cw + ‖cw‖², ties by code), reconstruction by
     // ordered flatten, ADC cosine ranking — every fold in DOUBLE
     "q_pq_search" -> oracleSqlPqSearch,
+    // q_pq_filtered: the SAME codebook/encode/reconstruct CTE chain
+    // (full-corpus artifact — build-once/filter-many) with the label
+    // predicate joined in at candidate scoring only
+    "q_pq_filtered" ->
+      s"""WITH $pqRankFilteredCtes
+        |SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id, floor(sim*1e6)/1e6 AS score
+        |FROM rk WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q_pq_filtered_recall: scoped PQ ranking vs scoped exact ranking,
+    // denominator = per-query exact-result count (min(k, eligible))
+    "q_pq_filtered_recall" ->
+      s"""WITH $pqRankFilteredCtes,
+        | ef AS (SELECT vec_id, ev FROM e WHERE label % 2 = 0),
+        | exact AS (SELECT query_id, vec_id FROM (
+        |   SELECT query_id, ef.vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY list_cosine_similarity(qv, ev) DESC, ef.vec_id) AS rn
+        |   FROM q CROSS JOIN ef) WHERE rn <= 5),
+        | approx AS (SELECT query_id, vec_id FROM rk WHERE rn <= 5)
+        |SELECT x.query_id AS query_id, CAST(COUNT(a.vec_id) AS BIGINT) AS n_hits,
+        | floor(COUNT(a.vec_id) / CAST(COUNT(*) AS DOUBLE) * 1e6) / 1e6 AS recall
+        |FROM exact x LEFT JOIN approx a ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+        |GROUP BY 1 ORDER BY x.query_id""".stripMargin,
     "q_pq_recall" -> oracleSqlPqRecall,
     // identical semantics (and oracle) served from the persisted codes —
     // the PQ twin of the q_ivf_persisted layout-invariance contract

@@ -417,7 +417,13 @@ object IvfIndex {
     * correlated one (a tenant concentrated in few cells) reads lower —
     * the number that tells a deployment to raise `nprobe` for that
     * filter rather than discover the loss in production. Same
-    * query-sample contract and fold as [[recallAudit]]. */
+    * query-sample contract and fold as [[recallAudit]], EXCEPT the
+    * denominator: per-query exact-result count (`min(k, eligible
+    * rows)`), not fixed `k` — a selective predicate can leave fewer
+    * than k eligible rows, and perfect scoped retrieval of all of
+    * them must read 1.0, not a spurious "raise nprobe" signal.
+    * (A query with ZERO eligible rows has no exact rows to audit and
+    * drops out of the table entirely — in both engines.) */
   def recallAuditFiltered(queries: DataFrame, corpus: DataFrame,
                           pred: Column, nCentroids: Int, nprobe: Int,
                           k: Int): DataFrame = {
@@ -428,7 +434,8 @@ object IvfIndex {
     exact.join(approx, Seq("query_id", "vec_id"), "left")
       .groupBy(col("query_id"))
       .agg(count(col("hit")).as("n_hits"),
-        (floor(count(col("hit")) / lit(k.toDouble) * 1e6) / 1e6).as("recall"))
+        (floor(count(col("hit")) / count(lit(1)).cast("double") * 1e6) / 1e6)
+          .as("recall"))
       .orderBy(col("query_id"))
   }
 

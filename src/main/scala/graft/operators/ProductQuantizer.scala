@@ -105,6 +105,47 @@ object ProductQuantizer {
              topK: Int = 5): DataFrame =
     Search.bruteForceTopK(queries, reconstructed(corpus, m, k), topK)
 
+  /** [[search]] under a metadata predicate — filtered retrieval on the
+    * 16× compressed layout (tenant / language / license scoping), the
+    * PQ leg of the filtered-search matrix. Build-once/filter-many:
+    * the codebooks come from the FULL corpus (a new filter never
+    * retrains the stored index artifact — the `IvfIndex.searchFiltered`
+    * contract), and the predicate cuts which encoded rows are scored.
+    * PRE-filter semantics: exactly the top-k of the eligible subset,
+    * never under-k; a selective filter makes the ADC scan CHEAPER.
+    * Unlike the IVF leg there is no probe-miss recall hazard — PQ
+    * scores every eligible row, so quantization error is the only
+    * loss, measured by [[recallAuditFiltered]]. */
+  def searchFiltered(queries: DataFrame, corpus: DataFrame, pred: Column,
+                     m: Int = 4, k: Int = 16, topK: Int = 5): DataFrame =
+    Search.bruteForceTopK(queries,
+      reconstructedWith(corpus.filter(pred), codebooks(corpus, m, k)), topK)
+
+  /** Recall@topK of [[searchFiltered]] against exact search over the
+    * SAME pre-filtered corpus — the PQ face of
+    * `IvfIndex.recallAuditFiltered`: a low figure here says "raise m/k
+    * or add a refine stage", never "raise nprobe". Denominator = the
+    * per-query exact-result count, i.e. `min(topK, eligible rows)`: a
+    * selective predicate can leave fewer than topK eligible rows, and
+    * perfect retrieval of all of them must read 1.0 (not hits/topK —
+    * the misleading under-k convention this audit family avoids).
+    * Both sides are bounded top-k outputs, so the audit join is
+    * ≤ topK × topK rows per query — trivial at any corpus size. */
+  def recallAuditFiltered(queries: DataFrame, corpus: DataFrame,
+                          pred: Column, m: Int = 4, k: Int = 16,
+                          topK: Int = 5): DataFrame = {
+    val exact = Search.bruteForceTopK(queries, corpus.filter(pred), topK)
+      .select(col("query_id"), col("vec_id"))
+    val approx = searchFiltered(queries, corpus, pred, m, k, topK)
+      .select(col("query_id"), col("vec_id"), lit(1).as("hit"))
+    exact.join(approx, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"),
+        (floor(count(col("hit")) / count(lit(1)).cast("double") * 1e6) / 1e6)
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
   /** Two-stage retrieval: PQ ADC shortlist → EXACT re-rank (the "refine"
     * pattern every compressed-index deployment ends with): the cheap
     * compressed scan nominates `nCandidates` per query, then true cosine

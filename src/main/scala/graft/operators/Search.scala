@@ -167,6 +167,22 @@ object Search {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[signTopK]] under a metadata predicate — filtered retrieval on
+    * the 32× code, completing the filtered-search matrix across the
+    * compression legs (exact = [[filteredTopK]], IVF =
+    * `IvfIndex.searchFiltered`, PQ = `ProductQuantizer.searchFiltered`).
+    * PRE-filter semantics: the predicate cuts the corpus BEFORE
+    * fingerprints are computed, so the result is exactly the
+    * Hamming top-k of the eligible subset (never under-k /
+    * post-filter-lossy) and the XOR+popcount kernel only ever touches
+    * eligible rows — a selective filter makes the scan CHEAPER. The
+    * fingerprint function is corpus-independent (one bit per
+    * dimension, no trained artifact), so unlike the IVF/PQ legs there
+    * is no build-once index to hold fixed under the filter. */
+  def signFiltered(queries: DataFrame, corpus: DataFrame, pred: Column,
+                   k: Int = 5): DataFrame =
+    signTopK(queries, corpus.filter(pred), k)
+
   /** Two-stage sign search — [[signTopK]]'s Hamming shortlist exactly
     * re-ranked by true cosine (the [[ProductQuantizer.searchRefined]]
     * pattern applied to the 32× code): the XOR+popcount scan pays for

@@ -211,6 +211,21 @@ class IvfSpec extends SparkSuite {
     assert(part.map(_._2).sum.toDouble / (10 * 5) >= 0.4)
   }
 
+  test("recallAuditFiltered: under-k eligible set at full probe reads " +
+    "recall 1.0 (denominator = exact-result count, not fixed k)") {
+    // exactly ONE eligible row at sf0.001 (vec 1); probing every
+    // centroid makes the scoped IVF exhaustive over it, so perfect
+    // retrieval must read 1.0 — not 1/k's misleading "raise nprobe"
+    val pred = $"label" % 2 === 0 && $"vec_id" < 3
+    val rows = IvfIndex.recallAuditFiltered(
+      queries.filter($"query_id" < 5), t.embeddings, pred, 16, 16, 5)
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (_, hits, rec) =>
+      assert(hits == 1L && rec == 1.0, s"got ($hits, $rec)")
+    }
+  }
+
   test("IVF recall@5 vs brute force is reasonable at nprobe=4/16") {
     val exact = Search.bruteForceTopK(queries, t.embeddings, 5)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet

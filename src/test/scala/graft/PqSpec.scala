@@ -40,6 +40,65 @@ class PqSpec extends SparkSuite {
       "equal brute force bit for bit")
   }
 
+  test("signFiltered: eligible-only, still k, equals sign search over the " +
+    "pre-filtered corpus") {
+    import graft.operators.Search
+    val queries = t.embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    val pred = $"label" % 2 === 0
+    val got = Search.signFiltered(queries, t.embeddings, pred).collect().toSeq
+    val eligible = t.embeddings.filter(pred).select($"vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(2)).forall(eligible.contains),
+      "a filtered-out row surfaced in the ranking")
+    assert(got.groupBy(_.getLong(0)).values.forall(_.size == 5),
+      "pre-filter semantics must still return k rows")
+    val expect = Search.signTopK(queries, t.embeddings.filter(pred), 5)
+      .collect().toSeq
+    assert(got == expect)
+  }
+
+  test("searchFiltered: codebooks come from the FULL corpus, not the " +
+    "eligible subset (build-once/filter-many)") {
+    // m=4 over dim-4 (one coord per subspace), k=2: FULL-corpus seeds are
+    // vec 0 and 1, so subspace codewords are {v0[j], v1[j]}. Had the
+    // filter leaked into the codebook build, the only eligible seed
+    // (vec 1) would be the sole codeword and every eligible row would
+    // reconstruct identically — ranking (1, 2, 3) by the id tiebreak.
+    // With the full-corpus artifact, vec 2 reconstructs to [2,1,1,1]
+    // (near the query) and must rank FIRST.
+    val corpus = Seq(
+      (0L, 1, Array(2f, 1f, 1f, 1f)), // seed, INELIGIBLE (odd label)
+      (1L, 0, Array(1f, 2f, 2f, 2f)), // seed, eligible
+      (2L, 0, Array(3f, 1f, 1f, 1f)),
+      (3L, 0, Array(1f, 3f, 3f, 3f)))
+      .toDF("vec_id", "label", "embedding")
+    val queries = Seq((2L, Array(3f, 1f, 1f, 1f))).toDF("query_id", "qv")
+    val got = ProductQuantizer.searchFiltered(
+      queries, corpus, $"label" % 2 === 0, m = 4, k = 2, topK = 3)
+      .collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(2L, 1L, 3L), s"got $got — codebook build saw the filter?")
+    // and the eligible-only / still-k contract holds
+    assert(!got.contains(0L))
+  }
+
+  test("recallAuditFiltered: under-k eligible set reads recall 1.0 " +
+    "(denominator = exact-result count, not fixed k)") {
+    val queries = t.embeddings.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+    // exactly ONE eligible row at sf0.001 (vec 1) — and it is a seed
+    // vector, so PQ reconstructs it exactly: perfect scoped retrieval
+    val pred = $"label" % 2 === 0 && $"vec_id" < 3
+    val rows = ProductQuantizer.recallAuditFiltered(
+      queries, t.embeddings, pred, topK = 5).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L, s"n_hits ${r.getLong(1)} != 1")
+      assert(r.getDouble(2) == 1.0,
+        s"perfect under-k retrieval read recall ${r.getDouble(2)}")
+    }
+  }
+
   test("seed vectors reconstruct exactly (their subvectors ARE codewords)") {
     val rec = ProductQuantizer.reconstructed(t.embeddings, m = 4, k = 16)
       .filter($"vec_id" < 16).orderBy($"vec_id")
