@@ -330,13 +330,24 @@ object Multimodal {
     * probability grid, each term floored to the 1e-8 grid LONG (|term|
     * ≤ 0.37e8, 256 cells — the sum can never overflow at ANY corpus
     * size, unlike count-based `n·ln n` terms), cells whose probability
-    * rounds to zero contribute nothing in both engines. */
+    * rounds to zero contribute nothing in both engines.
+    *
+    * NULL payloads coalesce to the empty binary BEFORE the tally: a
+    * NULL would otherwise null the whole histogram, drop the doc-marker
+    * row, and silently exclude the doc from `n_docs` — while a COUNT(*)
+    * oracle counts every row. With the coalesce, a NULL/empty payload
+    * contributes its marker (counted doc) and zero byte cells. Edge
+    * case, identical in both engines: a source whose payloads are ALL
+    * empty has zero byte cells, so it vanishes from the output entirely
+    * (there is no byte distribution to profile — and no 0/0 share). */
   def byteProfile(media: DataFrame): DataFrame = {
     import graft.functions.byte_hist256
     import graft.operators.Barrier.BarrierOps
     val cells = media
       .select(col("source"),
-        posexplode(concat(byte_hist256(col("payload")), array(lit(1L)))))
+        posexplode(concat(
+          byte_hist256(coalesce(col("payload"), lit(Array.emptyByteArray))),
+          array(lit(1L)))))
       .filter(col("col") > 0)
       .select(col("source"), col("pos").cast("long").as("code"),
         col("col").as("cnt"))

@@ -198,7 +198,13 @@ object Embeddings {
         floor(x * 1e6).cast("long").as("xg"),
         floor(x * x * 1e6).cast("long").as("sg"))
       .groupBy(col("dim"))
-      .agg(count(lit(1)).as("n"), sum(col("xg")).as("sx"),
+      // sx rides DECIMAL(38,0) like sxx: a LONG sum of 1e6-grid
+      // coordinates wraps silently (non-ANSI) past ~9.2e12 rows of
+      // near-unit values, while the DECIMAL sum fails loudly — and the
+      // DuckDB oracle's HUGEINT sum already has the loud-overflow
+      // semantics, so the engines agree at every corpus size
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(xg as decimal(38,0))")).as("sx"),
         sum(expr("cast(sg as decimal(38,0))")).as("sxx"),
         min(col("xg")).as("mn"), max(col("xg")).as("mx"))
   }
@@ -258,7 +264,10 @@ object Embeddings {
     unit
       .select(posexplode(col("ug")))
       .groupBy(col("pos"))
-      .agg(count(lit(1)).as("cnt"), sum(col("col")).as("sd"),
+      // sd widened to DECIMAL(38,0) for the same reason as dimCells' sx:
+      // loud overflow instead of a silent LONG wrap at extreme row counts
+      .agg(count(lit(1)).as("cnt"),
+        sum(expr("cast(col as decimal(38,0))")).as("sd"),
         sum(expr("cast(col as decimal(38,0)) * col")).as("self_d"))
   }
 

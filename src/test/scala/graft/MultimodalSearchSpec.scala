@@ -148,6 +148,25 @@ class MultimodalSearchSpec extends SparkSuite {
     assert(entB == 1.0397208, s"entropy $entB")
   }
 
+  test("byteProfile: NULL payload still counts its doc; all-empty source " +
+    "vanishes (no byte distribution to profile)") {
+    val spark0 = spark
+    import spark0.implicits._
+    val media = Seq(
+      ("a", Some("xy")), ("a", None), // NULL payload: counted doc, 0 bytes
+      ("e", None), ("e", Some("")))   // all empty/NULL: no byte cells
+      .toDF("source", "text")
+      .select(col("source"), col("text").cast("binary").as("payload"))
+    val rows = Multimodal.byteProfile(media).collect()
+    // source e has nothing to profile and must not surface (nor 0/0)
+    assert(rows.map(_.getString(0)).toSeq == Seq("a"), rows.toSeq)
+    val Array(r) = rows
+    // n_docs counts the NULL-payload doc (the COUNT(*) contract) ...
+    assert(r.getLong(1) == 2L, s"n_docs ${r.getLong(1)}")
+    // ... while the byte stats see only the real bytes
+    assert(r.getLong(2) == 2L && r.getDouble(3) == 1.0, r.toSeq)
+  }
+
   test("byteProfile: high-bit payload bytes land in the high-bit class") {
     val spark0 = spark
     import spark0.implicits._

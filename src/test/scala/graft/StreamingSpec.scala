@@ -833,7 +833,8 @@ class StreamingSpec extends SparkSuite {
       StructField("label", IntegerType),
       StructField("embedding", ArrayType(FloatType))))
     def run(name: String)
-      : Map[Long, (Long, Long, java.math.BigDecimal, Long, Long)] = {
+      : Map[Long, (Long, java.math.BigDecimal, java.math.BigDecimal,
+                   Long, Long)] = {
       val stream = spark.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
       val q = DimProfileStream.cells(stream)
@@ -848,22 +849,23 @@ class StreamingSpec extends SparkSuite {
         // per dim is the final state (sx is signed — a max over emitted
         // values would be wrong; the count is the monotone cursor)
         spark.table(name).collect()
-          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2),
             r.getDecimal(3), r.getLong(4), r.getLong(5))))
           .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
       } finally q.stop()
     }
     val cells = run("dimprofile_out_heap")
     val batchCells = operators.Embeddings.dimCells(emb).collect()
-      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDecimal(2),
         r.getDecimal(3), r.getLong(4), r.getLong(5)))).toMap
     assert(cells == batchCells, "stream cells diverged from batch")
     // bounded state: never more cells than the dimensionality
     assert(cells.size <= 64, s"${cells.size} cells")
     // serve the profile FROM the store through the shared fold
     val cellsDf = cells.toSeq.map { case (d, (n, sx, sxx, mn, mx)) =>
-      (d, n, sx, BigDecimal(sxx), mn, mx) }
+      (d, n, BigDecimal(sx), BigDecimal(sxx), mn, mx) }
       .toDF("dim", "n", "sx", "sxx", "mn", "mx")
+      .withColumn("sx", $"sx".cast("decimal(38,0)"))
       .withColumn("sxx", $"sxx".cast("decimal(38,0)"))
     assert(operators.Embeddings.dimProfileFromCells(cellsDf)
       .collect().map(_.toSeq).toSeq ==
@@ -884,7 +886,8 @@ class StreamingSpec extends SparkSuite {
     val embSchema = StructType(Seq(StructField("vec_id", LongType),
       StructField("label", IntegerType),
       StructField("embedding", ArrayType(FloatType))))
-    def run(name: String): Map[Int, (Long, Long, java.math.BigDecimal)] = {
+    def run(name: String)
+      : Map[Int, (Long, java.math.BigDecimal, java.math.BigDecimal)] = {
       val stream = spark.readStream.schema(embSchema)
         .option("maxFilesPerTrigger", "1").parquet(s"$dir/chunk=*")
       val q = AnisotropyStream.cells(stream)
@@ -898,20 +901,21 @@ class StreamingSpec extends SparkSuite {
         // would be wrong); the max-cnt row per dim is the final state
         spark.table(name).collect()
           .map(r => r.getInt(0) ->
-            ((r.getLong(1), r.getLong(2), r.getDecimal(3))))
+            ((r.getLong(1), r.getDecimal(2), r.getDecimal(3))))
           .groupBy(_._1).view.mapValues(_.map(_._2).maxBy(_._1)).toMap
       } finally q.stop()
     }
     val cells = run("anisotropy_out_heap")
     val batchCells = operators.Embeddings.anisotropyCells(emb).collect()
       .map(r => r.getInt(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDecimal(3)))).toMap
+        ((r.getLong(1), r.getDecimal(2), r.getDecimal(3)))).toMap
     assert(cells == batchCells, "stream cells diverged from batch")
     assert(cells.size <= 64, s"${cells.size} cells")
     // serve E[cos] FROM the store through the shared fold
     val cellsDf = cells.toSeq.map { case (p, (cnt, sd, self)) =>
-      (p, cnt, sd, BigDecimal(self)) }
+      (p, cnt, BigDecimal(sd), BigDecimal(self)) }
       .toDF("pos", "cnt", "sd", "self_d")
+      .withColumn("sd", $"sd".cast("decimal(38,0)"))
       .withColumn("self_d", $"self_d".cast("decimal(38,0)"))
     assert(operators.Embeddings.anisotropyFromCells(cellsDf)
       .collect().map(_.toSeq).toSeq ==
