@@ -71,9 +71,13 @@ object Bench {
           ()
         }
       })
+    // the bench catalog = the correctness catalog + the bench-only
+    // phase rows (build/serve wall splits of composite headline rows —
+    // no oracle, so they live only here)
+    val catalog = SparkEntry.queries ++ SparkEntry.benchPhases
     val selected =
-      if (args.nonEmpty) SparkEntry.queries.view.filterKeys(args.toSet).toMap
-      else SparkEntry.queries
+      if (args.nonEmpty) catalog.view.filterKeys(args.toSet).toMap
+      else catalog
     // a failed drain degrades metrics attribution, never the bench run:
     // waitUntilEmpty throws after ~10 s if the bus is backlogged, and
     // losing one query's shuffle attribution beats losing the round

@@ -66,7 +66,7 @@ object Bm25 {
     * scoring output is empty either way (no postings match), but a
     * stats consumer gets a well-typed row, not a silent NULL that
     * cross-joins into every score expression. */
-  private def stats(docs: DataFrame): DataFrame =
+  private[graft] def stats(docs: DataFrame): DataFrame =
     docs.select(tokens(preprocess(col("text"))).as("toks"))
       .select(size(col("toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
