@@ -98,44 +98,27 @@ object Sessionize {
   def paths(events: DataFrame, gap: String = "30 MINUTES", maxLen: Int = 8,
             k: Int = 20): DataFrame = {
     require(maxLen >= 1 && k >= 1, "maxLen and k must be ≥ 1")
-    val withIdx = withSessionIdx(
-      events, col("user_id"), col("ts"), col("event_id"), gap)
-    val w = Window.partitionBy(col("user_id"), col("session_idx"))
-      .orderBy(col("ts"), col("event_id"))
-    val per = withIdx
-      .withColumn("rn", row_number().over(w))
-      .groupBy(col("user_id"), col("session_idx"))
-      .agg(count(lit(1)).as("len"),
-        sort_array(collect_list(when(col("rn") <= maxLen,
-          struct(col("rn"), col("event_type"))))).as("evs"))
-      .select(concat(
-        array_join(transform(col("evs"), e => e.getField("event_type")),
-          " > "),
-        when(col("len") > maxLen, lit(" > ...")).otherwise(lit("")))
-        .as("path"))
-    per.groupBy(col("path"))
-      .agg(count(lit(1)).as("n_sessions"))
-      .orderBy(col("n_sessions").desc, col("path"))
-      .limit(k)
+    pathsFromCells(sessionPathCells(events, gap, maxLen, "purchase"), k)
   }
 
-  /** [[paths]] with per-journey CONVERSION: for each top path the share
-    * of its sessions containing a `convType` event — the number a
-    * growth team reads off the sankey (which journeys convert, which
-    * stall). The conversion flag is evaluated over the WHOLE session
-    * (a purchase past the `maxLen` truncation still counts — the path
-    * label is truncated, the outcome is not); the rate is one
-    * integer÷integer IEEE-exact division. Same bounded dataflow as
-    * [[paths]] plus one per-session max. */
-  def pathConversion(events: DataFrame, gap: String = "30 MINUTES",
-                     maxLen: Int = 8, k: Int = 20,
-                     convType: String = "purchase"): DataFrame = {
-    require(maxLen >= 1 && k >= 1, "maxLen and k must be ≥ 1")
+  /** The per-session `(path, conv)` cells behind [[paths]] /
+    * [[pathConversion]] — batch/stream-shared: one row per CLOSED
+    * session carrying its rendered (truncated) path label and whether
+    * any event in the WHOLE session matched `convType`.
+    * [[graft.streaming.PathsStream]] produces the same cells by
+    * emitting each session on close (gap exceeded or event-time
+    * timeout — the SessionStream contract) from a state buffer that is
+    * `maxLen` types by construction, exactly like the when(rn <= maxLen)
+    * collect here. `conv` is computed unconditionally; [[paths]] never
+    * references it, so Catalyst prunes it off that plan entirely. */
+  private[graft] def sessionPathCells(events: DataFrame, gap: String,
+                                      maxLen: Int,
+                                      convType: String): DataFrame = {
     val withIdx = withSessionIdx(
       events, col("user_id"), col("ts"), col("event_id"), gap)
     val w = Window.partitionBy(col("user_id"), col("session_idx"))
       .orderBy(col("ts"), col("event_id"))
-    val per = withIdx
+    withIdx
       .withColumn("rn", row_number().over(w))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(count(lit(1)).as("len"),
@@ -149,13 +132,42 @@ object Sessionize {
         when(col("len") > maxLen, lit(" > ...")).otherwise(lit("")))
         .as("path"),
         col("conv"))
-    per.groupBy(col("path"))
+  }
+
+  /** [[paths]] finished from cells: map-side-combined path counting
+    * (bounded by the type-alphabet^maxLen domain), top-k ranking. */
+  private[graft] def pathsFromCells(cells: DataFrame, k: Int): DataFrame =
+    cells.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+
+  /** [[pathConversion]] finished from cells — same fold plus the
+    * conversion share (one integer÷integer IEEE-exact division). */
+  private[graft] def pathConversionFromCells(cells: DataFrame,
+                                             k: Int): DataFrame =
+    cells.groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converted"))
       .select(col("path"), col("n_sessions"), col("n_converted"),
         (col("n_converted").cast("double") / col("n_sessions").cast("double"))
           .as("conversion"))
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
+
+  /** [[paths]] with per-journey CONVERSION: for each top path the share
+    * of its sessions containing a `convType` event — the number a
+    * growth team reads off the sankey (which journeys convert, which
+    * stall). The conversion flag is evaluated over the WHOLE session
+    * (a purchase past the `maxLen` truncation still counts — the path
+    * label is truncated, the outcome is not); the rate is one
+    * integer÷integer IEEE-exact division. Same bounded dataflow as
+    * [[paths]] plus one per-session max. */
+  def pathConversion(events: DataFrame, gap: String = "30 MINUTES",
+                     maxLen: Int = 8, k: Int = 20,
+                     convType: String = "purchase"): DataFrame = {
+    require(maxLen >= 1 && k >= 1, "maxLen and k must be ≥ 1")
+    pathConversionFromCells(
+      sessionPathCells(events, gap, maxLen, convType), k)
   }
 
   /** Keep-last-N history per key (reference keeps the last 5 exchanges). */

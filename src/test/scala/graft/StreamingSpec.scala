@@ -1246,6 +1246,50 @@ class StreamingSpec extends SparkSuite {
       s"${rocks.length} rocks vs ${batch.length} batch rows")
   }
 
+  test("streaming session paths: closed-session cells equal the batch " +
+    "fold; both journey tables served through the shared folds, " +
+    "heap and RocksDB") {
+    import spark.implicits._
+    def run(name: String): Seq[(String, Long)] = {
+      val ev = cmStream
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .as[PathsStream.Event]
+      val q = PathsStream.cells(ev)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        if (name.endsWith("rocks"))
+          assert(StateBackend.usesRocksDB(q), "provider switch not engaged")
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+      } finally q.stop()
+    }
+    // the flush row's own session never closes (the watermark cannot
+    // pass its timeout), so it is invisible here — while every REAL
+    // session times out and emits, making the comparison exhaustive
+    val cells = run("paths_out_heap")
+    val batchCells = operators.Sessionize.sessionPathCells(
+      t.events, "30 MINUTES", 8, "purchase")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    assert(cells == batchCells,
+      s"${cells.length} stream vs ${batchCells.length} batch cells")
+    // serve BOTH journey tables from the collected cells through the
+    // shared batch folds — bit-equal to the batch operators
+    val cellsDf = cells.toDF("path", "conv")
+    assert(PathsStream.topPaths(cellsDf).collect().map(_.toSeq).toSeq ==
+      operators.Sessionize.paths(t.events).collect().map(_.toSeq).toSeq,
+      "served top-paths != batch q_paths")
+    assert(PathsStream.pathConversion(cellsDf)
+      .collect().map(_.toSeq).toSeq ==
+      operators.Sessionize.pathConversion(t.events)
+        .collect().map(_.toSeq).toSeq,
+      "served conversion != batch q_path_conversion")
+    val rocks = StateBackend.withRocksDB(spark) { run("paths_out_rocks") }
+    assert(rocks == cells, "providers disagree on the cells")
+  }
+
   test("streamed attribution credits rebuild the batch report exactly") {
     // time-split chunks preserve per-user event-time order across
     // triggers; folded credits must match the batch window operator —
