@@ -4,59 +4,22 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Plan-audit dump: `runMain graft.Plans <sfDir> <outFile>` writes the
-  * formatted physical plan of each headline query so the plan shapes
+  * formatted physical plan of EVERY catalog query so the plan shapes
   * (pushdown, broadcasts, partial aggregation, codegen spans, absence of
   * unexpected Exchanges) can be reviewed without running Spark.
   * Regenerate with:
   * `sbt "runMain graft.Plans /root/testdata/sf0.01 PLANS.md"`. */
 object Plans {
 
-  val headline: Seq[String] = Seq(
-    "q1_agg", "q2_join", "q6_filter", "q_knn", "q_knn_fused",
-    "q_ivf_search", "q_ivf_persisted", "q_ivf_bucketed", "q_knn_quantized",
-    "q_tfidf", "dedup_exact", "dedup_minhash",
-    "dedup_jaccard", "dedup_semantic", "dedup_incremental", "decontaminate",
-    "sample_mix", "q_token_topk", "q_distinct_sketch", "q_cms_topk",
-    "q_salted_join", "q_bloom_join", "text_boilerplate", "q_pq_search",
-    "q_pq_persisted", "q_ivf_pq", "q_group_topk", "q_histogram",
-    "dedup_minhash_est", "q_zipf", "q_stratified_sample",
-    "dedup_containment", "dedup_windows", "text_lm_score",
-    "q_bucketed_join", "q_partition_prune", "q_sliding_window",
-    "q_upsert", "q_rag_search", "q_bpe_pairs", "mm_neardup", "q_curate",
-    "q_recall_sweep", "q_mmr", "q_hard_negatives", "q_dataset_card",
-    "dedup_embedding", "dedup_cap_audit", "q_bpe_train_multi",
-    "q_bpe_encode", "dedup_windows_apply", "q_bm25", "q_hybrid_rrf",
-    "q_mix_budget", "q_pq_refine", "q_lm_buckets", "q_classify",
-    "q_dsir", "q_weighted_sample", "q_mix_temperature",
-    "dedup_source_matrix", "q_bm25_persisted", "dedup_lsh_sweep",
-    "q_length_buckets", "q_classify_eval", "decontaminate_fuzzy",
-    "dedup_canonical_quality", "q_funnel", "q_retention", "q_attribution",
-    "q_grouping_sets", "q_transition", "q_rfm", "q_embed_batch",
-    "q_anomaly", "q_funnel_windowed", "q_collocations", "q_embed_linear",
-    "q_skipgram", "text_entropy", "q_fertility", "q_source_kl",
-    "q_ppmi", "q_langid_eval", "q_prototypes", "dedup_recall", "q_rerank",
-    "q_context_pack", "q_maxsim", "q_vocab_overlap", "q_paths",
-    "q_active_users", "q_sign_search", "q_sign_refine", "dedup_hist",
-    "q_signal_corr", "q_path_conversion", "q_retrieval_eval",
-    "q_retrieval_eval_summary", "mm_search", "q_retrieval_eval_cutoffs",
-    "q_distill_pairs", "decontaminate_semantic", "q_pack_audit",
-    "text_diversity", "q_click_model", "q_position_bias", "q_mask_spans",
-    "q_bitext_mine", "q_emb_drift", "q_snapshot_diff", "q_split_leakage",
-    "q_ngram_novelty", "q_profile", "q_gate_agreement", "q_shard_balance",
-    "q_k_anon", "q_graph_rank", "mm_ivf_search", "mm_recall",
-    "mm_sign_search", "q_profile_sketch", "q_pref_pairs", "q_card_diff",
-    "q_auc", "q_calibration", "q_ab_test", "q_ks_test", "q_scd2",
-    "q_unpivot", "q_feature_mi", "q_random_proj", "q_rp_recall",
-    "q_lang_confusion", "q_trending_terms", "q_pr_curve",
-    "q_classify_f1", "q_cdc", "q_rp_refine", "q_cdc_bucketed",
-    "q_chi2", "q_seasonality", "q_conversion_lag", "q_source_hhi",
-    "q_gap_stats", "q_cohort_ltv", "q_norm_audit", "q_mad_outliers",
-    "q_snapshot_diff_bucketed", "q_rp_sweep", "q_class_cohesion",
-    "dedup_df_profile", "q_readability", "q_session_stats",
-    "q_revenue_concentration", "q_robust_stats", "q_emb_dim_profile",
-    "q_emb_anisotropy", "q_event_cooccur", "mm_byte_profile",
-    "q_knn_filtered", "q_ivf_filtered", "q_ivf_filtered_recall", "q_ece",
-    "q_session_gap_sweep", "q_ab_power", "q_rrf_sweep")
+  /** EVERY catalog key, sorted — PLANS.md covers the whole correctness
+    * catalog, so the plan artifact can never drift from it silently
+    * (the former curated 167-key subset left the exclusion rule
+    * implicit). Derived, not hand-listed: a new `SparkEntry.queries`
+    * entry lands in the next regeneration automatically, and a key
+    * whose DataFrame fails to build fails the dump loudly. */
+  def headline: Seq[String] = SparkEntry.queries.keys.toSeq.sorted
+
+
 
   /** Hand-audited runtime observations rendered under a query's header —
     * facts the static sf0.01 explain below cannot show (AQE decisions are
@@ -168,7 +131,10 @@ object Plans {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
-    sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
+    sb.append("# PLANS — formatted physical plans of the FULL query catalog\n\n")
+    sb.append(s"Covers all ${headline.size} `SparkEntry.queries` keys " +
+      "(derived from the catalog, so this artifact cannot drift from " +
+      "it).\n")
     sb.append(s"Generated by `graft.Plans` at `$sfDir` — regenerate with\n")
     sb.append("`sbt \"runMain graft.Plans /root/testdata/sf0.01 PLANS.md\"`.\n")
     sb.append("What to look for: `PushedFilters`/`ReadSchema` at scans,\n")
