@@ -29,6 +29,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // trust bucket sortBy metadata at scan (self-guarded: ordering is
+      // claimed only for single-file buckets, which persistShingles
+      // guarantees) — the bucketed shingle join runs sort-free
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
     // OPT-IN network-timeout bump (e.g. SPARK_GRAFT_NET_TIMEOUT=800s).
     // Round 15 set 800s unconditionally after a saturated sf10 run
@@ -60,6 +64,13 @@ object Bench {
     // exactly-row-linear signal the scaling gate checks
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+    // spill volume rides the same listener: the number that separates
+    // "the operator shuffles more" from "the operator's sort/hash spills
+    // under the executor memory at this SF" — the distinction the
+    // decade-wall analysis of the shingle joins needs (wall ratios alone
+    // can't tell SMJ sort-spill constants from plan growth)
+    val spillMem = new java.util.concurrent.atomic.AtomicLong
+    val spillDisk = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -68,6 +79,8 @@ object Bench {
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
           shuffleRecords.addAndGet(
             sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+          spillMem.addAndGet(sc.stageInfo.taskMetrics.memoryBytesSpilled)
+          spillDisk.addAndGet(sc.stageInfo.taskMetrics.diskBytesSpilled)
           ()
         }
       })
@@ -95,7 +108,8 @@ object Bench {
       Seq("q_ivf_persisted", "q_ivf_bucketed", "q_pq_persisted",
           "q_bm25_persisted", "q_hybrid_rrf", "q_bucketed_join",
           "q_partition_prune", "q_retrieval_eval",
-          "q_cdc_bucketed", "q_snapshot_diff_bucketed")
+          "q_cdc_bucketed", "q_snapshot_diff_bucketed",
+          "dedup_jaccard_bucketed", "dedup_containment_bucketed")
         .filter(selected.contains))
       .foreach(n =>
         SparkEntry.queries.get(n).foreach(f => f(spark, sfDir).count()))
@@ -113,6 +127,8 @@ object Bench {
       System.err.println(s"[bench] running $name")
       val sh0 = shuffleBytes.get
       val sr0 = shuffleRecords.get
+      val sm0 = spillMem.get
+      val sd0 = spillDisk.get
       val t0 = System.nanoTime()
       // noop sink: forces full materialization of every output column —
       // count() lets the optimizer prune entire subtrees (outer-join
@@ -133,22 +149,27 @@ object Bench {
       // bench bookkeeping, not part of the query)
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
-      (name, dt, ok, shMb, shRec)
+      (name, dt, ok, shMb, shRec,
+        (spillMem.get - sm0) / 1e6, (spillDisk.get - sd0) / 1e6)
     }
     // failed queries report -1 (never a fast-looking timing) and are listed
-    val qs = results.map { case (k, v, ok, _, _) =>
+    val qs = results.map { case (k, v, ok, _, _, _, _) =>
       "\"" + k + "\":" + (if (ok) v else -1.0) }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val shuffle = results.map { case (k, _, _, mb, _) =>
+    val failed = results.collect { case (k, _, false, _, _, _, _) =>
+      "\"" + k + "\"" }.mkString("[", ",", "]")
+    val shuffle = results.map { case (k, _, _, mb, _, _, _) =>
       "\"" + k + "\":" + (math.floor(mb * 100) / 100) }.mkString("{", ",", "}")
-    val shuffleRec = results.map { case (k, _, _, _, rec) =>
+    val shuffleRec = results.map { case (k, _, _, _, rec, _, _) =>
       "\"" + k + "\":" + rec }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    val spillMemS = results.map { case (k, _, _, _, _, sm, _) =>
+      "\"" + k + "\":" + (math.floor(sm * 100) / 100) }.mkString("{", ",", "}")
+    val spillDiskS = results.map { case (k, _, _, _, _, _, sd) =>
+      "\"" + k + "\":" + (math.floor(sd * 100) / 100) }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _, _, _, _) => v }.sum
     // "sort":false is a methodology flag: timings EXCLUDE the trailing
     // oracle-determinism sorts (graft.sort=false above). Rounds ≤ 9
     // included them — cross-round comparisons must account for it.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sort":${Determinism.enabled},"saturated":$saturated,"queries":$qs,"failed":$failed,"shuffle_mb":$shuffle,"shuffle_rec":$shuffleRec,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sort":${Determinism.enabled},"saturated":$saturated,"queries":$qs,"failed":$failed,"shuffle_mb":$shuffle,"shuffle_rec":$shuffleRec,"spill_mem_mb":$spillMemS,"spill_disk_mb":$spillDiskS,"sf":"$sfDir"}"""
     println(full)
     // the driver records only the LAST 2000 stdout chars, which until
     // round 9 captured the (deterministic) shuffle map and truncated the
@@ -161,8 +182,8 @@ object Bench {
     try Files.writeString(Paths.get("tools/bench_last.json"), full + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     val timesAsc = results
-      .sortBy { case (_, v, ok, _, _) => if (ok) v else -1.0 }
-      .map { case (k, v, ok, _, _) =>
+      .sortBy { case (_, v, ok, _, _, _, _) => if (ok) v else -1.0 }
+      .map { case (k, v, ok, _, _, _, _) =>
         "\"" + k + "\":" + (if (ok) math.floor(v * 100) / 100 else -1.0) }
       .mkString("{", ",", "}")
     println(s"""{"times_asc":$timesAsc,"failed":$failed,"total_sec":${math.floor(total * 100) / 100},"sf":"$sfDir"}""")

@@ -156,6 +156,23 @@ object SparkEntry {
     s.read.parquet(path).orderBy(col("vec_id"))
   }
 
+  /** The persisted df-capped BUCKETED shingle store — built ONCE per
+    * (JVM, corpus) and shared by both shingle-join serve rows
+    * (`dedup_jaccard_bucketed`, `dedup_containment_bucketed`): the
+    * self-join reads co-located, within-bucket-sorted files, so the
+    * recompute path's corpus-sized exchange AND sort disappear. */
+  private def frozenShingles(s: SparkSession, dir: String): String = {
+    val memoKey =
+      s"shingle:$dir@${corpusFingerprint(dir, "documents.parquet")}"
+    val tag = memoTag(memoKey)
+    memoized(builtBucketed, memoKey)(s.catalog.tableExists) {
+      val t0 = s"graft_shingle_store_$tag"
+      Dedup.persistShingles(Tables(s, dir).documents, t0,
+        path = s"$ivfTmpBase/shingle-$tag")
+      t0
+    }
+  }
+
   /** The frozen BM25 index (postings term-clustered + one-row stats),
     * persisted ONCE per (JVM, corpus) and loaded on every use — the
     * lexical build-once/search-many seam shared by `q_bm25_persisted`
@@ -759,6 +776,15 @@ object SparkEntry {
     // asymmetric containment |A∩B|/|A|: the doc-inside-a-bigger-doc class
     // that jaccard (and jaccard-tuned LSH banding) structurally misses
     "dedup_containment" -> q(t => Dedup.containmentNeighbors(t.documents)),
+    // the shingle-join family served from the PERSISTED bucketed store
+    // (build-once/serve-many, the persistSignatures pattern): the
+    // self-join reads co-located pre-sorted buckets — the corpus-sized
+    // exchange AND sort of the recompute path disappear; the layout
+    // must be invisible in the answer (shared oracles)
+    "dedup_jaccard_bucketed" -> ((s, dir) =>
+      Dedup.jaccardNeighborsFromStore(s, frozenShingles(s, dir))),
+    "dedup_containment_bucketed" -> ((s, dir) =>
+      Dedup.containmentNeighborsFromStore(s, frozenShingles(s, dir))),
     // ExactSubstr-style positional signal: fraction of each doc's token
     // positions inside k-token windows occurring ≥2× verbatim corpus-wide
     "dedup_windows"   -> q(t => Dedup.windowDupCoverage(t.documents)),
@@ -2209,6 +2235,11 @@ $rounds
       // the batched seam must produce EXACTLY the expression path's
       // vectors — same digest oracle, verbatim
       "q_embed_batch" -> base("q_embed"),
+      // identical semantics (and oracle) served from the persisted
+      // bucketed shingle store — the q_ivf_bucketed rule: the index
+      // LAYOUT never changes the answer
+      "dedup_jaccard_bucketed" -> base("dedup_jaccard"),
+      "dedup_containment_bucketed" -> base("dedup_containment"),
       // q_lang_confusion: the langid replay joined back to truth, full
       // (truth, predicted) cell counts with DIV-grid row shares
       "q_lang_confusion" ->

@@ -14,6 +14,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // trust bucket sortBy metadata at scan (self-guarded: Spark only
+      // claims the ordering when each bucket has at most one file —
+      // which persistShingles guarantees via same-hash repartition);
+      // elides the join-side Sorts over the bucketed shingle store
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -735,8 +735,14 @@ object Dedup {
     * join-dominated (~2.9 s warm) and the default df cap is above the max
     * observed df at oracle scale, so sf0.01 results are exact. */
   def jaccardNeighbors(docs: DataFrame, shingleLen: Int = 3,
-                       maxShingleDf: Int = 1000): DataFrame = {
-    val sh = cappedShingleTable(docs, shingleLen, maxShingleDf)
+                       maxShingleDf: Int = 1000): DataFrame =
+    jaccardNeighborsOn(cappedShingleTable(docs, shingleLen, maxShingleDf))
+
+  /** The jaccard join+fold over an already-built (df-capped) shingle
+    * table — shared by the recompute path ([[jaccardNeighbors]]) and
+    * the bucketed store ([[jaccardNeighborsFromStore]]), so there is
+    * one implementation of the measure. */
+  private def jaccardNeighborsOn(sh: DataFrame): DataFrame = {
     // the self-join shuffles only (doc_id, sh) — n_sh stays out of the
     // widest shuffle of the pipeline (~1/3 of its bytes) and joins back
     // onto the candidate-PAIR table, which is orders of magnitude smaller
@@ -786,8 +792,14 @@ object Dedup {
     * sharing no shingle drop out (same contract as [[jaccardNeighbors]]). */
   def containmentNeighbors(docs: DataFrame, shingleLen: Int = 3,
                            maxShingleDf: Int = 1000,
-                           threshold: Double = 0.8): DataFrame = {
-    val sh = cappedShingleTable(docs, shingleLen, maxShingleDf)
+                           threshold: Double = 0.8): DataFrame =
+    containmentNeighborsOn(
+      cappedShingleTable(docs, shingleLen, maxShingleDf), threshold)
+
+  /** The containment join+fold over an already-built shingle table —
+    * see [[jaccardNeighborsOn]]. */
+  private def containmentNeighborsOn(sh: DataFrame,
+                                     threshold: Double): DataFrame = {
     val slim = sh.select(col("doc_id"), col("sh"))
     val sizes = sh.select(col("doc_id"), col("n_sh")).distinct()
     // merge hint: corpus-sized on both sides — never hash-build
@@ -810,6 +822,50 @@ object Dedup {
         (floor(col("containment") * 1e6) / 1e6).as("containment"),
         (col("containment") >= threshold).as("is_contained"))
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
+  }
+
+  /** Persist the df-capped shingle table BUCKETED BY SHINGLE HASH — the
+    * build-once layout for the shingle-join family (the
+    * [[persistSignatures]] pattern applied to [[jaccardNeighbors]] /
+    * [[containmentNeighbors]]): both sides of the self-join read
+    * co-located, within-bucket-SORTED files, so the join runs with NO
+    * exchange and NO sort on the corpus-sized table. That matters
+    * beyond the shuffle bytes: the recompute path's barrier erases the
+    * df-cap window's (sh)-clustering, so its SMJ re-sorts the whole
+    * shingle table per run — the sort/spill constant measured
+    * superlinear in the decade sweeps. The store pays that cost ONCE at
+    * build; every later dedup pass starts at the join.
+    *
+    * `repartition(nBuckets, sh)` uses the same hash as the bucket
+    * layout, so each task holds exactly one bucket and writes ONE file
+    * per bucket — the single-file-per-bucket condition under which the
+    * scan's sort order is trusted and the join-side Sort nodes vanish. */
+  def persistShingles(docs: DataFrame, table: String, path: String,
+                      shingleLen: Int = 3, maxShingleDf: Int = 1000,
+                      nBuckets: Int = 32): Unit =
+    cappedShingleTable(docs, shingleLen, maxShingleDf)
+      .repartition(nBuckets, col("sh"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "sh").sortBy("sh")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** [[jaccardNeighbors]] served from a [[persistShingles]] store —
+    * identical results (the layout must never change the answer; the
+    * spec pins bit-equality and the exchange-free join plan). */
+  def jaccardNeighborsFromStore(spark: org.apache.spark.sql.SparkSession,
+                                table: String): DataFrame = {
+    spark.catalog.refreshTable(table) // see incrementalCandidatesFromStore
+    jaccardNeighborsOn(spark.table(table))
+  }
+
+  /** [[containmentNeighbors]] served from the SAME store — one shingle
+    * build feeds the whole family. */
+  def containmentNeighborsFromStore(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      threshold: Double = 0.8): DataFrame = {
+    spark.catalog.refreshTable(table)
+    containmentNeighborsOn(spark.table(table), threshold)
   }
 
   /** Character-level verification of the LSH candidates: exact Levenshtein

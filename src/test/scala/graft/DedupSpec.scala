@@ -20,6 +20,40 @@ class DedupSpec extends SparkSuite {
     assert(got == Map(1L -> (1L, 1L), 2L -> (1L, 2L)), s"got $got")
   }
 
+  test("bucketed shingle store: jaccard + containment bit-equal to the " +
+    "recompute path, self-join reads buckets with no sh exchange") {
+    val t = sources.Tables(spark, sfDir)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shingle-store").toString
+    operators.Dedup.persistShingles(t.documents, "graft_test_shingles", dir)
+    try {
+      val jacB = operators.Dedup.jaccardNeighborsFromStore(
+        spark, "graft_test_shingles")
+      // the corpus-sized self-join must read co-located buckets: no
+      // hashpartitioning exchange on the shingle hash anywhere (the
+      // remaining exchanges are pair-table-sized: the inter aggregate
+      // and the per-doc window)
+      val plan = planOf(jacB)
+      assert(!plan.contains("hashpartitioning(sh"),
+        s"bucketed shingle join still exchanges on sh:\n$plan")
+      // and the scan's sortBy metadata is trusted (single-file buckets +
+      // the legacy outputOrdering flag): no Sort on sh above the scans —
+      // the sort/spill constant the decade sweeps measured is GONE, not
+      // just the exchange
+      assert(!plan.contains("Sort [sh"),
+        s"bucketed shingle join still sorts on sh:\n$plan")
+      assert(jacB.collect().toSeq ==
+        operators.Dedup.jaccardNeighbors(t.documents).collect().toSeq,
+        "layout changed the jaccard answer")
+      val contB = operators.Dedup.containmentNeighborsFromStore(
+        spark, "graft_test_shingles")
+      assert(!planOf(contB).contains("hashpartitioning(sh"))
+      assert(contB.collect().toSeq ==
+        operators.Dedup.containmentNeighbors(t.documents).collect().toSeq,
+        "layout changed the containment answer")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_shingles")
+  }
+
   test("lshRecallAudit: exact truth vs the production candidate funnel") {
     val t0 = "alpha beta gamma delta epsilon zeta eta theta"
     val t8 = "alpha beta gamma xx yy zz ww" // shares exactly 1 shingle with t0
