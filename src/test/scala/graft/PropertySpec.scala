@@ -427,6 +427,95 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("PQ filtered search: always-true predicate degenerates to the " +
+    "unfiltered search; selective predicates return exactly " +
+    "min(k, |eligible|) eligible rows per query") {
+    import graft.operators.ProductQuantizer
+    import org.apache.spark.sql.functions.col
+    // dim-8 vectors (m=4 -> 2-dim subspaces), k=4 seed codebooks
+    val corpusGen = Gen.chooseNum(6, 16).flatMap(n =>
+      Gen.listOfN(n * 8, Gen.chooseNum(-5.0f, 5.0f)).map(_.toArray
+        .grouped(8).toSeq))
+    forAll(corpusGen, 6) { vecs =>
+      val corpus = vecs.zipWithIndex
+        .map { case (v, i) => (i.toLong, i % 3, v) }
+        .toDF("vec_id", "label", "embedding")
+      val queries = corpus.filter($"vec_id" < 2)
+        .select($"vec_id".as("query_id"), $"embedding".as("qv"))
+      // always-true predicate: the filtered path must be EXACTLY the
+      // unfiltered search (same codebooks, same ranking) — a codebook
+      // build that saw the filter would still pass eligible-only checks
+      // but fail this degeneration law
+      val unf = ProductQuantizer.search(queries, corpus, m = 4, k = 4,
+        topK = 3).collect().toSeq
+      val triv = ProductQuantizer.searchFiltered(queries, corpus,
+        $"label" >= 0, m = 4, k = 4, topK = 3).collect().toSeq
+      assert(triv == unf, "always-true filter changed the ranking")
+      // selective predicate: exactly min(k, eligible) rows per query,
+      // all eligible
+      val eligible = vecs.indices.filter(_ % 3 == 0).map(_.toLong).toSet
+      val got = ProductQuantizer.searchFiltered(queries, corpus,
+        $"label" === 0, m = 4, k = 4, topK = 3).collect()
+      val want = math.min(3, eligible.size)
+      got.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+        assert(rows.length == want, s"query $q: ${rows.length} != $want")
+      }
+      assert(got.forall(r => eligible(r.getLong(2))), "ineligible hit")
+    }
+  }
+
+  test("session path cells: session-count conservation and the maxLen " +
+    "render bound on random event logs") {
+    import graft.operators.Sessionize
+    import org.apache.spark.sql.functions.col
+    val evGen = Gen.chooseNum(4, 40).flatMap(n =>
+      Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 3L)
+        sec <- Gen.chooseNum(0L, 6L * 3600L)
+        ty <- Gen.oneOf("view", "click", "purchase", "search")
+      } yield (u, sec, ty)))
+    forAll(evGen, 8) { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, sec, ty), i) =>
+        (i.toLong, new java.sql.Timestamp((1700000000L + sec) * 1000L),
+          u, ty, 0.0)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      val maxLen = 4
+      val cells = Sessionize.sessionPathCells(
+        ev, "30 MINUTES", maxLen, "purchase").collect()
+      // driver-side sessionization replay (sort per user by (ts, id),
+      // split on gap > 1800 s — the strictly-greater batch contract)
+      val byUser = rows.zipWithIndex
+        .map { case ((u, sec, ty), i) => (u, 1700000000L + sec, i.toLong, ty) }
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(e => (e._2, e._3))).toMap
+      def split(evs: Seq[(Long, Long, Long, String)])
+          : Seq[Seq[(Long, Long, Long, String)]] =
+        evs.foldLeft(Vector.empty[Vector[(Long, Long, Long, String)]]) {
+          (acc, e) =>
+            if (acc.isEmpty || e._2 - acc.last.last._2 > 1800L)
+              acc :+ Vector(e)
+            else acc.init :+ (acc.last :+ e)
+        }
+      val driverSessions = byUser.values.toSeq.flatMap(split)
+      // conservation: one cell per session, exactly
+      assert(cells.length == driverSessions.size,
+        s"${cells.length} cells vs ${driverSessions.size} sessions")
+      // render bound: at most maxLen steps plus the truncation marker
+      cells.map(_.getString(0)).foreach { p =>
+        val steps = p.split(" > ").toSeq
+        assert(steps.length <= maxLen + 1, s"path too long: $p")
+        if (steps.length == maxLen + 1)
+          assert(steps.last == "...", s"unmarked over-length path: $p")
+      }
+      // conv mass: Σ conv == driver-replayed sessions containing a
+      // purchase ANYWHERE (including past the maxLen truncation)
+      val convTotal = cells.map(_.getLong(1)).sum
+      val wantConv =
+        driverSessions.count(_.exists(_._4 == "purchase")).toLong
+      assert(convTotal == wantConv, s"$convTotal vs $wantConv converted")
+    }
+  }
+
   test("skipgram pair conservation: 2·Σ_d max(len−d, 0) directed pairs") {
     forAll(tokensGen, 8) { toks =>
       val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")
