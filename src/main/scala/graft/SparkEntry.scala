@@ -2213,7 +2213,14 @@ $rounds
     "q_bm25#build" -> ((s, dir) => {
       val docs = Tables(s, dir).documents
       Bm25.invertedIndex(docs).crossJoin(broadcast(Bm25.stats(docs)))
-    }))
+    }),
+    // the shingle-store build half behind dedup_jaccard_bucketed /
+    // dedup_containment_bucketed (whose timed rows measure the serve
+    // path — the store lands in warm-up): the df-capped shingle table
+    // materialization, which is also exactly the build work the
+    // RECOMPUTE rows (dedup_jaccard/containment) pay inline every run
+    "dedup_shingles#build" -> ((s, dir) =>
+      Dedup.cappedShingleTable(Tables(s, dir).documents, 3, 1000)))
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase

@@ -667,7 +667,7 @@ object Dedup {
     * document can never produce a pair, so excluding it changes NOTHING
     * while cutting the self-join's input by the unique-shingle share of
     * the corpus (on web corpora the large majority). */
-  private def cappedShingleTable(docs: DataFrame, shingleLen: Int,
+  private[graft] def cappedShingleTable(docs: DataFrame, shingleLen: Int,
                                  maxShingleDf: Int): DataFrame =
     docs
       .select(col("doc_id"),
