@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Per-family wall-ratio table between two Bench artifacts (e.g. the
+saturated sf1 and sf10 full-suite runs): the decade-scaling readout the
+judge asked to see per family, not just per query.
+
+Usage:
+  python3 tools/family_ratio.py <sf1_bench.json> <sf10_bench.json>
+
+For each family: query count, summed wall at each SF, wall ratio, the
+median per-query ratio (robust to one outlier), and the worst query.
+Queries present in only one artifact are skipped (listed at the end).
+"""
+import json
+import sys
+from statistics import median
+
+RULES = [
+    ("dedup", lambda q: q.startswith("dedup")),
+    ("multimodal", lambda q: q.startswith("mm_")),
+    ("text", lambda q: q.startswith(("text_", "q_bpe", "q_zipf", "q_chunk",
+        "q_readability", "q_langid", "q_lang_confusion", "q_fertility",
+        "q_vocab", "q_source_", "q_skipgram", "q_ppmi", "q_collocations",
+        "q_trending_terms", "q_ngram_novelty", "q_tfidf", "q_preprocess",
+        "q_token_topk", "q_lm_buckets"))),
+    ("curation", lambda q: q.startswith(("decontaminate", "q_curate",
+        "q_gate_agreement", "q_signal_corr", "q_dataset_card",
+        "q_card_diff"))),
+    ("vector-search", lambda q: q.startswith(("q_knn", "q_ivf", "q_pq",
+        "q_sign", "q_rp_", "q_random_proj", "q_recall", "q_mmr",
+        "q_hard_negatives", "q_bitext_mine", "q_maxsim", "q_rag_search",
+        "q_rerank", "q_hybrid_rrf", "q_rrf_sweep", "q_bm25",
+        "q_retrieval", "q_distill_pairs", "q_emb", "q_norm_audit",
+        "q_index", "q_prototypes", "q_kmeans_refine", "q_classify",
+        "q_class_cohesion", "q_quantize", "q_embed", "q_context_pack"))),
+    ("events-session", lambda q: q.startswith(("q_session", "q_paths",
+        "q_path_conversion", "q_funnel", "q_retention", "q_attribution",
+        "q_transition", "q_rfm", "q_active_users", "q_anomaly",
+        "q_seasonality", "q_mad_outliers", "q_robust_stats", "q_gap",
+        "q_cohort_ltv", "q_conversion_lag", "q_event", "q_events_window",
+        "q_history_window", "q_click_model", "q_position_bias",
+        "q_pref_pairs", "q_qa_context", "q_sliding_window",
+        "q_topic_change", "q_sessionize"))),
+    ("selection-governance", lambda q: q.startswith(("sample_mix", "q_mix",
+        "q_dsir", "q_stratified_sample", "q_weighted_sample",
+        "pack_sequences", "q_pack_audit", "q_mask_spans",
+        "q_length_buckets", "q_split", "q_shard_balance", "q_k_anon",
+        "q_snapshot", "q_cdc", "q_scd2", "q_profile", "q_expectations",
+        "q_distinct_sketch", "q_cms_topk", "q_signal_drift", "q_auc",
+        "q_calibration", "q_ece", "q_ab_", "q_ks_test", "q_chi2",
+        "q_feature_mi", "q_pr_curve", "q_graph_rank"))),
+]
+
+
+def family(q):
+    for name, pred in RULES:
+        if pred(q):
+            return name
+    return "relational"
+
+
+def main():
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    a = json.load(open(sys.argv[1]))["queries"]
+    b = json.load(open(sys.argv[2]))["queries"]
+    common = sorted(set(a) & set(b))
+    only = sorted(set(a) ^ set(b))
+    fams = {}
+    for q in common:
+        if a[q] <= 0 or b[q] <= 0:
+            continue
+        fams.setdefault(family(q), []).append((q, a[q], b[q]))
+    print(f"{'family':<22}{'n':>4}{'sf1 s':>9}{'sf10 s':>9}"
+          f"{'ratio':>7}{'med/q':>7}  worst")
+    tot1 = tot2 = 0.0
+    for name in sorted(fams, key=lambda n: -sum(x[2] for x in fams[n])):
+        rows = fams[name]
+        s1 = sum(x[1] for x in rows)
+        s2 = sum(x[2] for x in rows)
+        tot1, tot2 = tot1 + s1, tot2 + s2
+        med = median(x[2] / x[1] for x in rows)
+        worst = max(rows, key=lambda x: x[2] / x[1])
+        print(f"{name:<22}{len(rows):>4}{s1:>9.1f}{s2:>9.1f}"
+              f"{s2 / s1:>7.2f}{med:>7.2f}  "
+              f"{worst[0]} {worst[2] / worst[1]:.1f}x "
+              f"({worst[1]:.1f}->{worst[2]:.1f}s)")
+    print(f"{'TOTAL':<22}{len(common):>4}{tot1:>9.1f}{tot2:>9.1f}"
+          f"{tot2 / tot1:>7.2f}")
+    if only:
+        print(f"skipped (one side only): {', '.join(only)}")
+
+
+if __name__ == "__main__":
+    main()
