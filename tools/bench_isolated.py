@@ -63,11 +63,13 @@ def run_one(sf_dir, query, env):
             d = json.loads(line)
             t = d["queries"].get(query)
             rec = d.get("shuffle_rec", {}).get(query)
-            return t, rec, d.get("failed", "[]")
+            spill = (d.get("spill_mem_mb", {}).get(query),
+                     d.get("spill_disk_mb", {}).get(query))
+            return t, rec, spill, d.get("failed", "[]")
     sys.stderr.write(f"[isolated] {query}: no bench line\n"
                      f"--- stdout tail ---\n{p.stdout[-2000:]}\n"
                      f"--- stderr tail ---\n{p.stderr[-2000:]}\n")
-    return None, None, None
+    return None, None, (None, None), None
 
 
 def main():
@@ -79,8 +81,9 @@ def main():
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env.setdefault("SPARK_GRAFT_CPUS", "8")
     times, recs, failed = {}, {}, []
+    spills_m, spills_d = {}, {}
     for q in queries:
-        t, rec, f = run_one(sf_dir, q, env)
+        t, rec, (spm, spd), f = run_one(sf_dir, q, env)
         if t is None or t < 0:
             failed.append(q)
             times[q] = -1.0
@@ -88,10 +91,15 @@ def main():
             times[q] = round(t, 3)
             if rec is not None:
                 recs[q] = rec
+            if spm is not None:
+                spills_m[q] = spm
+            if spd is not None:
+                spills_d[q] = spd
         print(f"  {q}: {times[q]} s", flush=True)
     total = sum(t for t in times.values() if t > 0)
     doc = {"metric": "total", "value": round(total, 3), "unit": "sec",
            "isolated": True, "queries": times, "shuffle_rec": recs,
+           "spill_mem_mb": spills_m, "spill_disk_mb": spills_d,
            "failed": failed, "sf": sf_dir}
     json.dump(doc, open(out_path, "w"), indent=1, sort_keys=True)
     print(f"total {round(total, 2)} s over {len(queries)} queries "
