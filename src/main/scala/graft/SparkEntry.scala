@@ -817,6 +817,13 @@ object SparkEntry {
     // SemDeDup-style: near-dup NN within LEARNED (centroid) blocks — the
     // blocking key is computed, not given; assignment is a narrow pass
     "dedup_semantic"  -> q(t => Dedup.semanticNeighbors(t.embeddings)),
+    // the scale path for the auto-scaled block count: hierarchical
+    // coarse→fine assignment cuts the flat form's n·k (= n²/targetBlock,
+    // measured ~100× wall for 10× data) to ≈ 2n·√k; blocking recall
+    // trades slightly at coarse boundaries, the verdict cosine stays
+    // exact — oracle replays the same two-level deterministic argmin
+    "dedup_semantic_scaled" -> q(t =>
+      Dedup.semanticNeighborsScaled(t.embeddings)),
     // incremental: a new batch probed against the PERSISTED base-corpus
     // signature table (bucketed by band,h) — the base is never re-read and
     // its signatures are never recomputed per increment; the store build
@@ -4066,6 +4073,34 @@ $rounds
         | b AS (SELECT a.vec_id, a.centroid_id, e.ev FROM assign a JOIN e ON a.vec_id = e.vec_id),
         | sims AS (SELECT x.vec_id AS vec_id, y.vec_id AS nn, list_cosine_similarity(x.ev, y.ev) AS sim
         |   FROM b x JOIN b y ON x.centroid_id = y.centroid_id AND x.vec_id <> y.vec_id),
+        | best AS (SELECT vec_id, nn, sim, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) AS rn FROM sims)
+        |SELECT vec_id, nn AS nn_id, floor(sim*1e6)/1e6 AS nn_score, sim >= 0.95 AS is_dup
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // dedup_semantic_scaled: the two-level assignment replayed — coarse
+    // = the first ⌈√16⌉ = 4 seeds (a PREFIX of the 16 fine seeds, as
+    // auto-resolution yields at sf0.01), fine centroids mapped to their
+    // nearest coarse cell, vectors argmin'd only over their cell's fine
+    // set; block join + best-neighbor fold identical to dedup_semantic
+    "dedup_semantic_scaled" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | cc AS (SELECT vec_id AS ccid, ev AS ccv FROM e WHERE vec_id < 4),
+        | fc AS (SELECT vec_id AS centroid_id, ev AS cv FROM e WHERE vec_id < 16),
+        | fmap AS (SELECT centroid_id, ccid, cv FROM (
+        |   SELECT fc.centroid_id, cc.ccid, fc.cv,
+        |    ROW_NUMBER() OVER (PARTITION BY fc.centroid_id ORDER BY 1.0 - list_cosine_similarity(cv, ccv), ccid) AS rn
+        |   FROM fc CROSS JOIN cc) WHERE rn = 1),
+        | ca AS (SELECT vec_id, ccid FROM (
+        |   SELECT e.vec_id, cc.ccid,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, ccv), ccid) AS rn
+        |   FROM e CROSS JOIN cc) WHERE rn = 1),
+        | fa AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT ca.vec_id, fmap.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY ca.vec_id ORDER BY 1.0 - list_cosine_similarity(e.ev, fmap.cv), fmap.centroid_id) AS rn
+        |   FROM ca JOIN fmap ON ca.ccid = fmap.ccid
+        |     JOIN e ON ca.vec_id = e.vec_id) WHERE rn = 1),
+        | b AS (SELECT fa.vec_id, fa.centroid_id AS block, e.ev FROM fa JOIN e ON fa.vec_id = e.vec_id),
+        | sims AS (SELECT x.vec_id AS vec_id, y.vec_id AS nn, list_cosine_similarity(x.ev, y.ev) AS sim
+        |   FROM b x JOIN b y ON x.block = y.block AND x.vec_id <> y.vec_id),
         | best AS (SELECT vec_id, nn, sim, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) AS rn FROM sims)
         |SELECT vec_id, nn AS nn_id, floor(sim*1e6)/1e6 AS nn_score, sim >= 0.95 AS is_dup
         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,

@@ -1553,4 +1553,75 @@ object Dedup {
       }
     blockedNeighbors(blocked, simThreshold, maxBlock, pairBudget)
   }
+
+  /** [[semanticNeighbors]] with HIERARCHICAL (coarse→fine) centroid
+    * assignment — the 100 TB scale path for the auto-scaled block
+    * count. The flat form's assignment is `n·k` cosines with
+    * `k = n/targetBlock`, i.e. `n²/targetBlock` — QUADRATIC in the
+    * corpus (measured: the saturated sf1→sf10 wall ran ~100× for 10×
+    * data, the catalog's worst decade ratio). Two levels cut it to
+    * `n·(k₁ + k/k₁) ≈ 2n·√k` with `k₁ = ⌈√k⌉`: each vector finds its
+    * nearest COARSE cell (n·√k), then argmins only over the fine
+    * centroids MAPPED to that cell (n·√k average) — at 10× data the
+    * work grows ~31× instead of 100×, and every stage stays a
+    * broadcast-joined narrow pass (centroid tables are k rows, never
+    * corpus-sized).
+    *
+    * Approximation contract (the IVF trade, stated): a vector lands on
+    * the nearest fine centroid WITHIN its coarse cell, which can differ
+    * from the global argmin near coarse boundaries — block membership
+    * shifts slightly, so this trades a little blocking RECALL for the
+    * decade of assignment cost; the near-dup verdict itself stays
+    * threshold-verified exact cosine, so precision is untouched (the
+    * SemDeDup contract). Coarse seeds are a PREFIX of the fine seeds,
+    * so a coarse centroid always maps to itself (distance 0) and no
+    * cell can end up fine-less; both argmins break ties by centroid id
+    * ascending, keeping engine and oracle deterministic. */
+  def semanticNeighborsScaled(embeddings: DataFrame, nCentroids: Int = 0,
+                              simThreshold: Double = 0.95,
+                              maxBlock: Int = 1024,
+                              pairBudget: Long = 1L << 20,
+                              targetBlock: Int = 256): DataFrame = {
+    val k =
+      if (nCentroids > 0) nCentroids
+      else IvfIndex.autoCentroids(embeddings.count(), targetBlock)
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = IvfIndex.centroids(embeddings, k1)
+      .select(col("centroid_id").as("ccid"), col("cv").as("ccv"))
+    val fine = IvfIndex.centroids(embeddings, k)
+    // fine → coarse map: k × k₁ cosines — tiny, broadcastable
+    val fineMap = fine.crossJoin(broadcast(coarse))
+      .select(col("centroid_id"), col("cv"), col("ccid"),
+        (lit(1.0) - cosine_similarity(col("cv"), col("ccv"))).as("cd"))
+      .groupBy(col("centroid_id"))
+      // (cd, ccid) is unique per candidate — cv never participates in
+      // the comparison (the kmeansCentroids struct-min trick)
+      .agg(min(struct(col("cd"), col("ccid"), col("cv"))).as("m"))
+      .select(col("m.ccid").as("ccid"), col("centroid_id"),
+        col("m.cv").as("cv"))
+    // corpus → coarse cell: n × k₁
+    val coarseAssign = embeddings.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("embedding"),
+        (lit(1.0) - cosine_similarity(col("embedding"), col("ccv")))
+          .as("cd"),
+        col("ccid"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("cd"), col("ccid"), col("embedding"))).as("m"))
+      .select(col("vec_id"), col("m.ccid").as("ccid"),
+        col("m.embedding").as("embedding"))
+    // corpus → nearest fine centroid WITHIN the coarse cell: the join
+    // fans each vector out to its cell's fine centroids only (k/k₁ on
+    // average), never to all k
+    val blocked = coarseAssign.join(broadcast(fineMap), Seq("ccid"))
+      .select(col("vec_id"), col("embedding"),
+        (lit(1.0) - cosine_similarity(col("embedding"), col("cv")))
+          .as("fd"),
+        col("centroid_id"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("fd"), col("centroid_id"), col("embedding")))
+        .as("m"))
+      .select(col("m.centroid_id").as("block"), col("vec_id"),
+        col("m.embedding").as("embedding"))
+    blockedNeighbors(blocked, simThreshold, maxBlock, pairBudget)
+  }
 }

@@ -204,6 +204,33 @@ class DedupSpec extends SparkSuite {
     assert(nn(3L) == (1L, true))
   }
 
+  test("hierarchical semantic dedup: equals the flat argmin on separated " +
+    "clusters; corpus-sized stages never see all k centroids") {
+    // two separated coarse clusters (x-ish and y-ish), each with two
+    // fine sub-directions: coarse seeds {0,1} (k1 = ceil(sqrt(4)) = 2)
+    // receive fine seeds {0,2} and {1,3}, and every corpus vector's
+    // GLOBAL nearest fine centroid lives inside its nearest coarse
+    // cell — the hierarchy-consistent case where the two-level argmin
+    // must equal the flat one EXACTLY
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.97f, 0.26f, 0f, 0f)),
+      (3L, Array(0.26f, 0.97f, 0f, 0f)),
+      (4L, Array(0.999f, 0.01f, 0f, 0f)),
+      (5L, Array(0.97f, 0.25f, 0.02f, 0f)),
+      (6L, Array(0.01f, 0.999f, 0f, 0f)),
+      (7L, Array(0.25f, 0.97f, 0f, 0.02f))).toDF("vec_id", "embedding")
+    val scaled = operators.Dedup
+      .semanticNeighborsScaled(vecs, nCentroids = 4).collect().toSeq
+    val flat = operators.Dedup
+      .semanticNeighbors(vecs, nCentroids = 4).collect().toSeq
+    assert(scaled == flat,
+      s"two-level argmin diverged on separated clusters:\n$scaled\n$flat")
+    // every vector with a same-block neighbor surfaces exactly once
+    assert(scaled.map(_.getLong(0)).distinct.size == scaled.size)
+  }
+
   test("semantic dedup assignment is narrow: no shuffle before the block join") {
     val t = sources.Tables(spark, sfDir)
     val nn = operators.Dedup.semanticNeighbors(t.embeddings)
