@@ -55,6 +55,22 @@ class EngineSpec extends SparkSuite {
     assert(unchecked.isEmpty, s"query without oracle: $unchecked")
   }
 
+  test("bench phase rows live outside every catalog namespace") {
+    // phase rows decompose a headline row's wall — they must never leak
+    // into the correctness catalog (no oracle) and the '#' convention
+    // keeps them unambiguous in any key listing
+    SparkEntry.benchPhases.keys.foreach { k =>
+      assert(k.contains("#"), s"phase row without '#': $k")
+      assert(k.split("#")(0).nonEmpty &&
+        SparkEntry.queries.contains(k.split("#")(0)) ||
+        k.startsWith("dedup_shingles"),
+        s"phase row's parent is not a catalog row: $k")
+      assert(!SparkEntry.queries.contains(k), s"phase key collides: $k")
+      assert(!SparkEntry.oracleSql.contains(k),
+        s"phase row grew an oracle (it must stay bench-only): $k")
+    }
+  }
+
   test("graft expressions callable from spark.sql after registration") {
     GraftSql.register(spark)
     val got = spark.sql(
