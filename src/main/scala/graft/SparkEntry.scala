@@ -824,6 +824,26 @@ object SparkEntry {
     // exact — oracle replays the same two-level deterministic argmin
     "dedup_semantic_scaled" -> q(t =>
       Dedup.semanticNeighborsScaled(t.embeddings)),
+    // incremental semantic dedup: a new embedding batch probed against
+    // the PERSISTED blocked base (frozen centroids + block-bucketed
+    // members — the dedup_incremental contract for the embedding
+    // family): the base is never re-blocked, the increment broadcasts,
+    // neighbors come from the BASE only
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val memoKey =
+        s"semblocks:$dir@${corpusFingerprint(dir, "embeddings.parquet")}"
+      val tag = memoTag(memoKey)
+      val tbl = memoized(builtBucketed, memoKey)(s.catalog.tableExists) {
+        val t0 = s"graft_sem_blocks_$tag"
+        Dedup.persistSemanticBlocks(
+          t.embeddings.filter(col("vec_id") < 250), t0,
+          path = s"$ivfTmpBase/semblocks-$tag")
+        t0
+      }
+      Dedup.semanticIncrementalFromStore(
+        t.embeddings.filter(col("vec_id") >= 250), s, tbl)
+    }),
     // incremental: a new batch probed against the PERSISTED base-corpus
     // signature table (bucketed by band,h) — the base is never re-read and
     // its signatures are never recomputed per increment; the store build
@@ -4101,6 +4121,31 @@ $rounds
         | b AS (SELECT fa.vec_id, fa.centroid_id AS block, e.ev FROM fa JOIN e ON fa.vec_id = e.vec_id),
         | sims AS (SELECT x.vec_id AS vec_id, y.vec_id AS nn, list_cosine_similarity(x.ev, y.ev) AS sim
         |   FROM b x JOIN b y ON x.block = y.block AND x.vec_id <> y.vec_id),
+        | best AS (SELECT vec_id, nn, sim, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) AS rn FROM sims)
+        |SELECT vec_id, nn AS nn_id, floor(sim*1e6)/1e6 AS nn_score, sim >= 0.95 AS is_dup
+        |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // dedup_semantic_incremental: frozen-base replay — centroids from
+    // the BASE's first 16 seeds (autoCentroids(250) = the 16 floor),
+    // base AND increment assigned against those same centroids, best
+    // base neighbor per new vector within its block
+    "dedup_semantic_incremental" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        | base AS (SELECT * FROM e WHERE vec_id < 250),
+        | newv AS (SELECT * FROM e WHERE vec_id >= 250),
+        | c AS (SELECT vec_id AS centroid_id, ev AS cv FROM base WHERE vec_id < 16),
+        | ab AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT base.vec_id, c.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY base.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM base CROSS JOIN c) WHERE rn = 1),
+        | an AS (SELECT vec_id, centroid_id FROM (
+        |   SELECT newv.vec_id, c.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY newv.vec_id ORDER BY 1.0 - list_cosine_similarity(ev, cv), centroid_id) AS rn
+        |   FROM newv CROSS JOIN c) WHERE rn = 1),
+        | sims AS (SELECT an.vec_id AS vec_id, ab.vec_id AS nn,
+        |    list_cosine_similarity(n.ev, b.ev) AS sim
+        |   FROM an JOIN ab ON an.centroid_id = ab.centroid_id
+        |   JOIN newv n ON an.vec_id = n.vec_id
+        |   JOIN base b ON ab.vec_id = b.vec_id),
         | best AS (SELECT vec_id, nn, sim, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, nn) AS rn FROM sims)
         |SELECT vec_id, nn AS nn_id, floor(sim*1e6)/1e6 AS nn_score, sim >= 0.95 AS is_dup
         |FROM best WHERE rn = 1 ORDER BY vec_id""".stripMargin,

@@ -1624,4 +1624,62 @@ object Dedup {
         col("m.embedding").as("embedding"))
     blockedNeighbors(blocked, simThreshold, maxBlock, pairBudget)
   }
+
+  /** Persist the semantic-dedup BASE: centroids (k rows) plus the base
+    * corpus blocked by nearest centroid, bucketed by block — the
+    * [[persistSignatures]] pattern for the embedding family, so a daily
+    * increment probes a FROZEN artifact instead of re-blocking the
+    * corpus ([[semanticIncrementalFromStore]]). Centroids ride a second
+    * tiny table under `<table>_centroids`. */
+  def persistSemanticBlocks(base: DataFrame, table: String, path: String,
+                            nCentroids: Int = 0, targetBlock: Int = 256,
+                            nBuckets: Int = 8): Unit = {
+    val k =
+      if (nCentroids > 0) nCentroids
+      else IvfIndex.autoCentroids(base.count(), targetBlock)
+    val cents = IvfIndex.centroids(base, k)
+    cents.write.mode("overwrite").option("path", s"$path/centroids")
+      .saveAsTable(s"${table}_centroids")
+    IvfIndex.nearestCentroid(base, cents)
+      .select(col("centroid_id").as("block"), col("vec_id"))
+      .join(base.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .write.mode("overwrite")
+      .bucketBy(nBuckets, "block").sortBy("block")
+      .option("path", s"$path/blocks")
+      .saveAsTable(table)
+  }
+
+  /** Incremental semantic dedup: probe a NEW batch of embeddings
+    * against the persisted blocked base — per new vector, the best
+    * base-corpus neighbor within its block (assignment against the
+    * FROZEN centroids; the base is never re-read beyond its probed
+    * blocks, never re-blocked — the [[incrementalCandidatesFromStore]]
+    * contract for the embedding family). The increment broadcasts (a
+    * daily batch is orders of magnitude smaller than the base), so the
+    * bucketed base scan joins with no corpus-sized exchange. Output:
+    * one row per new vector that shares a block with ≥ 1 base vector —
+    * `(vec_id, nn_id, nn_score, is_dup)`, the [[semanticNeighbors]]
+    * contract with neighbors drawn from the BASE only. */
+  def semanticIncrementalFromStore(newVecs: DataFrame,
+                                   spark: org.apache.spark.sql.SparkSession,
+                                   table: String,
+                                   simThreshold: Double = 0.95): DataFrame = {
+    spark.catalog.refreshTable(table)
+    val cents = spark.table(s"${table}_centroids")
+    val assigned = IvfIndex.nearestCentroid(newVecs, cents)
+      .select(col("vec_id"), col("centroid_id").as("block"))
+      .join(newVecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val sims = spark.table(table).as("b")
+      .join(broadcast(assigned.as("a")), col("a.block") === col("b.block"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+        cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
+    sims.filter(!isnan(col("sim")))
+      .groupBy(col("query_id"))
+      .agg(max(struct(col("sim"), (-col("vec_id")).as("nid"))).as("best"))
+      .select(col("query_id").as("vec_id"),
+        (-col("best.nid")).as("nn_id"),
+        (floor(col("best.sim") * 1e6) / 1e6).as("nn_score"),
+        (col("best.sim") >= simThreshold).as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
 }

@@ -51,7 +51,7 @@ object IvfIndex {
     * floor/order; search paths prune `dist` away). The struct-min
     * aggregate keeps the all-pairs step map-side; only (vec_id → best)
     * survives the shuffle. */
-  private def nearestCentroid(corpus: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def nearestCentroid(corpus: DataFrame, cents: DataFrame): DataFrame =
     corpus.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("centroid_id"),
         (lit(1.0) - cosine_similarity(col("embedding"), col("cv"))).as("dist"))

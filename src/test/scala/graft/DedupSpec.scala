@@ -231,6 +231,37 @@ class DedupSpec extends SparkSuite {
     assert(scaled.map(_.getLong(0)).distinct.size == scaled.size)
   }
 
+  test("incremental semantic dedup: frozen base blocks, neighbors from " +
+    "the base only") {
+    val base = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.999f, 0.03f, 0f, 0f)),
+      (3L, Array(0.03f, 0.999f, 0f, 0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sem-store").toString
+    operators.Dedup.persistSemanticBlocks(base, "graft_test_sem_blocks",
+      dir, nCentroids = 2)
+    try {
+      val probe = Seq(
+        (10L, Array(0.998f, 0.04f, 0f, 0f)), // x-ish: block 0, nn = 2
+        (11L, Array(0.04f, 0.998f, 0f, 0f))) // y-ish: block 1, nn = 3
+        .toDF("vec_id", "embedding")
+      val got = operators.Dedup
+        .semanticIncrementalFromStore(probe, spark, "graft_test_sem_blocks")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+      assert(got(10L) == ((2L, true)), s"got ${got(10L)}")
+      assert(got(11L) == ((3L, true)), s"got ${got(11L)}")
+      // neighbors come from the BASE only — probe rows never appear as
+      // anyone's neighbor, and the base was never re-blocked
+      assert(got.values.map(_._1).forall(Set(0L, 1L, 2L, 3L)))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_test_sem_blocks")
+      spark.sql("DROP TABLE IF EXISTS graft_test_sem_blocks_centroids")
+    }
+  }
+
   test("semantic dedup assignment is narrow: no shuffle before the block join") {
     val t = sources.Tables(spark, sfDir)
     val nn = operators.Dedup.semanticNeighbors(t.embeddings)
