@@ -165,11 +165,17 @@ object Bench {
       "\"" + k + "\":" + (math.floor(sm * 100) / 100) }.mkString("{", ",", "}")
     val spillDiskS = results.map { case (k, _, _, _, _, _, sd) =>
       "\"" + k + "\":" + (math.floor(sd * 100) / 100) }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true, _, _, _, _) => v }.sum
+    // '#' phase rows (q_bm25#build, dedup_shingles#build) time work their
+    // parent catalog rows already pay inline — keeping them in the summed
+    // total would double-count it and silently inflate cross-round total
+    // comparisons (they stay in every per-query map). Flagged in the JSON
+    // as "phase_rows_in_total": rounds ≤ 17 summed them in.
+    val total = results.collect {
+      case (k, v, true, _, _, _, _) if !k.contains("#") => v }.sum
     // "sort":false is a methodology flag: timings EXCLUDE the trailing
     // oracle-determinism sorts (graft.sort=false above). Rounds ≤ 9
     // included them — cross-round comparisons must account for it.
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","sort":${Determinism.enabled},"saturated":$saturated,"queries":$qs,"failed":$failed,"shuffle_mb":$shuffle,"shuffle_rec":$shuffleRec,"spill_mem_mb":$spillMemS,"spill_disk_mb":$spillDiskS,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","sort":${Determinism.enabled},"saturated":$saturated,"phase_rows_in_total":false,"queries":$qs,"failed":$failed,"shuffle_mb":$shuffle,"shuffle_rec":$shuffleRec,"spill_mem_mb":$spillMemS,"spill_disk_mb":$spillDiskS,"sf":"$sfDir"}"""
     println(full)
     // the driver records only the LAST 2000 stdout chars, which until
     // round 9 captured the (deterministic) shuffle map and truncated the

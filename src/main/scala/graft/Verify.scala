@@ -23,9 +23,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    val dumped = SparkEntry.queries
       .filter { case (name, _) => subset.isEmpty || subset(name) }
-      .foreach { case (name, fn) =>
+    // oracle-constant guard: the semantic-dedup oracles hardwire the
+    // autoCentroids resolutions (16 fine / 4 coarse seeds — the floor,
+    // which binds only while ceil(n/256) ≤ 16). A regenerated, larger
+    // verify corpus would silently hash-diverge against those constants
+    // — fail loudly instead of letting the gate chase phantom diffs.
+    if (dumped.keysIterator.exists(_.startsWith("dedup_semantic"))) {
+      val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+      require(n <= 4096,
+        s"semantic-dedup oracles assume the autoCentroids floor (16 fine" +
+          s" / 4 coarse seeds), valid only for <= 4096 embeddings; " +
+          s"$sfDir has $n - regenerate the oracle constants first")
+    }
+    dumped.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

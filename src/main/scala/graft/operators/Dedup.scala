@@ -488,7 +488,19 @@ object Dedup {
     * exact-duplicate rows can only arise from crash/replay, since rows
     * carry doc_id. Returns the number of buckets compacted. */
   def compactSignatureStore(spark: org.apache.spark.sql.SparkSession,
-                            table: String, maxFiles: Int = 8): Int = {
+                            table: String, maxFiles: Int = 8): Int =
+    compactBucketedStore(spark, table, Seq("band", "h"), maxFiles)
+
+  /** The shared bucket-preserving compactor behind
+    * [[compactSignatureStore]] and [[compactShingleStore]] — the
+    * contract lives on the public wrappers; this is the mechanism:
+    * group files by the bucket id Spark encodes in the name, rewrite
+    * each over-`maxFiles` bucket to one deduplicated file re-sorted on
+    * `sortCols`, rename back INTO the bucket-id naming scheme so the
+    * catalog's bucketed scan keeps working unchanged. */
+  private def compactBucketedStore(spark: org.apache.spark.sql.SparkSession,
+                                   table: String, sortCols: Seq[String],
+                                   maxFiles: Int): Int = {
     import org.apache.hadoop.fs.Path
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc =
@@ -511,7 +523,8 @@ object Dedup {
         fs.delete(tmp, true)
         spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
           .dropDuplicates() // self-heal crash-window duplicate rows
-          .coalesce(1).sortWithinPartitions("band", "h")
+          .coalesce(1)
+          .sortWithinPartitions(sortCols.map(col): _*)
           .write.mode("overwrite").parquet(tmp.toString)
         // rename the replacement IN before deleting the originals: a
         // crash in the overlap window leaves duplicate signature rows,
@@ -663,12 +676,17 @@ object Dedup {
     * INTERSECTION join only — per-doc set sizes (the denominators) still
     * count them — a documented recall trade, like `maxBucket` in the
     * banded generators. The df cap runs AFTER n_sh (denominators stay
-    * exact); df = 1 rows are dropped too — a shingle appearing in one
-    * document can never produce a pair, so excluding it changes NOTHING
-    * while cutting the self-join's input by the unique-shingle share of
-    * the corpus (on web corpora the large majority). */
+    * exact); with the default `minDf = 2`, df = 1 rows are dropped
+    * too — a shingle appearing in one document can never produce a pair,
+    * so excluding it changes NOTHING while cutting the self-join's input
+    * by the unique-shingle share of the corpus (on web corpora the large
+    * majority). A store that will receive APPENDS must pass `minDf = 1`
+    * ([[appendShingles]]): df is computed WITHIN the batch, and a
+    * singleton's twin may arrive in a later batch — dropping it here
+    * would silently lose that cross-batch pair. */
   private[graft] def cappedShingleTable(docs: DataFrame, shingleLen: Int,
-                                 maxShingleDf: Int): DataFrame =
+                                 maxShingleDf: Int,
+                                 minDf: Int = 2): DataFrame =
     docs
       .select(col("doc_id"),
         array_distinct(
@@ -679,7 +697,7 @@ object Dedup {
       .select(col("doc_id"), col("n_sh"),
         graft.functions.fnv1a64(col("s")).as("sh"))
       .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
-      .filter(col("__df") <= maxShingleDf && col("__df") >= 2)
+      .filter(col("__df") <= maxShingleDf && col("__df") >= minDf)
       .drop("__df")
       // both sides of the self-join read the materialized shingle table
       .barrier()
@@ -839,16 +857,78 @@ object Dedup {
     * `repartition(nBuckets, sh)` uses the same hash as the bucket
     * layout, so each task holds exactly one bucket and writes ONE file
     * per bucket — the single-file-per-bucket condition under which the
-    * scan's sort order is trusted and the join-side Sort nodes vanish. */
+    * scan's sort order is trusted and the join-side Sort nodes vanish.
+    *
+    * `minDf`: a serve-only store keeps the default (df = 1 shingles can
+    * never pair — dropping them shrinks the store by the unique-shingle
+    * share of the corpus); a store that will receive [[appendShingles]]
+    * increments MUST be built with `minDf = 1`, because a build-batch
+    * singleton's twin may arrive in a later append and the pair is lost
+    * if the singleton was dropped at build. */
   def persistShingles(docs: DataFrame, table: String, path: String,
                       shingleLen: Int = 3, maxShingleDf: Int = 1000,
-                      nBuckets: Int = 32): Unit =
-    cappedShingleTable(docs, shingleLen, maxShingleDf)
+                      nBuckets: Int = 32, minDf: Int = 2): Unit =
+    cappedShingleTable(docs, shingleLen, maxShingleDf, minDf)
       .repartition(nBuckets, col("sh"))
       .write.mode("overwrite")
       .bucketBy(nBuckets, "sh").sortBy("sh")
       .option("path", path)
       .saveAsTable(table)
+
+  /** Append `docs`'s shingles to an existing shingle store — the
+    * build-once/append-many half of the bucketed shingle family
+    * ([[appendSignatures]]' contract applied to [[persistShingles]]).
+    * Always emitted with `minDf = 1`: df is computed WITHIN the batch,
+    * and a batch singleton's twin may live in the base or a later
+    * append — only the serve-time join may decide a shingle never pairs.
+    *
+    * Df-cap STALENESS contract (stated, like the signature store's):
+    * `maxShingleDf` applies within each appended batch only — the cap
+    * is a property of the corpus the batch was built against, and
+    * re-capping store-wide would re-read the whole store per append,
+    * the one thing an incremental pipeline must never do. A shingle
+    * whose STORE-WIDE df crosses the cap after appends is therefore
+    * retained where a full rebuild would drop it: serve answers can
+    * include pairs the rebuilt store suppresses (a recall-upward,
+    * cost-upward divergence — the join fans wider). When appended mass
+    * materially shifts the df distribution (watch [[dfProfile]]'s top
+    * decades), REBUILD: the cap is a build-time property.
+    *
+    * Exactly-once contract (STRICTER than the signature store's):
+    * jaccard/containment `inter` counts COUNT matched rows, so a
+    * replayed batch inflates every affected pair's intersection —
+    * unlike banded candidates (distinct doc-id pairs), replays here are
+    * NOT harmless. Drive appends through an idempotent channel (e.g.
+    * Structured Streaming `foreachBatch` with its batch-id guard), or
+    * run [[compactShingleStore]] before serving: its rewrite
+    * deduplicates exact rows, reabsorbing a crash-window replay.
+    *
+    * Append adds one file per bucket per batch: the scan keeps its
+    * exchange-free bucketing, but Spark only trusts `sortBy` metadata
+    * for single-file buckets, so the serve join re-sorts WITHIN buckets
+    * until [[compactShingleStore]] restores one file per bucket. */
+  def appendShingles(docs: DataFrame, table: String,
+                     shingleLen: Int = 3, maxShingleDf: Int = 1000,
+                     nBuckets: Int = 32): Unit =
+    cappedShingleTable(docs, shingleLen, maxShingleDf, minDf = 1)
+      .repartition(nBuckets, col("sh"))
+      .write.mode("append")
+      .bucketBy(nBuckets, "sh").sortBy("sh")
+      .saveAsTable(table)
+
+  /** Bucket-preserving compaction of the shingle store — the
+    * [[compactSignatureStore]] contract for [[appendShingles]]'s
+    * small-file decay, with one extra payoff specific to this store:
+    * coalescing each bucket back to ONE file (re-sorted on `sh`)
+    * restores the single-file-per-bucket condition under which the scan
+    * re-claims its `sortBy` ordering, so the serve join drops its
+    * within-bucket Sorts again. The rewrite deduplicates exact rows
+    * (self-healing a crash-window replayed append — see
+    * [[appendShingles]]' exactly-once contract). Returns the number of
+    * buckets compacted. */
+  def compactShingleStore(spark: org.apache.spark.sql.SparkSession,
+                          table: String, maxFiles: Int = 1): Int =
+    compactBucketedStore(spark, table, Seq("sh"), maxFiles)
 
   /** [[jaccardNeighbors]] served from a [[persistShingles]] store —
     * identical results (the layout must never change the answer; the
@@ -1587,20 +1667,39 @@ object Dedup {
       else IvfIndex.autoCentroids(embeddings.count(), targetBlock)
     val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val coarse = IvfIndex.centroids(embeddings, k1)
-      .select(col("centroid_id").as("ccid"), col("cv").as("ccv"))
     val fine = IvfIndex.centroids(embeddings, k)
+    blockedNeighbors(hierarchicalAssign(embeddings, coarse, fine),
+      simThreshold, maxBlock, pairBudget)
+  }
+
+  /** The two-level (coarse→fine) assignment core shared by
+    * [[semanticNeighborsScaled]], [[persistSemanticBlocks]] and
+    * [[semanticIncrementalFromStore]] — ONE definition so the persisted
+    * base, its increments and the recompute path block identically (an
+    * increment assigned by a different rule than the base it probes
+    * silently loses blocking recall at coarse boundaries). `coarse` and
+    * `fine` are `(centroid_id, cv)` tables (`coarse` a PREFIX of `fine`
+    * by the [[IvfIndex.centroids]] seed contract, so no coarse cell is
+    * ever fine-less); both argmins break ties by centroid id ascending.
+    * Returns `(block, vec_id, embedding)` — the embedding rides inside
+    * each min-struct (the kmeansCentroids trick: `(dist, id)` is already
+    * unique per candidate, the array never participates in the
+    * comparison and no re-attach join is needed). */
+  private[graft] def hierarchicalAssign(embeddings: DataFrame,
+                                        coarse: DataFrame,
+                                        fine: DataFrame): DataFrame = {
+    val cc = coarse.select(col("centroid_id").as("ccid"),
+      col("cv").as("ccv"))
     // fine → coarse map: k × k₁ cosines — tiny, broadcastable
-    val fineMap = fine.crossJoin(broadcast(coarse))
+    val fineMap = fine.crossJoin(broadcast(cc))
       .select(col("centroid_id"), col("cv"), col("ccid"),
         (lit(1.0) - cosine_similarity(col("cv"), col("ccv"))).as("cd"))
       .groupBy(col("centroid_id"))
-      // (cd, ccid) is unique per candidate — cv never participates in
-      // the comparison (the kmeansCentroids struct-min trick)
       .agg(min(struct(col("cd"), col("ccid"), col("cv"))).as("m"))
       .select(col("m.ccid").as("ccid"), col("centroid_id"),
         col("m.cv").as("cv"))
     // corpus → coarse cell: n × k₁
-    val coarseAssign = embeddings.crossJoin(broadcast(coarse))
+    val coarseAssign = embeddings.crossJoin(broadcast(cc))
       .select(col("vec_id"), col("embedding"),
         (lit(1.0) - cosine_similarity(col("embedding"), col("ccv")))
           .as("cd"),
@@ -1612,7 +1711,7 @@ object Dedup {
     // corpus → nearest fine centroid WITHIN the coarse cell: the join
     // fans each vector out to its cell's fine centroids only (k/k₁ on
     // average), never to all k
-    val blocked = coarseAssign.join(broadcast(fineMap), Seq("ccid"))
+    coarseAssign.join(broadcast(fineMap), Seq("ccid"))
       .select(col("vec_id"), col("embedding"),
         (lit(1.0) - cosine_similarity(col("embedding"), col("cv")))
           .as("fd"),
@@ -1622,27 +1721,36 @@ object Dedup {
         .as("m"))
       .select(col("m.centroid_id").as("block"), col("vec_id"),
         col("m.embedding").as("embedding"))
-    blockedNeighbors(blocked, simThreshold, maxBlock, pairBudget)
   }
 
-  /** Persist the semantic-dedup BASE: centroids (k rows) plus the base
-    * corpus blocked by nearest centroid, bucketed by block — the
+  /** Persist the semantic-dedup BASE: centroids (k fine + k₁ coarse
+    * rows) plus the base corpus blocked by the HIERARCHICAL coarse→fine
+    * assignment ([[hierarchicalAssign]] — the measured 2.2×/decade
+    * form; the flat n·k assignment this build used through round 17 is
+    * the 8.8×/decade shape, and the one-time base build over 100 TB is
+    * exactly where that cost lands), bucketed by block — the
     * [[persistSignatures]] pattern for the embedding family, so a daily
     * increment probes a FROZEN artifact instead of re-blocking the
-    * corpus ([[semanticIncrementalFromStore]]). Centroids ride a second
-    * tiny table under `<table>_centroids`. */
+    * corpus ([[semanticIncrementalFromStore]]). The fine centroids ride
+    * a second tiny table under `<table>_centroids` and the coarse seeds
+    * a third under `<table>_coarse`: the probe must replay the SAME
+    * two-level argmin the base was blocked with, or block membership
+    * diverges at coarse boundaries. */
   def persistSemanticBlocks(base: DataFrame, table: String, path: String,
                             nCentroids: Int = 0, targetBlock: Int = 256,
                             nBuckets: Int = 8): Unit = {
     val k =
       if (nCentroids > 0) nCentroids
       else IvfIndex.autoCentroids(base.count(), targetBlock)
+    val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val cents = IvfIndex.centroids(base, k)
+    val coarse = IvfIndex.centroids(base, k1)
     cents.write.mode("overwrite").option("path", s"$path/centroids")
       .saveAsTable(s"${table}_centroids")
-    IvfIndex.nearestCentroid(base, cents)
-      .select(col("centroid_id").as("block"), col("vec_id"))
-      .join(base.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    coarse.write.mode("overwrite").option("path", s"$path/coarse")
+      .saveAsTable(s"${table}_coarse")
+    hierarchicalAssign(base, coarse, cents)
+      .select(col("vec_id"), col("block"), col("embedding"))
       .write.mode("overwrite")
       .bucketBy(nBuckets, "block").sortBy("block")
       .option("path", s"$path/blocks")
@@ -1652,12 +1760,14 @@ object Dedup {
   /** Incremental semantic dedup: probe a NEW batch of embeddings
     * against the persisted blocked base — per new vector, the best
     * base-corpus neighbor within its block (assignment against the
-    * FROZEN centroids; the base is never re-read beyond its probed
-    * blocks, never re-blocked — the [[incrementalCandidatesFromStore]]
-    * contract for the embedding family). The increment broadcasts (a
-    * daily batch is orders of magnitude smaller than the base), so the
-    * bucketed base scan joins with no corpus-sized exchange. Output:
-    * one row per new vector that shares a block with ≥ 1 base vector —
+    * FROZEN centroid tables, replaying the same two-level coarse→fine
+    * argmin the base was blocked with; the base is never re-read beyond
+    * its probed blocks, never re-blocked — the
+    * [[incrementalCandidatesFromStore]] contract for the embedding
+    * family). The increment broadcasts (a daily batch is orders of
+    * magnitude smaller than the base), so the bucketed base scan joins
+    * with no corpus-sized exchange. Output: one row per new vector that
+    * shares a block with ≥ 1 base vector —
     * `(vec_id, nn_id, nn_score, is_dup)`, the [[semanticNeighbors]]
     * contract with neighbors drawn from the BASE only. */
   def semanticIncrementalFromStore(newVecs: DataFrame,
@@ -1665,10 +1775,9 @@ object Dedup {
                                    table: String,
                                    simThreshold: Double = 0.95): DataFrame = {
     spark.catalog.refreshTable(table)
-    val cents = spark.table(s"${table}_centroids")
-    val assigned = IvfIndex.nearestCentroid(newVecs, cents)
-      .select(col("vec_id"), col("centroid_id").as("block"))
-      .join(newVecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val assigned = hierarchicalAssign(newVecs,
+        spark.table(s"${table}_coarse"), spark.table(s"${table}_centroids"))
+      .select(col("vec_id"), col("block"), col("embedding"))
     val sims = spark.table(table).as("b")
       .join(broadcast(assigned.as("a")), col("a.block") === col("b.block"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),

@@ -65,7 +65,17 @@ object PathsStream {
       val out = scala.collection.mutable.ArrayBuffer.empty[PathCell]
       var cur = state.getOption
       // events within a micro-batch are unordered; sort this group's
-      // slice by (ts, event_id) — the batch row_number tie contract
+      // slice by (ts, event_id) — the batch row_number tie contract.
+      // The sort is PER BATCH only: a watermark-admitted late event
+      // arriving in a LATER batch is appended in arrival order, so
+      // CROSS-BATCH disorder (not just unclosed sessions) breaks batch
+      // equivalence — path labels and session splits can diverge from
+      // the batch operator even though the watermark admits up-to-gap
+      // late data. The stated contract is therefore a TIME-ORDERED
+      // PREFIX per user across batches: feed batches whose per-user
+      // event times never interleave (the replay/backfill shape), or
+      // accept the divergence as the cost of not buffering every open
+      // session's events until timeout just to re-sort at close.
       evts.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
         val t = micros(e.ts)
         val c = if (e.event_type == convType) 1L else 0L

@@ -54,6 +54,58 @@ class DedupSpec extends SparkSuite {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_shingles")
   }
 
+  test("shingle store append: append->serve equals rebuild->serve, " +
+    "compaction restores the sort-free single-file buckets") {
+    val tbl = "graft_test_shingle_inc"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shingle-inc").toString
+    // the cross-part pair: doc 1 (build) and doc 2 (append) are near-dups
+    // — every shared shingle is a SINGLETON within each part, so the pair
+    // survives only because the appendable store keeps minDf = 1 rows
+    val part1 = Seq((1L, base), (3L, distinctDoc)).toDF("doc_id", "text")
+    val part2 = Seq((2L, nearDup),
+      (4L, (1 to 80).map(i => s"pad${i}word").mkString(" ")))
+      .toDF("doc_id", "text")
+    try {
+      operators.Dedup.persistShingles(part1, tbl, s"$dir/store", minDf = 1)
+      operators.Dedup.appendShingles(part2, tbl)
+      val served = operators.Dedup.jaccardNeighborsFromStore(spark, tbl)
+        .collect().toSeq
+      // append -> serve must equal rebuild -> serve == the recompute path
+      // (df-cap non-binding here, so the staleness window is empty)
+      val recomputed = operators.Dedup
+        .jaccardNeighbors(part1.union(part2)).collect().toSeq
+      assert(served == recomputed,
+        "appended store diverged from the full recompute")
+      val best = served.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(best(1L) == 2L && best(2L) == 1L,
+        s"cross-part singleton pair lost: $best")
+      // the appended store keeps its exchange-free bucketing (two files
+      // per touched bucket — sort metadata NOT yet trusted)
+      val planBefore = planOf(
+        operators.Dedup.jaccardNeighborsFromStore(spark, tbl))
+      assert(!planBefore.contains("hashpartitioning(sh"),
+        s"append broke the bucketed layout:\n$planBefore")
+      def nFiles: Int = new java.io.File(s"$dir/store").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val filesBefore = nFiles
+      val compacted = operators.Dedup.compactShingleStore(spark, tbl)
+      assert(compacted > 0, "appended buckets must be compacted")
+      assert(nFiles < filesBefore,
+        s"file count must drop: $filesBefore -> $nFiles")
+      // one sorted file per bucket again: the serve join drops its
+      // within-bucket Sorts AND keeps the answer bit-identical
+      val afterDf = operators.Dedup.jaccardNeighborsFromStore(spark, tbl)
+      val planAfter = planOf(afterDf)
+      assert(!planAfter.contains("hashpartitioning(sh"), planAfter)
+      assert(!planAfter.contains("Sort [sh"),
+        s"compaction failed to restore the sort-free scan:\n$planAfter")
+      assert(afterDf.collect().toSeq == recomputed,
+        "compaction changed the serve answer")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("lshRecallAudit: exact truth vs the production candidate funnel") {
     val t0 = "alpha beta gamma delta epsilon zeta eta theta"
     val t8 = "alpha beta gamma xx yy zz ww" // shares exactly 1 shingle with t0
@@ -259,6 +311,54 @@ class DedupSpec extends SparkSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS graft_test_sem_blocks")
       spark.sql("DROP TABLE IF EXISTS graft_test_sem_blocks_centroids")
+      spark.sql("DROP TABLE IF EXISTS graft_test_sem_blocks_coarse")
+    }
+  }
+
+  test("persistSemanticBlocks blocks the base HIERARCHICALLY and the " +
+    "incremental probe replays the same two-level argmin") {
+    // 12 unit-ish vectors in 4 directions — enough structure that the
+    // two-level (coarse = 2 seeds, fine = 4) assignment is exercised
+    // with a real fine fan-out, not the coarse==fine degenerate case
+    val dirs = Seq(
+      Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f),
+      Array(0.9f, 0.1f, 0f, 0f), Array(0.1f, 0.9f, 0f, 0f))
+    val base = (0L until 12L)
+      .map(i => (i, dirs((i % 4).toInt).map(_ + 0.01f * (i / 4))))
+      .toDF("vec_id", "embedding")
+    val tbl = "graft_test_sem_hier"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sem-hier").toString
+    try {
+      operators.Dedup.persistSemanticBlocks(base, tbl, dir, nCentroids = 4)
+      // the coarse seed table exists with ceil(sqrt(4)) = 2 rows — the
+      // probe's replay half of the frozen-assignment contract
+      assert(spark.table(s"${tbl}_coarse").count() == 2)
+      // the persisted block column IS the two-level argmin, bit-equal to
+      // hierarchicalAssign over the same frozen seed tables — never the
+      // flat n*k assignment the round-17 verdict flagged
+      val stored = spark.table(tbl)
+        .select($"vec_id", $"block").as[(Long, Long)].collect().toMap
+      val expected = operators.Dedup.hierarchicalAssign(base,
+          operators.IvfIndex.centroids(base, 2),
+          operators.IvfIndex.centroids(base, 4))
+        .select($"vec_id", $"block").as[(Long, Long)].collect().toMap
+      assert(stored == expected,
+        s"persisted blocks diverge from the two-level argmin:\n$stored\n$expected")
+      // probe-side consistency: a new vector IDENTICAL to a base member
+      // must land in that member's block and read sim 1.0 — the
+      // base-build and probe assignments share one rule by construction
+      val probe = base.filter($"vec_id" === 5L)
+        .select(($"vec_id" + 100L).as("vec_id"), $"embedding")
+      val got = operators.Dedup
+        .semanticIncrementalFromStore(probe, spark, tbl).collect().head
+      assert(got.getLong(0) == 105L && got.getLong(1) == 5L &&
+        got.getBoolean(3), s"identical probe missed its base twin: $got")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_centroids")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_coarse")
     }
   }
 

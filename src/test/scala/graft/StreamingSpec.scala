@@ -270,6 +270,72 @@ class StreamingSpec extends SparkSuite {
       "near-dup in batch B of a doc from batch A — the cross-batch flag")
   }
 
+  test("streaming semantic dedup: time-split batches equal the batch " +
+    "prober, heap and RocksDB") {
+    import spark.implicits._
+    val tbl = "graft_stream_sem_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_centroids")
+    spark.sql(s"DROP TABLE IF EXISTS ${tbl}_coarse")
+    val dir = Files.createTempDirectory("graft-sem-stream").toString
+    val baseVecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.999f, 0.03f, 0f, 0f)),
+      (3L, Array(0.03f, 0.999f, 0f, 0f))).toDF("vec_id", "embedding")
+    operators.Dedup.persistSemanticBlocks(baseVecs, tbl, s"$dir/store",
+      nCentroids = 2)
+    try {
+      val batchA = Seq((10L, Array(0.998f, 0.04f, 0f, 0f)))
+      val batchB = Seq((11L, Array(0.04f, 0.998f, 0f, 0f)),
+        (12L, Array(0f, 0f, 1f, 0f))) // no near-dup anywhere in the base
+      val vecSchema = StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
+      // two batches separated by a stream RESTART (shared checkpoint):
+      // the probe is read-only against the frozen base, so the only
+      // state that must survive the restart is the checkpoint itself
+      def run(tag: String): Set[Seq[Any]] = {
+        val srcDir = Files.createTempDirectory(s"graft-sem-src-$tag").toString
+        val flagsDir = s"$srcDir/flags"
+        def vecStream = spark.readStream.schema(vecSchema)
+          .parquet(s"$srcDir/c=*")
+        batchA.toDF("vec_id", "embedding")
+          .coalesce(1).write.parquet(s"$srcDir/c=a")
+        SemanticDedupStream.start(spark, vecStream, tbl, flagsDir,
+          checkpoint = s"$srcDir/_ckpt").awaitTermination(120000)
+        batchB.toDF("vec_id", "embedding")
+          .coalesce(1).write.parquet(s"$srcDir/c=b")
+        SemanticDedupStream.start(spark, vecStream, tbl, flagsDir,
+          checkpoint = s"$srcDir/_ckpt").awaitTermination(120000)
+        spark.read.parquet(flagsDir).collect().map(_.toSeq).toSet
+      }
+      val heap = run("heap")
+      // the batch prober over the union of both batches is the truth:
+      // probing is per-row against the frozen base, so time-splitting
+      // must be invisible in the flags
+      val batch = operators.Dedup.semanticIncrementalFromStore(
+          (batchA ++ batchB).toDF("vec_id", "embedding"), spark, tbl)
+        .collect().map(_.toSeq).toSet
+      assert(heap.nonEmpty && heap == batch,
+        s"streamed flags diverge from the batch prober:\n$heap\n$batch")
+      val expect = heap.map(r => r.head -> (r(1), r(3))).toMap
+      assert(expect(10L) == ((2L, true)) && expect(11L) == ((3L, true)),
+        s"near-dups of the base must flag: $expect")
+      assert(expect(12L)._2 == false, s"fresh vector must pass: $expect")
+      // provider invisibility: the twin holds no keyed state (the STORE
+      // is the state), but the whole pipeline must still produce the
+      // same rows when the session runs under the RocksDB provider
+      val rocks = StateBackend.withRocksDB(spark) { run("rocks") }
+      assert(rocks == heap, "RocksDB run diverged from the heap run")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_centroids")
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_coarse")
+    }
+  }
+
   test("signature-store compaction: fewer files, same probes, buckets kept") {
     import spark.implicits._
     val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")

@@ -73,19 +73,32 @@ def main():
     print(f"{'family':<22}{'n':>4}{'sf1 s':>9}{'sf10 s':>9}"
           f"{'ratio':>7}{'med/q':>7}  worst")
     tot1 = tot2 = 0.0
+    n_included = 0
     for name in sorted(fams, key=lambda n: -sum(x[2] for x in fams[n])):
         rows = fams[name]
         s1 = sum(x[1] for x in rows)
         s2 = sum(x[2] for x in rows)
         tot1, tot2 = tot1 + s1, tot2 + s2
+        n_included += len(rows)
         med = median(x[2] / x[1] for x in rows)
         worst = max(rows, key=lambda x: x[2] / x[1])
+        # s1 can only be 0 if every query in the family failed (wall -1
+        # filtered above leaves the family absent) or timed exactly 0 on
+        # the small side — guard the ratio rather than crash the table
+        ratio = f"{s2 / s1:>7.2f}" if s1 > 0 else f"{'n/a':>7}"
         print(f"{name:<22}{len(rows):>4}{s1:>9.1f}{s2:>9.1f}"
-              f"{s2 / s1:>7.2f}{med:>7.2f}  "
+              f"{ratio}{med:>7.2f}  "
               f"{worst[0]} {worst[2] / worst[1]:.1f}x "
               f"({worst[1]:.1f}->{worst[2]:.1f}s)")
-    print(f"{'TOTAL':<22}{len(common):>4}{tot1:>9.1f}{tot2:>9.1f}"
-          f"{tot2 / tot1:>7.2f}")
+    # TOTAL counts only the rows actually summed (positive wall on both
+    # sides) — len(common) over-reported when failed/zero rows were
+    # skipped by the loop above
+    tot_ratio = f"{tot2 / tot1:>7.2f}" if tot1 > 0 else f"{'n/a':>7}"
+    print(f"{'TOTAL':<22}{n_included:>4}{tot1:>9.1f}{tot2:>9.1f}"
+          f"{tot_ratio}")
+    if n_included < len(common):
+        print(f"excluded (failed/zero wall on a side): "
+              f"{len(common) - n_included} of {len(common)} common queries")
     if only:
         print(f"skipped (one side only): {', '.join(only)}")
 
