@@ -109,7 +109,8 @@ object Bench {
           "q_bm25_persisted", "q_hybrid_rrf", "q_bucketed_join",
           "q_partition_prune", "q_retrieval_eval",
           "q_cdc_bucketed", "q_snapshot_diff_bucketed",
-          "dedup_jaccard_bucketed", "dedup_containment_bucketed")
+          "dedup_jaccard_bucketed", "dedup_containment_bucketed",
+          "dedup_shingle_incremental")
         .filter(selected.contains))
       .foreach(n =>
         SparkEntry.queries.get(n).foreach(f => f(spark, sfDir).count()))

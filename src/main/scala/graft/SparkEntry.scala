@@ -2279,7 +2279,7 @@ $rounds
     // decade-measurable evidence the persist path now rides the
     // 2·n·√k shape (compare against the flat assignment inside the
     // dedup_semantic row at the same SF)
-    "dedup_sem_blocks#build" -> ((s, dir) => {
+    "dedup_semantic_incremental#build" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       val k = IvfIndex.autoCentroids(e.count())
       val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
