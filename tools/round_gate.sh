@@ -11,9 +11,19 @@
 #          engine catalog, and every key the latest CORRECTNESS artifact
 #          gated is still present in both;
 #   leg 4: records-scaling gate (scaling.py --gate): SATURATED benches
-#          at sf0.01 and sf0.1 (plan shape held fixed — broadcast
+#          at sf0.1 and ScaleUp-sf1 (plan shape held fixed — broadcast
 #          promotion off), shuffle RECORDS must grow <= 10x * (1+tol)
 #          across the decade -> tools/scaling_r<N>.json.
+#          The decade MUST be the ScaleUp generator (disjoint-vocabulary
+#          replicas of sf0.1), never two organic corpora: pair-table
+#          operators (the shingle self-joins, dedup_recall's truth
+#          pairs) grow with SUM df^2 over shared shingles, and organic
+#          corpora share vocabulary, so their pair mass grows
+#          super-linearly IN THE DATA (measured 58-86x for the organic
+#          sf0.01->sf0.1 decade) — a generator artifact of the
+#          comparison, not a plan regression. ScaleUp's token-suffixed
+#          replicas keep candidate pairs linear by construction, so on
+#          that decade the gate isolates PLAN growth.
 # Legs 3-4 were manual steps through round 17 (the advice: a future
 # round could skip them); now the close is this script or nothing.
 #
@@ -46,18 +56,26 @@ python3 tools/key_gate.py SURVEY.md "$OUT" ${CORR:+"$CORR"}
 
 # records-scaling leg: saturated runs pin the 100 TB plan shape at both
 # SFs, so the records ratio measures GROWTH, not AQE's small-scale
-# broadcast wins (see Bench.scala's SATURATED note). sf0.01 -> sf0.1 is
-# the cheap decade; the saturated sf1/sf10 sweeps stay the deep-dive
+# broadcast wins (see Bench.scala's SATURATED note). The decade is
+# sf0.1 -> ScaleUp(sf0.1)x10 — see the header note for why it must be
+# the generator decade; the saturated sf10 sweeps stay the deep-dive
 # artifacts, this leg is the every-round regression tripwire.
-SMALL="tools/bench_sat_sf001_r${N}.json"
-BIG="tools/bench_sat_sf01_r${N}.json"
+SF1_DIR="${SPARK_GRAFT_SF1_DIR:-/tmp/graft_gate_sf1}"
+if [ ! -d "$SF1_DIR" ]; then
+  # shellcheck disable=SC2086
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
+    java -Xmx24g $ADD_OPENS -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
+    graft.ScaleUp /root/testdata/sf0.1 "$SF1_DIR" 10 2>/dev/null | tail -1
+fi
+SMALL="tools/bench_sat_sf01_r${N}.json"
+BIG="tools/bench_sat_sf1_r${N}.json"
 # shellcheck disable=SC2086
-SPARK_GRAFT_SATURATED=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 \
+SPARK_GRAFT_SATURATED=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   java -Xmx24g $ADD_OPENS -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
   graft.Bench 2>/dev/null | head -1 > "$SMALL"
 # shellcheck disable=SC2086
-SPARK_GRAFT_SATURATED=1 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+SPARK_GRAFT_SATURATED=1 SPARK_GRAFT_SF_DIR="$SF1_DIR" \
   SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   java -Xmx24g $ADD_OPENS -cp "/opt/spark/jars/*:target/scala-2.13/classes" \
   graft.Bench 2>/dev/null | head -1 > "$BIG"
