@@ -125,10 +125,17 @@ object ScaleUp {
     }
     replicate("embeddings") { (d, r) =>
       val shifted = shift(d, r, "vec_id" -> vecOff)
+      // rotate MODULO the dimension: the raw `slice(emb, r+1, size-r)`
+      // went negative for r >= dim (reps > 64 crashed with
+      // INVALID_PARAMETER_VALUE.LENGTH). Caveat for reps > dim, stated:
+      // replicas r and r+dim share a rotation, so their vectors are
+      // exact copies of each other's — top-k gains cross-replica ties.
+      // Prefer staged runs (x10 of an x10) for decades past dim.
       if (r == 0) shifted
       else shifted.withColumn("embedding", expr(
-        s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), " +
-          s"slice(embedding, 1, $r))"))
+        s"concat(slice(embedding, pmod($r, size(embedding)) + 1, " +
+          s"size(embedding) - pmod($r, size(embedding))), " +
+          s"slice(embedding, 1, pmod($r, size(embedding))))"))
     }
     println(s"[scaleup] wrote ${reps}x of $srcDir to $outDir " +
       s"(offsets: cust=$custOff supp=$suppOff part=$partOff ord=$ordOff " +
