@@ -886,6 +886,25 @@ object SparkEntry {
       }
       Dedup.jaccardNeighborsFromStore(s, tbl)
     }),
+    // the EXACT-verified incremental probe: a new batch's best BASE
+    // neighbor by true jaccard from the persisted base-only shingle
+    // store (dedup_incremental's banded probe estimates; this
+    // computes) — the increment broadcasts into the bucketed scan,
+    // the base never moves
+    "dedup_jaccard_incremental" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val memoKey =
+        s"shbase:$dir@${corpusFingerprint(dir, "documents.parquet")}"
+      val tag = memoTag(memoKey)
+      val tbl = memoized(builtBucketed, memoKey)(s.catalog.tableExists) {
+        val t0 = s"graft_shingle_base_$tag"
+        Dedup.persistShingles(t.documents.filter(col("doc_id") < 250), t0,
+          path = s"$ivfTmpBase/shbase-$tag", minDf = 1)
+        t0
+      }
+      Dedup.jaccardIncrementalFromStore(
+        t.documents.filter(col("doc_id") >= 250), s, tbl)
+    }),
     // the end of the dedup funnel: exact word-shingle jaccard re-verifies
     // ONLY the pairs whose signature estimate clears the integer gate
     "dedup_verified" -> q(t => Dedup.verifiedDuplicates(t.documents)),
@@ -4400,6 +4419,25 @@ $rounds
          | sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
          | inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id, COUNT(*) AS i
          |   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1,2),
+         | jac AS (SELECT i.doc_id, i.neighbor_id, CAST(i.i AS DOUBLE)/(s1.n_sh + s2.n_sh - i.i) AS jaccard
+         |   FROM inter i JOIN sizes s1 ON i.doc_id = s1.doc_id JOIN sizes s2 ON i.neighbor_id = s2.doc_id)
+         |SELECT doc_id, neighbor_id, floor(jaccard*1e6)/1e6 AS jaccard
+         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, neighbor_id) AS rn FROM jac)
+         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    // dedup_jaccard_incremental: the recompute jaccard restricted to
+    // (new >= 250) x (base < 250) pairs — the store layout and the
+    // within-batch minDf=1 cap are invisible at oracle scale (no df
+    // crosses the cap), so the replay is the plain split intersection
+    "dedup_jaccard_incremental" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(${normSql("text")}, ' ') AS toks FROM documents),
+         | sh AS (SELECT doc_id, unnest(list_distinct(
+         |   CASE WHEN len(toks) < 3 THEN []::VARCHAR[]
+         |        ELSE list_transform(range(1, len(toks)-1), i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]) END)) AS sh
+         |  FROM tok),
+         | sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         | inter AS (SELECT a.doc_id AS doc_id, b.doc_id AS neighbor_id, COUNT(*) AS i
+         |   FROM sh a JOIN sh b ON a.sh = b.sh
+         |   WHERE a.doc_id >= 250 AND b.doc_id < 250 GROUP BY 1,2),
          | jac AS (SELECT i.doc_id, i.neighbor_id, CAST(i.i AS DOUBLE)/(s1.n_sh + s2.n_sh - i.i) AS jaccard
          |   FROM inter i JOIN sizes s1 ON i.doc_id = s1.doc_id JOIN sizes s2 ON i.neighbor_id = s2.doc_id)
          |SELECT doc_id, neighbor_id, floor(jaccard*1e6)/1e6 AS jaccard

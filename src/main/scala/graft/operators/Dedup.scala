@@ -948,6 +948,53 @@ object Dedup {
     containmentNeighborsOn(spark.table(table), threshold)
   }
 
+  /** Incremental word-shingle jaccard: a NEW batch of documents probed
+    * against the PERSISTED base shingle store — per new doc, the best
+    * BASE neighbor by EXACT jaccard ([[jaccardNeighbors]]' contract
+    * with neighbors drawn from the base only). This is the
+    * exact-verified face of [[incrementalCandidatesFromStore]]'s
+    * banded probe (the signature probe ESTIMATES via band collisions;
+    * this computes true jaccard from the stored shingle rows), and the
+    * probe-side consumer of the [[persistShingles]]/[[appendShingles]]
+    * build-once/append-many lifecycle. The base store must be built
+    * (and appended) with `minDf = 1`: a base singleton's twin may be
+    * exactly what the increment brings.
+    *
+    * Scale shape: the increment's capped shingle table BROADCASTS (a
+    * daily batch vs a 100 TB base) into the bucketed store scan, so
+    * the base never moves; an oversized increment drops the broadcast
+    * and shuffles only itself onto the store's `sh` bucketing — the
+    * exchange stays one-sided either way. `inter` counts joined rows
+    * per (new, base) pair; both denominators ride OUTSIDE the widest
+    * join (n_base stored per row at build, n_new computed within the
+    * batch), so the join carries only `(ids, sh)`-width rows. */
+  def jaccardIncrementalFromStore(newDocs: DataFrame,
+                                  spark: org.apache.spark.sql.SparkSession,
+                                  table: String, shingleLen: Int = 3,
+                                  maxShingleDf: Int = 1000): DataFrame = {
+    spark.catalog.refreshTable(table)
+    val b = spark.table(table).select(col("doc_id").as("base_id"),
+      col("n_sh").as("n_base"), col("sh"))
+    val nw = cappedShingleTable(newDocs, shingleLen, maxShingleDf, minDf = 1)
+      .select(col("doc_id").as("new_id"), col("n_sh").as("n_new"), col("sh"))
+    b.join(broadcast(nw), Seq("sh"))
+      // n_new/n_base are functionally dependent on the ids — riding in
+      // the group key keeps the denominators out of a second join
+      .groupBy(col("new_id"), col("base_id"), col("n_new"), col("n_base"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_new") + col("n_base") - col("inter")))
+      // top-1 as the codegen'd struct-max, (jaccard desc, base_id asc)
+      // — the blockedNeighbors tie encoding, floored AFTER the argmax
+      // like jaccardNeighborsOn
+      .groupBy(col("new_id"))
+      .agg(max(struct(col("jaccard"), (-col("base_id")).as("nid")))
+        .as("best"))
+      .select(col("new_id").as("doc_id"), (-col("best.nid")).as("neighbor_id"),
+        (floor(col("best.jaccard") * 1e6) / 1e6).as("jaccard"))
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))
+  }
+
   /** Character-level verification of the LSH candidates: exact Levenshtein
     * distance over the NORMALIZED text of each candidate pair — the edit
     * metric catches in-place character churn (OCR noise, typo farms,

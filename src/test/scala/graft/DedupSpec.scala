@@ -106,6 +106,43 @@ class DedupSpec extends SparkSuite {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("jaccardIncrementalFromStore: exact base-only neighbors through " +
+    "the appendable store") {
+    val tbl = "graft_test_shingle_base"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shingle-base").toString
+    // base: the distinctive doc + an unrelated one; probe: a near-dup of
+    // doc 1 (one token changed) and a doc sharing nothing with the base
+    val baseDocs = Seq((1L, base), (2L, distinctDoc)).toDF("doc_id", "text")
+    val probe = Seq((10L, nearDup),
+      (11L, (1 to 80).map(i => s"none${i}y").mkString(" ")))
+      .toDF("doc_id", "text")
+    try {
+      operators.Dedup.persistShingles(baseDocs, tbl, s"$dir/store",
+        minDf = 1)
+      val got = operators.Dedup
+        .jaccardIncrementalFromStore(probe, spark, tbl).collect()
+      // doc 11 shares no shingle with the base -> no row (the
+      // jaccardNeighbors drop-out contract); doc 10's best base
+      // neighbor is 1 with the EXACT jaccard 75/81 (one token of 80
+      // changed -> 3 of 78 shingles differ each side)
+      assert(got.map(_.getLong(0)).toSeq == Seq(10L), got.mkString(","))
+      assert(got.head.getLong(1) == 1L)
+      assert(got.head.getDouble(2) ==
+        math.floor(75.0 / 81.0 * 1e6) / 1e6, got.head)
+      // probe rows never appear as neighbors: base-only by construction
+      // (also proven by the id domain above). And the probe must equal
+      // the recompute jaccard restricted to new x base pairs:
+      val full = operators.Dedup
+        .jaccardNeighbors(baseDocs.union(probe)).collect()
+        .filter(r => r.getLong(0) >= 10L && r.getLong(1) < 10L)
+      assert(full.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq == got.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq, "probe diverged from the restricted recompute")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("lshRecallAudit: exact truth vs the production candidate funnel") {
     val t0 = "alpha beta gamma delta epsilon zeta eta theta"
     val t8 = "alpha beta gamma xx yy zz ww" // shares exactly 1 shingle with t0
