@@ -270,6 +270,56 @@ class StreamingSpec extends SparkSuite {
       "near-dup in batch B of a doc from batch A — the cross-batch flag")
   }
 
+  test("streaming shingle dedup: exact jaccard flags across batches " +
+    "and restarts, batch shingles appended") {
+    import spark.implicits._
+    val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val tbl = "graft_stream_shingle_store"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = Files.createTempDirectory("graft-shingle-stream").toString
+    // pre-existing base: one distinctive doc + one filler; minDf = 1 is
+    // the appendable-store contract (the singleton shingles of doc 1
+    // are exactly what batch B's near-dup must match)
+    operators.Dedup.persistShingles(
+      Seq((1L, baseText),
+        (2L, (1 to 80).map(i => s"other${i}x").mkString(" ")))
+        .toDF("doc_id", "text"), tbl, s"$dir/store", minDf = 1)
+    try {
+      val srcDir = Files.createTempDirectory("graft-shj-src").toString
+      val freshA = (1 to 80).map(i => s"aa${i}q").mkString(" ")
+      def docStream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(s"$srcDir/c=*")
+      val flagsDir = s"$dir/flags"
+      // batch A: a fresh doc (no flag row — shares nothing with the
+      // store); batch B after a RESTART: a near-dup of base doc 1 AND a
+      // near-dup of batch-A's doc — the cross-batch catch that proves
+      // the append half feeds later probes
+      Seq((10L, freshA)).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$srcDir/c=a")
+      ShingleDedupStream.start(spark, docStream, tbl, flagsDir,
+        checkpoint = s"$dir/_ckpt").awaitTermination(120000)
+      Seq((20L, baseText.split(" ").updated(10, "EDITED").mkString(" ")),
+          (21L, freshA.split(" ").updated(5, "EDITED").mkString(" ")))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/c=b")
+      ShingleDedupStream.start(spark, docStream, tbl, flagsDir,
+        checkpoint = s"$dir/_ckpt").awaitTermination(120000)
+      val flags = spark.read.parquet(flagsDir).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // doc 10 emits NO row (nothing shared — the exact-probe contract
+      // differs from the banded twin's explicit not-a-dup flag rows)
+      assert(flags.keySet == Set(20L, 21L), s"got $flags")
+      // near-dup of the PRE-EXISTING base, with the EXACT jaccard:
+      // one of 80 tokens changed -> 3 of 78 shingles differ each side
+      assert(flags(20L)._1 == 1L, s"got ${flags(20L)}")
+      assert(flags(20L)._2 == math.floor(75.0 / 81.0 * 1e6) / 1e6)
+      // near-dup in batch B of a doc from batch A — the appended half
+      assert(flags(21L)._1 == 10L, s"got ${flags(21L)}")
+      assert(flags(21L)._2 == math.floor(75.0 / 81.0 * 1e6) / 1e6)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("streaming semantic dedup: time-split batches equal the batch " +
     "prober, heap and RocksDB") {
     import spark.implicits._
