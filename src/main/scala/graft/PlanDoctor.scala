@@ -205,8 +205,61 @@ object PlanDoctor {
 
       case _ => ()
     }
+
+    // duplicate-expensive-scan: two scans of the SAME stored source each
+    // feeding the normalize/tokenize regex chain — the whole corpus is
+    // CPU-tokenized twice (the r18 q_mix_temperature/q_shard_balance
+    // finding: a 1-row totals branch derived from an unbarriered
+    // aggregate re-ran the tokenize scan, ~2× the necessary cost at
+    // sf10). The fix is the established 1-row-totals idiom: barrier the
+    // small aggregate before deriving totals. Detection: the chain's
+    // distinctive capture-group literals mark a normalize expression;
+    // its references are traced down to the file scans producing them,
+    // counted per source path. A scan behind a Barrier (RDD leaf) is
+    // already materialized and never double-counts — exactly the fix.
+    // `warn`, not error: a second read can be an operator's documented
+    // contract (q_bpe_encode trains then encodes) — PlanAuditSpec owns
+    // the catalog-wide allowlist.
+    val normScans = scala.collection.mutable.Map.empty[String, Int]
+    def normWalk(p: SparkPlan, normIds: Set[ExprId]): Unit = {
+      val ids = normIds ++ p.expressions.collect {
+        case ex if isNormalizeChain(ex) => ex.references.map(_.exprId)
+      }.flatten
+      p match {
+        case s: FileSourceScanExec =>
+          if (s.output.exists(a => ids.contains(a.exprId))) {
+            val key = s.relation.location.rootPaths.mkString(",")
+            normScans(key) = normScans.getOrElse(key, 0) + 1
+          }
+        case a: AdaptiveSparkPlanExec => normWalk(a.executedPlan, ids)
+        case q: QueryStageExec        => normWalk(q.plan, ids)
+        case _ => p.children.foreach(normWalk(_, ids))
+      }
+    }
+    normWalk(plan, Set.empty)
+    normScans.toSeq.sortBy(_._1).filter(_._2 >= 2).foreach { case (path, n) =>
+      findings += Finding("warn", "duplicate-normalize-scan",
+        s"$n scans of $path each feed the normalize/tokenize chain — " +
+          "tokenize once and barrier the shared aggregate " +
+          "(the 1-row-totals idiom)")
+    }
+
     findings.result()
   }
+
+  /** True when `ex` contains the reference text-normalization chain —
+    * identified by its distinctive domain-rewrite pattern literal
+    * ([[graft.functions.TextFunctions.preprocess]]'s "thc:?..." capture
+    * group), which every normalize application carries verbatim. */
+  private def isNormalizeChain(
+      ex: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    ex.exists {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType == org.apache.spark.sql.types.StringType &&
+            l.value != null =>
+        l.value.toString.contains("thc:?")
+      case _ => false
+    }
 
   /** How an unpartitioned window's ordered domain bounds its input. */
   private sealed trait DomainTrace

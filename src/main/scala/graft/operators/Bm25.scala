@@ -9,12 +9,14 @@ import graft.functions.TextFunctions.{preprocess, tokens}
   * stack (the reference serves only the vector half through hnswlib;
   * production retrieval fuses both, see [[Search.rrfFuse]]).
   *
-  * Scale shape (100 TB): the inverted-index build is one tokenization
+  * Scale shape (100 TB): the inverted-index build is ONE tokenization
   * scan plus one (doc_id, term) groupBy whose partial counts combine
   * map-side — the same cost class as any token-statistics pass, and the
-  * only corpus-sized shuffle here. The corpus stats (N, avgdl) are a
-  * second NARROW scan folding to one row — cheaper than materializing
-  * corpus-sized token arrays to share the first scan. Everything after is bounded by the
+  * only corpus-sized shuffle here. The corpus stats (N, avgdl) derive
+  * from the materialized postings (Σtf ≡ Σdl) plus a column-pruned
+  * count(*) — NO second tokenize pass ([[statsFromPostings]]; the
+  * tokenization regex chain is the measured wall of the build, so
+  * running it once, not twice, halves the build). Everything after is bounded by the
   * QUERY set: term postings are restricted by a broadcast semi-join on
   * the query terms before df/idf are even computed, so document
   * frequency, scoring, and ranking touch `docs-matching-query-terms`
@@ -51,12 +53,14 @@ object Bm25 {
     * cadence the IVF index rebuilds. */
   final case class Bm25Index(postings: DataFrame, stats: DataFrame)
 
-  /** Build and MATERIALIZE the index (one corpus scan for the postings,
-    * one narrow scan for the stats) — the build-once half of
-    * build-once/search-many. */
+  /** Build and MATERIALIZE the index — ONE tokenization scan: the
+    * postings are barriered, and the stats derive from them plus a
+    * token-free doc count (see [[statsFromPostings]]). The build-once
+    * half of build-once/search-many. */
   def buildIndex(docs: DataFrame): Bm25Index = {
     import graft.operators.Barrier.BarrierOps
-    Bm25Index(invertedIndex(docs).barrier(), stats(docs).barrier())
+    val postings = invertedIndex(docs).barrier()
+    Bm25Index(postings, statsFromPostings(docs, postings).barrier())
   }
 
   /** Corpus stats for the BM25 normalizer: doc count and average doc
@@ -65,11 +69,23 @@ object Bm25 {
     * EMPTY corpus yields `(0, 1.0)` instead of a NULL avgdl (sum/0):
     * scoring output is empty either way (no postings match), but a
     * stats consumer gets a well-typed row, not a silent NULL that
-    * cross-joins into every score expression. */
-  private[graft] def stats(docs: DataFrame): DataFrame =
-    docs.select(tokens(preprocess(col("text"))).as("toks"))
-      .select(size(col("toks")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    * cross-joins into every score expression.
+    *
+    * Derived WITHOUT a second tokenization pass (the r18 q_bm25 plan
+    * carried two full normalize+tokenize scans; tokenization is the
+    * measured wall of the whole index build): Σdl ≡ Σtf over the
+    * postings — each doc's length is by definition the sum of its term
+    * frequencies, and an empty doc contributes 0 to both — so the token
+    * mass reads off the (materialized) postings in one tiny aggregate,
+    * and `n_docs` comes from a count(*) scan that prunes every column
+    * (parquet answers it from row-group metadata, no text decode, no
+    * regex). Exact equality with the old two-scan form: both sums fold
+    * the same integers. */
+  private[graft] def statsFromPostings(docs: DataFrame,
+                                       postings: DataFrame): DataFrame =
+    docs.groupBy().agg(count(lit(1)).as("n_docs"))
+      .crossJoin(
+        postings.agg(coalesce(sum(col("tf")), lit(0L)).as("sum_dl")))
       .select(col("n_docs"),
         when(col("n_docs") === 0L, lit(1.0))
           .otherwise(col("sum_dl").cast("double") / col("n_docs").cast("double"))
@@ -83,10 +99,15 @@ object Bm25 {
     * scoring join against a term list touches term-clustered files
     * instead of a corpus-shuffled scatter. Stats are one row. */
   def persist(docs: DataFrame, path: String): Unit = {
-    invertedIndex(docs)
+    import graft.operators.Barrier.BarrierOps
+    // one tokenize scan: the barriered postings feed both the
+    // term-clustered write and the stats aggregate (statsFromPostings)
+    val postings = invertedIndex(docs).barrier()
+    postings
       .repartition(col("term")).sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$path/postings")
-    stats(docs).write.mode("overwrite").parquet(s"$path/stats")
+    statsFromPostings(docs, postings)
+      .write.mode("overwrite").parquet(s"$path/stats")
   }
 
   /** Load a [[persist]]ed index — no corpus access on the search path. */
@@ -101,8 +122,7 @@ object Bm25 {
   def topK(docs: DataFrame, queryTerms: DataFrame, k1: Double = 1.25,
            b: Double = 0.75, topK: Int = 10,
            excludeSelfDoc: Boolean = false): DataFrame =
-    topKFrom(Bm25Index(invertedIndex(docs), stats(docs)), queryTerms,
-      k1, b, topK, excludeSelfDoc)
+    topKFrom(buildIndex(docs), queryTerms, k1, b, topK, excludeSelfDoc)
 
   /** [[topK]] against a pre-built (frozen) index — the seam the
     * streaming serve path scores through, so there is exactly one

@@ -500,7 +500,10 @@ object Dedup {
     * catalog's bucketed scan keeps working unchanged. */
   private def compactBucketedStore(spark: org.apache.spark.sql.SparkSession,
                                    table: String, sortCols: Seq[String],
-                                   maxFiles: Int): Int = {
+                                   maxFiles: Int,
+                                   rewriteAll: Boolean = false,
+                                   transform: DataFrame => DataFrame =
+                                     identity): Int = {
     import org.apache.hadoop.fs.Path
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
     val loc =
@@ -518,11 +521,12 @@ object Dedup {
       .filter { case (b, _) => b >= 0 }
     var compacted = 0
     byBucket.foreach { case (b, files) =>
-      if (files.length > maxFiles) {
+      if (rewriteAll || files.length > maxFiles) {
         val tmp = new Path(loc, f".compact-$b%05d")
         fs.delete(tmp, true)
-        spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
-          .dropDuplicates() // self-heal crash-window duplicate rows
+        transform(
+          spark.read.parquet(files.map(_.getPath.toString).toIndexedSeq: _*)
+            .dropDuplicates()) // self-heal crash-window duplicate rows
           .coalesce(1)
           .sortWithinPartitions(sortCols.map(col): _*)
           .write.mode("overwrite").parquet(tmp.toString)
@@ -925,10 +929,29 @@ object Dedup {
     * within-bucket Sorts again. The rewrite deduplicates exact rows
     * (self-healing a crash-window replayed append — see
     * [[appendShingles]]' exactly-once contract). Returns the number of
-    * buckets compacted. */
+    * buckets compacted.
+    *
+    * `enforceDf = Some(cap)` additionally RE-CAPS the store to the
+    * store-wide df bound during the rewrite, closing [[appendShingles]]'
+    * staleness window (its per-batch cap lets a shingle's cumulative df
+    * drift over the bound a full rebuild would apply): all rows of any
+    * shingle whose TOTAL occurrence count exceeds `cap` are dropped.
+    * This is exact and shuffle-free because `sh` is the bucketing key —
+    * every row of a shingle lives in one bucket, so a per-bucket count
+    * IS the store-wide df — and it forces a rewrite of EVERY bucket
+    * (the cap is a store-wide property; file counts don't gate it),
+    * turning the documented "rebuild when df drifts" trigger into a
+    * scheduled bucket-local maintenance pass. */
   def compactShingleStore(spark: org.apache.spark.sql.SparkSession,
-                          table: String, maxFiles: Int = 1): Int =
-    compactBucketedStore(spark, table, Seq("sh"), maxFiles)
+                          table: String, maxFiles: Int = 1,
+                          enforceDf: Option[Int] = None): Int =
+    compactBucketedStore(spark, table, Seq("sh"), maxFiles,
+      rewriteAll = enforceDf.isDefined,
+      transform = enforceDf.fold(identity[DataFrame] _) { cap => df =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        df.withColumn("__df", count(lit(1)).over(w))
+          .filter(col("__df") <= cap).drop("__df")
+      })
 
   /** [[jaccardNeighbors]] served from a [[persistShingles]] store —
     * identical results (the layout must never change the answer; the
@@ -960,24 +983,43 @@ object Dedup {
     * (and appended) with `minDf = 1`: a base singleton's twin may be
     * exactly what the increment brings.
     *
-    * Scale shape: the increment's capped shingle table BROADCASTS (a
+    * Scale shape: with `autoBroadcast=true` (the daily-increment
+    * default) the increment's capped shingle table BROADCASTS (a
     * daily batch vs a 100 TB base) into the bucketed store scan, so
-    * the base never moves; an oversized increment drops the broadcast
-    * and shuffles only itself onto the store's `sh` bucketing — the
-    * exchange stays one-sided either way. `inter` counts joined rows
+    * the base never moves. The hint OVERRIDES Spark's size threshold —
+    * a backfill-sized increment would fail at the broadcast hard limit
+    * — so for oversized increments pass `autoBroadcast=false`: the
+    * un-hinted join lets AQE pick a runtime broadcast when the
+    * measured increment is small and a shuffled join otherwise, and
+    * against the `sh`-bucketed store that shuffle puts its one
+    * Exchange on the increment side only (plan-gated in DedupSpec) —
+    * the exchange stays one-sided either way. Results are identical
+    * through both paths; the switch is pure physical planning (the
+    * [[incrementalCandidatesFromStore]] contract). `inter` counts joined rows
     * per (new, base) pair; both denominators ride OUTSIDE the widest
     * join (n_base stored per row at build, n_new computed within the
     * batch), so the join carries only `(ids, sh)`-width rows. */
   def jaccardIncrementalFromStore(newDocs: DataFrame,
                                   spark: org.apache.spark.sql.SparkSession,
                                   table: String, shingleLen: Int = 3,
-                                  maxShingleDf: Int = 1000): DataFrame = {
+                                  maxShingleDf: Int = 1000,
+                                  autoBroadcast: Boolean = true): DataFrame = {
     spark.catalog.refreshTable(table)
-    val b = spark.table(table).select(col("doc_id").as("base_id"),
-      col("n_sh").as("n_base"), col("sh"))
+    // exclude base rows carrying the increment's own ids: a no-op in
+    // normal operation (new docs are NEW), but it makes the probe
+    // idempotent when a crash-replayed append already put this batch's
+    // shingles in the store (ShingleDedupStream's exactly-once guard
+    // closes the append side; this closes the probe side). Broadcast
+    // anti-join on batch-sized ids — the bucketed store scan is intact.
+    val b = spark.table(table)
+      .join(broadcast(newDocs.select(col("doc_id"))), Seq("doc_id"),
+        "left_anti")
+      .select(col("doc_id").as("base_id"),
+        col("n_sh").as("n_base"), col("sh"))
     val nw = cappedShingleTable(newDocs, shingleLen, maxShingleDf, minDf = 1)
       .select(col("doc_id").as("new_id"), col("n_sh").as("n_new"), col("sh"))
-    b.join(broadcast(nw), Seq("sh"))
+    val probeSide = if (autoBroadcast) broadcast(nw) else nw
+    b.join(probeSide, Seq("sh"))
       // n_new/n_base are functionally dependent on the ids — riding in
       // the group key keeps the denominators out of a second join
       .groupBy(col("new_id"), col("base_id"), col("n_new"), col("n_base"))
@@ -1796,6 +1838,13 @@ object Dedup {
       .saveAsTable(s"${table}_centroids")
     coarse.write.mode("overwrite").option("path", s"$path/coarse")
       .saveAsTable(s"${table}_coarse")
+    // format marker: the probe replays the store's blocking rule, so a
+    // store built under a different rule must fail fast, not probe wrong
+    val spark = base.sparkSession
+    import spark.implicits._
+    Seq((SemanticStoreFormat, k, k1)).toDF("format", "k", "k1")
+      .write.mode("overwrite").option("path", s"$path/meta")
+      .saveAsTable(s"${table}_meta")
     hierarchicalAssign(base, coarse, cents)
       .select(col("vec_id"), col("block"), col("embedding"))
       .write.mode("overwrite")
@@ -1811,22 +1860,38 @@ object Dedup {
     * argmin the base was blocked with; the base is never re-read beyond
     * its probed blocks, never re-blocked — the
     * [[incrementalCandidatesFromStore]] contract for the embedding
-    * family). The increment broadcasts (a daily batch is orders of
-    * magnitude smaller than the base), so the bucketed base scan joins
-    * with no corpus-sized exchange. Output: one row per new vector that
-    * shares a block with ≥ 1 base vector —
+    * family). With `autoBroadcast=true` (the daily-increment default)
+    * the increment broadcasts (a daily batch is orders of magnitude
+    * smaller than the base), so the bucketed base scan joins with no
+    * corpus-sized exchange; the hint OVERRIDES Spark's size threshold,
+    * so for a backfill-sized increment pass `autoBroadcast=false` — the
+    * un-hinted join lets AQE pick, and against the block-bucketed base
+    * a shuffle moves the increment side only. Output: one row per new
+    * vector that shares a block with ≥ 1 base vector —
     * `(vec_id, nn_id, nn_score, is_dup)`, the [[semanticNeighbors]]
-    * contract with neighbors drawn from the BASE only. */
+    * contract with neighbors drawn from the BASE only.
+    *
+    * The probe `require`s the store's format marker
+    * ([[SemanticStoreFormat]], written by [[persistSemanticBlocks]]): a
+    * store persisted by an older (flat-assignment) build, or a
+    * hand-backfilled coarse table, would pair flat-assigned base blocks
+    * with the two-level probe — silent blocking-recall loss at coarse
+    * boundaries — so a missing/mismatched marker fails fast with a
+    * "rebuild the base" message instead of a generic table error. */
   def semanticIncrementalFromStore(newVecs: DataFrame,
                                    spark: org.apache.spark.sql.SparkSession,
                                    table: String,
-                                   simThreshold: Double = 0.95): DataFrame = {
+                                   simThreshold: Double = 0.95,
+                                   autoBroadcast: Boolean = true): DataFrame = {
     spark.catalog.refreshTable(table)
+    requireSemanticStoreFormat(spark, table)
     val assigned = hierarchicalAssign(newVecs,
         spark.table(s"${table}_coarse"), spark.table(s"${table}_centroids"))
       .select(col("vec_id"), col("block"), col("embedding"))
+    val probeSide =
+      if (autoBroadcast) broadcast(assigned.as("a")) else assigned.as("a")
     val sims = spark.table(table).as("b")
-      .join(broadcast(assigned.as("a")), col("a.block") === col("b.block"))
+      .join(probeSide, col("a.block") === col("b.block"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
         cosine_similarity(col("a.embedding"), col("b.embedding")).as("sim"))
     sims.filter(!isnan(col("sim")))
@@ -1836,6 +1901,33 @@ object Dedup {
         (-col("best.nid")).as("nn_id"),
         (floor(col("best.sim") * 1e6) / 1e6).as("nn_score"),
         (col("best.sim") >= simThreshold).as("is_dup"))
-      .orderBy(col("vec_id"))
+      .transform(graft.Determinism.sorted(_)(col("vec_id")))
+  }
+
+  /** Format marker value for the current semantic-block store layout:
+    * hierarchical coarse→fine assignment with the `_coarse` companion
+    * table. Bump whenever the blocking rule changes — the probe must
+    * replay the EXACT rule the base was built with. */
+  val SemanticStoreFormat = "hierarchical-v2"
+
+  /** Fail fast (with a rebuild instruction) when `table` was not
+    * persisted by the current [[persistSemanticBlocks]] — durable
+    * stores outlive binaries, and a silently-mismatched blocking rule
+    * is the recall bug this marker exists to prevent. */
+  private def requireSemanticStoreFormat(
+      spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val metaTable = s"${table}_meta"
+    require(spark.catalog.tableExists(metaTable),
+      s"semantic store '$table' has no format marker ($metaTable): it " +
+        "was built by an older persistSemanticBlocks (flat assignment) " +
+        "or assembled by hand — rebuild the base with " +
+        "persistSemanticBlocks before probing")
+    val fmt = spark.table(metaTable).select(col("format"))
+      .collect() // BOUNDED: the marker table is exactly 1 row
+      .headOption.map(_.getString(0)).getOrElse("")
+    require(fmt == SemanticStoreFormat,
+      s"semantic store '$table' format '$fmt' != expected " +
+        s"'$SemanticStoreFormat' — the blocking rule changed; rebuild " +
+        "the base with persistSemanticBlocks before probing")
   }
 }

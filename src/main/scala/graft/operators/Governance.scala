@@ -253,6 +253,8 @@ object Governance {
         size(tokens(preprocess(col("text")))).cast("long").as("ntok"))
       .groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .barrier() // nShards rows; read twice (totals + output) — without
+    // this the totals branch re-runs the whole tokenize scan
     val totals = perShard.agg(sum(col("n_tokens")).as("tot_tokens"))
     perShard.crossJoin(broadcast(totals))
       .select(col("shard_id"), col("n_docs"), col("n_tokens"),

@@ -258,6 +258,8 @@ object Selection {
         size(tokens(preprocess(col("text")))).cast("long").as("ntok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+      .barrier() // |sources| rows; read twice (totals + output) — without
+    // this the totals branch re-runs the whole tokenize scan
     val flat = perSrc.select(col("source"), col("n_docs"), col("n_tokens"),
       (floor(sqrt(col("n_tokens").cast("double")) * 1e6) / 1e6)
         .cast("decimal(28,6)").as("q"))

@@ -282,6 +282,8 @@ object TextAnalysis {
       .groupBy(col("lang").as("lang_true"),
         col("predicted_lang").as("lang_pred"))
       .agg(count(lit(1)).as("n"))
+      .barrier() // |L|² rows, read twice (row totals + output) — without
+    // this the totals branch re-runs the whole tokenize scan
     val rowTot = cells.groupBy(col("lang_true")).agg(sum(col("n")).as("n_row"))
     cells.join(broadcast(rowTot), Seq("lang_true"))
       .select(col("lang_true"), col("lang_pred"), col("n"),

@@ -31,6 +31,60 @@ class PlanAuditSpec extends SparkSuite {
     assert(errors.isEmpty, errors.mkString("\n"))
   }
 
+  test("no query tokenizes the same corpus twice (duplicate-normalize-scan)") {
+    // the r18 q_mix_temperature/q_shard_balance class: an unbarriered
+    // 1-row totals branch re-ran the whole tokenize scan (~2× cost at
+    // sf10). Catalog-wide: the only admitted hits are operators whose
+    // SECOND corpus read is a documented contract, named here so a new
+    // instance of the class cannot land silently.
+    val vouched = Set(
+      // trains the merge table on one pass, encodes the corpus on a
+      // second — the two reads ARE the operator (docstring contract)
+      "q_bpe_encode",
+      // TWO SEPARATE INPUT TABLES carved from one file by the harness:
+      // in production each is its own dataset and scans once by nature —
+      // the duplicate path is a test-fixture artifact, not a plan defect
+      "decontaminate_semantic", // train corpus + benchmark set
+      "q_snapshot_diff",        // two release snapshots (snapshotPair)
+      "q_split_leakage",        // crawl + re-crawl union
+      // QUERY-SIDE scans bounded by a pushed-down `doc_id < 3` filter
+      // (3 rows read via row-group pruning): the corpus-sized media
+      // index is memoized; only the tiny query-vector derivations
+      // re-touch the file
+      "mm_ivf_search", "mm_recall")
+    val hits = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        PlanDoctor.audit(fn(spark, sfDir))
+          .filter(_.rule == "duplicate-normalize-scan").map(f => s"$name -> $f")
+    }
+    val unvouched = hits.filterNot(h => vouched.exists(h.startsWith))
+    assert(unvouched.isEmpty, unvouched.mkString("\n"))
+  }
+
+  test("PlanDoctor flags a planted duplicate tokenize scan") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions._
+    import graft.operators.Barrier.BarrierOps
+    val t = sources.Tables(spark, sfDir)
+    // planted positive: the exact pre-fix mixTemperature shape — totals
+    // derived from the UNBARRIERED tokenize aggregate, so the plan runs
+    // the tokenize scan twice
+    def perSrc = t.documents
+      .select(col("source"),
+        size(tokens(preprocess(col("text")))).cast("long").as("ntok"))
+      .groupBy(col("source")).agg(sum(col("ntok")).as("n_tokens"))
+    val planted = perSrc.crossJoin(
+      broadcast(perSrc.agg(sum(col("n_tokens")).as("tt"))))
+    assert(PlanDoctor.audit(planted)
+      .exists(_.rule == "duplicate-normalize-scan"))
+    // negative control: the barriered idiom — ONE tokenize scan, the
+    // totals read the materialized aggregate
+    val b = perSrc.barrier()
+    val clean = b.crossJoin(broadcast(b.agg(sum(col("n_tokens")).as("tt"))))
+    assert(!PlanDoctor.audit(clean)
+      .exists(_.rule == "duplicate-normalize-scan"))
+  }
+
   test("no hash exchange ships corpus bodies (body-width gate)") {
     // the records-scaling gate is width-blind — a join that shuffles
     // linear RECORDS of raw `text` still moves 2× the corpus BYTES at

@@ -3,6 +3,7 @@
 query catalog == (superset of) the latest CORRECTNESS artifact.
 
 Usage: python3 tools/key_gate.py SURVEY.md <bench.json> [CORRECTNESS.json]
+           [--scale artifact.json ...]
        python3 tools/key_gate.py --selftest
 
 Legs (each a hard fail, exit 1):
@@ -11,6 +12,12 @@ Legs (each a hard fail, exit 1):
      but not implemented) breaks the judge's line-by-line coverage read.
   2. latest CORRECTNESS keys ⊆ engine keys AND ⊆ SURVEY keys — a key that
      passed a prior round's gate must never silently vanish.
+  3. (--scale, repeatable) every engine key appears in each named SCALE
+     artifact — a saturated bench JSON (checked against its `queries`
+     map) or a scaling-gate artifact (checked against `checked` keys ∪
+     `exempt` entries). This closes the r18 hole where a key added after
+     the round's scale artifacts ran (dedup_jaccard_incremental) carried
+     correctness evidence but zero decade evidence, and nothing failed.
 Keys new this round (engine − CORRECTNESS) are reported, not failed:
 they are exactly what the NEXT driver gate will check.
 
@@ -41,7 +48,20 @@ def engine_keys(path):
     return {k for k in json.load(open(path))["queries"] if "#" not in k}
 
 
-def run(survey_path, bench_path, correctness_path):
+def scale_artifact_keys(path):
+    """Key set covered by a scale artifact: a bench JSON's `queries`
+    (phase rows excluded), or a scaling-gate artifact's checked ∪ exempt
+    (exempt entries are dicts {key, reason} or plain strings)."""
+    d = json.load(open(path))
+    if "queries" in d:
+        return {k for k in d["queries"] if "#" not in k}
+    keys = set(d.get("checked", {}))
+    for e in d.get("exempt", []):
+        keys.add(e["key"] if isinstance(e, dict) else str(e))
+    return keys
+
+
+def run(survey_path, bench_path, correctness_path, scale_paths=()):
     sv = survey_keys(survey_path)
     en = engine_keys(bench_path)
     ok = True
@@ -65,8 +85,16 @@ def run(survey_path, bench_path, correctness_path):
         if new:
             print(f"key_gate: {len(new)} new key(s) await the next "
                   f"driver gate: {', '.join(new)}")
+    for sp in scale_paths:
+        missing = sorted(en - scale_artifact_keys(sp))
+        if missing:
+            ok = False
+            for k in missing:
+                print(f"key_gate FAIL: `{k}` is in the engine but has no "
+                      f"scale evidence in {sp}")
     print(f"key_gate: survey={len(sv)} engine={len(en)}"
           + (f" correctness={len(co)}" if correctness_path else "")
+          + (f" scale_artifacts={len(scale_paths)}" if scale_paths else "")
           + (" — OK" if ok else " — FAIL"))
     return ok
 
@@ -98,6 +126,27 @@ def selftest():
     json.dump({"queries": {"q_a": 1.0, "q_b": 2.0}}, open(bench, "w"))
     json.dump({"q_a": {}}, open(corr, "w"))
     assert run(sv, bench, corr), "a NEW key must not fail the gate"
+    # scale-evidence leg: clean coverage passes in BOTH artifact shapes
+    json.dump({"q_a": {}, "q_b": {}}, open(corr, "w"))
+    sat = os.path.join(d, "sat.json")
+    scal = os.path.join(d, "scaling.json")
+    json.dump({"queries": {"q_a": 9.0, "q_b": 8.0, "q_b#build": 1.0}},
+              open(sat, "w"))
+    json.dump({"checked": {"q_a": {"ratio": 10.0}},
+               "exempt": [{"key": "q_b", "reason": "below floor"}]},
+              open(scal, "w"))
+    assert run(sv, bench, corr, [sat, scal]), \
+        "full scale coverage must pass"
+    # planted positive: a catalog key absent from a scale artifact
+    # (the r18 dedup_jaccard_incremental hole) MUST trip the gate
+    json.dump({"queries": {"q_a": 9.0}}, open(sat, "w"))
+    assert not run(sv, bench, corr, [sat, scal]), \
+        "a decade-blind key must trip the scale leg"
+    json.dump({"queries": {"q_a": 9.0, "q_b": 8.0}}, open(sat, "w"))
+    json.dump({"checked": {"q_a": {"ratio": 10.0}}, "exempt": []},
+              open(scal, "w"))
+    assert not run(sv, bench, corr, [sat, scal]), \
+        "a key neither checked nor exempt must trip the scale leg"
     print("key_gate selftest OK")
 
 
@@ -105,10 +154,18 @@ def main():
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
         selftest()
         return
-    if len(sys.argv) not in (3, 4):
+    args = sys.argv[1:]
+    scale = []
+    if "--scale" in args:
+        i = args.index("--scale")
+        scale = args[i + 1:]
+        args = args[:i]
+        if not scale:
+            sys.exit("key_gate: --scale needs at least one artifact")
+    if len(args) not in (2, 3):
         sys.exit(__doc__)
-    corr = sys.argv[3] if len(sys.argv) == 4 else None
-    if not run(sys.argv[1], sys.argv[2], corr):
+    corr = args[2] if len(args) == 3 else None
+    if not run(args[0], args[1], corr, scale):
         sys.exit(1)
 
 

@@ -23,7 +23,11 @@
 #          sf0.01->sf0.1 decade) — a generator artifact of the
 #          comparison, not a plan regression. ScaleUp's token-suffixed
 #          replicas keep candidate pairs linear by construction, so on
-#          that decade the gate isolates PLAN growth.
+#          that decade the gate isolates PLAN growth;
+#   leg 5: scale-evidence coverage (key_gate.py --scale): every catalog
+#          key must appear in this round's saturated benches AND be
+#          checked-or-exempted by the scaling artifact — no key ships
+#          decade-blind (the r18 dedup_jaccard_incremental hole).
 # Legs 3-4 were manual steps through round 17 (the advice: a future
 # round could skip them); now the close is this script or nothing.
 #
@@ -87,5 +91,13 @@ python3 tools/scaling.py "$SMALL" "$BIG" 10 --gate \
   --gate-out "tools/scaling_r${N}.json" > /dev/null \
   || { echo "records-scaling gate FAILED — see tools/scaling_r${N}.json"; exit 1; }
 echo "records-scaling gate OK: tools/scaling_r${N}.json"
+
+# scale-evidence leg: every catalog key must appear in THIS round's
+# scale artifacts (saturated benches cover it by construction — they run
+# the full catalog; the scaling artifact must have checked or exempted
+# it). Closes the r18 hole: a key added after the round's scale sweeps
+# carried zero decade evidence and nothing failed.
+python3 tools/key_gate.py SURVEY.md "$OUT" ${CORR:+"$CORR"} \
+  --scale "$SMALL" "$BIG" "tools/scaling_r${N}.json"
 
 echo "round gate OK: $OUT vs $PREV"
