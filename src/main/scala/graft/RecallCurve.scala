@@ -83,7 +83,8 @@ object RecallCurve {
     val ivfSweep = IvfIndex
       .recallSweep(queries, corpus, nCent, Seq(1, 2, 4, 8, 16), k)
       .collect() // BOUNDED: one row per sweep point
-      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Double]("recall"),
+        r.getAs[Double]("scan_share")))
     // ---- PQ: seed / trained / ivfpq, plus the refined serving point ----
     val pq = ProductQuantizer.recallAudit(queries, corpus, m = 4, k = 16,
       iters = 2, nCentroids = nCent, nprobe = 4, topK = k)
@@ -99,7 +100,8 @@ object RecallCurve {
     // ---- JL: outDim sweep plus the refined serving point ----
     val jlSweep = RandomProjection.recallSweep(queries, corpus, k)
       .collect() // BOUNDED: one row per sweep dimension
-      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3)))
+      .map(r => (r.getAs[Long]("out_dim"), r.getAs[Double]("recall"),
+        r.getAs[Double]("scan_frac")))
     val jlRefined =
       overlap(RandomProjection.searchRefined(queries, corpus, k))
 
