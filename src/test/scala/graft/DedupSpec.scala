@@ -912,4 +912,152 @@ class DedupSpec extends SparkSuite {
       2L -> ((1L, 4L, 6L, 1.0))),     // the df=4 boilerplate trigram
       s"got $got")
   }
+
+  test("oversized jaccard increment: un-hinted probe shuffles ONLY the " +
+    "increment, same answer") {
+    // the backfill scenario for the EXACT-jaccard probe (the r18 advice:
+    // the hard broadcast would fail at the hard limit): with
+    // autoBroadcast=false and the threshold off, the join must fall back
+    // to a shuffle whose ONE sh Exchange sits on the increment side —
+    // the bucketed store never moves
+    val baseDocs = Seq((1L, base), (2L, distinctDoc)).toDF("doc_id", "text")
+    val probe = Seq((10L, nearDup)).toDF("doc_id", "text")
+    val tbl = "graft_test_shingle_shuffled"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shsh").toString
+    operators.Dedup.persistShingles(baseDocs, tbl, s"$dir/store", minDf = 1)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = operators.Dedup.jaccardIncrementalFromStore(
+        probe, spark, tbl, autoBroadcast = false)
+      val plan = planOf(df)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), s"no shuffled fallback:\n$plan")
+      val shExchanges = """hashpartitioning\(sh""".r.findAllIn(plan).size
+      assert(shExchanges == 1,
+        s"expected exactly ONE sh Exchange (increment side only), " +
+          s"got $shExchanges:\n$plan")
+      // the physical fallback must be invisible in the answer
+      val hinted = operators.Dedup
+        .jaccardIncrementalFromStore(probe, spark, tbl)
+      assert(df.collect().toSeq == hinted.collect().toSeq)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
+  }
+
+  test("jaccard probe is replay-immune: its own appended shingles never " +
+    "surface as neighbors") {
+    // the ShingleDedupStream crash window: the batch's shingles already
+    // landed (a crashed attempt's completed append), then the probe
+    // re-runs. The probe anti-joins its own ids off the base side, so
+    // the replayed answer equals the pre-append answer bit for bit.
+    val baseDocs = Seq((1L, base), (2L, distinctDoc)).toDF("doc_id", "text")
+    val probe = Seq((10L, nearDup),
+      (11L, nearDup.split(" ").updated(20, "ALSOEDITED").mkString(" ")))
+      .toDF("doc_id", "text")
+    val tbl = "graft_test_shingle_replay"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-shre").toString
+    try {
+      operators.Dedup.persistShingles(baseDocs, tbl, s"$dir/store",
+        minDf = 1)
+      val before = operators.Dedup
+        .jaccardIncrementalFromStore(probe, spark, tbl).collect().toSeq
+      // simulate the crashed attempt's completed append, then replay
+      operators.Dedup.appendShingles(probe, tbl)
+      val replayed = operators.Dedup
+        .jaccardIncrementalFromStore(probe, spark, tbl).collect().toSeq
+      assert(replayed == before,
+        s"replayed probe diverged:\n$before\nvs\n$replayed")
+      // sanity: docs 10 and 11 are near-dups of EACH OTHER, so without
+      // the self-exclusion the replay would flag 10<->11 at a higher
+      // jaccard than their base match — pin that the neighbor stays base
+      assert(replayed.forall(_.getLong(1) <= 2L), replayed.mkString(","))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("compactShingleStore(enforceDf): store-wide re-cap drops the " +
+    "over-cap shingle, keeps the rest, preserves the bucketed serve") {
+    // build at cap 3 (nothing capped: every shingle df <= 2), then
+    // append batches until one shingle's STORE-WIDE df = 4 > 3 — the
+    // appendShingles staleness window. The enforcing compaction must
+    // drop exactly that shingle's rows (bucket-locally) and keep the
+    // single-file sort-free serve plan.
+    val mk = (id: Long, mid: String) =>
+      (id, s"alpha beta gamma $mid p${id}x q${id}y")
+    val b0 = Seq(mk(1L, "one"), mk(2L, "two")).toDF("doc_id", "text")
+    val tbl = "graft_test_shingle_recap"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-recap").toString
+    try {
+      operators.Dedup.persistShingles(b0, tbl, s"$dir/store",
+        maxShingleDf = 3, minDf = 1)
+      operators.Dedup.appendShingles(
+        Seq(mk(3L, "three")).toDF("doc_id", "text"), tbl, maxShingleDf = 3)
+      operators.Dedup.appendShingles(
+        Seq(mk(4L, "four")).toDF("doc_id", "text"), tbl, maxShingleDf = 3)
+      spark.catalog.refreshTable(tbl)
+      val hot = fnv1a64(lit("alpha beta gamma"))
+      // the shared trigram now has store-wide df 4 — over the build cap
+      assert(spark.table(tbl).filter(col("sh") === hot).count() == 4)
+      val rowsBefore = spark.table(tbl).count()
+      operators.Dedup.compactShingleStore(spark, tbl,
+        enforceDf = Some(3))
+      spark.catalog.refreshTable(tbl)
+      assert(spark.table(tbl).filter(col("sh") === hot).count() == 0,
+        "over-cap shingle survived the enforcing compaction")
+      assert(spark.table(tbl).count() == rowsBefore - 4,
+        "re-cap dropped more than the over-cap shingle's rows")
+      // the rewrite must keep the exchange-free, sort-free serve plan
+      val plan = planOf(
+        operators.Dedup.jaccardNeighborsFromStore(spark, tbl))
+      assert(!plan.contains("hashpartitioning(sh"), plan)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("semantic store format marker: a store without the meta table " +
+    "fails fast with the rebuild message; oversized increment falls " +
+    "back un-hinted") {
+    val base = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0.999f, 0.03f, 0f, 0f)),
+      (3L, Array(0.03f, 0.999f, 0f, 0f))).toDF("vec_id", "embedding")
+    val tbl = "graft_test_sem_marker"
+    Seq("", "_centroids", "_coarse", "_meta")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sem-marker").toString
+    try {
+      operators.Dedup.persistSemanticBlocks(base, tbl, dir, nCentroids = 2)
+      val probe = Seq((10L, Array(0.998f, 0.04f, 0f, 0f)))
+        .toDF("vec_id", "embedding")
+      // autoBroadcast=false: un-hinted join, identical answer
+      val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val unhinted =
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          operators.Dedup.semanticIncrementalFromStore(
+            probe, spark, tbl, autoBroadcast = false).collect().toSeq
+        } finally spark.conf
+          .set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      val hinted = operators.Dedup
+        .semanticIncrementalFromStore(probe, spark, tbl).collect().toSeq
+      assert(unhinted == hinted, "fallback changed the answer")
+      // a pre-hierarchical / hand-assembled store (no marker) must fail
+      // with the rebuild instruction, not probe with divergent blocks
+      spark.sql(s"DROP TABLE IF EXISTS ${tbl}_meta")
+      val e = intercept[IllegalArgumentException] {
+        operators.Dedup.semanticIncrementalFromStore(probe, spark, tbl)
+      }
+      assert(e.getMessage.contains("rebuild the base"), e.getMessage)
+    } finally Seq("", "_centroids", "_coarse", "_meta")
+      .foreach(s => spark.sql(s"DROP TABLE IF EXISTS $tbl$s"))
+  }
 }

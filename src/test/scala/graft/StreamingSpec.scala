@@ -1657,4 +1657,93 @@ class StreamingSpec extends SparkSuite {
         s"negative item id must fold like batch, got $got")
     } finally q.stop()
   }
+
+  test("shingle ingest exactly-once: a done marker skips the replayed " +
+    "batch entirely") {
+    import spark.implicits._
+    val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val tbl = "graft_stream_shingle_skip"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = Files.createTempDirectory("graft-shingle-skip").toString
+    operators.Dedup.persistShingles(
+      Seq((1L, baseText)).toDF("doc_id", "text"), tbl, s"$dir/store",
+      minDf = 1)
+    try {
+      val srcDir = Files.createTempDirectory("graft-shskip-src").toString
+      Seq((20L, baseText.split(" ").updated(10, "EDITED").mkString(" ")))
+        .toDF("doc_id", "text").coalesce(1).write.parquet(s"$srcDir/c=a")
+      def docStream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(s"$srcDir/c=*")
+      // simulate: batch 0 fully completed in a previous attempt (done
+      // marker present) but the checkpoint commit was lost → Spark
+      // replays batch 0; the guard must skip flags AND append
+      val ckpt = s"$dir/_ckpt"
+      Files.createDirectories(java.nio.file.Paths.get(s"$ckpt/markers"))
+      Files.writeString(java.nio.file.Paths.get(s"$ckpt/markers/done"), "0")
+      val rowsBefore = spark.table(tbl).count()
+      ShingleDedupStream.start(spark, docStream, tbl, s"$dir/flags",
+        checkpoint = ckpt).awaitTermination(120000)
+      spark.catalog.refreshTable(tbl)
+      assert(spark.table(tbl).count() == rowsBefore,
+        "replayed batch re-appended despite the done marker")
+      assert(!new java.io.File(s"$dir/flags").exists(),
+        "replayed batch re-wrote flags despite the done marker")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("shingle ingest exactly-once: crash-replay after a LANDED append " +
+    "probes correctly and does not double-append") {
+    import spark.implicits._
+    val baseText = (1 to 80).map(i => s"w${i % 37}tok$i").mkString(" ")
+    val nearDup = baseText.split(" ").updated(10, "EDITED").mkString(" ")
+    val tbl = "graft_stream_shingle_crash"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir = Files.createTempDirectory("graft-shingle-crash").toString
+    operators.Dedup.persistShingles(
+      Seq((1L, baseText)).toDF("doc_id", "text"), tbl, s"$dir/store",
+      minDf = 1)
+    try {
+      val batch = Seq((20L, nearDup),
+        (21L, nearDup.split(" ").updated(20, "ALSO").mkString(" ")))
+        .toDF("doc_id", "text")
+      val srcDir = Files.createTempDirectory("graft-shcrash-src").toString
+      batch.coalesce(1).write.parquet(s"$srcDir/c=a")
+      def docStream = spark.readStream
+        .schema(StructType(Seq(StructField("doc_id", LongType),
+          StructField("text", StringType))))
+        .parquet(s"$srcDir/c=*")
+      // simulate the worst crash window: the previous attempt wrote its
+      // intent marker AND its append LANDED, then crashed before the
+      // done marker — Spark replays batch 0 with the batch's own
+      // shingles already in the store
+      operators.Dedup.appendShingles(batch, tbl)
+      spark.catalog.refreshTable(tbl)
+      val rowsAfterCrash = spark.table(tbl).count()
+      val ckpt = s"$dir/_ckpt"
+      Files.createDirectories(java.nio.file.Paths.get(s"$ckpt/markers"))
+      Files.writeString(java.nio.file.Paths.get(s"$ckpt/markers/intent"), "0")
+      ShingleDedupStream.start(spark, docStream, tbl, s"$dir/flags",
+        checkpoint = ckpt).awaitTermination(120000)
+      spark.catalog.refreshTable(tbl)
+      // no double append (the store-containment witness fired) …
+      assert(spark.table(tbl).count() == rowsAfterCrash,
+        "crash replay double-appended the batch's shingles")
+      // … and the replayed probe is UNCONTAMINATED: docs 20/21 are
+      // near-dups of each other and their shingles sit in the store,
+      // but the probe's self-exclusion keeps neighbors base-only, at
+      // the exact pre-crash jaccard
+      val flags = spark.read.parquet(s"$dir/flags").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(flags.keySet == Set(20L, 21L), s"got $flags")
+      assert(flags(20L) == ((1L,
+        math.floor(75.0 / 81.0 * 1e6) / 1e6)), s"got ${flags(20L)}")
+      assert(flags(21L)._1 == 1L,
+        s"replayed probe surfaced a same-batch neighbor: ${flags(21L)}")
+      // the done marker landed, so a SECOND replay would skip the body
+      assert(Files.readString(
+        java.nio.file.Paths.get(s"$ckpt/markers/done")).trim == "0")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
