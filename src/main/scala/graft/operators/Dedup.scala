@@ -902,10 +902,12 @@ object Dedup {
     * jaccard/containment `inter` counts COUNT matched rows, so a
     * replayed batch inflates every affected pair's intersection —
     * unlike banded candidates (distinct doc-id pairs), replays here are
-    * NOT harmless. Drive appends through an idempotent channel (e.g.
-    * Structured Streaming `foreachBatch` with its batch-id guard), or
-    * run [[compactShingleStore]] before serving: its rewrite
-    * deduplicates exact rows, reabsorbing a crash-window replay.
+    * NOT harmless. Drive appends through an idempotent channel —
+    * [[graft.streaming.ShingleDedupStream]] IMPLEMENTS the guard
+    * (intent/done batch-id markers + a store-containment witness on
+    * crash replay) — or run [[compactShingleStore]] before serving:
+    * its rewrite deduplicates exact rows, reabsorbing a crash-window
+    * replay.
     *
     * Append adds one file per bucket per batch: the scan keeps its
     * exchange-free bucketing, but Spark only trusts `sortBy` metadata
