@@ -1707,20 +1707,26 @@ object Dedup {
         embeddings.select(best.getField("cid").as("block"), col("vec_id"),
           col("embedding"))
       } else {
-        // the embedding rides inside the min-struct (kmeansCentroids'
-        // trick): (dist, centroid_id) is already unique per candidate, so
-        // the array never participates in the comparison, and no second
-        // join is needed to re-attach it
+        // NARROW argmin + linear re-attach join (r19): the min-struct is
+        // (dist, centroid_id) ONLY. Carrying the embedding inside the
+        // struct (the pre-r19 form) forced the n·k candidate table into
+        // a SortAggregate over dim-wide rows — at sf10 a ~47 GB external
+        // sort (200k × 782 × ~280 B, 51 GB measured spill); the narrow
+        // struct sorts 24 B rows (~12× less) and the embedding comes
+        // back via ONE vec_id-keyed join of n rows — records-linear,
+        // co-partitionable at 100 TB. Semantics are bit-identical:
+        // centroid_id is unique per candidate row, so the comparison
+        // never reached the embedding anyway.
         embeddings.crossJoin(broadcast(IvfIndex.centroids(embeddings, k)))
           .select(col("vec_id"),
             (lit(1.0) - cosine_similarity(col("embedding"), col("cv")))
               .as("dist"),
-            col("centroid_id"), col("embedding"))
+            col("centroid_id"))
           .groupBy(col("vec_id"))
-          .agg(min(struct(col("dist"), col("centroid_id"), col("embedding")))
-            .as("best"))
-          .select(col("best.centroid_id").as("block"), col("vec_id"),
-            col("best.embedding").as("embedding"))
+          .agg(min(struct(col("dist"), col("centroid_id"))).as("best"))
+          .select(col("vec_id"), col("best.centroid_id").as("block"))
+          .join(embeddings, Seq("vec_id"))
+          .select(col("block"), col("vec_id"), col("embedding"))
       }
     blockedNeighbors(blocked, simThreshold, maxBlock, pairBudget)
   }
@@ -1772,10 +1778,14 @@ object Dedup {
     * `fine` are `(centroid_id, cv)` tables (`coarse` a PREFIX of `fine`
     * by the [[IvfIndex.centroids]] seed contract, so no coarse cell is
     * ever fine-less); both argmins break ties by centroid id ascending.
-    * Returns `(block, vec_id, embedding)` — the embedding rides inside
-    * each min-struct (the kmeansCentroids trick: `(dist, id)` is already
-    * unique per candidate, the array never participates in the
-    * comparison and no re-attach join is needed). */
+    * Returns `(block, vec_id, embedding)` — both corpus argmins are
+    * NARROW (dist, id) structs with the embedding re-attached by a
+    * vec_id-keyed linear join (r19: a dim-wide struct forced each
+    * argmin into a SortAggregate over embedding-carrying candidate
+    * rows; comparison semantics are unchanged — the id is unique per
+    * candidate, so the array never participated). The tiny fine→coarse
+    * map keeps its cv inside the struct: k × k₁ rows, sort-free by
+    * size. */
   private[graft] def hierarchicalAssign(embeddings: DataFrame,
                                         coarse: DataFrame,
                                         fine: DataFrame): DataFrame = {
@@ -1789,29 +1799,33 @@ object Dedup {
       .agg(min(struct(col("cd"), col("ccid"), col("cv"))).as("m"))
       .select(col("m.ccid").as("ccid"), col("centroid_id"),
         col("m.cv").as("cv"))
-    // corpus → coarse cell: n × k₁
+    // corpus → coarse cell: n × k₁. NARROW argmin (see semanticNeighbors'
+    // r19 note: an embedding inside the min-struct forces a dim-wide
+    // SortAggregate; the narrow struct sorts 24 B rows and the embedding
+    // re-attaches via one vec_id-keyed linear join — comparison
+    // semantics identical, ccid is unique per candidate row)
     val coarseAssign = embeddings.crossJoin(broadcast(cc))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         (lit(1.0) - cosine_similarity(col("embedding"), col("ccv")))
           .as("cd"),
         col("ccid"))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("cd"), col("ccid"), col("embedding"))).as("m"))
-      .select(col("vec_id"), col("m.ccid").as("ccid"),
-        col("m.embedding").as("embedding"))
+      .agg(min(struct(col("cd"), col("ccid"))).as("m"))
+      .select(col("vec_id"), col("m.ccid").as("ccid"))
+      .join(embeddings, Seq("vec_id"))
     // corpus → nearest fine centroid WITHIN the coarse cell: the join
     // fans each vector out to its cell's fine centroids only (k/k₁ on
     // average), never to all k
     coarseAssign.join(broadcast(fineMap), Seq("ccid"))
-      .select(col("vec_id"), col("embedding"),
+      .select(col("vec_id"),
         (lit(1.0) - cosine_similarity(col("embedding"), col("cv")))
           .as("fd"),
         col("centroid_id"))
       .groupBy(col("vec_id"))
-      .agg(min(struct(col("fd"), col("centroid_id"), col("embedding")))
-        .as("m"))
-      .select(col("m.centroid_id").as("block"), col("vec_id"),
-        col("m.embedding").as("embedding"))
+      .agg(min(struct(col("fd"), col("centroid_id"))).as("m"))
+      .select(col("vec_id"), col("m.centroid_id").as("block"))
+      .join(embeddings, Seq("vec_id"))
+      .select(col("block"), col("vec_id"), col("embedding"))
   }
 
   /** Persist the semantic-dedup BASE: centroids (k fine + k₁ coarse

@@ -145,14 +145,16 @@ object IvfIndex {
     import spark.implicits._
     var cents = centroids(corpus, nCentroids)
     for (_ <- 1 to iters) {
-      val assigned = corpus.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("centroid_id"), col("embedding"),
-          (lit(1.0) - cosine_similarity(col("embedding"), col("cv"))).as("dist"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("dist"), col("centroid_id"), col("embedding")))
-          .as("best"))
-        .select(col("best.centroid_id").as("centroid_id"),
-          col("best.embedding").as("embedding"))
+      // narrow argmin + re-attach join (the r19 semanticNeighbors note):
+      // an embedding inside the min-struct makes each Lloyd round a
+      // dim-wide SortAggregate over n·k rows; the narrow struct sorts
+      // 24 B rows and the cell-mean input re-attaches via one
+      // vec_id-keyed linear join — identical assignment (centroid_id is
+      // unique per candidate, the comparison never reached the array)
+      val assigned = nearestCentroid(corpus, cents)
+        .select(col("vec_id"), col("centroid_id"))
+        .join(corpus, Seq("vec_id"))
+        .select(col("centroid_id"), col("embedding"))
       val newCents = assigned
         .as[(Long, Array[Float])]
         .groupByKey(_._1)
