@@ -257,7 +257,12 @@ object PlanDoctor {
       case l: org.apache.spark.sql.catalyst.expressions.Literal
           if l.dataType == org.apache.spark.sql.types.StringType &&
             l.value != null =>
-        l.value.toString.contains("thc:?")
+        // both the historical 7-pass form ("thc:?…") and the merged
+        // 3-pass alternation ("(thc|cbd):?…") — the detector must keep
+        // tracking the chain across its own optimizations (the planted
+        // PlanAuditSpec positive holds this)
+        val s = l.value.toString
+        s.contains("thc:?") || s.contains("(thc|cbd):?")
       case _ => false
     }
 

@@ -28,6 +28,28 @@ object StageProbe {
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // job-level view: serialized barrier/action jobs show up as many
+    // short jobs with driver-side gaps between them — the gap column
+    // (time since the previous job finished) is pure driver/planning
+    // overhead no stage metric attributes
+    val lastJobEnd = new java.util.concurrent.atomic.AtomicLong(0L)
+    val jobStarts =
+      new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobStarts.put(j.jobId, j.time); ()
+        }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = Option(jobStarts.get(j.jobId)).getOrElse(j.time)
+          val prev = lastJobEnd.getAndSet(j.time)
+          val gap = if (prev == 0L) 0.0 else (st - prev) / 1e3
+          println(f"[job ${j.jobId}%3d] wall=${(j.time - st) / 1e3}%6.2fs " +
+            f"gapBefore=${gap}%6.2fs")
+        }
+      })
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -35,7 +57,17 @@ object StageProbe {
           val si = sc.stageInfo
           val w = si.taskMetrics.shuffleWriteMetrics
           val r = si.taskMetrics.shuffleReadMetrics
+          // wall = submission→completion (scheduler view, includes task
+          // tail); cpu = summed task executor time (the compute view) —
+          // the pair separates "slow stage" from "many small stages"
+          val wall = (for {
+            s <- si.submissionTime; c <- si.completionTime
+          } yield (c - s) / 1e3).getOrElse(-1.0)
           println(f"[stage ${si.stageId}%3d] tasks=${si.numTasks}%4d " +
+            f"wall=${wall}%6.2fs cpu=${si.taskMetrics.executorRunTime / 1e3}%7.2fs " +
+            f"cpuT=${si.taskMetrics.executorCpuTime / 1e9}%7.2fs " +
+            f"gc=${si.taskMetrics.jvmGCTime / 1e3}%6.2fs " +
+            f"deser=${si.taskMetrics.executorDeserializeTime / 1e3}%6.2fs " +
             f"wrRec=${w.recordsWritten}%9d wrMB=${w.bytesWritten / 1e6}%8.2f " +
             f"rdRec=${r.recordsRead}%9d  ${si.name.takeWhile(_ != '\n')}")
         }
@@ -43,6 +75,17 @@ object StageProbe {
     val fn = SparkEntry.queries(qname)
     fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+    // GRAFT_PROBE_TWICE=1: run again in the same JVM — the stage delta
+    // between the two runs separates cold costs (JIT, codegen compile,
+    // scan init) from the steady-state per-stage cost the bench's warm
+    // suite actually pays
+    if (sys.env.get("GRAFT_PROBE_TWICE").contains("1")) {
+      println("[probe] ===== second (warm) run =====")
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      org.apache.spark.sql.graft.bridge.drainListenerBus(spark)
+    }
     spark.stop()
   }
 }

@@ -12,18 +12,34 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Reference services/index_service.py:preprocess_description. */
+  /** Reference services/index_service.py:preprocess_description.
+    *
+    * The original formulation ran SEVEN regexp_replace passes (each one
+    * allocates a fresh string per row); the hottest CPU of every text
+    * pipeline is this chain, so the passes are merged into three
+    * provably-equivalent ones (spec-pinned against the 7-pass reference
+    * in TextFunctionsSpec):
+    *  - thc/cbd unit rewrites share one alternation: the patterns are
+    *    literal-disjoint (a thc match span contains no 'b'/'d', so it can
+    *    neither create nor destroy a cbd match, and the replacements
+    *    introduce neither literal), so sequential replaceAll ≡ one
+    *    left-to-right alternation pass;
+    *  - the three `X[ -]?dominant` rewrites are disjoint on their leading
+    *    literals and none of the replacements contains `dominant`, so the
+    *    same argument applies;
+    *  - strip-specials-then-collapse-whitespace is one pass: each special
+    *    became a single space and every \s+ run then collapsed, so a run
+    *    of [specials ∪ whitespace] maps to exactly one space either way
+    *    (`\w` and `\s` are both ASCII classes in Java regex, so the runs
+    *    partition identically). */
   def preprocess(c: Column): Column = {
     var x = lower(coalesce(c, lit("")))
     // capture-group rewrites (Java replacement syntax `$1`)
-    x = regexp_replace(x, "thc:?\\s*(\\d+\\.?\\d*)%?", "thc $1%")
-    x = regexp_replace(x, "cbd:?\\s*(\\d+\\.?\\d*)%?", "cbd $1%")
-    x = regexp_replace(x, "hybrid[ -]?dominant", "hybrid")
-    x = regexp_replace(x, "indica[ -]?dominant", "indica")
-    x = regexp_replace(x, "sativa[ -]?dominant", "sativa")
-    // keep word chars, whitespace and % ; then collapse whitespace
-    x = regexp_replace(x, "[^\\w\\s%]", " ")
-    trim(regexp_replace(x, "\\s+", " "))
+    x = regexp_replace(x, "(thc|cbd):?\\s*(\\d+\\.?\\d*)%?", "$1 $2%")
+    x = regexp_replace(x, "(hybrid|indica|sativa)[ -]?dominant", "$1")
+    // keep word chars, whitespace and %; specials AND whitespace runs
+    // both land on one space
+    trim(regexp_replace(x, "[^\\w%]+", " "))
   }
 
   /** Whitespace tokens of already-normalized text; [] for blank input. */

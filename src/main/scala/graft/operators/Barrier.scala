@@ -60,4 +60,42 @@ object Barrier {
   implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
     def barrier(): DataFrame = Barrier(df)
   }
+
+  /** Build several INDEPENDENT pipeline branches concurrently.
+    *
+    * Barriers are EAGER actions, so a composite operator that constructs
+    * its branches sequentially (curation gates, card constituents)
+    * serializes one blocking Spark job per internal barrier — while each
+    * job's tail leaves most cores idle. Spark's scheduler happily runs
+    * jobs submitted from different threads at once (optimization guide
+    * §2.6 "overlap independent jobs"): handing each branch to its own
+    * thread lets the next branch's jobs back-fill the idle capacity.
+    * FIFO scheduling keeps the earlier branch ahead, which is exactly
+    * the back-fill behaviour wanted.
+    *
+    * Correctness: branches must be mutually independent (each one only
+    * reads already-materialized inputs or its own lineage). Results are
+    * bit-identical to sequential construction — each branch's lineage is
+    * unchanged, only the wall-clock interleaving of their jobs differs.
+    * Exceptions from any branch propagate (first failure rethrown). */
+  def concurrently[A](thunks: Seq[() => A]): Seq[A] =
+    if (thunks.sizeIs <= 1) thunks.map(_())
+    else {
+      val pool =
+        java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      try {
+        val futs = thunks.map { t =>
+          pool.submit(new java.util.concurrent.Callable[A] {
+            override def call(): A = t()
+          })
+        }
+        futs.map { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
+    }
 }

@@ -135,6 +135,19 @@ object Dedup {
       bandedPairs(minhashBuckets(docs, numHashes, bands, shingleLen),
         maxBucket))
 
+  /** The capped one-direction candidate PAIR table (id1 < id2, distinct)
+    * at the production parameters — THE shared upstream of the pair-
+    * consumer family ([[minhashCandidatesFrom]], [[clustersFromPairs]],
+    * [[graft.operators.Graph.nearDupRankFromPairs]]): a pipeline
+    * generates candidates once and every downstream stage reads them. */
+  def candidatePairs(docs: DataFrame, maxBucket: Int = 1000): DataFrame =
+    bandedPairs(minhashBuckets(docs, 128, 16, 3), maxBucket)
+
+  /** [[minhashCandidates]] over an already-materialized
+    * [[candidatePairs]] table — the materialize-once seam. */
+  def minhashCandidatesFrom(docs: DataFrame, pairs: DataFrame): DataFrame =
+    perDocSummary(docs, pairs)
+
   /** Recall ACCOUNTING for the `maxBucket` skew guard: [[capBuckets]]
     * drops over-cap (band, h) buckets silently — a documented trade, but
     * "documented" is not "measured". This emits the per-band side table
@@ -1250,20 +1263,29 @@ object Dedup {
     * ~maxIters × |labels| + |edges| of reliable storage per run. */
   def clusters(docs: DataFrame, maxIters: Int = 10,
                maxBucket: Int = 1000,
-               checkpointDir: Option[String] = None): DataFrame = {
+               checkpointDir: Option[String] = None): DataFrame =
+    // same capped pair generation as minhashCandidates — one code path,
+    // one skew guard
+    clustersFromPairs(docs,
+      bandedPairs(minhashBuckets(docs, 128, 16, 3), maxBucket),
+      maxIters, checkpointDir)
+
+  /** [[clusters]] over an already-materialized [[candidatePairs]] table —
+    * the materialize-once seam (candidates are generated once per
+    * release; label propagation reads them). */
+  def clustersFromPairs(docs: DataFrame, rawPairs: DataFrame,
+                        maxIters: Int = 10,
+                        checkpointDir: Option[String] = None): DataFrame = {
     val spark = docs.sparkSession
     val priorCkptDir = org.apache.spark.sql.graft.bridge.checkpointDir(spark)
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     try {
     def barrier(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.barrier()
-    // same capped pair generation as minhashCandidates — one code path,
-    // one skew guard
     // materialized before the symmetric union (see perDocSummary): the
     // outer barrier on `edges` materializes the UNION's output, but both
     // branches still execute the pair subtree once each
-    val pairs = barrier(bandedPairs(minhashBuckets(docs, 128, 16, 3),
-      maxBucket))
+    val pairs = barrier(rawPairs)
     val edges = barrier(pairs
       .union(pairs.select(col("id2").as("id1"), col("id1").as("id2"))))
 
@@ -1334,7 +1356,14 @@ object Dedup {
     * rows) — no extra pass over documents or pairs. */
   def clusterHistogram(docs: DataFrame, maxIters: Int = 10,
                        maxBucket: Int = 1000): DataFrame =
-    clusters(docs, maxIters, maxBucket)
+    clusterHistogramFrom(clusters(docs, maxIters, maxBucket))
+
+  /** [[clusterHistogram]] over an already-converged [[clusters]] table —
+    * the materialize-once seam (a release pipeline lands the converged
+    * assignment next to the corpus; every report reads it rather than
+    * re-propagating labels). */
+  def clusterHistogramFrom(clustered: DataFrame): DataFrame =
+    clustered
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .select(col("cluster_size"), col("n_clusters"),
@@ -1352,7 +1381,12 @@ object Dedup {
     * [[clusters]] itself — the verdict is a projection of its output. */
   def canonicalize(docs: DataFrame, maxIters: Int = 10,
                    maxBucket: Int = 1000): DataFrame =
-    clusters(docs, maxIters, maxBucket)
+    canonicalizeFrom(clusters(docs, maxIters, maxBucket))
+
+  /** [[canonicalize]] over an already-converged [[clusters]] table —
+    * see [[clusterHistogramFrom]]. */
+  def canonicalizeFrom(clustered: DataFrame): DataFrame =
+    clustered
       .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
         (col("cluster_id") === col("doc_id")).as("keep"))
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
@@ -1376,8 +1410,14 @@ object Dedup {
     * and bypass the exchange entirely, so the rank shuffle is ∝ dup-
     * cluster membership, not the corpus. */
   def canonicalizeByQuality(docs: DataFrame, maxIters: Int = 10,
-                            maxBucket: Int = 1000): DataFrame = {
-    val scored = clusters(docs, maxIters, maxBucket)
+                            maxBucket: Int = 1000): DataFrame =
+    canonicalizeByQualityFrom(clusters(docs, maxIters, maxBucket), docs)
+
+  /** [[canonicalizeByQuality]] over an already-converged [[clusters]]
+    * table — see [[clusterHistogramFrom]]. */
+  def canonicalizeByQualityFrom(clustered: DataFrame,
+                                docs: DataFrame): DataFrame = {
+    val scored = clustered
       .join(TextAnalysis.qualityScores(docs, sorted = false)
         .select(col("doc_id"), col("quality_score")), Seq("doc_id"))
       .barrier() // read twice below; without this both branches re-run

@@ -78,4 +78,14 @@ object Graph {
   def nearDupRank(docs: DataFrame, iters: Int = 5,
                   maxBucket: Int = 1000): DataFrame =
     rankFrom(Dedup.candidateEdges(docs, maxBucket).barrier(), iters)
+
+  /** [[nearDupRank]] over an already-materialized
+    * [[Dedup.candidatePairs]] table — the materialize-once seam. The
+    * symmetric union is rebuilt here (both directions from the
+    * one-direction store) and barriered once for the `iters` rounds. */
+  def nearDupRankFromPairs(pairs: DataFrame, iters: Int = 5): DataFrame =
+    rankFrom(
+      pairs.union(pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+        .barrier(),
+      iters)
 }

@@ -477,17 +477,23 @@ object Pipeline {
     val toks = docs
       .select(col("doc_id"), tokens(preprocess(col("text"))).as("toks"))
       .barrier() // ONE tokenization pass, shared by all gates
-    val g = gopherStatsFrom(toks)
-      .select(col("doc_id"), col("keep").as("keep_gopher"))
-    val l = TextAnalysis.lmScoresFrom(toks)
-      .select(col("doc_id"), col("keep").as("keep_lm"))
-    val b = boilerplateFrom(toks)
-      .select(col("doc_id"), col("keep").as("keep_boiler"))
-    val w = Dedup.windowDupCoverageFrom(toks)
-      .select(col("doc_id"), col("keep").as("keep_windows"))
-    val d = decontaminateFrom(toks.filter(col("doc_id") >= benchSplit),
-        toks.filter(col("doc_id") < benchSplit))
-      .select(col("doc_id"), (!col("contaminated")).as("keep_decontam"))
+    // the five gates are independent given the shared token table, but
+    // each constructs its own barriered intermediates (eager jobs) —
+    // built sequentially they serialize ~10 short jobs; concurrently
+    // each gate's jobs back-fill the others' idle task slots
+    // (Barrier.concurrently; results bit-identical)
+    val Seq(g, l, b, w, d) = Barrier.concurrently[DataFrame](Seq(
+      () => gopherStatsFrom(toks)
+        .select(col("doc_id"), col("keep").as("keep_gopher")),
+      () => TextAnalysis.lmScoresFrom(toks)
+        .select(col("doc_id"), col("keep").as("keep_lm")),
+      () => boilerplateFrom(toks)
+        .select(col("doc_id"), col("keep").as("keep_boiler")),
+      () => Dedup.windowDupCoverageFrom(toks)
+        .select(col("doc_id"), col("keep").as("keep_windows")),
+      () => decontaminateFrom(toks.filter(col("doc_id") >= benchSplit),
+          toks.filter(col("doc_id") < benchSplit))
+        .select(col("doc_id"), (!col("contaminated")).as("keep_decontam"))))
     g.join(l, Seq("doc_id")).join(b, Seq("doc_id")).join(w, Seq("doc_id"))
       .join(d, Seq("doc_id")) // inner: restricts to the training split
       .select(col("doc_id"), col("keep_gopher"), col("keep_lm"),

@@ -317,8 +317,11 @@ object TextAnalysis {
       .barrier() // explode re-evaluates its child per output row
       .select(explode(col("toks")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as(cname))
-    val b = counts(base, "c1")
-    val c = counts(cur, "c2")
+    // the two snapshots' tokenize barriers are independent eager jobs —
+    // built concurrently each back-fills the other's idle task slots
+    // (guide §2.6; results bit-identical)
+    val Seq(b, c) = graft.operators.Barrier.concurrently[DataFrame](Seq(
+      () => counts(base, "c1"), () => counts(cur, "c2")))
     val n1 = b.agg(sum(col("c1")).as("n1"))
     val n2 = c.agg(sum(col("c2")).as("n2"))
     val num = (col("c2") + lit(1L)).cast("double") *

@@ -8,9 +8,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pushdown — callers select/filter and the scan narrows (verified in
   * PlanSpec via `PushedFilters`/`ReadSchema`).
   */
-final case class Tables(spark: SparkSession, dir: String) {
+final case class Tables(spark: SparkSession, dir: String,
+                        spread: Boolean = false) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The per-ROW-expensive corpus tables (documents: the regex/tokenize
+    * chains; embeddings: the vector-distance chains) take the
+    * [[Tables.parallelismFloor]] when this instance was built with
+    * `spread = true` (the SparkEntry query path). The relational fact
+    * tables do NOT: their consumers are map-side-combined aggregates and
+    * keyed joins whose own exchanges already parallelize the reduce side,
+    * and a pre-shuffle of full-width rows defeats partial aggregation
+    * (measured: q1_agg at sf1 went 2.5 s → 17 s with a blanket floor on
+    * lineitem — the repartition shuffled 6 M wide rows that the map-side
+    * partial agg would have collapsed to a few hundred). Dimension
+    * tables (region/nation/supplier) broadcast everywhere; an exchange
+    * before a broadcast build is pure overhead. */
+  private def f(name: String): DataFrame =
+    if (spread) Tables.parallelismFloor(t(name)) else t(name)
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -43,8 +59,63 @@ final case class Tables(spark: SparkSession, dir: String) {
       case _ => raw
     }
   }
-  def documents: DataFrame  = t("documents")
+  def documents: DataFrame  = f("documents")
+  /** embeddings deliberately does NOT take the floor: its per-row work
+    * (fixed-dim float kernels) is ~3 orders cheaper per scan byte than
+    * the documents regex chains, and the measured full-suite A/B read
+    * the floored vector family NET NEGATIVE at sf0.1 (59.8 s floored vs
+    * 51.5 s not — the extra exchange + small-task overhead exceeds the
+    * parallelized compute) while the genuinely heavy embedding passes
+    * are either memo-served (IVF/PQ builds, classify/ovr tables) or run
+    * at SFs where ScaleUp's union layout already plans ≥ cores splits. */
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Scale-adaptive scan-parallelism floor (guide §2.5 "input skew …
+    * repartition immediately after the read"): a corpus delivered as
+    * fewer splittable units than the cluster has cores serializes every
+    * downstream map-side chain — at local SFs the single-row-group
+    * parquet files plan ONE scan task, so the preprocess/tokenize regex
+    * chain (the hottest CPU in the text family) ran on one core while
+    * the other 31 idled (measured: the `q_curate` tokenize barrier was a
+    * 1-task stage with 3.5 s of CPU at sf0.1).
+    *
+    * The floor is ADAPTIVE, not a constant: it round-robins to
+    * `defaultParallelism` (whatever core count the session was given)
+    * and ONLY when the scan plans fewer partitions than that — at
+    * production scale the input has thousands of splits and this is a
+    * no-op, so no extra exchange ever reaches a 100 TB plan. Round-robin
+    * keeps the exchange off PlanDoctor's `body-width-exchange` rule
+    * (which gates HASH exchanges carrying body columns: keyed shuffles
+    * can and should ship fingerprints instead, but a parallelism floor
+    * moves each row once to wherever compute is idle) and Spark's
+    * sort-before-repartition default keeps the row→partition assignment
+    * deterministic under retries. Catalyst pushes filters and column
+    * pruning through a Repartition node, so scans keep their
+    * PushedFilters/ReadSchema. */
+  def parallelismFloor(df: DataFrame): DataFrame = {
+    // experiment/ops kill-switch: -Dgraft.spread=false / GRAFT_SPREAD=false
+    // serves the exact pre-floor plans (same-binary A/B measurements; also
+    // the escape hatch if a deployment's scheduler dislikes the extra
+    // early stage)
+    if (sys.props.get("graft.spread").contains("false") ||
+        sys.env.get("GRAFT_SPREAD").contains("false")) return df
+    val spark = df.sparkSession
+    val cores = spark.sparkContext.defaultParallelism
+    // partitions ∝ scan bytes, capped at the session's cores: thread-dump
+    // profiling showed ~0.1-0.25 s of per-task fixed cost (shuffle file
+    // opens, block-store size estimation, codegen class wiring) that
+    // swamps sub-millisecond-per-row work when tasks shrink to a few
+    // hundred rows — so the floor targets enough bytes per task for the
+    // per-row work to dominate, rather than always fanning to every core.
+    // ~64 KB of columnar text ≈ 500 docs ≈ 0.3-0.5 s of regex chain.
+    val target = spark.conf.getOption("spark.graft.spreadTargetBytes")
+      .map(_.toLong).getOrElse(64L << 10)
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = ((bytes + target - 1) / target).max(1).min(cores).toInt
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
 }
 
 /** Corpus ingestion from the formats a user of the reference actually has.

@@ -516,6 +516,45 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("preprocess: merged 3-pass chain ≡ the 7-pass reference chain") {
+    import org.apache.spark.sql.functions._
+    // the ORIGINAL 7-pass formulation (reference:
+    // services/index_service.py:preprocess_description), kept here as the
+    // equivalence oracle for the merged TextFunctions.preprocess
+    def reference(c: org.apache.spark.sql.Column) = {
+      var x = lower(coalesce(c, lit("")))
+      x = regexp_replace(x, "thc:?\\s*(\\d+\\.?\\d*)%?", "thc $1%")
+      x = regexp_replace(x, "cbd:?\\s*(\\d+\\.?\\d*)%?", "cbd $1%")
+      x = regexp_replace(x, "hybrid[ -]?dominant", "hybrid")
+      x = regexp_replace(x, "indica[ -]?dominant", "indica")
+      x = regexp_replace(x, "sativa[ -]?dominant", "sativa")
+      x = regexp_replace(x, "[^\\w\\s%]", " ")
+      trim(regexp_replace(x, "\\s+", " "))
+    }
+    // adversarial fragments: unit rewrites with/without colon/%/decimals,
+    // dominant rewrites with space/dash/nothing, specials, unicode,
+    // whitespace runs, and near-miss prefixes that must NOT rewrite
+    val frag = Gen.oneOf(
+      "THC: 21.5%", "thc21", "cbd:0.3", "CBD 7 %", "bathc 3%", "thc x",
+      "Hybrid-Dominant", "indica dominant", "sativadominant", "dominant",
+      "sativa--dominant", "hybrid-dominant-dominant", "thcbd 4",
+      "a.b,c;d", "  tabs\tand\nnewlines  ", "é€ñ", "under_score", "%",
+      "42", "..", "", "thc: 5% cbd: 6%", "(indica) [dominant]")
+    val strGen = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, frag).map(_.mkString(" ")))
+    forAll(Gen.listOfN(24, strGen), 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val rows = df.select($"id",
+          graft.functions.TextFunctions.preprocess($"text").as("got"),
+          reference($"text").as("want"))
+        .collect()
+      rows.foreach(r => assert(r.getString(1) == r.getString(2),
+        s"preprocess diverged on ${texts(r.getLong(0).toInt)}: " +
+          s"'${r.getString(1)}' vs '${r.getString(2)}'"))
+    }
+  }
+
   test("skipgram pair conservation: 2·Σ_d max(len−d, 0) directed pairs") {
     forAll(tokensGen, 8) { toks =>
       val docs = Seq((1L, toks.mkString(" "))).toDF("doc_id", "text")

@@ -29,6 +29,23 @@ import re
 import sys
 
 
+def load_artifact(path):
+    """json.load with a one-line FAILED verdict instead of a traceback.
+
+    Round-19 close committed an EMPTY bench artifact (0 bytes); anyone
+    running the gate from that HEAD got a JSONDecodeError traceback,
+    not a gate verdict. An empty/unparseable artifact is a FAILED leg:
+    say which file and why, exit 1."""
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        sys.exit(f"key_gate FAIL: artifact {path} is empty or "
+                 f"unparseable ({e.__class__.__name__}: {e}) — a "
+                 "committed artifact must parse; restore it from git "
+                 "history (git show <commit>^:path)")
+
+
 def survey_keys(path):
     txt = open(path).read()
     # §2 spans from its header to the next '## §' header
@@ -45,14 +62,14 @@ def survey_keys(path):
 
 
 def engine_keys(path):
-    return {k for k in json.load(open(path))["queries"] if "#" not in k}
+    return {k for k in load_artifact(path)["queries"] if "#" not in k}
 
 
 def scale_artifact_keys(path):
     """Key set covered by a scale artifact: a bench JSON's `queries`
     (phase rows excluded), or a scaling-gate artifact's checked ∪ exempt
     (exempt entries are dicts {key, reason} or plain strings)."""
-    d = json.load(open(path))
+    d = load_artifact(path)
     if "queries" in d:
         return {k for k in d["queries"] if "#" not in k}
     keys = set(d.get("checked", {}))
@@ -72,7 +89,7 @@ def run(survey_path, bench_path, correctness_path, scale_paths=()):
         for k in sorted(en - sv):
             print(f"key_gate FAIL: `{k}` in the engine but not in SURVEY §2")
     if correctness_path:
-        co = set(json.load(open(correctness_path)))
+        co = set(load_artifact(correctness_path))
         for k in sorted(co - en):
             ok = False
             print(f"key_gate FAIL: `{k}` passed {correctness_path} "
@@ -147,6 +164,22 @@ def selftest():
               open(scal, "w"))
     assert not run(sv, bench, corr, [sat, scal]), \
         "a key neither checked nor exempt must trip the scale leg"
+    # planted positive: an EMPTY committed artifact (the r19-close
+    # bench_sf01 defect) must produce a clean one-line FAIL verdict
+    # (SystemExit with a message), never a JSONDecodeError traceback
+    open(bench, "w").close()  # 0 bytes
+    try:
+        run(sv, bench, corr)
+        raise AssertionError("a 0-byte artifact must fail the gate")
+    except SystemExit as e:
+        assert "empty or unparseable" in str(e.code), e.code
+    json.dump({"queries": {"q_a": 1.0, "q_b": 2.0}}, open(bench, "w"))
+    open(scal, "w").write("{not json")  # unparseable scale artifact
+    try:
+        run(sv, bench, corr, [scal])
+        raise AssertionError("an unparseable artifact must fail the gate")
+    except SystemExit as e:
+        assert "empty or unparseable" in str(e.code), e.code
     print("key_gate selftest OK")
 
 
