@@ -143,12 +143,45 @@ object SparkEntry {
     * iteration, `q_graph_rank`), and a pipeline generates candidates
     * once per release. Longs only → exact round-trip; every consumer
     * stays individually oracle-checked. */
+  /** The banded signature table `(doc_id, band, h)` at the production
+    * parameters, materialized ONCE per (JVM, corpus) — the build
+    * artifact [[candidatePairsTable]] derives from and the cap audit
+    * censuses. Longs/ints only → exact round-trip. */
+  private def bandedSigTable(s: SparkSession, dir: String): DataFrame = {
+    val memoKey =
+      s"bandedsig:$dir@${corpusFingerprint(dir, "documents.parquet")}"
+    val path = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
+      val p = s"$ivfTmpBase/bandedsig-${memoTag(memoKey)}"
+      Dedup.bandedSignatures(Tables(s, dir, spread = true).documents)
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path)
+  }
+
   private def candidatePairsTable(s: SparkSession, dir: String): DataFrame = {
     val memoKey =
       s"candpairs:$dir@${corpusFingerprint(dir, "documents.parquet")}"
     val path = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
       val p = s"$ivfTmpBase/candpairs-${memoTag(memoKey)}"
-      Dedup.candidatePairs(Tables(s, dir, spread = true).documents)
+      Dedup.candidatePairsFrom(bandedSigTable(s, dir))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path)
+  }
+
+  /** The bigram-LM score table `(doc_id, n_bigrams, avg_nll, keep)`,
+    * materialized ONCE per (JVM, corpus) — the [[curatedVerdicts]] rule
+    * applied to the LM pair: `text_lm_score` (the per-doc scores) and
+    * `q_lm_buckets` (the CDF-cut report over them) are two reads of one
+    * scoring pass. `avg_nll` is 1e-4-floored before the write, so the
+    * double round-trips exactly; the other columns are integral. */
+  private def lmScoredTable(s: SparkSession, dir: String): DataFrame = {
+    val memoKey = s"lmscore:$dir@${corpusFingerprint(dir, "documents.parquet")}"
+    val path = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
+      val p = s"$ivfTmpBase/lmscore-${memoTag(memoKey)}"
+      TextAnalysis.lmScores(Tables(s, dir, spread = true).documents)
         .write.mode("overwrite").parquet(p)
       p
     }
@@ -823,16 +856,18 @@ object SparkEntry {
     // ground-truth recall/precision of the capped LSH funnel on the
     // doc_id % 4 sample: exact shingle-jaccard truth (sample²-bounded by
     // contract), candidates from the UNCHANGED production generator
-    "dedup_recall"    -> q(t => Dedup.lshRecallAudit(t.documents)),
+    "dedup_recall"    -> ((s, dir) => Dedup.lshRecallAuditFrom(
+      Tables(s, dir, spread = true).documents, candidatePairsTable(s, dir))),
     // the cap's recall cost AS DATA: per-band capped-bucket census with
     // dropped-row and estimated-pair-loss totals (maxBucket=2 so the cap
     // actually engages at oracle scale — exact-dup groups cross it)
-    "dedup_cap_audit" -> q(t =>
-      Dedup.bandingCapAudit(t.documents, maxBucket = 2)),
+    "dedup_cap_audit" -> ((s, dir) =>
+      Dedup.bandingCapAuditFrom(bandedSigTable(s, dir), maxBucket = 2)),
     // provenance rollup of the SAME candidate pairs: which sources
     // near-duplicate which (off-diagonal = mirroring, diagonal =
     // intra-source boilerplate) — the dataset-card companion table
-    "dedup_source_matrix" -> q(t => Dedup.sourceMatrix(t.documents)),
+    "dedup_source_matrix" -> ((s, dir) => Dedup.sourceMatrixFrom(
+      Tables(s, dir, spread = true).documents, candidatePairsTable(s, dir))),
     // the banding TRADE itself as data (the dedup twin of q_recall_sweep):
     // one signature pass re-banded at 32×4 / 16×8 / 8×16, each config's
     // candidate volume + integer-gate precision estimate
@@ -1018,11 +1053,13 @@ object SparkEntry {
     "text_diversity"   -> q(t => TextAnalysis.diversity(t.documents)),
     // self-trained bigram-LM scoring (CCNet-style perplexity proxy):
     // avg negative log-likelihood per doc under add-one smoothing
-    "text_lm_score"    -> q(t => TextAnalysis.lmScores(t.documents)),
+    "text_lm_score"    -> ((s, dir) => lmScoredTable(s, dir)
+      .transform(graft.Determinism.sorted(_)(col("doc_id")))),
     // CCNet-style perplexity bucketing: head/middle/tail thirds by LM
     // avg-NLL with ORDER-STATISTIC cuts (no interpolated doubles — the
     // cut values exist in the data, so both engines compare identically)
-    "q_lm_buckets"     -> q(t => TextAnalysis.lmBuckets(t.documents)),
+    "q_lm_buckets"     -> ((s, dir) => TextAnalysis.lmBucketsFrom(
+      lmScoredTable(s, dir).select(col("doc_id"), col("avg_nll")))),
     // BPE tokenizer induction: top merge candidates by corpus-weighted
     // adjacent-char-pair count — one corpus pass, then vocab-sized work
     "q_bpe_pairs"      -> q(t => TextAnalysis.bpePairs(t.documents)),

@@ -53,6 +53,15 @@ object Barrier {
         s"$ReliableKey=true needs sparkContext.setCheckpointDir(<reliable " +
           "path>) — reliable barriers are written there")
       df.checkpoint()
+    } else if (spark.conf.getOption("spark.graft.barrierSerialized")
+        .exists(_.equalsIgnoreCase("true"))) {
+      // opt-in serialized block storage: deserialized blocks pay
+      // SizeEstimator object-graph sampling per block (visible in task
+      // thread dumps under MemoryStore.putIteratorAsValues); serialized
+      // storage tracks exact bytes instead, at the cost of one
+      // serialize/deserialize per consumer read
+      df.localCheckpoint(eager = true,
+        storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     } else df.localCheckpoint()
   }
 

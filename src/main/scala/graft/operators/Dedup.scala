@@ -143,6 +143,18 @@ object Dedup {
   def candidatePairs(docs: DataFrame, maxBucket: Int = 1000): DataFrame =
     bandedPairs(minhashBuckets(docs, 128, 16, 3), maxBucket)
 
+  /** The banded signature table `(doc_id, band, h)` at the production
+    * parameters — one level upstream of [[candidatePairs]]: signatures
+    * are the build artifact every banded consumer (pair generation, the
+    * cap audit) derives from. */
+  def bandedSignatures(docs: DataFrame): DataFrame =
+    minhashBuckets(docs, 128, 16, 3)
+
+  /** [[candidatePairs]] from an already-materialized
+    * [[bandedSignatures]] table. */
+  def candidatePairsFrom(banded: DataFrame, maxBucket: Int = 1000): DataFrame =
+    bandedPairs(banded, maxBucket)
+
   /** [[minhashCandidates]] over an already-materialized
     * [[candidatePairs]] table — the materialize-once seam. */
   def minhashCandidatesFrom(docs: DataFrame, pairs: DataFrame): DataFrame =
@@ -163,8 +175,16 @@ object Dedup {
     * drop audit. Run it with the SAME `maxBucket` as the candidate pass
     * it audits. */
   def bandingCapAudit(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
-                      shingleLen: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sizes = minhashBuckets(docs, numHashes, bands, shingleLen)
+                      shingleLen: Int = 3, maxBucket: Int = 1000): DataFrame =
+    bandingCapAuditFrom(minhashBuckets(docs, numHashes, bands, shingleLen),
+      maxBucket)
+
+  /** [[bandingCapAudit]] over an already-materialized
+    * [[bandedSignatures]] table — run it with the SAME `maxBucket` as
+    * the candidate pass it audits. */
+  def bandingCapAuditFrom(banded: DataFrame, maxBucket: Int = 1000)
+      : DataFrame = {
+    val sizes = banded
       .groupBy(col("band"), col("h")).agg(count(lit(1)).as("bsz"))
     sizes.groupBy(col("band").cast("long").as("band"))
       .agg(count(lit(1)).as("n_buckets"),
@@ -201,7 +221,20 @@ object Dedup {
     * LSH look artificially perfect on them. */
   def lshRecallAudit(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
                      shingleLen: Int = 3, maxBucket: Int = 1000,
-                     sampleMod: Int = 4, threshold: Double = 0.5): DataFrame = {
+                     sampleMod: Int = 4, threshold: Double = 0.5): DataFrame =
+    lshRecallAuditFrom(docs,
+      bandedPairs(minhashBuckets(docs, numHashes, bands, shingleLen),
+        maxBucket),
+      shingleLen, sampleMod, threshold)
+
+  /** [[lshRecallAudit]] with the production candidate pairs given
+    * already-materialized ([[candidatePairs]] — full-corpus signatures,
+    * so cross-sample bucket crowding and the cap act exactly as in
+    * production). The exact-jaccard truth side is unchanged. */
+  def lshRecallAuditFrom(docs: DataFrame, prodPairs: DataFrame,
+                         shingleLen: Int = 3,
+                         sampleMod: Int = 4, threshold: Double = 0.5)
+      : DataFrame = {
     require(sampleMod >= 1, s"sampleMod must be ≥ 1, got $sampleMod")
     // audit universe: sampled docs' DISTINCT shingle sets (row form)
     val sets = docs.filter(col("doc_id") % sampleMod === 0)
@@ -223,9 +256,9 @@ object Dedup {
       .filter(col("i").cast("double") /
         (col("sz1") + col("sz2") - col("i")).cast("double") >= threshold)
       .select(col("id1"), col("id2"))
-    // the PRODUCTION generator, unchanged, then restricted to the universe
-    val cand = bandedPairs(
-      minhashBuckets(docs, numHashes, bands, shingleLen), maxBucket)
+    // the PRODUCTION generator's pairs, unchanged, restricted to the
+    // universe
+    val cand = prodPairs
       .filter(col("id1") % sampleMod === 0 && col("id2") % sampleMod === 0)
       .join(sizes.select(col("doc_id").as("id1")), Seq("id1"), "left_semi")
       .join(sizes.select(col("doc_id").as("id2")), Seq("id2"), "left_semi")
@@ -264,10 +297,14 @@ object Dedup {
     * a handful of cells. The share divides two identical longs-as-
     * doubles and floors to the 1e-6 grid. */
   def sourceMatrix(docs: DataFrame, numHashes: Int = 128, bands: Int = 16,
-                   shingleLen: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val pairs =
+                   shingleLen: Int = 3, maxBucket: Int = 1000): DataFrame =
+    sourceMatrixFrom(docs,
       bandedPairs(minhashBuckets(docs, numHashes, bands, shingleLen),
-        maxBucket)
+        maxBucket))
+
+  /** [[sourceMatrix]] over an already-materialized [[candidatePairs]]
+    * table — the materialize-once seam. */
+  def sourceMatrixFrom(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val src = docs.select(col("doc_id"), col("source"))
     val cells = pairs
       .join(src.select(col("doc_id").as("id1"), col("source").as("s1")),

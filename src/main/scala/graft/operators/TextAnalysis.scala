@@ -742,9 +742,15 @@ object TextAnalysis {
     * (≤ ~10⁵ rows) regardless of corpus size, so the single-partition
     * window is scale-invariant; scoring and assignment stay
     * corpus-parallel (the 2-value cut row broadcasts). */
-  def lmBuckets(docs: DataFrame): DataFrame = {
-    val scores = lmScores(docs).select(col("doc_id"), col("avg_nll"))
-      .barrier() // read twice: cut derivation + assignment
+  def lmBuckets(docs: DataFrame): DataFrame =
+    lmBucketsFrom(lmScores(docs).select(col("doc_id"), col("avg_nll"))
+      .barrier()) // read twice: cut derivation + assignment
+
+  /** [[lmBuckets]] over an already-materialized [[lmScores]] table —
+    * the materialize-once seam (score the corpus once; the bucket
+    * report and the per-doc scores are two reads of one pass). The
+    * caller passes a materialized `(doc_id, avg_nll)` table. */
+  def lmBucketsFrom(scores: DataFrame): DataFrame = {
     val vals = scores.groupBy(col("avg_nll")).agg(count(lit(1)).as("c"))
     val cum = vals.withColumn("cum",
       sum(col("c")).over(
