@@ -219,11 +219,18 @@ object SparkEntry {
     val path = memoized(builtPersisted, memoKey)(new java.io.File(_).exists) {
       val p = s"$ivfTmpBase/cards-${memoTag(memoKey)}"
       val (base, cur) = snapshotPair(Tables(s, dir, spread = true))
-      Pipeline.datasetCardFrom(base)
-        .select(lit("base").as("release"), col("*"))
-        .unionByName(Pipeline.datasetCardFrom(cur)
-          .select(lit("cur").as("release"), col("*")))
-        .write.mode("overwrite").parquet(p)
+      // the two releases' card constructions are independent and each
+      // runs two eager barrier jobs (clean, toks) plus its own Catalyst
+      // planning of the wide assemble DAG — sequential construction
+      // serialized all of it (StageProbe r21: two ~1.4 s driver-side
+      // planning gaps + sequential barrier jobs inside the cold build).
+      // Overlap them (guide §2.6); the union write itself is unchanged.
+      val Seq(baseCard, curCard) = graft.operators.Barrier.concurrently(Seq(
+        () => Pipeline.datasetCardFrom(base)
+          .select(lit("base").as("release"), col("*")),
+        () => Pipeline.datasetCardFrom(cur)
+          .select(lit("cur").as("release"), col("*"))))
+      baseCard.unionByName(curCard).write.mode("overwrite").parquet(p)
       p
     }
     s.read.parquet(path).filter(col("release") === release).drop("release")
@@ -2419,7 +2426,24 @@ $rounds
       val k1 = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
       Dedup.hierarchicalAssign(e,
         IvfIndex.centroids(e, k1), IvfIndex.centroids(e, k))
-    }))
+    }),
+    // the r20 memo tables' build halves, restoring per-query attribution
+    // for the memo-served keys (the r20 verdict's top item): each row
+    // re-runs the build DAG the memo hides, so BENCH_r* carries both the
+    // serve-path number (the catalog row) and the honest build cost.
+    // dedup_minhash#build is the full candidate-generation funnel
+    // (banding + capped intra-bucket pairs — what bandedSigTable +
+    // candidatePairsTable together memoize; dedup_minhash is the
+    // pair-summary row served from that artifact); clusters#build is
+    // label propagation GIVEN the pair artifact (the production shape:
+    // clustering reads the released pair table); lm#build is the
+    // bigram-LM scoring pass behind text_lm_score / q_lm_buckets.
+    "dedup_minhash#build" -> q(t =>
+      Dedup.candidatePairsFrom(Dedup.bandedSignatures(t.documents))),
+    "dedup_clusters#build" -> ((s, dir) =>
+      Dedup.clustersFromPairs(Tables(s, dir, spread = true).documents,
+        candidatePairsTable(s, dir))),
+    "text_lm_score#build" -> q(t => TextAnalysis.lmScores(t.documents)))
 
   def oracleSql: Map[String, String] = {
     val base = oracleSqlBase

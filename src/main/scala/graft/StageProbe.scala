@@ -81,6 +81,11 @@ object StageProbe {
     // suite actually pays
     if (sys.env.get("GRAFT_PROBE_TWICE").contains("1")) {
       println("[probe] ===== second (warm) run =====")
+      // CONSTRAINT: this sweep drops ALL persistent RDDs, including
+      // localCheckpointed barriers (which have no lineage to recompute).
+      // Safe only because every memo in SparkEntry stores PATHS/table
+      // names, never a barriered DataFrame — a future memo that retained
+      // one across runs would fail unrecoverably in the warm pass.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()

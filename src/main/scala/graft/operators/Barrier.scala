@@ -53,16 +53,13 @@ object Barrier {
         s"$ReliableKey=true needs sparkContext.setCheckpointDir(<reliable " +
           "path>) — reliable barriers are written there")
       df.checkpoint()
-    } else if (spark.conf.getOption("spark.graft.barrierSerialized")
-        .exists(_.equalsIgnoreCase("true"))) {
-      // opt-in serialized block storage: deserialized blocks pay
-      // SizeEstimator object-graph sampling per block (visible in task
-      // thread dumps under MemoryStore.putIteratorAsValues); serialized
-      // storage tracks exact bytes instead, at the cost of one
-      // serialize/deserialize per consumer read
-      df.localCheckpoint(eager = true,
-        storageLevel = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     } else df.localCheckpoint()
+    // (a `spark.graft.barrierSerialized` MEMORY_AND_DISK_SER variant was
+    // shipped unmeasured in r20 and DELETED in r21 after the A/B it was
+    // waiting for: 16-key vector-family subset, same binary, sf0.1
+    // 23.15 s deserialized vs 23.13 s serialized, sf1 37.0 s vs 37.7 s —
+    // the SizeEstimator sampling it avoids is cheaper than the
+    // serialize/deserialize it adds on every consumer read)
   }
 
   /** Chain syntax: `df.barrier()` ≡ `Barrier(df)`. */
@@ -90,8 +87,10 @@ object Barrier {
   def concurrently[A](thunks: Seq[() => A]): Seq[A] =
     if (thunks.sizeIs <= 1) thunks.map(_())
     else {
-      val pool =
-        java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+      // pool bounded: 2-3 jobs in flight already back-fill the tail
+      // (guide §2.6); more threads only pile up planning contention
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(thunks.size, 8))
       try {
         val futs = thunks.map { t =>
           pool.submit(new java.util.concurrent.Callable[A] {
@@ -102,6 +101,12 @@ object Barrier {
           try f.get()
           catch {
             case e: java.util.concurrent.ExecutionException =>
+              // a failing branch must not leak sibling jobs: cancel the
+              // outstanding futures (interrupt their barrier actions) and
+              // stop the pool before rethrowing, so a caller's retry does
+              // not race still-running duplicates of the same build
+              futs.foreach(_.cancel(true))
+              pool.shutdownNow()
               throw e.getCause
           }
         }

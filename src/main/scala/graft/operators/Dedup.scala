@@ -230,7 +230,14 @@ object Dedup {
   /** [[lshRecallAudit]] with the production candidate pairs given
     * already-materialized ([[candidatePairs]] — full-corpus signatures,
     * so cross-sample bucket crowding and the cap act exactly as in
-    * production). The exact-jaccard truth side is unchanged. */
+    * production). The exact-jaccard truth side is unchanged.
+    *
+    * INVARIANT: `prodPairs` must have been generated at this same
+    * `shingleLen` — the exact-jaccard truth side is recomputed here from
+    * `shingleLen`, so pairs built at a different length would produce a
+    * silently inconsistent recall number (recall over mismatched
+    * universes), not an error. Callers that memoize pair tables key them
+    * per corpus at the default length; pass the same length here. */
   def lshRecallAuditFrom(docs: DataFrame, prodPairs: DataFrame,
                          shingleLen: Int = 3,
                          sampleMod: Int = 4, threshold: Double = 0.5)
@@ -821,23 +828,43 @@ object Dedup {
     // than the shingle table
     val slim = sh.select(col("doc_id"), col("sh"))
     val sizes = sh.select(col("doc_id"), col("n_sh")).distinct()
+    // intersection counts are SYMMETRIC, so each unordered pair is joined
+    // and aggregated ONCE (id1 < id2) — halving the pair aggregate, the
+    // widest shuffle of the pipeline (guide §2.3: shuffle fewer bytes) —
+    // and both orderings are re-emitted AFTER the fold by one explode
+    // over the aggregated, candidate-pair-sized table. Identical multiset
+    // to the two-sided join: pair {x,y} with k shared shingles produced
+    // (x,y,k) and (y,x,k) before; it produces (x,y,k) exploded to both now.
     // merge hint: corpus-sized on both sides — never hash-build
     // (see bandedPairs; the saturated-SHJ OOM profile)
-    val jac = slim.hint("merge").as("a")
+    val inter = slim.hint("merge").as("a")
       .join(slim.hint("merge").as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("neighbor_id"))
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter"))
+    val jac = inter
+      .select(explode(array(
+        struct(col("id1").as("doc_id"), col("id2").as("neighbor_id"),
+          col("inter")),
+        struct(col("id2").as("doc_id"), col("id1").as("neighbor_id"),
+          col("inter")))).as("p"))
+      .select(col("p.doc_id").as("doc_id"),
+        col("p.neighbor_id").as("neighbor_id"), col("p.inter").as("inter"))
       .join(sizes.select(col("doc_id"), col("n_sh").as("n1")), Seq("doc_id"))
       .join(sizes.select(col("doc_id").as("neighbor_id"),
         col("n_sh").as("n2")), Seq("neighbor_id"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-    val wBest = Window.partitionBy(col("doc_id"))
-      .orderBy(col("jaccard").desc, col("neighbor_id"))
-    jac.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("neighbor_id"),
-        (floor(col("jaccard") * 1e6) / 1e6).as("jaccard"))
+    // top-1 as the codegen'd struct-max, (jaccard desc, neighbor_id asc)
+    // — the jaccardIncrementalFromStore argmax encoding: a
+    // partial-aggregable fold instead of an exchange+sort+row_number
+    // window, selecting exactly the window's rn=1 row (total order on
+    // finite doubles; -neighbor_id flips the tie-break to ascending)
+    jac.groupBy(col("doc_id"))
+      .agg(max(struct(col("jaccard"), (-col("neighbor_id")).as("nid")))
+        .as("best"))
+      .select(col("doc_id"), (-col("best.nid")).as("neighbor_id"),
+        (floor(col("best.jaccard") * 1e6) / 1e6).as("jaccard"))
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 
@@ -874,25 +901,40 @@ object Dedup {
                                      threshold: Double): DataFrame = {
     val slim = sh.select(col("doc_id"), col("sh"))
     val sizes = sh.select(col("doc_id"), col("n_sh")).distinct()
+    // the intersection count is symmetric even though the MEASURE is
+    // asymmetric: join/aggregate each unordered pair once (id1 < id2,
+    // halving the widest shuffle — see jaccardNeighborsOn) and explode
+    // both orderings after the fold; each direction then divides by its
+    // own contained side's size exactly as the two-sided join did.
     // merge hint: corpus-sized on both sides — never hash-build
     // (see bandedPairs; the saturated-SHJ OOM profile)
-    val cont = slim.hint("merge").as("a")
+    val inter = slim.hint("merge").as("a")
       .join(slim.hint("merge").as("b"), col("a.sh") === col("b.sh") &&
-        col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_id"),
-        col("b.doc_id").as("container_id"))
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("inter"))
+    val cont = inter
+      .select(explode(array(
+        struct(col("id1").as("doc_id"), col("id2").as("container_id"),
+          col("inter")),
+        struct(col("id2").as("doc_id"), col("id1").as("container_id"),
+          col("inter")))).as("p"))
+      .select(col("p.doc_id").as("doc_id"),
+        col("p.container_id").as("container_id"), col("p.inter").as("inter"))
       // only the CONTAINED side's size enters the measure — the
       // denominator join stays one-sided
       .join(sizes.select(col("doc_id"), col("n_sh").as("n1")), Seq("doc_id"))
       .withColumn("containment",
         col("inter").cast("double") / col("n1").cast("double"))
-    val wBest = Window.partitionBy(col("doc_id"))
-      .orderBy(col("containment").desc, col("container_id"))
-    cont.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("container_id"),
-        (floor(col("containment") * 1e6) / 1e6).as("containment"),
-        (col("containment") >= threshold).as("is_contained"))
+    // top-1 as the codegen'd struct-max (containment desc, container_id
+    // asc) — see jaccardNeighborsOn; the gate evaluates on the argmax
+    // row's raw containment exactly as the window's rn=1 filter did
+    cont.groupBy(col("doc_id"))
+      .agg(max(struct(col("containment"), (-col("container_id")).as("cid")))
+        .as("best"))
+      .select(col("doc_id"), (-col("best.cid")).as("container_id"),
+        (floor(col("best.containment") * 1e6) / 1e6).as("containment"),
+        (col("best.containment") >= threshold).as("is_contained"))
       .transform(graft.Determinism.sorted(_)(col("doc_id")))
   }
 

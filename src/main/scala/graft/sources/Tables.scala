@@ -26,7 +26,10 @@ final case class Tables(spark: SparkSession, dir: String,
     * tables (region/nation/supplier) broadcast everywhere; an exchange
     * before a broadcast build is pure overhead. */
   private def f(name: String): DataFrame =
-    if (spread) Tables.parallelismFloor(t(name)) else t(name)
+    if (spread)
+      Tables.parallelismFloor(t(name),
+        cacheKey = Some(s"${spark.sparkContext.applicationId}:$dir/$name"))
+    else t(name)
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -94,7 +97,21 @@ object Tables {
     * deterministic under retries. Catalyst pushes filters and column
     * pruning through a Repartition node, so scans keep their
     * PushedFilters/ReadSchema. */
-  def parallelismFloor(df: DataFrame): DataFrame = {
+  /** The floor DECISION (repartition target, or 0 for no-op) cached per
+    * (application, path, cores, targetBytes): deciding costs two extra
+    * plannings of the scan (a stats pass plus the `df.rdd` partition-count
+    * probe), which every documents access paid — ~130 consumers × 2 plans
+    * per suite of pure driver time. The decision is size-derived and
+    * perf-only, so caching it cannot change results; a corpus REGENERATED
+    * at the same path inside one long-lived application keeps the old
+    * floor (worst case: a suboptimal partition count, never wrong rows). */
+  private val floorDecisions =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  def parallelismFloor(df: DataFrame): DataFrame =
+    parallelismFloor(df, cacheKey = None)
+
+  def parallelismFloor(df: DataFrame, cacheKey: Option[String]): DataFrame = {
     // experiment/ops kill-switch: -Dgraft.spread=false / GRAFT_SPREAD=false
     // serves the exact pre-floor plans (same-binary A/B measurements; also
     // the escape hatch if a deployment's scheduler dislikes the extra
@@ -111,10 +128,24 @@ object Tables {
     // per-row work to dominate, rather than always fanning to every core.
     // ~64 KB of columnar text ≈ 500 docs ≈ 0.3-0.5 s of regex chain.
     val target = spark.conf.getOption("spark.graft.spreadTargetBytes")
-      .map(_.toLong).getOrElse(64L << 10)
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val want = ((bytes + target - 1) / target).max(1).min(cores).toInt
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+      .map { v =>
+        try v.trim.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"spark.graft.spreadTargetBytes must be a byte count, got '$v'")
+        }
+      }.getOrElse(64L << 10)
+    def decide(): Int = {
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val want = ((bytes + target - 1) / target).max(1).min(cores).toInt
+      if (df.rdd.getNumPartitions < want) want else 0
+    }
+    val want = cacheKey match {
+      case Some(k) =>
+        floorDecisions.getOrElseUpdate(s"$k@c$cores@t$target", decide())
+      case None => decide()
+    }
+    if (want > 0) df.repartition(want) else df
   }
 }
 

@@ -39,8 +39,10 @@ def load_artifact(path):
     try:
         with open(path) as f:
             return json.load(f)
-    except (json.JSONDecodeError, UnicodeDecodeError) as e:
-        sys.exit(f"key_gate FAIL: artifact {path} is empty or "
+    except (json.JSONDecodeError, UnicodeDecodeError, OSError) as e:
+        # OSError covers FileNotFoundError/permission: a MISSING artifact
+        # deserves the same one-line verdict as an unparseable one
+        sys.exit(f"key_gate FAIL: artifact {path} is missing, empty or "
                  f"unparseable ({e.__class__.__name__}: {e}) — a "
                  "committed artifact must parse; restore it from git "
                  "history (git show <commit>^:path)")
