@@ -23,17 +23,34 @@ object Doctor {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // GRAFT_DOCTOR_JSON=<path>: additionally write every finding (at any
+    // severity) as one JSON object per query — the committable round
+    // artifact (tools/plandoctor_r<N>.json) the r19 advice asked for, so
+    // rounds can DIFF findings instead of re-reading spec allowlists
+    val jsonOut = sys.env.get("GRAFT_DOCTOR_JSON")
+    val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+    def esc(s: String) =
+      s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only(q._1))
       .foreach { case (name, fn) =>
-        try PlanDoctor.audit(fn(spark, sfDir))
-          .filter(f => rank(f.severity) >= min)
-          .foreach(f => println(s"DOCTOR $name -> $f"))
-        catch {
+        try {
+          val fs = PlanDoctor.audit(fn(spark, sfDir))
+          fs.filter(f => rank(f.severity) >= min)
+            .foreach(f => println(s"DOCTOR $name -> $f"))
+          fs.foreach(f => acc += s"""{"query":"${esc(name)}","severity":"${
+            f.severity}","rule":"${esc(f.rule)}","detail":"${esc(f.detail)}"}""")
+        } catch {
           case e: Exception =>
             println(s"DOCTOR $name -> AUDIT-FAIL ${e.getMessage}")
+            acc += s"""{"query":"${esc(name)}","severity":"error","rule":"audit-fail","detail":"${esc(String.valueOf(e.getMessage))}"}"""
         }
       }
+    jsonOut.foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        acc.mkString("[\n", ",\n", "\n]\n"))
+      println(s"DOCTOR json -> $p (${acc.size} findings)")
+    }
     println("DOCTOR done")
     spark.stop()
   }

@@ -47,7 +47,18 @@ SHUFFLE_FLOOR_REC = 20000  # record mode: small-side floor
 # ~8.9/doc, hard bound 23/doc = mean distinct buckets); total reads
 # 12.89x. These named keys gate at the wide tolerance, and the gate
 # LOGS the split so the exemption is never silent.
-COMBINE_BOUNDED = {"q_dsir", "text_gopher"}
+# dedup_df_profile / q_dataset_card joined in r21: the r20 scan-
+# parallelism floor multiplied the documents map-partition count at the
+# small decade (sf0.1 plans ~9 partitions, sf1 hits the 32-core cap), so
+# their per-(key, map-partition) distinct partials carry the same
+# partition-count step q_dsir's rollup does. Bounded exactly the same
+# way — once the partition count stops growing the ratio returns to the
+# data ratio: committed r21 artifacts measure the sf1->sf10 decade at
+# 1.08x (dedup_df_profile — sublinear: partials are capped by distinct
+# shingles x partitions) and 10.22x (q_dataset_card)
+# (tools/bench_sat_sf1_r21.json vs tools/bench_sf10_full_r21.json).
+COMBINE_BOUNDED = {"q_dsir", "text_gopher", "dedup_df_profile",
+                   "q_dataset_card"}
 GATE_TOL_COMBINE = 0.5
 
 
